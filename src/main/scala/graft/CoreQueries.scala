@@ -1,0 +1,380 @@
+package graft
+
+import graft.api.{GroupByReduce, GroupByScan}
+import graft.aggs.ReduceOptions
+import graft.keys.{Binning, ExpectedGroups}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core flox-surface queries (SURVEY.md §2.1/§2.2/§2.3) + their DuckDB
+  * oracle SQL. Every reduction/scan/key-machinery operator gets one
+  * hash-checked entry. Column names are aliased identically on both
+  * sides; float aggregates are rounded on both sides so cross-engine
+  * summation-order noise can't break the driver's hash compare.
+  */
+object CoreQueries {
+
+  private def li(s: SparkSession, dir: String) = Tables(s, dir, "lineitem")
+  private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
+  private def ord(s: SparkSession, dir: String) = Tables(s, dir, "orders")
+
+  /** Deterministic NaN injection for nan*-variant tests: the raw tables
+    * contain no NaN, so both engines derive the same NaN positions. */
+  private def withNan(df: DataFrame): DataFrame =
+    df.withColumn("v", when(col("event_id") % 97 === 0, lit(Double.NaN))
+      .otherwise(col("value")))
+  private val sqlNan =
+    "SELECT *, CASE WHEN event_id % 97 = 0 THEN 'NaN'::DOUBLE ELSE value END AS v FROM events"
+
+  /** Deterministic null injection (missing values). */
+  private def withNull(df: DataFrame): DataFrame =
+    df.withColumn("v", when(col("event_id") % 13 === 0, lit(null))
+      .otherwise(col("value")))
+  private val sqlNull =
+    "SELECT *, CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v FROM events"
+
+  private def r(c: String, n: Int): Column = round(col(c), n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- §2.1 basic reductions (lineitem by l_returnflag)
+    "q_count" -> ((s, d) =>
+      GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "count", "n_vals")),
+
+    "q_sum" -> ((s, d) =>
+      GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "sum", "sum_qty")
+        .withColumn("sum_qty", r("sum_qty", 2))),
+
+    "q_mean" -> ((s, d) =>
+      GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "mean", "avg_qty")
+        .withColumn("avg_qty", r("avg_qty", 4))),
+
+    "q_min_max" -> ((s, d) =>
+      GroupByReduce.multi(li(s, d), Seq("l_returnflag"), Seq(
+        ("l_quantity", "min", "min_qty"),
+        ("l_quantity", "max", "max_qty"),
+        ("l_extendedprice", "min", "min_price"),
+        ("l_extendedprice", "max", "max_price")))),
+
+    "q_var_std" -> ((s, d) =>
+      GroupByReduce.multi(li(s, d), Seq("l_returnflag"), Seq(
+        ("l_quantity", "var", "var1"),
+        ("l_quantity", "std", "std1")))
+        .withColumn("var1", r("var1", 4)).withColumn("std1", r("std1", 4))),
+
+    "q_var_pop" -> ((s, d) =>
+      GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "var", "var0",
+        ReduceOptions(ddof = 0)).withColumn("var0", r("var0", 4))),
+
+    "q_var_ddof2" -> ((s, d) =>
+      GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "var", "var2",
+        ReduceOptions(ddof = 2)).withColumn("var2", r("var2", 4))),
+
+    "q_prod" -> ((s, d) =>
+      GroupByReduce(
+        li(s, d).withColumn("disc_mult", lit(1.0) + col("l_discount")),
+        Seq("l_orderkey"), "disc_mult", "prod", "prod_disc")
+        .withColumn("prod_disc", r("prod_disc", 6))),
+
+    "q_any_all" -> ((s, d) =>
+      GroupByReduce.multi(
+        li(s, d).withColumn("big", col("l_quantity") > 25),
+        Seq("l_returnflag"), Seq(
+          ("big", "any", "any_big"),
+          ("big", "all", "all_big")))),
+
+    "q_median" -> ((s, d) =>
+      GroupByReduce(li(s, d), Seq("l_returnflag"), "l_extendedprice", "median", "med_price")
+        .withColumn("med_price", r("med_price", 4))),
+
+    "q_quantile" -> ((s, d) =>
+      GroupByReduce(li(s, d), Seq("l_returnflag"), "l_extendedprice", "quantile", "p90",
+        ReduceOptions(q = Seq(0.9))).withColumn("p90", r("p90", 4))),
+
+    // vector q -> array column (the reference's "new output dim",
+    // flox/aggregations.py:688-710), unpacked to named columns — ONE pass.
+    "q_quantile_multi" -> ((s, d) =>
+      GroupByReduce(li(s, d), Seq("l_returnflag"), "l_extendedprice", "quantile", "qs",
+        ReduceOptions(q = Seq(0.25, 0.5, 0.75)))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 4).as("q25"),
+          round(element_at(col("qs"), 2), 4).as("q50"),
+          round(element_at(col("qs"), 3), 4).as("q75"))
+        .orderBy("l_returnflag")),
+
+    "q_mode" -> ((s, d) =>
+      GroupByReduce.mode(li(s, d), Seq("l_returnflag"), "l_quantity", "mode_qty")),
+
+    // ---------------- §2.3 multi-key grouping
+    "q_multikey" -> ((s, d) =>
+      GroupByReduce.multi(li(s, d), Seq("l_returnflag", "l_linestatus"), Seq(
+        ("l_quantity", "sum", "sum_qty"),
+        ("l_extendedprice", "mean", "avg_price"),
+        ("l_quantity", "count", "n")))
+        .withColumn("sum_qty", r("sum_qty", 2))
+        .withColumn("avg_price", r("avg_price", 4))),
+
+    // ---------------- §2.5/order-dependent (events; idx = event_id)
+    "q_first_last_arg" -> ((s, d) =>
+      GroupByReduce.multi(ev(s, d), Seq("user_id"), Seq(
+        ("value", "first", "first_val"),
+        ("value", "last", "last_val"),
+        ("value", "argmin", "argmin_id"),
+        ("value", "argmax", "argmax_id")),
+        ReduceOptions(idxCol = Some("event_id")))),
+
+    // ---------------- NaN-skipping vs NaN-propagating variants
+    "q_nan_aggs" -> ((s, d) => {
+      val e = withNan(ev(s, d))
+      GroupByReduce.multi(e, Seq("user_id"), Seq(
+        ("v", "count", "n_valid"),
+        ("v", "nansum", "nsum"),
+        ("v", "nanmean", "nmean"),
+        ("v", "nanmin", "nmin"),
+        ("v", "nanmax", "nmax"),
+        ("v", "sum", "sum_prop")))
+        .withColumn("nsum", r("nsum", 2))
+        .withColumn("nmean", r("nmean", 4))
+        // NaN-propagating sum: encode NaN as null for hash-stable compare
+        .withColumn("sum_prop", when(!isnan(col("sum_prop")), r("sum_prop", 2)))
+    }),
+
+    "q_nanvar_std" -> ((s, d) => {
+      val e = withNan(ev(s, d))
+      GroupByReduce.multi(e, Seq("user_id"), Seq(
+        ("v", "nanvar", "nvar"),
+        ("v", "nanstd", "nstd")))
+        .withColumn("nvar", r("nvar", 4)).withColumn("nstd", r("nstd", 4))
+    }),
+
+    "q_nan_order" -> ((s, d) => {
+      val e = withNan(ev(s, d))
+      GroupByReduce.multi(e, Seq("user_id"), Seq(
+        ("v", "nanfirst", "nfirst"),
+        ("v", "nanlast", "nlast"),
+        ("v", "nanargmin", "nargmin"),
+        ("v", "nanargmax", "nargmax")),
+        ReduceOptions(idxCol = Some("event_id")))
+    }),
+
+    // ---------------- §2.3 binning
+    "q_bins" -> ((s, d) => {
+      val breaks = Seq(1.0, 10.0, 25.0, 40.0, 50.0)
+      val b = li(s, d)
+        .withColumn("bin", Binning.binIndex(col("l_quantity"), breaks))
+        .withColumn("bin_label", Binning.binLabel(col("l_quantity"), breaks))
+      GroupByReduce.multi(b, Seq("bin", "bin_label"), Seq(
+        ("l_extendedprice", "sum", "sum_price"),
+        ("l_extendedprice", "count", "n")))
+        .withColumn("sum_price", r("sum_price", 2))
+    }),
+
+    // ---------------- §2.3 expected_groups + fill_value
+    "q_expected_fill" -> ((s, d) => {
+      val domain = ExpectedGroups.of(s, "o_orderpriority",
+        Seq("0-MISSING", "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      GroupByReduce(ord(s, d), Seq("o_orderpriority"), "o_totalprice", "count", "n",
+        ReduceOptions(expectedGroups = Some(domain), fillValue = Some(lit(0L))))
+    }),
+
+    // ---------------- §1.3 dense multi-key grid (with an absent combo)
+    "q_dense_grid" -> ((s, d) => {
+      val l = li(s, d)
+      val domain = ExpectedGroups.grid(Seq(
+        ExpectedGroups.of(s, "l_returnflag", Seq("A", "N", "R", "X")),
+        ExpectedGroups.of(s, "l_linestatus", Seq("F", "O"))))
+      GroupByReduce(l, Seq("l_returnflag", "l_linestatus"), "l_quantity", "count", "n",
+        ReduceOptions(expectedGroups = Some(domain), fillValue = Some(lit(0L))))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---------------- min_count masking
+    "q_min_count" -> ((s, d) => {
+      val e = withNull(ev(s, d))
+      GroupByReduce.multi(e, Seq("user_id"), Seq(
+        ("v", "count", "n_valid"),
+        ("v", "nansum", "masked_sum")),
+        ReduceOptions(minCount = 62))
+        .withColumn("masked_sum", r("masked_sum", 2))
+    }),
+
+    // ---------------- §2.2 grouped scans
+    "q_cumsum" -> ((s, d) =>
+      GroupByScan(ev(s, d), Seq("user_id"), "value", "cumsum", "event_id", "csum")
+        .select(col("event_id"), col("user_id"), r("csum", 4).as("csum"))
+        .orderBy("event_id")),
+
+    "q_nancumsum" -> ((s, d) =>
+      GroupByScan(withNan(ev(s, d)), Seq("user_id"), "v", "nancumsum", "event_id", "ncsum")
+        .select(col("event_id"), col("user_id"), r("ncsum", 4).as("ncsum"))
+        .orderBy("event_id")),
+
+    "q_ffill" -> ((s, d) =>
+      GroupByScan(withNull(ev(s, d)), Seq("user_id"), "v", "ffill", "event_id", "filled")
+        .select(col("event_id"), col("user_id"), col("filled"))
+        .orderBy("event_id")),
+
+    "q_bfill" -> ((s, d) =>
+      GroupByScan(withNull(ev(s, d)), Seq("user_id"), "v", "bfill", "event_id", "filled")
+        .select(col("event_id"), col("user_id"), col("filled"))
+        .orderBy("event_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_count" ->
+      "SELECT l_returnflag, count(l_quantity) AS n_vals FROM lineitem GROUP BY 1 ORDER BY 1",
+
+    "q_sum" ->
+      "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1",
+
+    "q_mean" ->
+      "SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty FROM lineitem GROUP BY 1 ORDER BY 1",
+
+    "q_min_max" ->
+      """SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_var_std" ->
+      """SELECT l_returnflag, round(var_samp(l_quantity), 4) AS var1,
+         round(stddev_samp(l_quantity), 4) AS std1
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_var_pop" ->
+      "SELECT l_returnflag, round(var_pop(l_quantity), 4) AS var0 FROM lineitem GROUP BY 1 ORDER BY 1",
+
+    "q_var_ddof2" ->
+      """SELECT l_returnflag,
+         round(CASE WHEN count(l_quantity) > 2
+           THEN var_pop(l_quantity) * count(l_quantity) / (count(l_quantity) - 2) END, 4) AS var2
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_prod" ->
+      """SELECT l_orderkey, round(product(1.0 + l_discount), 6) AS prod_disc
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_any_all" ->
+      """SELECT l_returnflag, bool_or(l_quantity > 25) AS any_big,
+         bool_and(l_quantity > 25) AS all_big
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_median" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_quantile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_quantile_multi" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_mode" ->
+      """SELECT l_returnflag, min(l_quantity) AS mode_qty FROM (
+           SELECT l_returnflag, l_quantity, count(*) AS c FROM lineitem GROUP BY 1, 2
+           QUALIFY c = max(c) OVER (PARTITION BY l_returnflag)
+         ) GROUP BY 1 ORDER BY 1""",
+
+    "q_multikey" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+         round(avg(l_extendedprice), 4) AS avg_price, count(l_quantity) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_first_last_arg" ->
+      """SELECT user_id, arg_min(value, event_id) AS first_val,
+         arg_max(value, event_id) AS last_val,
+         min(CASE WHEN value = mn THEN event_id END) AS argmin_id,
+         min(CASE WHEN value = mx THEN event_id END) AS argmax_id
+         FROM (SELECT *, min(value) OVER (PARTITION BY user_id) AS mn,
+                      max(value) OVER (PARTITION BY user_id) AS mx FROM events) t
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q_nan_aggs" ->
+      s"""SELECT user_id, count(CASE WHEN NOT isnan(v) THEN v END) AS n_valid,
+         round(coalesce(sum(CASE WHEN NOT isnan(v) THEN v END), 0.0), 2) AS nsum,
+         round(avg(CASE WHEN NOT isnan(v) THEN v END), 4) AS nmean,
+         min(CASE WHEN NOT isnan(v) THEN v END) AS nmin,
+         max(CASE WHEN NOT isnan(v) THEN v END) AS nmax,
+         CASE WHEN NOT isnan(sum(v)) THEN round(sum(v), 2) END AS sum_prop
+         FROM ($sqlNan) GROUP BY user_id ORDER BY user_id""",
+
+    "q_nanvar_std" ->
+      s"""SELECT user_id,
+         round(var_samp(CASE WHEN NOT isnan(v) THEN v END), 4) AS nvar,
+         round(stddev_samp(CASE WHEN NOT isnan(v) THEN v END), 4) AS nstd
+         FROM ($sqlNan) GROUP BY user_id ORDER BY user_id""",
+
+    "q_nan_order" ->
+      s"""SELECT user_id, arg_min(v, event_id) AS nfirst, arg_max(v, event_id) AS nlast,
+         min(CASE WHEN v = mn THEN event_id END) AS nargmin,
+         min(CASE WHEN v = mx THEN event_id END) AS nargmax
+         FROM (SELECT *, min(v) OVER (PARTITION BY user_id) AS mn,
+                      max(v) OVER (PARTITION BY user_id) AS mx
+               FROM ($sqlNan) WHERE NOT isnan(v)) t
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q_bins" ->
+      """SELECT bin, bin_label, round(sum(l_extendedprice), 2) AS sum_price,
+         count(l_extendedprice) AS n
+         FROM (SELECT *,
+           CASE WHEN l_quantity > 1  AND l_quantity <= 10 THEN 0
+                WHEN l_quantity > 10 AND l_quantity <= 25 THEN 1
+                WHEN l_quantity > 25 AND l_quantity <= 40 THEN 2
+                WHEN l_quantity > 40 AND l_quantity <= 50 THEN 3 END AS bin,
+           CASE WHEN l_quantity > 1  AND l_quantity <= 10 THEN '(1.0, 10.0]'
+                WHEN l_quantity > 10 AND l_quantity <= 25 THEN '(10.0, 25.0]'
+                WHEN l_quantity > 25 AND l_quantity <= 40 THEN '(25.0, 40.0]'
+                WHEN l_quantity > 40 AND l_quantity <= 50 THEN '(40.0, 50.0]' END AS bin_label
+           FROM lineitem) WHERE bin IS NOT NULL GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_expected_fill" ->
+      """SELECT d.o_orderpriority, coalesce(a.n, 0) AS n
+         FROM (VALUES ('0-MISSING'), ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+                      ('4-NOT SPECIFIED'), ('5-LOW')) d(o_orderpriority)
+         LEFT JOIN (SELECT o_orderpriority, count(o_totalprice) AS n
+                    FROM orders GROUP BY 1) a USING (o_orderpriority)
+         ORDER BY 1""",
+
+    "q_dense_grid" ->
+      """SELECT f.l_returnflag, s.l_linestatus, coalesce(a.n, 0) AS n
+         FROM (VALUES ('A'), ('N'), ('R'), ('X')) f(l_returnflag)
+         CROSS JOIN (VALUES ('F'), ('O')) s(l_linestatus)
+         LEFT JOIN (SELECT l_returnflag, l_linestatus, count(l_quantity) AS n
+                    FROM lineitem GROUP BY 1, 2) a
+         USING (l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
+
+    // min_count masks EVERY requested reduction, count included
+    // (flox/core.py:426-459 applies the mask to all results)
+    "q_min_count" ->
+      s"""SELECT user_id, CASE WHEN count(v) >= 62 THEN count(v) END AS n_valid,
+         CASE WHEN count(v) >= 62 THEN round(coalesce(sum(v), 0.0), 2) END AS masked_sum
+         FROM ($sqlNull) GROUP BY user_id ORDER BY user_id""",
+
+    "q_cumsum" ->
+      """SELECT event_id, user_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS csum
+         FROM events ORDER BY event_id""",
+
+    "q_nancumsum" ->
+      s"""SELECT event_id, user_id,
+         round(coalesce(sum(CASE WHEN NOT isnan(v) THEN v END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4) AS ncsum
+         FROM ($sqlNan) ORDER BY event_id""",
+
+    "q_ffill" ->
+      s"""SELECT event_id, user_id,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM ($sqlNull) ORDER BY event_id""",
+
+    "q_bfill" ->
+      s"""SELECT event_id, user_id,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled
+         FROM ($sqlNull) ORDER BY event_id""")
+}

@@ -1,0 +1,173 @@
+package graft.aggs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Options mirroring the flox `groupby_reduce` keyword surface
+  * (reference: flox/core.py:739-855). Everything here becomes plain
+  * column expressions / a small broadcast join — no driver-side data.
+  *
+  *  - `expectedGroups`: declared output key domain (reference:
+  *    flox/core.py:742, reindex at flox/reindex.py:160-216). A *small*
+  *    DataFrame with one column per `by` key; results are left-joined
+  *    onto it and absent groups take `fillValue`.
+  *  - `minCount`: mask groups with fewer than k valid values
+  *    (reference: flox/core.py:787-791,1026-1038).
+  *  - `ddof`: var/std finalize kwarg (reference: flox/aggregations.py:475-503).
+  *  - `q`: quantile(s) (reference: flox/aggregations.py:688-710).
+  */
+case class ReduceOptions(
+    ddof: Int = 1,
+    q: Seq[Double] = Seq(0.5),
+    minCount: Int = 0,
+    fillValue: Option[Column] = None,
+    expectedGroups: Option[DataFrame] = None,
+    sort: Boolean = true,
+    dropNullKeys: Boolean = true,
+    /** Column giving stable element order — required by arg-reductions,
+      * first/last and scans (reference risk register: SURVEY.md §7.4.1;
+      * flox relies on array position, we require an explicit index). */
+    idxCol: Option[String] = None
+)
+
+/** Aggregation-expression registry: flox reduction name → a single Spark
+  * aggregate `Column`. This is the Spark-native re-expression of flox's
+  * chunk/combine/finalize algebra (reference: flox/aggregations.py:161-301):
+  * Catalyst's partial/merge/final aggregation plays the chunk/combine role,
+  * the expressions below encode the finalize step inline.
+  *
+  * NaN convention (reference: flox/core.py semantics, SURVEY.md §7.4.2):
+  *  - plain variants PROPAGATE NaN like NumPy (`sum([NaN]) = NaN`);
+  *  - `nan*` variants SKIP NaN (`nansum([NaN]) = 0`) — implemented as
+  *    NaN→null then Spark's null-skipping built-ins;
+  *  - null values are treated as missing (skipped) everywhere, matching
+  *    the nan* kernels' handling of masked elements.
+  * All expressions stay inside whole-stage codegen (no UDFs).
+  */
+object ReduceExprs {
+
+  private val NaN = lit(Double.NaN)
+
+  /** NaN → null so Spark's null-skipping aggregates implement nan* ops. */
+  def nanToNull(c: Column): Column = when(!isnan(c), c)
+
+  /** true iff any value in the group is NaN (fp columns only). */
+  def anyNaN(c: Column): Column = coalesce(bool_or(isnan(c)), lit(false))
+
+  private def guardNaN(v: Column, fp: Boolean)(e: Column): Column =
+    if (fp) when(anyNaN(v), NaN).otherwise(e) else e
+
+  /** Variance with arbitrary ddof, from the codegen'd central-moment
+    * aggregate: var_ddof = var_pop * n / (n - ddof). Matches flox's
+    * 3-tuple combine algebra (flox/aggregations.py:392-451) without a
+    * custom Aggregator — Spark's CentralMomentAgg already merges with
+    * the numerically-stable pairwise update.
+    */
+  private def varDdof(v: Column, ddof: Int): Column = ddof match {
+    case 0 => var_pop(v)
+    case 1 => var_samp(v)
+    case d =>
+      val n = count(v).cast("double")
+      when(n > d, var_pop(v) * n / (n - d))
+  }
+
+  /** Set of funcs needing the element-index column. */
+  val needsIdx: Set[String] =
+    Set("argmin", "argmax", "nanargmin", "nanargmax",
+        "first", "last", "nanfirst", "nanlast")
+
+  /** Build the aggregate expression for `func`.
+    *
+    * @param v   value column
+    * @param idx stable element-order column (for order-dependent funcs)
+    * @param fp  whether `v` is floating-point (NaN semantics apply)
+    */
+  def apply(func: String, v: Column, idx: => Column, fp: Boolean,
+            o: ReduceOptions = ReduceOptions()): Column = {
+    def vn = if (fp) nanToNull(v) else v
+    def valid = if (fp) v.isNotNull && !isnan(v) else v.isNotNull
+    func match {
+      // ---- counting (flox/aggregations.py:304-313): # of valid values
+      case "count" => count(vn)
+
+      // ---- sum/prod (flox/aggregations.py:317-320)
+      case "sum"     => sum(v)                          // NaN propagates naturally
+      case "nansum"  => coalesce(sum(vn), lit(0.0))     // all-NaN group -> 0
+      case "prod"    => product(v)
+      case "nanprod" => coalesce(product(vn), lit(1.0)) // all-NaN group -> 1
+
+      // ---- mean (flox/aggregations.py:323-345)
+      case "mean"    => avg(v)                          // NaN propagates via sum
+      case "nanmean" => if (fp) coalesce(avg(vn), NaN) else avg(v)
+
+      // ---- var/std (flox/aggregations.py:348-526), arbitrary ddof
+      case "var"    => guardNaN(v, fp)(varDdof(v, o.ddof))
+      case "nanvar" => varDdof(vn, o.ddof)
+      case "std"    => guardNaN(v, fp)(sqrt(varDdof(v, o.ddof)))
+      case "nanstd" => sqrt(varDdof(vn, o.ddof))
+
+      // ---- min/max (flox/aggregations.py:529-546)
+      // Spark orders NaN greater than any double, so min() skips NaN and
+      // max() returns it; the guard restores NumPy propagation for min.
+      case "min"    => guardNaN(v, fp)(min(v))
+      case "max"    => guardNaN(v, fp)(max(v))
+      case "nanmin" => if (fp) coalesce(min(vn), NaN) else min(v)
+      case "nanmax" => if (fp) coalesce(max(vn), NaN) else max(v)
+
+      // ---- argmin/argmax (flox/aggregations.py:549-632): index of the
+      // FIRST extremum. min(struct(v, idx)) = smallest value then smallest
+      // idx; for argmax, max(struct(v, -idx)) gives largest value then
+      // smallest idx. NumPy propagates: any NaN -> index of first NaN.
+      case "argmin" =>
+        val base = min(struct(v.as("v"), idx.as("i"))).getField("i")
+        if (fp) when(anyNaN(v), min(when(isnan(v), idx))).otherwise(base) else base
+      case "argmax" =>
+        val base = -max(struct(v.as("v"), (-idx).as("i"))).getField("i")
+        if (fp) when(anyNaN(v), min(when(isnan(v), idx))).otherwise(base) else base
+      case "nanargmin" =>
+        min(when(valid, struct(v.as("v"), idx.as("i")))).getField("i")
+      case "nanargmax" =>
+        -max(when(valid, struct(v.as("v"), (-idx).as("i")))).getField("i")
+
+      // ---- first/last in element order (flox/aggregations.py:634-649).
+      // struct(idx, v) ordered by the unique idx -> deterministic under
+      // shuffle (SURVEY.md §7.4.7).
+      case "first" => min(struct(idx.as("i"), v.as("v"))).getField("v")
+      case "last"  => max(struct(idx.as("i"), v.as("v"))).getField("v")
+      case "nanfirst" => min(when(valid, struct(idx.as("i"), v.as("v")))).getField("v")
+      case "nanlast"  => max(when(valid, struct(idx.as("i"), v.as("v")))).getField("v")
+
+      // ---- all/any (flox/aggregations.py:651-668)
+      case "all" | "nanall" => bool_and(v.cast("boolean"))
+      case "any" | "nanany" => bool_or(v.cast("boolean"))
+
+      // ---- median/quantile (flox/aggregations.py:670-710): EXACT
+      // linear-interpolation percentile; Spark's sort-based `percentile`
+      // works distributed where the reference is blockwise-only.
+      case "median"      => guardNaN(v, fp)(percentile_exact(v, 0.5))
+      case "nanmedian"   => percentile_exact(vn, 0.5)
+      case "quantile" =>
+        val e = quantiles(v, o.q)
+        if (!fp) e
+        else o.q match {
+          case Seq(_) => guardNaN(v, fp = true)(e)
+          // vector q: the NaN-propagated result is an array of NaN
+          case many => when(anyNaN(v), array(many.map(_ => NaN): _*)).otherwise(e)
+        }
+      case "nanquantile" => quantiles(vn, o.q)
+
+      case other => throw new IllegalArgumentException(
+        s"unknown reduction '$other' — see graft.aggs.ReduceExprs")
+    }
+  }
+
+  private def percentile_exact(v: Column, q: Double): Column =
+    percentile(v, lit(q))
+
+  /** Scalar q -> double column; vector q -> array column (the reference's
+    * "new output dim", flox/aggregations.py:688-710). */
+  private def quantiles(v: Column, q: Seq[Double]): Column = q match {
+    case Seq(single) => percentile(v, lit(single))
+    case many        => percentile(v, lit(many.toArray))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.api
+
+import graft.aggs.{ReduceExprs, ReduceOptions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.sql.expressions.Window
+
+/** Spark-native `groupby_reduce` (reference entry point: flox/core.py:739).
+  *
+  * Long-form data model (SURVEY.md §1.1): one row per array element with
+  * key column(s) `by`, a value column, and (for order-dependent ops) a
+  * stable element-index column. The reduction itself is a single
+  * declarative `groupBy(...).agg(expr)` — Catalyst plans it as
+  * partial-aggregate → shuffle-by-key → final-aggregate, which is exactly
+  * flox's chunk → combine → finalize decomposition (flox/dask.py:325-573)
+  * with the method heuristics (map-reduce/blockwise/cohorts,
+  * flox/cohorts.py:109-301) subsumed by EnsureRequirements + AQE.
+  *
+  * Scale notes (100 TB design):
+  *  - one shuffle, map-side partial aggregation, whole-stage codegen —
+  *    no UDFs in the hot path;
+  *  - `expectedGroups` is by contract a SMALL domain (group cardinality,
+  *    not data cardinality) and is joined broadcast;
+  *  - no `.collect()` anywhere; output stays distributed.
+  */
+object GroupByReduce {
+
+  def apply(df: DataFrame, by: Seq[String], value: String, func: String,
+            as: String = "result",
+            opts: ReduceOptions = ReduceOptions()): DataFrame = {
+    multi(df, by, Seq((value, func, as)), opts)
+  }
+
+  /** Several reductions in ONE pass / one shuffle — the shape a 100 TB
+    * pipeline wants instead of N separate jobs. */
+  def multi(df: DataFrame, by: Seq[String],
+            reductions: Seq[(String, String, String)], // (value, func, as)
+            opts: ReduceOptions = ReduceOptions()): DataFrame = {
+
+    // NaN/null group labels are dropped (flox/factorize.py:201-210).
+    val cleaned =
+      if (opts.dropNullKeys && by.nonEmpty)
+        df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
+      else df
+
+    val aggCols = reductions.map { case (value, func, as) =>
+      if (func == "mode" || func == "nanmode")
+        throw new IllegalArgumentException(
+          "mode requires a two-stage plan — use GroupByReduce.mode")
+      val fp = isFp(df, value)
+      val idx = opts.idxCol.map(col).getOrElse {
+        if (ReduceExprs.needsIdx(func)) throw new IllegalArgumentException(
+          s"$func needs opts.idxCol: a stable element-order column " +
+            "(monotonically_increasing_id is NOT order-stable; see SURVEY.md §7.4.1)")
+        else lit(0L)
+      }
+      val base = ReduceExprs(func, col(value), idx, fp, opts)
+      maskMinCount(base, col(value), fp, opts).as(as)
+    }
+
+    val grouped =
+      if (by.isEmpty) cleaned.agg(aggCols.head, aggCols.tail: _*)
+      else cleaned.groupBy(by.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+
+    val filled = (opts.expectedGroups, by) match {
+      case (Some(domain), keys) if keys.nonEmpty =>
+        // Domain is small by contract -> broadcast both sides' build side.
+        val joined = domain.join(broadcast(grouped), keys, "left")
+        opts.fillValue match {
+          case Some(fill) =>
+            reductions.foldLeft(joined) { case (d, (_, _, as)) =>
+              d.withColumn(as, coalesce(col(as), fill))
+            }
+          case None => joined
+        }
+      case _ => grouped
+    }
+
+    if (opts.sort && by.nonEmpty) filled.orderBy(by.map(col): _*) else filled
+  }
+
+  /** Grouped mode with the reference's smallest-value tie-break
+    * (scipy.stats.mode semantics, flox/aggregate_npg.py:185-215).
+    * Two-stage plan: per-(key,value) counts (map-side combinable), then
+    * a windowed pick of (max count, min value). Both stages shuffle on
+    * bounded-cardinality keys, so this scales to arbitrary input rows.
+    */
+  def mode(df: DataFrame, by: Seq[String], value: String,
+           as: String = "result", skipNaN: Boolean = false,
+           opts: ReduceOptions = ReduceOptions()): DataFrame = {
+    val fp = isFp(df, value)
+    val v0 = if (fp && skipNaN) ReduceExprs.nanToNull(col(value)) else col(value)
+    val cleaned =
+      if (opts.dropNullKeys && by.nonEmpty)
+        df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
+      else df
+    val counts = cleaned
+      .withColumn("__v", v0)
+      .filter(col("__v").isNotNull)
+      .groupBy((by.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__n").desc, col("__v").asc)
+    val picked = counts
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select((by.map(col) :+ col("__v").as(as)): _*)
+    if (opts.sort && by.nonEmpty) picked.orderBy(by.map(col): _*) else picked
+  }
+
+  private def isFp(df: DataFrame, value: String): Boolean =
+    df.schema(value).dataType match {
+      case DoubleType | FloatType => true
+      case _                      => false
+    }
+
+  private def maskMinCount(e: Column, v: Column, fp: Boolean,
+                           o: ReduceOptions): Column =
+    if (o.minCount > 0) {
+      val validCount = count(if (fp) ReduceExprs.nanToNull(v) else v)
+      when(validCount >= o.minCount, e)
+    } else e
+}

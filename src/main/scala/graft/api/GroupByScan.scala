@@ -1,0 +1,52 @@
+package graft.api
+
+import graft.aggs.ReduceExprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Spark-native `groupby_scan` (reference: flox/scan.py:101-315).
+  *
+  * flox's distributed scans need a Blelloch parallel-prefix pass over
+  * chunks with explicit carry state (flox/dask.py:576-663,
+  * flox/aggregations.py:792-846). On Spark the whole mechanism collapses
+  * into a window frame: `WindowExec` hash-partitions by key, sorts by the
+  * element index within partitions, and streams the running frame — the
+  * cross-partition carry is handled by the shuffle. One shuffle total,
+  * no state kept on the driver, scales with #distinct keys × rows.
+  *
+  * Missing-value convention: both null and NaN count as "missing" for
+  * ffill/bfill (flox fills NaN; our long-form NA is null — SURVEY.md §7.4.2).
+  */
+object GroupByScan {
+
+  def apply(df: DataFrame, by: Seq[String], value: String, func: String,
+            order: String, as: String = "result"): DataFrame = {
+    val keys = by.map(col)
+    val fwd = Window.partitionBy(keys: _*).orderBy(col(order).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(keys: _*).orderBy(col(order).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(value)
+    val fp = df.schema(value).dataType match {
+      case DoubleType | FloatType => true
+      case _                      => false
+    }
+    def missing = if (fp) when(v.isNotNull && !isnan(v), v) else v
+
+    val expr: Column = func match {
+      // running sum, NaN propagates once seen (NumPy cumsum)
+      case "cumsum" => sum(v).over(fwd)
+      // NaN treated as 0 contribution (NumPy nancumsum)
+      case "nancumsum" => coalesce(sum(if (fp) ReduceExprs.nanToNull(v) else v).over(fwd), lit(0.0))
+      // forward-fill: last valid value at or before this row
+      case "ffill" => last(missing, ignoreNulls = true).over(fwd)
+      // backward-fill: first valid value at or after this row
+      case "bfill" => first(missing, ignoreNulls = true).over(bwd)
+      case other => throw new IllegalArgumentException(
+        s"unknown scan '$other' (cumsum|nancumsum|ffill|bfill)")
+    }
+    df.withColumn(as, expr)
+  }
+}

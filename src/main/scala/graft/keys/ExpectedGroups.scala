@@ -1,0 +1,46 @@
+package graft.keys
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Expected-groups domain construction (reference: flox/core.py:616-682,
+  * reindex flox/reindex.py:160-216; dense multi-key grid
+  * flox/core.py:1196-1202).
+  *
+  * flox reshapes multi-`by` results onto a dense cartesian grid of the
+  * group domains. At 100 TB the grid is only safe when its cardinality is
+  * bounded by DECLARED domains (group counts, not data size) — so the
+  * grid here is built from small literal domains / distinct() of
+  * dimension-sized inputs and used on the broadcast side of a left join.
+  * Sparse (non-grid) output stays the default (SURVEY.md §7.4.5).
+  */
+object ExpectedGroups {
+
+  /** Domain from literal values, one column. */
+  def of[T](spark: SparkSession, name: String, values: Seq[T]): DataFrame = {
+    import spark.implicits._
+    values match {
+      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toDF(name)
+      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[Int]) =>
+        vs.map(_.asInstanceOf[Int]).toDF(name)
+      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[Long]) =>
+        vs.map(_.asInstanceOf[Long]).toDF(name)
+      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[Double]) =>
+        vs.map(_.asInstanceOf[Double]).toDF(name)
+      case other => throw new IllegalArgumentException(
+        s"unsupported domain element type: ${other.headOption}")
+    }
+  }
+
+  /** Dense cartesian grid of several single-column domains
+    * (the multi-key `grp_shape` grid, flox/core.py:1196-1202). */
+  def grid(domains: Seq[DataFrame]): DataFrame =
+    domains.reduceLeft(_.crossJoin(_))
+
+  /** Observed domain of a key column (for grid-building when the domain
+    * is not declared). Distinct of a key column — one shuffle over
+    * bounded-cardinality data. */
+  def observed(df: DataFrame, key: String): DataFrame =
+    df.select(col(key)).distinct()
+}
