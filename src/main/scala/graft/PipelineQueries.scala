@@ -1,0 +1,218 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries (dedup / similarity / text analysis)
+  * with DuckDB oracle SQL. Hash functions in the oracle-checked queries
+  * are md5-based so both engines derive bit-identical signatures; the
+  * library defaults to xxhash64 for production speed.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  // ---- shared oracle SQL fragments -------------------------------------
+  private val W = raw"string_split_regex(lower(trim(text)), '\s+')"
+  private val SH =
+    s"list_transform(range(1, CASE WHEN len($W) >= 3 THEN len($W) - 1 ELSE 1 END), " +
+      s"i -> $W[i] || ' ' || $W[i+1] || ' ' || $W[i+2])"
+  private def mhSql(h: Int) =
+    s"list_min(list_transform($SH, s -> md5('$h' || '|' || s)))"
+
+  private val simhashSql: String = {
+    val hs = s"list_transform($W, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+    (0 until 32).map { j =>
+      s"CASE WHEN list_sum(list_transform($hs, h -> ((h >> $j) & 1) * 2 - 1)) >= 0 " +
+        s"THEN (1::BIGINT << $j) ELSE 0 END"
+    }.mkString(" + ")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- text analysis
+    "q_doc_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // NOTE: these ratios are finite decimals, which land exactly on
+    // .xxxx5 — engine round() implementations disagree there (Spark
+    // rounds the decimal repr, DuckDB the binary). floor(x*1e4+0.5)/1e4
+    // is bitwise-deterministic in both.
+    "q_doc_quality" -> ((s, d) => {
+      def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        r4(TextAnalysis.avgTokenLength(col("text"))).as("avg_tok_len"),
+        r4(TextAnalysis.stopwordRatio(col("text"))).as("stop_ratio"),
+        r4(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+        r4(TextAnalysis.digitRatio(col("text"))).as("digit_ratio"),
+        r4(TextAnalysis.qualityScore(col("text"))).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy("doc_id")),
+
+    // ---------------- dedup
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(docs(s, d), "text", "doc_id")
+        .orderBy("fp")),
+
+    "q_minhash" -> ((s, d) =>
+      Dedup.withMinhashSignature(docs(s, d), "text",
+        numHashes = 4, k = 3, useMd5 = true)
+        .select("doc_id", "mh0", "mh1", "mh2", "mh3")
+        .orderBy("doc_id")),
+
+    "q_near_dup" -> ((s, d) =>
+      Dedup.nearDupPairs(docs(s, d), "text", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")),
+
+    "q_simhash" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // ---------------- similarity search
+    "q_embed_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding", threshold = 0.4)
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy("id_a", "id_b")),
+
+    "q_embed_centroids" -> ((s, d) =>
+      Similarity.dimMeans(emb(s, d), "label", "embedding")
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          round(col("mean"), 4).as("mean"))
+        .orderBy("label", "pos"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_doc_tokens" ->
+      s"""SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len($W) END::BIGINT AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q_doc_quality" ->
+      s"""SELECT doc_id, n_tokens,
+         floor((len_nws / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000 AS avg_tok_len,
+         floor((n_stop / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000 AS stop_ratio,
+         floor((n_punct / greatest(len_nws, 1)) * 10000 + 0.5) / 10000 AS punct_ratio,
+         floor((n_digit / greatest(len_nws, 1)) * 10000 + 0.5) / 10000 AS digit_ratio,
+         floor((least(n_tokens / 100.0, 1.0) * 0.5
+           + (1.0 - n_stop / greatest(n_tokens, 1)) * 0.3
+           + (1.0 - n_punct / greatest(len_nws, 1)) * 0.2) * 10000 + 0.5) / 10000 AS quality
+         FROM (SELECT doc_id,
+           (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT AS n_tokens,
+           len(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE AS len_nws,
+           len(list_filter($W, t -> list_contains(['a','the','and','of','to','is','in'], t)))::DOUBLE AS n_stop,
+           len(regexp_replace(regexp_replace(lower(text), '\\s+', '', 'g'), '[a-z0-9]', '', 'g'))::DOUBLE AS n_punct,
+           len(regexp_replace(regexp_replace(lower(text), '\\s+', '', 'g'), '[^0-9]', '', 'g'))::DOUBLE AS n_digit
+           FROM documents) ORDER BY doc_id""",
+
+    "q_lang_id" ->
+      s"""SELECT doc_id,
+         CASE WHEN s_en = g AND s_en > 0 THEN 'en'
+              WHEN s_es = g AND s_es > 0 THEN 'es'
+              WHEN s_de = g AND s_de > 0 THEN 'de'
+              WHEN s_fr = g AND s_fr > 0 THEN 'fr'
+              WHEN s_zh = g AND s_zh > 0 THEN 'zh'
+              ELSE 'und' END AS pred_lang
+         FROM (SELECT doc_id,
+           len(list_filter($W, t -> list_contains(['the','a','is','and'], t))) AS s_en,
+           len(list_filter($W, t -> list_contains(['el','la','es','que'], t))) AS s_es,
+           len(list_filter($W, t -> list_contains(['der','die','und','ist'], t))) AS s_de,
+           len(list_filter($W, t -> list_contains(['le','les','est','une'], t))) AS s_fr,
+           len(list_filter($W, t -> list_contains(['的','是','了'], t))) AS s_zh,
+           greatest(
+             len(list_filter($W, t -> list_contains(['the','a','is','and'], t))),
+             len(list_filter($W, t -> list_contains(['el','la','es','que'], t))),
+             len(list_filter($W, t -> list_contains(['der','die','und','ist'], t))),
+             len(list_filter($W, t -> list_contains(['le','les','est','une'], t))),
+             len(list_filter($W, t -> list_contains(['的','是','了'], t)))) AS g
+           FROM documents) ORDER BY doc_id""",
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         list_min(list_transform($SH, s -> md5(s))) AS rfp
+         FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q_minhash" ->
+      s"""SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+         ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+         FROM documents ORDER BY doc_id""",
+
+    "q_near_dup" ->
+      s"""WITH s AS (
+           SELECT doc_id, list_distinct($SH) AS sh,
+             ${mhSql(0)} AS m0, ${mhSql(1)} AS m1, ${mhSql(2)} AS m2, ${mhSql(3)} AS m3
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+           AND (a.m0 = b.m0 OR a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3)
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         ORDER BY 1, 2""",
+
+    "q_simhash" ->
+      s"SELECT doc_id, $simhashSql AS simhash FROM documents ORDER BY doc_id",
+
+    "q_embed_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nn
+           FROM embeddings),
+         sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN sqrt(q.nn) * sqrt(c.nn) > 0
+             THEN list_dot_product(q.v, c.v) / (sqrt(q.nn) * sqrt(c.nn))
+             ELSE 0.0 END AS sim
+           FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id != q.vec_id)
+         SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(sim, 6) DESC, neighbor_id) AS rank FROM sims)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nn
+           FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)), 4) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.4
+         ORDER BY 1, 2""",
+
+    "q_embed_centroids" ->
+      """SELECT label, pos, round(avg(e), 4) AS mean FROM (
+           SELECT label, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+             unnest(embedding)::DOUBLE AS e FROM embeddings)
+         GROUP BY 1, 2 ORDER BY 1, 2""")
+}

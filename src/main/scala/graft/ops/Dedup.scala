@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * for the 100 TB shape:
+  *
+  *  - exact: hash-groupBy on a content fingerprint — one shuffle keyed
+  *    by a 128-bit hash, perfectly balanced;
+  *  - MinHash + LSH: per-row signatures (map-only), banding, then a
+  *    bucket self-join that only materializes candidate pairs — never
+  *    the O(n²) cross product;
+  *  - SimHash: 32-bit per-row signature; near-dups = small hamming
+  *    distance, bucketable by signature prefix;
+  *  - n-gram Jaccard: exact verification for candidate pairs;
+  *  - embedding near-dup: see graft.ops.Similarity.
+  *
+  * Two hash modes: xxhash64 (fast, production default) and md5
+  * (cross-engine-reproducible, used by the oracle-checked queries).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: fingerprint -> (kept id = min, group size).
+    * Survivors are rows where doc_id == keep_id. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Drop exact duplicates, keeping the smallest id per fingerprint.
+    * Implemented as min_by over the fingerprint — single shuffle. */
+  def dropExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** One MinHash value: min over shingles of hash(seed || shingle).
+    * md5 mode returns hex strings (lexicographic min — reproducible in
+    * any engine); xxhash64 mode returns longs (fast path). */
+  def minhash(shingles: Column, seed: Int, useMd5: Boolean): Column =
+    if (useMd5) array_min(transform(shingles, s => md5(concat(lit(seed.toString), lit("|"), s))))
+    else array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+
+  /** Append `numHashes` MinHash signature columns mh0..mh{H-1} computed
+    * from k-word shingles. Map-only: no shuffle, one text pass per row. */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+                           numHashes: Int = 6, k: Int = 3,
+                           useMd5: Boolean = false): DataFrame = {
+    val sh = TextAnalysis.shingles(col(textCol), k)
+    (0 until numHashes).foldLeft(df.withColumn("__sh", sh)) { (d, h) =>
+      d.withColumn(s"mh$h", minhash(col("__sh"), h, useMd5))
+    }.drop("__sh")
+  }
+
+  /** LSH candidate pairs: documents sharing at least one band
+    * (bandSize consecutive minhashes hashed together). Returns
+    * (id_a, id_b, n_shared_bands) with id_a < id_b.
+    *
+    * Scale shape: explode to (band_idx, band_hash, id) — H/bandSize
+    * rows per doc — then a self-join on the band key. Bucket sizes are
+    * the only quadratic term; a `maxBucket` guard drops degenerate
+    * buckets (e.g. empty-text docs) the way production pipelines do.
+    */
+  def lshCandidates(df: DataFrame, textCol: String, idCol: String,
+                    numHashes: Int = 6, bandSize: Int = 1, k: Int = 3,
+                    useMd5: Boolean = false, maxBucket: Int = 1000): DataFrame = {
+    val sig = withMinhashSignature(df, textCol, numHashes, k, useMd5)
+      .select(col(idCol).as("__id"),
+        array((0 until numHashes).map(h => col(s"mh$h").cast("string")): _*).as("__sig"))
+    val nBands = numHashes / bandSize
+    val bands = sig.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => md5(concat_ws("|", (0 until bandSize).map(j =>
+          element_at(col("__sig"), b * bandSize + j + 1)): _*)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val pruned = bands.withColumn("__bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_hash")))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+    val a = pruned.select(col("band_idx"), col("band_hash"), col("__id").as("id_a"))
+    val b = pruned.select(col("band_idx"), col("band_hash"), col("__id").as("id_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct("band_idx").as("n_shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(aSh: Column, bSh: Column): Column = {
+    val inter = size(array_intersect(aSh, bSh)).cast("double")
+    val union = size(array_distinct(aSh)) + size(array_distinct(bSh)) - size(array_intersect(aSh, bSh))
+    when(union > 0, inter / union.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified by exact shingle
+    * Jaccard >= threshold. The verify join only touches candidate ids —
+    * at scale the shingle arrays are re-derived per side instead of
+    * shuffled with the candidates. */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.8, numHashes: Int = 6,
+                   bandSize: Int = 1, k: Int = 3,
+                   useMd5: Boolean = false): DataFrame = {
+    val cand = lshCandidates(df, textCol, idCol, numHashes, bandSize, k, useMd5)
+    val sh = df.select(col(idCol), array_distinct(TextAnalysis.shingles(col(textCol), k)).as("__sh"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit SimHash from md5-derived token hashes (cross-engine
+    * reproducible). Per-row expression: for each bit j, sum ±1 over
+    * token hashes' bit j; sign -> bit. No shuffle, no UDF.
+    */
+  def simhash32(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bits = (0 until 32).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote >= 0, lit(1L
+        << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

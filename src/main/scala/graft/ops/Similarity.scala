@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * batch against the partitioned corpus; one map-side pass + a top-k
+  * window per query, no corpus shuffle.
+  *
+  * Scale path: random-hyperplane LSH — per-row signature (map-only),
+  * candidate generation by bucket join, exact re-rank of candidates
+  * only. Hyperplanes are seeded deterministically (no RNG state), so
+  * signatures are reproducible across runs/executors.
+  */
+object Similarity {
+
+  /** Elementwise ops via higher-order functions — codegen'd, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self-match excluded). `queries` must be a small
+    * batch (it is broadcast). Ranking uses round(sim, 6) with id
+    * tie-break so results are reproducible across engines.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** All pairs with cosine >= threshold (embedding near-duplicates).
+    * Exact O(n²) verify — use ONLY on bounded corpora or downstream of
+    * `lshBucketCandidates` at scale. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * an LCG step over a fixed seed — identical on every executor. */
+  private def planeWeight(plane: Int, dim: Int): Double = {
+    var x = (plane.toLong * 0x9E3779B97F4A7C15L) ^ (dim.toLong * 0xC2B2AE3D27D4EB4FL) ^ 0x632BE59BD9B4E019L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL; x ^= x >>> 31
+    (x.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+  }
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed into a
+    * long. Map-only; vectors sharing a signature (or prefix) are
+    * near-angular candidates. */
+  def lshSignature(vecCol: Column, dims: Int, planes: Int = 16): Column = {
+    val bits = (0 until planes).map { p =>
+      val weights = typedlit((0 until dims).map(d => planeWeight(p, d)))
+      when(dot(asDouble(vecCol), weights) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: candidates share the full signature; exact
+    * cosine re-rank inside buckets. Recall/speed traded with `planes`
+    * (fewer planes = bigger buckets = higher recall, more verify work).
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      dims: Int, threshold: Double, planes: Int = 16,
+                      maxBucket: Int = 10000): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
+      lshSignature(col(vecCol), dims, planes).as("__sig"))
+    val pruned = sig.withColumn("__n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__sig")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val a = pruned.select(col("__sig"), col("__id").as("id_a"), col("__v").as("va"))
+    val b = pruned.select(col("__sig"), col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(b, Seq("__sig")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim").distinct()
+  }
+
+  /** Per-label centroid components (label, pos, mean) — the building
+    * block of an IVF coarse quantizer. posexplode + groupBy: one
+    * shuffle keyed by (label, dim), fully parallel. */
+  def dimMeans(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(asDouble(col(vecCol))))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(avg("col").as("mean"))
+}

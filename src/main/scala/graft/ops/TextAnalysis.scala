@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure column expressions (whole-stage codegen,
+  * no UDFs) — each runs as a per-row map over the scan with no shuffle,
+  * so they cost one pass at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** k-word shingles, 1-based positions; < k tokens -> empty array. */
+  def shingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    val joinOne = (i: Column) =>
+      concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*)
+    when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - (k - 1)), joinOne))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val stopwords = Seq("a", "the", "and", "of", "to", "is", "in")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val w = tokens(text)
+    val stops = typedlit(stopwords)
+    size(filter(w, t => array_contains(stops, t))).cast("double") /
+      greatest(size(w), lit(1)).cast("double")
+  }
+
+  /** Fraction of non-whitespace chars that are punctuation/symbols. */
+  def punctRatio(text: Column): Column = {
+    val nonWs = regexp_replace(lower(text), "\\s+", "")
+    val punct = regexp_replace(nonWs, "[a-z0-9]", "")
+    length(punct).cast("double") / greatest(length(nonWs), lit(1)).cast("double")
+  }
+
+  def digitRatio(text: Column): Column = {
+    val nonWs = regexp_replace(lower(text), "\\s+", "")
+    val digits = regexp_replace(nonWs, "[^0-9]", "")
+    length(digits).cast("double") / greatest(length(nonWs), lit(1)).cast("double")
+  }
+
+  /** Mean token length (chars) over whitespace tokens. */
+  def avgTokenLength(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: length saturation + low-stopword
+    * + low-punctuation. Deterministic heuristic in the C4/Gopher-rule
+    * style (thresholded length/punct/stopword features).
+    */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
+      (lit(1.0) - stopwordRatio(text)) * 0.3 +
+      (lit(1.0) - punctRatio(text)) * 0.2
+
+  /** Marker-word language-ID heuristic. Scores each candidate language
+    * by marker-token hits; highest score wins (fixed tie order), zero
+    * evidence -> "und". N-gram/stopword LID in miniature — swap the
+    * marker lists for real wordlists in production.
+    */
+  def langId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "is", "and"),
+      "es" -> Seq("el", "la", "es", "que"),
+      "de" -> Seq("der", "die", "und", "ist"),
+      "fr" -> Seq("le", "les", "est", "une"),
+      "zh" -> Seq("的", "是", "了"))
+    val w = tokens(text)
+    val scores = markers.map { case (lang, ms) =>
+      lang -> size(filter(w, t => array_contains(typedlit(ms), t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Exact content fingerprint: md5 of whitespace-normalized lowercase
+    * text. Equal fingerprints = exact (mod whitespace) duplicates. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Rolling-hash document fingerprint: the minimum shingle hash —
+    * a 1-hash MinHash, winnowing-style representative of content. */
+  def rollingFingerprint(text: Column, k: Int = 3): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+}
