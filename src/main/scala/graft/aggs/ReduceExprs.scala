@@ -156,8 +156,12 @@ object ReduceExprs {
         }
       case "nanquantile" => quantiles(vn, o.q)
 
-      case other => throw new IllegalArgumentException(
-        s"unknown reduction '$other' — see graft.aggs.ReduceExprs")
+      // ---- user-registered custom aggregations (§2.5 extensibility)
+      case other => CustomAggregations.lookup(other) match {
+        case Some(build) => build(v)
+        case None => throw new IllegalArgumentException(
+          s"unknown reduction '$other' — see graft.aggs.ReduceExprs / CustomAggregations")
+      }
     }
   }
 

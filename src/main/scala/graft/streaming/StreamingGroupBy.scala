@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.aggs.{ReduceExprs, ReduceOptions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming face of the grouped-reduction engine.
+  *
+  * flox has no streaming surface, but its commutative chunk/combine
+  * algebra is exactly what incremental aggregation needs (SURVEY.md §2:
+  * "closest analog: incremental-friendly commutative combine algebra").
+  * Spark's streaming hash aggregation maintains the same partial state
+  * per (window, key) that flox keeps per chunk — so every algebraic
+  * reduction in ReduceExprs works unchanged under `readStream`.
+  *
+  * Scale notes: state store size = #open-windows × #keys × buffer width;
+  * the watermark bounds open windows, so memory is O(active keys), not
+  * O(stream length). Order-dependent reductions (first/last/arg*) and
+  * holistic ones (median/quantile/mode) need the idx/sort machinery and
+  * are batch-only by design — the same restriction flox's blockwise-only
+  * aggs have (flox/aggregations.py:670-712).
+  */
+object StreamingGroupBy {
+
+  /** Funcs whose combine is commutative+associative -> streamable. */
+  val streamable: Set[String] = Set(
+    "count", "sum", "nansum", "prod", "nanprod", "mean", "nanmean",
+    "var", "nanvar", "std", "nanstd", "min", "nanmin", "max", "nanmax",
+    "all", "any")
+
+  /** Event-time windowed grouped reduction over a (possibly streaming)
+    * DataFrame: watermark + tumbling/sliding window + the same agg
+    * expressions the batch path uses.
+    */
+  def windowedReduce(df: DataFrame, tsCol: String, by: Seq[String],
+                     reductions: Seq[(String, String, String)], // (value, func, as)
+                     windowDuration: String,
+                     slideDuration: Option[String] = None,
+                     watermarkDelay: String = "10 minutes"): DataFrame = {
+    reductions.foreach { case (_, func, _) =>
+      require(streamable(func),
+        s"'$func' is not incrementally computable; streamable: $streamable")
+    }
+    val win = slideDuration match {
+      case Some(slide) => window(col(tsCol), windowDuration, slide)
+      case None        => window(col(tsCol), windowDuration)
+    }
+    val aggCols = reductions.map { case (value, func, as) =>
+      val fp = df.schema(value).dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }
+      ReduceExprs(func, col(value), lit(0L), fp, ReduceOptions()).as(as)
+    }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((win +: by.map(col)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+}

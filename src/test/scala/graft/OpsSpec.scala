@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator behavior on controlled inputs. */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups whitespace-normalized duplicates") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+    val kept = Dedup.dropExact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash LSH finds near-dup, jaccard verifies, unrelated excluded") {
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+      threshold = 0.5, numHashes = 8, bandSize = 1, k = 3, useMd5 = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 4L))) // exact dup always found
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts equal, near-dups close, distinct far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1) === sh(4))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1), sh(2)) < ham(sh(1), sh(3)))
+  }
+
+  test("jaccard bounds and identity") {
+    val d = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val a = d.filter(col("doc_id") === 1).select(col("sh").as("a"))
+    val joined = a.crossJoin(d)
+      .select(col("doc_id"), Dedup.jaccard(col("a"), col("sh")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(joined(1) === 1.0 && joined(4) === 1.0)
+    assert(joined.values.forall(j => j >= 0.0 && j <= 1.0))
+    assert(joined(3) === 0.0)
+  }
+
+  test("cosine similarity basics + topk excludes self") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.70710677f, 0.70710677f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val tk = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 3).orderBy("rank").collect()
+    assert(tk.map(_.getLong(2)).toSeq === Seq(2L, 4L, 3L)) // identical, 45deg, orthogonal
+    assert(math.abs(tk(0).getDouble(3) - 1.0) < 1e-6)
+    assert(math.abs(tk(2).getDouble(3)) < 1e-6)
+  }
+
+  test("LSH near-dup pairs are a subset of brute force, and find identicals") {
+    val e = sf("embeddings")
+    val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+      dims = 64, threshold = 0.4, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("language id deterministic fallback and marker hit") {
+    val d = Seq((1L, "el que la casa es"), (2L, "xyzzy plugh")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1) === "es" && r(2) === "und")
+  }
+
+  test("multimodal decode stub is deterministic and partition-parallel") {
+    val media = Multimodal.mediaFromDocuments(spark, sf("documents"))
+    val a = Multimodal.decodeImages(media).orderBy("id").collect()
+    val b = Multimodal.decodeImages(media.repartition(7)).orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(m => m.width >= 64 && m.channels === 3))
+  }
+
+  test("frame sampling shape") {
+    val d = Seq((1L, Array.fill[Byte](100)(7))).toDF("doc_id", "media")
+    val f = Multimodal.sampleFrames(d, "media", "doc_id", frameBytes = 32, everyNth = 1)
+    val rows = f.collect()
+    assert(rows.length === 3) // floor(100/32) = 3 frames
+    assert(rows.forall(_.getAs[Array[Byte]]("frame").length == 32))
+  }
+}

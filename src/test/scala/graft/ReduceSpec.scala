@@ -1,0 +1,147 @@
+package graft
+
+import graft.api.GroupByReduce
+import graft.aggs.ReduceOptions
+import org.apache.spark.sql.DataFrame
+
+/** Reduction semantics against the reference's canonical fixture
+  * (FIXTURES.md §1: labels [0,0,2,2,2,1,1,2,2,1,1,0], reference
+  * tests/test_core.py:56-59) and hand-computed NumPy-semantics oracles.
+  */
+class ReduceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // canonical fixture: idx, label, value (values 1..12 for easy oracles)
+  private val labels = Seq(0, 0, 2, 2, 2, 1, 1, 2, 2, 1, 1, 0)
+  private def fixture: DataFrame =
+    labels.zipWithIndex.map { case (l, i) => (i.toLong, l, (i + 1).toDouble) }
+      .toDF("idx", "by", "v")
+
+  // same fixture with NaNs at positions 0..4 (values for label 0,2 heads)
+  private def nanFixture: DataFrame =
+    labels.zipWithIndex.map { case (l, i) =>
+      (i.toLong, l, if (i < 5) Double.NaN else (i + 1).toDouble)
+    }.toDF("idx", "by", "v")
+
+  private def result(df: DataFrame, func: String,
+                     opts: ReduceOptions = ReduceOptions(idxCol = Some("idx"))): Map[Int, Any] =
+    GroupByReduce(df, Seq("by"), "v", func, "r", opts)
+      .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+
+  test("count/sum/mean/min/max on canonical fixture") {
+    // groups: 0 -> {1,2,12}, 1 -> {6,7,10,11}, 2 -> {3,4,5,8,9}
+    assert(result(fixture, "count") === Map(0 -> 3L, 1 -> 4L, 2 -> 5L))
+    assert(result(fixture, "sum") === Map(0 -> 15.0, 1 -> 34.0, 2 -> 29.0))
+    assert(result(fixture, "mean") === Map(0 -> 5.0, 1 -> 8.5, 2 -> 5.8))
+    assert(result(fixture, "min") === Map(0 -> 1.0, 1 -> 6.0, 2 -> 3.0))
+    assert(result(fixture, "max") === Map(0 -> 12.0, 1 -> 11.0, 2 -> 9.0))
+  }
+
+  test("prod matches per-group product") {
+    assert(result(fixture, "prod") === Map(0 -> 24.0, 1 -> 4620.0, 2 -> 4320.0))
+  }
+
+  test("var/std ddof variants") {
+    val v1 = result(fixture, "var")
+    assert(math.abs(v1(0).asInstanceOf[Double] - 37.0) < 1e-9) // var([1,2,12], ddof=1)
+    val v0 = result(fixture, "var", ReduceOptions(ddof = 0))
+    assert(math.abs(v0(0).asInstanceOf[Double] - 74.0 / 3) < 1e-9)
+    val v2 = result(fixture, "var", ReduceOptions(ddof = 2))
+    assert(math.abs(v2(0).asInstanceOf[Double] - 74.0) < 1e-9) // ss=74, n-2=1
+  }
+
+  test("argmin/argmax return index of FIRST extremum") {
+    val d = Seq((0L, 1, 5.0), (1L, 1, 1.0), (2L, 1, 1.0), (3L, 1, 9.0), (4L, 1, 9.0))
+      .toDF("idx", "by", "v")
+    assert(result(d, "argmin") === Map(1 -> 1L))
+    assert(result(d, "argmax") === Map(1 -> 3L))
+  }
+
+  test("first/last by element order") {
+    assert(result(fixture, "first") === Map(0 -> 1.0, 1 -> 6.0, 2 -> 3.0))
+    assert(result(fixture, "last") === Map(0 -> 12.0, 1 -> 11.0, 2 -> 9.0))
+  }
+
+  test("NaN propagation (plain) vs skipping (nan*)") {
+    val f = nanFixture // NaN at idx 0..4: label0 {NaN,NaN,12}, label2 {NaN,NaN,NaN,8,9}
+    val sums = result(f, "sum")
+    assert(sums(0).asInstanceOf[Double].isNaN && sums(2).asInstanceOf[Double].isNaN)
+    assert(sums(1) === 34.0) // label 1 untouched
+    assert(result(f, "nansum") === Map(0 -> 12.0, 1 -> 34.0, 2 -> 17.0))
+    val mins = result(f, "min")
+    assert(mins(0).asInstanceOf[Double].isNaN)
+    assert(result(f, "nanmin") === Map(0 -> 12.0, 1 -> 6.0, 2 -> 8.0))
+    // count counts non-NaN only
+    assert(result(f, "count") === Map(0 -> 1L, 1 -> 4L, 2 -> 2L))
+    // NumPy: argmin with NaN -> first NaN position (label 1 has no NaN:
+    // its min 6.0 sits at idx 5)
+    assert(result(f, "argmin") === Map(0 -> 0L, 1 -> 5L, 2 -> 2L))
+    assert(result(f, "nanargmin") === Map(0 -> 11L, 1 -> 5L, 2 -> 7L))
+    assert(result(f, "nanfirst") === Map(0 -> 12.0, 1 -> 6.0, 2 -> 8.0))
+  }
+
+  test("median/quantile exact linear interpolation") {
+    val q = result(fixture, "median")
+    assert(q(2) === 5.0) // median of {3,4,5,8,9}
+    assert(q(1) === 8.5) // median of {6,7,10,11} -> interpolated
+    val p = result(fixture, "quantile", ReduceOptions(q = Seq(0.25), idxCol = Some("idx")))
+    assert(p(1) === 6.75) // numpy quantile([6,7,10,11], .25)
+  }
+
+  test("mode picks smallest value on tie") {
+    val d = Seq((1, 3.0), (1, 3.0), (1, 1.0), (1, 1.0), (1, 2.0))
+      .toDF("by", "v")
+    val m = GroupByReduce.mode(d, Seq("by"), "v", "m").collect()
+    assert(m.head.getDouble(1) === 1.0)
+  }
+
+  test("result invariant to partitioning (reference law 2)") {
+    // float compare with tolerance, like the reference's assert_equal
+    // (tests/__init__.py:81-141, rtol 1e-15): summation order across
+    // partitions legally perturbs the last ulp
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Double, y: Double) => x == y || math.abs(x - y) <= 1e-12 * math.max(math.abs(x), math.abs(y))
+      case (x, y) => x == y
+    }
+    val funcs = Seq("sum", "mean", "var", "count", "min", "max", "median")
+    val base = funcs.map(f => result(fixture, f))
+    for (n <- Seq(1, 3, 7)) {
+      val rep = fixture.repartition(n)
+      val got = funcs.map(f => result(rep, f))
+      base.zip(got).zipWithIndex.foreach { case ((b, g), i) =>
+        assert(b.keySet === g.keySet, s"keys changed for ${funcs(i)} at partitioning $n")
+        b.foreach { case (k, v) =>
+          assert(close(v, g(k)), s"${funcs(i)} group $k: $v vs ${g(k)} at partitioning $n")
+        }
+      }
+    }
+  }
+
+  test("single-group reduce equals plain reduce (reference law 1)") {
+    val one = fixture.withColumn("by", org.apache.spark.sql.functions.lit(1))
+    assert(result(one, "sum") === Map(1 -> 78.0))
+    assert(result(one, "mean") === Map(1 -> 6.5))
+  }
+
+  test("null labels are dropped") {
+    val d = Seq((Some(1), 2.0), (None, 5.0), (Some(1), 3.0))
+      .toDF("by", "v")
+    val r = GroupByReduce(d, Seq("by"), "v", "sum", "r").collect()
+    assert(r.length === 1 && r.head.getDouble(1) === 5.0)
+  }
+
+  test("min_count masks sparse groups") {
+    val r = result(fixture, "nansum",
+      ReduceOptions(minCount = 4, idxCol = Some("idx")))
+    assert(r(0) === null && r(1) === 34.0 && r(2) === 29.0)
+  }
+
+  test("expected_groups left join + fill") {
+    val domain = keys.ExpectedGroups.of(spark, "by", Seq(0, 1, 2, 3))
+    val r = GroupByReduce(fixture, Seq("by"), "v", "count", "n",
+      ReduceOptions(expectedGroups = Some(domain),
+        fillValue = Some(org.apache.spark.sql.functions.lit(0L))))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(r === Map(0 -> 3L, 1 -> 4L, 2 -> 5L, 3 -> 0L))
+  }
+}
