@@ -55,16 +55,19 @@ object VectorExprs {
   private val registered =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
-  /** Register the kernel in the session's function registry (idempotent). */
+  /** Register the kernel in the session's function registry (idempotent).
+    * Keyed on the session object's identity hash — `sessionUUID` is
+    * `private[sql]` in Spark 4.1 and must not be touched here. */
   def ensureRegistered(spark: SparkSession): Unit =
-    if (registered.add(spark.sessionUUID)) {
+    if (registered.add(System.identityHashCode(spark).toString)) {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry.createOrReplaceTempFunction(
           "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     }
 
-  /** Codegen'd dot product of two array<double> columns. The session
-    * must have been touched by `ensureRegistered` (graft.ops.Similarity
-    * does this automatically). */
+  /** Codegen'd dot product of two array<double> columns. The executing
+    * session must have been touched by `ensureRegistered` before the
+    * plan is analyzed — graft.ops.Similarity's DataFrame entry points
+    * do this on their input's session. */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExprs
+
 /** Similarity search over embedding columns (Array[Float]).
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query
@@ -16,9 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise ops via higher-order functions — codegen'd, no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd kernel (graft_dot). Spark's
+    * higher-order functions are interpreted per element — fatal inside
+    * a similarity join hot loop. Callers going through the DataFrame
+    * entry points below get registration for free; standalone Column
+    * use requires `VectorExprs.ensureRegistered(spark)` first. */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,6 +42,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    VectorExprs.ensureRegistered(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val w = org.apache.spark.sql.expressions.Window
@@ -54,6 +60,7 @@ object Similarity {
     * `lshBucketCandidates` at scale. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
+    VectorExprs.ensureRegistered(df.sparkSession)
     val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
     val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -88,6 +95,7 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       dims: Int, threshold: Double, planes: Int = 16,
                       maxBucket: Int = 10000): DataFrame = {
+    VectorExprs.ensureRegistered(df.sparkSession)
     val sig = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
       lshSignature(col(vecCol), dims, planes).as("__sig"))
     val pruned = sig.withColumn("__n",
