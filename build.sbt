@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 Test / fork := true
 Test / parallelExecution := false
 run / fork := true
+// The driver parses the one JSON line Bench prints. With the default
+// LoggedOutput strategy sbt prefixes forked stdout with "[info] " and
+// appends its own "[success] Total time" line, both of which break the
+// driver's JSON parse (BENCH_r02.json: rc=0 but parsed=null). Pass the
+// child's stdout through untouched and suppress the success banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
