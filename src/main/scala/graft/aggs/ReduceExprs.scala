@@ -137,9 +137,14 @@ object ReduceExprs {
       case "nanfirst" => min(when(valid, struct(idx.as("i"), v.as("v")))).getField("v")
       case "nanlast"  => max(when(valid, struct(idx.as("i"), v.as("v")))).getField("v")
 
-      // ---- all/any (flox/aggregations.py:651-668)
-      case "all" | "nanall" => bool_and(v.cast("boolean"))
-      case "any" | "nanany" => bool_or(v.cast("boolean"))
+      // ---- all/any (flox/aggregations.py:651-668). NaN casts to
+      // boolean true, which is what the plain variants want (NumPy
+      // truthiness); the nan* variants must SKIP NaN before the cast —
+      // nanany over {NaN, false} is false, not true.
+      case "all"    => bool_and(v.cast("boolean"))
+      case "any"    => bool_or(v.cast("boolean"))
+      case "nanall" => bool_and(vn.cast("boolean"))
+      case "nanany" => bool_or(vn.cast("boolean"))
 
       // ---- median/quantile (flox/aggregations.py:670-710): EXACT
       // linear-interpolation percentile; Spark's sort-based `percentile`

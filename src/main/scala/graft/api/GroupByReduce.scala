@@ -65,8 +65,16 @@ object GroupByReduce {
 
     val filled = (opts.expectedGroups, by) match {
       case (Some(domain), keys) if keys.nonEmpty =>
-        // Domain is small by contract -> broadcast both sides' build side.
-        val joined = domain.join(broadcast(grouped), keys, "left")
+        // Keep every declared group: left-outer from the domain, NO
+        // broadcast hint. The aggregated side is data-dependent (a
+        // groupBy on a high-cardinality key yields millions of groups)
+        // so broadcasting it would OOM at scale; and the domain — the
+        // preserved side of the outer join — cannot be the build side
+        // of a broadcast hash join (a hint would force a nested-loop
+        // fallback). Unhinted, the agg output is already partitioned
+        // on the group keys, so only the tiny domain shuffles; AQE
+        // still picks a broadcast at runtime when sizes allow.
+        val joined = domain.join(grouped, keys, "left")
         opts.fillValue match {
           case Some(fill) =>
             reductions.foldLeft(joined) { case (d, (_, _, as)) =>

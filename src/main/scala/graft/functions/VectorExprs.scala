@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen'd vector kernel.
   *
@@ -14,20 +14,47 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * O(n²) similarity join where the dot product IS the hot loop. This
   * expression compiles to a tight primitive loop inside whole-stage
   * codegen (preference order from SURVEY.md §7: custom Expression
-  * before mapPartitions). Callers must pass array<double> columns.
+  * before mapPartitions).
+  *
+  * Semantics: inputs are cast to array<double> by analysis
+  * (ExpectsInputTypes), so array<float> embedding columns work
+  * unchanged. Mismatched lengths and null array elements yield null —
+  * a dot product over a ragged or partially-missing vector has no
+  * meaningful value, and silence here means silently-garbage
+  * similarity scores downstream.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // AbstractDataType is private[sql]; the inferred Seq[ArrayType] is a
+  // covariant subtype of the declared Seq[AbstractDataType].
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  /** Element null checks are only emitted when the child types admit
+    * null elements, keeping the common dense-vector loop branch-free. */
+  private lazy val needNullCheck: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _                          => false
+    }
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (needNullCheck && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -36,13 +63,22 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val elemNullCheck =
+        if (needNullCheck)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -52,22 +88,32 @@ case class DotProduct(left: Expression, right: Expression)
 
 object VectorExprs {
 
+  /** Sessions whose function registry already has the kernel. Weak keys:
+    * a GC'd session drops its entry instead of leaking, and identity
+    * keying on the object itself cannot collide the way an identity
+    * *hash* can (hash values are reused after GC). */
   private val registered =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Register the kernel in the session's function registry (idempotent).
-    * Keyed on the session object's identity hash — `sessionUUID` is
-    * `private[sql]` in Spark 4.1 and must not be touched here. */
+  /** Register the kernel in the session's function registry (idempotent,
+    * cheap — createOrReplaceTempFunction just swaps a map entry). */
   def ensureRegistered(spark: SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark).toString)) {
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry.createOrReplaceTempFunction(
           "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     }
 
-  /** Codegen'd dot product of two array<double> columns. The executing
-    * session must have been touched by `ensureRegistered` before the
-    * plan is analyzed — graft.ops.Similarity's DataFrame entry points
-    * do this on their input's session. */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  /** Codegen'd dot product of two vector columns (any numeric array —
+    * analysis casts to array<double>). Registers the kernel in the
+    * active session so standalone Column use works; DataFrame entry
+    * points in graft.ops.Similarity also register on their input's
+    * session (which may differ from the active one). */
+  def dot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_dot", a, b)
+  }
 }

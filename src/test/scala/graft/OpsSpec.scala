@@ -78,6 +78,20 @@ class OpsSpec extends SparkTestBase {
     assert(lsh.subsetOf(brute))
   }
 
+  test("graft_dot: standalone use, float arrays, null/ragged semantics") {
+    import graft.functions.VectorExprs
+    // standalone Column use on array<float> — analysis must cast, not
+    // read doubles out of float-packed data (ADVICE r2)
+    val f = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(f.select(VectorExprs.dot(col("a"), col("b"))).head.getDouble(0) === 11.0)
+    // mismatched lengths and null elements -> null, not garbage
+    val ragged = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    assert(ragged.select(VectorExprs.dot(col("a"), col("b"))).head.isNullAt(0))
+    val withNull = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+      .toDF("a", "b")
+    assert(withNull.select(VectorExprs.dot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("language id deterministic fallback and marker hit") {
     val d = Seq((1L, "el que la casa es"), (2L, "xyzzy plugh")).toDF("doc_id", "text")
     val r = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))

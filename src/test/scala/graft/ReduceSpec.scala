@@ -136,6 +136,31 @@ class ReduceSpec extends SparkTestBase {
     assert(r(0) === null && r(1) === 34.0 && r(2) === 29.0)
   }
 
+  test("nanall/nanany skip NaN before the boolean cast") {
+    // NaN is truthy for the plain variants (NumPy), but nan* must skip:
+    // nanany({NaN, 0}) = false, nanall({NaN, 1}) = true
+    val d = Seq((1, Double.NaN), (1, 0.0), (2, Double.NaN), (2, 1.0))
+      .toDF("by", "v")
+    assert(result(d, "any", ReduceOptions()) === Map(1 -> true, 2 -> true))
+    assert(result(d, "nanany", ReduceOptions()) === Map(1 -> false, 2 -> true))
+    assert(result(d, "nanall", ReduceOptions()) === Map(1 -> false, 2 -> true))
+  }
+
+  test("expected_groups join streams the aggregated side (high-cardinality safe)") {
+    // groupBy on a high-cardinality key: the aggregated side must NOT be
+    // broadcast (data-dependent size) and must NOT fall back to a
+    // nested-loop join. Assert the plan is an equi-join and carries no
+    // broadcast of the aggregate subtree.
+    val big = (1 to 5000).map(i => (i % 1000, 1.0)).toDF("by", "v")
+    val domain = keys.ExpectedGroups.of(spark, "by", (0 until 1000): Seq[Int])
+    val df = GroupByReduce(big, Seq("by"), "v", "count", "n",
+      ReduceOptions(expectedGroups = Some(domain), fillValue = Some(
+        org.apache.spark.sql.functions.lit(0L))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(df.count() === 1000)
+  }
+
   test("expected_groups left join + fill") {
     val domain = keys.ExpectedGroups.of(spark, "by", Seq(0, 1, 2, 3))
     val r = GroupByReduce(fixture, Seq("by"), "v", "count", "n",
