@@ -96,7 +96,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The CERTIFIED near-dup path is the scale-safe one: LSH signature
+    // buckets + exact cosine re-rank inside buckets — never an O(n²)
+    // cross product. The exact all-pairs join below stays certified
+    // separately as the bounded-corpus verify step it is.
     "q_embed_neardup" -> ((s, d) =>
+      Similarity.lshNearDupPairs(emb(s, d), "vec_id", "embedding",
+        dims = 64, threshold = 0.4, planes = 16, bandPlanes = 4)
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy("id_a", "id_b")),
+
+    "q_embed_neardup_exact" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding", threshold = 0.4)
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
@@ -108,7 +118,41 @@ object PipelineQueries {
         .orderBy("label", "pos"))
   )
 
+  /** DuckDB replica of the multi-table LSH near-dup query: the
+    * deterministic hyperplane weights (Similarity.planeWeight) are
+    * embedded as SQL double literals, so both engines derive
+    * bit-identical table signatures (shortest-round-trip
+    * Double.toString reparses to the same bits in DuckDB). The OR-join
+    * over table signatures is only oracle ceremony — the Spark plan is
+    * an equi-join on the exploded (table, signature) key. */
+  private def lshNearDupSql(dims: Int, planes: Int, bandPlanes: Int,
+                            threshold: Double): String = {
+    def weights(p: Int): String =
+      (0 until dims).map(dm => Similarity.planeWeight(p, dm).toString)
+        .mkString("[", ", ", "]")
+    val nTables = planes / bandPlanes
+    val sigCols = (0 until nTables).map { t =>
+      val bits = (0 until bandPlanes).map { j =>
+        val p = t * bandPlanes + j
+        s"(CASE WHEN list_dot_product(v, ${weights(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }
+      bits.mkString(" + ") + s" AS sig$t"
+    }
+    val anyTable = (0 until nTables).map(t => s"a.sig$t = b.sig$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nn
+         FROM embeddings),
+       s AS (SELECT vec_id, v, nn, ${sigCols.mkString(", ")} FROM e)
+       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)), 4) AS sim
+       FROM s a JOIN s b ON ($anyTable) AND a.vec_id < b.vec_id
+       WHERE list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)) >= $threshold
+       ORDER BY 1, 2"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_embed_neardup" ->
+      lshNearDupSql(dims = 64, planes = 16, bandPlanes = 4, threshold = 0.4),
     "q_doc_tokens" ->
       s"""SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
          ELSE len($W) END::BIGINT AS n_tokens
@@ -200,7 +244,7 @@ object PipelineQueries {
              ORDER BY round(sim, 6) DESC, neighbor_id) AS rank FROM sims)
          WHERE rank <= 3 ORDER BY query_id, rank""",
 
-    "q_embed_neardup" ->
+    "q_embed_neardup_exact" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
            list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nn
            FROM embeddings)

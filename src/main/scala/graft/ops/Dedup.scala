@@ -75,11 +75,17 @@ object Dedup {
           element_at(col("__sig"), b * bandSize + j + 1)): _*)))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    val pruned = bands.withColumn("__bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band_idx", "band_hash")))
-      .filter(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
+    // Degenerate-bucket guard (e.g. empty-text docs all hash alike) as a
+    // broadcast ANTI-join: oversized buckets are few by construction
+    // (≤ rows·nBands/maxBucket), so the band table is never shuffled or
+    // sorted for the prune — a window count would sort the mega bucket's
+    // partition on one task before discarding it.
+    val oversized = bands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("band_idx", "band_hash")
+    val pruned = bands.join(broadcast(oversized),
+      Seq("band_idx", "band_hash"), "left_anti")
     val a = pruned.select(col("band_idx"), col("band_hash"), col("__id").as("id_a"))
     val b = pruned.select(col("band_idx"), col("band_hash"), col("__id").as("id_b"))
     a.join(b, Seq("band_idx", "band_hash"))

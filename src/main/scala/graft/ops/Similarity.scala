@@ -70,8 +70,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * an LCG step over a fixed seed — identical on every executor. */
-  private def planeWeight(plane: Int, dim: Int): Double = {
+    * an LCG step over a fixed seed — identical on every executor (and
+    * reproducible in the DuckDB oracle, which embeds these weights as
+    * SQL literals — graft.PipelineQueries). */
+  private[graft] def planeWeight(plane: Int, dim: Int): Double = {
     var x = (plane.toLong * 0x9E3779B97F4A7C15L) ^ (dim.toLong * 0xC2B2AE3D27D4EB4FL) ^ 0x632BE59BD9B4E019L
     x ^= x >>> 27; x *= 0x94D049BB133111EBL; x ^= x >>> 31
     (x.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
@@ -88,22 +90,47 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** ANN via LSH buckets: candidates share the full signature; exact
-    * cosine re-rank inside buckets. Recall/speed traded with `planes`
-    * (fewer planes = bigger buckets = higher recall, more verify work).
+  /** ANN via multi-table LSH (banding): `planes` hyperplanes split into
+    * `planes / bandPlanes` tables of `bandPlanes` sign bits each;
+    * candidate pairs share the full signature of AT LEAST ONE table,
+    * then are re-ranked with exact cosine. Recall for similarity s is
+    * 1 − (1 − p^k)^L with p = 1 − θ(s)/π, k = bandPlanes, L = #tables —
+    * the classic banding trade-off (more tables = higher recall, more
+    * verify work). The join is an equi-join on (table, signature):
+    * candidates only, never the O(n²) cross product.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       dims: Int, threshold: Double, planes: Int = 16,
+                      bandPlanes: Int = 4,
                       maxBucket: Int = 10000): DataFrame = {
     VectorExprs.ensureRegistered(df.sparkSession)
+    require(planes % bandPlanes == 0, "planes must be a multiple of bandPlanes")
+    val nTables = planes / bandPlanes
+    val tableSigs = (0 until nTables).map { t =>
+      val bits = (0 until bandPlanes).map { j =>
+        val p = t * bandPlanes + j
+        val weights = typedlit((0 until dims).map(dm => planeWeight(p, dm)))
+        when(dot(asDouble(col(vecCol)), weights) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
     val sig = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
-      lshSignature(col(vecCol), dims, planes).as("__sig"))
-    val pruned = sig.withColumn("__n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__sig")))
-      .filter(col("__n") <= maxBucket).drop("__n")
-    val a = pruned.select(col("__sig"), col("__id").as("id_a"), col("__v").as("va"))
-    val b = pruned.select(col("__sig"), col("__id").as("id_b"), col("__v").as("vb"))
-    a.join(b, Seq("__sig")).filter(col("id_a") < col("id_b"))
+      posexplode(array(tableSigs: _*)))
+      .withColumnRenamed("pos", "__table")
+      .withColumnRenamed("col", "__sig")
+    // Degenerate-bucket guard as a broadcast ANTI-join: the oversized
+    // buckets are few by construction (≤ rows·L/maxBucket), so the big
+    // side is never shuffled or sorted for the prune — a window count
+    // would sort the mega bucket's partition on one task before
+    // discarding it.
+    val oversized = sig.groupBy("__table", "__sig").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("__table", "__sig")
+    val pruned = sig.join(broadcast(oversized), Seq("__table", "__sig"), "left_anti")
+    val a = pruned.select(col("__table"), col("__sig"),
+      col("__id").as("id_a"), col("__v").as("va"))
+    val b = pruned.select(col("__table"), col("__sig"),
+      col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(b, Seq("__table", "__sig")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()
