@@ -156,6 +156,45 @@ object CoreQueries {
         ReduceOptions(idxCol = Some("event_id")))
     }),
 
+    // nanprod over a bounded multiplier (raw values overflow a 67-element
+    // product); NaN positions skipped, matching numpy nanprod
+    "q_nanprod" -> ((s, d) =>
+      GroupByReduce(
+        withNan(ev(s, d)).withColumn("m", lit(1.0) + col("v") / 10000),
+        Seq("user_id"), "m", "nanprod", "nprod")
+        .withColumn("nprod", r("nprod", 6))),
+
+    // nanmedian + scalar nanquantile in ONE pass (shared shuffle)
+    "q_nan_quantiles" -> ((s, d) =>
+      GroupByReduce.multi(withNan(ev(s, d)), Seq("user_id"), Seq(
+        ("v", "nanmedian", "nmed"),
+        ("v", "nanquantile", "np90")),
+        ReduceOptions(q = Seq(0.9)))
+        .withColumn("nmed", r("nmed", 4))
+        .withColumn("np90", r("np90", 4))),
+
+    // nanmode: NaN-skipping grouped mode over a discretized value
+    // (floor(v/50) gives ~10 buckets per group so ties are real);
+    // smallest-value tie-break as in scipy.stats.mode
+    "q_nanmode" -> ((s, d) =>
+      GroupByReduce.mode(
+        withNan(ev(s, d)).withColumn("fv",
+          when(!isnan(col("v")), floor(col("v") / 50))),
+        Seq("user_id"), "fv", "nmode")),
+
+    // §2.5 custom Aggregation registered by name and certified against
+    // the oracle (reference custom-agg test: tests/test_core.py:1510-1548)
+    "q_custom_agg" -> ((s, d) => {
+      graft.aggs.CustomAggregations.register("sum_of_squares",
+        new graft.aggs.CustomAggregations.SimpleAggregation {
+          def identity = 0.0
+          def chunk(state: Double, value: Double) = state + value * value
+          def combine(a: Double, b: Double) = a + b
+        })
+      GroupByReduce(ev(s, d), Seq("user_id"), "value", "sum_of_squares", "ss")
+        .withColumn("ss", r("ss", 2))
+    }),
+
     // ---------------- §2.3 binning
     "q_bins" -> ((s, d) => {
       val breaks = Seq(1.0, 10.0, 25.0, 40.0, 50.0)
@@ -314,6 +353,27 @@ object CoreQueries {
                       max(v) OVER (PARTITION BY user_id) AS mx
                FROM ($sqlNan) WHERE NOT isnan(v)) t
          GROUP BY user_id ORDER BY user_id""",
+
+    "q_nanprod" ->
+      s"""SELECT user_id,
+         round(product(CASE WHEN NOT isnan(v) THEN 1.0 + v / 10000 END), 6) AS nprod
+         FROM ($sqlNan) GROUP BY user_id ORDER BY user_id""",
+
+    "q_nan_quantiles" ->
+      s"""SELECT user_id,
+         round(quantile_cont(CASE WHEN NOT isnan(v) THEN v END, 0.5), 4) AS nmed,
+         round(quantile_cont(CASE WHEN NOT isnan(v) THEN v END, 0.9), 4) AS np90
+         FROM ($sqlNan) GROUP BY user_id ORDER BY user_id""",
+
+    "q_nanmode" ->
+      s"""SELECT user_id, min(fv) AS nmode FROM (
+           SELECT user_id, floor(v / 50)::BIGINT AS fv, count(*) AS c
+           FROM ($sqlNan) WHERE NOT isnan(v) GROUP BY 1, 2
+           QUALIFY c = max(c) OVER (PARTITION BY user_id)
+         ) GROUP BY 1 ORDER BY 1""",
+
+    "q_custom_agg" ->
+      "SELECT user_id, round(sum(value * value), 2) AS ss FROM events GROUP BY 1 ORDER BY 1",
 
     "q_bins" ->
       """SELECT bin, bin_label, round(sum(l_extendedprice), 2) AS sum_price,
