@@ -207,6 +207,46 @@ object CoreQueries {
         .withColumn("sum_price", r("sum_price", 2))
     }),
 
+    // ---------------- datetime values: native min/max/first/last,
+    // int64-view + restore for mean/median (flox core.py:985-1001,1205-1217)
+    "q_datetime_aggs" -> ((s, d) =>
+      GroupByReduce.multi(ord(s, d), Seq("o_orderpriority"), Seq(
+        ("o_orderdate", "min", "dmin"),
+        ("o_orderdate", "max", "dmax"),
+        ("o_orderdate", "first", "dfirst"),
+        ("o_orderdate", "last", "dlast"),
+        ("o_orderdate", "mean", "dmean"),
+        ("o_orderdate", "median", "dmed")),
+        ReduceOptions(idxCol = Some("o_orderkey")))),
+
+    // ---------------- datetime binning (int64-view digitize,
+    // flox/factorize.py:78-82)
+    "q_datetime_bins" -> ((s, d) => {
+      val breaks = Seq("1995-01-01", "1997-01-01", "1999-01-01",
+        "2001-01-01", "2003-01-01")
+      val b = li(s, d)
+        .withColumn("bin", Binning.datetimeBinIndex(col("l_shipdate"), breaks))
+        .withColumn("bin_label", Binning.datetimeBinLabel(col("l_shipdate"), breaks))
+      GroupByReduce.multi(b, Seq("bin", "bin_label"), Seq(
+        ("l_extendedprice", "sum", "sum_price"),
+        ("l_extendedprice", "count", "n")))
+        .withColumn("sum_price", r("sum_price", 2))
+    }),
+
+    // ---------------- bool values: int promotion for sum/mean
+    // (flox core.py:916-917), native bool for min/max/any/all
+    "q_bool_aggs" -> ((s, d) =>
+      GroupByReduce.multi(
+        ev(s, d).withColumn("b", col("value") > 250),
+        Seq("user_id"), Seq(
+          ("b", "sum", "n_true"),
+          ("b", "mean", "frac_true"),
+          ("b", "min", "bmin"),
+          ("b", "max", "bmax"),
+          ("b", "any", "bany"),
+          ("b", "all", "ball")))
+        .withColumn("frac_true", r("frac_true", 4))),
+
     // ---------------- §2.3 expected_groups + fill_value
     "q_expected_fill" -> ((s, d) => {
       val domain = ExpectedGroups.of(s, "o_orderpriority",
@@ -388,6 +428,35 @@ object CoreQueries {
                 WHEN l_quantity > 25 AND l_quantity <= 40 THEN '(25.0, 40.0]'
                 WHEN l_quantity > 40 AND l_quantity <= 50 THEN '(40.0, 50.0]' END AS bin_label
            FROM lineitem) WHERE bin IS NOT NULL GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_datetime_aggs" ->
+      """SELECT o_orderpriority, min(o_orderdate) AS dmin, max(o_orderdate) AS dmax,
+         arg_min(o_orderdate, o_orderkey) AS dfirst,
+         arg_max(o_orderdate, o_orderkey) AS dlast,
+         make_timestamp(floor(avg(epoch_us(o_orderdate)))::BIGINT) AS dmean,
+         make_timestamp(floor(quantile_cont(epoch_us(o_orderdate), 0.5))::BIGINT) AS dmed
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_datetime_bins" ->
+      """SELECT bin, bin_label, round(sum(l_extendedprice), 2) AS sum_price,
+         count(l_extendedprice) AS n
+         FROM (SELECT *,
+           CASE WHEN l_shipdate > TIMESTAMP '1995-01-01' AND l_shipdate <= TIMESTAMP '1997-01-01' THEN 0
+                WHEN l_shipdate > TIMESTAMP '1997-01-01' AND l_shipdate <= TIMESTAMP '1999-01-01' THEN 1
+                WHEN l_shipdate > TIMESTAMP '1999-01-01' AND l_shipdate <= TIMESTAMP '2001-01-01' THEN 2
+                WHEN l_shipdate > TIMESTAMP '2001-01-01' AND l_shipdate <= TIMESTAMP '2003-01-01' THEN 3 END AS bin,
+           CASE WHEN l_shipdate > TIMESTAMP '1995-01-01' AND l_shipdate <= TIMESTAMP '1997-01-01' THEN '(1995-01-01, 1997-01-01]'
+                WHEN l_shipdate > TIMESTAMP '1997-01-01' AND l_shipdate <= TIMESTAMP '1999-01-01' THEN '(1997-01-01, 1999-01-01]'
+                WHEN l_shipdate > TIMESTAMP '1999-01-01' AND l_shipdate <= TIMESTAMP '2001-01-01' THEN '(1999-01-01, 2001-01-01]'
+                WHEN l_shipdate > TIMESTAMP '2001-01-01' AND l_shipdate <= TIMESTAMP '2003-01-01' THEN '(2001-01-01, 2003-01-01]' END AS bin_label
+           FROM lineitem) WHERE bin IS NOT NULL GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_bool_aggs" ->
+      """SELECT user_id, sum(CASE WHEN value > 250 THEN 1 ELSE 0 END)::BIGINT AS n_true,
+         round(avg(CASE WHEN value > 250 THEN 1 ELSE 0 END), 4) AS frac_true,
+         min(value > 250) AS bmin, max(value > 250) AS bmax,
+         bool_or(value > 250) AS bany, bool_and(value > 250) AS ball
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_expected_fill" ->
       """SELECT d.o_orderpriority, coalesce(a.n, 0) AS n

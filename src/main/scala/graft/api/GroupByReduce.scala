@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.aggs.{ReduceExprs, ReduceOptions}
+import graft.aggs.{DtypeView, ReduceExprs, ReduceOptions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType}
@@ -55,8 +55,11 @@ object GroupByReduce {
             "(monotonically_increasing_id is NOT order-stable; see SURVEY.md §7.4.1)")
         else lit(0L)
       }
-      val base = ReduceExprs(func, col(value), idx, fp, opts)
-      maskMinCount(base, col(value), fp, opts).as(as)
+      // datetime/bool inputs: int view for numeric funcs + dtype
+      // restore on the result (flox core.py:985-1001,1205-1217)
+      val (vv, restore) = DtypeView(df, value, func, opts.q)
+      val base = ReduceExprs(func, vv, idx, fp, opts)
+      restore(maskMinCount(base, vv, fp, opts)).as(as)
     }
 
     val grouped =

@@ -44,6 +44,35 @@ object Binning {
     element_at(lit(labels.toArray), idx + 1)
   }
 
+  /** Datetime binning: timestamps bucketed by ISO break points
+    * ("yyyy-MM-dd" or "yyyy-MM-ddTHH:mm:ss"), via the reference's
+    * int64-view trick (flox/factorize.py:78-82: datetime bins digitize
+    * on the int64 view). Epoch micros stay exact in the double compare
+    * (< 2^53 until year ~2255). */
+  def datetimeBinIndex(v: Column, isoBreaks: Seq[String],
+                       closedRight: Boolean = true): Column =
+    binIndex(unix_micros(v.cast("timestamp")),
+      isoBreaks.map(isoMicros(_).toDouble), closedRight)
+
+  /** Interval label over the ISO break strings, e.g.
+    * "(1995-01-01, 1997-01-01]". */
+  def datetimeBinLabel(v: Column, isoBreaks: Seq[String],
+                       closedRight: Boolean = true): Column = {
+    val labels = isoBreaks.sliding(2).map { case Seq(lo, hi) =>
+      if (closedRight) s"($lo, $hi]" else s"[$lo, $hi)"
+    }.toSeq
+    element_at(lit(labels.toArray), datetimeBinIndex(v, isoBreaks, closedRight) + 1)
+  }
+
+  private def isoMicros(s: String): Long = {
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+    val ldt =
+      try LocalDateTime.parse(s)
+      catch { case _: java.time.format.DateTimeParseException =>
+        LocalDate.parse(s).atStartOfDay }
+    ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+  }
+
   /** O(1)-arithmetic uniform binning (lo, hi, n equal-width buckets),
     * the scale path for high-cardinality binning. */
   def uniform(v: Column, lo: Double, hi: Double, n: Int,

@@ -136,6 +136,47 @@ class ReduceSpec extends SparkTestBase {
     assert(r(0) === null && r(1) === 34.0 && r(2) === 29.0)
   }
 
+  test("timestamp values: native min/max/first/last, viewed mean/median restore dtype") {
+    import java.sql.Timestamp
+    val ts = (h: Int) => Timestamp.valueOf(f"2020-01-01 $h%02d:00:00")
+    val d = Seq((0L, 1, ts(0)), (1L, 1, ts(4)), (2L, 1, ts(11)))
+      .toDF("idx", "by", "t")
+    val r = GroupByReduce.multi(d, Seq("by"), Seq(
+      ("t", "min", "tmin"), ("t", "max", "tmax"),
+      ("t", "first", "tfirst"), ("t", "last", "tlast"),
+      ("t", "mean", "tmean"), ("t", "median", "tmed")),
+      ReduceOptions(idxCol = Some("idx"))).collect().head
+    assert(r.getTimestamp(1) === ts(0) && r.getTimestamp(2) === ts(11))
+    assert(r.getTimestamp(3) === ts(0) && r.getTimestamp(4) === ts(11))
+    assert(r.getTimestamp(5) === ts(5)) // mean of 0h,4h,11h
+    assert(r.getTimestamp(6) === ts(4)) // median = middle element
+  }
+
+  test("bool values: sum/mean promote to int, min/max stay bool (flox core.py:916-917)") {
+    val d = Seq((1, true), (1, false), (1, true), (2, false))
+      .toDF("by", "b")
+    val r = GroupByReduce.multi(d, Seq("by"), Seq(
+      ("b", "sum", "n_true"), ("b", "mean", "frac"),
+      ("b", "min", "bmin"), ("b", "max", "bmax")))
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(1).getLong(1) === 2L && r(1).getDouble(2) === 2.0 / 3)
+    assert(r(1).getBoolean(3) === false && r(1).getBoolean(4) === true)
+    assert(r(2).getLong(1) === 0L && r(2).getBoolean(4) === false)
+  }
+
+  test("datetime binning digitizes on the int64 view") {
+    import java.sql.Timestamp
+    val d = Seq(Timestamp.valueOf("1995-06-01 00:00:00"),
+      Timestamp.valueOf("1997-06-01 00:00:00"),
+      Timestamp.valueOf("1994-01-01 00:00:00")) // out of range -> null
+      .map(Tuple1(_)).toDF("t")
+    val bins = d.select(keys.Binning.datetimeBinIndex(
+      org.apache.spark.sql.functions.col("t"),
+      Seq("1995-01-01", "1997-01-01", "1999-01-01")).as("bin"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(bins.toSeq === Seq(0, 1, null))
+  }
+
   test("nanall/nanany skip NaN before the boolean cast") {
     // NaN is truthy for the plain variants (NumPy), but nan* must skip:
     // nanany({NaN, 0}) = false, nanall({NaN, 1}) = true
