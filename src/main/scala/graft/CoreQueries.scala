@@ -287,6 +287,30 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), r("ncsum", 4).as("ncsum"))
         .orderBy("event_id")),
 
+    // §2.5 custom Scan registrations (flox/aggregations.py:715-737):
+    // cummax = running max; cumfrac = running share of the group total,
+    // exercising the finalize(run, whole) hook — both in one window pass
+    "q_custom_scan" -> ((s, d) => {
+      import graft.aggs.CustomScans
+      CustomScans.register("cummax", CustomScans.ScanSpec(v => max(v)))
+      CustomScans.register("cumfrac", CustomScans.ScanSpec(
+        v => sum(v), finish = (run, whole) => run / whole))
+      val base = GroupByScan(ev(s, d), Seq("user_id"), "value", "cummax",
+        "event_id", "cmax")
+      GroupByScan(base, Seq("user_id"), "value", "cumfrac", "event_id", "cfrac")
+        .select(col("event_id"), col("user_id"), col("cmax"),
+          r("cfrac", 6).as("cfrac"))
+        .orderBy("event_id")
+    }),
+
+    // §2.5 callable-per-group escape hatch (flox/core.py:363-366):
+    // an arbitrary Scala function per group — here sum of the top-3
+    // values (order-insensitive, so deterministic under shuffle)
+    "q_per_group" -> ((s, d) =>
+      GroupByReduce.perGroupDouble(ev(s, d), Seq("user_id"), "value", "top3_sum") {
+        it => it.toArray.sorted.takeRight(3).sum
+      }.withColumn("top3_sum", r("top3_sum", 2))),
+
     "q_ffill" -> ((s, d) =>
       GroupByScan(withNull(ev(s, d)), Seq("user_id"), "v", "ffill", "event_id", "filled")
         .select(col("event_id"), col("user_id"), col("filled"))
@@ -494,6 +518,22 @@ object CoreQueries {
            OVER (PARTITION BY user_id ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4) AS ncsum
          FROM ($sqlNan) ORDER BY event_id""",
+
+    "q_custom_scan" ->
+      """SELECT event_id, user_id,
+         max(value) OVER w AS cmax,
+         round((sum(value) OVER w) / (sum(value) OVER (PARTITION BY user_id)), 6) AS cfrac
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_per_group" ->
+      """SELECT user_id, round(sum(value), 2) AS top3_sum FROM (
+           SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rk
+           FROM events)
+         WHERE rk <= 3 GROUP BY 1 ORDER BY 1""",
 
     "q_ffill" ->
       s"""SELECT event_id, user_id,

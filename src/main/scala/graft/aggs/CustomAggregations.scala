@@ -28,10 +28,21 @@ object CustomAggregations {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, Column => Column]
 
-  /** Register a typed Aggregator under a reduction name. */
+  /** Register a numeric Aggregator under a reduction name (values cast
+    * to double, the common flox case). */
   def register[BUF](name: String, agg: Aggregator[Double, BUF, Double]): Unit = {
     val fn = udaf(agg)
     registry.put(name, (v: Column) => fn(v.cast("double")))
+  }
+
+  /** Register a fully generic Aggregator — arbitrary input/buffer/output
+    * types, matching the reference's dtype-generic custom `Aggregation`
+    * (flox/aggregations.py:161-301). The value column must already have
+    * the Aggregator's input type (no implicit cast). */
+  def registerTyped[IN, BUF, OUT](name: String, agg: Aggregator[IN, BUF, OUT])(
+      implicit enc: Encoder[IN]): Unit = {
+    val fn = udaf(agg, enc)
+    registry.put(name, (v: Column) => fn(v))
   }
 
   /** Register a plain expression-builder (for aggregations expressible

@@ -120,6 +120,37 @@ object GroupByReduce {
     if (opts.sort && by.nonEmpty) picked.orderBy(by.map(col): _*) else picked
   }
 
+  /** Callable-per-group escape hatch (reference: a plain Python callable
+    * applied to each group's values, flox/core.py:363-366). The function
+    * sees one group's values as an iterator in UNSPECIFIED order (add an
+    * orderBy upstream + `sorted` inside if order matters) and returns one
+    * result. This is the slow path — an opaque function on the executors,
+    * outside whole-stage codegen and without partial aggregation — and
+    * exists for reductions that genuinely cannot be expressed as
+    * Aggregator algebra. Group keys travel as a single composite string
+    * and the typed key columns are re-attached from the (small,
+    * group-cardinality) distinct-keys side.
+    */
+  def perGroupDouble(df: DataFrame, by: Seq[String], value: String,
+                     as: String = "result", sort: Boolean = true)
+                    (f: Iterator[Double] => Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(by.nonEmpty, "perGroupDouble needs at least one key column")
+    val sep = "\u0001" // non-printing separator: collision-free composite keys
+    def packed = concat_ws(sep, by.map(c => col(c).cast("string")): _*)
+    val cleaned = df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
+    val reduced = cleaned
+      .select(packed.as("__k"), col(value).cast("double").as("__v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) => (k, f(it.map(_._2))) }
+      .toDF("__k", as)
+    val keyCols = cleaned.select((packed.as("__k") +: by.map(col)): _*).distinct()
+    val joined = keyCols.join(reduced, "__k").drop("__k")
+    if (sort) joined.orderBy(by.map(col): _*) else joined
+  }
+
   private def isFp(df: DataFrame, value: String): Boolean =
     df.schema(value).dataType match {
       case DoubleType | FloatType => true

@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.aggs.ReduceExprs
+import graft.aggs.{CustomScans, ReduceExprs}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -44,8 +44,18 @@ object GroupByScan {
       case "ffill" => last(missing, ignoreNulls = true).over(fwd)
       // backward-fill: first valid value at or after this row
       case "bfill" => first(missing, ignoreNulls = true).over(bwd)
-      case other => throw new IllegalArgumentException(
-        s"unknown scan '$other' (cumsum|nancumsum|ffill|bfill)")
+      // user-registered custom scans (§2.5; flox/aggregations.py:715-737)
+      case other => CustomScans.lookup(other) match {
+        case Some(spec) =>
+          val frame = if (spec.reverse) bwd else fwd
+          val whole = Window.partitionBy(keys: _*)
+            .orderBy(col(order).asc)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          spec.finish(spec.agg(v).over(frame), spec.agg(v).over(whole))
+        case None => throw new IllegalArgumentException(
+          s"unknown scan '$other' (cumsum|nancumsum|ffill|bfill or " +
+            "a graft.aggs.CustomScans registration)")
+      }
     }
     df.withColumn(as, expr)
   }

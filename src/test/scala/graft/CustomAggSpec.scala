@@ -30,6 +30,43 @@ class CustomAggSpec extends SparkTestBase {
     assert(r === Map(1 -> 6.5, 2 -> 0.0))
   }
 
+  test("generic typed Aggregator: string-valued custom reduction") {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    // longest string, ties broken lexicographically smallest — a
+    // reduction no numeric cast could express
+    CustomAggregations.registerTyped("longest", new Aggregator[String, String, String] {
+      def zero: String = ""
+      private def pick(a: String, b: String): String =
+        if (a.length != b.length) { if (a.length > b.length) a else b }
+        else if (a <= b) a else b
+      def reduce(buf: String, in: String): String =
+        if (in == null) buf else pick(buf, in)
+      def merge(a: String, b: String): String = pick(a, b)
+      def finish(r: String): String = r
+      def bufferEncoder: Encoder[String] = Encoders.STRING
+      def outputEncoder: Encoder[String] = Encoders.STRING
+    })
+    val d = Seq((1, "aa"), (1, "bbb"), (1, "abc"), (2, "z")).toDF("by", "s")
+    val r = GroupByReduce(d, Seq("by"), "s", "longest", "l")
+      .collect().map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(r === Map(1 -> "abc", 2 -> "z"))
+  }
+
+  test("perGroupDouble: callable escape hatch matches manual computation") {
+    val d = (1 to 40).map(i => (i % 4, i.toDouble)).toDF("by", "v")
+    val r = GroupByReduce.perGroupDouble(d.repartition(7), Seq("by"), "v", "med") {
+      it =>
+        val a = it.toArray.sorted
+        (a((a.length - 1) / 2) + a(a.length / 2)) / 2 // median
+    }.collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    val expect = (1 to 40).groupBy(_ % 4).view.mapValues { xs =>
+      val a = xs.map(_.toDouble).sorted
+      (a((a.length - 1) / 2) + a(a.length / 2)) / 2
+    }.toMap
+    assert(r === expect)
+  }
+
   test("custom agg merges across partitions (chunk/combine algebra)") {
     CustomAggregations.register("sum_sq_p",
       new CustomAggregations.SimpleAggregation {

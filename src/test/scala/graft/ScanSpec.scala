@@ -51,6 +51,22 @@ class ScanSpec extends SparkTestBase {
     assert(p(1)._2.get.isNaN && p(2)._2.get.isNaN)
   }
 
+  test("custom scans: cummax forward, reversed scan, finalize(run, whole)") {
+    import graft.aggs.CustomScans
+    CustomScans.register("cummax_t", CustomScans.ScanSpec(v => max(v)))
+    CustomScans.register("revmax_t", CustomScans.ScanSpec(v => max(v), reverse = true))
+    CustomScans.register("cumfrac_t", CustomScans.ScanSpec(
+      v => sum(v), finish = (run, whole) => run / whole))
+    val d = Seq((0L, 0, 3.0), (1L, 0, 1.0), (2L, 0, 4.0), (3L, 0, 2.0))
+      .toDF("idx", "by", "v")
+    val cm = vals(GroupByScan(d, Seq("by"), "v", "cummax_t", "idx", "r"), "r")
+    assert(cm.map(_._2.get) === Seq(3.0, 3.0, 4.0, 4.0))
+    val rm = vals(GroupByScan(d, Seq("by"), "v", "revmax_t", "idx", "r"), "r")
+    assert(rm.map(_._2.get) === Seq(4.0, 4.0, 4.0, 2.0))
+    val cf = vals(GroupByScan(d, Seq("by"), "v", "cumfrac_t", "idx", "r"), "r")
+    assert(cf.map(_._2.get) === Seq(0.3, 0.4, 0.8, 1.0))
+  }
+
   test("scan result invariant to partitioning") {
     val base = vals(GroupByScan(fixture, Seq("by"), "v", "ffill", "idx", "f"), "f")
     for (n <- Seq(1, 3, 5)) {
