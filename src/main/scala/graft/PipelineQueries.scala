@@ -81,6 +81,14 @@ object PipelineQueries {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
+    // near-dup CLUSTERS via connected components over the verified pair
+    // graph (keep_id = smallest id per cluster) — what a pipeline needs
+    // for survivor selection, not just pairs
+    "q_near_dup_groups" -> ((s, d) =>
+      Dedup.nearDupGroups(docs(s, d), "text", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .orderBy("doc_id")),
+
     "q_simhash" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         Dedup.simhash32(col("text")).as("simhash"))
@@ -226,6 +234,30 @@ object PipelineQueries {
          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
          ORDER BY 1, 2""",
+
+    // connected components in SQL: recursive reachability closure over
+    // the symmetric pair graph, then min reachable id per node — small
+    // graphs only (oracle ceremony; the Spark side iterates min-label
+    // propagation instead)
+    "q_near_dup_groups" ->
+      s"""WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct($SH) AS sh,
+             ${mhSql(0)} AS m0, ${mhSql(1)} AS m1, ${mhSql(2)} AS m2, ${mhSql(3)} AS m3
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND (a.m0 = b.m0 OR a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3)
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS label FROM edges
+           UNION
+           SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+         SELECT id AS doc_id, min(label) AS keep_id
+         FROM reach GROUP BY 1 ORDER BY 1""",
 
     "q_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents ORDER BY doc_id",

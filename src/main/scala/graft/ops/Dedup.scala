@@ -119,6 +119,75 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components by iterative min-label propagation, entirely
+    * on DataFrames: label(node) starts as its own id; each round every
+    * node takes the min label among itself and its neighbors;
+    * convergence in O(graph diameter) rounds — near-dup clusters are
+    * shallow (stars/short chains), so this terminates in a few rounds
+    * where a 100 TB run would too. Per round: one shuffle keyed on node
+    * id, lineage cut by localCheckpoint, and a limit(1) probe for
+    * convergence — no driver-side data beyond that scalar.
+    *
+    * @param edges DataFrame with two id columns (undirected edges)
+    * @return (id, label) — label = smallest id in the component
+    */
+  def connectedComponents(edges: DataFrame,
+                          srcCol: String = "id_a", dstCol: String = "id_b",
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighbor = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val updated = labels.union(neighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .filter(col("label") < col("__old"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS, not just pairs: LSH candidates verified by
+    * Jaccard, then connected components over the surviving pair graph.
+    * Returns (idCol, keep_id) for every document in some near-dup
+    * cluster, keep_id = smallest id in the cluster — composes with the
+    * left_semi pattern of `dropExact` for survivor selection. */
+  def nearDupGroups(df: DataFrame, textCol: String, idCol: String,
+                    threshold: Double = 0.8, numHashes: Int = 6,
+                    bandSize: Int = 1, k: Int = 3,
+                    useMd5: Boolean = false): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, threshold, numHashes,
+      bandSize, k, useMd5).select("id_a", "id_b")
+    connectedComponents(pairs)
+      .select(col("id").as(idCol), col("label").as("keep_id"))
+  }
+
+  /** Drop near-duplicates, keeping the smallest id of each cluster
+    * (and all documents not in any cluster). */
+  def dropNearDups(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.8, numHashes: Int = 6,
+                   bandSize: Int = 1, k: Int = 3,
+                   useMd5: Boolean = false): DataFrame = {
+    val losers = nearDupGroups(df, textCol, idCol, threshold, numHashes,
+      bandSize, k, useMd5)
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(idCol)
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash from md5-derived token hashes (cross-engine
     * reproducible). Per-row expression: for each bit j, sum ±1 over
     * token hashes' bit j; sign -> bit. No shuffle, no UDF.

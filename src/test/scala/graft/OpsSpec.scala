@@ -42,6 +42,29 @@ class OpsSpec extends SparkTestBase {
     assert(ham(sh(1), sh(2)) < ham(sh(1), sh(3)))
   }
 
+  test("connected components: chains need multi-round propagation") {
+    // path 1-2-3-4-5 plus isolated edge 10-11: min-label must travel
+    // 4 hops, exercising the convergence loop beyond one round
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupGroups clusters transitively; dropNearDups keeps min id + singletons") {
+    val groups = Dedup.nearDupGroups(docs, "text", "doc_id",
+      threshold = 0.7, numHashes = 6, bandSize = 1, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1, 2 (near-dup) and 4 (exact dup of 1) form one cluster
+    assert(groups === Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    val kept = Dedup.dropNearDups(docs, "text", "doc_id",
+      threshold = 0.7, numHashes = 6, bandSize = 1, k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
   test("jaccard bounds and identity") {
     val d = docs.select(col("doc_id"),
       array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
