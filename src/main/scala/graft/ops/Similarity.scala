@@ -35,6 +35,15 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Cosine from a precomputed-norm pair: one dot product per pair
+    * instead of three (norms are per-VECTOR quantities — computing them
+    * inside the pair join redoes |pairs|/|vectors| times the work). */
+  private def cosinePrenormed(a: Column, b: Column,
+                              na: Column, nb: Column): Column = {
+    val nn = na * nb
+    when(nn > 0, dot(a, b) / nn).otherwise(lit(0.0))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self-match excluded). `queries` must be a small
     * batch (it is broadcast). Ranking uses round(sim, 6) with id
@@ -44,12 +53,14 @@ object Similarity {
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     VectorExprs.ensureRegistered(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosinePrenormed(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
@@ -61,10 +72,12 @@ object Similarity {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     VectorExprs.ensureRegistered(df.sparkSession)
-    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    val base = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val a = base.select(col("__id").as("id_a"), col("__v").as("va"), col("__n").as("na"))
+    val b = base.select(col("__id").as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
@@ -118,6 +131,7 @@ object Similarity {
       posexplode(array(tableSigs: _*)))
       .withColumnRenamed("pos", "__table")
       .withColumnRenamed("col", "__sig")
+      .withColumn("__n", norm(col("__v")))
     // Degenerate-bucket guard as a broadcast ANTI-join: the oversized
     // buckets are few by construction (≤ rows·L/maxBucket), so the big
     // side is never shuffled or sorted for the prune — a window count
@@ -127,11 +141,11 @@ object Similarity {
       .filter(col("__n") > maxBucket).select("__table", "__sig")
     val pruned = sig.join(broadcast(oversized), Seq("__table", "__sig"), "left_anti")
     val a = pruned.select(col("__table"), col("__sig"),
-      col("__id").as("id_a"), col("__v").as("va"))
+      col("__id").as("id_a"), col("__v").as("va"), col("__n").as("na"))
     val b = pruned.select(col("__table"), col("__sig"),
-      col("__id").as("id_b"), col("__v").as("vb"))
+      col("__id").as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
     a.join(b, Seq("__table", "__sig")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()
   }
