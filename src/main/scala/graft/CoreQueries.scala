@@ -233,6 +233,20 @@ object CoreQueries {
         .withColumn("sum_price", r("sum_price", 2))
     }),
 
+    // ---------------- calendar resampling — flox's bread-and-butter
+    // xarray case (daily buckets from the TIMESTAMP(NANOS) event
+    // stream; nanos load as long per Tables, viewed to micros)
+    "q_resample" -> ((s, d) =>
+      GroupByReduce.multi(
+        ev(s, d).withColumn("day",
+          date_trunc("DAY", timestamp_micros(expr("ts div 1000")))
+            .cast("timestamp_ntz")),
+        Seq("day"), Seq(
+          ("value", "mean", "vmean"),
+          ("value", "count", "n"),
+          ("value", "max", "vmax")))
+        .withColumn("vmean", r("vmean", 4))),
+
     // ---------------- bool values: int promotion for sum/mean
     // (flox core.py:916-917), native bool for min/max/any/all
     "q_bool_aggs" -> ((s, d) =>
@@ -474,6 +488,11 @@ object CoreQueries {
                 WHEN l_shipdate > TIMESTAMP '1999-01-01' AND l_shipdate <= TIMESTAMP '2001-01-01' THEN '(1999-01-01, 2001-01-01]'
                 WHEN l_shipdate > TIMESTAMP '2001-01-01' AND l_shipdate <= TIMESTAMP '2003-01-01' THEN '(2001-01-01, 2003-01-01]' END AS bin_label
            FROM lineitem) WHERE bin IS NOT NULL GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_resample" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+         round(avg(value), 4) AS vmean, count(value) AS n, max(value) AS vmax
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_bool_aggs" ->
       """SELECT user_id, sum(CASE WHEN value > 250 THEN 1 ELSE 0 END)::BIGINT AS n_true,

@@ -44,6 +44,16 @@ object GroupByReduce {
         df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
       else df
 
+    // min_count x fill_value decision table (flox/core.py:1026-1038):
+    // an unset min_count becomes 1 when BOTH fill_value and
+    // expected_groups are declared — an all-missing group must then read
+    // as fill, not as nansum's 0 / nanprod's 1. Masked groups take the
+    // user fill_value when provided, NA (null) otherwise.
+    val minCount =
+      if (opts.minCount == 0 && opts.fillValue.isDefined &&
+        opts.expectedGroups.isDefined) 1
+      else opts.minCount
+
     val aggCols = reductions.map { case (value, func, as) =>
       if (func == "mode" || func == "nanmode")
         throw new IllegalArgumentException(
@@ -59,7 +69,7 @@ object GroupByReduce {
       // restore on the result (flox core.py:985-1001,1205-1217)
       val (vv, restore) = DtypeView(df, value, func, opts.q)
       val base = ReduceExprs(func, vv, idx, fp, opts)
-      restore(maskMinCount(base, vv, fp, opts)).as(as)
+      restore(maskMinCount(base, vv, fp, minCount, opts.fillValue)).as(as)
     }
 
     val grouped =
@@ -158,9 +168,12 @@ object GroupByReduce {
     }
 
   private def maskMinCount(e: Column, v: Column, fp: Boolean,
-                           o: ReduceOptions): Column =
-    if (o.minCount > 0) {
+                           minCount: Int, fill: Option[Column]): Column =
+    if (minCount > 0) {
       val validCount = count(if (fp) ReduceExprs.nanToNull(v) else v)
-      when(validCount >= o.minCount, e)
+      val masked = when(validCount >= minCount, e)
+      // flox masks to the USER fill_value (core.py:459: np.where(mask,
+      // fill_value, result)); absent fill -> NA, our null
+      fill.map(masked.otherwise).getOrElse(masked)
     } else e
 }

@@ -136,6 +136,22 @@ class ReduceSpec extends SparkTestBase {
     assert(r(0) === null && r(1) === 34.0 && r(2) === 29.0)
   }
 
+  test("min_count x fill_value decision table (flox core.py:1026-1038)") {
+    import org.apache.spark.sql.functions.lit
+    // masked groups take the USER fill_value when provided
+    val filled = result(fixture, "nansum",
+      ReduceOptions(minCount = 4, fillValue = Some(lit(-1.0)), idxCol = Some("idx")))
+    assert(filled(0) === -1.0 && filled(1) === 34.0)
+    // fill_value + expected_groups without explicit min_count: an
+    // all-NaN group reads as fill, NOT as nansum's empty-sum 0
+    val allNan = Seq((1, Double.NaN), (1, Double.NaN), (2, 5.0)).toDF("by", "v")
+    val domain = keys.ExpectedGroups.of(spark, "by", Seq(1, 2, 3))
+    val r = GroupByReduce(allNan, Seq("by"), "v", "nansum", "s",
+      ReduceOptions(expectedGroups = Some(domain), fillValue = Some(lit(-9.0))))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r === Map(1 -> -9.0, 2 -> 5.0, 3 -> -9.0))
+  }
+
   test("timestamp values: native min/max/first/last, viewed mean/median restore dtype") {
     import java.sql.Timestamp
     val ts = (h: Int) => Timestamp.valueOf(f"2020-01-01 $h%02d:00:00")
