@@ -119,6 +119,19 @@ object PipelineQueries {
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
 
+    // IVF ANN: corpus partitioned into per-label centroid lists, queries
+    // probe the nProbe nearest lists only — the scale path where
+    // brute-force is the baseline
+    "q_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", cents, k = 3, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_centroids" -> ((s, d) =>
       Similarity.dimMeans(emb(s, d), "label", "embedding")
         .select(col("label"), col("pos").cast("long").as("pos"),
@@ -285,6 +298,45 @@ object PipelineQueries {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)) >= 0.4
          ORDER BY 1, 2""",
+
+    // IVF replica: centroid components rounded to 6 decimals on both
+    // sides so aggregation order can't perturb assignments; all
+    // similarity ranks tie-break on round(sim, 6) then id, matching the
+    // Spark windows exactly
+    "q_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+         cent AS (SELECT label::BIGINT AS cid,
+           list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS cv
+           FROM (SELECT label, pos, avg(x) AS m FROM (
+             SELECT label, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+               unnest(embedding)::DOUBLE AS x FROM embeddings)
+             GROUP BY 1, 2) GROUP BY 1),
+         centn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+         assign AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(CASE WHEN e.n * c.cn > 0
+               THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+               c.cid) AS rk
+           FROM e CROSS JOIN centn c) WHERE rk = 1),
+         probes AS (SELECT query_id, cid, qv, qn FROM (
+           SELECT e.vec_id AS query_id, e.v AS qv, e.n AS qn, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(CASE WHEN e.n * c.cn > 0
+                 THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+                 c.cid) AS rk
+           FROM e CROSS JOIN centn c WHERE e.vec_id < 20) WHERE rk <= 2),
+         sims AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             CASE WHEN p.qn * e.n > 0
+               THEN list_dot_product(p.qv, e.v) / (p.qn * e.n) ELSE 0 END AS sim
+           FROM probes p JOIN assign a USING (cid)
+           JOIN e ON e.vec_id = a.vec_id
+           WHERE a.vec_id != p.query_id)
+         SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(sim, 6) DESC, neighbor_id) AS rank FROM sims)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "q_embed_centroids" ->
       """SELECT label, pos, round(avg(e), 4) AS mean FROM (

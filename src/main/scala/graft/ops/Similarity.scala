@@ -157,4 +157,81 @@ object Similarity {
     df.select(col(labelCol), posexplode(asDouble(col(vecCol))))
       .groupBy(col(labelCol), col("pos"))
       .agg(avg("col").as("mean"))
+
+  /** Centroid table (cid, cv) for the IVF coarse quantizer, one
+    * centroid per label value. Components are rounded (default 6
+    * decimals) so the centroids are bit-identical regardless of
+    * aggregation order — across partitionings AND across engines. */
+  def centroidsFromLabels(df: DataFrame, labelCol: String, vecCol: String,
+                          roundTo: Int = 6): DataFrame =
+    dimMeans(df, labelCol, vecCol)
+      .groupBy(col(labelCol).cast("long").as("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean")))),
+        s => round(s.getField("mean"), roundTo)).as("cv"))
+
+  /** Top-n nearest centroids per vector: cross join against the
+    * BROADCAST centroid table (tiny by contract: #partitions of the
+    * index, not data size) — map-only over the vector side, then a
+    * per-vector top-n window. Ties broken by round(sim, 6) then cid. */
+  private def nearestCentroids(vecs: DataFrame, partCol: String,
+                               centroids: DataFrame, n: Int): DataFrame = {
+    val c = centroids.select(col("cid"), col("cv"),
+      norm(col("cv")).as("__cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol)
+      .orderBy(round(col("__csim"), 6).desc, col("cid").asc)
+    vecs.crossJoin(broadcast(c))
+      .withColumn("__csim",
+        cosinePrenormed(col("__v"), col("cv"), col("__n"), col("__cn")))
+      .withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") <= n)
+      .drop("cv", "__cn", "__csim", "__crk")
+  }
+
+  /** IVF assignment: each corpus vector goes to its nearest centroid's
+    * inverted list. Map-only over the corpus (centroids broadcast) +
+    * one per-vector window. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    VectorExprs.ensureRegistered(corpus.sparkSession)
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    nearestCentroids(e, idCol, centroids, 1).select(col(idCol), col("cid"))
+  }
+
+  /** IVF top-k search: queries probe only the `nProbe` nearest
+    * centroids' inverted lists instead of the whole corpus — the scale
+    * path next to `bruteForceTopK`. The candidate join is keyed on cid
+    * with the (small) probe table broadcast, so the corpus is read
+    * once, map-side; only candidates shuffle into the per-query top-k
+    * window. Recall < 1 by construction (a true neighbor assigned to an
+    * unprobed list is missed) — raise nProbe to trade speed for recall.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, centroids: DataFrame, k: Int,
+              nProbe: Int = 2): DataFrame = {
+    VectorExprs.ensureRegistered(corpus.sparkSession)
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val assigned = nearestCentroids(e, idCol, centroids, 1)
+      .select(col(idCol).as("neighbor_id"), col("cid"),
+        col("__v").as("__nv"), col("__n").as("__nn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val probes = nearestCentroids(q, "query_id", centroids, nProbe)
+      .select(col("query_id"), col("cid"),
+        col("__v").as("__qv"), col("__n").as("__qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        cosinePrenormed(col("__qv"), col("__nv"), col("__qn"), col("__nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
 }

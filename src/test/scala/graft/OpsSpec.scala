@@ -101,6 +101,21 @@ class OpsSpec extends SparkTestBase {
     assert(lsh.subsetOf(brute))
   }
 
+  test("IVF: every vector assigned once; topk deterministic under repartition") {
+    val e = sf("embeddings")
+    val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+    val assign = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+    assert(assign.count() === e.count())           // total function
+    assert(assign.select("vec_id").distinct().count() === e.count()) // 1:1
+    val q = e.filter(col("vec_id") < 5)
+    val a = Similarity.ivfTopK(e, q, "vec_id", "embedding", cents, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Similarity.ivfTopK(e.repartition(7), q, "vec_id", "embedding", cents,
+      k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b && a.size === 15) // 5 queries x k=3, stable under partitioning
+  }
+
   test("graft_dot: standalone use, float arrays, null/ragged semantics") {
     import graft.functions.VectorExprs
     // standalone Column use on array<float> — analysis must cast, not
