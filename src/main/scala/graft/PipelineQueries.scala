@@ -53,6 +53,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish subword count next to the whitespace count: the token
+    // estimate a training pipeline budgets with
+    "q_doc_subwords" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextAnalysis.subwordTokenCount(col("text")).cast("long").as("n_subwords"))
+        .orderBy("doc_id")),
+
+    // multimodal binary plumbing, hash-certified: text bytes stand in
+    // for media payloads; frame slicing + per-frame digest is the exact
+    // schema/partitioning shape of per-frame feature extraction
+    "q_frames" -> ((s, d) => {
+      val media = docs(s, d).select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"))
+      graft.ops.Multimodal.sampleFrames(media, "media", "doc_id",
+        frameBytes = 32, everyNth = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "q_lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("pred_lang"))
@@ -195,6 +216,23 @@ object PipelineQueries {
            len(regexp_replace(regexp_replace(lower(text), '\\s+', '', 'g'), '[a-z0-9]', '', 'g'))::DOUBLE AS n_punct,
            len(regexp_replace(regexp_replace(lower(text), '\\s+', '', 'g'), '[^0-9]', '', 'g'))::DOUBLE AS n_digit
            FROM documents) ORDER BY doc_id""",
+
+    "q_doc_subwords" ->
+      s"""SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len($W) END::BIGINT AS n_ws_tokens,
+         len(regexp_extract_all(lower(text),
+           '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))::BIGINT AS n_subwords
+         FROM documents ORDER BY doc_id""",
+
+    // blob slicing certified on the hex view (DuckDB 1.0 has no BLOB
+    // substring); hex-then-slice == slice-then-hex byte-for-byte
+    "q_frames" ->
+      """SELECT doc_id, frame_idx,
+         substring(hex(media) FROM (frame_idx * 64 + 1)::INT FOR 64) AS frame_hex
+         FROM (SELECT doc_id, encode(text) AS media,
+           unnest(range(0, greatest(octet_length(encode(text)) // 32, 1), 2))::BIGINT AS frame_idx
+           FROM documents)
+         ORDER BY doc_id, frame_idx""",
 
     "q_lang_id" ->
       s"""SELECT doc_id,

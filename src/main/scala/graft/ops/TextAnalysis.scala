@@ -87,6 +87,17 @@ object TextAnalysis {
     }
   }
 
+  /** BPE-style subword pre-tokenization count: the GPT-2 pre-tokenizer
+    * shape — contractions, letter runs, digit runs and punctuation
+    * runs, each with an optional leading space. Counts the units a BPE
+    * tokenizer would merge within, giving a far better token estimate
+    * than whitespace splitting for code/punctuation-heavy text. Pure
+    * RE2-compatible regex (no lookarounds), one codegen'd pass. */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"),
+      lit(0)))
+
   /** Exact content fingerprint: md5 of whitespace-normalized lowercase
     * text. Equal fingerprints = exact (mod whitespace) duplicates. */
   def fingerprint(text: Column): Column =
