@@ -38,6 +38,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ffill/cumsum state carries across micro-batches, equals batch scan") {
+    import graft.streaming.StreamingScan
+    import graft.streaming.StreamingScan.ScanEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ScanEvent]
+    val out = StreamingScan.ffillCumsum(input.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scan_out").start()
+    try {
+      // batch 1: key 1 sees a value then a gap; key 2 starts with a gap
+      input.addData(
+        ScanEvent(1L, 0L, Some(2.0)), ScanEvent(1L, 1L, None),
+        ScanEvent(2L, 0L, None))
+      q.processAllAvailable()
+      // batch 2: the carry (last=2.0, sum=2.0 for key 1) must persist
+      input.addData(
+        ScanEvent(1L, 2L, Some(5.0)), ScanEvent(1L, 3L, None),
+        ScanEvent(2L, 1L, Some(7.0)))
+      q.processAllAvailable()
+      val got = spark.table("scan_out")
+        .orderBy("key", "idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4)))
+      assert(got.toSeq === Seq(
+        (1L, 0L, Some(2.0), 2.0), (1L, 1L, Some(2.0), 2.0),
+        (1L, 2L, Some(5.0), 7.0), (1L, 3L, Some(5.0), 7.0),
+        (2L, 0L, None, 0.0), (2L, 1L, Some(7.0), 7.0)))
+      // equals the batch engine on the same data (ffill + nancumsum)
+      val batchDf = Seq(
+        (1L, 0L, Some(2.0)), (1L, 1L, None), (1L, 2L, Some(5.0)),
+        (1L, 3L, None), (2L, 0L, None), (2L, 1L, Some(7.0)))
+        .toDF("key", "idx", "v")
+      val b1 = api.GroupByScan(batchDf, Seq("key"), "v", "ffill", "idx", "filled")
+      val batch = api.GroupByScan(b1, Seq("key"), "v", "nancumsum", "idx", "cs")
+        .orderBy("key", "idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4)))
+      assert(batch.toSeq === got.toSeq)
+    } finally q.stop()
+  }
+
   test("non-streamable funcs rejected with clear error") {
     val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
     val e = intercept[IllegalArgumentException] {
