@@ -2,7 +2,7 @@ package graft.aggs
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DateType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DateType, DayTimeIntervalType, TimestampNTZType, TimestampType}
 
 /** Value-dtype machinery: datetime/bool inputs viewed as integers for
   * numeric reductions, with the original dtype restored on the result
@@ -63,6 +63,12 @@ object DtypeView {
           restoreWith(func, q, c => date_from_unix_date(floor(c).cast("int"))))
       case BooleanType if needsView =>
         (v.cast("int"), identity)
+      case it: DayTimeIntervalType if needsView =>
+        // timedelta64 analog: view as micros; unlike timestamps, SUM of
+        // durations is meaningful, so every numeric func restores the
+        // interval type (flox treats 'm' dtypes the same as 'M')
+        (v.cast("long"),
+          restoreAlways(func, q, c => floor(c).cast("long").cast(it)))
       case _ => (v, identity)
     }
   }
@@ -72,5 +78,13 @@ object DtypeView {
     if (!restoring(func)) identity
     else if (func.endsWith("quantile") && q.size > 1)
       c => transform(c, restore) // vector q: restore each array element
+    else restore
+
+  /** Interval restore: every numeric func except var (whose result is
+    * in squared units — kept numeric) gets the duration type back. */
+  private def restoreAlways(func: String, q: Seq[Double],
+                            restore: Column => Column): Column => Column =
+    if (Set("var", "nanvar")(func)) identity
+    else if (func.endsWith("quantile") && q.size > 1) c => transform(c, restore)
     else restore
 }

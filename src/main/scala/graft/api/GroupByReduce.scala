@@ -104,8 +104,10 @@ object GroupByReduce {
   /** Grouped mode with the reference's smallest-value tie-break
     * (scipy.stats.mode semantics, flox/aggregate_npg.py:185-215).
     * Two-stage plan: per-(key,value) counts (map-side combinable), then
-    * a windowed pick of (max count, min value). Both stages shuffle on
-    * bounded-cardinality keys, so this scales to arbitrary input rows.
+    * a second hash aggregation picking min(struct(-count, value)) —
+    * (max count, min value) without the sort a window-rank pick would
+    * add. Both stages shuffle on bounded-cardinality keys, so this
+    * scales to arbitrary input rows.
     */
   def mode(df: DataFrame, by: Seq[String], value: String,
            as: String = "result", skipNaN: Boolean = false,
@@ -121,12 +123,10 @@ object GroupByReduce {
       .filter(col("__v").isNotNull)
       .groupBy((by.map(col) :+ col("__v")): _*)
       .agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__n").desc, col("__v").asc)
     val picked = counts
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select((by.map(col) :+ col("__v").as(as)): _*)
+      .groupBy(by.map(col): _*)
+      .agg(min(struct((-col("__n")).as("nc"), col("__v").as("v")))
+        .getField("v").as(as))
     if (opts.sort && by.nonEmpty) picked.orderBy(by.map(col): _*) else picked
   }
 

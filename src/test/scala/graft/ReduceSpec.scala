@@ -168,6 +168,21 @@ class ReduceSpec extends SparkTestBase {
     assert(r.getTimestamp(6) === ts(4)) // median = middle element
   }
 
+  test("duration (timedelta) values: native min/max, viewed sum/mean restore interval") {
+    import java.time.Duration
+    val d = Seq((1, Duration.ofMinutes(1)), (1, Duration.ofMinutes(2)),
+      (1, Duration.ofMinutes(9)))
+      .toDF("by", "dur")
+    val r = GroupByReduce.multi(d, Seq("by"), Seq(
+      ("dur", "min", "dmin"), ("dur", "max", "dmax"),
+      ("dur", "sum", "dsum"), ("dur", "mean", "dmean")))
+      .collect().head
+    assert(r.getAs[Duration]("dmin") === Duration.ofMinutes(1))
+    assert(r.getAs[Duration]("dmax") === Duration.ofMinutes(9))
+    assert(r.getAs[Duration]("dsum") === Duration.ofMinutes(12))
+    assert(r.getAs[Duration]("dmean") === Duration.ofMinutes(4))
+  }
+
   test("bool values: sum/mean promote to int, min/max stay bool (flox core.py:916-917)") {
     val d = Seq((1, true), (1, false), (1, true), (2, false))
       .toDF("by", "b")
