@@ -170,6 +170,14 @@ object VectorExprs {
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_simhash32", exprs => SimHashVote(exprs(0), 32), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_minhash_md5",
+        exprs => MinHashMd5(exprs(0), exprs(1).eval().toString), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_minhash_md5_tokens",
+        exprs => MinHashMd5Tokens(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().toString), "built-in")
     }
 
   /** Codegen'd dot product of two vector columns (any numeric array —
@@ -190,5 +198,26 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_simhash32", tokenHashes)
+  }
+
+  /** One-pass min-md5 over an array<string> (MinHash lane / rolling
+    * fingerprint kernel). */
+  def minHashMd5(shingles: Column, prefix: String): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_minhash_md5", shingles,
+      org.apache.spark.sql.functions.lit(prefix))
+  }
+
+  /** Fused k-shingle + min-md5 lane over a TOKEN array — shingles are
+    * streamed into the digest, never materialized. */
+  def minHashMd5Tokens(tokens: Column, k: Int, prefix: String): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_minhash_md5_tokens", tokens,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(prefix))
   }
 }

@@ -37,20 +37,32 @@ object Dedup {
 
   /** One MinHash value: min over shingles of hash(seed || shingle).
     * md5 mode returns hex strings (lexicographic min — reproducible in
-    * any engine); xxhash64 mode returns longs (fast path). */
+    * any engine) via the one-pass graft_minhash_md5 kernel; xxhash64
+    * mode returns longs (fast path). */
   def minhash(shingles: Column, seed: Int, useMd5: Boolean): Column =
-    if (useMd5) array_min(transform(shingles, s => md5(concat(lit(seed.toString), lit("|"), s))))
+    if (useMd5) graft.functions.VectorExprs.minHashMd5(shingles, s"$seed|")
     else array_min(transform(shingles, s => xxhash64(lit(seed), s)))
 
   /** Append `numHashes` MinHash signature columns mh0..mh{H-1} computed
-    * from k-word shingles. Map-only: no shuffle, one text pass per row. */
+    * from k-word shingles. Map-only: no shuffle. The md5 path uses the
+    * fused token-shingle kernel, so the shingle arrays are never
+    * materialized (the interpreted `transform` building them used to
+    * dominate the whole signature pass). */
   def withMinhashSignature(df: DataFrame, textCol: String,
                            numHashes: Int = 6, k: Int = 3,
                            useMd5: Boolean = false): DataFrame = {
-    val sh = TextAnalysis.shingles(col(textCol), k)
-    (0 until numHashes).foldLeft(df.withColumn("__sh", sh)) { (d, h) =>
-      d.withColumn(s"mh$h", minhash(col("__sh"), h, useMd5))
-    }.drop("__sh")
+    if (useMd5) {
+      val toks = TextAnalysis.tokens(col(textCol))
+      (0 until numHashes).foldLeft(df.withColumn("__toks", toks)) { (d, h) =>
+        d.withColumn(s"mh$h",
+          graft.functions.VectorExprs.minHashMd5Tokens(col("__toks"), k, s"$h|"))
+      }.drop("__toks")
+    } else {
+      val sh = TextAnalysis.shingles(col(textCol), k)
+      (0 until numHashes).foldLeft(df.withColumn("__sh", sh)) { (d, h) =>
+        d.withColumn(s"mh$h", minhash(col("__sh"), h, useMd5))
+      }.drop("__sh")
+    }
   }
 
   /** LSH candidate pairs: documents sharing at least one band

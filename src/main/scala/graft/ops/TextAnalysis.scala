@@ -104,7 +104,8 @@ object TextAnalysis {
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
   /** Rolling-hash document fingerprint: the minimum shingle hash —
-    * a 1-hash MinHash, winnowing-style representative of content. */
+    * a 1-hash MinHash, winnowing-style representative of content.
+    * Fused token-shingle kernel: shingle strings never materialize. */
   def rollingFingerprint(text: Column, k: Int = 3): Column =
-    array_min(transform(shingles(text, k), s => md5(s)))
+    graft.functions.VectorExprs.minHashMd5Tokens(tokens(text), k, "")
 }

@@ -116,6 +116,33 @@ class OpsSpec extends SparkTestBase {
     assert(a === b && a.size === 15) // 5 queries x k=3, stable under partitioning
   }
 
+  test("graft_minhash_md5 kernel equals the HOF md5-min formulation") {
+    val d = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.shingles(col("text"), 3).as("sh"))
+    val both = d.select(col("doc_id"),
+      graft.functions.VectorExprs.minHashMd5(col("sh"), "7|").as("kernel"),
+      array_min(transform(col("sh"),
+        s => md5(concat(lit("7|"), s)))).as("hof"),
+      graft.functions.VectorExprs.minHashMd5(col("sh"), "").as("kernel0"),
+      array_min(transform(col("sh"), s => md5(s))).as("hof0"))
+      .collect()
+    both.foreach { r =>
+      assert(r.get(1) === r.get(2), s"seeded mismatch for doc ${r.getLong(0)}")
+      assert(r.get(3) === r.get(4), s"unseeded mismatch for doc ${r.getLong(0)}")
+    }
+    // empty shingle array ("tiny" has < 3 tokens) -> null, like array_min
+    assert(both.exists(r => r.get(1) == null))
+    // fused token kernel == shingle-array kernel == HOF formulation
+    val fused = docs.select(col("doc_id"),
+      graft.functions.VectorExprs.minHashMd5Tokens(
+        graft.ops.TextAnalysis.tokens(col("text")), 3, "7|").as("fused"),
+      graft.functions.VectorExprs.minHashMd5(
+        graft.ops.TextAnalysis.shingles(col("text"), 3), "7|").as("arr"))
+      .collect()
+    fused.foreach(r => assert(r.get(1) === r.get(2),
+      s"fused mismatch for doc ${r.getLong(0)}"))
+  }
+
   test("graft_dot: standalone use, float arrays, null/ragged semantics") {
     import graft.functions.VectorExprs
     // standalone Column use on array<float> — analysis must cast, not
