@@ -79,6 +79,28 @@ object HashKernels {
     UTF8String.fromString(new String(out))
   }
 
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** tokens -> array of space-joined k-gram UTF8Strings (empty if < k). */
+  def shingleArray(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val out = new Array[AnyRef](n - k + 1)
+    val window = new Array[UTF8String](2 * k - 1)
+    var j = 1
+    while (j < 2 * k - 1) { window(j) = SPACE; j += 2 }
+    var i = 0
+    while (i <= n - k) {
+      var t = 0
+      while (t < k) { window(2 * t) = arr.getUTF8String(i + t); t += 1 }
+      out(i) = UTF8String.concat(window: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < 16) {
@@ -89,6 +111,29 @@ object HashKernels {
     }
     false
   }
+}
+
+/** Codegen'd k-token shingling: tokens -> array of space-joined k-grams
+  * in one pass. Bit-identical to the transform/concat_ws formulation
+  * (TextAnalysis.shingles' original HOF), which ran interpreted and
+  * dominated every operator that materializes shingle sets (near-dup
+  * Jaccard verify). Fewer than k tokens -> empty array. */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleArray(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.shingleArray($a, $k);")
+
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr =
+    copy(child = c)
 }
 
 /** One-pass MinHash lane: min over shingles of md5(prefix || shingle),

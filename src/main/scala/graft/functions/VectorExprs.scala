@@ -178,6 +178,10 @@ object VectorExprs {
         exprs => MinHashMd5Tokens(exprs(0),
           exprs(1).eval().asInstanceOf[Int],
           exprs(2).eval().toString), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_shingles",
+        exprs => ShinglesExpr(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
     }
 
   /** Codegen'd dot product of two vector columns (any numeric array —
@@ -208,6 +212,16 @@ object VectorExprs {
       .foreach(ensureRegistered)
     call_function("graft_minhash_md5", shingles,
       org.apache.spark.sql.functions.lit(prefix))
+  }
+
+  /** Codegen'd k-token shingling (tokens -> array of space-joined
+    * k-grams; < k tokens -> empty array). */
+  def shingles(tokens: Column, k: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_shingles", tokens,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Fused k-shingle + min-md5 lane over a TOKEN array — shingles are

@@ -18,15 +18,11 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
-  /** k-word shingles, 1-based positions; < k tokens -> empty array. */
-  def shingles(text: Column, k: Int): Column = {
-    val w = tokens(text)
-    val joinOne = (i: Column) =>
-      concat_ws(" ", (0 until k).map(j => element_at(w, i + j)): _*)
-    when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - (k - 1)), joinOne))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** k-word shingles; < k tokens -> empty array. Codegen'd one-pass
+    * kernel (graft.functions.ShinglesExpr) — the transform/concat_ws
+    * HOF formulation it replaces ran interpreted per element. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.VectorExprs.shingles(tokens(text), k)
 
   private val stopwords = Seq("a", "the", "and", "of", "to", "is", "in")
 
