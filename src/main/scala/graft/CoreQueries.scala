@@ -113,6 +113,18 @@ object CoreQueries {
         .withColumn("sum_qty", r("sum_qty", 2))
         .withColumn("avg_price", r("avg_price", 4))),
 
+    // ---------------- §2.3 partial-axis reduction: reduce over time
+    // only, keeping (user, type) as output dims — in the long-form
+    // model the retained dims are simply extra groupBy keys
+    // (flox/factorize.py:24-39 offset machinery collapses to this)
+    "q_partial_axis" -> ((s, d) =>
+      GroupByReduce.multi(ev(s, d), Seq("user_id", "event_type"), Seq(
+        ("value", "mean", "vmean"),
+        ("value", "count", "n")))
+        // floor(x*1e4+0.5): engine round() implementations disagree on
+        // exact .xxxx5 (Spark decimal half-up, DuckDB binary half-even)
+        .withColumn("vmean", floor(col("vmean") * 10000 + 0.5) / 10000)),
+
     // ---------------- §2.5/order-dependent (events; idx = event_id)
     "q_first_last_arg" -> ((s, d) =>
       GroupByReduce.multi(ev(s, d), Seq("user_id"), Seq(
@@ -398,6 +410,12 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
          round(avg(l_extendedprice), 4) AS avg_price, count(l_quantity) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_partial_axis" ->
+      """SELECT user_id, event_type,
+         floor(avg(value) * 10000 + 0.5) / 10000 AS vmean,
+         count(value) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_first_last_arg" ->
       """SELECT user_id, arg_min(value, event_id) AS first_val,
