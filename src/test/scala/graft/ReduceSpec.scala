@@ -233,6 +233,26 @@ class ReduceSpec extends SparkTestBase {
     assert(df.count() === 1000)
   }
 
+  test("pre-partitioning by group keys removes the aggregation shuffle") {
+    import org.apache.spark.sql.functions.lit
+    val d = (1 to 1000).map(i => (i % 7, i.toDouble)).toDF("by", "v")
+    val pre = api.Partitioning.byGroups(d, Seq("by"), Some(4))
+    val agg = GroupByReduce(pre, Seq("by"), "v", "sum", "s",
+      ReduceOptions(sort = false))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(agg.queryExecution.executedPlan.toString).size
+    // only the explicit repartition — the agg reuses its layout
+    assert(exchanges === 1, agg.queryExecution.executedPlan.toString)
+    assert(agg.collect().map(_.getDouble(1)).sum === (1 to 1000).sum.toDouble)
+    // scans reuse it too: window exchange elided
+    val scan = api.GroupByScan(pre.withColumn("idx", lit(0L))
+      .withColumn("idx", org.apache.spark.sql.functions.col("v")),
+      Seq("by"), "v", "cumsum", "idx", "cs")
+    val scanEx = "Exchange hashpartitioning".r
+      .findAllIn(scan.queryExecution.executedPlan.toString).size
+    assert(scanEx === 1, scan.queryExecution.executedPlan.toString)
+  }
+
   test("expected_groups left join + fill") {
     val domain = keys.ExpectedGroups.of(spark, "by", Seq(0, 1, 2, 3))
     val r = GroupByReduce(fixture, Seq("by"), "v", "count", "n",
