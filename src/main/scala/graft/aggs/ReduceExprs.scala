@@ -27,7 +27,16 @@ case class ReduceOptions(
     /** Column giving stable element order — required by arg-reductions,
       * first/last and scans (reference risk register: SURVEY.md §7.4.1;
       * flox relies on array position, we require an explicit index). */
-    idxCol: Option[String] = None
+    idxCol: Option[String] = None,
+    /** Approximate quantiles/medians (percentile_approx) instead of the
+      * exact sort-based percentile. The 100 TB escape hatch for skewed
+      * holistic aggregation: exact percentile buffers a whole group on
+      * one task; the approx sketch is mergeable map-side (SURVEY.md
+      * §7.4.4 documents the divergence from the reference's exact
+      * linear interpolation). */
+    approxQuantile: Boolean = false,
+    /** percentile_approx accuracy (higher = tighter, more memory). */
+    approxAccuracy: Int = 10000
 )
 
 /** Aggregation-expression registry: flox reduction name → a single Spark
@@ -149,17 +158,19 @@ object ReduceExprs {
       // ---- median/quantile (flox/aggregations.py:670-710): EXACT
       // linear-interpolation percentile; Spark's sort-based `percentile`
       // works distributed where the reference is blockwise-only.
-      case "median"      => guardNaN(v, fp)(percentile_exact(v, 0.5))
-      case "nanmedian"   => percentile_exact(vn, 0.5)
+      // opts.approxQuantile swaps in the mergeable percentile_approx
+      // sketch (skew-safe at scale, approximate values).
+      case "median"      => guardNaN(v, fp)(quantiles(v, Seq(0.5), o))
+      case "nanmedian"   => quantiles(vn, Seq(0.5), o)
       case "quantile" =>
-        val e = quantiles(v, o.q)
+        val e = quantiles(v, o.q, o)
         if (!fp) e
         else o.q match {
           case Seq(_) => guardNaN(v, fp = true)(e)
           // vector q: the NaN-propagated result is an array of NaN
           case many => when(anyNaN(v), array(many.map(_ => NaN): _*)).otherwise(e)
         }
-      case "nanquantile" => quantiles(vn, o.q)
+      case "nanquantile" => quantiles(vn, o.q, o)
 
       // ---- user-registered custom aggregations (§2.5 extensibility)
       case other => CustomAggregations.lookup(other) match {
@@ -170,13 +181,17 @@ object ReduceExprs {
     }
   }
 
-  private def percentile_exact(v: Column, q: Double): Column =
-    percentile(v, lit(q))
-
   /** Scalar q -> double column; vector q -> array column (the reference's
-    * "new output dim", flox/aggregations.py:688-710). */
-  private def quantiles(v: Column, q: Seq[Double]): Column = q match {
-    case Seq(single) => percentile(v, lit(single))
-    case many        => percentile(v, lit(many.toArray))
-  }
+    * "new output dim", flox/aggregations.py:688-710). Exact sort-based
+    * percentile by default; approx sketch when opted in. */
+  private def quantiles(v: Column, q: Seq[Double], o: ReduceOptions): Column =
+    (q, o.approxQuantile) match {
+      case (Seq(single), false) => percentile(v, lit(single))
+      case (many, false)        => percentile(v, lit(many.toArray))
+      case (Seq(single), true) =>
+        percentile_approx(v, lit(single), lit(o.approxAccuracy)).cast("double")
+      case (many, true) =>
+        percentile_approx(v, lit(many.toArray), lit(o.approxAccuracy))
+          .cast("array<double>")
+    }
 }

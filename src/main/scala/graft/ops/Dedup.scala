@@ -219,9 +219,14 @@ object Dedup {
     * loop is a single codegen'd pass (graft.functions.SimHashVote)
     * instead of 32 interpreted `aggregate` HOF passes.
     */
-  def simhash32(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+  def simhash32(text: Column, useMd5: Boolean = true): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val hashes =
+      if (useMd5) transform(toks,
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+      // production fast path: xxhash64 token hashes, votes over the
+      // low 32 bits — not oracle-reproducible, ~6x cheaper than md5
+      else transform(toks, t => xxhash64(t))
     graft.functions.VectorExprs.simhash32(hashes)
   }
 

@@ -88,6 +88,22 @@ class ReduceSpec extends SparkTestBase {
     assert(p(1) === 6.75) // numpy quantile([6,7,10,11], .25)
   }
 
+  test("approxQuantile option: sketch within tolerance of exact percentile") {
+    val exact = result(fixture, "quantile",
+      ReduceOptions(q = Seq(0.5), idxCol = Some("idx")))
+    val approx = result(fixture, "quantile",
+      ReduceOptions(q = Seq(0.5), approxQuantile = true, idxCol = Some("idx")))
+    exact.foreach { case (k, v) =>
+      // the sketch returns an actual element near the rank, not the
+      // interpolated value — allow one inter-element gap of slack
+      assert(math.abs(approx(k).asInstanceOf[Double] - v.asInstanceOf[Double]) <= 2.5,
+        s"group $k: exact $v approx ${approx(k)}")
+    }
+    val am = result(fixture, "median",
+      ReduceOptions(approxQuantile = true, idxCol = Some("idx")))
+    assert(am.values.forall(_ != null))
+  }
+
   test("mode picks smallest value on tie") {
     val d = Seq((1, 3.0), (1, 3.0), (1, 1.0), (1, 1.0), (1, 2.0))
       .toDF("by", "v")

@@ -79,6 +79,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates across batches") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDedup.dropExactWithinWatermark(
+      input.toDF().toDF("ts", "id", "text"), "text", "ts", delay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((ts(0), 1L, "hello world"), (ts(1), 2L, "hello  world"),
+        (ts(1), 3L, "different"))
+      q.processAllAvailable()
+      // batch 2: same fingerprint again, still inside the watermark
+      input.addData((ts(2), 4L, "HELLO WORLD"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("id")
+        .collect().map(_.getLong(0)).toSet
+      // exactly one of the batch-1 duplicates {1, 2} survives (within a
+      // batch the keeper is arbitrary), 3 is unique, and 4 — the same
+      // fingerprint arriving in batch 2 — is dropped by the state store
+      assert(ids.size === 2 && ids.contains(3L) && !ids.contains(4L) &&
+        (ids.contains(1L) ^ ids.contains(2L)), ids.toString)
+    } finally q.stop()
+  }
+
   test("non-streamable funcs rejected with clear error") {
     val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
     val e = intercept[IllegalArgumentException] {
