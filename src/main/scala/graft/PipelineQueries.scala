@@ -110,6 +110,12 @@ object PipelineQueries {
         threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
         .orderBy("doc_id")),
 
+    // SimHash near-dup pairs: pigeonhole-banded candidates + hamming
+    // verify — provably equal to the O(n²) scan it never runs
+    "q_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(docs(s, d), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
     "q_simhash" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         Dedup.simhash32(col("text")).as("simhash"))
@@ -312,6 +318,16 @@ object PipelineQueries {
 
     "q_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents ORDER BY doc_id",
+
+    // oracle may use the quadratic scan: pigeonhole banding makes the
+    // Spark plan's candidate set lossless within the radius
+    "q_simhash_neardup" ->
+      s"""WITH s AS (SELECT doc_id, $simhashSql AS sig FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig))::BIGINT AS hamming_dist
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY 1, 2""",
 
     "q_embed_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -232,4 +232,43 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs with hamming distance <= maxHamming,
+    * via pigeonhole banding: split the 32 signature bits into
+    * maxHamming+1 disjoint bands — two signatures within the radius
+    * MUST agree exactly on at least one band, so the band equi-join is
+    * a lossless candidate generator (result provably equals the O(n²)
+    * scan, never computed). Same skew-guarded bucket-join shape as the
+    * MinHash path. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3, useMd5: Boolean = true,
+                          maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+    val nBands = maxHamming + 1
+    val sig = df.select(col(idCol).as("__id"),
+      simhash32(col(textCol), useMd5).as("__sig"))
+    val bandExprs = (0 until nBands).map { b =>
+      val lo = b * 32 / nBands
+      val hi = (b + 1) * 32 / nBands
+      shiftright(col("__sig"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+    }
+    val bands = sig.select(col("__id"), col("__sig"),
+      posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bkey")
+    val oversized = bands.groupBy("__band", "__bkey")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("__band", "__bkey")
+    val pruned = bands.join(broadcast(oversized),
+      Seq("__band", "__bkey"), "left_anti")
+    val a = pruned.select(col("__band"), col("__bkey"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = pruned.select(col("__band"), col("__bkey"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("__band", "__bkey")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming_dist",
+        hamming(col("sig_a"), col("sig_b")).cast("long"))
+      .filter(col("hamming_dist") <= maxHamming)
+      .select("id_a", "id_b", "hamming_dist").distinct()
+  }
 }

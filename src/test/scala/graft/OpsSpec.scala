@@ -42,6 +42,13 @@ class OpsSpec extends SparkTestBase {
     assert(ham(sh(1), sh(2)) < ham(sh(1), sh(3)))
   }
 
+  test("simhash near-dup pairs: identicals at distance 0, banding finds them") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 4L)) === 0L) // exact dup -> identical signature
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L)) // "tiny" unrelated
+  }
+
   test("connected components: chains need multi-round propagation") {
     // path 1-2-3-4-5 plus isolated edge 10-11: min-label must travel
     // 4 hops, exercising the convergence loop beyond one round
