@@ -189,6 +189,38 @@ object Similarity {
       .drop("cv", "__cn", "__csim", "__crk")
   }
 
+  /** Lloyd (k-means) refinement of a centroid table: assign each
+    * vector to its nearest centroid, recompute per-centroid dim means,
+    * repeat. Assignment is map-only over the broadcast centroids; the
+    * recompute is one (cid, dim)-keyed shuffle per round; lineage is
+    * cut per round so iteration count doesn't grow the plan.
+    * Components are rounded each round, keeping the refined centroids
+    * independent of aggregation order. Centroids that lose every
+    * vector drop out (the standard empty-cluster collapse). Seed from
+    * `centroidsFromLabels` or any small declared centroid table. */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, iters: Int = 2,
+                      roundTo: Int = 6): DataFrame = {
+    VectorExprs.ensureRegistered(corpus.sparkSession)
+    val vecs = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    var c = centroids
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(corpus, idCol, vecCol, c)
+      c = vecs.join(assigned, idCol)
+        .select(col("cid"), posexplode(col("__v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg("col").as("mean"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => round(s.getField("mean"), roundTo)).as("cv"))
+        .localCheckpoint()
+      i += 1
+    }
+    c
+  }
+
   /** IVF assignment: each corpus vector goes to its nearest centroid's
     * inverted list. Map-only over the corpus (centroids broadcast) +
     * one per-vector window. */

@@ -123,6 +123,22 @@ class OpsSpec extends SparkTestBase {
     assert(a === b && a.size === 15) // 5 queries x k=3, stable under partitioning
   }
 
+  test("Lloyd refinement keeps a total 1:1 assignment and is order-stable") {
+    val e = sf("embeddings")
+    val seed = Similarity.centroidsFromLabels(e, "label", "embedding")
+    val refined = Similarity.refineCentroids(e, "vec_id", "embedding", seed, iters = 2)
+    val refined2 = Similarity.refineCentroids(
+      e.repartition(5), "vec_id", "embedding", seed, iters = 2)
+    val a = refined.orderBy("cid").collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1)))
+    val b = refined2.orderBy("cid").collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.toSeq === b.toSeq) // rounding per round -> order-independent
+    val assign = Similarity.ivfAssign(e, "vec_id", "embedding", refined)
+    assert(assign.count() === e.count())
+    assert(assign.select("vec_id").distinct().count() === e.count())
+  }
+
   test("graft_minhash_md5 kernel equals the HOF md5-min formulation") {
     val d = docs.select(col("doc_id"),
       graft.ops.TextAnalysis.shingles(col("text"), 3).as("sh"))
