@@ -28,6 +28,10 @@ class ReduceSpec extends SparkTestBase {
     GroupByReduce(df, Seq("by"), "v", func, "r", opts)
       .collect().map(r => r.getInt(0) -> r.get(1)).toMap
 
+  test("driver entry point returns rows (smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("count/sum/mean/min/max on canonical fixture") {
     // groups: 0 -> {1,2,12}, 1 -> {6,7,10,11}, 2 -> {3,4,5,8,9}
     assert(result(fixture, "count") === Map(0 -> 3L, 1 -> 4L, 2 -> 5L))
