@@ -141,6 +141,11 @@ object PipelineQueries {
         .withColumn("sim", round(col("sim"), 4))
         .orderBy("id_a", "id_b")),
 
+    "q_embed_neardup_groups" -> ((s, d) =>
+      Similarity.lshNearDupGroups(emb(s, d), "vec_id", "embedding",
+        dims = 64, threshold = 0.4, planes = 16, bandPlanes = 4)
+        .orderBy("vec_id")),
+
     "q_embed_neardup_exact" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding", threshold = 0.4)
         .withColumn("sim", round(col("sim"), 4))
@@ -198,9 +203,28 @@ object PipelineQueries {
        ORDER BY 1, 2"""
   }
 
+  /** Connected components over the LSH pair graph (nested WITH is legal
+    * inside a DuckDB CTE body, so the pair SQL embeds whole). */
+  private def lshNearDupGroupsSql(dims: Int, planes: Int, bandPlanes: Int,
+                                  threshold: Double): String =
+    s"""WITH RECURSIVE pairs AS (
+         SELECT id_a, id_b FROM (
+           ${lshNearDupSql(dims, planes, bandPlanes, threshold)})),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach AS (
+         SELECT src AS id, src AS label FROM edges
+         UNION
+         SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+       SELECT id AS vec_id, min(label) AS keep_id
+       FROM reach GROUP BY 1 ORDER BY 1"""
+
   val oracleSql: Map[String, String] = Map(
     "q_embed_neardup" ->
       lshNearDupSql(dims = 64, planes = 16, bandPlanes = 4, threshold = 0.4),
+
+    "q_embed_neardup_groups" ->
+      lshNearDupGroupsSql(dims = 64, planes = 16, bandPlanes = 4, threshold = 0.4),
     "q_doc_tokens" ->
       s"""SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
          ELSE len($W) END::BIGINT AS n_tokens

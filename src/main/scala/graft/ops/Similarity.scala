@@ -150,6 +150,20 @@ object Similarity {
       .select("id_a", "id_b", "sim").distinct()
   }
 
+  /** Embedding near-duplicate CLUSTERS: connected components over the
+    * LSH pair graph, keep_id = smallest id per cluster — the survivor
+    * map a dedup pipeline consumes (mirrors Dedup.nearDupGroups for
+    * text). */
+  def lshNearDupGroups(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, threshold: Double, planes: Int = 16,
+                       bandPlanes: Int = 4,
+                       maxBucket: Int = 10000): DataFrame = {
+    val pairs = lshNearDupPairs(df, idCol, vecCol, dims, threshold,
+      planes, bandPlanes, maxBucket).select("id_a", "id_b")
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("label").as("keep_id"))
+  }
+
   /** Per-label centroid components (label, pos, mean) — the building
     * block of an IVF coarse quantizer. posexplode + groupBy: one
     * shuffle keyed by (label, dim), fully parallel. */
