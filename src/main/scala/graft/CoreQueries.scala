@@ -168,6 +168,21 @@ object CoreQueries {
         ReduceOptions(idxCol = Some("event_id")))
     }),
 
+    // nanall/nanany: NaN skipped BEFORE the boolean cast (plain
+    // variants keep NumPy truthiness where NaN is true); the 0/1
+    // indicator is built with an explicit NaN branch — Spark's floor()
+    // returns LONG and would silently destroy the NaN
+    "q_nan_bool" -> ((s, d) =>
+      GroupByReduce.multi(
+        withNan(ev(s, d)).withColumn("x",
+          when(isnan(col("v")), col("v"))
+            .otherwise(when(col("v") > 250, lit(1.0)).otherwise(lit(0.0)))),
+        Seq("user_id"), Seq(
+          ("x", "any", "pany"),
+          ("x", "all", "pall"),
+          ("x", "nanany", "nany"),
+          ("x", "nanall", "nall")))),
+
     // nanprod over a bounded multiplier (raw values overflow a 67-element
     // product); NaN positions skipped, matching numpy nanprod
     "q_nanprod" -> ((s, d) =>
@@ -448,6 +463,17 @@ object CoreQueries {
          FROM (SELECT *, min(v) OVER (PARTITION BY user_id) AS mn,
                       max(v) OVER (PARTITION BY user_id) AS mx
                FROM ($sqlNan) WHERE NOT isnan(v)) t
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q_nan_bool" ->
+      s"""SELECT user_id,
+         bool_or(CASE WHEN isnan(x) THEN TRUE ELSE x <> 0 END) AS pany,
+         bool_and(CASE WHEN isnan(x) THEN TRUE ELSE x <> 0 END) AS pall,
+         bool_or(CASE WHEN NOT isnan(x) THEN x <> 0 END) AS nany,
+         bool_and(CASE WHEN NOT isnan(x) THEN x <> 0 END) AS nall
+         FROM (SELECT user_id,
+           CASE WHEN isnan(v) THEN v WHEN v > 250 THEN 1.0 ELSE 0.0 END AS x
+           FROM ($sqlNan))
          GROUP BY user_id ORDER BY user_id""",
 
     "q_nanprod" ->

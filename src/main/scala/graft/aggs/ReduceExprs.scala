@@ -146,12 +146,17 @@ object ReduceExprs {
       case "nanfirst" => min(when(valid, struct(idx.as("i"), v.as("v")))).getField("v")
       case "nanlast"  => max(when(valid, struct(idx.as("i"), v.as("v")))).getField("v")
 
-      // ---- all/any (flox/aggregations.py:651-668). NaN casts to
-      // boolean true, which is what the plain variants want (NumPy
-      // truthiness); the nan* variants must SKIP NaN before the cast —
+      // ---- all/any (flox/aggregations.py:651-668). NumPy truthiness:
+      // NaN is TRUE for the plain variants — spelled out with an
+      // explicit isnan branch rather than relying on the cast's
+      // NaN != 0 behavior. The nan* variants SKIP NaN instead —
       // nanany over {NaN, false} is false, not true.
-      case "all"    => bool_and(v.cast("boolean"))
-      case "any"    => bool_or(v.cast("boolean"))
+      case "all" =>
+        if (fp) bool_and(when(isnan(v), lit(true)).otherwise(v.cast("boolean")))
+        else bool_and(v.cast("boolean"))
+      case "any" =>
+        if (fp) bool_or(when(isnan(v), lit(true)).otherwise(v.cast("boolean")))
+        else bool_or(v.cast("boolean"))
       case "nanall" => bool_and(vn.cast("boolean"))
       case "nanany" => bool_or(vn.cast("boolean"))
 
