@@ -43,6 +43,16 @@ object CustomScans {
 
   def register(name: String, spec: ScanSpec): Unit = registry.put(name, spec)
 
+  // Standard extra scans pre-registered (numpy ufunc.accumulate family
+  // beyond flox's fixed four): available to GroupByScan by name.
+  locally {
+    import org.apache.spark.sql.functions.{count, max, min, product}
+    register("cummax", ScanSpec(v => max(v)))
+    register("cummin", ScanSpec(v => min(v)))
+    register("cumprod", ScanSpec(v => product(v)))
+    register("cumcount", ScanSpec(v => count(v)))
+  }
+
   def lookup(name: String): Option[ScanSpec] = registry.get(name)
 
   def isRegistered(name: String): Boolean = registry.contains(name)

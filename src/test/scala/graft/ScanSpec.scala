@@ -67,6 +67,18 @@ class ScanSpec extends SparkTestBase {
     assert(cf.map(_._2.get) === Seq(0.3, 0.4, 0.8, 1.0))
   }
 
+  test("pre-registered scans: cummin/cumprod/cumcount") {
+    val d = Seq((0L, 0, 3.0), (1L, 0, 1.0), (2L, 0, 4.0), (3L, 0, 2.0))
+      .toDF("idx", "by", "v")
+    assert(vals(GroupByScan(d, Seq("by"), "v", "cummin", "idx", "r"), "r")
+      .map(_._2.get) === Seq(3.0, 1.0, 1.0, 1.0))
+    assert(vals(GroupByScan(d, Seq("by"), "v", "cumprod", "idx", "r"), "r")
+      .map(_._2.get) === Seq(3.0, 3.0, 12.0, 24.0))
+    val cc = GroupByScan(d, Seq("by"), "v", "cumcount", "idx", "r")
+      .orderBy("idx").collect().map(_.getLong(3))
+    assert(cc.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("scan result invariant to partitioning") {
     val base = vals(GroupByScan(fixture, Seq("by"), "v", "ffill", "idx", "f"), "f")
     for (n <- Seq(1, 3, 5)) {
