@@ -69,7 +69,22 @@ object GroupByReduce {
       // restore on the result (flox core.py:985-1001,1205-1217)
       val (vv, restore) = DtypeView(df, value, func, opts.q)
       val base = ReduceExprs(func, vv, idx, fp, opts)
-      restore(maskMinCount(base, vv, fp, minCount, opts.fillValue)).as(as)
+      // min_count mask (flox/core.py:426-459: np.where(count < min_count,
+      // fill_value, result)). The mask nulls the result PRE-restore; the
+      // user fill is applied POST-restore, so `fillValue` lives in the
+      // original dtype space everywhere (same space as the
+      // expectedGroups coalesce below) — never in the viewed
+      // micros/days space.
+      val validCount =
+        if (minCount > 0) Some(count(if (fp) ReduceExprs.nanToNull(vv) else vv))
+        else None
+      val masked = validCount.map(c => when(c >= minCount, base)).getOrElse(base)
+      val restored = restore(masked)
+      val out = (validCount, opts.fillValue) match {
+        case (Some(c), Some(fill)) => when(c >= minCount, restored).otherwise(fill)
+        case _ => restored
+      }
+      out.as(as)
     }
 
     val grouped =
@@ -150,14 +165,22 @@ object GroupByReduce {
     val sep = "\u0001" // non-printing separator: collision-free composite keys
     def packed = concat_ws(sep, by.map(c => col(c).cast("string")): _*)
     val cleaned = df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
+    // null = missing, skipped (the framework-wide convention, see
+    // ReduceExprs): the callable only ever sees valid values — a null
+    // would otherwise NPE inside the non-nullable Double encoder. NaN is
+    // NOT filtered: like flox's callable path, NaN policy belongs to the
+    // user function.
     val reduced = cleaned
+      .filter(col(value).isNotNull)
       .select(packed.as("__k"), col(value).cast("double").as("__v"))
       .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroups { (k, it) => (k, f(it.map(_._2))) }
       .toDF("__k", as)
     val keyCols = cleaned.select((packed.as("__k") +: by.map(col)): _*).distinct()
-    val joined = keyCols.join(reduced, "__k").drop("__k")
+    // left join: a group whose values are ALL missing keeps its row with
+    // a null result, matching every built-in reduction
+    val joined = keyCols.join(reduced, Seq("__k"), "left").drop("__k")
     if (sort) joined.orderBy(by.map(col): _*) else joined
   }
 
@@ -166,14 +189,4 @@ object GroupByReduce {
       case DoubleType | FloatType => true
       case _                      => false
     }
-
-  private def maskMinCount(e: Column, v: Column, fp: Boolean,
-                           minCount: Int, fill: Option[Column]): Column =
-    if (minCount > 0) {
-      val validCount = count(if (fp) ReduceExprs.nanToNull(v) else v)
-      val masked = when(validCount >= minCount, e)
-      // flox masks to the USER fill_value (core.py:459: np.where(mask,
-      // fill_value, result)); absent fill -> NA, our null
-      fill.map(masked.otherwise).getOrElse(masked)
-    } else e
 }

@@ -182,6 +182,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did NOT converge in $maxIter rounds — " +
+          "labels may be over-split (components larger than min-id clusters); " +
+          "raise maxIter for deep-diameter graphs")
     labels
   }
 
@@ -237,9 +242,13 @@ object Dedup {
     * via pigeonhole banding: split the 32 signature bits into
     * maxHamming+1 disjoint bands — two signatures within the radius
     * MUST agree exactly on at least one band, so the band equi-join is
-    * a lossless candidate generator (result provably equals the O(n²)
-    * scan, never computed). Same skew-guarded bucket-join shape as the
-    * MinHash path. */
+    * a lossless candidate generator: the result provably equals the
+    * O(n²) scan *as long as no band bucket exceeds `maxBucket`*. The
+    * skew guard drops ALL pairs inside an oversized bucket (same shape
+    * as the MinHash path), so on degenerate inputs (e.g. huge sets of
+    * identical signatures) recall is deliberately truncated — such a
+    * bucket is near-certainly an exact-dup blob better handled by
+    * `dropExact` first. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3, useMd5: Boolean = true,
                           maxBucket: Int = 100000): DataFrame = {
