@@ -104,6 +104,31 @@ object CoreQueries {
     "q_mode" -> ((s, d) =>
       GroupByReduce.mode(li(s, d), Seq("l_returnflag"), "l_quantity", "mode_qty")),
 
+    // ---------------- approx-quantile SCALE path certified: the
+    // mergeable percentile_approx sketch (map-side combinable — the
+    // 100 TB answer to exact percentile's one-task-per-group buffering).
+    // At this group size (n << accuracy) the GK sketch's rank error
+    // ε·n < 1, so the result is EXACTLY the element at rank ceil(q·n) —
+    // which is DuckDB's quantile_disc. No rounding needed: both engines
+    // return verbatim data elements.
+    "q_quantile_approx" -> ((s, d) =>
+      GroupByReduce.multi(ev(s, d), Seq("user_id"), Seq(
+        ("value", "quantile", "p90a"),
+        ("value", "median", "meda")),
+        ReduceOptions(q = Seq(0.9), approxQuantile = true))),
+
+    // NaN-skipping + vector-q approx quantiles in one pass
+    "q_nanquantile_approx" -> ((s, d) =>
+      GroupByReduce.multi(withNan(ev(s, d)), Seq("user_id"), Seq(
+        ("v", "nanquantile", "qs"),
+        ("v", "nanmedian", "nmeda")),
+        ReduceOptions(q = Seq(0.25, 0.9), approxQuantile = true))
+        .select(col("user_id"),
+          element_at(col("qs"), 1).as("nq25"),
+          element_at(col("qs"), 2).as("nq90"),
+          col("nmeda"))
+        .orderBy("user_id")),
+
     // ---------------- §2.3 multi-key grouping
     "q_multikey" -> ((s, d) =>
       GroupByReduce.multi(li(s, d), Seq("l_returnflag", "l_linestatus"), Seq(
@@ -209,6 +234,20 @@ object CoreQueries {
           when(!isnan(col("v")), floor(col("v") / 50))),
         Seq("user_id"), "fv", "nmode")),
 
+    // §2.5 TYPED custom Aggregation with a multi-field buffer: the
+    // registerTyped path certified end-to-end. WelfordVar carries a
+    // (count, mean, M2) state through Catalyst's partial/merge/final
+    // aggregation — the reference's 3-tuple _var_combine algebra
+    // (flox/aggregations.py:392-451) — and must reproduce q_var_ddof2's
+    // answers from the var_pop identity on the oracle side.
+    "q_custom_agg_typed" -> ((s, d) => {
+      graft.aggs.CustomAggregations.registerTyped("welford_var_ddof2",
+        new graft.aggs.CustomAggregations.WelfordVar(2))(
+        org.apache.spark.sql.Encoders.scalaDouble)
+      GroupByReduce(ev(s, d), Seq("user_id"), "value", "welford_var_ddof2", "var2")
+        .withColumn("var2", r("var2", 4))
+    }),
+
     // §2.5 custom Aggregation registered by name and certified against
     // the oracle (reference custom-agg test: tests/test_core.py:1510-1548)
     "q_custom_agg" -> ((s, d) => {
@@ -232,6 +271,54 @@ object CoreQueries {
         ("l_extendedprice", "sum", "sum_price"),
         ("l_extendedprice", "count", "n")))
         .withColumn("sum_price", r("sum_price", 2))
+    }),
+
+    // ---------------- bins AS expected_groups: the declared break set
+    // IS the output domain, so the empty (25.0, 25.5] bin materializes
+    // with fill 0 instead of silently dropping (flox core.py:616-636 +
+    // reindex.py:160-216 — what resampling users rely on for missing
+    // periods)
+    "q_bins_expected" -> ((s, d) => {
+      val breaks = Seq(1.0, 10.0, 25.0, 25.5, 40.0, 50.0)
+      val domain = ExpectedGroups.fromBreaks(s, breaks)
+      val b = li(s, d)
+        .withColumn("bin", Binning.binIndex(col("l_quantity"), breaks))
+        .withColumn("bin_label", Binning.binLabel(col("l_quantity"), breaks))
+      GroupByReduce.multi(b, Seq("bin", "bin_label"), Seq(
+        ("l_extendedprice", "count", "n"),
+        ("l_extendedprice", "sum", "sum_price")),
+        ReduceOptions(expectedGroups = Some(domain), fillValue = Some(lit(0))))
+        .withColumn("sum_price", r("sum_price", 2))
+    }),
+
+    // ---------------- duration (timedelta64 analog) values: event
+    // inter-arrival gaps as DayTimeIntervalType, reduced through the
+    // micros view + interval restore (DtypeView); min/max run natively
+    // on the interval. Output in micros so both engines compare exactly.
+    "q_duration_aggs" -> ((s, d) => {
+      // gaps from MICRO-truncated timestamps: DuckDB reads
+      // TIMESTAMP(NANOS) parquet at micro precision, so deriving from
+      // raw nanos would disagree by 1 us on ~half the rows
+      val gapUs = expr(
+        "(ts div 1000) - lag(ts div 1000) over " +
+          "(partition by user_id order by ts div 1000, event_id)")
+      val toUs: Column => Column =
+        c => (c.cast("decimal(26,6)") * 1000000L).cast("long")
+      val e = ev(s, d).withColumn("dur",
+        make_dt_interval(lit(0), lit(0), lit(0),
+          (gapUs.cast("decimal(26,0)") / lit(1000000L).cast("decimal(7,0)"))
+            .cast("decimal(18,6)")))
+      GroupByReduce.multi(e, Seq("user_id"), Seq(
+        ("dur", "sum", "dsum"),
+        ("dur", "mean", "dmean"),
+        ("dur", "median", "dmed"),
+        ("dur", "min", "dmin"),
+        ("dur", "max", "dmax")))
+        .select(col("user_id"),
+          toUs(col("dsum")).as("dsum"), toUs(col("dmean")).as("dmean"),
+          toUs(col("dmed")).as("dmed"), toUs(col("dmin")).as("dmin"),
+          toUs(col("dmax")).as("dmax"))
+        .orderBy("user_id")
     }),
 
     // ---------------- datetime values: native min/max/first/last,
@@ -420,6 +507,54 @@ object CoreQueries {
            SELECT l_returnflag, l_quantity, count(*) AS c FROM lineitem GROUP BY 1, 2
            QUALIFY c = max(c) OVER (PARTITION BY l_returnflag)
          ) GROUP BY 1 ORDER BY 1""",
+
+    // percentile_approx in its exact regime (n << accuracy) returns the
+    // element at rank ceil(q*n) — DuckDB's quantile_disc, verified
+    // element-for-element across all groups and q in {.25,.5,.9,.99}
+    "q_quantile_approx" ->
+      """SELECT user_id, quantile_disc(value, 0.9) AS p90a,
+         quantile_disc(value, 0.5) AS meda
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_nanquantile_approx" ->
+      s"""SELECT user_id,
+         quantile_disc(CASE WHEN NOT isnan(v) THEN v END, 0.25) AS nq25,
+         quantile_disc(CASE WHEN NOT isnan(v) THEN v END, 0.9) AS nq90,
+         quantile_disc(CASE WHEN NOT isnan(v) THEN v END, 0.5) AS nmeda
+         FROM ($sqlNan) GROUP BY user_id ORDER BY user_id""",
+
+    "q_custom_agg_typed" ->
+      """SELECT user_id,
+         round(CASE WHEN count(value) > 2
+           THEN var_pop(value) * count(value) / (count(value) - 2) END, 4) AS var2
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_bins_expected" ->
+      """SELECT d.bin, d.bin_label, coalesce(a.n, 0) AS n,
+         round(coalesce(a.sum_price, 0), 2) AS sum_price
+         FROM (VALUES (0, '(1.0, 10.0]'), (1, '(10.0, 25.0]'),
+                      (2, '(25.0, 25.5]'), (3, '(25.5, 40.0]'),
+                      (4, '(40.0, 50.0]')) d(bin, bin_label)
+         LEFT JOIN (
+           SELECT CASE WHEN l_quantity > 1    AND l_quantity <= 10   THEN 0
+                       WHEN l_quantity > 10   AND l_quantity <= 25   THEN 1
+                       WHEN l_quantity > 25   AND l_quantity <= 25.5 THEN 2
+                       WHEN l_quantity > 25.5 AND l_quantity <= 40   THEN 3
+                       WHEN l_quantity > 40   AND l_quantity <= 50   THEN 4 END AS bin,
+                  count(l_extendedprice) AS n, sum(l_extendedprice) AS sum_price
+           FROM lineitem GROUP BY 1) a USING (bin)
+         ORDER BY 1""",
+
+    "q_duration_aggs" ->
+      """WITH g AS (SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dur_us
+           FROM events)
+         SELECT user_id, sum(dur_us)::BIGINT AS dsum,
+           floor(avg(dur_us))::BIGINT AS dmean,
+           floor(quantile_cont(dur_us, 0.5))::BIGINT AS dmed,
+           min(dur_us) AS dmin, max(dur_us) AS dmax
+         FROM g GROUP BY 1 ORDER BY 1""",
 
     "q_multikey" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,

@@ -168,7 +168,22 @@ object PipelineQueries {
       Similarity.dimMeans(emb(s, d), "label", "embedding")
         .select(col("label"), col("pos").cast("long").as("pos"),
           round(col("mean"), 4).as("mean"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+
+    // IVF with one Lloyd refinement round end-to-end: label-seeded
+    // centroids -> assign -> recompute (rounded-centroid determinism)
+    // -> probe-limited search against the REFINED quantizer
+    "q_ivf_refined_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents0 = Similarity.centroidsFromLabels(e, "label", "embedding")
+      val cents1 = Similarity.refineCentroids(e, "vec_id", "embedding",
+        cents0, iters = 1)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", cents1, k = 3, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** DuckDB replica of the multi-table LSH near-dup query: the
@@ -420,5 +435,56 @@ object PipelineQueries {
       """SELECT label, pos, round(avg(e), 4) AS mean FROM (
            SELECT label, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
              unnest(embedding)::DOUBLE AS e FROM embeddings)
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // one Lloyd round replicated: assign to label-seeded centroids,
+    // recompute rounded means, then the probe-limited search of
+    // q_ivf_topk against the refined table
+    "q_ivf_refined_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+         cent0 AS (SELECT label::BIGINT AS cid,
+           list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS cv
+           FROM (SELECT label, pos, avg(x) AS m FROM (
+             SELECT label, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+               unnest(embedding)::DOUBLE AS x FROM embeddings)
+             GROUP BY 1, 2) GROUP BY 1),
+         centn0 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent0),
+         assign0 AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(CASE WHEN e.n * c.cn > 0
+               THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+               c.cid) AS rk
+           FROM e CROSS JOIN centn0 c) WHERE rk = 1),
+         cent1 AS (SELECT cid,
+           list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS cv
+           FROM (SELECT a.cid, u.pos, avg(u.x) AS m FROM (
+             SELECT vec_id, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+               unnest(embedding)::DOUBLE AS x FROM embeddings) u
+             JOIN assign0 a USING (vec_id) GROUP BY 1, 2) GROUP BY 1),
+         centn1 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent1),
+         assign AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(CASE WHEN e.n * c.cn > 0
+               THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+               c.cid) AS rk
+           FROM e CROSS JOIN centn1 c) WHERE rk = 1),
+         probes AS (SELECT query_id, cid, qv, qn FROM (
+           SELECT e.vec_id AS query_id, e.v AS qv, e.n AS qn, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(CASE WHEN e.n * c.cn > 0
+                 THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+                 c.cid) AS rk
+           FROM e CROSS JOIN centn1 c WHERE e.vec_id < 20) WHERE rk <= 2),
+         sims AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+             CASE WHEN p.qn * e.n > 0
+               THEN list_dot_product(p.qv, e.v) / (p.qn * e.n) ELSE 0 END AS sim
+           FROM probes p JOIN assign a USING (cid)
+           JOIN e ON e.vec_id = a.vec_id
+           WHERE a.vec_id != p.query_id)
+         SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(sim, 6) DESC, neighbor_id) AS rank FROM sims)
+         WHERE rank <= 3 ORDER BY query_id, rank""")
 }

@@ -55,6 +55,44 @@ object CustomAggregations {
 
   def isRegistered(name: String): Boolean = registry.contains(name)
 
+  /** Flagship multi-field-buffer Aggregator for the `registerTyped`
+    * path: arbitrary-ddof variance over a (count, mean, M2) state with
+    * the numerically-stable Welford update and Chan parallel merge —
+    * the same 3-tuple combine algebra as the reference's `_var_combine`
+    * (flox/aggregations.py:392-451). Null inputs are skipped by the
+    * udaf machinery; an under-populated group (n <= ddof) finishes NaN
+    * (the reference's degenerate-variance answer).
+    */
+  class WelfordVar(ddof: Int) extends Aggregator[Double, (Long, Double, Double), Double] {
+    override def zero: (Long, Double, Double) = (0L, 0.0, 0.0)
+    // chunk: fold one value into (n, mean, M2)
+    override def reduce(b: (Long, Double, Double), x: Double): (Long, Double, Double) = {
+      val (n0, mean0, m20) = b
+      val n = n0 + 1
+      val d1 = x - mean0
+      val mean = mean0 + d1 / n
+      (n, mean, m20 + d1 * (x - mean))
+    }
+    // combine: Chan et al. parallel merge of two partial states
+    override def merge(a: (Long, Double, Double), b: (Long, Double, Double)): (Long, Double, Double) = {
+      val (na, ma, m2a) = a
+      val (nb, mb, m2b) = b
+      if (na == 0) b
+      else if (nb == 0) a
+      else {
+        val n = na + nb
+        val d = mb - ma
+        (n, ma + d * nb / n, m2a + m2b + d * d * na * nb / n)
+      }
+    }
+    // finalize: M2 / (n - ddof)
+    override def finish(r: (Long, Double, Double)): Double =
+      if (r._1 > ddof) r._3 / (r._1 - ddof) else Double.NaN
+    override def bufferEncoder: Encoder[(Long, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Base class with the flox-shaped vocabulary spelled out. */
   abstract class SimpleAggregation extends Aggregator[Double, Double, Double] {
     /** identity / fill value (flox `fill_value`) */

@@ -2,7 +2,7 @@ package graft.aggs
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DateType, DayTimeIntervalType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DateType, DayTimeIntervalType, DecimalType, TimestampNTZType, TimestampType}
 
 /** Value-dtype machinery: datetime/bool inputs viewed as integers for
   * numeric reductions, with the original dtype restored on the result
@@ -64,11 +64,21 @@ object DtypeView {
       case BooleanType if needsView =>
         (v.cast("int"), identity)
       case it: DayTimeIntervalType if needsView =>
-        // timedelta64 analog: view as micros; unlike timestamps, SUM of
-        // durations is meaningful, so every numeric func restores the
-        // interval type (flox treats 'm' dtypes the same as 'M')
-        (v.cast("long"),
-          restoreAlways(func, q, c => floor(c).cast("long").cast(it)))
+        // timedelta64 analog (flox treats 'm' dtypes the same as 'M'):
+        // view as INTEGRAL MICROS — the decimal cast keeps the
+        // sub-second digits a plain long cast (whole seconds) would
+        // drop, and integral micros keep double summation EXACT below
+        // 2^53 (the same reason flox views timedelta64 as int64 in its
+        // native unit). Unlike timestamps, SUM of durations is
+        // meaningful, so every numeric func restores the interval type;
+        // the restore floors at micro precision through decimal
+        // division (no double rounding at the micro boundary).
+        ((v.cast(DecimalType(26, 6)) * lit(1000000L)).cast("double"),
+          restoreAlways(func, q, c => make_dt_interval(
+            lit(0), lit(0), lit(0),
+            (floor(c).cast(DecimalType(26, 0)) /
+              lit(1000000L).cast(DecimalType(7, 0)))
+              .cast(DecimalType(18, 6))).cast(it)))
       case _ => (v, identity)
     }
   }

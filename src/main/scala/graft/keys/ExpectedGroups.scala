@@ -43,4 +43,22 @@ object ExpectedGroups {
     * bounded-cardinality data. */
   def observed(df: DataFrame, key: String): DataFrame =
     df.select(col(key)).distinct()
+
+  /** Bins AS expected groups (flox: a pd.IntervalIndex passed to
+    * `expected_groups` IS the declared output domain, core.py:616-636 +
+    * reindex.py:160-216): the full (bin index, interval label) domain
+    * of a break set, so EMPTY bins materialize with fill_value instead
+    * of silently dropping. Pair with `Binning.binIndex`/`binLabel` on
+    * the data side and pass the result as `ReduceOptions.expectedGroups`.
+    */
+  def fromBreaks(spark: SparkSession, breaks: Seq[Double],
+                 closedRight: Boolean = true,
+                 binCol: String = "bin",
+                 labelCol: String = "bin_label"): DataFrame = {
+    import spark.implicits._
+    require(breaks.size >= 2, "need at least 2 break points")
+    breaks.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+      (i, if (closedRight) s"($lo, $hi]" else s"[$lo, $hi)")
+    }.toSeq.toDF(binCol, labelCol)
+  }
 }
