@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, processed by per-partition batch functions.
   *
-  * The Spark-side shape is real and tested — schema, partition-parallel
-  * decode, batch iteration, typed output. The pixel/sample decode itself
-  * is a clearly-marked deterministic STUB (image/audio codecs are not in
-  * this container); swap `decodeImageStub` for an actual codec call and
-  * nothing else changes.
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (`javax.imageio`: PNG, JPEG, GIF, BMP, WBMP) — width/height/channels
+  * come from actually decoding the bytes, and the feature hash from a
+  * downsampled pixel grid. Payloads ImageIO cannot parse (unknown
+  * format / not an image) fall back to a clearly-marked deterministic
+  * pseudo-decode so the pipeline shape stays total; video/audio codecs
+  * (not in the JDK) would plug in through the same bytes-in/meta-out
+  * contract.
   *
   * At 100 TB: media bytes dominate row size — `binary` columns stay in
   * parquet until the decode stage, `spark.sql.files.maxPartitionBytes`
@@ -23,12 +26,37 @@ object Multimodal {
   case class ImageMeta(id: Long, width: Int, height: Int, channels: Int,
                        bytes: Long, featureHash: Long)
 
-  /** STUB decode: deterministic pseudo-metadata derived from the bytes.
-    * Replace the body with a real codec (e.g. ImageIO / ffmpeg bindings)
-    * — the signature (bytes in, typed meta + feature out) is the
-    * production contract. */
-  def decodeImageStub(id: Long, bytes: Array[Byte]): ImageMeta = {
-    var h = 1125899906842597L // ??? real codec goes here — deterministic fake:
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP):
+    * dimensions + channel count from the decoded raster, feature hash
+    * from an 8x8 downsampled ARGB grid (a perceptual-hash-shaped
+    * fingerprint — deterministic across executors since decoding is).
+    * Undecodable bytes take the `decodeFallback` path. */
+  def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) decodeFallback(id, bytes)
+      else {
+        var h = 1125899906842597L
+        val (w, ht) = (img.getWidth, img.getHeight)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            h = 31 * h + img.getRGB(gx * w / 8, gy * ht / 8)
+            gx += 1
+          }
+          gy += 1
+        }
+        ImageMeta(id, w, ht, img.getColorModel.getNumComponents,
+          bytes.length.toLong, h)
+      }
+    } catch { case _: Exception => decodeFallback(id, bytes) }
+
+  /** Deterministic pseudo-decode for payloads with no JDK codec —
+    * metadata derived from the raw bytes so the plumbing stays total
+    * and testable without real media. */
+  def decodeFallback(id: Long, bytes: Array[Byte]): ImageMeta = {
+    var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
     val w = 64 + (math.abs(h) % 1024).toInt
@@ -41,7 +69,7 @@ object Multimodal {
     * of mapInPandas batch UDFs. */
   def decodeImages(ds: Dataset[MediaRow]): Dataset[ImageMeta] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(r => decodeImageStub(r.id, r.media)))
+    ds.mapPartitions(_.map(r => decodeImage(r.id, r.media)))
   }
 
   /** Build a media table from documents (text bytes standing in for

@@ -187,12 +187,45 @@ class OpsSpec extends SparkTestBase {
     assert(r(1) === "es" && r(2) === "und")
   }
 
-  test("multimodal decode stub is deterministic and partition-parallel") {
+  test("multimodal decode is deterministic and partition-parallel (fallback path)") {
     val media = Multimodal.mediaFromDocuments(spark, sf("documents"))
     val a = Multimodal.decodeImages(media).orderBy("id").collect()
     val b = Multimodal.decodeImages(media.repartition(7)).orderBy("id").collect()
     assert(a.toSeq === b.toSeq)
     assert(a.forall(m => m.width >= 64 && m.channels === 3))
+  }
+
+  test("real PNG/JPEG bytes decode to true dimensions and channels") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def render(w: Int, h: Int, tpe: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, tpe)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (x * 31 + y * 17) | 0xFF000000)))
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val png = render(40, 25, BufferedImage.TYPE_INT_RGB, "png")
+    val pngA = render(16, 9, BufferedImage.TYPE_INT_ARGB, "png")
+    val jpg = render(33, 21, BufferedImage.TYPE_INT_RGB, "jpg")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png),
+      Multimodal.MediaRow(2L, pngA),
+      Multimodal.MediaRow(3L, jpg),
+      Multimodal.MediaRow(4L, "definitely not an image".getBytes))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val metas = Multimodal.decodeImages(ds).collect().sortBy(_.id)
+    assert(metas(0).width === 40 && metas(0).height === 25 && metas(0).channels === 3)
+    assert(metas(1).width === 16 && metas(1).height === 9 && metas(1).channels === 4)
+    assert(metas(2).width === 33 && metas(2).height === 21 && metas(2).channels === 3)
+    // non-image bytes take the deterministic fallback, not an exception
+    assert(metas(3) === Multimodal.decodeFallback(4L, "definitely not an image".getBytes))
+    // executor-side determinism of the real decode
+    val again = Multimodal.decodeImages(ds.repartition(3)).collect().sortBy(_.id)
+    assert(metas.toSeq === again.toSeq)
   }
 
   test("frame sampling shape") {

@@ -97,6 +97,94 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("ffill/bfill reversal duality (tests/test_properties.py:268-300)") {
+    import org.apache.spark.sql.functions.col
+    // bfill == reverse . ffill . reverse: running ffill over the negated
+    // index IS the reversed-order forward fill
+    samples(genData, 5).foreach { data =>
+      val df = data.zipWithIndex
+        .map { case ((by, v), i) => (i.toLong, by, v) }
+        .toDF("idx", "by", "v")
+        .withColumn("ridx", -col("idx"))
+        .repartition(3)
+      for ((fwd, rev) <- Seq(("bfill", "ffill"), ("ffill", "bfill"))) {
+        val direct = api.GroupByScan(df, Seq("by"), "v", fwd, "idx", "r")
+          .select("idx", "r").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+        val reversed = api.GroupByScan(df, Seq("by"), "v", rev, "ridx", "r")
+          .select("idx", "r").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+        direct.foreach { case (k, v) =>
+          assert(close(v, reversed(k)), s"$fwd(idx) vs $rev(ridx) at $k")
+        }
+      }
+    }
+  }
+
+  test("first/last reversal identities incl. nan mates (tests/test_properties.py:301-333)") {
+    import org.apache.spark.sql.functions.col
+    samples(genData, 5).foreach { data =>
+      val df = data.zipWithIndex
+        .map { case ((by, v), i) => (i.toLong, by, v) }
+        .toDF("idx", "by", "v")
+        .withColumn("ridx", -col("idx"))
+        .repartition(3)
+      for ((a, b) <- Seq(("first", "last"), ("last", "first"),
+                         ("nanfirst", "nanlast"), ("nanlast", "nanfirst"))) {
+        val fwd = GroupByReduce(df, Seq("by"), "v", a, "r",
+          ReduceOptions(idxCol = Some("idx")))
+          .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+        val rev = GroupByReduce(df, Seq("by"), "v", b, "r",
+          ReduceOptions(idxCol = Some("ridx")))
+          .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+        assert(fwd.keySet === rev.keySet)
+        fwd.foreach { case (k, v) =>
+          assert(close(v, rev(k)), s"$a(idx) vs $b(ridx) group $k")
+        }
+      }
+    }
+  }
+
+  test("dtype preservation laws (tests/test_properties.py:348-367)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, 0, "2024-01-02 03:04:05.123456", 1.5, true),
+      (2L, 0, "2024-02-02 13:14:15.654321", 2.25, false),
+      (3L, 1, "2024-03-02 23:24:25.999999", 7.75, true))
+      .toDF("idx", "by", "tss", "secs", "b")
+      .withColumn("t", col("tss").cast("timestamp"))
+      .withColumn("dur", make_dt_interval(lit(0), lit(0), lit(0),
+        col("secs").cast("decimal(18,6)")))
+    // temporal values: interpolating funcs restore the temporal dtype
+    val ts = GroupByReduce.multi(df, Seq("by"), Seq(
+      ("t", "min", "a"), ("t", "max", "b2"), ("t", "first", "c"),
+      ("t", "mean", "d"), ("t", "median", "e")),
+      ReduceOptions(idxCol = Some("idx")))
+    Seq("a", "b2", "c", "d", "e").foreach(n =>
+      assert(ts.schema(n).dataType === TimestampType, s"timestamp col $n"))
+    // durations: every numeric func restores the interval dtype (sum of
+    // durations is meaningful) EXCEPT var, whose result is in squared
+    // units and stays numeric
+    val du = GroupByReduce.multi(df, Seq("by"), Seq(
+      ("dur", "sum", "a"), ("dur", "mean", "b2"), ("dur", "median", "c"),
+      ("dur", "min", "d"), ("dur", "var", "e")))
+    Seq("a", "b2", "c", "d").foreach(n =>
+      assert(du.schema(n).dataType.isInstanceOf[DayTimeIntervalType],
+        s"duration col $n"))
+    assert(du.schema("e").dataType === DoubleType, "duration var stays numeric")
+    // sub-second precision survives the duration round-trip (the micros
+    // view, not a whole-seconds cast): mean of one group is its value
+    val one = GroupByReduce(df.filter(col("by") === 1), Seq("by"), "dur", "mean", "m")
+      .select((col("m").cast("decimal(18,6)") * 1000000L).cast("long")).head().getLong(0)
+    assert(one === 7750000L, "7.75s survives as 7_750_000 micros")
+    // bools: int promotion for arithmetic, native bool for logic/order
+    val bo = GroupByReduce.multi(df, Seq("by"), Seq(
+      ("b", "sum", "a"), ("b", "mean", "b2"), ("b", "any", "c"), ("b", "min", "d")))
+    assert(bo.schema("a").dataType === LongType)
+    assert(bo.schema("b2").dataType === DoubleType)
+    assert(bo.schema("c").dataType === BooleanType)
+    assert(bo.schema("d").dataType === BooleanType)
+  }
+
   test("scan/reduce duality: last of cumsum equals nansum (law 3/4)") {
     samples(genData, 5).foreach { data =>
       val df = data.zipWithIndex
