@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Per-query bench gate: compare a graft Bench JSON line against the
+recorded DuckDB per-query baseline (scripts/duckdb_baseline_sf0.1.json,
+measured by running every oracle_sql.json entry in DuckDB 1.0 with
+threads=32 on the sf0.1 parquet).
+
+Usage: check_ratios.py <bench.json> [--floor SECONDS] [--gate RATIO]
+
+The aggregate 2x gate is the driver's; this makes it bind per query so a
+single regression can't hide inside the total. Queries where DuckDB
+finishes under --floor (default 0.1s) are reported but not gated: at
+that size the Spark time is dominated by fixed per-query overhead
+(planning + codegen + job scheduling), which is per-query, not per-row,
+and disappears at real scale.
+"""
+import json
+import sys
+import os
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a.split("=") for a in sys.argv[1:] if a.startswith("--") and "=" in a)
+    floor = float(opts.get("--floor", 0.1))
+    gate = float(opts.get("--gate", 2.0))
+    bench_path = args[0] if args else "/tmp/bench_a.json"
+    base_path = os.path.join(os.path.dirname(__file__), "duckdb_baseline_sf0.1.json")
+
+    bench = json.load(open(bench_path))
+    sp = bench["queries"] if "queries" in bench else bench
+    dk = json.load(open(base_path))
+
+    gated, small, missing = [], [], []
+    for name, t in sorted(sp.items()):
+        d = dk.get(name)
+        if d is None:
+            missing.append(name)
+            continue
+        ratio = t / d if d > 0 else float("inf")
+        (gated if d >= floor else small).append((name, t, d, ratio))
+
+    fails = [(n, t, d, r) for n, t, d, r in gated if r > gate]
+    print(f"gated (duckdb >= {floor}s): {len(gated)} queries, "
+          f"{len(fails)} over {gate}x")
+    for n, t, d, r in sorted(gated, key=lambda x: -x[3]):
+        mark = " FAIL" if r > gate else ""
+        print(f"  {n:26s} spark={t:7.2f} duckdb={d:8.3f} ratio={r:6.2f}{mark}")
+    tot_s = sum(t for _, t, _, _ in gated + small)
+    tot_d = sum(d for _, _, d, _ in gated + small)
+    print(f"overhead-dominated (duckdb < {floor}s, reported only): {len(small)}")
+    for n, t, d, r in sorted(small, key=lambda x: -x[1])[:10]:
+        print(f"  {n:26s} spark={t:7.2f} duckdb={d:8.3f}")
+    if missing:
+        print(f"no baseline for: {missing}")
+    print(f"TOTAL spark={tot_s:.1f}s duckdb={tot_d:.1f}s ratio={tot_s / tot_d:.2f}")
+    sys.exit(1 if fails else 0)
+
+if __name__ == "__main__":
+    main()
