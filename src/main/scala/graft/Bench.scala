@@ -17,7 +17,10 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted iteration: Map order shifts as the query set grows, which
+    // made per-query times incomparable across rounds (run position
+    // changes JIT/codegen-cache context)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: every column expression is fully computed (a count()
       // would let Catalyst prune unreferenced columns and elide sorts,
@@ -34,7 +37,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native codegen'd vector kernel.
   *
@@ -150,6 +150,69 @@ case class SimHashVote(child: Expression, bits: Int = 32)
     copy(child = c)
 }
 
+/** Jaccard similarity of two SORTED, DEDUPLICATED string arrays in ONE
+  * linear merge pass: |a ∩ b| / |a ∪ b| with the union size derived as
+  * |a| + |b| − |a ∩ b|. Replaces three hash-based `array_intersect` /
+  * `array_distinct` evaluations per candidate pair in the near-dup
+  * verify join (the per-PAIR hot loop — sides are sorted once per
+  * DOCUMENT upstream, |pairs| ≫ |docs|). Element order must be Spark's
+  * `array_sort` order (UTF8String binary order — the same comparator
+  * this merge uses). Empty union → 0.0, matching `Dedup.jaccard`.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (na, nb) = (x.numElements(), y.numElements())
+    var inter = 0
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union > 0) inter.toDouble / union.toDouble else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $inter = 0;
+         |int $i = 0;
+         |int $j = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; }
+         |  else { $j++; }
+         |}
+         |int $union = $na + $nb - $inter;
+         |${ev.value} = $union > 0 ? ((double) $inter) / ((double) $union) : 0.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
 
   /** Sessions whose function registry already has the kernel. Weak keys:
@@ -182,6 +245,9 @@ object VectorExprs {
         "graft_shingles",
         exprs => ShinglesExpr(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_jaccard_sorted",
+        exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
     }
 
   /** Codegen'd dot product of two vector columns (any numeric array —
@@ -222,6 +288,14 @@ object VectorExprs {
       .foreach(ensureRegistered)
     call_function("graft_shingles", tokens,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** One-pass Jaccard over two sorted deduplicated string arrays. */
+  def jaccardSorted(aSorted: Column, bSorted: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_jaccard_sorted", aSorted, bSorted)
   }
 
   /** Fused k-shingle + min-md5 lane over a TOKEN array — shingles are

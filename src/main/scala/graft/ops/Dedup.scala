@@ -124,17 +124,23 @@ object Dedup {
   /** Near-duplicate pairs: LSH candidates verified by exact shingle
     * Jaccard >= threshold. The verify join only touches candidate ids —
     * at scale the shingle arrays are re-derived per side instead of
-    * shuffled with the candidates. */
+    * shuffled with the candidates. Shingle sets are deduplicated AND
+    * sorted once per DOCUMENT so the per-PAIR hot loop is the one-pass
+    * codegen'd sorted-merge kernel (graft_jaccard_sorted) instead of
+    * 2-3 hash-based array_intersect evaluations — |pairs| >> |docs|, so
+    * per-pair cost is what matters. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.8, numHashes: Int = 6,
                    bandSize: Int = 1, k: Int = 3,
                    useMd5: Boolean = false): DataFrame = {
     val cand = lshCandidates(df, textCol, idCol, numHashes, bandSize, k, useMd5)
-    val sh = df.select(col(idCol), array_distinct(TextAnalysis.shingles(col(textCol), k)).as("__sh"))
+    val sh = df.select(col(idCol),
+      array_sort(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("__sh"))
     cand
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.VectorExprs.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

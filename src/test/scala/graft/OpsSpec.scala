@@ -166,6 +166,31 @@ class OpsSpec extends SparkTestBase {
       s"fused mismatch for doc ${r.getLong(0)}"))
   }
 
+  test("graft_jaccard_sorted matches array_intersect Jaccard on random sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = (0 until rnd.nextInt(30)).map(_ => "s" + rnd.nextInt(40)).distinct
+      val b = (0 until rnd.nextInt(30)).map(_ => "s" + rnd.nextInt(40)).distinct
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("sa", array_sort(col("a")))
+      .withColumn("sb", array_sort(col("b")))
+    val got = df.select(col("id"),
+      graft.functions.VectorExprs.jaccardSorted(col("sa"), col("sb")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = df.select(col("id"), Dedup.jaccard(col("a"), col("b")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, _, _) =>
+      assert(got(id) === ref(id), s"row $id")
+    }
+    // empty-vs-empty union -> 0.0, not NaN
+    val e = Seq((1L, Seq.empty[String], Seq.empty[String])).toDF("id", "a", "b")
+      .select(graft.functions.VectorExprs.jaccardSorted(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(e === 0.0)
+  }
+
   test("graft_dot: standalone use, float arrays, null/ragged semantics") {
     import graft.functions.VectorExprs
     // standalone Column use on array<float> — analysis must cast, not
