@@ -12,11 +12,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: executor launch, codegen compiler
     // and parquet footer reads otherwise land entirely on whichever
-    // query happens to iterate first (~5s of non-query cost).
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    // query happens to iterate first (~5s of non-query cost). The three
+    // shapes cover the main physical-operator families the queries hit
+    // (hash agg, object-hash agg with array buffer, window sort) so
+    // their one-time codegen/infra setup isn't billed to the first
+    // query in run order.
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      li.limit(10000).groupBy("l_returnflag")
+        .agg(sort_array(collect_list(col("l_quantity"))), md5(col("l_comment")))
+        .write.format("noop").mode("overwrite").save()
+      li.limit(10000)
+        .withColumn("rn", sum(col("l_quantity")).over(
+          Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     // sorted iteration: Map order shifts as the query set grows, which
     // made per-query times incomparable across rounds (run position
     // changes JIT/codegen-cache context)

@@ -16,21 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object ExpectedGroups {
 
-  /** Domain from literal values, one column. */
-  def of[T](spark: SparkSession, name: String, values: Seq[T]): DataFrame = {
+  /** Domain from literal values, one column — typed overloads, so the
+    * element type is pinned at compile time instead of sniffed from the
+    * erased runtime head. */
+  def of(spark: SparkSession, name: String, values: Seq[String])(
+      implicit d: DummyImplicit): DataFrame = {
     import spark.implicits._
-    values match {
-      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[String]) =>
-        vs.map(_.asInstanceOf[String]).toDF(name)
-      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[Int]) =>
-        vs.map(_.asInstanceOf[Int]).toDF(name)
-      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[Long]) =>
-        vs.map(_.asInstanceOf[Long]).toDF(name)
-      case vs: Seq[_] if vs.headOption.exists(_.isInstanceOf[Double]) =>
-        vs.map(_.asInstanceOf[Double]).toDF(name)
-      case other => throw new IllegalArgumentException(
-        s"unsupported domain element type: ${other.headOption}")
-    }
+    values.toDF(name)
+  }
+
+  def of(spark: SparkSession, name: String, values: Seq[Int])(
+      implicit d1: DummyImplicit, d2: DummyImplicit): DataFrame = {
+    import spark.implicits._
+    values.toDF(name)
+  }
+
+  def of(spark: SparkSession, name: String, values: Seq[Long])(
+      implicit d1: DummyImplicit, d2: DummyImplicit,
+      d3: DummyImplicit): DataFrame = {
+    import spark.implicits._
+    values.toDF(name)
+  }
+
+  def of(spark: SparkSession, name: String, values: Seq[Double])(
+      implicit d1: DummyImplicit, d2: DummyImplicit, d3: DummyImplicit,
+      d4: DummyImplicit): DataFrame = {
+    import spark.implicits._
+    values.toDF(name)
   }
 
   /** Dense cartesian grid of several single-column domains

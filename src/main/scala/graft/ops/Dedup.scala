@@ -171,20 +171,25 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    val labelType = labels.schema("label").dataType
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neighbor = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("label"))
-      val updated = labels.union(neighbor)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast(labelType).as("__old"))
+      // carry each node's previous label through the min-aggregation
+      // (every id has exactly ONE self row, so max(__old) recovers it):
+      // the convergence probe becomes a cheap scan of the checkpointed
+      // result instead of a per-round join job
+      val self = labels.select(col("id"), col("label"),
+        col("label").as("__old"))
+      val updated = self.union(neighbor)
+        .groupBy("id").agg(min("label").as("label"), max("__old").as("__old"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
-        .filter(col("label") < col("__old"))
-        .limit(1).count()
-      labels = updated
+      val changed = updated.filter(col("label") < col("__old")).limit(1).count()
+      labels = updated.select("id", "label")
       converged = changed == 0
       iter += 1
     }

@@ -46,6 +46,10 @@ object StreamingScan {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: Long, batch: Iterator[ScanEvent], state: GroupState[Carry]) => {
           var carry = state.getOption.getOrElse(Carry(0.0, false, 0.0))
+          // buffers ONE key's slice of ONE micro-batch to sort by idx —
+          // memory is bounded by (micro-batch rows / keys), not stream
+          // history; cap micro-batch size (maxOffsetsPerTrigger /
+          // maxFilesPerTrigger) if a single key can flood a batch
           val out = batch.toSeq.sortBy(_.idx).map { e =>
             carry = Carry(
               e.value.getOrElse(carry.lastValid),
