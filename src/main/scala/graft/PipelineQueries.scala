@@ -43,13 +43,26 @@ object PipelineQueries {
     // is bitwise-deterministic in both.
     "q_doc_quality" -> ((s, d) => {
       def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
-      docs(s, d).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        r4(TextAnalysis.avgTokenLength(col("text"))).as("avg_tok_len"),
-        r4(TextAnalysis.stopwordRatio(col("text"))).as("stop_ratio"),
-        r4(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
-        r4(TextAnalysis.digitRatio(col("text"))).as("digit_ratio"),
-        r4(TextAnalysis.qualityScore(col("text"))).as("quality"))
+      // ONE text pass: all five base counts come from the
+      // graft_quality_features kernel struct; the ratios reproduce the
+      // exact arithmetic of the per-function formulation (and of the
+      // oracle SQL, which computes from the same five counts)
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      docs(s, d).select(col("doc_id"), f.as("__f"))
+        .select(col("doc_id"),
+          col("__f.n_tokens").as("n_tokens"),
+          r4(col("__f.len_nws") / greatest(col("__f.n_tokens"), lit(1L)))
+            .as("avg_tok_len"),
+          r4(col("__f.n_stop") / greatest(col("__f.n_tokens"), lit(1L)))
+            .as("stop_ratio"),
+          r4(col("__f.n_punct") / greatest(col("__f.len_nws"), lit(1L)))
+            .as("punct_ratio"),
+          r4(col("__f.n_digit") / greatest(col("__f.len_nws"), lit(1L)))
+            .as("digit_ratio"),
+          r4(least(col("__f.n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - col("__f.n_stop") / greatest(col("__f.n_tokens"), lit(1L))) * 0.3 +
+            (lit(1.0) - col("__f.n_punct") / greatest(col("__f.len_nws"), lit(1L))) * 0.2)
+            .as("quality"))
         .orderBy("doc_id")
     }),
 

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text-feature kernels. The quality-score query needed five
+  * separate scans of every document (a regex replace per character
+  * class plus interpreted HOF filters for stopwords) — at 100 TB each
+  * extra pass is a full reread of the text corpus. These kernels fold
+  * the passes into one tight loop each, with semantics bit-matched to
+  * the certified column-expression formulations they replace (Java
+  * regex `\s` whitespace set, `split` leading-empty-token behavior,
+  * ASCII-only alnum classes, code-point counting).
+  */
+object TextKernels {
+
+  // Java regex \s — exactly [ \t\n\x0B\f\r], NOT Character.isWhitespace
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  private val stopwords =
+    Array("a", "the", "and", "of", "to", "is", "in")
+
+  private def isStop(t: String, from: Int, until: Int): Boolean = {
+    var k = 0
+    while (k < stopwords.length) {
+      val w = stopwords(k)
+      if (until - from == w.length && t.regionMatches(from, w, 0, w.length))
+        return true
+      k += 1
+    }
+    false
+  }
+
+  /** (n_tokens, len_nws, n_stop, n_punct, n_digit) of LOWERCASED text in
+    * one pass. Token semantics = `split(trim(s), "\\s+")` with the empty
+    * guard: space-only trim, leading whitespace yields one empty token,
+    * empty trimmed string yields zero. Char classes count CODE POINTS
+    * (Spark `length` semantics): digit = [0-9], punct = non-whitespace
+    * that is not [a-z0-9] (non-Latin letters intentionally count as
+    * punct — the certified heuristic's behavior). */
+  def qualityFeatures(u: UTF8String): InternalRow = {
+    val t = u.toString
+    var lenNws = 0L
+    var punct = 0L
+    var digit = 0L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (!isWs(cp)) {
+        lenNws += 1
+        if (cp >= '0' && cp <= '9') digit += 1
+        else if (!(cp >= 'a' && cp <= 'z')) punct += 1
+      }
+      i += Character.charCount(cp)
+    }
+    var b = 0
+    var e = t.length
+    while (b < e && t.charAt(b) == ' ') b += 1
+    while (e > b && t.charAt(e - 1) == ' ') e -= 1
+    var nTok = 0L
+    var nStop = 0L
+    if (e > b) {
+      if (isWs(t.charAt(b))) nTok += 1 // split's leading empty token
+      var j = b
+      while (j < e) {
+        while (j < e && isWs(t.charAt(j))) j += 1
+        if (j < e) {
+          val st = j
+          while (j < e && !isWs(t.charAt(j))) j += 1
+          nTok += 1
+          if (isStop(t, st, j)) nStop += 1
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](nTok, lenNws, nStop, punct, digit))
+  }
+
+  private val langs = Array("en", "es", "de", "fr", "zh")
+  private val markers: Array[Array[UTF8String]] = Array(
+    Array("the", "a", "is", "and"),
+    Array("el", "la", "es", "que"),
+    Array("der", "die", "und", "ist"),
+    Array("le", "les", "est", "une"),
+    Array("的", "是", "了")).map(_.map(UTF8String.fromString))
+  private val langsU = langs.map(UTF8String.fromString)
+  private val und = UTF8String.fromString("und")
+
+  /** Best marker-list language over a token array in one pass: highest
+    * hit count wins, ties to the earlier list, zero evidence -> "und"
+    * (identical to the foldRight of when() branches it replaces). */
+  def langId(tokens: ArrayData): UTF8String = {
+    val counts = new Array[Int](langs.length)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val tok = tokens.getUTF8String(i)
+      if (tok != null) {
+        var l = 0
+        while (l < markers.length) {
+          val ms = markers(l)
+          var m = 0
+          while (m < ms.length) {
+            if (tok.equals(ms(m))) counts(l) += 1
+            m += 1
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < counts.length) {
+      if (counts(l) > counts(best)) best = l
+      l += 1
+    }
+    if (counts(best) > 0) langsU(best) else und
+  }
+}
+
+/** Struct of the five per-document quality counts from one text pass.
+  * Input must already be lowercased (compose with `lower(text)`). */
+case class QualityFeatures(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("len_nws", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.qualityFeatures(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.qualityFeatures($c)")
+
+  override protected def withNewChildInternal(c: Expression): QualityFeatures =
+    copy(child = c)
+}
+
+/** Marker-list language ID over a token array, single pass. */
+case class LangIdBest(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.langId(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.langId($c)")
+
+  override protected def withNewChildInternal(c: Expression): LangIdBest =
+    copy(child = c)
+}

@@ -248,6 +248,12 @@ object VectorExprs {
       reg.createOrReplaceTempFunction(
         "graft_jaccard_sorted",
         exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_quality_features",
+        exprs => QualityFeatures(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_langid",
+        exprs => LangIdBest(exprs(0)), "built-in")
     }
 
   /** Codegen'd dot product of two vector columns (any numeric array —
@@ -288,6 +294,22 @@ object VectorExprs {
       .foreach(ensureRegistered)
     call_function("graft_shingles", tokens,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** One-pass quality-count struct over LOWERCASED text. */
+  def qualityFeatures(loweredText: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_quality_features", loweredText)
+  }
+
+  /** One-pass marker-list language ID over a token array. */
+  def langIdBest(tokens: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_langid", tokens)
   }
 
   /** One-pass Jaccard over two sorted deduplicated string arrays. */

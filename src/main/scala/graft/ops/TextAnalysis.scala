@@ -61,27 +61,22 @@ object TextAnalysis {
       (lit(1.0) - stopwordRatio(text)) * 0.3 +
       (lit(1.0) - punctRatio(text)) * 0.2
 
+  /** All five quality base counts (n_tokens, len_nws, n_stop, n_punct,
+    * n_digit) as ONE struct from ONE pass over the text — the functions
+    * above each rescan the document (regex replace per char class,
+    * interpreted HOF filter for stopwords); at corpus scale every extra
+    * pass rereads the dataset. Field semantics are identical to the
+    * individual functions (kernel: graft.functions.TextKernels). */
+  def qualityFeatures(text: Column): Column =
+    graft.functions.VectorExprs.qualityFeatures(lower(text))
+
   /** Marker-word language-ID heuristic. Scores each candidate language
     * by marker-token hits; highest score wins (fixed tie order), zero
     * evidence -> "und". N-gram/stopword LID in miniature — swap the
     * marker lists for real wordlists in production.
     */
-  def langId(text: Column): Column = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "a", "is", "and"),
-      "es" -> Seq("el", "la", "es", "que"),
-      "de" -> Seq("der", "die", "und", "ist"),
-      "fr" -> Seq("le", "les", "est", "une"),
-      "zh" -> Seq("的", "是", "了"))
-    val w = tokens(text)
-    val scores = markers.map { case (lang, ms) =>
-      lang -> size(filter(w, t => array_contains(typedlit(ms), t)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && s > 0, lit(lang)).otherwise(acc)
-    }
-  }
+  def langId(text: Column): Column =
+    graft.functions.VectorExprs.langIdBest(tokens(text))
 
   /** BPE-style subword pre-tokenization count: the GPT-2 pre-tokenizer
     * shape — contractions, letter runs, digit runs and punctuation
