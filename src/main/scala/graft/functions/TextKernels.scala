@@ -38,8 +38,9 @@ object TextKernels {
 
   /** (n_tokens, len_nws, n_stop, n_punct, n_digit) of LOWERCASED text in
     * one pass. Token semantics = `split(trim(s), "\\s+")` with the empty
-    * guard: space-only trim, leading whitespace yields one empty token,
-    * empty trimmed string yields zero. Char classes count CODE POINTS
+    * guard: space-only trim, leading OR trailing non-space whitespace
+    * each yield one empty token (split limit -1 keeps both), empty
+    * trimmed string yields zero. Char classes count CODE POINTS
     * (Spark `length` semantics): digit = [0-9], punct = non-whitespace
     * that is not [a-z0-9] (non-Latin letters intentionally count as
     * punct — the certified heuristic's behavior). */
@@ -65,7 +66,10 @@ object TextKernels {
     var nTok = 0L
     var nStop = 0L
     if (e > b) {
-      if (isWs(t.charAt(b))) nTok += 1 // split's leading empty token
+      // Spark split() runs with limit -1: a whitespace run at either end
+      // of the (space-)trimmed string yields an EMPTY token there
+      if (isWs(t.charAt(b))) nTok += 1
+      if (isWs(t.charAt(e - 1))) nTok += 1
       var j = b
       while (j < e) {
         while (j < e && isWs(t.charAt(j))) j += 1

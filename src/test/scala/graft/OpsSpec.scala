@@ -166,6 +166,79 @@ class OpsSpec extends SparkTestBase {
       s"fused mismatch for doc ${r.getLong(0)}"))
   }
 
+  test("quality-features kernel matches the regex formulations on adversarial text") {
+    val texts = Seq(
+      "The quick brown fox, JUMPED over 2 lazy dogs!!",
+      "  leading and trailing spaces  ",
+      "\nleading newline token",     // split() yields a leading empty token
+      "trailing newline token\n",    // ...and a trailing one (limit -1)
+      "\ttabvtab\ffeed\rcr mix",
+      "",
+      "   ",
+      "\n",
+      "no-stopwords here: 100% punct-free?",
+      "的 是 了 unicode 文本 mixed with english the end",
+      "a the and of to is in",       // all stopwords
+      "1234567890",
+      "emoji 😀 surrogate pair test")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val f = TextAnalysis.qualityFeatures(col("text"))
+    val got = df.select(col("id"), f.as("__f"))
+      .select(col("id"), col("__f.n_tokens"), col("__f.len_nws"),
+        col("__f.n_stop"), col("__f.n_punct"), col("__f.n_digit"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // reference formulations: the certified regex/HOF column expressions
+    val stops = typedlit(Seq("a", "the", "and", "of", "to", "is", "in"))
+    val w = split(trim(lower(col("text"))), "\\s+")
+    val nonWs = regexp_replace(lower(col("text")), "\\s+", "")
+    val ref = df.select(col("id"),
+      TextAnalysis.tokenCount(col("text")).cast("long"),
+      length(nonWs).cast("long"),
+      size(filter(w, t => array_contains(stops, t))).cast("long"),
+      length(regexp_replace(nonWs, "[a-z0-9]", "")).cast("long"),
+      length(regexp_replace(nonWs, "[^0-9]", "")).cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    texts.indices.foreach { i =>
+      assert(got(i.toLong) === ref(i.toLong), s"text ${i}: '${texts(i)}'")
+    }
+  }
+
+  test("langid kernel matches the HOF formulation incl. ties and zero evidence") {
+    val texts = Seq(
+      "the cat is on the mat",            // en
+      "el gato es que la casa",           // es
+      "der hund und die katze ist",       // de
+      "le chat est une les",              // fr
+      "的 是 了",                          // zh
+      "xyz qwerty nothing",               // und
+      "the el",                           // tie en/es -> en (earlier list)
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reference formulation: per-language HOF filter counts + foldRight
+    val markers = Seq(
+      "en" -> Seq("the", "a", "is", "and"),
+      "es" -> Seq("el", "la", "es", "que"),
+      "de" -> Seq("der", "die", "und", "ist"),
+      "fr" -> Seq("le", "les", "est", "une"),
+      "zh" -> Seq("的", "是", "了"))
+    val w = split(trim(lower(col("text"))), "\\s+")
+    val scores = markers.map { case (lang, ms) =>
+      lang -> size(filter(w, t => array_contains(typedlit(ms), t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val refCol = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+    val ref = df.select(col("id"), refCol.as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.indices.foreach(i => assert(got(i.toLong) === ref(i.toLong), s"'${texts(i)}'"))
+    assert(got(6L) === "en" && got(5L) === "und")
+  }
+
   test("graft_jaccard_sorted matches array_intersect Jaccard on random sets") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map { i =>
