@@ -123,6 +123,14 @@ object PipelineQueries {
         threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
         .orderBy("doc_id")),
 
+    // the pipeline's END PRODUCT: survivor selection — drop every
+    // near-dup cluster member except the smallest id, keep singletons
+    "q_drop_near_dups" -> ((s, d) =>
+      Dedup.dropNearDups(docs(s, d), "text", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // SimHash near-dup pairs: pigeonhole-banded candidates + hamming
     // verify — provably equal to the O(n²) scan it never runs
     "q_simhash_neardup" -> ((s, d) =>
@@ -367,6 +375,29 @@ object PipelineQueries {
            SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
          SELECT id AS doc_id, min(label) AS keep_id
          FROM reach GROUP BY 1 ORDER BY 1""",
+
+    "q_drop_near_dups" ->
+      s"""WITH RECURSIVE s AS (
+           SELECT doc_id, list_distinct($SH) AS sh,
+             ${mhSql(0)} AS m0, ${mhSql(1)} AS m1, ${mhSql(2)} AS m2, ${mhSql(3)} AS m3
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND (a.m0 = b.m0 OR a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3)
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS label FROM edges
+           UNION
+           SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         losers AS (SELECT id FROM (SELECT id, min(label) AS keep_id
+                    FROM reach GROUP BY 1) WHERE id != keep_id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY doc_id""",
 
     "q_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents ORDER BY doc_id",
