@@ -28,6 +28,13 @@ object StreamingGroupBy {
     "var", "nanvar", "std", "nanstd", "min", "nanmin", "max", "nanmax",
     "all", "any")
 
+  /** Quantile family: streamable ONLY through the mergeable GK sketch
+    * (`ReduceOptions.approxQuantile`) — the exact path buffers a
+    * window's whole value multiset in the state store, which is the
+    * definition of unbounded streaming state. */
+  val sketchable: Set[String] = Set(
+    "median", "nanmedian", "quantile", "nanquantile")
+
   /** Event-time windowed grouped reduction over a (possibly streaming)
     * DataFrame: watermark + tumbling/sliding window + the same agg
     * expressions the batch path uses.
@@ -36,10 +43,12 @@ object StreamingGroupBy {
                      reductions: Seq[(String, String, String)], // (value, func, as)
                      windowDuration: String,
                      slideDuration: Option[String] = None,
-                     watermarkDelay: String = "10 minutes"): DataFrame = {
+                     watermarkDelay: String = "10 minutes",
+                     opts: ReduceOptions = ReduceOptions()): DataFrame = {
     reductions.foreach { case (_, func, _) =>
-      require(streamable(func),
-        s"'$func' is not incrementally computable; streamable: $streamable")
+      require(streamable(func) || (sketchable(func) && opts.approxQuantile),
+        s"'$func' is not incrementally computable; streamable: $streamable; " +
+          s"with ReduceOptions(approxQuantile = true) also: $sketchable")
     }
     val win = slideDuration match {
       case Some(slide) => window(col(tsCol), windowDuration, slide)
@@ -50,7 +59,7 @@ object StreamingGroupBy {
         case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
         case _ => false
       }
-      ReduceExprs(func, col(value), lit(0L), fp, ReduceOptions()).as(as)
+      ReduceExprs(func, col(value), lit(0L), fp, opts).as(as)
     }
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy((win +: by.map(col)): _*)

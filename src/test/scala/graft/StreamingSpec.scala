@@ -112,4 +112,45 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("median"))
   }
+
+  test("streaming approx quantiles (mergeable sketch) equal batch in the exact regime") {
+    import graft.aggs.ReduceOptions
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val opts = ReduceOptions(q = Seq(0.9), approxQuantile = true)
+    val agg = StreamingGroupBy.windowedReduce(df, "ts", Seq("k"),
+      Seq(("v", "quantile", "p90"), ("v", "median", "med")),
+      windowDuration = "5 minutes", watermarkDelay = "0 seconds", opts = opts)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("q_stream_out").start()
+    try {
+      // two micro-batches: the sketch state must merge across them
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(2), "a", 3.0))
+      q.processAllAvailable()
+      input.addData((ts(3), "a", 4.0), (ts(4), "a", 5.0), (ts(1), "b", 10.0))
+      q.processAllAvailable()
+      val got = spark.table("q_stream_out")
+        .select(col("k"), col("p90"), col("med")).orderBy("k")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      // exact regime (n << accuracy): element at rank ceil(q*n)
+      assert(got.toSeq === Seq(("a", 5.0, 3.0), ("b", 10.0, 10.0)))
+      // and it equals the batch engine with the same options
+      val batch = api.GroupByReduce.multi(
+        Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+          ("b", 10.0)).toDF("k", "v"),
+        Seq("k"), Seq(("v", "quantile", "p90"), ("v", "median", "med")), opts)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(batch.toSeq === got.toSeq)
+    } finally q.stop()
+  }
+
+  test("exact quantile stays rejected in streaming even with other opts") {
+    val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      StreamingGroupBy.windowedReduce(df, "ts", Seq("k"),
+        Seq(("v", "nanquantile", "m")), "5 minutes")
+    }
+    assert(e.getMessage.contains("approxQuantile"))
+  }
 }
