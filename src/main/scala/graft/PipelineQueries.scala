@@ -167,6 +167,13 @@ object PipelineQueries {
         dims = 64, threshold = 0.4, planes = 16, bandPlanes = 4)
         .orderBy("vec_id")),
 
+    // embedding-side survivor selection (mirror of q_drop_near_dups)
+    "q_embed_drop" -> ((s, d) =>
+      Similarity.dropNearDups(emb(s, d), "vec_id", "embedding",
+        dims = 64, threshold = 0.4, planes = 16, bandPlanes = 4)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
     "q_embed_neardup_exact" -> ((s, d) =>
       Similarity.nearDupPairs(emb(s, d), "vec_id", "embedding", threshold = 0.4)
         .withColumn("sim", round(col("sim"), 4))
@@ -261,6 +268,14 @@ object PipelineQueries {
 
     "q_embed_neardup_groups" ->
       lshNearDupGroupsSql(dims = 64, planes = 16, bandPlanes = 4, threshold = 0.4),
+
+    "q_embed_drop" ->
+      s"""SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (
+           SELECT vec_id FROM (
+             ${lshNearDupGroupsSql(dims = 64, planes = 16, bandPlanes = 4, threshold = 0.4)})
+           WHERE vec_id != keep_id)
+         ORDER BY vec_id""",
     "q_doc_tokens" ->
       s"""SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
          ELSE len($W) END::BIGINT AS n_tokens

@@ -164,6 +164,21 @@ object Similarity {
       .select(col("id").as(idCol), col("label").as("keep_id"))
   }
 
+  /** Drop near-duplicate embeddings, keeping the smallest id of each
+    * cluster (and every vector not in any cluster) — the survivor
+    * selection mirror of `Dedup.dropNearDups` for the embedding
+    * modality. */
+  def dropNearDups(df: DataFrame, idCol: String, vecCol: String,
+                   dims: Int, threshold: Double, planes: Int = 16,
+                   bandPlanes: Int = 4,
+                   maxBucket: Int = 10000): DataFrame = {
+    val losers = lshNearDupGroups(df, idCol, vecCol, dims, threshold,
+      planes, bandPlanes, maxBucket)
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(idCol)
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-label centroid components (label, pos, mean) — the building
     * block of an IVF coarse quantizer. posexplode + groupBy: one
     * shuffle keyed by (label, dim), fully parallel. */
