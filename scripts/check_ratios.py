@@ -29,6 +29,13 @@ def main():
     sp = bench["queries"] if "queries" in bench else bench
     dk = json.load(open(base_path))
 
+    # Bench reports -1.0 (and an "errors" list) for queries that threw:
+    # a broken query is a hard failure, never a fast success, and must
+    # not deflate the Spark total.
+    broken = sorted(set(bench.get("errors", []))
+                    | {n for n, t in sp.items() if t < 0})
+    sp = {n: t for n, t in sp.items() if n not in broken}
+
     gated, small, missing = [], [], []
     for name, t in sorted(sp.items()):
         d = dk.get(name)
@@ -51,8 +58,11 @@ def main():
         print(f"  {n:26s} spark={t:7.2f} duckdb={d:8.3f}")
     if missing:
         print(f"no baseline for: {missing}")
-    print(f"TOTAL spark={tot_s:.1f}s duckdb={tot_d:.1f}s ratio={tot_s / tot_d:.2f}")
-    sys.exit(1 if fails else 0)
+    if broken:
+        print(f"BROKEN (bench error, hard fail): {broken}")
+    print(f"TOTAL spark={tot_s:.1f}s duckdb={tot_d:.1f}s ratio={tot_s / tot_d:.2f}"
+          + (" [excludes broken queries]" if broken else ""))
+    sys.exit(1 if fails or broken else 0)
 
 if __name__ == "__main__":
     main()

@@ -146,28 +146,139 @@ object Dedup {
   }
 
   /** Connected components by iterative min-label propagation WITH
-    * pointer jumping, entirely on DataFrames: label(node) starts as its
-    * own id; each round every node takes the min label among itself and
-    * its neighbors, then jumps through one level of label indirection
+    * pointer jumping: label(node) starts as min(id, neighbor ids); each
+    * round every node takes the min label among itself and its
+    * neighbors, then jumps through one level of label indirection
     * (label <- label(label)). The jump halves remaining chain depth
     * every round, so convergence is O(log diameter) rounds instead of
-    * O(diameter) — measured 8 -> 4 rounds on the embedding near-dup
-    * graph, and the difference between feasible and pathological on a
-    * deep-chain graph at scale. Per round: two key-partitioned joins +
-    * one aggregation, lineage cut by localCheckpoint, and a limit(1)
-    * probe on the carried previous label for convergence — no
-    * driver-side data beyond that scalar.
+    * O(diameter) — the difference between feasible and pathological on
+    * a deep-chain graph at scale.
     *
-    * @param edges DataFrame with two id columns (undirected edges)
+    * The inner loop runs on RDDs, not DataFrames, deliberately: an
+    * iterative fixed-point is the one shape where Catalyst re-planning
+    * is pure overhead — each round re-ran AQE planning + per-exchange
+    * stage sync + codegen on a plan whose data is a few labels per
+    * node, costing ~0.45s/round regardless of size (measured: the
+    * DataFrame loop at 3.7s vs 1.2s for this loop on the same sf0.1
+    * graph, identical labels; disabling AQE instead made it 21s —
+    * 32-partition shuffles per tiny stage). With a single reused
+    * HashPartitioner the cached adjacency is joined NARROW every round
+    * (the GraphX/Pregel pattern), so per round it's three small
+    * shuffles and ONE action (count = cache barrier + convergence
+    * accumulator read); nothing but that scalar reaches the driver.
+    * Partition count inherits from the (AQE-coalesced) edge
+    * materialization, so it self-scales with the pair graph.
+    *
+    * The returned labels stay MEMORY_AND_DISK-persisted (2 longs per
+    * clustered node — at 100 TB that is the near-dup cluster membership
+    * table, well under shuffle scale): unpersisting would cascade a
+    * full loop re-run on first downstream use, since each round's cache
+    * is the lineage cut for the next.
+    *
+    * @param edges DataFrame with two id columns (undirected edges);
+    *              integral id types run the RDD loop, other types fall
+    *              back to an equivalent DataFrame loop
+    * @param failOnNonConvergence throw instead of warn when maxIter is
+    *              hit with labels still moving — survivor-selection
+    *              callers use this so over-split clusters can't silently
+    *              ship wrong survivors
     * @return (id, label) — label = smallest id in the component
     */
   def connectedComponents(edges: DataFrame,
                           srcCol: String = "id_a", dstCol: String = "id_b",
-                          maxIter: Int = 20): DataFrame = {
-    // Materialize the edge set ONCE: every propagation round joins
-    // against it, and without the checkpoint each round would re-run
-    // the whole upstream pipeline (LSH + verify) that produced the
-    // pairs — measured 3x the full near-dup cost at sf0.1.
+                          maxIter: Int = 20,
+                          failOnNonConvergence: Boolean = false): DataFrame = {
+    val idType = edges.schema(srcCol).dataType
+    val integral = idType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integral) ccRdd(edges, srcCol, dstCol, maxIter, failOnNonConvergence)
+    else ccDataFrame(edges, srcCol, dstCol, maxIter, failOnNonConvergence)
+  }
+
+  private def finishConvergence(converged: Boolean, rounds: Int,
+                                maxIter: Int, strict: Boolean): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (converged)
+      log.info(s"connectedComponents converged in $rounds rounds")
+    else {
+      val msg = s"connectedComponents did NOT converge in $maxIter rounds — " +
+        "labels may be over-split (components larger than min-id clusters); " +
+        "raise maxIter for deep-diameter graphs"
+      if (strict) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
+  }
+
+  /** RDD fixed-point loop for integral ids (see connectedComponents). */
+  private def ccRdd(edges: DataFrame, srcCol: String, dstCol: String,
+                    maxIter: Int, strict: Boolean): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val idType = edges.schema(srcCol).dataType
+    val symDf = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long"), col(srcCol).cast("long")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val symRdd = symDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new HashPartitioner(math.max(symRdd.getNumPartitions, 1))
+    val adj = symRdd.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // seed with min(id, neighbors): one reduceByKey on the cached
+    // adjacency = the first propagation round without its join
+    var labels = adj.map { case (s, d) => (s, math.min(s, d)) }
+      .reduceByKey(part, math.min(_, _))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize the upstream pair pipeline exactly once
+    val sc = spark.sparkContext
+    // one propagate + pointer-jump round; prop's shuffle output is
+    // computed once and read by both jump sides
+    def step(cur: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      // neighbor labels: narrow join against the cached adjacency
+      val msgs = adj.join(cur, part).map { case (_, (dst, lab)) => (dst, lab) }
+      val prop = msgs.union(cur).reduceByKey(part, math.min(_, _))
+      // pointer jump: label <- min(label, label(label)). Every label is
+      // itself a node id (labels only ever take existing ids), so the
+      // inner join is complete.
+      prop.map { case (id, lab) => (lab, id) }
+        .join(prop, part)
+        .map { case (lab, (id, lab2)) => (id, math.min(lab, lab2)) }
+        .partitionBy(part)
+    }
+    var rounds = 1 // the seed is round 1
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      // two rounds per action: RDD stages are cheap but each
+      // count/persist barrier still costs a job round-trip — probing
+      // every other round halves that, at worst two surplus (tiny)
+      // rounds after the fixed point
+      val steps = math.min(2, maxIter - rounds)
+      val stepped = (1 to steps).foldLeft(labels)((cur, _) => step(cur))
+      val acc = sc.longAccumulator
+      val next = stepped.join(labels, part)
+        .mapValues { case (n, o) => if (n < o) acc.add(1L); n }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // one action: cache barrier + convergence accumulator
+      labels.unpersist(false)
+      labels = next
+      converged = acc.value == 0L
+      rounds += steps
+    }
+    finishConvergence(converged, rounds, maxIter, strict)
+    val out = labels.toDF("id", "label")
+      .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
+    adj.unpersist(false)
+    out
+  }
+
+  /** DataFrame fallback for non-integral id types (string fingerprints
+    * etc.) — same algorithm, lineage cut by localCheckpoint per round. */
+  private def ccDataFrame(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int, strict: Boolean): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
@@ -191,10 +302,6 @@ object Dedup {
         col("label").as("__old"))
       val m = self.union(neighbor)
         .groupBy("id").agg(min("label").as("label"), max("__old").as("__old"))
-      // pointer jump: label <- label(label). Every label value is itself
-      // a node id in m (labels only ever take existing ids), and
-      // label(x) <= x, so the jump is monotone and safe; the left join +
-      // coalesce guards the root rows where label(label) = label.
       val updated = m.join(
           m.select(col("id").as("label"), col("label").as("__jl")),
           Seq("label"), "left")
@@ -206,14 +313,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents did NOT converge in $maxIter rounds — " +
-          "labels may be over-split (components larger than min-id clusters); " +
-          "raise maxIter for deep-diameter graphs")
-    else
-      org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"connectedComponents converged in $iter rounds")
+    finishConvergence(converged, iter, maxIter, strict)
     labels
   }
 
@@ -228,7 +328,9 @@ object Dedup {
                     useMd5: Boolean = false): DataFrame = {
     val pairs = nearDupPairs(df, textCol, idCol, threshold, numHashes,
       bandSize, k, useMd5).select("id_a", "id_b")
-    connectedComponents(pairs)
+    // strict: over-split clusters here would silently ship wrong
+    // survivors downstream (dropNearDups keeps non-minimal ids)
+    connectedComponents(pairs, failOnNonConvergence = true)
       .select(col("id").as(idCol), col("label").as("keep_id"))
   }
 

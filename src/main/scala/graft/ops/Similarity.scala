@@ -33,7 +33,11 @@ object Similarity {
     when(nn > 0, d / nn).otherwise(lit(0.0))
   }
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Native Cast, NOT `transform(c, _.cast("double"))`: the HOF lambda
+    * runs interpreted per element, and it sat inside all 16 plane dot
+    * products of the LSH signature; Cast over arrays is codegen'd and
+    * subexpression-eliminated. */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Cosine from a precomputed-norm pair: one dot product per pair
     * instead of three (norms are per-VECTOR quantities — computing them
@@ -127,6 +131,14 @@ object Similarity {
       }
       bits.reduce(_ + _)
     }
+    // The band table carries the vector payload through the self-join
+    // (×L duplication). The candidates-first alternative — join on
+    // (table, sig, id) only, distinct the id pairs, re-attach vectors by
+    // joining the base twice — was measured SLOWER here (2.23s vs 1.63s
+    // at sf0.1): two extra shuffle joins cost more than L=4 payload
+    // copies save. It becomes the right trade only when L or the vector
+    // width grows an order of magnitude; revisit if planes/bandPlanes
+    // ever does.
     val sig = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
       posexplode(array(tableSigs: _*)))
       .withColumnRenamed("pos", "__table")
@@ -160,7 +172,9 @@ object Similarity {
                        maxBucket: Int = 10000): DataFrame = {
     val pairs = lshNearDupPairs(df, idCol, vecCol, dims, threshold,
       planes, bandPlanes, maxBucket).select("id_a", "id_b")
-    Dedup.connectedComponents(pairs)
+    // strict: over-split clusters here would silently ship wrong
+    // survivors downstream (dropNearDups keeps non-minimal ids)
+    Dedup.connectedComponents(pairs, failOnNonConvergence = true)
       .select(col("id").as(idCol), col("label").as("keep_id"))
   }
 
