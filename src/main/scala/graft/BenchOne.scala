@@ -35,9 +35,13 @@ object BenchOne {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[benchone] $name: $e"); false }
       val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      s"""{"query":"$name","run":$r,"sec":$t}"""
+      val escaped = name.replace("\\", "\\\\").replace("\"", "\\\"")
+      (ok, s"""{"query":"$escaped","run":$r,"sec":$t,"ok":$ok}""")
     }
-    out.foreach(println)
+    out.foreach(o => println(o._2))
     spark.stop()
+    // scripted consumers sum "sec": a silent 0-exit with sec:-1 rows
+    // would subtract failures from the total — hard-fail instead
+    if (out.exists(!_._1)) sys.exit(1)
   }
 }

@@ -347,6 +347,49 @@ object CoreQueries {
         .withColumn("sum_price", r("sum_price", 2))
     }),
 
+    // ---------------- datetime bins AS expected_groups: the declared
+    // calendar periods ARE the output domain, so the empty trailing
+    // period materializes with fill 0 — resampling-with-missing-periods,
+    // flox's bread-and-butter xarray case (core.py:616-636 +
+    // factorize.py:78-82, tests/test_xarray.py resampling-missing-groups)
+    "q_datetime_bins_expected" -> ((s, d) => {
+      val breaks = Seq("1992-01-01", "1994-01-01", "1996-01-01",
+        "1998-01-01", "2000-01-01", "2002-01-01")
+      val domain = ExpectedGroups.fromDatetimeBreaks(s, breaks)
+      val b = ord(s, d)
+        .withColumn("bin", Binning.datetimeBinIndex(col("o_orderdate"), breaks))
+        .withColumn("bin_label", Binning.datetimeBinLabel(col("o_orderdate"), breaks))
+      GroupByReduce.multi(b, Seq("bin", "bin_label"), Seq(
+        ("o_totalprice", "count", "n"),
+        ("o_totalprice", "sum", "sum_price")),
+        ReduceOptions(expectedGroups = Some(domain), fillValue = Some(lit(0))))
+        .withColumn("sum_price", r("sum_price", 2))
+    }),
+
+    // ---------------- uniform binning, O(1) arithmetic path — the scale
+    // route for high-cardinality bins (no O(#bins) when-chain in the plan)
+    "q_bins_uniform" -> ((s, d) => {
+      val b = li(s, d)
+        .withColumn("bin", Binning.uniform(col("l_quantity"), 0.0, 50.0, 5))
+      GroupByReduce.multi(b, Seq("bin"), Seq(
+        ("l_extendedprice", "sum", "sum_price"),
+        ("l_extendedprice", "count", "n")))
+        .withColumn("sum_price", r("sum_price", 2))
+    }),
+
+    // ---------------- string VALUES (flox supports unicode value arrays
+    // for count/first/last, aggregations.py:75-76; min/max are the
+    // orderable-dtype counterparts): the struct-ordered first/last and
+    // native min/max are type-generic — certified here on a string column
+    "q_string_aggs" -> ((s, d) =>
+      GroupByReduce.multi(ord(s, d), Seq("o_orderpriority"), Seq(
+        ("o_orderstatus", "count", "n"),
+        ("o_orderstatus", "first", "sfirst"),
+        ("o_orderstatus", "last", "slast"),
+        ("o_orderstatus", "min", "smin"),
+        ("o_orderstatus", "max", "smax")),
+        ReduceOptions(idxCol = Some("o_orderkey")))),
+
     // ---------------- calendar resampling — flox's bread-and-butter
     // xarray case (daily buckets from the TIMESTAMP(NANOS) event
     // stream; nanos load as long per Tables, viewed to micros)
@@ -667,6 +710,39 @@ object CoreQueries {
                 WHEN l_shipdate > TIMESTAMP '1999-01-01' AND l_shipdate <= TIMESTAMP '2001-01-01' THEN '(1999-01-01, 2001-01-01]'
                 WHEN l_shipdate > TIMESTAMP '2001-01-01' AND l_shipdate <= TIMESTAMP '2003-01-01' THEN '(2001-01-01, 2003-01-01]' END AS bin_label
            FROM lineitem) WHERE bin IS NOT NULL GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_datetime_bins_expected" ->
+      """SELECT d.bin, d.bin_label, coalesce(a.n, 0) AS n,
+         round(coalesce(a.sum_price, 0), 2) AS sum_price
+         FROM (VALUES (0, '(1992-01-01, 1994-01-01]'),
+                      (1, '(1994-01-01, 1996-01-01]'),
+                      (2, '(1996-01-01, 1998-01-01]'),
+                      (3, '(1998-01-01, 2000-01-01]'),
+                      (4, '(2000-01-01, 2002-01-01]')) d(bin, bin_label)
+         LEFT JOIN (
+           SELECT CASE WHEN o_orderdate > TIMESTAMP '1992-01-01' AND o_orderdate <= TIMESTAMP '1994-01-01' THEN 0
+                       WHEN o_orderdate > TIMESTAMP '1994-01-01' AND o_orderdate <= TIMESTAMP '1996-01-01' THEN 1
+                       WHEN o_orderdate > TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1998-01-01' THEN 2
+                       WHEN o_orderdate > TIMESTAMP '1998-01-01' AND o_orderdate <= TIMESTAMP '2000-01-01' THEN 3
+                       WHEN o_orderdate > TIMESTAMP '2000-01-01' AND o_orderdate <= TIMESTAMP '2002-01-01' THEN 4 END AS bin,
+                  count(o_totalprice) AS n, sum(o_totalprice) AS sum_price
+           FROM orders GROUP BY 1) a USING (bin)
+         ORDER BY 1""",
+
+    "q_bins_uniform" ->
+      """SELECT bin, round(sum(l_extendedprice), 2) AS sum_price,
+         count(l_extendedprice) AS n
+         FROM (SELECT *, CASE WHEN l_quantity > 0 AND l_quantity <= 50
+           THEN least(greatest(ceil((l_quantity - 0) / 10.0)::INT - 1, 0), 4)
+           END AS bin FROM lineitem)
+         WHERE bin IS NOT NULL GROUP BY 1 ORDER BY 1""",
+
+    "q_string_aggs" ->
+      """SELECT o_orderpriority, count(o_orderstatus) AS n,
+         arg_min(o_orderstatus, o_orderkey) AS sfirst,
+         arg_max(o_orderstatus, o_orderkey) AS slast,
+         min(o_orderstatus) AS smin, max(o_orderstatus) AS smax
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_resample" ->
       """SELECT date_trunc('day', ts)::TIMESTAMP AS day,

@@ -73,4 +73,22 @@ object ExpectedGroups {
       (i, if (closedRight) s"($lo, $hi]" else s"[$lo, $hi)")
     }.toSeq.toDF(binCol, labelCol)
   }
+
+  /** Datetime bins AS expected groups (flox: a datetime IntervalIndex
+    * passed to `expected_groups` declares the output domain end-to-end,
+    * core.py:616-636 + factorize.py:78-82 — the resampling-with-missing-
+    * periods case). ISO break strings and labels match
+    * `Binning.datetimeBinIndex` / `datetimeBinLabel` exactly, so an
+    * empty calendar period materializes with fill_value instead of
+    * silently dropping. */
+  def fromDatetimeBreaks(spark: SparkSession, isoBreaks: Seq[String],
+                         closedRight: Boolean = true,
+                         binCol: String = "bin",
+                         labelCol: String = "bin_label"): DataFrame = {
+    import spark.implicits._
+    require(isoBreaks.size >= 2, "need at least 2 break points")
+    isoBreaks.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+      (i, if (closedRight) s"($lo, $hi]" else s"[$lo, $hi)")
+    }.toSeq.toDF(binCol, labelCol)
+  }
 }

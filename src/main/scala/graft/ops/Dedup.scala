@@ -169,11 +169,18 @@ object Dedup {
     * Partition count inherits from the (AQE-coalesced) edge
     * materialization, so it self-scales with the pair graph.
     *
-    * The returned labels stay MEMORY_AND_DISK-persisted (2 longs per
+    * The result is materialized via `localCheckpoint()` (2 longs per
     * clustered node — at 100 TB that is the near-dup cluster membership
-    * table, well under shuffle scale): unpersisting would cascade a
-    * full loop re-run on first downstream use, since each round's cache
-    * is the lineage cut for the next.
+    * table, well under shuffle scale), after which every loop-interval
+    * RDD cache is released — repeated calls in a long-lived session
+    * leave nothing persisted but the returned checkpoint blocks.
+    *
+    * EAGER: construction runs the whole fixed-point loop as Spark jobs
+    * (both paths — the RDD loop's per-round actions and the DataFrame
+    * loop's per-round checkpoints), and `failOnNonConvergence` throws at
+    * construction time, not first action. Callers building plans
+    * without executing them still pay the loop here — by design: an
+    * iterative fixed point cannot be expressed as one lazy plan.
     *
     * @param edges DataFrame with two id columns (undirected edges);
     *              integral id types run the RDD loop, other types fall
@@ -188,6 +195,7 @@ object Dedup {
                           srcCol: String = "id_a", dstCol: String = "id_b",
                           maxIter: Int = 20,
                           failOnNonConvergence: Boolean = false): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
     val idType = edges.schema(srcCol).dataType
     val integral = idType match {
       case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
@@ -249,7 +257,10 @@ object Dedup {
         .map { case (lab, (id, lab2)) => (id, math.min(lab, lab2)) }
         .partitionBy(part)
     }
-    var rounds = 1 // the seed is round 1
+    // seed = ccDataFrame's initialization plus a free half-round (min
+    // over neighbors, no jump); it does NOT count against maxIter, so
+    // both paths run the same number of budgeted propagation rounds
+    var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
       // two rounds per action: RDD stages are cheap but each
@@ -269,8 +280,13 @@ object Dedup {
       rounds += steps
     }
     finishConvergence(converged, rounds, maxIter, strict)
+    // materialize the result as checkpoint blocks, then release every
+    // loop cache: without this, each connectedComponents call would
+    // leave its final labels RDD persisted forever (no handle escapes)
     val out = labels.toDF("id", "label")
       .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
+      .localCheckpoint()
+    labels.unpersist(false)
     adj.unpersist(false)
     out
   }
