@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Runtime kernel for MinHashMd5 — also called from generated code. */
@@ -111,6 +112,82 @@ object HashKernels {
     }
     false
   }
+
+  private val xxBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](256))
+
+  /** Fused shingle+minhash, xxhash64 lane: min over k-token shingles of
+    * Spark's `xxhash64(lit(seed), shingle)` — `seedHash` is the
+    * precomputed XXH64.hashInt(seed, 42L) accumulator state, and the
+    * shingle bytes (tokens joined by ' ') stream through a reusable
+    * thread-local buffer instead of being materialized as strings.
+    * Bit-identical to `array_min(transform(shingles, s =>
+    * xxhash64(lit(seed), s)))`: XXH64.hashUnsafeBytes over the copied
+    * bytes is the same block hash xxhash64 runs on the UTF8String.
+    * Caller guarantees numElements >= k (expression emits null below k,
+    * matching array_min over an empty mapped array). */
+  def minHashXx64Shingles(arr: ArrayData, k: Int, seedHash: Long): Long = {
+    val n = arr.numElements()
+    var buf = xxBuf.get()
+    var min = 0L
+    var first = true
+    var i = 0
+    while (i <= n - k) {
+      var len = 0
+      var j = 0
+      while (j < k) { len += arr.getUTF8String(i + j).numBytes; j += 1 }
+      len += k - 1 // separators
+      if (buf.length < len) {
+        buf = new Array[Byte](Integer.highestOneBit(len - 1) << 1)
+        xxBuf.set(buf)
+      }
+      var off = 0
+      j = 0
+      while (j < k) {
+        val t = arr.getUTF8String(i + j)
+        t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
+        off += t.numBytes
+        if (j < k - 1) { buf(off) = ' '.toByte; off += 1 }
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, seedHash)
+      if (first || h < min) { min = h; first = false }
+      i += 1
+    }
+    min
+  }
+
+  /** Fused token-hash + SimHash vote: per token, hash (md5-first-4-bytes
+    * unsigned, matching `conv(substring(md5(t),1,8),16,10)`, or Spark's
+    * `xxhash64(t)`), then the 32-bit ±1 vote loop — one pass, no
+    * interpreted `transform` building the hash array. Bit-identical to
+    * SimHashVote over the transform formulation. */
+  def simhashTokens(arr: ArrayData, useMd5: Boolean): Long = {
+    val votes = new Array[Int](32)
+    val n = arr.numElements()
+    val digest = if (useMd5) digests.get() else null
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val h =
+        if (useMd5) {
+          digest.reset()
+          digest.update(t.getBytes)
+          val b = digest.digest()
+          ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+            ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+        } else XXH64.hashUTF8String(t, 42L)
+      var j = 0
+      while (j < 32) {
+        votes(j) += (((h >>> j) & 1L).toInt * 2 - 1); j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
+    sig
+  }
 }
 
 /** Codegen'd k-token shingling: tokens -> array of space-joined k-grams
@@ -203,5 +280,64 @@ case class MinHashMd5Tokens(child: Expression, k: Int, prefix: String)
     })
 
   override protected def withNewChildInternal(c: Expression): MinHashMd5Tokens =
+    copy(child = c)
+}
+
+/** Fused k-shingle MinHash lane, xxhash64 mode (the production-speed
+  * hash): bit-identical to `array_min(transform(shingles, s =>
+  * xxhash64(lit(seed), s)))` over `ShinglesExpr` output, but one
+  * streamed pass per row — no shingle strings, no interpreted HOF.
+  * With k = 1 it is the plain per-element minhash over an existing
+  * shingle array. */
+case class MinHashXx64Tokens(child: Expression, k: Int, seed: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  /** xxhash64(lit(seed), s) folds the Int seed literal into the running
+    * hash first; precompute that accumulator state once. */
+  private lazy val seedHash: Long = XXH64.hashInt(seed, 42L)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() < k) null
+    else HashKernels.minHashXx64Shingles(arr, k, seedHash)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |if ($a.numElements() < $k) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  graft.functions.HashKernels.minHashXx64Shingles($a, $k, ${seedHash}L); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashXx64Tokens =
+    copy(child = c)
+}
+
+/** Fused token-hash + 32-bit SimHash vote over a token array — replaces
+  * `SimHashVote(transform(tokens, hash))` whose hash lambda ran as an
+  * interpreted HOF in both md5 and xxhash64 modes. Token elements must
+  * be non-null (they come from split()). */
+case class SimHashTokens(child: Expression, useMd5: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhashTokens(input.asInstanceOf[ArrayData], useMd5)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.simhashTokens($a, $useMd5);")
+
+  override protected def withNewChildInternal(c: Expression): SimHashTokens =
     copy(child = c)
 }

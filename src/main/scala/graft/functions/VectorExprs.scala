@@ -213,6 +213,92 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Runtime kernel for LshPlaneSigs — also called from generated code. */
+object VectorKernels {
+
+  /** All random-hyperplane table signatures of one vector in ONE pass:
+    * for plane p (row-major `weights`, planes x dims), the sign bit of
+    * dot(v, w_p) lands in table p / bandPlanes at bit p % bandPlanes.
+    * Per-plane dot accumulates in ascending dim order — bit-identical
+    * to the per-plane DotProduct formulation it replaces. */
+  def lshPlaneSigs(v: ArrayData, weights: Array[Double], dims: Int,
+                   bandPlanes: Int): ArrayData = {
+    val planes = weights.length / dims
+    val sigs = new Array[Long](planes / bandPlanes)
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      val base = p * dims
+      var d = 0
+      while (d < dims) { s += v.getDouble(d) * weights(base + d); d += 1 }
+      if (s >= 0) sigs(p / bandPlanes) |= (1L << (p % bandPlanes))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+}
+
+/** All LSH table signatures in one fused pass over the vector. The
+  * previous formulation evaluated `planes` separate DotProduct calls,
+  * each re-traversing the vector and each carrying its own typedlit
+  * weight array through codegen — 16 loops and 16 literal references
+  * per row for the default config. One expression, one reference
+  * object, one traversal. Null or length-mismatched vectors yield null
+  * (the signature of a ragged vector is garbage — same stance as
+  * DotProduct); null elements yield null via the same check. */
+case class LshPlaneSigs(child: Expression, weights: Array[Double],
+                        dims: Int, bandPlanes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(weights.length % dims == 0, "weights must be planes x dims")
+  require((weights.length / dims) % bandPlanes == 0,
+    "planes must be a multiple of bandPlanes")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  private lazy val needNullCheck: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dims) return null
+    if (needNullCheck) {
+      var i = 0
+      while (i < dims) { if (v.isNullAt(i)) return null; i += 1 }
+    }
+    VectorKernels.lshPlaneSigs(v, weights, dims, bandPlanes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("weights", weights, "double[]")
+      val i = ctx.freshName("i")
+      val elemNullCheck =
+        if (needNullCheck)
+          s"""for (int $i = 0; $i < $dims && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
+      s"""
+         |if ($a.numElements() != $dims) { ${ev.isNull} = true; }
+         |$elemNullCheck
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.VectorKernels.lshPlaneSigs(
+         |    $a, $w, $dims, $bandPlanes);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): LshPlaneSigs =
+    copy(child = c)
+}
+
 object VectorExprs {
 
   /** Sessions whose function registry already has the kernel. Weak keys:
@@ -254,6 +340,22 @@ object VectorExprs {
       reg.createOrReplaceTempFunction(
         "graft_langid",
         exprs => LangIdBest(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_minhash_xx64",
+        exprs => MinHashXx64Tokens(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_simhash_tokens",
+        exprs => SimHashTokens(exprs(0),
+          exprs(1).eval().asInstanceOf[Boolean]), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_lsh_sigs",
+        exprs => LshPlaneSigs(exprs(0),
+          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray(),
+          exprs(2).eval().asInstanceOf[Int],
+          exprs(3).eval().asInstanceOf[Int]), "built-in")
     }
 
   /** Codegen'd dot product of two vector columns (any numeric array —
@@ -329,5 +431,38 @@ object VectorExprs {
     call_function("graft_minhash_md5_tokens", tokens,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(prefix))
+  }
+
+  /** Fused k-shingle + min-xxhash64 lane over a TOKEN array (k = 1:
+    * per-element minhash over an existing shingle array). */
+  def minHashXx64Tokens(tokens: Column, k: Int, seed: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_minhash_xx64", tokens,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(seed))
+  }
+
+  /** Fused token-hash + 32-bit SimHash vote over a token array. */
+  def simhashTokens(tokens: Column, useMd5: Boolean): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_simhash_tokens", tokens,
+      org.apache.spark.sql.functions.lit(useMd5))
+  }
+
+  /** All random-hyperplane LSH table signatures in one pass: array of
+    * planes/bandPlanes packed longs for a dims-length vector. */
+  def lshSigs(vec: Column, weights: Array[Double], dims: Int,
+              bandPlanes: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_lsh_sigs", vec,
+      org.apache.spark.sql.functions.lit(weights),
+      org.apache.spark.sql.functions.lit(dims),
+      org.apache.spark.sql.functions.lit(bandPlanes))
   }
 }

@@ -38,31 +38,29 @@ object Dedup {
   /** One MinHash value: min over shingles of hash(seed || shingle).
     * md5 mode returns hex strings (lexicographic min — reproducible in
     * any engine) via the one-pass graft_minhash_md5 kernel; xxhash64
-    * mode returns longs (fast path). */
+    * mode returns longs (production fast path), bit-identical to
+    * `array_min(transform(shingles, s => xxhash64(lit(seed), s)))` but
+    * one codegen'd pass with no interpreted HOF. */
   def minhash(shingles: Column, seed: Int, useMd5: Boolean): Column =
     if (useMd5) graft.functions.VectorExprs.minHashMd5(shingles, s"$seed|")
-    else array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+    else graft.functions.VectorExprs.minHashXx64Tokens(shingles, 1, seed)
 
   /** Append `numHashes` MinHash signature columns mh0..mh{H-1} computed
-    * from k-word shingles. Map-only: no shuffle. The md5 path uses the
+    * from k-word shingles. Map-only: no shuffle. BOTH hash modes use a
     * fused token-shingle kernel, so the shingle arrays are never
     * materialized (the interpreted `transform` building them used to
-    * dominate the whole signature pass). */
+    * dominate the whole signature pass 10:1). */
   def withMinhashSignature(df: DataFrame, textCol: String,
                            numHashes: Int = 6, k: Int = 3,
                            useMd5: Boolean = false): DataFrame = {
-    if (useMd5) {
-      val toks = TextAnalysis.tokens(col(textCol))
-      (0 until numHashes).foldLeft(df.withColumn("__toks", toks)) { (d, h) =>
-        d.withColumn(s"mh$h",
-          graft.functions.VectorExprs.minHashMd5Tokens(col("__toks"), k, s"$h|"))
-      }.drop("__toks")
-    } else {
-      val sh = TextAnalysis.shingles(col(textCol), k)
-      (0 until numHashes).foldLeft(df.withColumn("__sh", sh)) { (d, h) =>
-        d.withColumn(s"mh$h", minhash(col("__sh"), h, useMd5))
-      }.drop("__sh")
-    }
+    val toks = TextAnalysis.tokens(col(textCol))
+    (0 until numHashes).foldLeft(df.withColumn("__toks", toks)) { (d, h) =>
+      d.withColumn(s"mh$h",
+        if (useMd5)
+          graft.functions.VectorExprs.minHashMd5Tokens(col("__toks"), k, s"$h|")
+        else
+          graft.functions.VectorExprs.minHashXx64Tokens(col("__toks"), k, h))
+    }.drop("__toks")
   }
 
   /** LSH candidate pairs: documents sharing at least one band
@@ -363,22 +361,15 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** 32-bit SimHash from md5-derived token hashes (cross-engine
-    * reproducible). Per-row expression: for each bit j, sum ±1 over
-    * token hashes' bit j; sign -> bit. No shuffle, no UDF — the vote
-    * loop is a single codegen'd pass (graft.functions.SimHashVote)
-    * instead of 32 interpreted `aggregate` HOF passes.
-    */
-  def simhash32(text: Column, useMd5: Boolean = true): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val hashes =
-      if (useMd5) transform(toks,
-        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-      // production fast path: xxhash64 token hashes, votes over the
-      // low 32 bits — not oracle-reproducible, ~6x cheaper than md5
-      else transform(toks, t => xxhash64(t))
-    graft.functions.VectorExprs.simhash32(hashes)
-  }
+  /** 32-bit SimHash over token hashes. md5 mode (cross-engine
+    * reproducible, used by the oracle queries) hashes each token to its
+    * first-4-md5-bytes value; xxhash64 mode is the production fast
+    * path voting over the low 32 bits. Both modes run the fused
+    * token-hash + vote kernel (graft.functions.SimHashTokens) — one
+    * codegen'd pass per row, no interpreted `transform` building the
+    * hash array, no shuffle, no UDF. */
+  def simhash32(text: Column, useMd5: Boolean = true): Column =
+    graft.functions.VectorExprs.simhashTokens(TextAnalysis.tokens(text), useMd5)
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -96,16 +96,27 @@ object Similarity {
     (x.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 
+  /** Flattened planes x dims deterministic hyperplane matrix for the
+    * fused signature kernel. */
+  private def planeMatrix(planes: Int, dims: Int): Array[Double] = {
+    val w = new Array[Double](planes * dims)
+    var p = 0
+    while (p < planes) {
+      var d = 0
+      while (d < dims) { w(p * dims + d) = planeWeight(p, d); d += 1 }
+      p += 1
+    }
+    w
+  }
+
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
     * long. Map-only; vectors sharing a signature (or prefix) are
-    * near-angular candidates. */
-  def lshSignature(vecCol: Column, dims: Int, planes: Int = 16): Column = {
-    val bits = (0 until planes).map { p =>
-      val weights = typedlit((0 until dims).map(d => planeWeight(p, d)))
-      when(dot(asDouble(vecCol), weights) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * near-angular candidates. One fused kernel pass (all plane dots in
+    * a single vector traversal) — the per-plane DotProduct formulation
+    * re-read the vector `planes` times. */
+  def lshSignature(vecCol: Column, dims: Int, planes: Int = 16): Column =
+    element_at(VectorExprs.lshSigs(asDouble(vecCol),
+      planeMatrix(planes, dims), dims, bandPlanes = planes), 1)
 
   /** ANN via multi-table LSH (banding): `planes` hyperplanes split into
     * `planes / bandPlanes` tables of `bandPlanes` sign bits each;
@@ -122,15 +133,6 @@ object Similarity {
                       maxBucket: Int = 10000): DataFrame = {
     VectorExprs.ensureRegistered(df.sparkSession)
     require(planes % bandPlanes == 0, "planes must be a multiple of bandPlanes")
-    val nTables = planes / bandPlanes
-    val tableSigs = (0 until nTables).map { t =>
-      val bits = (0 until bandPlanes).map { j =>
-        val p = t * bandPlanes + j
-        val weights = typedlit((0 until dims).map(dm => planeWeight(p, dm)))
-        when(dot(asDouble(col(vecCol)), weights) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
     // The band table carries the vector payload through the self-join
     // (×L duplication). The candidates-first alternative — join on
     // (table, sig, id) only, distinct the id pairs, re-attach vectors by
@@ -140,7 +142,8 @@ object Similarity {
     // width grows an order of magnitude; revisit if planes/bandPlanes
     // ever does.
     val sig = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
-      posexplode(array(tableSigs: _*)))
+      posexplode(VectorExprs.lshSigs(asDouble(col(vecCol)),
+        planeMatrix(planes, dims), dims, bandPlanes)))
       .withColumnRenamed("pos", "__table")
       .withColumnRenamed("col", "__sig")
       .withColumn("__n", norm(col("__v")))

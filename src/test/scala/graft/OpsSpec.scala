@@ -166,6 +166,71 @@ class OpsSpec extends SparkTestBase {
       s"fused mismatch for doc ${r.getLong(0)}"))
   }
 
+  test("graft_minhash_xx64 fused kernel equals the xxhash64 HOF formulation") {
+    val rows = docs.select(col("doc_id"),
+      graft.functions.VectorExprs.minHashXx64Tokens(
+        graft.ops.TextAnalysis.tokens(col("text")), 3, 7).as("fused"),
+      array_min(transform(graft.ops.TextAnalysis.shingles(col("text"), 3),
+        s => xxhash64(lit(7), s))).as("hof"),
+      // k = 1 over an existing shingle array == per-element minhash
+      graft.functions.VectorExprs.minHashXx64Tokens(
+        graft.ops.TextAnalysis.shingles(col("text"), 3), 1, 7).as("k1"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.get(1) === r.get(2), s"fused mismatch for doc ${r.getLong(0)}")
+      assert(r.get(3) === r.get(2), s"k=1 mismatch for doc ${r.getLong(0)}")
+    }
+    // "tiny" has < 3 tokens -> null, like array_min over an empty array
+    assert(rows.exists(r => r.get(1) == null))
+  }
+
+  test("fused simhash-tokens kernel equals the transform+vote formulation") {
+    val toks = graft.ops.TextAnalysis.tokens(col("text"))
+    val rows = docs.select(col("doc_id"),
+      graft.functions.VectorExprs.simhashTokens(toks, useMd5 = true).as("fmd5"),
+      graft.functions.VectorExprs.simhash32(transform(toks,
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))).as("hmd5"),
+      graft.functions.VectorExprs.simhashTokens(toks, useMd5 = false).as("fxx"),
+      graft.functions.VectorExprs.simhash32(transform(toks,
+        t => xxhash64(t))).as("hxx"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"md5 mismatch for doc ${r.getLong(0)}")
+      assert(r.getLong(3) === r.getLong(4), s"xx64 mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("fused lsh-signature kernel equals the per-plane dot formulation") {
+    val e = sf("embeddings")
+    val dims = 64
+    val planes = 16
+    val bandPlanes = 4
+    val v = col("embedding").cast("array<double>")
+    val perPlane = (0 until planes / bandPlanes).map { t =>
+      (0 until bandPlanes).map { j =>
+        val p = t * bandPlanes + j
+        val weights = typedlit((0 until dims).map(dm => Similarity.planeWeight(p, dm)))
+        when(graft.functions.VectorExprs.dot(v, weights) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val w = {
+      val arr = new Array[Double](planes * dims)
+      for (p <- 0 until planes; d <- 0 until dims)
+        arr(p * dims + d) = Similarity.planeWeight(p, d)
+      arr
+    }
+    val rows = e.select(col("vec_id"),
+      graft.functions.VectorExprs.lshSigs(v, w, dims, bandPlanes).as("fused"),
+      array(perPlane: _*).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"sig mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
   test("quality-features kernel matches the regex formulations on adversarial text") {
     val texts = Seq(
       "The quick brown fox, JUMPED over 2 lazy dogs!!",

@@ -145,6 +145,106 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ffill/cumsum arrival-order contract: cross-batch late idx folds in as newest") {
+    import graft.streaming.StreamingScan
+    import graft.streaming.StreamingScan.ScanEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ScanEvent]
+    val out = StreamingScan.ffillCumsum(input.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("late_scan_out").start()
+    try {
+      input.addData(ScanEvent(1L, 0L, Some(2.0)), ScanEvent(1L, 2L, Some(5.0)))
+      q.processAllAvailable()
+      // idx 1 arrives AFTER idx 2 was processed — it violates the
+      // documented ordering contract, and the state (which cannot
+      // reorder the past) folds it in by ARRIVAL order
+      input.addData(ScanEvent(1L, 1L, Some(3.0)))
+      q.processAllAvailable()
+      val got = spark.table("late_scan_out")
+        .orderBy("idx").collect()
+        .map(r => (r.getLong(1), r.getDouble(4)))
+      // arrival order: cs(idx0)=2, cs(idx2)=7, then the late idx1 -> 10
+      assert(got.toSeq === Seq((0L, 2.0), (1L, 10.0), (2L, 7.0)))
+      // ...which deliberately DIFFERS from the batch engine's idx-order
+      // result (cs at idx1 = 5.0): the contract is real, not decorative
+      val batch = api.GroupByScan(
+        Seq((1L, 0L, Some(2.0)), (1L, 1L, Some(3.0)), (1L, 2L, Some(5.0)))
+          .toDF("key", "idx", "v"),
+        Seq("key"), "v", "nancumsum", "idx", "cs")
+        .orderBy("idx").collect().map(r => (r.getLong(1), r.getDouble(3)))
+      assert(batch.toSeq === Seq((0L, 2.0), (1L, 5.0), (2L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("append mode: events later than the watermark are dropped from closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val agg = StreamingGroupBy.windowedReduce(df, "ts", Seq("k"),
+      Seq(("v", "sum", "s"), ("v", "count", "n")),
+      windowDuration = "5 minutes", watermarkDelay = "0 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_win_out").start()
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0))
+      q.processAllAvailable()
+      // advance event time past window [0, 5): the watermark closes it
+      input.addData((ts(6), "a", 5.0))
+      q.processAllAvailable()
+      // a straggler INSIDE the closed window — dropped, not re-emitted
+      input.addData((ts(2), "a", 100.0))
+      q.processAllAvailable()
+      // advance again so window [5, 10) also closes and emits
+      input.addData((ts(11), "a", 7.0))
+      q.processAllAvailable()
+      val got = spark.table("late_win_out")
+        .select(col("window.start").cast("long").as("w"), col("s"), col("n"))
+        .orderBy("w").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // window 0 excludes the late 100.0; window 300 holds only the 5.0
+      assert(got.toSeq === Seq((0L, 3.0, 2L), (300L, 5.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("sliding-window approx quantiles: overlap + cross-batch merge equal batch") {
+    import graft.aggs.ReduceOptions
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val opts = ReduceOptions(approxQuantile = true)
+    val agg = StreamingGroupBy.windowedReduce(df, "ts", Seq("k"),
+      Seq(("v", "median", "med")),
+      windowDuration = "10 minutes", slideDuration = Some("5 minutes"),
+      watermarkDelay = "0 seconds", opts = opts)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("slide_q_out").start()
+    try {
+      // each event lands in TWO overlapping windows; the second batch
+      // must merge sketch state into windows the first batch opened
+      input.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0))
+      q.processAllAvailable()
+      input.addData((ts(6), "a", 3.0), (ts(7), "a", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("slide_q_out")
+        .select(col("window.start").cast("long").as("w"), col("med"))
+        .orderBy("w").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // exact regime: element at rank ceil(0.5 * n)
+      assert(got.toSeq === Seq((-300L, 1.0), (0L, 2.0), (300L, 3.0)))
+      // and the batch engine (same windowedReduce over a bounded frame)
+      // agrees window-for-window
+      val batch = StreamingGroupBy.windowedReduce(
+        Seq((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(6), "a", 3.0),
+          (ts(7), "a", 4.0)).toDF("ts", "k", "v"),
+        "ts", Seq("k"), Seq(("v", "median", "med")),
+        windowDuration = "10 minutes", slideDuration = Some("5 minutes"),
+        opts = opts)
+        .select(col("window.start").cast("long").as("w"), col("med"))
+        .orderBy("w").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(batch.toSeq === got.toSeq)
+    } finally q.stop()
+  }
+
   test("exact quantile stays rejected in streaming even with other opts") {
     val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
     val e = intercept[IllegalArgumentException] {
