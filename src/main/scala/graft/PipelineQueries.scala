@@ -15,12 +15,17 @@ object PipelineQueries {
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
   // ---- shared oracle SQL fragments -------------------------------------
-  private val W = raw"string_split_regex(lower(trim(text)), '\s+')"
-  private val SH =
-    s"list_transform(range(1, CASE WHEN len($W) >= 3 THEN len($W) - 1 ELSE 1 END), " +
-      s"i -> $W[i] || ' ' || $W[i+1] || ' ' || $W[i+2])"
-  private def mhSql(h: Int) =
-    s"list_min(list_transform($SH, s -> md5('$h' || '|' || s)))"
+  private def wOf(c: String) = raw"string_split_regex(lower(trim($c)), '\s+')"
+  private def shOf(c: String) = {
+    val w = wOf(c)
+    s"list_transform(range(1, CASE WHEN len($w) >= 3 THEN len($w) - 1 ELSE 1 END), " +
+      s"i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
+  }
+  private def mhSqlOf(c: String, h: Int) =
+    s"list_min(list_transform(${shOf(c)}, s -> md5('$h' || '|' || s)))"
+  private val W = wOf("text")
+  private val SH = shOf("text")
+  private def mhSql(h: Int) = mhSqlOf("text", h)
 
   private val simhashSql: String = {
     val hs = s"list_transform($W, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
@@ -130,6 +135,20 @@ object PipelineQueries {
         threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
         .select("doc_id")
         .orderBy("doc_id")),
+
+    // passage-granularity fuzzy dedup: fixed token windows (the chunk
+    // level context-window pipelines dedup at; blank-line paragraphs via
+    // Dedup.paragraphs when the corpus has them), then the SAME fused
+    // shingle-minhash LSH machinery as the doc-level path — boilerplate
+    // repeating across otherwise-distinct documents surfaces here
+    "q_passage_near_dup" -> ((s, d) => {
+      val p = Dedup.passages(docs(s, d), "text", "doc_id", window = 20)
+        .withColumn("pid", col("doc_id") * 1000 + col("para_idx"))
+      Dedup.nearDupPairs(p, "para_text", "pid",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
 
     // SimHash near-dup pairs: pigeonhole-banded candidates + hamming
     // verify — provably equal to the O(n²) scan it never runs
@@ -413,6 +432,38 @@ object PipelineQueries {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM losers)
          ORDER BY doc_id""",
+
+    // passage replica: token windows rebuilt in SQL, then the banded
+    // EQUI-join candidate shape (one hash join per minhash lane,
+    // UNION-dedup'd) — the same plan family Spark runs, and hash-joinable
+    // for DuckDB where the OR-join formulation would nested-loop
+    "q_passage_near_dup" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         p0 AS (SELECT doc_id, w,
+           unnest(range(0, (len(w) + 19) // 20))::BIGINT AS para_idx FROM t),
+         p AS (SELECT doc_id * 1000 + para_idx AS pid,
+           array_to_string(w[para_idx * 20 + 1 : para_idx * 20 + 20], ' ') AS para_text
+           FROM p0),
+         s AS (SELECT pid, list_distinct(${shOf("para_text")}) AS sh,
+           ${mhSqlOf("para_text", 0)} AS m0, ${mhSqlOf("para_text", 1)} AS m1,
+           ${mhSqlOf("para_text", 2)} AS m2, ${mhSqlOf("para_text", 3)} AS m3
+           FROM p),
+         cand AS (
+           SELECT a.pid AS id_a, b.pid AS id_b FROM s a JOIN s b
+             ON a.m0 = b.m0 AND a.pid < b.pid
+           UNION
+           SELECT a.pid, b.pid FROM s a JOIN s b ON a.m1 = b.m1 AND a.pid < b.pid
+           UNION
+           SELECT a.pid, b.pid FROM s a JOIN s b ON a.m2 = b.m2 AND a.pid < b.pid
+           UNION
+           SELECT a.pid, b.pid FROM s a JOIN s b ON a.m3 = b.m3 AND a.pid < b.pid)
+         SELECT id_a, id_b,
+           round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+         FROM cand JOIN s sa ON sa.pid = id_a JOIN s sb ON sb.pid = id_b
+         WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+         ORDER BY 1, 2""",
 
     "q_simhash" ->
       s"SELECT doc_id, $simhashSql AS simhash FROM documents ORDER BY doc_id",

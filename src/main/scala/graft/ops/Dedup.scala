@@ -361,6 +361,37 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Paragraph table: one row per blank-line-separated paragraph —
+    * (idCol, para_idx, para_text), empty paragraphs dropped. Map-only
+    * explode; downstream, every document-level dedup operator runs
+    * unchanged at paragraph granularity (production pipelines run both:
+    * doc-level near-dup plus paragraph-level fuzzy dedup for boilerplate
+    * that repeats across otherwise-distinct pages). */
+  def paragraphs(df: DataFrame, textCol: String, idCol: String,
+                 splitPattern: String = "\\n\\s*\\n"): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), splitPattern)))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumnRenamed("col", "para_text")
+      .filter(length(trim(col("para_text"))) > 0)
+
+  /** Passage table: fixed `window`-token chunks of each document —
+    * (idCol, para_idx, para_text). The chunk-granularity mirror of
+    * `paragraphs` for corpora without structural separators (and the
+    * granularity context-window pipelines dedup at). Map-only. */
+  def passages(df: DataFrame, textCol: String, idCol: String,
+               window: Int = 20): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nPass = ceil(size(toks).cast("double") / window).cast("int")
+    df.select(col(idCol), toks.as("__toks"), nPass.as("__np"))
+      .filter(col("__np") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__np") - 1),
+        i => array_join(slice(col("__toks"), i * window + 1, lit(window)), " "))))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumnRenamed("col", "para_text")
+  }
+
   /** 32-bit SimHash over token hashes. md5 mode (cross-engine
     * reproducible, used by the oracle queries) hashes each token to its
     * first-4-md5-bytes value; xxhash64 mode is the production fast

@@ -166,6 +166,29 @@ class OpsSpec extends SparkTestBase {
       s"fused mismatch for doc ${r.getLong(0)}"))
   }
 
+  test("passages chunk tokens into fixed windows; paragraphs split on blank lines") {
+    val p = Dedup.passages(docs, "text", "doc_id", window = 4)
+    // doc 1 has 9 tokens -> windows of 4, 4, 1
+    val rows = p.filter(col("doc_id") === 1).orderBy("para_idx").collect()
+    assert(rows.map(_.getString(2)).toSeq ===
+      Seq("the quick brown fox", "jumps over the lazy", "dog"))
+    // near-dup machinery composes at passage granularity: the exact-dup
+    // docs 1 and 4 pair up on every passage at jaccard 1.0
+    val pid = p.withColumn("pid", col("doc_id") * 100 + col("para_idx"))
+    val pairs = Dedup.nearDupPairs(pid, "para_text", "pid",
+      threshold = 0.99, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 400L)) && pairs.contains((101L, 401L)))
+    val para = Dedup.paragraphs(
+      Seq((1L, "first para here\n\nsecond para\n \n\nthird"),
+        (2L, "no paragraph breaks at all")).toDF("doc_id", "text"),
+      "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(para.toSet === Set((1L, 0, "first para here"),
+      (1L, 1, "second para"), (1L, 2, "third"),
+      (2L, 0, "no paragraph breaks at all")))
+  }
+
   test("graft_minhash_xx64 fused kernel equals the xxhash64 HOF formulation") {
     val rows = docs.select(col("doc_id"),
       graft.functions.VectorExprs.minHashXx64Tokens(
