@@ -72,6 +72,48 @@ object Multimodal {
     ds.mapPartitions(_.map(r => decodeImage(r.id, r.media)))
   }
 
+  /** Resize output: re-encoded PNG bytes + the target dims; `ok` false
+    * (empty payload) when the input had no decodable image. */
+  case class ResizedImage(id: Long, width: Int, height: Int, ok: Boolean,
+                          png: Array[Byte])
+
+  /** Real image resize: decode (ImageIO), bilinear-scale to (w, h) on a
+    * headless raster, re-encode as PNG. Undecodable payloads yield
+    * ok=false with an empty payload — the stage stays total, and a
+    * filter on `ok` is the quarantine step a production pipeline runs.
+    * PNG re-encoding of the same raster is deterministic within a JVM;
+    * treat resized bytes as opaque input to the NEXT stage (feature
+    * extraction), not as a cross-engine-comparable value. */
+  def resizeImage(id: Long, bytes: Array[Byte], w: Int, h: Int): ResizedImage =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) ResizedImage(id, 0, 0, ok = false, Array.emptyByteArray)
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        ResizedImage(id, w, h, ok = true, bos.toByteArray)
+      }
+    } catch {
+      case _: Exception => ResizedImage(id, 0, 0, ok = false, Array.emptyByteArray)
+    }
+
+  /** Partition-parallel resize: the map stage between decode and
+    * feature extraction. Same mapPartitions shape as decodeImages —
+    * one image in flight per task at a time, media bytes never
+    * collected. */
+  def resizeImages(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r => resizeImage(r.id, r.media, w, h)))
+  }
+
   /** Build a media table from documents (text bytes standing in for
     * image payloads — the container has no codecs; the binary-column
     * plumbing is what's exercised). */

@@ -218,21 +218,39 @@ object Similarity {
 
   /** Top-n nearest centroids per vector: cross join against the
     * BROADCAST centroid table (tiny by contract: #partitions of the
-    * index, not data size) — map-only over the vector side, then a
-    * per-vector top-n window. Ties broken by round(sim, 6) then cid. */
+    * index, not data size) — map-only over the vector side. Ties broken
+    * by round(sim, 6) then cid.
+    *
+    * n = 1 (the IVF assignment of every corpus vector — the scale-heavy
+    * case) picks the winner with a max_by hash AGGREGATION instead of a
+    * row_number window: same shuffle key, but partially aggregated
+    * map-side and never sorted — at corpus scale the window variant
+    * sorts #vectors x #centroids rows inside each partition first.
+    * max_by on struct(round(sim,6), -cid) reproduces the window's
+    * orderBy exactly (highest rounded sim, then lowest cid). */
   private def nearestCentroids(vecs: DataFrame, partCol: String,
                                centroids: DataFrame, n: Int): DataFrame = {
     val c = centroids.select(col("cid"), col("cv"),
       norm(col("cv")).as("__cn"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(partCol)
-      .orderBy(round(col("__csim"), 6).desc, col("cid").asc)
-    vecs.crossJoin(broadcast(c))
+    val scored = vecs.crossJoin(broadcast(c))
       .withColumn("__csim",
         cosinePrenormed(col("__v"), col("cv"), col("__n"), col("__cn")))
-      .withColumn("__crk", row_number().over(w))
-      .filter(col("__crk") <= n)
-      .drop("cv", "__cn", "__csim", "__crk")
+    if (n == 1) {
+      val carry = vecs.columns.filterNot(_ == partCol) :+ "cid"
+      scored.groupBy(col(partCol))
+        .agg(max_by(struct(carry.map(col): _*),
+          struct(round(col("__csim"), 6).as("s"), (-col("cid")).as("c")))
+          .as("__best"))
+        .select(col(partCol) +: carry.map(f => col(s"__best.$f").as(f)): _*)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCol)
+        .orderBy(round(col("__csim"), 6).desc, col("cid").asc)
+      scored
+        .withColumn("__crk", row_number().over(w))
+        .filter(col("__crk") <= n)
+        .drop("cv", "__cn", "__csim", "__crk")
+    }
   }
 
   /** Lloyd (k-means) refinement of a centroid table: assign each

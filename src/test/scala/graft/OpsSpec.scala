@@ -407,6 +407,16 @@ class OpsSpec extends SparkTestBase {
     assert(metas(0).width === 40 && metas(0).height === 25 && metas(0).channels === 3)
     assert(metas(1).width === 16 && metas(1).height === 9 && metas(1).channels === 4)
     assert(metas(2).width === 33 && metas(2).height === 21 && metas(2).channels === 3)
+    // resize: real raster scale + PNG re-encode; output decodes to the
+    // target dims, undecodable input quarantines as ok=false
+    val resized = Multimodal.resizeImages(ds, 16, 16).collect().sortBy(_.id)
+    assert(resized.take(3).forall(r => r.ok && r.width === 16 && r.height === 16))
+    assert(!resized(3).ok && resized(3).png.isEmpty)
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(resized(0).png))
+    assert(back.getWidth === 16 && back.getHeight === 16)
+    // deterministic within the JVM: same input -> same bytes
+    val rerun = Multimodal.resizeImage(1L, png, 16, 16)
+    assert(java.util.Arrays.equals(rerun.png, resized(0).png))
     // non-image bytes take the deterministic fallback, not an exception
     assert(metas(3) === Multimodal.decodeFallback(4L, "definitely not an image".getBytes))
     // executor-side determinism of the real decode
