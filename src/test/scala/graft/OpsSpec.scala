@@ -166,6 +166,40 @@ class OpsSpec extends SparkTestBase {
       s"fused mismatch for doc ${r.getLong(0)}"))
   }
 
+  test("plan pinning: no interpreted HOF lambdas on production hash paths") {
+    // a parquet-backed relation: a local fixture constant-folds into a
+    // LocalTableScan and leaves no expressions to pin
+    val pdocs = sf("documents")
+    // xxhash64 minhash signature: fused kernel, no transform() building
+    // shingle or hash arrays anywhere in the physical plan
+    val mh = Dedup.withMinhashSignature(pdocs, "text",
+      numHashes = 4, k = 3, useMd5 = false)
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    assert(!mhPlan.contains("transform("), mhPlan)
+    assert(mhPlan.contains("minhashxx64tokens"), mhPlan)
+    // simhash, both hash modes: fused token-hash + vote
+    Seq(true, false).foreach { md5Mode =>
+      val sh = pdocs.select(Dedup.simhash32(col("text"), md5Mode).as("s"))
+      val p = sh.queryExecution.executedPlan.toString
+      assert(!p.contains("transform(") && !p.contains("aggregate("), p)
+    }
+    // embedding LSH signatures: ONE kernel call, not 16 chained dots
+    // (the pair re-rank rightly keeps its single dot per candidate, so
+    // pin the signature projection alone)
+    val e = sf("embeddings")
+    val sigOnly = e.select(
+      Similarity.lshSignature(col("embedding"), dims = 64, planes = 16).as("sig"))
+    val sigPlan = sigOnly.queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("dotproduct("), sigPlan)
+    assert(sigPlan.contains("lshplanesigs"), sigPlan)
+    // uniform binning: O(1) arithmetic, no per-bin when-chain (a chain
+    // over n bins would repeat the comparison n times)
+    val ub = graft.keys.Binning.uniform(col("l_quantity"), 0.0, 50.0, 5)
+    val ubPlan = sf("lineitem").select(ub.as("bin"))
+      .queryExecution.executedPlan.toString
+    assert("CASE WHEN".r.findAllIn(ubPlan).size <= 1, ubPlan)
+  }
+
   test("passages chunk tokens into fixed windows; paragraphs split on blank lines") {
     val p = Dedup.passages(docs, "text", "doc_id", window = 4)
     // doc 1 has 9 tokens -> windows of 4, 4, 1
