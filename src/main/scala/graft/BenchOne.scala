@@ -33,7 +33,10 @@ object BenchOne {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[benchone] $name: $e"); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[benchone] $name: $e")
+          e.printStackTrace()
+          false }
       val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val escaped = name.replace("\\", "\\\\").replace("\"", "\\\"")
       (ok, s"""{"query":"$escaped","run":$r,"sec":$t,"ok":$ok}""")

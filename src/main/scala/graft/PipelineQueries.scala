@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -102,6 +102,79 @@ object PipelineQueries {
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
         .orderBy("doc_id")),
+
+    // Gopher-style repetition filters: docs that loop over few words or
+    // one phrase — the quality signal exact dedup can't see
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(docs(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // corpus vocabulary with deterministic ranks: the token-budget /
+    // tokenizer-training view of the corpus
+    "q_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(docs(s, d), "text", topN = 100)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("rnk")),
+
+    // context-window chunking with overlap (size 16, stride 12): the
+    // packing prep that turns documents into training sequences
+    "q_chunks" -> ((s, d) =>
+      TextAnalysis.chunks(docs(s, d), "text", "doc_id", size = 16, stride = 12)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ---------------- selection
+    // top-k per language by the certified 4-decimal quality score
+    // (rounded BEFORE ordering so the rank is engine-independent)
+    "q_quality_filter" -> ((s, d) => {
+      def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      val scored = docs(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"), f.as("__f"))
+        .select(col("doc_id"), col("pred_lang"),
+          r4(least(col("__f.n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - col("__f.n_stop") / greatest(col("__f.n_tokens"), lit(1L))) * 0.3 +
+            (lit(1.0) - col("__f.n_punct") / greatest(col("__f.len_nws"), lit(1L))) * 0.2)
+            .as("quality"))
+      Selection.topKPerGroup(scored, "pred_lang", "quality", "doc_id", k = 5)
+        .select("pred_lang", "doc_id", "quality")
+        .orderBy("pred_lang", "doc_id")
+    }),
+
+    // reproducible content-hash sampling: ~20% keep, same rows every
+    // run on every engine
+    "q_sample_hash" -> ((s, d) =>
+      Selection.hashSample(docs(s, d), "text", pctKeep = 20)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // exact train/eval contamination: docs sharing a normalized
+    // fingerprint with the benchmark slice (doc_id < 50 stands in for
+    // the eval set; the slice itself reports as self-contaminated,
+    // which certifies the join end-to-end with guaranteed hits)
+    "q_contaminated" -> ((s, d) =>
+      Selection.contaminated(docs(s, d),
+        docs(s, d).filter(col("doc_id") < 50), "text")
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    "q_decontaminate" -> ((s, d) =>
+      Selection.decontaminate(docs(s, d),
+        docs(s, d).filter(col("doc_id") < 50), "text")
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // FUZZY contamination: corpus passages near-duplicating a benchmark
+    // doc (mod-10 split), via the bipartite broadcast LSH path
+    "q_contam_fuzzy" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.crossNearDupPairs(
+        all.filter(col("doc_id") % 10 === 0),
+        all.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_l", "id_r")
+    }),
 
     // ---------------- dedup
     "q_dedup_exact" -> ((s, d) =>
@@ -361,6 +434,107 @@ object PipelineQueries {
          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
          list_min(list_transform($SH, s -> md5(s))) AS rfp
          FROM documents ORDER BY doc_id""",
+
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w,
+           (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT AS n
+           FROM documents),
+         b AS (SELECT doc_id, unnest(list_transform(
+             range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END),
+             i -> w[i] || ' ' || w[i+1])) AS bg FROM t),
+         c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2),
+         f AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS tbf FROM c GROUP BY 1)
+         SELECT t.doc_id, t.n AS n_tokens,
+           floor((CASE WHEN t.n = 0 THEN 0.0
+             ELSE len(list_distinct(w))::DOUBLE / t.n END) * 10000 + 0.5) / 10000
+             AS distinct_ratio,
+           floor(coalesce(f.tbf, 0.0) * 10000 + 0.5) / 10000 AS top_bigram_frac
+         FROM t LEFT JOIN f USING (doc_id) ORDER BY doc_id""",
+
+    "q_vocab" ->
+      s"""WITH tok AS (SELECT unnest($W) AS token FROM documents),
+         c AS (SELECT token, count(*)::BIGINT AS n FROM tok
+               WHERE len(token) > 0 GROUP BY 1)
+         SELECT token, n,
+           (row_number() OVER (ORDER BY n DESC, token))::BIGINT AS rnk
+         FROM c ORDER BY n DESC, token LIMIT 100""",
+
+    "q_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w,
+           CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END AS n
+           FROM documents),
+         c AS (SELECT doc_id, w, unnest(range(0,
+           CASE WHEN n = 0 THEN 0
+             ELSE (CASE WHEN n > 16 THEN n - 16 ELSE 0 END + 11) // 12 + 1
+           END))::BIGINT AS chunk_idx FROM t)
+         SELECT doc_id, chunk_idx,
+           len(w[(chunk_idx*12+1)::INT : (chunk_idx*12+16)::INT])::BIGINT
+             AS n_chunk_tokens,
+           array_to_string(w[(chunk_idx*12+1)::INT : (chunk_idx*12+16)::INT], ' ')
+             AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+
+    "q_quality_filter" ->
+      s"""WITH base AS (SELECT doc_id,
+           (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT AS n_tokens,
+           len(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE AS len_nws,
+           len(list_filter($W, t -> list_contains(['a','the','and','of','to','is','in'], t)))::DOUBLE AS n_stop,
+           len(regexp_replace(regexp_replace(lower(text), '\\s+', '', 'g'), '[a-z0-9]', '', 'g'))::DOUBLE AS n_punct,
+           len(list_filter($W, t -> list_contains(['the','a','is','and'], t))) AS s_en,
+           len(list_filter($W, t -> list_contains(['el','la','es','que'], t))) AS s_es,
+           len(list_filter($W, t -> list_contains(['der','die','und','ist'], t))) AS s_de,
+           len(list_filter($W, t -> list_contains(['le','les','est','une'], t))) AS s_fr,
+           len(list_filter($W, t -> list_contains(['的','是','了'], t))) AS s_zh
+           FROM documents),
+         q AS (SELECT doc_id,
+           CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                ELSE 'und' END AS pred_lang,
+           floor((least(n_tokens / 100.0, 1.0) * 0.5
+             + (1.0 - n_stop / greatest(n_tokens, 1)) * 0.3
+             + (1.0 - n_punct / greatest(len_nws, 1)) * 0.2) * 10000 + 0.5) / 10000
+             AS quality
+           FROM base),
+         r AS (SELECT *, row_number() OVER
+           (PARTITION BY pred_lang ORDER BY quality DESC, doc_id) AS rk FROM q)
+         SELECT pred_lang, doc_id, quality FROM r WHERE rk <= 5
+         ORDER BY pred_lang, doc_id""",
+
+    "q_sample_hash" ->
+      s"""SELECT doc_id FROM documents
+         WHERE ('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT % 100 < 20
+         ORDER BY doc_id""",
+
+    "q_contaminated" ->
+      s"""SELECT doc_id FROM documents d
+         WHERE EXISTS (SELECT 1 FROM documents b WHERE b.doc_id < 50
+           AND md5(regexp_replace(trim(lower(b.text)), '\\s+', ' ', 'g'))
+             = md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')))
+         ORDER BY doc_id""",
+
+    "q_decontaminate" ->
+      s"""SELECT doc_id FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM documents b WHERE b.doc_id < 50
+           AND md5(regexp_replace(trim(lower(b.text)), '\\s+', ' ', 'g'))
+             = md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')))
+         ORDER BY doc_id""",
+
+    "q_contam_fuzzy" ->
+      s"""WITH s AS (
+           SELECT doc_id, list_distinct($SH) AS sh,
+             ${mhSql(0)} AS m0, ${mhSql(1)} AS m1, ${mhSql(2)} AS m2, ${mhSql(3)} AS m3
+           FROM documents)
+         SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+           AND (a.m0 = b.m0 OR a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3)
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+         ORDER BY 1, 2""",
 
     "q_dedup_exact" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,

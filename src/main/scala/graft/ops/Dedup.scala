@@ -143,6 +143,69 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-duplicate pairs: rows of `right` (the corpus)
+    * within shingle-Jaccard >= threshold of a row of `left` (the
+    * benchmark) — FUZZY train/eval contamination, the step exact
+    * fingerprint matching (Selection.contaminated) cannot cover when
+    * eval text is paraphrased or truncated into the training set.
+    *
+    * Bipartite LSH: band signatures on both sides, equi-join on the
+    * band key with the benchmark side BROADCAST (a benchmark is a few
+    * thousand documents; the corpus is the 100 TB side), then the
+    * sorted-merge Jaccard verify over candidates only. The corpus is
+    * never shuffled: its band table joins against a broadcast, and the
+    * verify join ships only candidate ids. Returns
+    * (id_l, id_r, jaccard).
+    */
+  def crossNearDupPairs(left: DataFrame, right: DataFrame, textCol: String,
+                        leftIdCol: String, rightIdCol: String,
+                        threshold: Double = 0.8, numHashes: Int = 6,
+                        bandSize: Int = 1, k: Int = 3,
+                        useMd5: Boolean = false,
+                        maxBucket: Int = 1000): DataFrame = {
+    val nBands = numHashes / bandSize
+    def bandsOf(df: DataFrame, idCol: String, outId: String) = {
+      val sig = withMinhashSignature(df, textCol, numHashes, k, useMd5)
+        .select(col(idCol).as(outId),
+          array((0 until numHashes).map(h => col(s"mh$h").cast("string")): _*)
+            .as("__sig"))
+      sig.select(col(outId),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => md5(concat_ws("|", (0 until bandSize).map(j =>
+            element_at(col("__sig"), b * bandSize + j + 1)): _*)))))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_hash")
+        .select(col("band_idx"), col("band_hash"), col(outId))
+    }
+    // degenerate-bucket guard on the corpus side only: the broadcast
+    // benchmark side is bounded by construction, but one pathological
+    // corpus bucket (e.g. empty documents) times any benchmark hit
+    // would still fan out — computed from the corpus band table alone,
+    // so it stays a broadcast anti-join
+    val rBands0 = bandsOf(right, rightIdCol, "id_r").localCheckpoint()
+    val oversized = rBands0.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("band_idx", "band_hash")
+    val rBands = rBands0.join(broadcast(oversized),
+      Seq("band_idx", "band_hash"), "left_anti")
+    val cand = rBands
+      .join(broadcast(bandsOf(left, leftIdCol, "id_l")),
+        Seq("band_idx", "band_hash"))
+      .select("id_l", "id_r").distinct()
+    def shinglesOf(df: DataFrame, idCol: String, outId: String, sh: String) =
+      df.select(col(idCol).as(outId),
+        array_sort(array_distinct(TextAnalysis.shingles(col(textCol), k)))
+          .as(sh))
+    cand
+      .join(broadcast(shinglesOf(left, leftIdCol, "id_l", "sh_l")), Seq("id_l"))
+      .join(shinglesOf(right, rightIdCol, "id_r", "sh_r"), Seq("id_r"))
+      .withColumn("jaccard",
+        graft.functions.VectorExprs.jaccardSorted(col("sh_l"), col("sh_r")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+  }
+
   /** Connected components by iterative min-label propagation WITH
     * pointer jumping: label(node) starts as min(id, neighbor ids); each
     * round every node takes the min label among itself and its

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-selection operators for training-data pipelines: quality
+  * filtering, reproducible sampling, and benchmark-contamination
+  * control. These are the steps BETWEEN analysis (TextAnalysis) and
+  * dedup (Dedup) in a real pipeline: score → filter/sample → dedup →
+  * decontaminate → train.
+  *
+  * Scale shapes: topKPerGroup is one shuffle on the group key (window
+  * partitions never colocate the whole corpus); hashSample is map-only
+  * (a filter over a per-row hash — pushes down past column pruning);
+  * the contamination joins broadcast the benchmark side, which is
+  * orders of magnitude smaller than the corpus by construction.
+  */
+object Selection {
+
+  /** Top-k rows per group by score (desc), ties broken by ascending
+    * tieCol — deterministic under re-runs and engine changes, which a
+    * raw double ordering is not. The partition-by window keeps each
+    * group on one task but never more: no global sort, no single
+    * reducer.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Deterministic content-hash sampling: keep a row iff
+    * hash(normalized text) mod 100 < pctKeep. Unlike rand()-based
+    * sampling this is reproducible across runs, engines and
+    * partitionings, and it samples by CONTENT, so exact duplicates land
+    * on the same side of the cut — the property that makes the sample
+    * honest for dedup-rate estimation. Map-only: one codegen'd pass,
+    * no shuffle, and the filter sits directly over the scan.
+    *
+    * md5 mode (default) is reproducible in any engine (the oracle
+    * recomputes it in SQL); useMd5=false switches to xxhash64 for
+    * production speed, same distribution properties.
+    */
+  def hashSampleKey(text: Column, useMd5: Boolean = true): Column =
+    if (useMd5)
+      // first 15 hex chars = 60 bits, fits a signed long, non-negative
+      conv(substring(TextAnalysis.fingerprint(text), 1, 15), 16, 10)
+        .cast("long")
+    else
+      pmod(xxhash64(regexp_replace(trim(lower(text)), "\\s+", " ")),
+        lit(Long.MaxValue))
+
+  def hashSample(df: DataFrame, textCol: String, pctKeep: Int,
+                 useMd5: Boolean = true): DataFrame = {
+    require(pctKeep >= 0 && pctKeep <= 100, "pctKeep must be in [0,100]")
+    df.filter(hashSampleKey(col(textCol), useMd5) % 100 < pctKeep)
+  }
+
+  /** Rows of `corpus` whose normalized-content fingerprint appears in
+    * `benchmark` — exact train/eval contamination. left_semi on the
+    * fingerprint with the benchmark side broadcast: the corpus never
+    * shuffles, which is the only acceptable shape when corpus is 100 TB
+    * and the benchmark is a few thousand eval documents.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+                   textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val bfp = broadcast(
+      benchmark.select(fp.as("__fp")).distinct())
+    corpus.withColumn("__fp", fp)
+      .join(bfp, Seq("__fp"), "left_semi")
+      .drop("__fp")
+  }
+
+  /** `corpus` minus exact benchmark contamination (left_anti mirror of
+    * [[contaminated]]) — the decontamination end product a pipeline
+    * actually ships. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val bfp = broadcast(
+      benchmark.select(fp.as("__fp")).distinct())
+    corpus.withColumn("__fp", fp)
+      .join(bfp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+}

@@ -99,4 +99,95 @@ object TextAnalysis {
     * Fused token-shingle kernel: shingle strings never materialize. */
   def rollingFingerprint(text: Column, k: Int = 3): Column =
     graft.functions.VectorExprs.minHashMd5Tokens(tokens(text), k, "")
+
+  /** Context-window chunking: split each document into token windows of
+    * `size` tokens starting every `stride` tokens (stride < size gives
+    * overlapping windows — the standard training-data packing prep so
+    * no span longer than `size - stride` is lost at a boundary). The
+    * final window is the last one starting before the text runs out, so
+    * every token lands in at least one chunk; blank documents yield no
+    * chunks. Returns (idCol, chunk_idx, n_chunk_tokens, chunk_text).
+    *
+    * Map-side explode: rows fan out ~n_tokens/stride with no shuffle,
+    * the same shape as [[graft.ops.Dedup.passages]] (which is the
+    * stride == size special case at dedup granularity).
+    */
+  def chunks(df: org.apache.spark.sql.DataFrame, textCol: String,
+             idCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size >= 1 && stride >= 1, "size and stride must be >= 1")
+    require(stride <= size, "stride > size would drop tokens between windows")
+    val toks = tokens(col(textCol))
+    val n = tokenCount(col(textCol)).cast("long")
+    // ceil(max(n-size,0)/stride) + 1 windows; 0 for empty text.
+    // floor() because Column./ on integral types is double division.
+    val nChunks = when(n === 0, lit(0L)).otherwise(
+      floor((greatest(n - size, lit(0L)) + (stride - 1)) / stride).cast("long") + 1)
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .filter(col("__nc") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), col("__nc") - 1),
+        i => struct(
+          size_(slice(col("__toks"), (i * stride + 1).cast("int"), lit(size)))
+            .cast("long").as("n"),
+          array_join(slice(col("__toks"), (i * stride + 1).cast("int"), lit(size)), " ")
+            .as("t")))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col.n").as("n_chunk_tokens"), col("col.t").as("chunk_text"))
+  }
+  // `chunks` has an Int parameter named `size` that shadows
+  // functions.size; this alias keeps the builtin reachable there
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** Corpus vocabulary: the `topN` most frequent whitespace tokens with
+    * their counts and a dense 1-based rank (count desc, token asc — a
+    * total order, so ranks are deterministic). The explode + partial
+    * aggregation is the canonical Spark wordcount shape: map-side
+    * combine absorbs per-partition repetition before the single shuffle
+    * on token, and the global top-N is a TakeOrdered over the counts,
+    * never a full sort. The rank window runs on topN rows only.
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 topN: Int): org.apache.spark.sql.DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topN)
+    counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)).cast("long"))
+  }
+
+  /** Per-document repetition signals in the Gopher quality-filter
+    * style: `distinct_ratio` (unique tokens / tokens — low means the
+    * document loops over few words) and `top_bigram_frac` (occurrences
+    * of the most frequent bigram / all bigrams — high means one phrase
+    * repeats). Blank or sub-bigram documents score 0.0 by convention.
+    *
+    * distinct_ratio is map-only; top_bigram_frac explodes bigrams and
+    * aggregates twice KEYED BY DOCUMENT, so both shuffles partition on
+    * idCol and no task ever holds more than one document's bigram
+    * histogram.
+    */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        idCol: String): org.apache.spark.sql.DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    val toks = tokens(col(textCol))
+    val n = tokenCount(col(textCol)).cast("long")
+    val base = df.select(col(idCol), n.as("n_tokens"),
+      r4(when(n === 0, lit(0.0)).otherwise(
+        org.apache.spark.sql.functions.size(array_distinct(toks)).cast("double") /
+          n.cast("double"))).as("distinct_ratio"))
+    val bigram = df
+      .select(col(idCol), explode(shingles(col(textCol), 2)).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        (max(col("__c")).cast("double") / sum(col("__c")).cast("double"))
+          .as("__tbf"))
+    base.join(bigram, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", r4(coalesce(col("__tbf"), lit(0.0))))
+      .drop("__tbf")
+  }
 }

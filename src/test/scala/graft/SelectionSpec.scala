@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Dedup, Selection, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Corpus-selection + round-6 text ops on controlled inputs. */
+class SelectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "tiny"),
+    (6L, "")
+  ).toDF("doc_id", "text")
+
+  test("topKPerGroup keeps k rows per group, score desc, ties by id asc") {
+    val df = Seq(
+      ("a", 1L, 3.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)
+    ).toDF("g", "id", "score")
+    val top = Selection.topKPerGroup(df, "g", "score", "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // ties at 5.0 -> ids 2 then 3; 4th row cut; group b keeps its one row
+    assert(top === Set(("a", 2L), ("a", 3L), ("b", 5L)))
+  }
+
+  test("hashSample is deterministic, content-keyed, and rate-monotone") {
+    val s20 = Selection.hashSample(docs, "text", 20)
+      .select("doc_id").as[Long].collect().toSet
+    val s20again = Selection.hashSample(docs, "text", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20 === s20again) // reproducible
+    // exact duplicates land on the same side of the cut
+    assert(s20.contains(1L) === s20.contains(4L))
+    // monotone in the rate: a larger cut is a superset
+    val s80 = Selection.hashSample(docs, "text", 80)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20.subsetOf(s80))
+    assert(Selection.hashSample(docs, "text", 0).count() === 0L)
+    assert(Selection.hashSample(docs, "text", 100).count() === docs.count())
+    // xxhash64 production mode: same invariants, same dup-cohesion
+    val x = Selection.hashSample(docs, "text", 50, useMd5 = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(x.contains(1L) === x.contains(4L))
+  }
+
+  test("contaminated/decontaminate split the corpus on benchmark fingerprints") {
+    val bench = docs.filter(col("doc_id") === 1L)
+    val hit = Selection.contaminated(docs, bench, "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(hit === Array(1L, 4L)) // doc 4 is the exact dup of benchmark doc 1
+    val clean = Selection.decontaminate(docs, bench, "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean === Array(2L, 3L, 5L, 6L))
+    assert(hit.length + clean.length === docs.count())
+  }
+
+  test("crossNearDupPairs finds bipartite near-dups only, never within-side") {
+    val left = docs.filter(col("doc_id") <= 2L)
+    val right = docs.filter(col("doc_id") > 2L)
+    val pairs = Dedup.crossNearDupPairs(left, right, "text", "doc_id", "doc_id",
+      threshold = 0.5, numHashes = 8, bandSize = 1, k = 3, useMd5 = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup across the split
+    // 1-2 are near-dups but both on the left: must NOT appear
+    assert(pairs.forall { case (l, r) => l <= 2L && r > 2L })
+  }
+
+  test("chunks: overlap, last-window coverage, empty-doc skip") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunks(d, "text", "doc_id", size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: 7 tokens -> ceil(3/3)+1 = 2 chunks: [a..d], [d..g]
+    assert(rows.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "d e f g")))
+    // doc 2: fits one window
+    assert(rows.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 2L, "x y")))
+    // empty doc: no chunks
+    assert(!rows.exists(_._1 == 3L))
+    // every token of doc 1 is covered by some chunk
+    val covered = rows.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered === Set("a", "b", "c", "d", "e", "f", "g"))
+  }
+
+  test("vocabulary ranks by count desc then token asc, bounded by topN") {
+    val d = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(d, "text", topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSet === Set(("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)))
+  }
+
+  test("repetitionSignals: repetitive text scores high, varied text low") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionSignals(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L)._1 < m(2L)._1) // distinct_ratio: spam doc lower
+    assert(m(1L)._2 === 1.0)    // all bigrams identical
+    assert(m(2L)._2 === 0.2)    // 5 distinct bigrams of 5
+    assert(m(3L) === ((0.0, 0.0))) // blank doc scores zero by convention
+  }
+}
