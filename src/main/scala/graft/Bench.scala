@@ -17,19 +17,34 @@ object Bench {
     // (hash agg, object-hash agg with array buffer, window sort) so
     // their one-time codegen/infra setup isn't billed to the first
     // query in run order.
-    try {
+    // Each shape gets its own try: through r6 one shared try meant the
+    // first failure silently skipped every later warmup (shape 2
+    // referenced a column lineitem doesn't have, so the window /
+    // documents / embeddings / shuffle warmups never ran and their
+    // first-touch costs were billed to whichever query hit them first).
+    def warm(label: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $label: $e") }
+    {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      li.groupBy("l_returnflag").count()
-        .write.format("noop").mode("overwrite").save()
-      li.limit(10000).groupBy("l_returnflag")
-        .agg(sort_array(collect_list(col("l_quantity"))), md5(col("l_comment")))
-        .write.format("noop").mode("overwrite").save()
-      li.limit(10000)
-        .withColumn("rn", sum(col("l_quantity")).over(
-          Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
-        .write.format("noop").mode("overwrite").save()
+      warm("hash-agg") {
+        li.groupBy("l_returnflag").count()
+          .write.format("noop").mode("overwrite").save()
+      }
+      warm("object-hash-agg") {
+        li.limit(10000).groupBy("l_returnflag")
+          .agg(sort_array(collect_list(col("l_quantity"))).as("xs"),
+            max(md5(col("l_linestatus"))).as("h"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      warm("window") {
+        li.limit(10000)
+          .withColumn("rn", sum(col("l_quantity")).over(
+            Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
+          .write.format("noop").mode("overwrite").save()
+      }
       // The sweep iterates sorted, so the first query touching each of
       // the other two tables was billed that table's footer read +
       // first-scan setup (q_dedup_exact and q_embed_drop lead their
@@ -37,21 +52,37 @@ object Bench {
       // same generic shapes — a hashed scan and an array scan — plus one
       // tiny RDD shuffle for the serializer/shuffle-machinery setup the
       // iterative operators hit.
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .limit(2000).select(md5(col("text")).as("h"))
-        .groupBy("h").count()
-        .write.format("noop").mode("overwrite").save()
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .limit(2000).select(col("embedding").cast("array<double>").as("v"))
-        .select(sum(size(col("v"))))
-        .write.format("noop").mode("overwrite").save()
-      spark.sparkContext.parallelize(0 until 1000, 4)
-        .map(i => (i % 7, 1L)).reduceByKey(_ + _).count()
-    } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+      warm("documents") {
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .limit(2000).select(md5(col("text")).as("h"))
+          .groupBy("h").count()
+          .write.format("noop").mode("overwrite").save()
+      }
+      warm("embeddings") {
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .limit(2000).select(col("embedding").cast("array<double>").as("v"))
+          .select(sum(size(col("v"))))
+          .write.format("noop").mode("overwrite").save()
+      }
+      warm("shuffle") {
+        spark.sparkContext.parallelize(0 until 1000, 4)
+          .map(i => (i % 7, 1L)).reduceByKey(_ + _).count()
+      }
+    }
     // sorted iteration: Map order shifts as the query set grows, which
     // made per-query times incomparable across rounds (run position
     // changes JIT/codegen-cache context)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Teardown of the PREVIOUS query, untimed: iterative operators
+      // (connected components, Lloyd refine) leave localCheckpoint blocks
+      // in the block manager until the driver GC lets ContextCleaner at
+      // them. 76+ queries in one JVM let those accumulate, and the r6
+      // sweep showed later memory-hungry queries paying for it
+      // (q_quantile_multi 0.8→15.4s with no operator change). A real
+      // pipeline runs one job per session; the sweep emulates that here.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop sink: every column expression is fully computed (a count()
       // would let Catalyst prune unreferenced columns and elide sorts,
@@ -64,12 +95,28 @@ object Bench {
       // from the total, and is listed under "errors"
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 bytes of stdout and JSON-parses
+    // the final line; full-precision per-query values pushed the line past
+    // that window in round 6 (BENCH_r06.json: rc=0, parsed=null). Emit
+    // 2-decimal values on the driver line (~20 bytes/query keeps ~90
+    // queries inside the window) and write full precision to a local file
+    // for scripts/check_ratios.py.
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.2f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json: $e") }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    if (line.length > 1900) System.err.println(
+      s"[bench] WARNING: driver line ${line.length} bytes — nearing the 2000-byte tail window")
+    println(line)
     spark.stop()
   }
 }

@@ -122,17 +122,23 @@ object TextAnalysis {
     // floor() because Column./ on integral types is double division.
     val nChunks = when(n === 0, lit(0L)).otherwise(
       floor((greatest(n - size, lit(0L)) + (stride - 1)) / stride).cast("long") + 1)
+    // Explode the window indices FIRST, slice after: an earlier version
+    // built every chunk inside transform(sequence(...), i => struct(...))
+    // — an interpreted HOF lambda materializing the whole document ~2×
+    // as one nested value per row, the exact shape DESIGN.md measured
+    // 10:1 against fused kernels on the minhash pass (19.7s in the r6
+    // sweep vs 0.3s DuckDB). Generate(explode) + slice/array_join stay
+    // inside whole-stage codegen and touch one window at a time.
     df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
       .filter(col("__nc") > 0)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0L), col("__nc") - 1),
-        i => struct(
-          size_(slice(col("__toks"), (i * stride + 1).cast("int"), lit(size)))
-            .cast("long").as("n"),
-          array_join(slice(col("__toks"), (i * stride + 1).cast("int"), lit(size)), " ")
-            .as("t")))))
-      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
-        col("col.n").as("n_chunk_tokens"), col("col.t").as("chunk_text"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(size)).as("__w"))
+      .select(col(idCol), col("chunk_idx"),
+        size_(col("__w")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__w"), " ").as("chunk_text"))
   }
   // `chunks` has an Int parameter named `size` that shadows
   // functions.size; this alias keeps the builtin reachable there
