@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass text-feature kernels. The quality-score query needed five
@@ -125,6 +125,39 @@ object TextKernels {
     }
     if (counts(best) > 0) langsU(best) else und
   }
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Highest single-shingle share of a document's k-gram stream:
+    * max(count) / total over space-joined k-grams of the token array —
+    * the Gopher-style top-bigram fraction at k = 2, in ONE pass per
+    * row. Replaces explode(shingles) + two grouped aggregations (a
+    * corpus-wide shuffle of every bigram) with a per-row hash count.
+    * < k tokens -> 0.0, matching the LEFT JOIN + coalesce(_, 0.0) of
+    * the grouped formulation it replaces. Null token -> null (the
+    * fraction over a partially-missing stream is garbage). */
+  def topShingleFrac(tokens: ArrayData, k: Int): java.lang.Double = {
+    val n = tokens.numElements()
+    if (n < k) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var max = 0
+    var i = 0
+    while (i <= n - k) {
+      var s = tokens.getUTF8String(i)
+      if (s == null) return null
+      var j = 1
+      while (j < k) {
+        val t = tokens.getUTF8String(i + j)
+        if (t == null) return null
+        s = UTF8String.concat(s, space, t)
+        j += 1
+      }
+      val c = counts.merge(s, 1, (a: Integer, b: Integer) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    max.toDouble / (n - k + 1)
+  }
 }
 
 /** Struct of the five per-document quality counts from one text pass.
@@ -166,5 +199,37 @@ case class LangIdBest(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.langId($c)")
 
   override protected def withNewChildInternal(c: Expression): LangIdBest =
+    copy(child = c)
+}
+
+/** Per-row top k-gram share (max shingle count / total shingles). */
+case class TopShingleFrac(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = TextKernels.topShingleFrac(input.asInstanceOf[ArrayData], k)
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("frac")
+      s"""
+         |java.lang.Double $boxed =
+         |  graft.functions.TextKernels.topShingleFrac($c, $k);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): TopShingleFrac =
     copy(child = c)
 }

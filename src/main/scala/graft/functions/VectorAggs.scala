@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Elementwise sum of vector columns: `array<double>` rows fold into one
+  * dims-length sum array per group. The shuffle-side payload of a
+  * grouped mean over vectors becomes one partial-sum row per (group,
+  * partition) — the map-side-combine shape k-means needs — instead of
+  * the #rows x dims exploded (group, pos) rows of the
+  * posexplode-then-avg formulation (Similarity.dimMeans keeps that
+  * shape where per-dimension output ROWS are the contract).
+  *
+  * Null rows are skipped (count them separately with count(col) if the
+  * denominator must match); null ELEMENTS poison their position to
+  * null, mirroring double + null = null addition. A length mismatch
+  * between rows is an error — vectors of different dims in one group
+  * mean the caller grouped the wrong thing.
+  */
+case class VectorSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with ImplicitCastInputTypes {
+
+  // null positions carry as NaN inside the buffer with a parallel
+  // validity word per 64 dims? No — keep it simple: a null element
+  // poisons the position to NaN and eval re-emits NaN. flox-side
+  // callers pass containsNull=false arrays (cast from parquet floats),
+  // so the NaN lane only exists for defensive completeness.
+
+  override def children: Seq[Expression] = Seq(child)
+
+  // AbstractDataType is private[sql]; the inferred Seq[ArrayType] is a
+  // covariant subtype of the declared Seq[AbstractDataType].
+  override def inputTypes = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf =
+      if (buffer.length == 0) new Array[Double](n)
+      else {
+        require(buffer.length == n,
+          s"vector_sum: dims mismatch within group (${buffer.length} vs $n)")
+        buffer
+      }
+    var i = 0
+    while (i < n) {
+      buf(i) += (if (arr.isNullAt(i)) Double.NaN else arr.getDouble(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (a.length == 0) return b
+    if (b.length == 0) return a
+    require(a.length == b.length,
+      s"vector_sum: dims mismatch across partitions (${a.length} vs ${b.length})")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer.length == 0) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putDouble(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorSumAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_vector_sum"
+}

@@ -236,6 +236,118 @@ object VectorKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
+
+  /** Id of the nearest centroid by rounded cosine, smallest-cid
+    * tie-break — the scalar replica of Similarity.nearestCentroids'
+    * max_by(struct(round(sim, 6), -cid)) for n = 1. `matrix` is
+    * row-major cids.length x dims, `norms` the per-centroid L2 norms;
+    * sim = dot / (|v| |c|) when both norms > 0 else 0.0, rounded
+    * HALF_UP to 6 places exactly like Spark's Round on double. */
+  def nearestCid(v: ArrayData, matrix: Array[Double], norms: Array[Double],
+                 cids: Array[Long], dims: Int): Long = {
+    var vn = 0.0
+    var d = 0
+    while (d < dims) { val x = v.getDouble(d); vn += x * x; d += 1 }
+    vn = math.sqrt(vn)
+    var bestSim = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < cids.length) {
+      val nn = vn * norms(c)
+      val sim =
+        if (nn > 0) {
+          var s = 0.0
+          val base = c * dims
+          var i = 0
+          while (i < dims) { s += v.getDouble(i) * matrix(base + i); i += 1 }
+          s / nn
+        } else 0.0
+      val rounded = java.math.BigDecimal.valueOf(sim)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (rounded > bestSim || (rounded == bestSim && cids(c) < bestCid)) {
+        bestSim = rounded
+        bestCid = cids(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+}
+
+/** Map-only IVF assignment: the nearest centroid id per vector, with
+  * the (tiny, bounded-by-contract) centroid table embedded as a
+  * reference object rather than joined — no broadcast exchange and no
+  * per-vector aggregation shuffle; the assignment stays inside the scan
+  * stage so a following groupBy(cid) partially aggregates map-side.
+  * Semantics are the scalar replica of nearestCentroids(n = 1): rounded
+  * cosine, smallest cid on ties; null or ragged vectors yield null. */
+case class NearestCentroid(child: Expression, cids: Array[Long],
+                           matrix: Array[Double], dims: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(cids.nonEmpty, "empty centroid table")
+  require(matrix.length == cids.length * dims,
+    "matrix must be cids.length x dims")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  private lazy val norms: Array[Double] = {
+    val out = new Array[Double](cids.length)
+    var c = 0
+    while (c < cids.length) {
+      var s = 0.0
+      val base = c * dims
+      var i = 0
+      while (i < dims) { s += matrix(base + i) * matrix(base + i); i += 1 }
+      out(c) = math.sqrt(s)
+      c += 1
+    }
+    out
+  }
+
+  private lazy val needNullCheck: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dims) return null
+    if (needNullCheck) {
+      var i = 0
+      while (i < dims) { if (v.isNullAt(i)) return null; i += 1 }
+    }
+    VectorKernels.nearestCid(v, matrix, norms, cids, dims)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("matrix", matrix, "double[]")
+      val ns = ctx.addReferenceObj("norms", norms, "double[]")
+      val cs = ctx.addReferenceObj("cids", cids, "long[]")
+      val i = ctx.freshName("i")
+      val elemNullCheck =
+        if (needNullCheck)
+          s"""for (int $i = 0; $i < $dims && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
+      s"""
+         |if ($a.numElements() != $dims) { ${ev.isNull} = true; }
+         |$elemNullCheck
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.VectorKernels.nearestCid(
+         |    $a, $m, $ns, $cs, $dims);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
 }
 
 /** All LSH table signatures in one fused pass over the vector. The
@@ -356,6 +468,21 @@ object VectorExprs {
             .toDoubleArray(),
           exprs(2).eval().asInstanceOf[Int],
           exprs(3).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_vector_sum",
+        exprs => VectorSumAgg(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_top_shingle_frac",
+        exprs => TopShingleFrac(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_nearest_centroid",
+        exprs => NearestCentroid(exprs(0),
+          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray(),
+          exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray(),
+          exprs(3).eval().asInstanceOf[Int]), "built-in")
     }
 
   /** Codegen'd dot product of two vector columns (any numeric array —
@@ -464,5 +591,37 @@ object VectorExprs {
       org.apache.spark.sql.functions.lit(weights),
       org.apache.spark.sql.functions.lit(dims),
       org.apache.spark.sql.functions.lit(bandPlanes))
+  }
+
+  /** Per-row top k-gram share over a token array (one-pass hash count;
+    * the map-only replacement for explode + grouped max/sum). */
+  def topShingleFrac(tokens: Column, k: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_top_shingle_frac", tokens,
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Grouped elementwise vector sum (array<double> rows -> one sum
+    * array per group; partial sums combine map-side). */
+  def vectorSum(vec: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_vector_sum", vec)
+  }
+
+  /** Map-only nearest-centroid id (rounded cosine, min-cid tie-break)
+    * against a literal row-major centroid matrix. */
+  def nearestCentroid(vec: Column, cids: Array[Long],
+                      matrix: Array[Double], dims: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_nearest_centroid", vec,
+      org.apache.spark.sql.functions.lit(cids),
+      org.apache.spark.sql.functions.lit(matrix),
+      org.apache.spark.sql.functions.lit(dims))
   }
 }

@@ -254,31 +254,58 @@ object Similarity {
   }
 
   /** Lloyd (k-means) refinement of a centroid table: assign each
-    * vector to its nearest centroid, recompute per-centroid dim means,
-    * repeat. Assignment is map-only over the broadcast centroids; the
-    * recompute is one (cid, dim)-keyed shuffle per round; lineage is
-    * cut per round so iteration count doesn't grow the plan.
-    * Components are rounded each round, keeping the refined centroids
-    * independent of aggregation order. Centroids that lose every
-    * vector drop out (the standard empty-cluster collapse). Seed from
-    * `centroidsFromLabels` or any small declared centroid table. */
+    * vector to its nearest centroid, recompute per-centroid means,
+    * repeat. Each round is ONE stage + ONE shuffle: the centroid table
+    * (tiny by contract — #index partitions, not data size) is pulled to
+    * the driver and embedded in a codegen'd NearestCentroid expression,
+    * so assignment is map-only inside the corpus scan, and the mean
+    * recompute is a groupBy(cid) over a vector-sum aggregate whose
+    * partial sums combine map-side — k x dims doubles per partition
+    * cross the wire, never #vectors rows. (The previous shape paid an
+    * assignment shuffle, an id re-join, and a posexplode'd (cid, dim)
+    * aggregation per round — three shuffles of corpus-sized data.)
+    * This is also MLlib k-means' shape: collected centroids + map-side
+    * partial sums; at 1000 executors the per-round sync is one collect
+    * of k x dims doubles.
+    *
+    * NOTE: runs eagerly at call time (each round materializes via
+    * localCheckpoint and collects k centroid rows); plan construction
+    * triggers Spark jobs. Components are rounded each round, keeping
+    * the refined centroids independent of aggregation order. Centroids
+    * that lose every vector drop out (the standard empty-cluster
+    * collapse). Seed from `centroidsFromLabels` or any small declared
+    * centroid table. */
   def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       centroids: DataFrame, iters: Int = 2,
                       roundTo: Int = 6): DataFrame = {
     VectorExprs.ensureRegistered(corpus.sparkSession)
-    val vecs = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val vecs = corpus.select(asDouble(col(vecCol)).as("__v"))
     var c = centroids
     var i = 0
     while (i < iters) {
-      val assigned = ivfAssign(corpus, idCol, vecCol, c)
-      c = vecs.join(assigned, idCol)
-        .select(col("cid"), posexplode(col("__v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg("col").as("mean"))
-        .groupBy(col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mean")))),
-          s => round(s.getField("mean"), roundTo)).as("cv"))
+      val rows = c.select(col("cid").cast("long"),
+        col("cv").cast("array<double>")).collect()
+      require(rows.nonEmpty, "refineCentroids: empty centroid table")
+      val cids = rows.map(_.getLong(0))
+      val dims = rows.head.getSeq[Double](1).length
+      val matrix = new Array[Double](cids.length * dims)
+      rows.zipWithIndex.foreach { case (r, ci) =>
+        val cv = r.getSeq[Double](1)
+        require(cv.length == dims, "refineCentroids: ragged centroid table")
+        var d = 0
+        while (d < dims) { matrix(ci * dims + d) = cv(d); d += 1 }
+      }
+      c = vecs
+        .select(VectorExprs.nearestCentroid(col("__v"), cids, matrix, dims)
+          .as("cid"), col("__v"))
+        .filter(col("cid").isNotNull) // null/ragged vectors assign nowhere
+        .groupBy("cid")
+        .agg(VectorExprs.vectorSum(col("__v")).as("__sv"),
+          count(col("__v")).as("__n"))
+        // transform here runs over k result rows, not the corpus —
+        // interpreted is fine
+        .select(col("cid"),
+          transform(col("__sv"), x => round(x / col("__n"), roundTo)).as("cv"))
         .localCheckpoint()
       i += 1
     }

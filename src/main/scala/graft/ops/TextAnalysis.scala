@@ -182,18 +182,18 @@ object TextAnalysis {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     val toks = tokens(col(textCol))
     val n = tokenCount(col(textCol)).cast("long")
-    val base = df.select(col(idCol), n.as("n_tokens"),
+    // One map-only pass: the top-bigram fraction comes from the per-row
+    // TopShingleFrac kernel. The previous formulation exploded every
+    // bigram into a corpus-wide (doc, bigram) shuffle, aggregated
+    // twice, and joined back — at 100 TB that shuffle carries ~the
+    // whole corpus; the per-row hash count carries nothing. Kernel
+    // yields 0.0 for < 2 tokens, matching the old LEFT JOIN +
+    // coalesce(_, 0.0) on shingle-less documents.
+    df.select(col(idCol), n.as("n_tokens"),
       r4(when(n === 0, lit(0.0)).otherwise(
         org.apache.spark.sql.functions.size(array_distinct(toks)).cast("double") /
-          n.cast("double"))).as("distinct_ratio"))
-    val bigram = df
-      .select(col(idCol), explode(shingles(col(textCol), 2)).as("__bg"))
-      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol)).agg(
-        (max(col("__c")).cast("double") / sum(col("__c")).cast("double"))
-          .as("__tbf"))
-    base.join(bigram, Seq(idCol), "left")
-      .withColumn("top_bigram_frac", r4(coalesce(col("__tbf"), lit(0.0))))
-      .drop("__tbf")
+          n.cast("double"))).as("distinct_ratio"),
+      r4(graft.functions.VectorExprs.topShingleFrac(toks, 2))
+        .as("top_bigram_frac"))
   }
 }

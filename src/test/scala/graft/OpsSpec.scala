@@ -123,6 +123,42 @@ class OpsSpec extends SparkTestBase {
     assert(a === b && a.size === 15) // 5 queries x k=3, stable under partitioning
   }
 
+  test("NearestCentroid kernel == broadcast-join max_by assignment; " +
+       "vector_sum == posexplode sum") {
+    import graft.functions.VectorExprs
+    val e = sf("embeddings")
+    VectorExprs.ensureRegistered(spark)
+    val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+    val rows = cents.select(col("cid"), col("cv").cast("array<double>"))
+      .collect()
+    val cids = rows.map(_.getLong(0))
+    val dims = rows.head.getSeq[Double](1).length
+    val matrix = rows.flatMap(_.getSeq[Double](1).toArray)
+    // kernel assignment must equal the certified join-based ivfAssign
+    val viaKernel = e
+      .select(col("vec_id"), VectorExprs.nearestCentroid(
+        col("embedding").cast("array<double>"), cids, matrix, dims).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaJoin = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaKernel === viaJoin)
+    // vector_sum must equal the exploded per-dimension sum
+    val viaAgg = e.groupBy(col("label").cast("long").as("label"))
+      .agg(VectorExprs.vectorSum(col("embedding").cast("array<double>"))
+        .as("sv"))
+      .select(col("label"), posexplode(col("sv")))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    val viaExplode = e
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .groupBy("label", "pos").agg(sum("col").as("s"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(viaAgg.keySet === viaExplode.keySet)
+    viaAgg.foreach { case (k, v) =>
+      assert(math.abs(v - viaExplode(k)) < 1e-9, s"dim-sum mismatch at $k")
+    }
+  }
+
   test("Lloyd refinement keeps a total 1:1 assignment and is order-stable") {
     val e = sf("embeddings")
     val seed = Similarity.centroidsFromLabels(e, "label", "embedding")
@@ -398,6 +434,38 @@ class OpsSpec extends SparkTestBase {
     val withNull = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
       .toDF("a", "b")
     assert(withNull.select(VectorExprs.dot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("top_shingle_frac kernel matches the exploded grouped formulation") {
+    import graft.functions.VectorExprs
+    val d = sf("documents")
+    val got = TextAnalysis.repetitionSignals(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // the pre-kernel formulation: explode bigrams, count, max/sum, join
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val toks = TextAnalysis.tokens(col("text"))
+    val n = TextAnalysis.tokenCount(col("text")).cast("long")
+    val base = d.select(col("doc_id"), n.as("n_tokens"),
+      r4(when(n === 0, lit(0.0)).otherwise(
+        size(array_distinct(toks)).cast("double") / n.cast("double")))
+        .as("distinct_ratio"))
+    val bigram = d
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("tbf"))
+    val ref = base.join(bigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("distinct_ratio"),
+        r4(coalesce(col("tbf"), lit(0.0))).as("top_bigram_frac"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (id, v) => assert(v === ref(id), s"doc $id") }
+    // degenerate inputs: empty, single-token, fully-repetitive
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "ha ha ha ha"))
+      .toDF("doc_id", "text")
+    val e = TextAnalysis.repetitionSignals(edge, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(e(1L) === 0.0 && e(2L) === 0.0 && e(3L) === 1.0)
   }
 
   test("language id deterministic fallback and marker hit") {
