@@ -234,7 +234,9 @@ object Dedup {
     * clustered node — at 100 TB that is the near-dup cluster membership
     * table, well under shuffle scale), after which every loop-interval
     * RDD cache is released — repeated calls in a long-lived session
-    * leave nothing persisted but the returned checkpoint blocks.
+    * leave nothing persisted but the returned checkpoint blocks. Those
+    * blocks free when the result is GC'd; to free them deterministically
+    * after the result is consumed, call [[graft.api.Caches.release]].
     *
     * EAGER: construction runs the whole fixed-point loop as Spark jobs
     * (both paths — the RDD loop's per-round actions and the DataFrame

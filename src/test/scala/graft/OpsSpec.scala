@@ -159,6 +159,18 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("Caches.release frees an iterative result's checkpoint blocks") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = Dedup.connectedComponents(edges)
+    assert(labels.count() === 5)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty) // the localCheckpoint blocks
+    graft.api.Caches.release(labels)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"still persisted: $after")
+  }
+
   test("Lloyd refinement keeps a total 1:1 assignment and is order-stable") {
     val e = sf("embeddings")
     val seed = Similarity.centroidsFromLabels(e, "label", "embedding")
