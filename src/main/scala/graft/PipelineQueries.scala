@@ -122,6 +122,39 @@ object PipelineQueries {
       TextAnalysis.chunks(docs(s, d), "text", "doc_id", size = 16, stride = 12)
         .orderBy("doc_id", "chunk_idx")),
 
+    // ---------------- global order (distributed prefix scan — no
+    // single-partition window anywhere in these plans)
+    // concat-then-chunk sequence packing in doc_id order, 64-token
+    // budget: which training sequences each document lands in
+    "q_pack" -> ((s, d) =>
+      graft.ops.Packing.packSequences(
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks")),
+        "doc_id", col("toks"), budget = 64)
+        .select("doc_id", "n_tokens", "first_seq", "last_seq", "n_seqs")
+        .orderBy("doc_id")),
+
+    // corpus-wide ranking by size: two-pass range-partitioned row
+    // number, the scale shape for any "global ORDER BY + rank"
+    "q_global_rank" -> ((s, d) =>
+      graft.api.GlobalScan.rowNumber(
+        docs(s, d).select("doc_id", "n_chars"),
+        Seq(col("n_chars").desc, col("doc_id").asc), "rnk")
+        .orderBy("rnk")),
+
+    // top-3 characteristic terms per document; tf*N/df idf form keeps
+    // the score engine-exact (single IEEE division, no libm log)
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(docs(s, d), "text", "doc_id", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("doc_id", "rnk")),
+
+    // per-source token-distribution shift vs the corpus (total-variation
+    // distance, integer-exact until one final division)
+    "q_source_shift" -> ((s, d) =>
+      TextAnalysis.sourceShift(docs(s, d), "text", "source")
+        .orderBy("source")),
+
     // ---------------- selection
     // top-k per language by the certified 4-decimal quality score
     // (rounded BEFORE ordering so the rank is engine-independent)
@@ -146,6 +179,14 @@ object PipelineQueries {
       Selection.hashSample(docs(s, d), "text", pctKeep = 20)
         .select("doc_id")
         .orderBy("doc_id")),
+
+    // exact 10% per language, hash-ordered: the reproducible-quota
+    // sampler (grouped scan spreads each stratum over the cluster)
+    "q_stratified_sample" -> ((s, d) =>
+      Selection.stratifiedSample(
+        docs(s, d).select("doc_id", "lang"), "lang", "doc_id", pct = 10)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
 
     // exact train/eval contamination: docs sharing a normalized
     // fingerprint with the benchmark slice (doc_id < 50 stands in for
@@ -474,6 +515,63 @@ object PipelineQueries {
              AS chunk_text
          FROM c ORDER BY doc_id, chunk_idx""",
 
+    "q_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+           (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT
+             AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS prev FROM t)
+         SELECT doc_id, n_tokens,
+           (prev // 64)::BIGINT AS first_seq,
+           GREATEST(prev // 64, (prev + n_tokens - 1) // 64)::BIGINT AS last_seq,
+           (CASE WHEN n_tokens = 0 THEN 0
+             ELSE GREATEST(prev // 64, (prev + n_tokens - 1) // 64)
+               - (prev // 64) + 1 END)::BIGINT AS n_seqs
+         FROM c ORDER BY doc_id""",
+
+    "q_global_rank" ->
+      """SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS rnk
+         FROM documents ORDER BY rnk""",
+
+    "q_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+           FROM (SELECT doc_id, unnest($W) AS term FROM documents
+                 WHERE len(trim(text)) > 0)
+           GROUP BY doc_id, term),
+         dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+         n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents
+               WHERE len(trim(text)) > 0),
+         scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             (tf.tf * n.n_docs) / dfreq.df AS tfidf
+           FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term)::BIGINT AS rnk FROM scored)
+         SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+    "q_source_shift" ->
+      s"""WITH cgt AS (SELECT source, term, COUNT(*)::BIGINT AS cgt
+           FROM (SELECT source, unnest($W) AS term FROM documents
+                 WHERE len(trim(text)) > 0)
+           GROUP BY source, term),
+         ct AS (SELECT term, SUM(cgt)::BIGINT AS ct FROM cgt GROUP BY term),
+         tg AS (SELECT source, SUM(cgt)::BIGINT AS n_tokens FROM cgt
+                GROUP BY source),
+         tot AS (SELECT SUM(ct)::BIGINT AS t FROM ct),
+         dev AS (SELECT cgt.source, tg.n_tokens, tot.t,
+             SUM(ABS(cgt.cgt * tot.t - ct.ct * tg.n_tokens)
+               - ct.ct * tg.n_tokens)::BIGINT AS dev
+           FROM cgt, ct, tg, tot
+           WHERE cgt.term = ct.term AND cgt.source = tg.source
+           GROUP BY cgt.source, tg.n_tokens, tot.t)
+         SELECT source, n_tokens, (dev + n_tokens * t)::BIGINT AS tv_num,
+           CAST(dev + n_tokens * t AS DOUBLE)
+             / CAST(n_tokens * t * 2 AS DOUBLE) AS tv
+         FROM dev ORDER BY source""",
+
     "q_quality_filter" ->
       s"""WITH base AS (SELECT doc_id,
            (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT AS n_tokens,
@@ -507,6 +605,15 @@ object PipelineQueries {
       s"""SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT % 100 < 20
          ORDER BY doc_id""",
+
+    "q_stratified_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+         FROM documents)
+         SELECT lang, doc_id FROM r WHERE rn * 100 <= n * 10
+         ORDER BY lang, doc_id""",
 
     "q_contaminated" ->
       s"""SELECT doc_id FROM documents d

@@ -1,0 +1,181 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Global (corpus-wide, totally-ordered) prefix scans WITHOUT a
+  * single-partition window.
+  *
+  * `Window.orderBy(...)` with no partitionBy funnels every row through
+  * ONE task — the canonical local-mode-passes / cluster-falls-over trap
+  * (Spark even warns `WARN WindowExec: No Partition Defined`). The
+  * scale-correct shape is the textbook two-pass distributed prefix sum:
+  *
+  *   1. range-repartition on the order key and sort within partitions
+  *      (range partitions are globally ordered: every row in partition i
+  *      sorts before every row in partition i+1);
+  *   2. pass 1 — per-partition totals, #partitions scalars to the driver
+  *      (the ONLY driver traffic, same contract as the connected-
+  *      components convergence probe);
+  *   3. pass 2 — map-only: each partition streams rows adding its
+  *      broadcast exclusive offset to a running local sum.
+  *
+  * The range-parted data is pinned with `localCheckpoint` between the
+  * two passes: `repartitionByRange` picks boundaries by sampling, so an
+  * unpinned plan could recompute with DIFFERENT partition boundaries in
+  * pass 2 and pair rows with the wrong offsets. The checkpoint is also
+  * what the result reads from, so the scan's input is materialized
+  * exactly once. EAGER, like `Dedup.connectedComponents`: construction
+  * runs the checkpoint + pass-1 jobs. Checkpoint blocks free when the
+  * result is GC'd, or deterministically via [[Caches.release]].
+  *
+  * At 100 TB: one full shuffle (range exchange), one materialization to
+  * executor memory/disk, one map-only pass — no further shuffles and no
+  * row ever crosses to the driver. This is the same plan a distributed
+  * sort runs, plus a map.
+  *
+  * The reference's scans (`flox/scan.py:101`, Blelloch combine at
+  * `flox/aggregations.py:849-876`) are per-GROUP cumulatives — covered
+  * by [[GroupByScan]]'s partitioned windows. GlobalScan is the
+  * complementary pipeline primitive (sequence packing, global ranking)
+  * where the "group" is the whole corpus.
+  */
+object GlobalScan {
+
+  /** Inclusive prefix sum of `valueCol` (cast to long, null = 0) over
+    * the total order given by `order`, appended as `outCol`.
+    *
+    * `order` must be a total order (include a unique tiebreak key) for
+    * the result to be deterministic — rows that compare equal could
+    * otherwise swap running-sum values between runs.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], valueCol: Column,
+                outCol: String): DataFrame = {
+    require(!df.columns.contains("__v"), "input already has a __v column")
+    val spark = df.sparkSession
+    val vIdx = df.schema.length // appended __v position
+    val staged = df.withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
+    val parted = staged
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint() // pin sampled range boundaries between passes
+    // pass 1: per-partition totals — #partitions longs to the driver
+    val totals = parted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(vIdx))
+        Iterator((pid, s))
+      }
+      .collect()
+    val nPart = totals.length
+    val offsets = new Array[Long](math.max(nPart, 1))
+    totals.sortBy(_._1).foreach { case (pid, s) =>
+      if (pid + 1 < nPart) offsets(pid + 1) = s
+    }
+    var i = 1
+    while (i < nPart) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: map-only — running local sum + broadcast exclusive offset
+    val outRdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
+      it.map { r =>
+        run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq.updated(vIdx, run))
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** Global 1-based row number over the total order `order` (dense
+    * ranking of the whole corpus without a single-partition window) —
+    * prefix sum of the constant 1. Same determinism contract: `order`
+    * must include a unique tiebreak key.
+    */
+  def rowNumber(df: DataFrame, order: Seq[Column], outCol: String): DataFrame =
+    prefixSum(df, order, lit(1L), outCol)
+
+  /** Per-GROUP 1-based row number that survives giant groups.
+    *
+    * `Window.partitionBy(group).orderBy(...)` puts each group on ONE
+    * task — correct for flox-style grouping (many modest groups,
+    * [[GroupByScan]]) but a scale trap when a handful of strata span the
+    * corpus: 5 strata at 100 TB = 5 tasks doing all the work. Here rows
+    * are RANGE-partitioned on (group, order) instead, so one group
+    * spreads over many ordered partitions, and ranks are stitched with
+    * boundary-only bookkeeping: within a partition a group's rank is a
+    * running counter (rows arrive sorted); only the group that CROSSES a
+    * partition boundary needs an offset, and a crossing group is by
+    * construction the last group of one partition and the first of the
+    * next. Pass 1 therefore ships 4 scalars per partition to the driver
+    * (first/last group key + their row counts) — never a per-group or
+    * per-row structure — and pass 2 is map-only with the chained offsets
+    * broadcast. Same checkpoint-pinning and eagerness as [[prefixSum]].
+    *
+    * `order` must totally order rows WITHIN each group (unique tiebreak
+    * key), and group columns must not collide with `__grn` internals.
+    */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+                       order: Seq[Column], outCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty; use rowNumber")
+    val spark = df.sparkSession
+    val gIdx = groupCols.map(df.schema.fieldIndex)
+    val sortCols = groupCols.map(col) ++ order
+    val parted = df
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint() // pin sampled range boundaries between passes
+    def gkey(r: Row): Seq[Any] = gIdx.map(i => r.get(i))
+    // pass 1: per partition, first/last group key + their in-partition
+    // row counts (middle groups never cross a boundary → offset 0)
+    val bounds = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val first = it.next()
+        val fk = gkey(first)
+        var fCount = 1L
+        var lk = fk
+        var lCount = 1L
+        var sawOther = false
+        it.foreach { r =>
+          val k = gkey(r)
+          if (k == lk) { lCount += 1; if (!sawOther) fCount += 1 }
+          else { sawOther = true; lk = k; lCount = 1L }
+        }
+        Iterator((pid, fk, fCount, lk, lCount))
+      }
+    }.collect().sortBy(_._1)
+    // chain offsets: group g entering partition p from the left gets the
+    // accumulated count of g in partitions < p
+    val offsets = scala.collection.mutable.Map.empty[(Int, Seq[Any]), Long]
+    var carryKey: Seq[Any] = null
+    var carryCount = 0L
+    bounds.foreach { case (pid, fk, fCount, lk, lCount) =>
+      if (carryKey != null && carryKey == fk) offsets((pid, fk)) = carryCount
+      val into = // count of lk so far, including any carried-in prefix
+        if (fk == lk) fCount + (if (carryKey != null && carryKey == fk) carryCount else 0L)
+        else lCount
+      carryKey = lk
+      carryCount = into
+    }
+    val bc = spark.sparkContext.broadcast(offsets.toMap)
+    val outRdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var run = 0L
+      it.map { r =>
+        val k = gkey(r)
+        if (k != cur) {
+          cur = k
+          run = bc.value.getOrElse((pid, k), 0L)
+        }
+        run += 1
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(outRdd, outSchema)
+  }
+}

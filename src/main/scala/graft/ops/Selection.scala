@@ -77,6 +77,31 @@ object Selection {
       .drop("__fp")
   }
 
+  /** Exact-quota stratified sampling: from every stratum keep exactly
+    * floor(pct% of its rows), chosen by deterministic hash order (md5 of
+    * the unique id, ties by id) — reproducible across runs and engines,
+    * and uniform within each stratum because md5 order is independent of
+    * any data attribute. The per-stratum ranking runs on
+    * [[graft.api.GlobalScan.groupedRowNumber]], NOT a
+    * `Window.partitionBy(stratum)`: a handful of corpus-spanning strata
+    * (5 languages at 100 TB) would collapse onto 5 window tasks, while
+    * the grouped scan range-spreads each stratum over the whole cluster.
+    * Stratum sizes come from one tiny aggregation joined back on the
+    * stratum key (AQE broadcasts it); the quota filter `rn*100 <= n*pct`
+    * stays in exact integer arithmetic.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct must be in [0,100]")
+    val keyed = df.withColumn("__k", md5(col(idCol).cast("string").cast("binary")))
+    val ranked = graft.api.GlobalScan.groupedRowNumber(
+      keyed, Seq(stratumCol), Seq(col("__k"), col(idCol)), "__rn")
+    val sizes = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    ranked.join(sizes, Seq(stratumCol))
+      .filter(col("__rn") * 100 <= col("__n") * pct)
+      .drop("__k", "__rn", "__n")
+  }
+
   /** `corpus` minus exact benchmark contamination (left_anti mirror of
     * [[contaminated]]) — the decontamination end product a pipeline
     * actually ships. */

@@ -196,4 +196,75 @@ object TextAnalysis {
       r4(graft.functions.VectorExprs.topShingleFrac(toks, 2))
         .as("top_bigram_frac"))
   }
+
+  /** Top-k most characteristic terms per document by tf-idf, with the
+    * multiplicative idf form `score = tf * N / df` — a single exact
+    * integer product (tf·N) followed by ONE IEEE division, so the score
+    * is bit-identical in any engine (a log-based idf would hang the
+    * oracle on libm rounding). Ties (same score) break by ascending
+    * term, making the top-k fully deterministic.
+    *
+    * Plan shape: explode → partial-agg'd (doc,term) counts → term
+    * document-frequencies from that SAME tf relation (no second pass
+    * over text) → join on term (AQE broadcasts it while the vocabulary
+    * is small; at web-corpus vocabulary it degrades to a shuffle join on
+    * term, which is the correct shape) → per-doc top-k window. Every
+    * shuffle is keyed by doc or term; nothing ever single-tasks.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val nonEmpty = df.filter(length(trim(col(textCol))) > 0)
+    val tf = nonEmpty
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = nonEmpty.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", (col("tf") * col("__n")) / col("df"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("__rk").cast("long").as("rank"))
+  }
+
+  /** Per-group distribution shift: total-variation distance between each
+    * group's unigram distribution and the whole corpus's —
+    * TV(g) = ½ Σ_t |p_g(t) − p(t)| — the signal a pipeline uses to spot
+    * sources whose token mix diverges from the training mix (domain
+    * weighting, contamination triage). Σ runs over the corpus
+    * vocabulary, but terms ABSENT from a group contribute exactly
+    * c_t·T_g, and Σ_t c_t = T, so the absent mass folds into closed
+    * form: TV_num(g) = Σ_{t∈g} (|c_{g,t}·T − c_t·T_g| − c_t·T_g) + T_g·T
+    * with TV = TV_num / (2·T_g·T). Everything up to the final single
+    * division is 64-bit-exact integer arithmetic — no float summation,
+    * so the result is order-independent and engine-exact (a naive
+    * Σ|p−q| of doubles hashes differently per summation order).
+    *
+    * Shapes: one (group,term) partial-agg'd shuffle, a term-keyed join
+    * against the per-term corpus counts derived from the same relation,
+    * then a group-keyed rollup — all keyed shuffles, map-side combined.
+    */
+  def sourceShift(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  groupCol: String): org.apache.spark.sql.DataFrame = {
+    val cgt = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(groupCol, "term").agg(count(lit(1)).as("__cgt"))
+    val ct = cgt.groupBy("term").agg(sum("__cgt").as("__ct"))
+    val tg = cgt.groupBy(groupCol).agg(sum("__cgt").as("n_tokens"))
+    val total = ct.agg(sum("__ct").as("__t"))
+    cgt.join(ct, Seq("term"))
+      .join(tg, Seq(groupCol))
+      .crossJoin(broadcast(total))
+      .groupBy(col(groupCol), col("n_tokens"), col("__t"))
+      .agg(sum(abs(col("__cgt") * col("__t") - col("__ct") * col("n_tokens"))
+        - col("__ct") * col("n_tokens")).as("__dev"))
+      .select(col(groupCol), col("n_tokens"),
+        (col("__dev") + col("n_tokens") * col("__t")).as("tv_num"),
+        ((col("__dev") + col("n_tokens") * col("__t")).cast("double") /
+          (col("n_tokens") * col("__t") * 2).cast("double")).as("tv"))
+  }
 }
