@@ -1,0 +1,108 @@
+package graft
+
+import graft.api.GlobalScan
+import graft.ops.{Packing, Selection, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global/grouped prefix scans vs the single-partition
+  * window formulations they replace (equal results, scale-safe plan). */
+class GlobalScanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ids deliberately unsorted so the range exchange has real work to do
+  private def rows = (0 until 997).map(i => ((i * 7919) % 997, (i % 13).toLong))
+
+  test("prefixSum equals global window cumsum") {
+    val df = rows.toDF("id", "v")
+    val got = GlobalScan.prefixSum(df, Seq(col("id")), col("v"), "cum")
+      .orderBy("id").select("id", "cum").as[(Int, Long)].collect()
+    val want = df.withColumn("cum", sum("v").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("id").select("id", "cum").as[(Int, Long)].collect()
+    assert(got === want)
+  }
+
+  test("prefixSum treats null values as 0 and keeps other columns") {
+    val df = Seq((1, Some(5L), "a"), (2, None, "b"), (3, Some(2L), "c"))
+      .toDF("id", "v", "tag")
+    val got = GlobalScan.prefixSum(df, Seq(col("id")), col("v"), "cum")
+      .orderBy("id").select("tag", "cum").as[(String, Long)].collect()
+    assert(got === Array(("a", 5L), ("b", 5L), ("c", 7L)))
+  }
+
+  test("rowNumber equals global window row_number (desc order + tiebreak)") {
+    val df = rows.toDF("id", "v")
+    val got = GlobalScan.rowNumber(df, Seq(col("v").desc, col("id").asc), "rn")
+      .orderBy("id").select("id", "rn").as[(Int, Long)].collect()
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+      .orderBy("id").select("id", "rn").as[(Int, Long)].collect()
+    assert(got === want)
+  }
+
+  test("groupedRowNumber equals per-group window row_number with a giant group") {
+    // group "big" spans every range partition; "mid" crosses one
+    // boundary; singletons sit inside partitions — all chain cases
+    val data = (0 until 800).map(i => ("big", (i * 7919) % 997)) ++
+      (0 until 150).map(i => ("mid", i)) ++
+      Seq(("x1", 0), ("x2", 0), ("x3", 0))
+    val df = data.toDF("g", "id")
+    val got = GlobalScan.groupedRowNumber(df, Seq("g"), Seq(col("id")), "rn")
+      .orderBy("g", "id").select("g", "rn").as[(String, Long)].collect()
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("id")).cast("long"))
+      .orderBy("g", "id").select("g", "rn").as[(String, Long)].collect()
+    assert(got === want)
+  }
+
+  test("packSequences: budget arithmetic, spans, empty docs") {
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 70L), (4L, 54L), (5L, 1L))
+      .toDF("doc_id", "toks")
+    val got = Packing.packSequences(df, "doc_id", col("toks"), budget = 64)
+      .orderBy("doc_id")
+      .select("doc_id", "first_seq", "last_seq", "n_seqs")
+      .as[(Long, Long, Long, Long)].collect()
+    // stream: d1 [0,10) seq0; d2 empty at 10; d3 [10,80) seq0-1;
+    // d4 [80,134) seq1-2; d5 [134,135) seq2
+    assert(got === Array((1L, 0L, 0L, 1L), (2L, 0L, 0L, 0L),
+      (3L, 0L, 1L, 2L), (4L, 1L, 2L, 2L), (5L, 2L, 2L, 1L)))
+  }
+
+  test("stratifiedSample: exact floor quota per stratum, deterministic") {
+    val df = (0 until 230).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    def run() = Selection.stratifiedSample(df, "lang", "doc_id", pct = 10)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val got = run()
+    val perStratum = got.groupBy(_._1).map { case (k, v) => k -> v.size }
+    assert(perStratum === Map("a" -> 7, "b" -> 15)) // floor(77*.1), floor(153*.1)
+    assert(got === run()) // reproducible
+  }
+
+  test("tfidfTopTerms: hand-checked scores and deterministic ties") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "tfidf").as[(Long, String, Double)].collect()
+    // N=2 nonempty docs; df(a)=2, df(b)=1, df(c)=1
+    // doc1: b 1*2/1=2.0, a 2*2/2=2.0 — tie broken by term: a first
+    assert(got === Array((1L, "a", 2.0), (1L, "b", 2.0),
+      (2L, "c", 2.0), (2L, "a", 1.0)))
+  }
+
+  test("sourceShift: TV distance matches brute force over the full vocab") {
+    val df = Seq(("s1", "a a b"), ("s2", "b c c c")).toDF("source", "text")
+    val got = TextAnalysis.sourceShift(df, "text", "source")
+      .orderBy("source").select("source", "tv").as[(String, Double)].collect().toMap
+    // corpus: a=2 b=2 c=3, T=7; s1: a=2 b=1, T1=3; s2: b=1 c=3, T2=4
+    def tv(p: Map[String, Double], q: Map[String, Double]) =
+      (p.keySet ++ q.keySet).toSeq
+        .map(t => math.abs(p.getOrElse(t, 0.0) - q.getOrElse(t, 0.0))).sum / 2
+    val corpus = Map("a" -> 2.0 / 7, "b" -> 2.0 / 7, "c" -> 3.0 / 7)
+    val s1 = Map("a" -> 2.0 / 3, "b" -> 1.0 / 3)
+    val s2 = Map("b" -> 1.0 / 4, "c" -> 3.0 / 4)
+    assert(math.abs(got("s1") - tv(s1, corpus)) < 1e-12)
+    assert(math.abs(got("s2") - tv(s2, corpus)) < 1e-12)
+  }
+}
