@@ -238,6 +238,14 @@ object Dedup {
     * blocks free when the result is GC'd; to free them deterministically
     * after the result is consumed, call [[graft.api.Caches.release]].
     *
+    * ADAPTIVE: once the (always-materialized-anyway) edge relation is
+    * counted, graphs at or under `spark.graft.cc.localEdgeThreshold`
+    * directed edges (default 2^18) are solved by a driver union-find
+    * instead of the loop — the broadcast-join-threshold pattern applied
+    * to an iterative fixed point, removing ~0.3-0.5s of job latency per
+    * round when the whole graph is a few KB. Production-scale graphs
+    * always exceed the gate and take the distributed loop.
+    *
     * EAGER: construction runs the whole fixed-point loop as Spark jobs
     * (both paths — the RDD loop's per-round actions and the DataFrame
     * loop's per-round checkpoints), and `failOnNonConvergence` throws at
@@ -267,6 +275,45 @@ object Dedup {
     }
     if (integral) ccRdd(edges, srcCol, dstCol, maxIter, failOnNonConvergence)
     else ccDataFrame(edges, srcCol, dstCol, maxIter, failOnNonConvergence)
+  }
+
+  /** Size gate for the driver-local component solve: a near-dup pair
+    * graph at sf0.1 is a few dozen edges, and the distributed loop's
+    * per-round job latency (~0.3-0.5s x rounds) dwarfs a union-find
+    * that finishes in microseconds. Same adaptive pattern as Spark's
+    * broadcast-join threshold: measure the actual size (the edge
+    * relation is already materialized for the loop anyway), solve
+    * locally under the gate, run the O(log d)-round distributed loop
+    * above it. Default 256k edges ≈ a few MB collected — far below any
+    * real near-dup graph at 100 TB, which takes the distributed path. */
+  private def localEdgeThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.localEdgeThreshold")
+      .map(_.toLong).getOrElse(1L << 18)
+
+  /** Driver union-find (path compression + min-id relabel) over a
+    * collected edge list — only ever called under [[localEdgeThreshold]]. */
+  private def localComponents[T](pairs: Array[(T, T)])
+                                (implicit ord: Ordering[T]): Seq[(T, T)] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[T, T]
+    parent.keysIterator.foreach { n =>
+      val r = find(n)
+      minOf.update(r, minOf.get(r).fold(n)(ord.min(_, n)))
+    }
+    parent.keysIterator.map(n => (n, minOf(find(n)))).toSeq
   }
 
   private def finishConvergence(converged: Boolean, rounds: Int,
@@ -299,12 +346,21 @@ object Dedup {
     val symRdd = symDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
     val part = new HashPartitioner(math.max(symRdd.getNumPartitions, 1))
     val adj = symRdd.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = adj.count() // materialize the upstream pair pipeline exactly once
+    if (edgeCount <= localEdgeThreshold(spark)) {
+      val out = localComponents(adj.collect()).toDF("id", "label")
+        .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
+      adj.unpersist(false)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"connectedComponents solved locally ($edgeCount directed edges <= threshold)")
+      return out
+    }
     // seed with min(id, neighbors): one reduceByKey on the cached
     // adjacency = the first propagation round without its join
     var labels = adj.map { case (s, d) => (s, math.min(s, d)) }
       .reduceByKey(part, math.min(_, _))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize the upstream pair pipeline exactly once
+    labels.count()
     val sc = spark.sparkContext
     // one propagate + pointer-jump round; prop's shuffle output is
     // computed once and read by both jump sides
@@ -358,10 +414,22 @@ object Dedup {
     * etc.) — same algorithm, lineage cut by localCheckpoint per round. */
   private def ccDataFrame(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int, strict: Boolean): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    val idType = sym.schema("src").dataType
+    val edgeCount = sym.count()
+    if (edgeCount <= localEdgeThreshold(spark) &&
+        idType == org.apache.spark.sql.types.StringType) {
+      import spark.implicits._
+      val pairs = sym.as[(String, String)].collect()
+      val out = localComponents(pairs).toDF("id", "label")
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"connectedComponents solved locally ($edgeCount directed edges <= threshold)")
+      return out
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

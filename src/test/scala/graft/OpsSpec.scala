@@ -54,10 +54,30 @@ class OpsSpec extends SparkTestBase {
     // 4 hops, exercising the convergence loop beyond one round
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L))
       .toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(edges)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // default gate: solved by the driver union-find
+    val local = Dedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(local === want)
+    // gate forced shut: the distributed loop must agree exactly
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val dist = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === want)
+      val distStr = Dedup.connectedComponents(
+          edges.select(concat(lit("n"), col("id_a")).as("id_a"),
+            concat(lit("n"), col("id_b")).as("id_b")))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(distStr === want.map { case (k, v) => s"n$k" -> s"n$v" })
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    // string ids under the gate: local path, same labels
+    val localStr = Dedup.connectedComponents(
+        edges.select(concat(lit("n"), col("id_a")).as("id_a"),
+          concat(lit("n"), col("id_b")).as("id_b")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(localStr === want.map { case (k, v) => s"n$k" -> s"n$v" })
   }
 
   test("nearDupGroups clusters transitively; dropNearDups keeps min id + singletons") {
@@ -162,7 +182,12 @@ class OpsSpec extends SparkTestBase {
   test("Caches.release frees an iterative result's checkpoint blocks") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val labels = Dedup.connectedComponents(edges)
+    // force the distributed loop — the local-solve path has no
+    // checkpoint blocks to release (that's its point)
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    val labels =
+      try Dedup.connectedComponents(edges)
+      finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
     assert(labels.count() === 5)
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.nonEmpty) // the localCheckpoint blocks
