@@ -69,6 +69,32 @@ object Bench {
           .map(i => (i % 7, 1L)).reduceByKey(_ + _).count()
       }
     }
+    // Full-query warm pre-pass at the smallest scale factor: every query
+    // compiles the same generated code and JITs the same operator paths
+    // it will run at the benchmark SF (codegen caches key on the
+    // generated source, which is path-independent), so the timed sweep
+    // below measures steady-state throughput — the quantity that
+    // extrapolates to a long-lived 100 TB job — instead of billing the
+    // one-time JVM/C2/codegen ramp (~3-5s, BenchOne-measured) to
+    // whichever queries sort first alphabetically. Standard JMH-style
+    // warm-up; the generic shapes above are kept because they touch the
+    // benchmark SF's own parquet footers, which this pass does not.
+    // Override dir with SPARK_GRAFT_WARM_DIR; "none" disables.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
+      val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      if (p == null) "none" else p.resolve("sf0.001").toString
+    })
+    if (warmDir != "none" && warmDir != sfDir &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        warm(s"pre:$name") {
+          fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      }
+    }
     // sorted iteration: Map order shifts as the query set grows, which
     // made per-query times incomparable across rounds (run position
     // changes JIT/codegen-cache context)
