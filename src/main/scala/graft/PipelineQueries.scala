@@ -13,6 +13,7 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
 
   // ---- shared oracle SQL fragments -------------------------------------
   private def wOf(c: String) = raw"string_split_regex(lower(trim($c)), '\s+')"
@@ -154,6 +155,35 @@ object PipelineQueries {
     "q_source_shift" -> ((s, d) =>
       TextAnalysis.sourceShift(docs(s, d), "text", "source")
         .orderBy("source")),
+
+    // ---------------- event streams (keyed windows, never range joins)
+    // backward as-of join: each click matched to the user's most recent
+    // error at-or-before it (the operator Spark lacks; DuckDB ASOF JOIN
+    // is the oracle). Timestamps compared at micros on both sides.
+    "q_asof" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "tsu")
+      val errors = e.filter(col("event_type") === "error")
+        .groupBy("user_id", "tsu").agg(max("value").as("eval"))
+        .withColumnRenamed("tsu", "etsu")
+      graft.ops.Events.asofJoin(clicks, errors, Seq("user_id"),
+        "tsu", "etsu", Seq("etsu", "eval"), prefix = "err_")
+        .orderBy("event_id")
+    }),
+
+    // gap sessionization (4h inactivity cut) + per-session rollup
+    "q_sessions" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"))
+      graft.ops.Events.sessionize(e, "user_id", "tsu", "event_id",
+        gap = 14400000000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("tsu").as("start_us"), max("tsu").as("end_us"))
+        .orderBy("user_id", "session_id")
+    }),
 
     // ---------------- selection
     // top-k per language by the certified 4-decimal quality score
@@ -535,6 +565,34 @@ object PipelineQueries {
       """SELECT doc_id, n_chars,
          ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS rnk
          FROM documents ORDER BY rnk""",
+
+    "q_asof" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch_us(ts)::BIGINT AS etsu,
+             MAX(value) AS eval
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+         SELECT l.user_id, l.event_id, l.tsu,
+           r.etsu AS err_etsu, r.eval AS err_eval
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.tsu >= r.etsu
+         ORDER BY l.event_id""",
+
+    "q_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu
+           FROM events),
+         s AS (SELECT user_id, event_id, tsu,
+           CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id) > 14400000000
+             THEN 1 ELSE 0 END AS brk FROM o),
+         t AS (SELECT user_id, tsu,
+           1 + SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM s)
+         SELECT user_id, session_id::BIGINT AS session_id,
+           COUNT(*)::BIGINT AS n_events,
+           MIN(tsu)::BIGINT AS start_us, MAX(tsu)::BIGINT AS end_us
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_tfidf" ->
       s"""WITH tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf

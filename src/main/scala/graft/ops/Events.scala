@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators Spark lacks as built-ins, composed from
+  * keyed windows so they keep Catalyst's planning (per the
+  * compose-first custom-operator policy): as-of join and gap
+  * sessionization. Both run as ONE hash Exchange on the key plus an
+  * in-partition sort — the scale shape for billions of events across
+  * millions of keys, with no range-condition join (which Spark would
+  * plan as a broadcast-nested-loop or an exploding theta join).
+  */
+object Events {
+
+  /** As-of join: for every left row, the payload of the LATEST right
+    * row with the same key and `rightTs <= leftTs` (backward-inclusive,
+    * DuckDB/pandas `ASOF JOIN` semantics); null payload when no right
+    * row precedes.
+    *
+    * Plan: tag + union the two inputs, one window per key ordered by
+    * (ts, tag) — right rows sort before left rows at equal ts, so
+    * `last(payload, ignoreNulls)` over the running frame IS the as-of
+    * match, carried to each left row in a single pass. One shuffle on
+    * the key; neither side is broadcast, neither side range-joins.
+    * Right rows should be unique per (key, ts) — pre-aggregate ties
+    * upstream or the carried match is tie-ambiguous (same contract as
+    * DuckDB ASOF JOIN).
+    *
+    * Left rows with null `leftTs` sort first and match nothing, by
+    * design.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(payload.nonEmpty, "payload must be non-empty")
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"),
+        struct(payload.map(col): _*).as("__p"), lit(0).as("__tag")): _*)
+    val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__tag", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__m.$p").as(prefix + p)): _*)
+  }
+
+  /** Gap sessionization: 1-based `session_id` per key, incremented
+    * whenever the gap to the previous event (by `tsCol`, ties broken by
+    * `tieCol`) exceeds `gap` (same units as `tsCol`). Two window
+    * expressions over the SAME (key, ts, tie) spec — Catalyst plans one
+    * Exchange + one sort; the lag flag and its running sum share the
+    * pass. The batch twin of Structured Streaming's session windows.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, gap: Long): DataFrame = {
+    require(gap >= 0, "gap must be >= 0")
+    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__brk",
+        when(col(tsCol) - lag(col(tsCol), 1).over(ord) > gap, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(run) + 1)
+      .drop("__brk")
+  }
+}

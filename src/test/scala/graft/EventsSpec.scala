@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Events
+import org.apache.spark.sql.functions._
+
+/** As-of join and sessionization semantics on controlled inputs. */
+class EventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin: backward-inclusive match, no-match null, per-key isolation") {
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 25L), (2L, 200L, 5L))
+      .toDF("k", "id", "ts")
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 6L, 9.0)).toDF("k", "rts", "v")
+    val got = Events.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("rts", "v"), prefix = "m_")
+      .orderBy("id").select("id", "m_rts", "m_v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got === Array(
+      (100L, Some(10L), Some(1.0)),  // equal ts matches (inclusive)
+      (101L, Some(20L), Some(2.0)),  // latest at-or-before, not later
+      (200L, None, None)))           // key 2: right ts=6 > left ts=5
+  }
+
+  test("asofJoin: right rows never leak and left columns survive") {
+    val left = Seq((1L, 7L, 50L, "x")).toDF("k", "id", "ts", "tag")
+    val right = Seq((1L, 40L, 4.0)).toDF("k", "rts", "v")
+    val out = Events.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    assert(out.columns.toSeq === Seq("k", "id", "ts", "tag", "asof_v"))
+    assert(out.count() === 1)
+  }
+
+  test("sessionize: gap cuts, ties ordered by tiebreak, 1-based ids") {
+    val df = Seq(
+      (1L, 1L, 0L), (1L, 2L, 50L), (1L, 3L, 200L), // gap 150 > 100 cuts
+      (1L, 4L, 210L),
+      (2L, 5L, 0L)) // separate key restarts at 1
+      .toDF("k", "id", "ts")
+    val got = Events.sessionize(df, "k", "ts", "id", gap = 100L)
+      .orderBy("k", "ts").select("id", "session_id")
+      .as[(Long, Long)].collect()
+    assert(got === Array((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)))
+  }
+}
