@@ -173,6 +173,18 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // trailing 24h per-user rolling stats (RANGE frame — tie-safe);
+    // integral values keep the windowed sum engine-exact
+    "q_rolling" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"),
+        floor(col("value")).cast("long").as("v"))
+      graft.ops.Events.rollingAgg(e, "user_id", "tsu", "v",
+        span = 86400000000L)
+        .select("user_id", "event_id", "tsu", "roll_n", "roll_sum", "roll_mean")
+        .orderBy("event_id")
+    }),
+
     // gap sessionization (4h inactivity cut) + per-session rollup
     "q_sessions" -> ((s, d) => {
       val e = ev(s, d).select(col("user_id"), col("event_id"),
@@ -577,6 +589,17 @@ object PipelineQueries {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.tsu >= r.etsu
          ORDER BY l.event_id""",
+
+    "q_rolling" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu,
+           FLOOR(value)::BIGINT AS v FROM events)
+         SELECT user_id, event_id, tsu,
+           (COUNT(v) OVER w)::BIGINT AS roll_n,
+           (SUM(v) OVER w)::BIGINT AS roll_sum,
+           CAST(SUM(v) OVER w AS DOUBLE) / (COUNT(v) OVER w) AS roll_mean
+         FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     "q_sessions" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu

@@ -50,6 +50,27 @@ object Events {
         payload.map(p => col(s"__m.$p").as(prefix + p)): _*)
   }
 
+  /** Trailing range-frame rolling aggregate per key: for every row, the
+    * count/sum/mean of `valueCol` over rows of the same key with
+    * `tsCol` in `[ts - span, ts]` (RANGE frame, so timestamp peers are
+    * included identically in any engine — no tie ambiguity). One hash
+    * Exchange on the key + one in-partition sort. `valueCol` should be
+    * integral: the windowed sum is then exact and order-independent
+    * (a float sum would hash differently per frame-evaluation order —
+    * DuckDB computes window sums over a segment tree, Spark
+    * sequentially); the mean is one final IEEE division.
+    */
+  def rollingAgg(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, span: Long): DataFrame = {
+    require(span >= 0, "span must be >= 0")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc)
+      .rangeBetween(-span, 0)
+    df.withColumn("roll_n", count(col(valueCol)).over(w))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+      .withColumn("roll_mean",
+        col("roll_sum").cast("double") / col("roll_n"))
+  }
+
   /** Gap sessionization: 1-based `session_id` per key, incremented
     * whenever the gap to the previous event (by `tsCol`, ties broken by
     * `tieCol`) exceeds `gap` (same units as `tsCol`). Two window

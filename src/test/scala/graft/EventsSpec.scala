@@ -32,6 +32,37 @@ class EventsSpec extends SparkTestBase {
     assert(out.count() === 1)
   }
 
+  test("rollingAgg: range frame includes span boundary and drops older rows") {
+    val df = Seq((1L, 1L, 0L, 10L), (1L, 2L, 100L, 20L), (1L, 3L, 150L, 30L),
+      (2L, 4L, 0L, 5L)).toDF("k", "id", "ts", "v")
+    val got = Events.rollingAgg(df, "k", "ts", "v", span = 100L)
+      .orderBy("id").select("id", "roll_n", "roll_sum", "roll_mean")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got === Array(
+      (1L, 1L, 10L, 10.0),
+      (2L, 2L, 30L, 15.0),   // ts 0 is exactly span away — included
+      (3L, 2L, 50L, 25.0),   // ts 0 aged out, 100+150 in
+      (4L, 1L, 5L, 5.0)))
+  }
+
+  test("plan pinning: event operators run exactly one hash Exchange") {
+    val left = (0 until 200).map(i => (i % 5L, i.toLong, i.toLong * 3))
+      .toDF("k", "id", "ts")
+    val right = (0 until 100).map(i => (i % 5L, i.toLong * 7, i.toDouble))
+      .toDF("k", "rts", "v")
+    val ex = "Exchange hashpartitioning".r
+    val asof = Events.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    assert(ex.findAllIn(asof.queryExecution.executedPlan.toString).size === 1,
+      asof.queryExecution.executedPlan.toString)
+    val sess = Events.sessionize(left, "k", "ts", "id", gap = 10L)
+    assert(ex.findAllIn(sess.queryExecution.executedPlan.toString).size === 1,
+      sess.queryExecution.executedPlan.toString)
+    val roll = Events.rollingAgg(left.withColumn("v", lit(1L)),
+      "k", "ts", "v", span = 10L)
+    assert(ex.findAllIn(roll.queryExecution.executedPlan.toString).size === 1,
+      roll.queryExecution.executedPlan.toString)
+  }
+
   test("sessionize: gap cuts, ties ordered by tiebreak, 1-based ids") {
     val df = Seq(
       (1L, 1L, 0L), (1L, 2L, 50L), (1L, 3L, 200L), // gap 150 > 100 cuts
