@@ -209,9 +209,17 @@ object ReduceExprs {
         percentile_approx(v, lit(many.toArray), lit(o.approxAccuracy))
           .cast("array<double>")
     } else {
-      val arr = sort_array(collect_list(v))
-      val n = size(arr)
-      def one(qq: Double): Column = {
+      // Bind the sorted buffer ONCE through a 1-element transform(): the
+      // quantile interpolations live in a lambda whose argument IS the
+      // sorted array, so each group sorts exactly once. Referencing
+      // `sort_array(collect_list(v))` from every element_at instead put
+      // 2 copies per quantile into the Aggregate's result projection,
+      // where no subexpression elimination runs — vector-q paid 6 boxed
+      // 200k-element sorts per group (q_quantile_multi 5.1s -> the
+      // single-sort cost). The lambda itself is interpreted, but it
+      // runs once per GROUP (bounded), never per row.
+      def interp(arr: Column, qq: Double): Column = {
+        val n = size(arr)
         val target = (n - 1).cast("double") * lit(qq)
         val lo = floor(target).cast("int")
         val frac = target - floor(target)
@@ -221,9 +229,14 @@ object ReduceExprs {
         val hiv = element_at(arr, least(lo + 2, n)).cast("double")
         when(n > 0, lov * (lit(1.0) - frac) + hiv * frac)
       }
+      val bound = transform(array(sort_array(collect_list(v))), arr =>
+        q match {
+          case Seq(single) => array(interp(arr, single))
+          case many        => array(many.map(interp(arr, _)): _*)
+        })
       q match {
-        case Seq(single) => one(single)
-        case many        => array(many.map(one): _*)
+        case Seq(_) => element_at(element_at(bound, 1), 1)
+        case _      => element_at(bound, 1)
       }
     }
 }

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -199,6 +200,91 @@ case class LangIdBest(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.langId($c)")
 
   override protected def withNewChildInternal(c: Expression): LangIdBest =
+    copy(child = c)
+}
+
+/** Context-window chunking as a one-pass GENERATOR: tokenize the
+  * (already lowercased) text and emit one (chunk_idx, n_chunk_tokens,
+  * chunk_text) row per stride-spaced window, straight off the token
+  * boundaries. The composed formulation it replaces — split() to a
+  * token array, explode(sequence(0, nc-1)), slice(), array_join() —
+  * re-evaluated the regex split several times per row (filter +
+  * projection branches) and copied the full token array into every
+  * exploded output row before slicing, O(windows x doc) bytes per
+  * document; this emits O(output) bytes total and reads the text once.
+  *
+  * Token semantics are bit-matched to `split(trim(lowered), "\s+")`
+  * with Spark's space-only trim and Java split limit -1: a leading or
+  * trailing non-space whitespace run yields an empty token at that end,
+  * an all-space or empty string yields no rows (the old pipeline's
+  * `tokenCount == 0` filter), null text yields no rows (the old
+  * `null > 0` filter). Window count = ceil(max(n-size,0)/stride) + 1.
+  */
+case class ChunkWindows(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression with Generator with CodegenFallback
+    with ImplicitCastInputTypes {
+
+  require(size >= 1 && stride >= 1, "size and stride must be >= 1")
+  require(stride <= size, "stride > size would drop tokens between windows")
+
+  override def inputTypes = Seq(StringType)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", LongType, nullable = false),
+    StructField("n_chunk_tokens", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false)))
+
+  // Java regex \s — the token separator set of the certified split()
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val u = child.eval(input).asInstanceOf[UTF8String]
+    if (u == null) return Nil
+    val t = u.toString
+    // Spark trim() strips 0x20 spaces only; other whitespace survives
+    // and produces the empty edge tokens below
+    var b = 0
+    var e = t.length
+    while (b < e && t.charAt(b) == ' ') b += 1
+    while (e > b && t.charAt(e - 1) == ' ') e -= 1
+    if (e <= b) return Nil // all-space/empty: tokenCount == 0, no chunks
+    // token boundaries, including split-limit -1 empty edge tokens
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    if (isWs(t.charAt(b))) { starts.add(b); ends.add(b) }
+    var j = b
+    while (j < e) {
+      while (j < e && isWs(t.charAt(j))) j += 1
+      if (j < e) {
+        val st = j
+        while (j < e && !isWs(t.charAt(j))) j += 1
+        starts.add(st); ends.add(j)
+      }
+    }
+    if (isWs(t.charAt(e - 1))) { starts.add(e); ends.add(e) }
+    val n = starts.size()
+    val nc = ((math.max(n - size, 0) + stride - 1) / stride) + 1
+    val out = new Array[InternalRow](nc)
+    var ci = 0
+    while (ci < nc) {
+      val from = ci * stride
+      val until = math.min(from + size, n)
+      val sb = new java.lang.StringBuilder()
+      var k = from
+      while (k < until) {
+        if (k > from) sb.append(' ')
+        sb.append(t, starts.get(k), ends.get(k))
+        k += 1
+      }
+      out(ci) = new GenericInternalRow(Array[Any](
+        ci.toLong, (until - from).toLong, UTF8String.fromString(sb.toString)))
+      ci += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): ChunkWindows =
     copy(child = c)
 }
 

@@ -476,6 +476,11 @@ object VectorExprs {
         exprs => TopShingleFrac(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
       reg.createOrReplaceTempFunction(
+        "graft_chunk_windows",
+        exprs => ChunkWindows(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
         "graft_nearest_centroid",
         exprs => NearestCentroid(exprs(0),
           exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -610,6 +615,19 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_vector_sum", vec)
+  }
+
+  /** One-pass chunking GENERATOR over lowercased text: emits
+    * (chunk_idx, n_chunk_tokens, chunk_text) per stride-spaced window.
+    * Use in a select() like explode(); alias the three output columns
+    * with .as(Seq(...)). */
+  def chunkWindows(loweredText: Column, size: Int, stride: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_chunk_windows", loweredText,
+      org.apache.spark.sql.functions.lit(size),
+      org.apache.spark.sql.functions.lit(stride))
   }
 
   /** Map-only nearest-centroid id (rounded cosine, min-cid tie-break)

@@ -116,33 +116,20 @@ object TextAnalysis {
              idCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(size >= 1 && stride >= 1, "size and stride must be >= 1")
     require(stride <= size, "stride > size would drop tokens between windows")
-    val toks = tokens(col(textCol))
-    val n = tokenCount(col(textCol)).cast("long")
-    // ceil(max(n-size,0)/stride) + 1 windows; 0 for empty text.
-    // floor() because Column./ on integral types is double division.
-    val nChunks = when(n === 0, lit(0L)).otherwise(
-      floor((greatest(n - size, lit(0L)) + (stride - 1)) / stride).cast("long") + 1)
-    // Explode the window indices FIRST, slice after: an earlier version
-    // built every chunk inside transform(sequence(...), i => struct(...))
-    // — an interpreted HOF lambda materializing the whole document ~2×
-    // as one nested value per row, the exact shape DESIGN.md measured
-    // 10:1 against fused kernels on the minhash pass (19.7s in the r6
-    // sweep vs 0.3s DuckDB). Generate(explode) + slice/array_join stay
-    // inside whole-stage codegen and touch one window at a time.
-    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
-      .filter(col("__nc") > 0)
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
-      .select(col(idCol), col("chunk_idx"),
-        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
-          lit(size)).as("__w"))
-      .select(col(idCol), col("chunk_idx"),
-        size_(col("__w")).cast("long").as("n_chunk_tokens"),
-        array_join(col("__w"), " ").as("chunk_text"))
+    // One-pass GENERATOR kernel (graft.functions.ChunkWindows): windows
+    // stream straight off the token boundaries of a single text scan.
+    // Two composed formulations preceded it, both certified-equal and
+    // both slower: transform(sequence(...)) built every chunk inside an
+    // interpreted HOF (19.7s in the r6 sweep vs 0.3s DuckDB), and
+    // explode + slice + array_join re-ran the regex split per projection
+    // branch and copied the full token array into every exploded row
+    // before slicing — O(windows x doc) bytes vs this kernel's
+    // O(output). OpsSpec pins kernel ≡ composed-formulation parity on
+    // the whitespace edge cases (tabs, multi-space, empty ends).
+    df.select(col(idCol),
+      graft.functions.VectorExprs.chunkWindows(lower(col(textCol)), size, stride)
+        .as(Seq("chunk_idx", "n_chunk_tokens", "chunk_text")))
   }
-  // `chunks` has an Int parameter named `size` that shadows
-  // functions.size; this alias keeps the builtin reachable there
-  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 
   /** Corpus vocabulary: the `topN` most frequent whitespace tokens with
     * their counts and a dense 1-based rank (count desc, token asc — a

@@ -85,6 +85,43 @@ class SelectionSpec extends SparkTestBase {
     assert(covered === Set("a", "b", "c", "d", "e", "f", "g"))
   }
 
+  test("chunks kernel ≡ composed split/slice/array_join on whitespace edges") {
+    // adversarial token edges: tabs/newlines (split-limit -1 empty edge
+    // tokens), multi-space runs, leading/trailing spaces (trimmed),
+    // uppercase (lowered), all-space (no rows), single token
+    val d = Seq(
+      (1L, "a b c d e f g h i"), (2L, "\tlead tab"), (3L, "trail tab\t"),
+      (4L, "  spaces  trimmed  "), (5L, "\t\t"), (6L, "MiXeD Case\nNEWLINE"),
+      (7L, "one"), (8L, "   "), (9L, "a  bc")
+    ).toDF("doc_id", "text")
+    def composed(size: Int, stride: Int) = {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val n = when(length(trim(col("text"))) === 0, lit(0))
+        .otherwise(org.apache.spark.sql.functions.size(toks)).cast("long")
+      val nChunks = when(n === 0, lit(0L)).otherwise(
+        floor((greatest(n - size, lit(0L)) + (stride - 1)) / stride).cast("long") + 1)
+      d.select(col("doc_id"), toks.as("__toks"), nChunks.as("__nc"))
+        .filter(col("__nc") > 0)
+        .select(col("doc_id"), col("__toks"),
+          explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          org.apache.spark.sql.functions.size(
+            slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(size)))
+            .cast("long").as("n_chunk_tokens"),
+          array_join(slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(size)), " ").as("chunk_text"))
+    }
+    for ((size, stride) <- Seq((4, 3), (2, 2), (16, 12), (3, 1))) {
+      val got = TextAnalysis.chunks(d, "text", "doc_id", size, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val want = composed(size, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got === want, s"size=$size stride=$stride")
+    }
+  }
+
   test("vocabulary ranks by count desc then token asc, bounded by topN") {
     val d = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(d, "text", topN = 3)
