@@ -197,6 +197,35 @@ object PipelineQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // keyless interval join, bucketed: clicks within the trailing 10
+    // minutes of each error, ANY user — the join shape Spark would
+    // otherwise plan as a nested loop. Inner semantics: errors with no
+    // click in range don't appear (matches the oracle's inner join).
+    "q_range_join" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+      val errors = e.filter(col("event_type") === "error")
+        .select("event_id", "tsu")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("tsu").as("ctsu"))
+      graft.ops.Events.rangeJoin(errors, clicks, "tsu", "ctsu",
+        lower = -600000000L, upper = 0L,
+        payload = Seq("click_id"), prefix = "c_")
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          min("c_click_id").as("first_click"))
+        .orderBy("event_id")
+    }),
+
+    // edit-distance self-join via lossless SymSpell deletion-neighborhood
+    // blocking + exact levenshtein verify (never a cross product)
+    "q_fuzzy_join" -> ((s, d) =>
+      graft.ops.Linkage.fuzzySelfPairs(
+        Tables(s, d, "supplier").select("s_suppkey", "s_name"),
+        "s_suppkey", "s_name", maxDist = 1)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")),
+
     // ---------------- selection
     // top-k per language by the certified 4-decimal quality score
     // (rounded BEFORE ordering so the rank is engine-independent)
@@ -616,6 +645,23 @@ object PipelineQueries {
            COUNT(*)::BIGINT AS n_events,
            MIN(tsu)::BIGINT AS start_us, MAX(tsu)::BIGINT AS end_us
          FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts)::BIGINT AS tsu
+           FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id AS click_id, epoch_us(ts)::BIGINT AS ctsu
+           FROM events WHERE event_type = 'click')
+         SELECT e.event_id, COUNT(*)::BIGINT AS n_clicks,
+           MIN(c.click_id)::BIGINT AS first_click
+         FROM e JOIN c ON c.ctsu BETWEEN e.tsu - 600000000 AND e.tsu
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           levenshtein(a.s_name, b.s_name)::BIGINT AS dist
+         FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+         WHERE levenshtein(a.s_name, b.s_name) <= 1
+         ORDER BY 1, 2""",
 
     "q_tfidf" ->
       s"""WITH tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf

@@ -129,6 +129,76 @@ object TextKernels {
 
   private val space = UTF8String.fromString(" ")
 
+  /** Depth-d deletion neighborhood of a string (itself + every string
+    * reachable by deleting up to d chars), distinct, insertion-ordered. */
+  def deletionNeighborhood(u: UTF8String, maxDeletes: Int): ArrayData = {
+    val s = u.toString
+    val out = new java.util.LinkedHashSet[String]()
+    out.add(s)
+    var frontier: Seq[String] = Seq(s)
+    var d = 0
+    while (d < maxDeletes) {
+      frontier = frontier.flatMap { t =>
+        (0 until t.length).iterator
+          .map(i => t.substring(0, i) + t.substring(i + 1))
+          .filter(out.add)
+          .toSeq
+      }
+      d += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  /** (n_tokens, distinct_ratio, top_bigram_frac) of LOWERCASED text in
+    * ONE pass — the fused form of tokenCount + size(array_distinct(
+    * tokens)) + topShingleFrac(tokens, 2), which tokenized the text
+    * three separate times and materialized two arrays per row. Token
+    * semantics identical to `split(trim(s), "\s+")` limit -1 (empty
+    * edge tokens for non-space whitespace at either end, zero tokens
+    * for all-space text). Conventions preserved: blank doc -> (0, 0.0,
+    * 0.0); single token -> top_bigram_frac 0.0. */
+  def repetitionStats(u: UTF8String): InternalRow = {
+    val t = u.toString
+    var b = 0
+    var e = t.length
+    while (b < e && t.charAt(b) == ' ') b += 1
+    while (e > b && t.charAt(e - 1) == ' ') e -= 1
+    if (e <= b)
+      return new GenericInternalRow(Array[Any](0L, 0.0, 0.0))
+    val distinct = new java.util.HashSet[String]()
+    val bigrams = new java.util.HashMap[String, Integer]()
+    var nTok = 0L
+    var prev: String = null
+    var maxBi = 0
+    def feed(tok: String): Unit = {
+      nTok += 1
+      distinct.add(tok)
+      if (prev != null) {
+        val c = bigrams.merge(prev + " " + tok, 1, (a: Integer, x: Integer) => a + x)
+        if (c > maxBi) maxBi = c
+      }
+      prev = tok
+    }
+    if (isWs(t.charAt(b))) feed("")
+    var j = b
+    while (j < e) {
+      while (j < e && isWs(t.charAt(j))) j += 1
+      if (j < e) {
+        val st = j
+        while (j < e && !isWs(t.charAt(j))) j += 1
+        feed(t.substring(st, j))
+      }
+    }
+    if (isWs(t.charAt(e - 1))) feed("")
+    val dr = distinct.size.toDouble / nTok
+    val tf = if (nTok < 2) 0.0 else maxBi.toDouble / (nTok - 1)
+    new GenericInternalRow(Array[Any](nTok, dr, tf))
+  }
+
   /** Highest single-shingle share of a document's k-gram stream:
     * max(count) / total over space-joined k-grams of the token array —
     * the Gopher-style top-bigram fraction at k = 2, in ONE pass per
@@ -182,6 +252,58 @@ case class QualityFeatures(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.qualityFeatures($c)")
 
   override protected def withNewChildInternal(c: Expression): QualityFeatures =
+    copy(child = c)
+}
+
+/** All distinct strings reachable by deleting up to `maxDeletes`
+  * characters (the SymSpell deletion neighborhood; includes the string
+  * itself). Two strings within Levenshtein distance d always share at
+  * least one member of their depth-d neighborhoods, so an equi-join on
+  * the exploded neighborhood is a LOSSLESS candidate generator for an
+  * edit-distance join — the candidates are then verified with the exact
+  * `levenshtein`. Neighborhood size is C(len, d)-ish per row (len+1 at
+  * d=1), so keep d small (1-2) and strings short (names/titles, not
+  * documents). */
+case class DeletionNeighborhood(child: Expression, maxDeletes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(maxDeletes >= 1 && maxDeletes <= 2,
+    "maxDeletes must be 1 or 2 (neighborhood size explodes beyond that)")
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.deletionNeighborhood(input.asInstanceOf[UTF8String], maxDeletes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.deletionNeighborhood($c, $maxDeletes)")
+
+  override protected def withNewChildInternal(c: Expression): DeletionNeighborhood =
+    copy(child = c)
+}
+
+/** Struct of the three per-document repetition signals from one text
+  * pass. Input must already be lowercased (compose with `lower(text)`). */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("distinct_ratio", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repetitionStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
     copy(child = c)
 }
 

@@ -476,6 +476,13 @@ object VectorExprs {
         exprs => TopShingleFrac(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
       reg.createOrReplaceTempFunction(
+        "graft_repetition_stats",
+        exprs => RepetitionStats(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_del_neighborhood",
+        exprs => DeletionNeighborhood(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
         "graft_chunk_windows",
         exprs => ChunkWindows(exprs(0),
           exprs(1).eval().asInstanceOf[Int],
@@ -615,6 +622,25 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_vector_sum", vec)
+  }
+
+  /** Depth-d deletion neighborhood (SymSpell blocking key set) of a
+    * string column — the lossless candidate generator for
+    * edit-distance joins (graft.ops.Linkage). */
+  def deletionNeighborhood(s: Column, maxDeletes: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_del_neighborhood", s,
+      org.apache.spark.sql.functions.lit(maxDeletes))
+  }
+
+  /** One-pass repetition-signal struct over LOWERCASED text. */
+  def repetitionStats(loweredText: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_repetition_stats", loweredText)
   }
 
   /** One-pass chunking GENERATOR over lowercased text: emits

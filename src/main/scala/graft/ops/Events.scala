@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,59 @@ object Events {
       .withColumn("roll_sum", sum(col(valueCol)).over(w))
       .withColumn("roll_mean",
         col("roll_sum").cast("double") / col("roll_n"))
+  }
+
+  /** Interval (range) join WITHOUT an equi-key requirement: every left
+    * row is paired with the right rows whose `rightTs` falls in
+    * `[leftTs + lower, leftTs + upper]` (inclusive ends, same integer
+    * units as the ts columns), optionally also matching on equi `keys`.
+    *
+    * Spark plans a bare range predicate as a broadcast-nested-loop or
+    * cartesian join — O(|L|·|R|) at any scale. This is the bucketed
+    * form: both sides are assigned time buckets of width
+    * `max(upper - lower, 1)`; a left row's window spans at most two
+    * consecutive buckets (window length == bucket width), so the left
+    * side explodes ≤2× into (bucket) rows, the join becomes an
+    * EQUI-join on (keys…, bucket), and the exact range predicate
+    * filters the candidates. Each matching pair meets exactly once
+    * (the right row's bucket is unique), so no dedup step. Shuffle is
+    * keyed by time bucket (+ keys): uniform event streams spread
+    * evenly; a pathological hot bucket is AQE skew-join territory, the
+    * same answer as any skewed equi-join.
+    *
+    * Right columns are carried as `prefix + name` (the `payload` list),
+    * left columns pass through unchanged.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftTs: String, rightTs: String,
+                lower: Long, upper: Long,
+                payload: Seq[String], keys: Seq[String] = Nil,
+                prefix: String = "rj_"): DataFrame = {
+    require(upper >= lower, "upper must be >= lower")
+    require(payload.nonEmpty, "payload must be non-empty")
+    val w = math.max(upper - lower, 1L)
+    // INTEGRAL floor division: Column./ is IEEE double division, which
+    // is lossy above 2^53 — nanosecond epochs (~1.7e18) would round
+    // bucket boundaries and silently drop boundary pairs. `div`
+    // truncates toward zero, so negatives take the mirrored ceiling.
+    def idiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+    def floorDiv(x: Column): Column = {
+      val xl = x.cast("long")
+      when(xl >= 0, idiv(xl, w)).otherwise(-idiv(-xl + (w - 1), w))
+    }
+    val b0 = floorDiv(col(leftTs) + lower)
+    val b1 = floorDiv(col(leftTs) + upper)
+    val lExp = left
+      .withColumn("__bucket", explode(sequence(b0, b1)))
+    val rB = right.select(
+      (keys.map(col) :+ floorDiv(col(rightTs)).as("__bucket") :+
+        col(rightTs).as("__rts") :+
+        struct(payload.map(col): _*).as("__p")): _*)
+    lExp.join(rB, keys :+ "__bucket")
+      .filter(col("__rts") >= col(leftTs) + lower &&
+        col("__rts") <= col(leftTs) + upper)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__p.$p").as(prefix + p)): _*)
   }
 
   /** Gap sessionization: 1-based `session_id` per key, incremented

@@ -167,6 +167,24 @@ object TextAnalysis {
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
                         idCol: String): org.apache.spark.sql.DataFrame = {
     def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+    // Fused kernel: ONE tokenization pass computes all three signals.
+    // The composed formulation below it tokenized three times (token
+    // count, array_distinct, bigram kernel) and materialized two
+    // arrays per row; SelectionSpec pins kernel ≡ composed parity.
+    val st = graft.functions.VectorExprs.repetitionStats(lower(col(textCol)))
+    df.select(col(idCol), st.as("__r"))
+      .select(col(idCol),
+        col("__r.n_tokens").as("n_tokens"),
+        r4(col("__r.distinct_ratio")).as("distinct_ratio"),
+        r4(col("__r.top_bigram_frac")).as("top_bigram_frac"))
+  }
+
+  /** The pre-kernel composed formulation, kept as the parity oracle for
+    * SelectionSpec (three tokenizations; never the production path). */
+  private[graft] def repetitionSignalsComposed(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
     val toks = tokens(col(textCol))
     val n = tokenCount(col(textCol)).cast("long")
     // One map-only pass: the top-bigram fraction comes from the per-row

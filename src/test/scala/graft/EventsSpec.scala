@@ -63,6 +63,38 @@ class EventsSpec extends SparkTestBase {
       roll.queryExecution.executedPlan.toString)
   }
 
+  test("rangeJoin: inclusive bounds, bucket-boundary pairs, keyed and keyless") {
+    val left = Seq((1L, 100L), (2L, 250L), (3L, 1000L)).toDF("lid", "ts")
+    val right = Seq((10L, 0L), (11L, 100L), (12L, 199L), (13L, 200L),
+      (14L, 201L), (15L, 999L)).toDF("rid", "rts")
+    // window [ts - 100, ts]: boundary pairs on both ends must survive
+    val got = Events.rangeJoin(left, right, "ts", "rts",
+      lower = -100L, upper = 0L, payload = Seq("rid"))
+      .select("lid", "rj_rid").as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 10L), (1L, 11L),            // [0,100]: both boundary rows in
+      (2L, 12L), (2L, 13L), (2L, 14L), // [150,250]: 199/200/201 in
+      (3L, 15L)))                      // [900,1000]: 999 in
+    // no cartesian/BNL in the plan: the join must be a hash equi-join
+    val plan = Events.rangeJoin(left, right, "ts", "rts", -100L, 0L, Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // keyed: same ts windows but keys partition the matches
+    val lk = Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("lid", "k", "ts")
+    val rk = Seq((10L, "a", 50L), (11L, "b", 60L)).toDF("rid", "k", "rts")
+    val gotK = Events.rangeJoin(lk, rk, "ts", "rts", -100L, 0L,
+      payload = Seq("rid"), keys = Seq("k"))
+      .select("lid", "rj_rid").as[(Long, Long)].collect().toSet
+    assert(gotK === Set((1L, 10L), (2L, 11L)))
+    // negative timestamps: floor (not truncate-toward-zero) bucketing
+    val ln = Seq((1L, -50L)).toDF("lid", "ts")
+    val rn = Seq((10L, -149L), (11L, -150L), (12L, -151L)).toDF("rid", "rts")
+    val gotN = Events.rangeJoin(ln, rn, "ts", "rts", -100L, 0L, Seq("rid"))
+      .select("lid", "rj_rid").as[(Long, Long)].collect().toSet
+    assert(gotN === Set((1L, 10L), (1L, 11L))) // -151 out of [-150, -50]
+  }
+
   test("sessionize: gap cuts, ties ordered by tiebreak, 1-based ids") {
     val df = Seq(
       (1L, 1L, 0L), (1L, 2L, 50L), (1L, 3L, 200L), // gap 150 > 100 cuts

@@ -122,6 +122,52 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("fuzzyJoin: lossless d=1 blocking vs brute-force levenshtein") {
+    val names = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sittin"),   // chain of subs
+      (4L, "kitte"), (5L, "kittens"),                   // delete / insert
+      (6L, "mitten"), (7L, "zebra"), (8L, "kitten")     // dup string
+    ).toDF("id", "name")
+    val got = graft.ops.Linkage.fuzzySelfPairs(names, "id", "name", maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force oracle over the same rows
+    val brute = names.as[(Long, String)].collect()
+    val want = (for {
+      (ia, sa) <- brute; (ib, sb) <- brute if ia < ib
+      if levenshteinDist(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got === want)
+    assert(want.contains((1L, 8L)) && want.contains((1L, 2L)) &&
+      want.contains((1L, 4L)) && want.contains((1L, 5L)) &&
+      !want.contains((1L, 3L))) // kitten->sittin is distance 2
+    // d=2 widens: the distance-2 chain pair appears
+    val got2 = graft.ops.Linkage.fuzzySelfPairs(names, "id", "name", maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got2.contains((1L, 3L)) && got.subsetOf(got2))
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("repetitionSignals kernel ≡ composed formulation on whitespace edges") {
+    val d = Seq(
+      (1L, "spam spam spam spam"), (2L, "one two three two one"),
+      (3L, ""), (4L, "   "), (5L, "\tlead tab lead\t"),
+      (6L, "a  b\n\nc"), (7L, "solo"), (8L, "MiXeD case mixed CASE")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    assert(canon(TextAnalysis.repetitionSignals(d, "text", "doc_id")) ===
+      canon(TextAnalysis.repetitionSignalsComposed(d, "text", "doc_id")))
+  }
+
   test("vocabulary ranks by count desc then token asc, bounded by topN") {
     val d = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(d, "text", topN = 3)
