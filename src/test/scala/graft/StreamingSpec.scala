@@ -104,6 +104,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize carries session state across batches, equals batch") {
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = StreamingSessionize.sessionize(input.toDS(), gap = 100L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: key 1 events 0/50 (one session); key 2 at 0
+      input.addData(SessionEvent(1L, 0L, 1L), SessionEvent(1L, 50L, 2L),
+        SessionEvent(2L, 0L, 5L))
+      q.processAllAvailable()
+      // batch 2: key 1 jumps past the gap (cut -> session 2) then stays;
+      // key 2 stays within gap (still session 1). The cut is computed
+      // against STATE from batch 1, not within-batch lag.
+      input.addData(SessionEvent(1L, 200L, 3L), SessionEvent(1L, 250L, 4L),
+        SessionEvent(2L, 90L, 6L))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .orderBy("key", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(got.toSeq === Seq(
+        (1L, 0L, 1L), (1L, 50L, 1L), (1L, 200L, 2L), (1L, 250L, 2L),
+        (2L, 0L, 1L), (2L, 90L, 1L)))
+      // batch twin on the same rows
+      val batch = graft.ops.Events.sessionize(
+        Seq((1L, 0L, 1L), (1L, 50L, 2L), (1L, 200L, 3L), (1L, 250L, 4L),
+          (2L, 0L, 5L), (2L, 90L, 6L)).toDF("key", "ts", "tie"),
+        "key", "ts", "tie", gap = 100L)
+        .orderBy("key", "ts").select("key", "ts", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(batch.toSeq === got.toSeq)
+    } finally q.stop()
+  }
+
   test("non-streamable funcs rejected with clear error") {
     val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
     val e = intercept[IllegalArgumentException] {
