@@ -185,6 +185,85 @@ class PropertySpec extends SparkTestBase {
     assert(bo.schema("d").dataType === BooleanType)
   }
 
+  test("chunk/repetition kernels equal composed formulations on random text") {
+    // random whitespace-adversarial text: words, runs of every \s char,
+    // empties, case noise
+    val genTok: Gen[String] = Gen.frequency(
+      5 -> Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      2 -> Gen.oneOf("the", "Spam", "a"),
+      1 -> Gen.const(""))
+    val genSep: Gen[String] = Gen.frequency(
+      5 -> Gen.const(" "), 2 -> Gen.const("\t"), 1 -> Gen.const("\n"),
+      1 -> Gen.const("  "), 1 -> Gen.const(" \t "))
+    val genText: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, genTok)
+      seps <- Gen.listOfN(n + 1, genSep)
+    } yield (seps.head +: toks.zip(seps.tail).flatMap(p => Seq(p._1, p._2))).mkString
+    val texts = samples(genText, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    for ((sz, st) <- Seq((4, 2), (5, 5), (7, 3))) {
+      val got = graft.ops.TextAnalysis.chunks(df, "text", "doc_id", sz, st)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val want = {
+        import org.apache.spark.sql.functions._
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        val n = when(length(trim(col("text"))) === 0, lit(0))
+          .otherwise(size(toks)).cast("long")
+        val nc = when(n === 0, lit(0L)).otherwise(
+          floor((greatest(n - sz, lit(0L)) + (st - 1)) / st).cast("long") + 1)
+        df.select(col("doc_id"), toks.as("t"), nc.as("nc"))
+          .filter(col("nc") > 0)
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(0L), col("nc") - 1)).as("ci"))
+          .select(col("doc_id"), col("ci"),
+            size(slice(col("t"), (col("ci") * st + 1).cast("int"), lit(sz)))
+              .cast("long"),
+            array_join(slice(col("t"), (col("ci") * st + 1).cast("int"),
+              lit(sz)), " "))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      }
+      assert(got === want, s"size=$sz stride=$st")
+    }
+    val gotR = graft.ops.TextAnalysis.repetitionSignals(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val wantR = graft.ops.TextAnalysis.repetitionSignalsComposed(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(gotR === wantR)
+  }
+
+  test("deletion-neighborhood blocking is lossless for random <=d edits") {
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val genStr = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    def randomEdit(s: String, seedIdx: Int): String = {
+      val r = new scala.util.Random(seedIdx)
+      val op = r.nextInt(3)
+      if (s.isEmpty) return s + "a"
+      val i = r.nextInt(s.length)
+      op match {
+        case 0 => s.substring(0, i) + s.substring(i + 1)              // delete
+        case 1 => s.substring(0, i) + ('a' + r.nextInt(3)).toChar + s.substring(i + 1) // substitute
+        case _ => s.substring(0, i) + ('a' + r.nextInt(3)).toChar + s.substring(i)     // insert
+      }
+    }
+    for (d <- Seq(1, 2)) {
+      val pairs = samples(genStr, 40).zipWithIndex.map { case (s, i) =>
+        val t = (1 to d).foldLeft(s)((cur, k) => randomEdit(cur, i * 10 + k))
+        (s, t)
+      }
+      def hood(s: String) =
+        graft.functions.TextKernels.deletionNeighborhood(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), d)
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSet
+      pairs.foreach { case (s, t) =>
+        // lev(s, t) <= d by construction; the blocking key sets must meet
+        assert(hood(s).intersect(hood(t)).nonEmpty, s"($s, $t) d=$d")
+      }
+    }
+  }
+
   test("scan/reduce duality: last of cumsum equals nansum (law 3/4)") {
     samples(genData, 5).foreach { data =>
       val df = data.zipWithIndex
