@@ -75,6 +75,18 @@ object CoreQueries {
         Seq("l_orderkey"), "disc_mult", "prod", "prod_disc")
         .withColumn("prod_disc", r("prod_disc", 6))),
 
+    // beyond-reference BINARY reductions (flox's model is unary-value;
+    // covariance/correlation need a value PAIR). Spark's builtins carry
+    // the same chunk/combine/finalize algebra — co-moment merge is the
+    // bivariate Chan formula our var Aggregator implements — and join
+    // the same one-shuffle grouped plan.
+    "q_corr" -> ((s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cov_p"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r_qp"))
+        .orderBy("l_returnflag")),
+
     "q_any_all" -> ((s, d) =>
       GroupByReduce.multi(
         li(s, d).withColumn("big", col("l_quantity") > 25),
@@ -524,6 +536,13 @@ object CoreQueries {
 
     "q_prod" ->
       """SELECT l_orderkey, round(product(1.0 + l_discount), 6) AS prod_disc
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_corr" ->
+      """SELECT l_returnflag,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+         round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+         round(corr(l_quantity, l_extendedprice), 6) AS r_qp
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_any_all" ->

@@ -144,6 +144,12 @@ class SelectionSpec extends SparkTestBase {
     val got2 = graft.ops.Linkage.fuzzySelfPairs(names, "id", "name", maxDist = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got2.contains((1L, 3L)) && got.subsetOf(got2))
+    // plan pin: candidates meet through a hash/merge EQUI-join on the
+    // variant, never a cartesian or broadcast-nested-loop product
+    val plan = graft.ops.Linkage.fuzzySelfPairs(names, "id", "name", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   private def levenshteinDist(a: String, b: String): Int = {
