@@ -342,7 +342,8 @@ case class LangIdBest(child: Expression)
   * `tokenCount == 0` filter), null text yields no rows (the old
   * `null > 0` filter). Window count = ceil(max(n-size,0)/stride) + 1.
   */
-case class ChunkWindows(child: Expression, size: Int, stride: Int)
+case class ChunkWindows(child: Expression, size: Int, stride: Int,
+                        emitEmptyDoc: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback
     with ImplicitCastInputTypes {
 
@@ -370,7 +371,15 @@ case class ChunkWindows(child: Expression, size: Int, stride: Int)
     var e = t.length
     while (b < e && t.charAt(b) == ' ') b += 1
     while (e > b && t.charAt(e - 1) == ' ') e -= 1
-    if (e <= b) return Nil // all-space/empty: tokenCount == 0, no chunks
+    if (e <= b) {
+      // all-space/empty text. chunks semantics (tokenCount == 0 filter):
+      // no rows. passages semantics (ceil(size(split)/w), no zero
+      // guard — split of the trimmed-empty string is [""], ONE token):
+      // a single empty window.
+      return if (!emitEmptyDoc) Nil
+      else Seq(new GenericInternalRow(Array[Any](
+        0L, 1L, UTF8String.EMPTY_UTF8)))
+    }
     // token boundaries, including split-limit -1 empty edge tokens
     val starts = new java.util.ArrayList[Integer]()
     val ends = new java.util.ArrayList[Integer]()

@@ -486,7 +486,8 @@ object VectorExprs {
         "graft_chunk_windows",
         exprs => ChunkWindows(exprs(0),
           exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int]), "built-in")
+          exprs(2).eval().asInstanceOf[Int],
+          exprs.length > 3 && exprs(3).eval().asInstanceOf[Boolean]), "built-in")
       reg.createOrReplaceTempFunction(
         "graft_nearest_centroid",
         exprs => NearestCentroid(exprs(0),
@@ -647,13 +648,15 @@ object VectorExprs {
     * (chunk_idx, n_chunk_tokens, chunk_text) per stride-spaced window.
     * Use in a select() like explode(); alias the three output columns
     * with .as(Seq(...)). */
-  def chunkWindows(loweredText: Column, size: Int, stride: Int): Column = {
+  def chunkWindows(loweredText: Column, size: Int, stride: Int,
+                   emitEmptyDoc: Boolean = false): Column = {
     SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_chunk_windows", loweredText,
       org.apache.spark.sql.functions.lit(size),
-      org.apache.spark.sql.functions.lit(stride))
+      org.apache.spark.sql.functions.lit(stride),
+      org.apache.spark.sql.functions.lit(emitEmptyDoc))
   }
 
   /** Map-only nearest-centroid id (rounded cosine, min-cid tie-break)

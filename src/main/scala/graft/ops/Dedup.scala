@@ -514,15 +514,16 @@ object Dedup {
   def passages(df: DataFrame, textCol: String, idCol: String,
                window: Int = 20): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val toks = TextAnalysis.tokens(col(textCol))
-    val nPass = ceil(size(toks).cast("double") / window).cast("int")
-    df.select(col(idCol), toks.as("__toks"), nPass.as("__np"))
-      .filter(col("__np") > 0)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), col("__np") - 1),
-        i => array_join(slice(col("__toks"), i * window + 1, lit(window)), " "))))
-      .withColumnRenamed("pos", "para_idx")
-      .withColumnRenamed("col", "para_text")
+    // ChunkWindows generator at stride == size (non-overlapping) — ONE
+    // tokenization pass, windows emitted directly. emitEmptyDoc keeps
+    // this op's historical semantics: split of trimmed-empty text is
+    // [""] (one token), so an empty doc yields one empty passage
+    // (TextAnalysis.chunks, with its tokenCount==0 guard, yields none).
+    df.select(col(idCol),
+      graft.functions.VectorExprs.chunkWindows(
+        lower(col(textCol)), window, window, emitEmptyDoc = true)
+        .as(Seq("para_idx", "__nt", "para_text")))
+      .drop("__nt")
   }
 
   /** 32-bit SimHash over token hashes. md5 mode (cross-engine
