@@ -1,0 +1,53 @@
+package graft
+
+/** Fleet-wide physical-plan audit: NO certified query may plan a
+  * CartesianProduct, and BroadcastNestedLoopJoin is allowed only where
+  * a query DECLARES a broadcast-side-bounded non-equi join (the
+  * brute-force / bounded-verify paths). This is the 100 TB contract in
+  * executable form — a regression that turns an equi-join into a
+  * product fails here before it ever reaches a cluster.
+  *
+  * Plans are built against sf0.001 (plan shape is scale-independent for
+  * these queries: no AQE runtime re-plan is consulted, we read the
+  * statically planned tree). Iterative operators (connected components,
+  * Lloyd) EXECUTE jobs at plan-build time by design; their inner loops
+  * are separately plan-pinned in their own specs.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries that legitimately contain a BroadcastNestedLoopJoin: each
+    * broadcasts a DECLARED-small side (query batch, centroid set,
+    * domain grid) into a non-equi or free-form join — the documented
+    * bounded patterns, not data×data products. */
+  private val bnlAllowed = Set(
+    "q_embed_topk",          // corpus vs BROADCAST query batch, =!= condition
+    "q_embed_neardup_exact", // declared bounded-corpus O(n²) verify step
+    "q_ivf_topk",            // probe candidates vs broadcast centroid table
+    "q_ivf_refined_topk",
+    "q_embed_centroids",
+    "q_dense_grid",          // crossJoin of two declared expected-domain DFs
+    "q_partial_axis",
+    "q_source_shift",        // scalar total joined onto per-source rows
+    "q_tfidf"                // scalar corpus doc-count (1-row broadcast)
+  )
+
+  test("no certified query plans a CartesianProduct; BNL only where declared") {
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLAN-BUILD-ERROR: $e" }
+      if (plan.startsWith("PLAN-BUILD-ERROR"))
+        failures += s"$name: $plan"
+      else {
+        if (plan.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct in plan"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnlAllowed(name))
+          failures += s"$name: undeclared BroadcastNestedLoopJoin"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
