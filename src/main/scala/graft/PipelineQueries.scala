@@ -402,6 +402,28 @@ object PipelineQueries {
           round(col("mean"), 4).as("mean"))
         .orderBy("label", "pos")),
 
+    // SemDeDup: within-coarse-cell near-dup pairs + min-id survivors —
+    // the cluster-bounded (deliberately cross-cell-lossy) semantic
+    // dedup that published training-data pipelines run next to LSH
+    "q_semantic_neardup" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.semanticNearDupPairs(e, "vec_id", "embedding",
+        Similarity.centroidsFromLabels(e, "label", "embedding"),
+        threshold = 0.4)
+        .select(col("cid"), col("id_a"), col("id_b"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_semantic_drop" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.semanticDrop(e, "vec_id", "embedding",
+        Similarity.centroidsFromLabels(e, "label", "embedding"),
+        threshold = 0.4)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // IVF with one Lloyd refinement round end-to-end: label-seeded
     // centroids -> assign -> recompute (rounded-centroid determinism)
     // -> probe-limited search against the REFINED quantizer
@@ -466,7 +488,54 @@ object PipelineQueries {
        SELECT id AS vec_id, min(label) AS keep_id
        FROM reach GROUP BY 1 ORDER BY 1"""
 
+  /** DuckDB replica of the SemDeDup pair query: label-seeded rounded
+    * centroids + nearest-centroid assignment (the q_ivf_topk fragments)
+    * + within-cell pairs. */
+  private val semanticAssignSql: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+         FROM embeddings),
+       cent AS (SELECT label::BIGINT AS cid,
+         list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS cv
+         FROM (SELECT label, pos, avg(x) AS m FROM (
+           SELECT label, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+             unnest(embedding)::DOUBLE AS x FROM embeddings)
+           GROUP BY 1, 2) GROUP BY 1),
+       centn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+       assign AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(CASE WHEN e.n * c.cn > 0
+             THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+             c.cid) AS rk
+         FROM e CROSS JOIN centn c) WHERE rk = 1),
+       sempairs AS (SELECT cid, a1.vec_id AS id_a, a2.vec_id AS id_b,
+           list_dot_product(e1.v, e2.v) / (e1.n * e2.n) AS rawsim
+         FROM assign a1 JOIN assign a2 USING (cid)
+         JOIN e e1 ON e1.vec_id = a1.vec_id
+         JOIN e e2 ON e2.vec_id = a2.vec_id
+         WHERE a1.vec_id < a2.vec_id
+           AND list_dot_product(e1.v, e2.v) / (e1.n * e2.n) >= 0.4)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q_semantic_neardup" ->
+      s"""WITH $semanticAssignSql
+         SELECT cid, id_a, id_b, round(rawsim, 4) AS sim
+         FROM sempairs ORDER BY id_a, id_b""",
+
+    "q_semantic_drop" ->
+      s"""WITH RECURSIVE $semanticAssignSql,
+         edges AS (SELECT id_a AS src, id_b AS dst FROM sempairs
+                   UNION SELECT id_b, id_a FROM sempairs),
+         reach AS (
+           SELECT src AS id, src AS label FROM edges
+           UNION
+           SELECT e2.src AS id, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (
+           SELECT id FROM (SELECT id, min(label) AS keep FROM reach GROUP BY 1)
+           WHERE id != keep)
+         ORDER BY vec_id""",
+
     "q_embed_neardup" ->
       lshNearDupSql(dims = 64, planes = 16, bandPlanes = 4, threshold = 0.4),
 

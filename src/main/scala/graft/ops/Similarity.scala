@@ -196,6 +196,43 @@ object Similarity {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-style semantic near-dup pairs: assign every vector to its
+    * nearest coarse centroid (broadcast table, map-only), then generate
+    * pairs ONLY within a cell — an equi-join on cid whose quadratic
+    * term is per-cell (corpus/k), never corpus-wide. Deliberately LOSSY
+    * across cells (the published SemDeDup trade: duplicates straddling
+    * a cell boundary are missed); `lshNearDupPairs` is the
+    * lossless-within-radius alternative when recall matters more than
+    * the cheaper candidate generation. */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame,
+                           threshold: Double): DataFrame = {
+    VectorExprs.ensureRegistered(df.sparkSession)
+    val e = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val assigned = nearestCentroids(e, "__id", centroids, 1)
+    val a = assigned.select(col("cid"), col("__id").as("id_a"),
+      col("__v").as("va"), col("__n").as("na"))
+    val b = assigned.select(col("cid"), col("__id").as("id_b"),
+      col("__v").as("vb"), col("__n").as("nb"))
+    a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("cid", "id_a", "id_b", "sim")
+  }
+
+  /** SemDeDup survivor selection: connected components over the
+    * within-cell pair graph, keep the smallest id per cluster. */
+  def semanticDrop(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, threshold: Double): DataFrame = {
+    val pairs = semanticNearDupPairs(df, idCol, vecCol, centroids, threshold)
+      .select("id_a", "id_b")
+    val losers = Dedup.connectedComponents(pairs, failOnNonConvergence = true)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-label centroid components (label, pos, mean) — the building
     * block of an IVF coarse quantizer. posexplode + groupBy: one
     * shuffle keyed by (label, dim), fully parallel. */

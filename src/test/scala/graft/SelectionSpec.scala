@@ -122,6 +122,26 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("semanticNearDupPairs: within-cell only, min-id survivors kept") {
+    import graft.ops.Similarity
+    // two well-separated cells on orthogonal axes; 1≈2 in cell A,
+    // 4≈5 in cell B, 3 alone in A; cross-cell near-identity CANNOT pair
+    val e = Seq(
+      (1L, 0L, Seq(1.0, 0.0, 0.0)), (2L, 0L, Seq(0.999, 0.01, 0.0)),
+      (3L, 0L, Seq(0.7, 0.3, 0.0)),
+      (4L, 1L, Seq(0.0, 1.0, 0.0)), (5L, 1L, Seq(0.0, 0.999, 0.01))
+    ).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+    val pairs = Similarity.semanticNearDupPairs(e, "vec_id", "embedding",
+      cents, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (4L, 5L)))
+    val kept = Similarity.semanticDrop(e, "vec_id", "embedding",
+      cents, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 4L)) // 2 and 5 dropped (larger ids)
+  }
+
   test("fuzzyJoin: lossless d=1 blocking vs brute-force levenshtein") {
     val names = Seq(
       (1L, "kitten"), (2L, "sitten"), (3L, "sittin"),   // chain of subs
