@@ -40,6 +40,13 @@ object CoreQueries {
     "q_count" -> ((s, d) =>
       GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "count", "n_vals")),
 
+    // exact distinct-cardinality reduction (the HLL sketch twin
+    // `approx_nunique` is the 100 TB path; exact is the certified one)
+    "q_nunique" -> ((s, d) =>
+      GroupByReduce.multi(li(s, d), Seq("l_returnflag"), Seq(
+        ("l_orderkey", "nunique", "n_orders"),
+        ("l_suppkey", "nunique", "n_supps")))),
+
     "q_sum" -> ((s, d) =>
       GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "sum", "sum_qty")
         .withColumn("sum_qty", r("sum_qty", 2))),
@@ -508,6 +515,11 @@ object CoreQueries {
   val oracleSql: Map[String, String] = Map(
     "q_count" ->
       "SELECT l_returnflag, count(l_quantity) AS n_vals FROM lineitem GROUP BY 1 ORDER BY 1",
+
+    "q_nunique" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_sum" ->
       "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1",

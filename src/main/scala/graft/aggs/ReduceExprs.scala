@@ -109,6 +109,16 @@ object ReduceExprs {
       case "mean"    => avg(v)                          // NaN propagates via sum
       case "nanmean" => if (fp) coalesce(avg(vn), NaN) else avg(v)
 
+      // ---- distinct counting (beyond-reference; the pipeline op behind
+      // per-group vocabulary/cardinality). Exact nunique shuffles the
+      // distinct (key, value) pairs — correct at any scale but heavy on
+      // high-cardinality values; approx_nunique is the mergeable HLL
+      // sketch (map-side combinable, fixed-width state), the same
+      // exact/sketch pairing as quantile vs approxQuantile. Both skip
+      // null AND NaN (a distinct count over missing values is noise).
+      case "nunique"        => count_distinct(vn)
+      case "approx_nunique" => approx_count_distinct(vn)
+
       // ---- var/std (flox/aggregations.py:348-526), arbitrary ddof
       case "var"    => guardNaN(v, fp)(varDdof(v, o.ddof))
       case "nanvar" => varDdof(vn, o.ddof)

@@ -45,6 +45,19 @@ class ReduceSpec extends SparkTestBase {
     assert(result(fixture, "prod") === Map(0 -> 24.0, 1 -> 4620.0, 2 -> 4320.0))
   }
 
+  test("nunique skips null and NaN; approx_nunique tracks exact") {
+    // duplicated values across groups; a NaN and a null must not count
+    val df = Seq(
+      (0L, 0, Some(1.0)), (1L, 0, Some(1.0)), (2L, 0, Some(2.0)),
+      (3L, 0, Some(Double.NaN)), (4L, 0, None),
+      (5L, 1, Some(7.0)), (6L, 1, Some(7.0))
+    ).toDF("idx", "by", "v")
+    assert(result(df, "nunique") === Map(0 -> 2L, 1 -> 1L))
+    val approx = result(df, "approx_nunique")
+    // HLL++ is exact in its sparse regime at these cardinalities
+    assert(approx === Map(0 -> 2L, 1 -> 1L))
+  }
+
   test("var/std ddof variants") {
     val v1 = result(fixture, "var")
     assert(math.abs(v1(0).asInstanceOf[Double] - 37.0) < 1e-9) // var([1,2,12], ddof=1)
