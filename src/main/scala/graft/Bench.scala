@@ -127,12 +127,14 @@ object Bench {
     // 2-decimal values on the driver line (~20 bytes/query keeps ~90
     // queries inside the window) and write full precision to a local file
     // for scripts/check_ratios.py.
-    // trailing zeros stripped ("0.50"->"0.5", "1.00"->"1"): still valid
-    // JSON, saves ~60 bytes across ~90 queries inside the 2000-byte
-    // driver tail window
+    // Compact values for the driver line (2000-byte stdout tail window,
+    // 90 queries): >= 1s gets 1 decimal, below 1s two; trailing zeros
+    // stripped ("0.50"->"0.5", "1.00"->"1"). Full precision goes to
+    // bench_full.json for scripts/check_ratios.py.
     def fmt(v: Double) =
       if (v < 0) "-1"
-      else f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else (if (v >= 1) f"$v%.1f" else f"$v%.2f")
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

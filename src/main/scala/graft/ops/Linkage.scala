@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * hash join: no theta join, no broadcast-nested-loop, no driver data.
   * Neighborhood fan-out is len+1 per row at d=1 (C(len,2)-ish at d=2)
   * — sized for name/title-length strings, not documents.
+  *
+  * Distance semantics are Java-char (UTF-16) based, matching Spark's
+  * `levenshtein`: identical to codepoint distance for BMP text; for
+  * supplementary-plane text the neighborhood still blocks consistently
+  * (both sides delete the same units) but edit distance counts
+  * surrogate halves. Cross-engine oracles should stick to BMP strings.
   */
 object Linkage {
 

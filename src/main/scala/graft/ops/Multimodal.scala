@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * Image decode is REAL for the formats the JDK ships codecs for
   * (`javax.imageio`: PNG, JPEG, GIF, BMP, WBMP) — width/height/channels
   * come from actually decoding the bytes, and the feature hash from a
-  * downsampled pixel grid. Payloads ImageIO cannot parse (unknown
-  * format / not an image) fall back to a clearly-marked deterministic
-  * pseudo-decode so the pipeline shape stays total; video/audio codecs
-  * (not in the JDK) would plug in through the same bytes-in/meta-out
-  * contract.
+  * downsampled pixel grid. Audio container decode is REAL for the
+  * formats javax.sound.sampled ships readers for (WAV/AU/AIFF).
+  * Payloads with no JDK codec (unknown format / not media) fall back
+  * to a clearly-marked deterministic pseudo-decode so the pipeline
+  * shape stays total; video codecs (not in the JDK) would plug in
+  * through the same bytes-in/meta-out contract.
   *
   * At 100 TB: media bytes dominate row size — `binary` columns stay in
   * parquet until the decode stage, `spark.sql.files.maxPartitionBytes`
@@ -112,6 +113,73 @@ object Multimodal {
   def resizeImages(ds: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedImage] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map(r => resizeImage(r.id, r.media, w, h)))
+  }
+
+  case class AudioMeta(id: Long, sampleRate: Int, channels: Int,
+                       bitsPerSample: Int, nSamples: Long, decoded: Boolean)
+
+  /** Real audio container decode via the JDK's javax.sound.sampled
+    * (WAV/AU/AIFF ship with the JRE): sample rate / channels / bit
+    * depth / frame count from the actual header. Payloads with no JDK
+    * audio reader (or raw PCM) fall back to a deterministic raw-PCM16
+    * interpretation — `decoded=false`, mono 16 kHz convention — so the
+    * stage stays total, mirroring decodeImage/decodeFallback. */
+  def decodeAudio(id: Long, bytes: Array[Byte]): AudioMeta =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = in.getFormat
+      AudioMeta(id, f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, in.getFrameLength, decoded = true)
+    } catch {
+      case _: Exception =>
+        AudioMeta(id, 16000, 1, 16, bytes.length / 2L, decoded = false)
+    }
+
+  def decodeAudios(ds: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r => decodeAudio(r.id, r.media)))
+  }
+
+  /** Windowed audio features over little-endian PCM16 payload bytes:
+    * per window of `windowSamples` samples, the sample count, INTEGER
+    * sum of squares (energy, exact — no float summation order) and
+    * zero-crossing count. For WAV payloads pass `dataOffset` = the data
+    * chunk start (44 for canonical headers); raw PCM uses 0. One row
+    * per window via the same explode + substring slicing shape as
+    * sampleFrames — per-frame feature extraction never materializes
+    * more than one window. */
+  case class AudioWindow(id: Long, windowIdx: Int, nSamples: Int,
+                         energy: Long, zeroCrossings: Int)
+
+  def audioWindows(ds: Dataset[MediaRow], windowSamples: Int,
+                   dataOffset: Int = 0): Dataset[AudioWindow] = {
+    require(windowSamples >= 1, "windowSamples must be >= 1")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      val b = r.media
+      val total = math.max(b.length - dataOffset, 0) / 2
+      val nWin = (total + windowSamples - 1) / windowSamples
+      (0 until nWin).iterator.map { w =>
+        val from = w * windowSamples
+        val until = math.min(from + windowSamples, total)
+        var energy = 0L
+        var zc = 0
+        var prevNeg = false
+        var i = from
+        while (i < until) {
+          val lo = b(dataOffset + 2 * i) & 0xFF
+          val hi = b(dataOffset + 2 * i + 1).toInt // sign-extends
+          val s = (hi << 8) | lo
+          energy += s.toLong * s
+          val neg = s < 0
+          if (i > from && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        AudioWindow(r.id, w, until - from, energy, zc)
+      }
+    })
   }
 
   /** Build a media table from documents (text bytes standing in for

@@ -570,4 +570,55 @@ class OpsSpec extends SparkTestBase {
     assert(rows.length === 3) // floor(100/32) = 3 frames
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length == 32))
   }
+
+  test("real WAV bytes decode; PCM window features are exact") {
+    // synthesize a REAL canonical WAV: javax.sound writes the header,
+    // we provide 16-bit mono PCM samples
+    val samples: Array[Short] =
+      Array(100, 200, -300, 400, -1, -2, 3, 0, 0, 5).map(_.toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, wav),
+      Multimodal.MediaRow(2L, "not audio at all".getBytes)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val metas = Multimodal.decodeAudios(ds).collect().sortBy(_.id)
+    assert(metas(0) === Multimodal.AudioMeta(1L, 8000, 1, 16,
+      samples.length.toLong, decoded = true))
+    assert(!metas(1).decoded && metas(1).sampleRate === 16000)
+    // windowed features over the raw PCM (window 4): exact integer
+    // energies and zero crossings vs a straight Scala oracle
+    val pcmDs = spark.createDataset(Seq(Multimodal.MediaRow(7L, pcm)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val wins = Multimodal.audioWindows(pcmDs, windowSamples = 4)
+      .collect().sortBy(_.windowIdx)
+    def oracle(from: Int, until: Int) = {
+      val w = samples.slice(from, until)
+      (w.map(s => s.toLong * s).sum,
+        w.sliding(2).count(p => p.length == 2 && (p(0) < 0) != (p(1) < 0)))
+    }
+    assert(wins.length === 3) // ceil(10/4)
+    wins.foreach { w =>
+      val (e, z) = oracle(w.windowIdx * 4, math.min(w.windowIdx * 4 + 4, samples.length))
+      assert((w.energy, w.zeroCrossings) === ((e, z)), s"window ${w.windowIdx}")
+    }
+    assert(wins.last.nSamples === 2) // tail window
+    // the WAV payload with the canonical 44-byte header offset yields
+    // the same features as the raw PCM
+    val viaWav = Multimodal.audioWindows(ds.filter(_.id == 1L),
+      windowSamples = 4, dataOffset = wav.length - pcm.length)
+      .collect().sortBy(_.windowIdx)
+    assert(viaWav.map(w => (w.energy, w.zeroCrossings)).toSeq ===
+      wins.map(w => (w.energy, w.zeroCrossings)).toSeq)
+  }
 }
