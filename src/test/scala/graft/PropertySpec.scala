@@ -233,6 +233,28 @@ class PropertySpec extends SparkTestBase {
     assert(gotR === wantR)
   }
 
+  test("rangeJoin equals brute-force filter join on random data (incl. negatives)") {
+    val genTs = Gen.chooseNum(-500L, 500L)
+    val genRows = Gen.listOfN(40, genTs)
+    for (seed <- 0 until 4) {
+      val lts = samples(genRows, 1 + seed).head.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val rts = samples(genRows, 11 + seed).head.zipWithIndex
+        .map { case (t, i) => (i.toLong + 1000, t) }
+      val (lo, hi) = if (seed % 2 == 0) (-73L, 0L) else (-50L, 31L)
+      val left = lts.toDF("lid", "ts")
+      val right = rts.toDF("rid", "rts")
+      val got = graft.ops.Events.rangeJoin(left, right, "ts", "rts",
+        lo, hi, payload = Seq("rid"))
+        .select("lid", "rj_rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (li, lt) <- lts; (ri, rt) <- rts
+        if rt >= lt + lo && rt <= lt + hi
+      } yield (li, ri)).toSet
+      assert(got === want, s"seed=$seed window=[$lo,$hi]")
+    }
+  }
+
   test("deletion-neighborhood blocking is lossless for random <=d edits") {
     val alpha = Gen.oneOf('a', 'b', 'c')
     val genStr = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
