@@ -203,14 +203,22 @@ object Similarity {
     * across cells (the published SemDeDup trade: duplicates straddling
     * a cell boundary are missed); `lshNearDupPairs` is the
     * lossless-within-radius alternative when recall matters more than
-    * the cheaper candidate generation. */
+    * the cheaper candidate generation.
+    *
+    * EAGER: the assignment is materialized via `localCheckpoint()`
+    * before the self-join — without it BOTH join sides re-run the
+    * centroid build + broadcast assignment (measured: zero
+    * ReusedExchange, the whole subtree planned twice). One
+    * corpus-sized (id, cid, vec) materialization is the standard
+    * self-join trade; free the blocks with
+    * [[graft.api.Caches.release]] once the result is consumed. */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            centroids: DataFrame,
                            threshold: Double): DataFrame = {
     VectorExprs.ensureRegistered(df.sparkSession)
     val e = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
-    val assigned = nearestCentroids(e, "__id", centroids, 1)
+    val assigned = nearestCentroids(e, "__id", centroids, 1).localCheckpoint()
     val a = assigned.select(col("cid"), col("__id").as("id_a"),
       col("__v").as("va"), col("__n").as("na"))
     val b = assigned.select(col("cid"), col("__id").as("id_b"),
