@@ -141,6 +141,11 @@ object Similarity {
     // copies save. It becomes the right trade only when L or the vector
     // width grows an order of magnitude; revisit if planes/bandPlanes
     // ever does.
+    // DELIBERATELY NOT checkpointed before the self-join (unlike
+    // semanticNearDupPairs): the doubled subtree here is a map-only
+    // signature pass plus one keys-only partial-aggregated shuffle —
+    // recomputing that at 100 TB is cheaper than materializing
+    // corpus × L × vector-width checkpoint blocks.
     val sig = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
       posexplode(VectorExprs.lshSigs(asDouble(col(vecCol)),
         planeMatrix(planes, dims), dims, bandPlanes)))
