@@ -47,6 +47,21 @@ object CoreQueries {
         ("l_orderkey", "nunique", "n_orders"),
         ("l_suppkey", "nunique", "n_supps")))),
 
+    // reductions over a Partitioning.byGroups-aligned layout (the
+    // rechunk_for_blockwise residue, flox/rechunk.py:158-223): same
+    // values as the unpartitioned plan — certifies the pre-partitioned
+    // path end-to-end (its one-Exchange plan shape is pinned in
+    // ReduceSpec)
+    "q_partitioned_agg" -> ((s, d) =>
+      GroupByReduce.multi(
+        graft.api.Partitioning.byGroups(li(s, d), Seq("l_returnflag")),
+        Seq("l_returnflag"), Seq(
+          ("l_quantity", "sum", "sum_qty"),
+          ("l_quantity", "mean", "avg_qty"),
+          ("l_orderkey", "nunique", "n_orders")))
+        .withColumn("sum_qty", r("sum_qty", 2))
+        .withColumn("avg_qty", r("avg_qty", 4))),
+
     "q_sum" -> ((s, d) =>
       GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "sum", "sum_qty")
         .withColumn("sum_qty", r("sum_qty", 2))),
@@ -519,6 +534,12 @@ object CoreQueries {
     "q_nunique" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
          count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_partitioned_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_sum" ->
