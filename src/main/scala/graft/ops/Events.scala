@@ -17,34 +17,67 @@ object Events {
   /** As-of join: for every left row, the payload of the LATEST right
     * row with the same key and `rightTs <= leftTs` (backward-inclusive,
     * DuckDB/pandas `ASOF JOIN` semantics); null payload when no right
-    * row precedes.
+    * row precedes. `direction` extends to pandas merge_asof parity:
+    * "forward" matches the EARLIEST right row with `rightTs >= leftTs`,
+    * "nearest" the right row with the smallest |rightTs - leftTs|
+    * (ties -> the backward match; requires a numeric ts column).
     *
     * Plan: tag + union the two inputs, one window per key ordered by
     * (ts, tag) — right rows sort before left rows at equal ts, so
     * `last(payload, ignoreNulls)` over the running frame IS the as-of
-    * match, carried to each left row in a single pass. One shuffle on
-    * the key; neither side is broadcast, neither side range-joins.
-    * Right rows should be unique per (key, ts) — pre-aggregate ties
-    * upstream or the carried match is tie-ambiguous (same contract as
-    * DuckDB ASOF JOIN).
+    * match, carried to each left row in a single pass (forward = the
+    * mirrored frame in the SAME window pass; nearest = both carries +
+    * one comparison). One shuffle on the key; neither side is
+    * broadcast, neither side range-joins. Right rows should be unique
+    * per (key, ts) — pre-aggregate ties upstream or the carried match
+    * is tie-ambiguous (same contract as DuckDB ASOF JOIN).
     *
-    * Left rows with null `leftTs` sort first and match nothing, by
-    * design.
+    * Left rows with null `leftTs` sort first and match nothing
+    * backward, by design.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
     require(payload.nonEmpty, "payload must be non-empty")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown direction '$direction'")
     val r2 = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"),
-        struct(payload.map(col): _*).as("__p"), lit(0).as("__tag")): _*)
+        struct(col(rightTs).as("__rts") +: payload.map(col): _*).as("__p"),
+        lit(0).as("__tag")): _*)
     val l2 = left.withColumn("__ts", col(leftTs)).withColumn("__tag", lit(1))
-    val w = Window.partitionBy(keys.map(col): _*)
+    // at equal ts the right row must be VISIBLE to the left row in both
+    // directions: tag asc puts right first for the trailing frame; the
+    // leading frame starts at currentRow, and rows_between frames are
+    // ROW-based, so the equal-ts right row (sorted just before) needs
+    // tag desc for forward — run forward as last() over a REVERSED
+    // mirror ordering instead, expressed as first() with tag desc
+    val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2, allowMissingColumns = true)
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwdOrd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").desc)
+    val fwd = fwdOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    val matched = direction match {
+      case "backward" =>
+        unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(back))
+      case "forward" =>
+        unioned.withColumn("__m", first(col("__p"), ignoreNulls = true).over(fwd))
+      case "nearest" =>
+        unioned
+          .withColumn("__mb", last(col("__p"), ignoreNulls = true).over(back))
+          .withColumn("__mf", first(col("__p"), ignoreNulls = true).over(fwd))
+          .withColumn("__m",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(col("__ts") - col("__mb.__rts") <=
+                col("__mf.__rts") - col("__ts"), col("__mb"))
+              .otherwise(col("__mf")))
+    }
+    matched
       .filter(col("__tag") === 1)
       .select(left.columns.map(col) ++
         payload.map(p => col(s"__m.$p").as(prefix + p)): _*)

@@ -32,6 +32,28 @@ class EventsSpec extends SparkTestBase {
     assert(out.count() === 1)
   }
 
+  test("asofJoin directions: forward earliest-at-or-after, nearest ties backward") {
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 25L), (1L, 102L, 31L),
+      (2L, 200L, 5L)).toDF("k", "id", "ts")
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 6L, 9.0)).toDF("k", "rts", "v")
+    def run(dir: String) =
+      Events.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        prefix = "m_", direction = dir)
+        .orderBy("id").select("id", "m_v").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(run("forward").toSeq === Seq(
+      (100L, Some(1.0)),  // ts 10: equal-ts right row matches (inclusive)
+      (101L, Some(3.0)),  // ts 25: earliest at-or-after is 30
+      (102L, None),       // ts 31: nothing after
+      (200L, Some(9.0)))) // ts 5: right at 6 is ahead
+    assert(run("nearest").toSeq === Seq(
+      (100L, Some(1.0)),  // exact hit
+      (101L, Some(2.0)),  // |25-20| == |30-25|: tie -> backward
+      (102L, Some(3.0)),  // only backward exists
+      (200L, Some(9.0)))) // only forward exists
+  }
+
   test("rollingAgg: range frame includes span boundary and drops older rows") {
     val df = Seq((1L, 1L, 0L, 10L), (1L, 2L, 100L, 20L), (1L, 3L, 150L, 30L),
       (2L, 4L, 0L, 5L)).toDF("k", "id", "ts", "v")
