@@ -233,6 +233,32 @@ class PropertySpec extends SparkTestBase {
     assert(gotR === wantR)
   }
 
+  test("asof duality: forward on negated ts equals backward, and vice versa") {
+    val genTs = Gen.chooseNum(-200L, 200L)
+    for (seed <- 0 until 3) {
+      val lts = samples(Gen.listOfN(25, genTs), 21 + seed).head.zipWithIndex
+        .map { case (t, i) => (i % 3L, i.toLong, t) }
+      // distinct right ts per key: the asof tie contract (pre-aggregated)
+      val rts = samples(Gen.listOfN(25, genTs), 31 + seed).head.zipWithIndex
+        .map { case (t, i) => (i % 3L, t, t.toDouble) }
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val left = lts.toDF("k", "id", "ts")
+      val right = rts.toDF("k", "rts", "v")
+      val fwd = graft.ops.Events.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("v"), direction = "forward")
+        .select("id", "asof_v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      import org.apache.spark.sql.functions.col
+      val backNeg = graft.ops.Events.asofJoin(
+        left.withColumn("ts", -col("ts")),
+        right.withColumn("rts", -col("rts")),
+        Seq("k"), "ts", "rts", Seq("v"), direction = "backward")
+        .select("id", "asof_v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(fwd === backNeg, s"seed=$seed")
+    }
+  }
+
   test("rangeJoin equals brute-force filter join on random data (incl. negatives)") {
     val genTs = Gen.chooseNum(-500L, 500L)
     val genRows = Gen.listOfN(40, genTs)
