@@ -259,6 +259,32 @@ object PipelineQueries {
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")),
 
+    // END-TO-END pipeline: quality filter → exact dedup → near-dup drop
+    // → decontaminate → stratified sample, each stage feeding the next —
+    // certifies that the certified pieces COMPOSE (the "switch your
+    // pipeline to this library" claim), not just that they work alone
+    "q_pipeline_e2e" -> ((s, d) => {
+      def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+      val all = docs(s, d)
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      val qual = all.select(col("doc_id"), col("lang"), col("text"), f.as("__f"))
+        .withColumn("quality",
+          r4(least(col("__f.n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - col("__f.n_stop") / greatest(col("__f.n_tokens"), lit(1L))) * 0.3 +
+            (lit(1.0) - col("__f.n_punct") / greatest(col("__f.len_nws"), lit(1L))) * 0.2))
+        .filter(col("quality") >= 0.6)
+        .select("doc_id", "lang", "text")
+      val exact = Dedup.dropExact(qual, "text", "doc_id")
+      val nd = Dedup.dropNearDups(exact, "text", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      val clean = Selection.decontaminate(nd,
+        all.filter(col("doc_id") < 50), "text")
+      Selection.stratifiedSample(clean.select("lang", "doc_id"),
+        "lang", "doc_id", pct = 50)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
     // exact train/eval contamination: docs sharing a normalized
     // fingerprint with the benchmark slice (doc_id < 50 stands in for
     // the eval set; the slice itself reports as self-contaminated,
@@ -817,6 +843,51 @@ object PipelineQueries {
            AND md5(regexp_replace(trim(lower(b.text)), '\\s+', ' ', 'g'))
              = md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')))
          ORDER BY doc_id""",
+
+    "q_pipeline_e2e" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id, lang, text,
+           floor((least(n_tokens / 100.0, 1.0) * 0.5
+             + (1.0 - n_stop / greatest(n_tokens, 1)) * 0.3
+             + (1.0 - n_punct / greatest(len_nws, 1)) * 0.2) * 10000 + 0.5)
+             / 10000 AS quality
+           FROM (SELECT doc_id, lang, text,
+             (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT AS n_tokens,
+             len(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE AS len_nws,
+             len(list_filter($W, t -> list_contains(['a','the','and','of','to','is','in'], t)))::DOUBLE AS n_stop,
+             len(regexp_replace(regexp_replace(lower(text), '\\s+', '', 'g'), '[a-z0-9]', '', 'g'))::DOUBLE AS n_punct
+             FROM documents)),
+         qual AS (SELECT doc_id, lang, text FROM base WHERE quality >= 0.6),
+         fp AS (SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fpv
+                FROM qual),
+         keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fpv),
+         ex AS (SELECT fp.* FROM fp JOIN keepers USING (doc_id)),
+         s AS (SELECT doc_id, lang, text, fpv, list_distinct($SH) AS sh,
+             ${mhSql(0)} AS m0, ${mhSql(1)} AS m1, ${mhSql(2)} AS m2, ${mhSql(3)} AS m3
+           FROM ex),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND (a.m0 = b.m0 OR a.m1 = b.m1 OR a.m2 = b.m2 OR a.m3 = b.m3)
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT src AS id, src AS label FROM edges
+           UNION
+           SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         losers AS (SELECT id FROM (SELECT id, min(label) AS keep_id
+                    FROM reach GROUP BY 1) WHERE id != keep_id),
+         nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id FROM losers)),
+         clean AS (SELECT * FROM nd d WHERE NOT EXISTS (
+           SELECT 1 FROM documents b WHERE b.doc_id < 50
+             AND md5(regexp_replace(trim(lower(b.text)), '\\s+', ' ', 'g')) = d.fpv)),
+         r AS (SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM clean)
+         SELECT lang, doc_id FROM r WHERE rn * 100 <= n * 50
+         ORDER BY lang, doc_id""",
 
     "q_decontaminate" ->
       s"""SELECT doc_id FROM documents d
