@@ -173,6 +173,23 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // forward as-of: each click matched to the user's EARLIEST error
+    // at-or-after it (direction="forward"; DuckDB oracle = backward
+    // ASOF on negated timestamps)
+    "q_asof_fwd" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "tsu")
+      val errors = e.filter(col("event_type") === "error")
+        .groupBy("user_id", "tsu").agg(max("value").as("eval"))
+        .withColumnRenamed("tsu", "etsu")
+      graft.ops.Events.asofJoin(clicks, errors, Seq("user_id"),
+        "tsu", "etsu", Seq("etsu", "eval"), prefix = "err_",
+        direction = "forward")
+        .orderBy("event_id")
+    }),
+
     // trailing 24h per-user rolling stats (RANGE frame — tie-safe);
     // integral values keep the windowed sum engine-exact
     "q_rolling" -> ((s, d) => {
@@ -712,6 +729,19 @@ object PipelineQueries {
            r.etsu AS err_etsu, r.eval AS err_eval
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.tsu >= r.etsu
+         ORDER BY l.event_id""",
+
+    "q_asof_fwd" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu,
+           -epoch_us(ts)::BIGINT AS nts
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch_us(ts)::BIGINT AS etsu,
+             -epoch_us(ts)::BIGINT AS nts, MAX(value) AS eval
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2, 3)
+         SELECT l.user_id, l.event_id, l.tsu,
+           r.etsu AS err_etsu, r.eval AS err_eval
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.nts >= r.nts
          ORDER BY l.event_id""",
 
     "q_rolling" ->

@@ -142,6 +142,21 @@ class SelectionSpec extends SparkTestBase {
     assert(kept === Array(1L, 3L, 4L)) // 2 and 5 dropped (larger ids)
   }
 
+  test("semantic pairs are a subset of the exact near-dup pairs") {
+    import graft.ops.Similarity
+    val e = (0 until 30).map { i =>
+      val base = Array.tabulate(8)(dm => math.sin(i * 0.7 + dm).abs + 0.1)
+      (i.toLong, (i % 3).toLong, base.toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+    val sem = Similarity.semanticNearDupPairs(e, "vec_id", "embedding", cents, 0.995)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.995)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact)) // cluster-bounding only ever LOSES pairs
+    assert(sem.nonEmpty)        // fixture dense enough to exercise the path
+  }
+
   test("fuzzyJoin: lossless d=1 blocking vs brute-force levenshtein") {
     val names = Seq(
       (1L, "kitten"), (2L, "sitten"), (3L, "sittin"),   // chain of subs
