@@ -169,8 +169,8 @@ object Bench {
     // bench_full.json (the input for scripts/check_ratios.py).
     val fastCut = 0.5
     val maxItemized = 50
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val errNames = results.collect { case (k, v) if v < 0 => k }
+    val errs = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -181,11 +181,26 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json: $e") }
     val slow = results.filter { case (_, v) => v >= fastCut }
       .sortBy { case (_, v) => -v }.take(maxItemized).sortBy(_._1)
+    // Spillover guard: with > maxItemized slow queries, the overflow
+    // lands in the "fast" bucket and its n/sec stop meaning "fast" —
+    // say so loudly rather than misreport silently.
+    val slowTotal = results.count { case (_, v) => v >= fastCut }
+    if (slowTotal > maxItemized) System.err.println(
+      s"[bench] WARNING: $slowTotal queries >= ${fastCut}s but only " +
+        s"$maxItemized itemized — ${slowTotal - maxItemized} slow queries " +
+        "folded into the 'fast' bucket; read bench_full.json")
     val fast = results.filter { case (k, v) => v >= 0 && !slow.exists(_._1 == k) }
     val qs = slow.map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
       .mkString("{", ",", "}")
-    def fmt1(v: Double) = f"$v%.1f"
-    val line = s"""{"metric":"total","value":${fmt1(total)},"unit":"sec","queries_ms":$qs,"fast":{"n":${fast.size},"sec":${fmt1(fast.map(_._2).sum)}},"errors":$errs,"sf":"$sfDir"}"""
+    // Locale.ROOT: the f"" interpolator formats with the JVM default
+    // locale, which on e.g. de_DE emits "80,1" — an unparseable line.
+    def fmt1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", v)
+    // Errors on the driver line are CAPPED (count + first 10 names) so a
+    // mass-failure run cannot blow the ~2000-byte tail window exactly
+    // when the parsed line matters most; bench_full.json has them all.
+    val errCapped =
+      s"""{"n":${errNames.size},"names":${errNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val line = s"""{"metric":"total","value":${fmt1(total)},"unit":"sec","queries_ms":$qs,"fast":{"n":${fast.size},"sec":${fmt1(fast.map(_._2).sum)}},"errors":$errCapped,"sf":"$sfDir"}"""
     if (line.length > 1700) System.err.println(
       s"[bench] WARNING: driver line ${line.length} bytes — nearing the 2000-byte tail window")
     println(line)

@@ -87,8 +87,13 @@ object CoreQueries {
       GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "var", "var0",
         ReduceOptions(ddof = 0)).withColumn("var0", r("var0", 4))),
 
+    // Grouped by l_orderkey so degenerate groups exist in the data:
+    // 1-row (n < ddof -> NaN), 2-row (n == ddof -> 0/0 = NaN, or +inf
+    // when the two values differ), and 3+-row (normal) — certifying the
+    // reference's `_var_finalize` IEEE branches (flox/aggregations.py:
+    // 460-469), not just the happy path.
     "q_var_ddof2" -> ((s, d) =>
-      GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "var", "var2",
+      GroupByReduce(li(s, d), Seq("l_orderkey"), "l_quantity", "var", "var2",
         ReduceOptions(ddof = 2)).withColumn("var2", r("var2", 4))),
 
     "q_prod" -> ((s, d) =>
@@ -208,6 +213,20 @@ object CoreQueries {
         // NaN-propagating sum: encode NaN as null for hash-stable compare
         .withColumn("sum_prop", when(!isnan(col("sum_prop")), r("sum_prop", 2)))
     }),
+
+    // Integer-dtype fill parity (flox/xrdtypes.py:175-185): nansum /
+    // nanprod over an INT column keep BIGINT schema — the identity
+    // fills are integer literals and prod is the exact int64 product,
+    // so no silent promotion to double. l_orderkey groups are 1-7 rows
+    // with nulls injected on even part keys, so all-null groups (fill
+    // 0 / fill 1) and short products (exact, no overflow) both occur.
+    "q_nan_aggs_int" -> ((s, d) =>
+      GroupByReduce.multi(
+        li(s, d).withColumn("x",
+          when(col("l_partkey") % 2 === 0, lit(null)).otherwise(col("l_linenumber"))),
+        Seq("l_orderkey"), Seq(
+          ("x", "nansum", "nsum"),
+          ("x", "nanprod", "nprod")))),
 
     "q_nanvar_std" -> ((s, d) => {
       val e = withNan(ev(s, d))
@@ -562,9 +581,12 @@ object CoreQueries {
       "SELECT l_returnflag, round(var_pop(l_quantity), 4) AS var0 FROM lineitem GROUP BY 1 ORDER BY 1",
 
     "q_var_ddof2" ->
-      """SELECT l_returnflag,
+      """SELECT l_orderkey,
          round(CASE WHEN count(l_quantity) > 2
-           THEN var_pop(l_quantity) * count(l_quantity) / (count(l_quantity) - 2) END, 4) AS var2
+           THEN var_pop(l_quantity) * count(l_quantity) / (count(l_quantity) - 2)
+           WHEN count(l_quantity) = 2 AND var_pop(l_quantity) > 0
+           THEN 'Infinity'::DOUBLE
+           ELSE 'NaN'::DOUBLE END, 4) AS var2
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_prod" ->
@@ -679,6 +701,14 @@ object CoreQueries {
          max(CASE WHEN NOT isnan(v) THEN v END) AS nmax,
          CASE WHEN NOT isnan(sum(v)) THEN round(sum(v), 2) END AS sum_prop
          FROM ($sqlNan) GROUP BY user_id ORDER BY user_id""",
+
+    "q_nan_aggs_int" ->
+      """SELECT l_orderkey,
+         CAST(coalesce(sum(x), 0) AS BIGINT) AS nsum,
+         CAST(coalesce(product(x), 1) AS BIGINT) AS nprod
+         FROM (SELECT l_orderkey,
+                 CASE WHEN l_partkey % 2 = 0 THEN NULL ELSE l_linenumber END AS x
+               FROM lineitem) GROUP BY 1 ORDER BY 1""",
 
     "q_nanvar_std" ->
       s"""SELECT user_id,

@@ -67,17 +67,27 @@ object ReduceExprs {
     if (fp) when(anyNaN(v), NaN).otherwise(e) else e
 
   /** Variance with arbitrary ddof, from the codegen'd central-moment
-    * aggregate: var_ddof = var_pop * n / (n - ddof). Matches flox's
-    * 3-tuple combine algebra (flox/aggregations.py:392-451) without a
-    * custom Aggregator — Spark's CentralMomentAgg already merges with
-    * the numerically-stable pairwise update.
+    * aggregate: var_ddof = M2 / (n - ddof) with M2 = var_pop * n.
+    * Matches flox's 3-tuple combine algebra (flox/aggregations.py:
+    * 392-451) without a custom Aggregator — Spark's CentralMomentAgg
+    * already merges with the numerically-stable pairwise update.
+    *
+    * Degenerate groups follow the reference's `_var_finalize` IEEE
+    * arithmetic exactly (flox/aggregations.py:460-469): n - ddof < 0
+    * -> NaN, n == ddof -> 0/0 = NaN (or +inf when M2 > 0), never the
+    * SQL null Spark's divide-by-zero would produce. ddof 0/1 keep the
+    * built-ins: var_samp already finishes NaN on a single row.
     */
   private def varDdof(v: Column, ddof: Int): Column = ddof match {
     case 0 => var_pop(v)
     case 1 => var_samp(v)
     case d =>
       val n = count(v).cast("double")
-      when(n > d, var_pop(v) * n / (n - d))
+      val m2 = var_pop(v) * n
+      val den = n - d
+      when(den > 0, m2 / den)
+        .when(den === 0 && m2 > 0, lit(Double.PositiveInfinity))
+        .otherwise(NaN)
   }
 
   /** Set of funcs needing the element-index column. */
@@ -90,20 +100,43 @@ object ReduceExprs {
     * @param v   value column
     * @param idx stable element-order column (for order-dependent funcs)
     * @param fp  whether `v` is floating-point (NaN semantics apply)
+    * @param mv  whether `v`'s dtype is UnsafeRow-mutable (numeric /
+    *            temporal / bool / decimal). Mutable-valued min/max/
+    *            first/last stay declarative inside HashAggregateExec
+    *            (whole-stage codegen); immutable values (strings) and
+    *            all struct-ordered aggs route through [[ExtremumByAgg]]
+    *            so the plan lands in ObjectHashAggregateExec instead of
+    *            the SortAggregateExec fallback — no per-partition sort
+    *            of the raw input at scale.
+    * @param integral whether `v`'s dtype is an integer type: sum/prod
+    *            keep BIGINT (reference dtype rule flox/xrdtypes.py:
+    *            175-185 — promote to the platform int64, never float),
+    *            with integer identity fills and the exact wraparound
+    *            int64 product.
     */
   def apply(func: String, v: Column, idx: => Column, fp: Boolean,
-            o: ReduceOptions = ReduceOptions()): Column = {
+            o: ReduceOptions = ReduceOptions(), mv: Boolean = true,
+            integral: Boolean = false): Column = {
+    import graft.functions.VectorExprs.{extremumBy, longProduct}
     def vn = if (fp) nanToNull(v) else v
     def valid = if (fp) v.isNotNull && !isnan(v) else v.isNotNull
     func match {
       // ---- counting (flox/aggregations.py:304-313): # of valid values
       case "count" => count(vn)
 
-      // ---- sum/prod (flox/aggregations.py:317-320)
+      // ---- sum/prod (flox/aggregations.py:317-320). Integer inputs
+      // keep BIGINT through sum (Spark already widens int -> bigint)
+      // and the exact int64 product; the identity fill matches the
+      // dtype so an integral nansum/nanprod never silently promotes to
+      // double (reference dtype rule: flox/xrdtypes.py:175-185).
       case "sum"     => sum(v)                          // NaN propagates naturally
-      case "nansum"  => coalesce(sum(vn), lit(0.0))     // all-NaN group -> 0
-      case "prod"    => product(v)
-      case "nanprod" => coalesce(product(vn), lit(1.0)) // all-NaN group -> 1
+      case "nansum"  =>
+        if (integral) coalesce(sum(v), lit(0L))
+        else coalesce(sum(vn), lit(0.0))                // all-NaN group -> 0
+      case "prod"    => if (integral) longProduct(v) else product(v)
+      case "nanprod" =>
+        if (integral) coalesce(longProduct(v), lit(1L))
+        else coalesce(product(vn), lit(1.0))            // all-NaN group -> 1
 
       // ---- mean (flox/aggregations.py:323-345)
       case "mean"    => avg(v)                          // NaN propagates via sum
@@ -128,33 +161,50 @@ object ReduceExprs {
       // ---- min/max (flox/aggregations.py:529-546)
       // Spark orders NaN greater than any double, so min() skips NaN and
       // max() returns it; the guard restores NumPy propagation for min.
-      case "min"    => guardNaN(v, fp)(min(v))
-      case "max"    => guardNaN(v, fp)(max(v))
-      case "nanmin" => if (fp) coalesce(min(vn), NaN) else min(v)
-      case "nanmax" => if (fp) coalesce(max(vn), NaN) else max(v)
+      // String (immutable-buffer) values take the ExtremumBy route —
+      // ordering on the value itself, so ties are payload-identical.
+      case "min"    => guardNaN(v, fp)(
+        if (mv) min(v) else extremumBy(v, v, isMax = false))
+      case "max"    => guardNaN(v, fp)(
+        if (mv) max(v) else extremumBy(v, v, isMax = true))
+      case "nanmin" =>
+        if (fp) coalesce(min(vn), NaN)
+        else if (mv) min(v) else extremumBy(v, v, isMax = false)
+      case "nanmax" =>
+        if (fp) coalesce(max(vn), NaN)
+        else if (mv) max(v) else extremumBy(v, v, isMax = true)
 
       // ---- argmin/argmax (flox/aggregations.py:549-632): index of the
-      // FIRST extremum. min(struct(v, idx)) = smallest value then smallest
-      // idx; for argmax, max(struct(v, -idx)) gives largest value then
-      // smallest idx. NumPy propagates: any NaN -> index of first NaN.
+      // FIRST extremum — ordering (v, idx) picks smallest value then
+      // smallest idx; argmax maximizes (v, -idx) for largest value then
+      // smallest idx. The struct ordering lives inside ExtremumByAgg's
+      // object buffer (built-in min/max over a struct would sink the
+      // whole Aggregate into SortAggregateExec); payload is the bare
+      // long idx. NumPy propagates: any NaN -> index of first NaN.
       case "argmin" =>
-        val base = min(struct(v.as("v"), idx.as("i"))).getField("i")
+        val base = extremumBy(idx, struct(v.as("v"), idx.as("i")), isMax = false)
         if (fp) when(anyNaN(v), min(when(isnan(v), idx))).otherwise(base) else base
       case "argmax" =>
-        val base = -max(struct(v.as("v"), (-idx).as("i"))).getField("i")
+        val base = extremumBy(idx, struct(v.as("v"), (-idx).as("i")), isMax = true)
         if (fp) when(anyNaN(v), min(when(isnan(v), idx))).otherwise(base) else base
       case "nanargmin" =>
-        min(when(valid, struct(v.as("v"), idx.as("i")))).getField("i")
+        extremumBy(idx, when(valid, struct(v.as("v"), idx.as("i"))), isMax = false)
       case "nanargmax" =>
-        -max(when(valid, struct(v.as("v"), (-idx).as("i")))).getField("i")
+        extremumBy(idx, when(valid, struct(v.as("v"), (-idx).as("i"))), isMax = true)
 
       // ---- first/last in element order (flox/aggregations.py:634-649).
-      // struct(idx, v) ordered by the unique idx -> deterministic under
-      // shuffle (SURVEY.md §7.4.7).
-      case "first" => min(struct(idx.as("i"), v.as("v"))).getField("v")
-      case "last"  => max(struct(idx.as("i"), v.as("v"))).getField("v")
-      case "nanfirst" => min(when(valid, struct(idx.as("i"), v.as("v")))).getField("v")
-      case "nanlast"  => max(when(valid, struct(idx.as("i"), v.as("v")))).getField("v")
+      // Ordered by the unique idx -> deterministic under shuffle
+      // (SURVEY.md §7.4.7; Spark's min_by tie rule never fires). The
+      // nan* variants null the ordering on invalid rows, which both
+      // min_by and ExtremumBy skip.
+      case "first" => if (mv) min_by(v, idx) else extremumBy(v, idx, isMax = false)
+      case "last"  => if (mv) max_by(v, idx) else extremumBy(v, idx, isMax = true)
+      case "nanfirst" =>
+        val vidx = when(valid, idx)
+        if (mv) min_by(v, vidx) else extremumBy(v, vidx, isMax = false)
+      case "nanlast" =>
+        val vidx = when(valid, idx)
+        if (mv) max_by(v, vidx) else extremumBy(v, vidx, isMax = true)
 
       // ---- all/any (flox/aggregations.py:651-668). NumPy truthiness:
       // NaN is TRUE for the plain variants — spelled out with an

@@ -3,7 +3,8 @@ package graft.api
 import graft.aggs.{DtypeView, ReduceExprs, ReduceOptions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.types.{BooleanType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.expressions.Window
 
 /** Spark-native `groupby_reduce` (reference entry point: flox/core.py:739).
@@ -68,7 +69,18 @@ object GroupByReduce {
       // datetime/bool inputs: int view for numeric funcs + dtype
       // restore on the result (flox core.py:985-1001,1205-1217)
       val (vv, restore) = DtypeView(df, value, func, opts.q)
-      val base = ReduceExprs(func, vv, idx, fp, opts)
+      // UnsafeRow-mutability of the ORIGINAL dtype: only the no-view
+      // order-preserving funcs (min/max/first/last) consult it — their
+      // value column is the original one (strings route to ExtremumBy,
+      // everything else stays declarative under HashAggregateExec)
+      val mv = UnsafeRow.isMutable(df.schema(value).dataType)
+      // integral covers bool: DtypeView promotes it to int (flox
+      // core.py:916-917), so its sums/products are integer-typed too
+      val integral = df.schema(value).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | BooleanType => true
+        case _ => false
+      }
+      val base = ReduceExprs(func, vv, idx, fp, opts, mv, integral)
       // min_count mask (flox/core.py:426-459: np.where(count < min_count,
       // fill_value, result)). The mask nulls the result PRE-restore; the
       // user fill is applied POST-restore, so `fillValue` lives in the
@@ -119,10 +131,13 @@ object GroupByReduce {
   /** Grouped mode with the reference's smallest-value tie-break
     * (scipy.stats.mode semantics, flox/aggregate_npg.py:185-215).
     * Two-stage plan: per-(key,value) counts (map-side combinable), then
-    * a second hash aggregation picking min(struct(-count, value)) —
-    * (max count, min value) without the sort a window-rank pick would
-    * add. Both stages shuffle on bounded-cardinality keys, so this
-    * scales to arbitrary input rows.
+    * a second hash aggregation picking the (max count, min value)
+    * winner via ExtremumBy on ordering (-count, value) — no window-rank
+    * sort, and no SortAggregateExec fallback (a built-in min over the
+    * (-count, value) STRUCT would put a struct in the aggregation
+    * buffer and sink stage 2 out of hash aggregation). Both stages
+    * shuffle on bounded-cardinality keys, so this scales to arbitrary
+    * input rows.
     */
   def mode(df: DataFrame, by: Seq[String], value: String,
            as: String = "result", skipNaN: Boolean = false,
@@ -140,8 +155,9 @@ object GroupByReduce {
       .agg(count(lit(1)).as("__n"))
     val picked = counts
       .groupBy(by.map(col): _*)
-      .agg(min(struct((-col("__n")).as("nc"), col("__v").as("v")))
-        .getField("v").as(as))
+      .agg(graft.functions.VectorExprs.extremumBy(
+        col("__v"), struct((-col("__n")).as("nc"), col("__v").as("v")),
+        isMax = false).as(as))
     if (opts.sort && by.nonEmpty) picked.orderBy(by.map(col): _*) else picked
   }
 

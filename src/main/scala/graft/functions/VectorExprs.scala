@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native codegen'd vector kernel.
@@ -472,6 +472,13 @@ object VectorExprs {
         "graft_vector_sum",
         exprs => VectorSumAgg(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
+        "graft_extremum_by",
+        exprs => ExtremumByAgg(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Boolean]), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_long_product",
+        exprs => LongProductAgg(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
         "graft_top_shingle_frac",
         exprs => TopShingleFrac(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -508,6 +515,25 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_dot", a, b)
+  }
+
+  /** Deterministic min_by/max_by with arbitrary orderable ordering —
+    * ObjectHashAggregate plan shape, no SortAggregate fallback (see
+    * [[ExtremumByAgg]]). */
+  def extremumBy(value: Column, ordering: Column, isMax: Boolean): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_extremum_by", value, ordering, lit(isMax))
+  }
+
+  /** Exact int64 product with NumPy wraparound semantics (see
+    * [[LongProductAgg]]); null on empty/all-null groups. */
+  def longProduct(v: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_long_product", v.cast("long"))
   }
 
   /** Codegen'd 32-bit SimHash vote over an array<long> of token hashes. */

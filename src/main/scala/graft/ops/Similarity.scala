@@ -272,12 +272,15 @@ object Similarity {
     * by round(sim, 6) then cid.
     *
     * n = 1 (the IVF assignment of every corpus vector — the scale-heavy
-    * case) picks the winner with a max_by hash AGGREGATION instead of a
+    * case) picks the winner with a hash AGGREGATION instead of a
     * row_number window: same shuffle key, but partially aggregated
     * map-side and never sorted — at corpus scale the window variant
     * sorts #vectors x #centroids rows inside each partition first.
-    * max_by on struct(round(sim,6), -cid) reproduces the window's
-    * orderBy exactly (highest rounded sim, then lowest cid). */
+    * ExtremumBy on ordering struct(round(sim,6), -cid) reproduces the
+    * window's orderBy exactly (highest rounded sim, then lowest cid);
+    * the built-in max_by would put the carried struct in the
+    * aggregation buffer and drop the plan to SortAggregateExec — the
+    * very sort this path exists to avoid. */
   private def nearestCentroids(vecs: DataFrame, partCol: String,
                                centroids: DataFrame, n: Int): DataFrame = {
     val c = centroids.select(col("cid"), col("cv"),
@@ -288,9 +291,10 @@ object Similarity {
     if (n == 1) {
       val carry = vecs.columns.filterNot(_ == partCol) :+ "cid"
       scored.groupBy(col(partCol))
-        .agg(max_by(struct(carry.map(col): _*),
-          struct(round(col("__csim"), 6).as("s"), (-col("cid")).as("c")))
-          .as("__best"))
+        .agg(graft.functions.VectorExprs.extremumBy(
+          struct(carry.map(col): _*),
+          struct(round(col("__csim"), 6).as("s"), (-col("cid")).as("c")),
+          isMax = true).as("__best"))
         .select(col(partCol) +: carry.map(f => col(s"__best.$f").as(f)): _*)
     } else {
       val w = org.apache.spark.sql.expressions.Window

@@ -56,6 +56,50 @@ class GlobalScanSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("groupedRowNumber property law: random strata x partition counts " +
+    "equal the window oracle (boundary-offset bookkeeping)") {
+    // The boundary-offset chain (GlobalScan.scala:152-162) is the
+    // subtlest hand-written code in the repo; one giant-group shape
+    // (test above) does not pin it. Adversarial partitionings here:
+    // strata spanning 3+ range partitions, strata entirely inside one,
+    // empty strata, single-row partitions, and more partitions than
+    // rows (empty partitions). Fixed-seed scalacheck sampling, like
+    // PropertySpec (no scalatest bridge in the offline dep set).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase: Gen[(List[Int], Int)] = for {
+      nGroups <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nGroups, Gen.frequency(
+        3 -> Gen.choose(0, 4),     // absent / singleton strata
+        2 -> Gen.choose(5, 40),    // boundary-crossing strata
+        1 -> Gen.choose(60, 120))) // giant strata spanning 3+ partitions
+      parts <- Gen.oneOf(1, 2, 3, 5, 8)
+    } yield (sizes, parts)
+    val cases = (0 until 12).flatMap(i =>
+      genCase.apply(Gen.Parameters.default, Seed(4242L + i)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try cases.foreach { case (sizes, parts) =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // deterministic shuffle of input row order: the range exchange
+      // must do real reordering work
+      val data = sizes.zipWithIndex.flatMap { case (s, g) =>
+        (0 until s).map(i => (s"g$g", i))
+      }.sortBy { case (g, i) => (i * 7919 + g.hashCode) % 1009 }
+      if (data.nonEmpty) {
+        val df = data.toDF("g", "id").repartition(4)
+        val got = GlobalScan.groupedRowNumber(df, Seq("g"), Seq(col("id")), "rn")
+          .orderBy("g", "id").select("g", "id", "rn")
+          .as[(String, Int, Long)].collect()
+        val want = df.withColumn("rn",
+            row_number().over(Window.partitionBy("g").orderBy("id")).cast("long"))
+          .orderBy("g", "id").select("g", "id", "rn")
+          .as[(String, Int, Long)].collect()
+        assert(got === want,
+          s"sizes=$sizes shufflePartitions=$parts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("packSequences: budget arithmetic, spans, empty docs") {
     val df = Seq((1L, 10L), (2L, 0L), (3L, 70L), (4L, 54L), (5L, 1L))
       .toDF("doc_id", "toks")

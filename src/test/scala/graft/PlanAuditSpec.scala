@@ -34,7 +34,18 @@ class PlanAuditSpec extends SparkTestBase {
     "q_tfidf"                // scalar corpus doc-count (1-row broadcast)
   )
 
-  test("no certified query plans a CartesianProduct; BNL only where declared") {
+  /** Queries allowed to plan a SortAggregateExec. Deliberately EMPTY:
+    * every aggregation in the fleet must plan hash-based (HashAggregate
+    * for mutable buffers, ObjectHashAggregate for ExtremumBy /
+    * collect-based / typed-Aggregator buffers). A SortAggregate is an
+    * extra per-partition sort of the raw input on every affected query
+    * at scale — the r8 verdict's lead finding (q_string_aggs): struct/
+    * string aggregation buffers silently sink the whole Aggregate out
+    * of hash aggregation. */
+  private val sortAggAllowed = Set.empty[String]
+
+  test("no certified query plans a CartesianProduct; BNL only where declared; " +
+    "no SortAggregate fallback") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan =
@@ -47,6 +58,8 @@ class PlanAuditSpec extends SparkTestBase {
           failures += s"$name: CartesianProduct in plan"
         if (plan.contains("BroadcastNestedLoopJoin") && !bnlAllowed(name))
           failures += s"$name: undeclared BroadcastNestedLoopJoin"
+        if (plan.contains("SortAggregate") && !sortAggAllowed(name))
+          failures += s"$name: SortAggregate fallback in plan"
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
