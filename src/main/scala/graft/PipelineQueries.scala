@@ -480,6 +480,33 @@ object PipelineQueries {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---------------- multimodal decode certification: REAL JDK codec
+    // decodes (ImageIO PNG, javax.sound WAV) over deterministic
+    // fixtures (Multimodal.fixturePng/fixtureWav — lossless formats, so
+    // decoded metadata and the pixel-grid feature hash are literals),
+    // plus the declared fallback contract for non-media payloads. The
+    // oracle pins every decoded value as a DuckDB VALUES literal.
+    "q_decode" -> ((s, d) => {
+      val media = graft.ops.Multimodal.fixtureMedia(s)
+      // sentinel 0 instead of NULL in the not-applicable slots: nullable
+      // int64 degrades to float64 in the pandas-side compare, which
+      // cannot represent the 63-bit feature hash exactly
+      val img = graft.ops.Multimodal
+        .decodeImages(media.filter(m => m.id <= 3 || m.id == 21L)).toDF()
+        .select(col("id"), lit("image").as("kind"),
+          col("width"), col("height"), col("channels"),
+          lit(0).as("sample_rate"), lit(0).as("bits"),
+          lit(0L).as("n_samples"), col("featureHash").as("feature"))
+      val aud = graft.ops.Multimodal
+        .decodeAudios(media.filter(m => m.id >= 11L && m.id <= 12L)).toDF()
+        .select(col("id"), lit("audio").as("kind"),
+          lit(0).as("width"), lit(0).as("height"),
+          col("channels"), col("sampleRate").as("sample_rate"),
+          col("bitsPerSample").as("bits"), col("nSamples").as("n_samples"),
+          lit(0L).as("feature"))
+      img.unionByName(aud).orderBy("id")
     })
   )
 
@@ -674,6 +701,31 @@ object PipelineQueries {
              AS distinct_ratio,
            floor(coalesce(f.tbf, 0.0) * 10000 + 0.5) / 10000 AS top_bigram_frac
          FROM t LEFT JOIN f USING (doc_id) ORDER BY doc_id""",
+
+    // Decode certification: every value below is the REAL decoded
+    // output of the deterministic fixtures (PNG pixels are lossless so
+    // the 8x8-grid feature hash is a pure function of the formula in
+    // Multimodal.fixturePng; WAV headers are hand-written bytes; row 21
+    // is the declared non-media fallback). Literals dumped once via a
+    // probe run and pinned here — a codec or plumbing regression breaks
+    // the hash compare.
+    "q_decode" ->
+      """SELECT * FROM (VALUES
+         (1::BIGINT, 'image', 16::INT, 9::INT, 3::INT,
+          0::INT, 0::INT, 0::BIGINT, -8782981226447482235::BIGINT),
+         (2::BIGINT, 'image', 32::INT, 8::INT, 4::INT,
+          0::INT, 0::INT, 0::BIGINT, -8390026334274910427::BIGINT),
+         (3::BIGINT, 'image', 7::INT, 5::INT, 3::INT,
+          0::INT, 0::INT, 0::BIGINT, -4531939645285318721::BIGINT),
+         (11::BIGINT, 'audio', 0::INT, 0::INT, 1::INT,
+          8000::INT, 16::INT, 32::BIGINT, 0::BIGINT),
+         (12::BIGINT, 'audio', 0::INT, 0::INT, 2::INT,
+          44100::INT, 16::INT, 100::BIGINT, 0::BIGINT),
+         (21::BIGINT, 'image', 804::INT, 703::INT, 3::INT,
+          0::INT, 0::INT, 0::BIGINT, 6873258764545949412::BIGINT)
+         ) AS t(id, kind, width, height, channels,
+                sample_rate, bits, n_samples, feature)
+         ORDER BY id""",
 
     "q_vocab" ->
       s"""WITH tok AS (SELECT unnest($W) AS token FROM documents),

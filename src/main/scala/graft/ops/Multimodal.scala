@@ -182,6 +182,69 @@ object Multimodal {
     })
   }
 
+  /** Deterministic PNG fixture: pixels set by an arithmetic formula,
+    * encoded with the JDK encoder. PNG is lossless, so decode recovers
+    * the EXACT pixel values regardless of encoder byte layout — the
+    * decode-certification query can pin the downsampled-grid feature
+    * hash as a literal while staying independent of codec versions.
+    * Alpha stays >= 64 so no encoder can treat a pixel as fully
+    * transparent. */
+  def fixturePng(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      if (alpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = (x * 37 + y * 101 + x * y * 13) % 0x1000000
+        val a = if (alpha) (64 + ((3 * x + 5 * y) % 192)) << 24 else 0
+        img.setRGB(x, y, a | rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic canonical WAV fixture: hand-written 44-byte RIFF
+    * header + PCM16 ramp — byte-exact by construction (no encoder
+    * involved), so header metadata decodes to known literals. */
+  def fixtureWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    val dataLen = frames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16); bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * channels * 2)
+    bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < frames * channels) {
+      bb.putShort(((i * 257) % 32768 - 16384).toShort); i += 1
+    }
+    bb.array()
+  }
+
+  /** The decode-certification fixture set (q_decode): three real PNGs
+    * (RGB, ARGB, odd dims), two real WAVs (mono 8 kHz, stereo
+    * 44.1 kHz), one non-media payload exercising the fallback
+    * contract. Repartitioned so decode actually runs distributed. */
+  def fixtureMedia(spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.createDataset(Seq(
+      MediaRow(1L, fixturePng(16, 9, alpha = false)),
+      MediaRow(2L, fixturePng(32, 8, alpha = true)),
+      MediaRow(3L, fixturePng(7, 5, alpha = false)),
+      MediaRow(11L, fixtureWav(8000, 1, 32)),
+      MediaRow(12L, fixtureWav(44100, 2, 100)),
+      MediaRow(21L, "definitely not media bytes".getBytes("UTF-8"))
+    )).repartition(3)
+  }
+
   /** Build a media table from documents (text bytes standing in for
     * image payloads — the container has no codecs; the binary-column
     * plumbing is what's exercised). */

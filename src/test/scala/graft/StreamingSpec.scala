@@ -281,6 +281,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of join carries right state across batches, equals batch asofJoin") {
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.AsofEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val out = StreamingAsof.asofBackward(input.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      // batch 1: key 1 — left before any right (no match), right at 10,
+      // equal-ts left at 10 (right visible), left at 15; key 2 — right only
+      input.addData(
+        AsofEvent(1L, 5L, 1, 50.0), AsofEvent(1L, 10L, 0, 1.0),
+        AsofEvent(1L, 10L, 1, 51.0), AsofEvent(1L, 15L, 1, 52.0),
+        AsofEvent(2L, 8L, 0, 9.0))
+      q.processAllAvailable()
+      // batch 2: the carried right rows (key1 ts=10, key2 ts=8) must
+      // persist; then a newer right row takes over mid-batch
+      input.addData(
+        AsofEvent(1L, 20L, 1, 53.0), AsofEvent(1L, 25L, 0, 2.0),
+        AsofEvent(1L, 30L, 1, 54.0), AsofEvent(2L, 40L, 1, 55.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .orderBy("key", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      assert(got.toSeq === Seq(
+        (1L, 5L, 50.0, None, None),
+        (1L, 10L, 51.0, Some(10L), Some(1.0)),
+        (1L, 15L, 52.0, Some(10L), Some(1.0)),
+        (1L, 20L, 53.0, Some(10L), Some(1.0)),
+        (1L, 30L, 54.0, Some(25L), Some(2.0)),
+        (2L, 40L, 55.0, Some(8L), Some(9.0))))
+      // equals the batch engine on the same split-apart data
+      val left = Seq((1L, 5L, 50.0), (1L, 10L, 51.0), (1L, 15L, 52.0),
+        (1L, 20L, 53.0), (1L, 30L, 54.0), (2L, 40L, 55.0))
+        .toDF("k", "ts", "lv")
+      val right = Seq((1L, 10L, 1.0), (1L, 25L, 2.0), (2L, 8L, 9.0))
+        .toDF("k", "rts", "rv")
+      val batch = ops.Events.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("rv"), prefix = "m_")
+        .orderBy("k", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      assert(batch.toSeq === got.toSeq.map(g => (g._1, g._2, g._3, g._5)))
+    } finally q.stop()
+  }
+
   test("exact quantile stays rejected in streaming even with other opts") {
     val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
     val e = intercept[IllegalArgumentException] {
