@@ -330,6 +330,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming range join (bucketed stream-stream) equals batch rangeJoin") {
+    import graft.streaming.StreamingRangeJoin
+    implicit val sqlCtx = spark.sqlContext
+    // left probes at seconds 100/130/200; right events scattered around
+    // them; window [ts-30, ts+10] — crossing bucket boundaries both ways
+    val lIn = MemoryStream[(Timestamp, Long)]
+    val rIn = MemoryStream[(Timestamp, Long, Double)]
+    val out = StreamingRangeJoin.rangeJoin(
+      lIn.toDF().toDF("lts", "lid"), rIn.toDF().toDF("rts", "rid", "rv"),
+      "lts", "rts", lowerSec = -30L, upperSec = 10L,
+      payload = Seq("rid", "rv"), watermarkDelay = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rj_out").start()
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    try {
+      // batch 1: rights first, then a probe in the same micro-batch
+      rIn.addData((t(75), 1L, 7.5), (t(95), 2L, 9.5), (t(111), 3L, 11.1))
+      lIn.addData((t(100), 10L))
+      q.processAllAvailable()
+      // batch 2: a probe matching rights from BATCH 1 state (95, 111),
+      // plus new rights; and a probe with no matches at all
+      rIn.addData((t(128), 4L, 12.8), (t(205), 5L, 20.5))
+      lIn.addData((t(130), 11L), (t(300), 12L))
+      q.processAllAvailable()
+      val got = spark.table("rj_out")
+        .select(col("lid"), col("rj_rid"), col("rj_rv"))
+        .orderBy("lid", "rj_rid")
+        .as[(Long, Long, Double)].collect()
+      // batch twin on the same data, integral-seconds ts
+      val lB = Seq((100L, 10L), (130L, 11L), (300L, 12L)).toDF("lts", "lid")
+      val rB = Seq((75L, 1L, 7.5), (95L, 2L, 9.5), (111L, 3L, 11.1),
+        (128L, 4L, 12.8), (205L, 5L, 20.5)).toDF("rts", "rid", "rv")
+      val want = ops.Events.rangeJoin(lB, rB, "lts", "rts",
+        lower = -30L, upper = 10L, payload = Seq("rid", "rv"))
+        .select(col("lid"), col("rj_rid"), col("rj_rv"))
+        .orderBy("lid", "rj_rid")
+        .as[(Long, Long, Double)].collect()
+      assert(want.nonEmpty && got.toSeq === want.toSeq,
+        s"got=${got.toSeq} want=${want.toSeq}")
+    } finally q.stop()
+  }
+
   test("exact quantile stays rejected in streaming even with other opts") {
     val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
     val e = intercept[IllegalArgumentException] {
