@@ -44,6 +44,19 @@ class PlanAuditSpec extends SparkTestBase {
     * of hash aggregation. */
   private val sortAggAllowed = Set.empty[String]
 
+  /** Queries allowed an `Exchange SinglePartition`: ONLY the global
+    * scalar-aggregate shape (map-side partial aggregation feeding a
+    * 1-row final — the exchange carries #partitions partial rows, not
+    * data). Anything else funneling rows through one partition is the
+    * canonical local-mode-passes / cluster-falls-over trap — a
+    * partition-less Window cannot plan without one, so this check also
+    * pins "no global windows" fleet-wide (GlobalScan's two-pass prefix
+    * sums exist precisely to avoid them). */
+  private val singlePartAllowed = Set(
+    "q_source_shift", // corpus-total token count -> 1 scalar
+    "q_tfidf"         // corpus doc-count -> 1 scalar
+  )
+
   test("no certified query plans a CartesianProduct; BNL only where declared; " +
     "no SortAggregate fallback") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -60,6 +73,8 @@ class PlanAuditSpec extends SparkTestBase {
           failures += s"$name: undeclared BroadcastNestedLoopJoin"
         if (plan.contains("SortAggregate") && !sortAggAllowed(name))
           failures += s"$name: SortAggregate fallback in plan"
+        if (plan.contains("Exchange SinglePartition") && !singlePartAllowed(name))
+          failures += s"$name: undeclared Exchange SinglePartition"
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
