@@ -66,4 +66,61 @@ object StreamingAsof {
           out.iterator
         })(Encoders.product[LastRight], Encoders.product[AsofMatch])
   }
+
+  /** Pending left rows awaiting their forward match. Flat parallel
+    * lists (the state-store serializer handles Seq of primitives). */
+  case class FwdPending(ts: Seq[Long], value: Seq[Double])
+
+  /** FORWARD as-of over the tagged union stream: a left row matches the
+    * EARLIEST right row with rightTs >= leftTs (equal ts qualifies,
+    * matching the batch operator). A streaming forward join must wait
+    * for the future, so left rows buffer in state until either
+    *  - a right row at ts >= leftTs arrives (match, emit), or
+    *  - ANY event arrives at ts > leftTs + horizon: in-order arrival
+    *    means every future right would land at or beyond that event's
+    *    ts, i.e. outside the horizon — the left can never match and is
+    *    emitted unmatched (None fields).
+    * Emission is event-driven and deterministic: a pending left with no
+    * subsequent event stays pending (exactly as a batch job would not
+    * have run yet) — feed a heartbeat/sentinel event per key to flush
+    * tails, or bound the wait upstream with the watermark.
+    *
+    * Ordering contract and state bounds: same per-key non-decreasing
+    * ts arrival as [[asofBackward]]; state holds only lefts younger
+    * than `horizon`, so it is O(#keys x lefts-per-horizon-window).
+    */
+  def asofForward(events: Dataset[AsofEvent], horizon: Long): Dataset[AsofMatch] = {
+    require(horizon >= 0, "horizon must be >= 0")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, batch: Iterator[AsofEvent], state: GroupState[FwdPending]) => {
+          val st = state.getOption.getOrElse(FwdPending(Nil, Nil))
+          var pending = st.ts.zip(st.value).toList // ascending leftTs
+          val out = scala.collection.mutable.ListBuffer.empty[AsofMatch]
+          // forward: at equal ts the right qualifies, so LEFTS process
+          // first (tag desc) and are already pending when the equal-ts
+          // right matches — the same reversed-tag mirror the batch
+          // operator's forward window uses (Events.asofJoin fwdOrd)
+          batch.toSeq.sortBy(e => (e.ts, -e.tag)).foreach { e =>
+            // expire lefts whose horizon closed strictly before e.ts
+            val (dead, alive) = pending.partition(_._1 + horizon < e.ts)
+            dead.foreach { case (ts, v) =>
+              out += AsofMatch(key, ts, v, None, None)
+            }
+            pending = alive
+            if (e.tag == 0) {
+              // earliest right at-or-after every pending left <= e.ts
+              val (matched, rest) = pending.partition(_._1 <= e.ts)
+              matched.foreach { case (ts, v) =>
+                out += AsofMatch(key, ts, v, Some(e.ts), Some(e.value))
+              }
+              pending = rest
+            } else pending = pending :+ ((e.ts, e.value))
+          }
+          state.update(FwdPending(pending.map(_._1), pending.map(_._2)))
+          out.iterator
+        })(Encoders.product[FwdPending], Encoders.product[AsofMatch])
+  }
 }

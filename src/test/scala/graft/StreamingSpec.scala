@@ -330,6 +330,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming forward as-of: earliest-at-or-after match, horizon expiry, equals batch") {
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.AsofEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val out = StreamingAsof.asofForward(input.toDS(), horizon = 20L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_fwd_out").start()
+    try {
+      // batch 1: left at 5 waits; right at 10 matches it; equal-ts
+      // left+right at 10 match each other; left at 18 stays pending
+      input.addData(
+        AsofEvent(1L, 5L, 1, 50.0), AsofEvent(1L, 10L, 0, 1.0),
+        AsofEvent(1L, 10L, 1, 51.0), AsofEvent(1L, 18L, 1, 52.0))
+      q.processAllAvailable()
+      // batch 2: right at 25 matches the carried-over left(18); left at
+      // 30 then expires via the far sentinel left (no right within 20)
+      input.addData(
+        AsofEvent(1L, 25L, 0, 2.0), AsofEvent(1L, 30L, 1, 53.0),
+        AsofEvent(1L, 99L, 1, -1.0)) // sentinel: expires left(30)
+      q.processAllAvailable()
+      val got = spark.table("asof_fwd_out")
+        .orderBy("key", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      assert(got.toSeq === Seq(
+        (1L, 5L, 50.0, Some(10L), Some(1.0)),
+        (1L, 10L, 51.0, Some(10L), Some(1.0)),
+        (1L, 18L, 52.0, Some(25L), Some(2.0)),
+        (1L, 30L, 53.0, None, None)))
+      // batch twin (sentinel left included then dropped — batch forward
+      // as-of has no horizon, and no right exists at/after 30 anyway)
+      val left = Seq((1L, 5L, 50.0), (1L, 10L, 51.0), (1L, 18L, 52.0),
+        (1L, 30L, 53.0)).toDF("k", "ts", "lv")
+      val right = Seq((1L, 10L, 1.0), (1L, 25L, 2.0)).toDF("k", "rts", "rv")
+      val batch = ops.Events.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("rv"), prefix = "m_", direction = "forward")
+        .orderBy("k", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      assert(batch.toSeq === got.toSeq.map(g => (g._1, g._2, g._3, g._5)))
+    } finally q.stop()
+  }
+
   test("streaming range join (bucketed stream-stream) equals batch rangeJoin") {
     import graft.streaming.StreamingRangeJoin
     implicit val sqlCtx = spark.sqlContext
