@@ -123,4 +123,73 @@ object StreamingAsof {
           out.iterator
         })(Encoders.product[FwdPending], Encoders.product[AsofMatch])
   }
+
+  /** Pending lefts + their backward candidate (parallel lists; bTs/bV
+    * hold the last right seen at the left's arrival, bHas its
+    * presence) and the carried last right row. */
+  case class NearState(ts: Seq[Long], value: Seq[Double],
+                       bTs: Seq[Long], bV: Seq[Double], bHas: Seq[Boolean],
+                       lastTs: Long, lastV: Double, lastHas: Boolean)
+
+  /** NEAREST as-of over the tagged union stream: each left row matches
+    * whichever of (latest right at-or-before, earliest right at-or-
+    * after) is closer in ts, ties to the backward match — the batch
+    * operator's rule. The backward candidate is a scalar carry; the
+    * forward side buffers the left until the first qualifying right or
+    * until the forward candidate can no longer win:
+    *  - a right at ts >= leftTs arrives -> compare distances, emit;
+    *  - any event passes leftTs + min(backwardDistance, horizon) ->
+    *    emit the backward candidate (beyond the backward distance the
+    *    forward side is already farther; beyond the horizon we stop
+    *    waiting — the one BOUNDED-STATE divergence from the batch
+    *    operator, which would keep looking arbitrarily far forward
+    *    when the backward match is even farther).
+    * Same ordering contract and state bounds as [[asofForward]].
+    */
+  def asofNearest(events: Dataset[AsofEvent], horizon: Long): Dataset[AsofMatch] = {
+    require(horizon >= 0, "horizon must be >= 0")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, batch: Iterator[AsofEvent], state: GroupState[NearState]) => {
+          val st = state.getOption.getOrElse(
+            NearState(Nil, Nil, Nil, Nil, Nil, 0L, 0.0, lastHas = false))
+          // pending: (leftTs, leftV, backTs, backV, backHas)
+          var pending = st.ts.indices.map(i =>
+            (st.ts(i), st.value(i), st.bTs(i), st.bV(i), st.bHas(i))).toList
+          var last = (st.lastTs, st.lastV, st.lastHas)
+          val out = scala.collection.mutable.ListBuffer.empty[AsofMatch]
+          def backOf(p: (Long, Double, Long, Double, Boolean)): AsofMatch =
+            AsofMatch(key, p._1, p._2,
+              if (p._5) Some(p._3) else None, if (p._5) Some(p._4) else None)
+          // the forward candidate loses once the clock passes
+          // leftTs + backwardDistance (or + horizon with no backward)
+          def deadline(p: (Long, Double, Long, Double, Boolean)): Long =
+            if (p._5) p._1 + math.min(p._1 - p._3, horizon) else p._1 + horizon
+          // lefts first at equal ts (forward side qualifies at equal
+          // ts); the backward carry updates before the left only for
+          // strictly-earlier rights, which the same order gives
+          batch.toSeq.sortBy(e => (e.ts, -e.tag)).foreach { e =>
+            val (dead, alive) = pending.partition(deadline(_) < e.ts)
+            dead.foreach(out += backOf(_))
+            pending = alive
+            if (e.tag == 0) {
+              val (arrived, rest) = pending.partition(_._1 <= e.ts)
+              arrived.foreach { p =>
+                val fwdD = e.ts - p._1
+                out += (if (p._5 && (p._1 - p._3) <= fwdD) backOf(p)
+                        else AsofMatch(key, p._1, p._2, Some(e.ts), Some(e.value)))
+              }
+              pending = rest
+              last = (e.ts, e.value, true)
+            } else pending = pending :+
+              ((e.ts, e.value, last._1, last._2, last._3))
+          }
+          state.update(NearState(
+            pending.map(_._1), pending.map(_._2), pending.map(_._3),
+            pending.map(_._4), pending.map(_._5), last._1, last._2, last._3))
+          out.iterator
+        })(Encoders.product[NearState], Encoders.product[AsofMatch])
+  }
 }

@@ -375,6 +375,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming nearest as-of: closer side wins, ties backward, equals batch") {
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.AsofEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val out = StreamingAsof.asofNearest(input.toDS(), horizon = 50L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_near_out").start()
+    try {
+      // rights at 10, 40; lefts at 12 (back closer), 30 (fwd closer),
+      // 25 (equidistant 15/15 -> tie to backward), 45 (only back side)
+      input.addData(
+        AsofEvent(1L, 10L, 0, 1.0), AsofEvent(1L, 12L, 1, 50.0),
+        AsofEvent(1L, 25L, 1, 51.0))
+      q.processAllAvailable()
+      input.addData(
+        AsofEvent(1L, 30L, 1, 52.0), AsofEvent(1L, 40L, 0, 2.0),
+        AsofEvent(1L, 45L, 1, 53.0), AsofEvent(1L, 999L, 1, -1.0)) // sentinel
+      q.processAllAvailable()
+      val got = spark.table("asof_near_out")
+        .orderBy("key", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      assert(got.toSeq === Seq(
+        (1L, 12L, 50.0, Some(10L), Some(1.0)),   // 2 back vs 28 fwd
+        (1L, 25L, 51.0, Some(10L), Some(1.0)),   // 15 vs 15 tie -> back
+        (1L, 30L, 52.0, Some(40L), Some(2.0)),   // 20 back vs 10 fwd
+        (1L, 45L, 53.0, Some(40L), Some(2.0))))  // back only (horizon)
+      // batch twin (sentinel left dropped; no right near it anyway)
+      val left = Seq((1L, 12L, 50.0), (1L, 25L, 51.0), (1L, 30L, 52.0),
+        (1L, 45L, 53.0)).toDF("k", "ts", "lv")
+      val right = Seq((1L, 10L, 1.0), (1L, 40L, 2.0)).toDF("k", "rts", "rv")
+      val batch = ops.Events.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("rv"), prefix = "m_", direction = "nearest")
+        .orderBy("k", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      assert(batch.toSeq === got.toSeq.map(g => (g._1, g._2, g._3, g._5)))
+    } finally q.stop()
+  }
+
   test("streaming range join (bucketed stream-stream) equals batch rangeJoin") {
     import graft.streaming.StreamingRangeJoin
     implicit val sqlCtx = spark.sqlContext
