@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object StreamingGroupBy {
 
-  /** Funcs whose combine is commutative+associative -> streamable. */
+  /** Funcs whose combine is commutative+associative -> streamable.
+    * approx_nunique rides the mergeable HLL sketch (same reasoning as
+    * the GK quantile sketch below); exact nunique is NOT streamable —
+    * its distinct-set state is unbounded. */
   val streamable: Set[String] = Set(
     "count", "sum", "nansum", "prod", "nanprod", "mean", "nanmean",
     "var", "nanvar", "std", "nanstd", "min", "nanmin", "max", "nanmax",
-    "all", "any")
+    "all", "any", "approx_nunique")
 
   /** Quantile family: streamable ONLY through the mergeable GK sketch
     * (`ReduceOptions.approxQuantile`) — the exact path buffers a

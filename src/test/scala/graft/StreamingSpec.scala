@@ -140,6 +140,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming approx_nunique (HLL sketch) merges across batches; exact nunique rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingGroupBy.windowedReduce(
+      input.toDF().toDF("ts", "k", "v"), "ts", Seq("k"),
+      Seq(("v", "approx_nunique", "nd")),
+      windowDuration = "10 minutes", watermarkDelay = "0 seconds")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("nd_out").start()
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(2), "a", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(3), "a", 3.0), (ts(4), "a", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("nd_out").select("nd").as[Long].collect()
+      assert(got.toSeq === Seq(3L)) // {1.0, 2.0, 3.0}; HLL exact at this size
+      val e = intercept[IllegalArgumentException] {
+        StreamingGroupBy.windowedReduce(
+          Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v"), "ts", Seq("k"),
+          Seq(("v", "nunique", "nd")), "10 minutes")
+      }
+      assert(e.getMessage.contains("not incrementally computable"))
+    } finally q.stop()
+  }
+
   test("non-streamable funcs rejected with clear error") {
     val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
     val e = intercept[IllegalArgumentException] {
