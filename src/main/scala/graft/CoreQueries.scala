@@ -511,6 +511,38 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), r("ncsum", 4).as("ncsum"))
         .orderBy("event_id")),
 
+    // Built-in running extrema (beyond-reference; np.maximum/minimum
+    // .accumulate semantics — NaN poisons the running value once seen,
+    // nancum* skip it). Both engines order NaN greatest, so plain
+    // cummax propagates identically; cummin carries an explicit
+    // bool_or(isnan) guard on BOTH sides.
+    "q_cum_extrema" -> ((s, d) => {
+      val e = withNan(ev(s, d))
+      val c1 = GroupByScan(e, Seq("user_id"), "v", "cummax", "event_id", "cmax")
+      val c2 = GroupByScan(c1, Seq("user_id"), "v", "cummin", "event_id", "cmin")
+      val c3 = GroupByScan(c2, Seq("user_id"), "v", "nancummax", "event_id", "ncmax")
+      GroupByScan(c3, Seq("user_id"), "v", "nancummin", "event_id", "ncmin")
+        // NaN-carrying doubles hash-compare fine, but encode the plain
+        // variants' NaN via the same when() both engines agree on
+        .select(col("event_id"), col("user_id"),
+          col("cmax"), col("cmin"), col("ncmax"), col("ncmin"))
+        .orderBy("event_id")
+    }),
+
+    // Bounded top-k values per group (beyond-reference): O(k) heap per
+    // group at every stage — the scale-safe form of
+    // slice(sort_array(collect_list(v))), whose buffer is the group
+    // exploded to (user_id, rk, v) rows: the hash compare needs scalar
+    // columns, and rank rows are deterministic under value ties (equal
+    // values emit equal v at each rank either way)
+    "q_topk" -> ((s, d) =>
+      GroupByReduce(ev(s, d), Seq("user_id"), "value", "topk", "tk",
+        ReduceOptions(topK = 5))
+        .select(col("user_id"), posexplode(col("tk")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rk"),
+          col("col").as("v"))
+        .orderBy("user_id", "rk")),
+
     // §2.5 custom Scan registrations (flox/aggregations.py:715-737):
     // cummax = running max; cumfrac = running share of the group total,
     // exercising the finalize(run, whole) hook — both in one window pass
@@ -874,6 +906,25 @@ object CoreQueries {
            OVER (PARTITION BY user_id ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4) AS ncsum
          FROM ($sqlNan) ORDER BY event_id""",
+
+    "q_cum_extrema" ->
+      s"""SELECT event_id, user_id,
+         max(v) OVER w AS cmax,
+         CASE WHEN bool_or(isnan(v)) OVER w THEN 'NaN'::DOUBLE
+              ELSE min(v) OVER w END AS cmin,
+         max(CASE WHEN NOT isnan(v) THEN v END) OVER w AS ncmax,
+         min(CASE WHEN NOT isnan(v) THEN v END) OVER w AS ncmin
+         FROM ($sqlNan)
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_topk" ->
+      """SELECT user_id, rk, v FROM (
+           SELECT user_id, value AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rk
+           FROM events)
+         WHERE rk <= 5 ORDER BY user_id, rk""",
 
     "q_custom_scan" ->
       """SELECT event_id, user_id,

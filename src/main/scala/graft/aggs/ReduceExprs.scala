@@ -36,7 +36,9 @@ case class ReduceOptions(
       * linear interpolation). */
     approxQuantile: Boolean = false,
     /** percentile_approx accuracy (higher = tighter, more memory). */
-    approxAccuracy: Int = 10000
+    approxAccuracy: Int = 10000,
+    /** k for the `topk` reduction (bounded per-group top-k values). */
+    topK: Int = 5
 )
 
 /** Aggregation-expression registry: flox reduction name → a single Spark
@@ -151,6 +153,10 @@ object ReduceExprs {
       // null AND NaN (a distinct count over missing values is noise).
       case "nunique"        => count_distinct(vn)
       case "approx_nunique" => approx_count_distinct(vn)
+
+      // ---- bounded top-k values (beyond-reference; O(k) heap state per
+      // group at every stage — never collect_list's whole-group buffer)
+      case "topk" => graft.functions.VectorExprs.topK(v, o.topK)
 
       // ---- var/std (flox/aggregations.py:348-526), arbitrary ddof
       case "var"    => guardNaN(v, fp)(varDdof(v, o.ddof))

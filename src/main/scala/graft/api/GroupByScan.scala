@@ -44,6 +44,19 @@ object GroupByScan {
       case "ffill" => last(missing, ignoreNulls = true).over(fwd)
       // backward-fill: first valid value at or after this row
       case "bfill" => first(missing, ignoreNulls = true).over(bwd)
+      // running extrema (beyond-reference; np.maximum/minimum.accumulate
+      // semantics: NaN poisons the running value once seen — Spark's max
+      // already orders NaN greatest so it sticks, min needs the explicit
+      // guard; nulls are missing and skipped, as in cumsum)
+      case "cummax" => max(v).over(fwd)
+      case "cummin" =>
+        if (fp) when(bool_or(isnan(v)).over(fwd), lit(Double.NaN))
+          .otherwise(min(v).over(fwd))
+        else min(v).over(fwd)
+      // NaN-skipping running extrema (np.fmax/fmin.accumulate): null
+      // until the first valid value
+      case "nancummax" => max(missing).over(fwd)
+      case "nancummin" => min(missing).over(fwd)
       // user-registered custom scans (§2.5; flox/aggregations.py:715-737)
       case other => CustomScans.lookup(other) match {
         case Some(spec) =>
@@ -53,7 +66,8 @@ object GroupByScan {
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
           spec.finish(spec.agg(v).over(frame), spec.agg(v).over(whole))
         case None => throw new IllegalArgumentException(
-          s"unknown scan '$other' (cumsum|nancumsum|ffill|bfill or " +
+          s"unknown scan '$other' (cumsum|nancumsum|ffill|bfill|" +
+            "cummax|cummin|nancummax|nancummin or " +
             "a graft.aggs.CustomScans registration)")
       }
     }

@@ -169,3 +169,90 @@ case class LongProductAgg(
 
   override def prettyName: String = "graft_long_product"
 }
+
+/** Bounded per-group top-k values (descending array<double>), with a
+  * k-size min-heap buffer — the scale-correct alternative to
+  * `slice(sort_array(collect_list(v)))`, whose buffer is the whole
+  * group. State is O(k) per group at every stage, map-side combinable
+  * (partial heaps merge), so a 10⁹-row group costs the same shuffle
+  * bytes as a 10²-row one. Null and NaN are skipped (a top-k over
+  * missing values is noise — same rule as the nan* reductions); a
+  * group with no valid values evals an empty array. Duplicated values
+  * are kept (top-k VALUES, not distinct values).
+  */
+case class TopKAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Double]] {
+
+  require(k >= 1, s"topk: k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[java.lang.Double] =
+    new java.util.PriorityQueue[java.lang.Double](k) // min-heap: head = kth-largest
+
+  private def offer(heap: java.util.PriorityQueue[java.lang.Double], d: Double): Unit =
+    if (!d.isNaN) {
+      if (heap.size < k) heap.offer(d)
+      else if (d > heap.peek()) { heap.poll(); heap.offer(d) }
+    }
+
+  override def update(heap: java.util.PriorityQueue[java.lang.Double],
+                      input: InternalRow): java.util.PriorityQueue[java.lang.Double] = {
+    val v = child.eval(input)
+    if (v != null) offer(heap, v.asInstanceOf[Double])
+    heap
+  }
+
+  override def merge(a: java.util.PriorityQueue[java.lang.Double],
+                     b: java.util.PriorityQueue[java.lang.Double]): java.util.PriorityQueue[java.lang.Double] = {
+    val it = b.iterator()
+    while (it.hasNext) offer(a, it.next())
+    a
+  }
+
+  override def eval(heap: java.util.PriorityQueue[java.lang.Double]): Any = {
+    val arr = new Array[Double](heap.size)
+    var i = 0
+    val it = heap.iterator()
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    // descending
+    var lo = 0; var hi = arr.length - 1
+    while (lo < hi) { val t = arr(lo); arr(lo) = arr(hi); arr(hi) = t; lo += 1; hi -= 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(heap: java.util.PriorityQueue[java.lang.Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(heap.size * 8)
+    val it = heap.iterator()
+    while (it.hasNext) bb.putDouble(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[java.lang.Double] = {
+    val heap = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) heap.offer(bb.getDouble())
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_topk"
+}

@@ -479,6 +479,9 @@ object VectorExprs {
         "graft_long_product",
         exprs => LongProductAgg(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
+        "graft_topk",
+        exprs => TopKAgg(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
         "graft_top_shingle_frac",
         exprs => TopShingleFrac(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -534,6 +537,15 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_long_product", v.cast("long"))
+  }
+
+  /** Bounded per-group top-k values, descending `array<double>` —
+    * O(k) heap state per group at every stage (see [[TopKAgg]]). */
+  def topK(v: Column, k: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_topk", v.cast("double"), lit(k))
   }
 
   /** Codegen'd 32-bit SimHash vote over an array<long> of token hashes. */

@@ -67,6 +67,23 @@ class ExtremumAggSpec extends SparkTestBase {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
+  test("topK: bounded heap across partitions, NaN/null skip, short/empty groups") {
+    import graft.functions.VectorExprs.topK
+    // (i * 37) % 1000 over i = 1..1000 is a permutation of 0..999, so
+    // group 1's top-3 is exactly [999, 998, 997]; 7 input partitions
+    // force partial heaps to serialize and merge
+    val rows = (1 to 1000).map(i => (1, Some(((i * 37) % 1000).toDouble))) ++
+      Seq((2, Some(Double.NaN)), (2, Some(5.0)), (2, None),
+        (3, Some(Double.NaN)))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = df.groupBy("k").agg(topK(col("v"), 3).as("t"))
+      .orderBy("k").as[(Int, Seq[Double])].collect()
+    assert(got.toSeq === Seq(
+      (1, Seq(999.0, 998.0, 997.0)),
+      (2, Seq(5.0)),     // NaN and null skipped
+      (3, Seq.empty)))   // all-invalid group -> empty, not null
+  }
+
   test("longProduct: exact int64, wraparound, null-skip, all-null group") {
     val df = Seq(
       (1, Some(3L)), (1, Some(-4L)), (1, None),
