@@ -102,6 +102,18 @@ object CoreQueries {
         Seq("l_orderkey"), "disc_mult", "prod", "prod_disc")
         .withColumn("prod_disc", r("prod_disc", 6))),
 
+    // higher moments (beyond-reference): population skewness + excess
+    // kurtosis; DuckDB's skewness/kurtosis are the SAMPLE-adjusted
+    // statistics, so the oracle derives the population forms from raw
+    // moments instead — the half-up floor rounding absorbs the raw-vs-
+    // central-moment float noise
+    "q_skew_kurt" -> ((s, d) =>
+      GroupByReduce.multi(ev(s, d), Seq("user_id"), Seq(
+        ("value", "skew", "skw"),
+        ("value", "kurt", "krt")))
+        .withColumn("skw", floor(col("skw") * 10000 + 0.5) / 10000)
+        .withColumn("krt", floor(col("krt") * 10000 + 0.5) / 10000)),
+
     // beyond-reference BINARY reductions (flox's model is unary-value;
     // covariance/correlation need a value PAIR). Spark's builtins carry
     // the same chunk/combine/finalize algebra — co-moment merge is the
@@ -624,6 +636,20 @@ object CoreQueries {
     "q_prod" ->
       """SELECT l_orderkey, round(product(1.0 + l_discount), 6) AS prod_disc
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_skew_kurt" ->
+      """SELECT user_id,
+         floor((m3 / pow(m2, 1.5)) * 10000 + 0.5) / 10000 AS skw,
+         floor((m4 / (m2 * m2) - 3) * 10000 + 0.5) / 10000 AS krt
+         FROM (SELECT user_id,
+           avg(value*value) - avg(value)*avg(value) AS m2,
+           avg(value*value*value) - 3*avg(value)*avg(value*value)
+             + 2*pow(avg(value), 3) AS m3,
+           avg(value*value*value*value) - 4*avg(value)*avg(value*value*value)
+             + 6*avg(value)*avg(value)*avg(value*value)
+             - 3*pow(avg(value), 4) AS m4
+           FROM events GROUP BY 1)
+         ORDER BY user_id""",
 
     "q_corr" ->
       """SELECT l_returnflag,

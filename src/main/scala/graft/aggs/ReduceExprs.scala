@@ -164,6 +164,14 @@ object ReduceExprs {
       case "std"    => guardNaN(v, fp)(sqrt(varDdof(v, o.ddof)))
       case "nanstd" => sqrt(varDdof(vn, o.ddof))
 
+      // ---- higher central moments (beyond-reference; completes the
+      // moments family with Spark's codegen'd stable aggregates —
+      // population skewness m3/m2^1.5 and excess kurtosis m4/m2^2 - 3)
+      case "skew"    => guardNaN(v, fp)(skewness(v))
+      case "nanskew" => skewness(vn)
+      case "kurt"    => guardNaN(v, fp)(kurtosis(v))
+      case "nankurt" => kurtosis(vn)
+
       // ---- min/max (flox/aggregations.py:529-546)
       // Spark orders NaN greater than any double, so min() skips NaN and
       // max() returns it; the guard restores NumPy propagation for min.
