@@ -24,12 +24,14 @@ object StreamingGroupBy {
 
   /** Funcs whose combine is commutative+associative -> streamable.
     * approx_nunique rides the mergeable HLL sketch (same reasoning as
-    * the GK quantile sketch below); exact nunique is NOT streamable —
+    * the GK quantile sketch below) and topk its O(k) heap — the top-k
+    * of a union is order-insensitive; exact nunique is NOT streamable —
     * its distinct-set state is unbounded. */
   val streamable: Set[String] = Set(
     "count", "sum", "nansum", "prod", "nanprod", "mean", "nanmean",
     "var", "nanvar", "std", "nanstd", "min", "nanmin", "max", "nanmax",
-    "all", "any", "approx_nunique")
+    "all", "any", "approx_nunique", "topk", "skew", "nanskew",
+    "kurt", "nankurt")
 
   /** Quantile family: streamable ONLY through the mergeable GK sketch
     * (`ReduceOptions.approxQuantile`) — the exact path buffers a

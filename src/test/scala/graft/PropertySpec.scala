@@ -66,7 +66,33 @@ class PropertySpec extends SparkTestBase {
         val m = v.sum / v.size
         v.map(x => (x - m) * (x - m)).sum / (v.size - 1)
       }
-    }))
+    }),
+    "skew" -> (xs =>
+      if (present(xs).isEmpty) null
+      else if (anyNaN(xs)) Double.NaN else popSkewKurt(present(xs), skew = true)),
+    "nanskew" -> (xs => popSkewKurt(valid(xs), skew = true)),
+    "kurt" -> (xs =>
+      if (present(xs).isEmpty) null
+      else if (anyNaN(xs)) Double.NaN else popSkewKurt(present(xs), skew = false)),
+    "nankurt" -> (xs => popSkewKurt(valid(xs), skew = false)),
+    // bounded top-k (k = ReduceOptions default 5): top-5 valid values desc
+    "topk" -> (xs => valid(xs).sorted.reverse.take(5)))
+
+  /** Population skewness / excess kurtosis via the naive two-pass
+    * formula (the oracle for Spark's stable central-moment aggregates);
+    * zero variance and empty both -> null — Spark 4's own edge answers
+    * (probed: single-value and constant groups return SQL null, not
+    * the 0/0 NaN scipy would give). */
+  private def popSkewKurt(v: Seq[Double], skew: Boolean): Any =
+    if (v.isEmpty) null
+    else {
+      val n = v.size
+      val m = v.sum / n
+      val m2 = v.map(x => (x - m) * (x - m)).sum / n
+      if (m2 == 0) null
+      else if (skew) (v.map(x => math.pow(x - m, 3)).sum / n) / math.pow(m2, 1.5)
+      else (v.map(x => math.pow(x - m, 4)).sum / n) / (m2 * m2) - 3
+    }
 
   private def close(a: Any, b: Any): Boolean = (a, b) match {
     case (null, null) => true

@@ -165,6 +165,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming topk heap state merges across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingGroupBy.windowedReduce(
+      input.toDF().toDF("ts", "k", "v"), "ts", Seq("k"),
+      Seq(("v", "topk", "t3")),
+      windowDuration = "10 minutes", watermarkDelay = "0 seconds",
+      opts = graft.aggs.ReduceOptions(topK = 3))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("topk_out").start()
+    try {
+      input.addData((ts(0), "a", 5.0), (ts(1), "a", 1.0), (ts(2), "a", 9.0))
+      q.processAllAvailable()
+      input.addData((ts(3), "a", 7.0), (ts(4), "a", 3.0)) // top3 of {5,1,9,7,3} = [9,7,5]
+      q.processAllAvailable()
+      val got = spark.table("topk_out").select("t3").as[Seq[Double]].collect()
+      assert(got.toSeq === Seq(Seq(9.0, 7.0, 5.0)))
+    } finally q.stop()
+  }
+
   test("non-streamable funcs rejected with clear error") {
     val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
     val e = intercept[IllegalArgumentException] {
