@@ -102,6 +102,23 @@ object CoreQueries {
         Seq("l_orderkey"), "disc_mult", "prod", "prod_disc")
         .withColumn("prod_disc", r("prod_disc", 6))),
 
+    // weighted reductions (beyond-reference; xarray .weighted() parity):
+    // wmean/wvar over a NaN-contaminated value with integer weights —
+    // pairs with a missing side are skipped on both engines
+    "q_weighted" -> ((s, d) =>
+      GroupByReduce.weighted(
+        withNan(ev(s, d)).withColumn("w", col("event_id") % 7 + 1),
+        Seq("user_id"), "v", "w", Seq(
+          ("wcount", "wn"),
+          ("wsum", "wsum"),
+          ("wmean", "wmean"),
+          ("wvar", "wvar"),
+          ("wstd", "wstd")))
+        .withColumn("wsum", r("wsum", 2))
+        .withColumn("wmean", r("wmean", 4))
+        .withColumn("wvar", r("wvar", 2))
+        .withColumn("wstd", r("wstd", 4))),
+
     // higher moments (beyond-reference): population skewness + excess
     // kurtosis; DuckDB's skewness/kurtosis are the SAMPLE-adjusted
     // statistics, so the oracle derives the population forms from raw
@@ -636,6 +653,18 @@ object CoreQueries {
     "q_prod" ->
       """SELECT l_orderkey, round(product(1.0 + l_discount), 6) AS prod_disc
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_weighted" ->
+      s"""SELECT user_id, sum(w) AS wn,
+         round(sum(v*w), 2) AS wsum,
+         round(sum(v*w) / sum(w), 4) AS wmean,
+         round(sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2), 2) AS wvar,
+         round(sqrt(sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2)), 4) AS wstd
+         FROM (SELECT user_id,
+                 CASE WHEN NOT isnan(v) THEN v END AS v,
+                 CASE WHEN NOT isnan(v) THEN (event_id % 7 + 1)::DOUBLE END AS w
+               FROM ($sqlNan))
+         GROUP BY 1 ORDER BY 1""",
 
     "q_skew_kurt" ->
       """SELECT user_id,

@@ -128,6 +128,55 @@ object GroupByReduce {
     if (opts.sort && by.nonEmpty) filled.orderBy(by.map(col): _*) else filled
   }
 
+  /** Weighted grouped reductions — the xarray `.weighted(w).mean()`
+    * companion surface flox users reach for (flox itself has no weight
+    * support; xarray computes weighted ops then hands grouping to
+    * flox). Frequency-weight semantics matching xarray's Weighted
+    * (xarray/core/weighted.py): wmean = Σwv/Σw, population
+    * wvar = Σw(v-wmean)²/Σw expanded to the one-pass moment form
+    * Σwv²/Σw - wmean². A pair is skipped when EITHER side is
+    * missing (null/NaN) — xarray's skipna over value ∧ weight mask.
+    *
+    * All plain column expressions: one hash aggregation, one shuffle,
+    * whole-stage codegen — weights add zero plan complexity.
+    */
+  def weighted(df: DataFrame, by: Seq[String], value: String, weight: String,
+               reductions: Seq[(String, String)], // (func, as)
+               opts: ReduceOptions = ReduceOptions()): DataFrame = {
+    val cleaned =
+      if (opts.dropNullKeys && by.nonEmpty)
+        df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
+      else df
+    def fpValid(c: Column, dt: org.apache.spark.sql.types.DataType) =
+      dt match {
+        case DoubleType | FloatType => c.isNotNull && !isnan(c)
+        case _                      => c.isNotNull
+      }
+    val pairOk = fpValid(col(value), df.schema(value).dataType) &&
+      fpValid(col(weight), df.schema(weight).dataType)
+    val v = when(pairOk, col(value).cast("double"))
+    val w = when(pairOk, col(weight).cast("double"))
+    def wsum = sum(v * w)
+    def wtot = sum(w)
+    def wmean = wsum / wtot
+    def wvar = sum(v * v * w) / wtot - wmean * wmean
+    val aggCols = reductions.map { case (func, as) =>
+      (func match {
+        case "wsum"  => wsum
+        case "wmean" => wmean
+        case "wvar"  => wvar
+        case "wstd"  => sqrt(wvar)
+        case "wcount" => wtot // total weight of valid pairs
+        case other => throw new IllegalArgumentException(
+          s"unknown weighted reduction '$other' (wsum|wmean|wvar|wstd|wcount)")
+      }).as(as)
+    }
+    val grouped =
+      if (by.isEmpty) cleaned.agg(aggCols.head, aggCols.tail: _*)
+      else cleaned.groupBy(by.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    if (opts.sort && by.nonEmpty) grouped.orderBy(by.map(col): _*) else grouped
+  }
+
   /** Grouped mode with the reference's smallest-value tie-break
     * (scipy.stats.mode semantics, flox/aggregate_npg.py:185-215).
     * Two-stage plan: per-(key,value) counts (map-side combinable), then

@@ -123,6 +123,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("weighted mean/var equal the pair-skipping oracle on random data") {
+    import org.apache.spark.sql.functions.col
+    samples(genData, 5).foreach { data =>
+      val df = data.zipWithIndex
+        .map { case ((by, v), i) => (i.toLong, by, v, (i % 5 + 1).toDouble) }
+        .toDF("idx", "by", "v", "w")
+        .repartition(3)
+      val got = GroupByReduce.weighted(df, Seq("by"), "v", "w",
+        Seq(("wmean", "m"), ("wvar", "s")))
+        .collect().map(r => r.getInt(0) -> (r.get(1), r.get(2))).toMap
+      data.zipWithIndex.groupBy(_._1._1).foreach { case (k, rows) =>
+        val pairs = rows.collect {
+          case ((_, Some(v)), i) if !v.isNaN => (v, (i % 5 + 1).toDouble)
+        }
+        val (wantM, wantV): (Any, Any) =
+          if (pairs.isEmpty) (null, null)
+          else {
+            val wt = pairs.map(_._2).sum
+            val m = pairs.map(p => p._1 * p._2).sum / wt
+            (m, pairs.map(p => p._1 * p._1 * p._2).sum / wt - m * m)
+          }
+        assert(close(got(k)._1, wantM), s"wmean group $k: got ${got(k)._1}, want $wantM")
+        assert(close(got(k)._2, wantV), s"wvar group $k: got ${got(k)._2}, want $wantV")
+      }
+    }
+  }
+
   test("ffill/bfill reversal duality (tests/test_properties.py:268-300)") {
     import org.apache.spark.sql.functions.col
     // bfill == reverse . ffill . reverse: running ffill over the negated
