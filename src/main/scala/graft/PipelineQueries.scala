@@ -173,6 +173,22 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // as-of with pandas merge_asof `tolerance`: a backward match only
+    // counts within 10 minutes (6e8 us) — stale matches null out
+    "q_asof_tol" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "tsu")
+      val errors = e.filter(col("event_type") === "error")
+        .groupBy("user_id", "tsu").agg(max("value").as("eval"))
+        .withColumnRenamed("tsu", "etsu")
+      graft.ops.Events.asofJoin(clicks, errors, Seq("user_id"),
+        "tsu", "etsu", Seq("etsu", "eval"), prefix = "err_",
+        tolerance = Some(600000000L))
+        .orderBy("event_id")
+    }),
+
     // forward as-of: each click matched to the user's EARLIEST error
     // at-or-after it (direction="forward"; DuckDB oracle = backward
     // ASOF on negated timestamps)
@@ -779,6 +795,19 @@ object PipelineQueries {
            FROM events WHERE event_type = 'error' GROUP BY 1, 2)
          SELECT l.user_id, l.event_id, l.tsu,
            r.etsu AS err_etsu, r.eval AS err_eval
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.tsu >= r.etsu
+         ORDER BY l.event_id""",
+
+    "q_asof_tol" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch_us(ts)::BIGINT AS etsu,
+             MAX(value) AS eval
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+         SELECT l.user_id, l.event_id, l.tsu,
+           CASE WHEN l.tsu - r.etsu <= 600000000 THEN r.etsu END AS err_etsu,
+           CASE WHEN l.tsu - r.etsu <= 600000000 THEN r.eval END AS err_eval
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.tsu >= r.etsu
          ORDER BY l.event_id""",

@@ -38,11 +38,13 @@ object Events {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                prefix: String = "asof_",
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
     require(payload.nonEmpty, "payload must be non-empty")
     require(Set("backward", "forward", "nearest")(direction),
       s"unknown direction '$direction'")
+    require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     val r2 = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"),
         struct(col(rightTs).as("__rts") +: payload.map(col): _*).as("__p"),
@@ -61,15 +63,32 @@ object Events {
       .orderBy(col("__ts").asc, col("__tag").desc)
     val fwd = fwdOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    // pandas merge_asof `tolerance`: a candidate only counts when its
+    // ts distance is within the bound. Nulling the carried candidate
+    // POST-window is exactly candidate-level filtering: backward's
+    // carry is the unique latest-at-or-before row (too old -> no other
+    // candidate exists), mirrored for forward; nearest filters each
+    // side before the distance choice.
+    def tolOk(m: Column, backSide: Boolean): Column = tolerance match {
+      case None => m
+      case Some(t) =>
+        val d = if (backSide) col("__ts") - m.getField("__rts")
+                else m.getField("__rts") - col("__ts")
+        when(d <= t, m)
+    }
     val matched = direction match {
       case "backward" =>
-        unioned.withColumn("__m", last(col("__p"), ignoreNulls = true).over(back))
+        unioned.withColumn("__m",
+          tolOk(last(col("__p"), ignoreNulls = true).over(back), backSide = true))
       case "forward" =>
-        unioned.withColumn("__m", first(col("__p"), ignoreNulls = true).over(fwd))
+        unioned.withColumn("__m",
+          tolOk(first(col("__p"), ignoreNulls = true).over(fwd), backSide = false))
       case "nearest" =>
         unioned
-          .withColumn("__mb", last(col("__p"), ignoreNulls = true).over(back))
-          .withColumn("__mf", first(col("__p"), ignoreNulls = true).over(fwd))
+          .withColumn("__mb",
+            tolOk(last(col("__p"), ignoreNulls = true).over(back), backSide = true))
+          .withColumn("__mf",
+            tolOk(first(col("__p"), ignoreNulls = true).over(fwd), backSide = false))
           .withColumn("__m",
             when(col("__mb").isNull, col("__mf"))
               .when(col("__mf").isNull, col("__mb"))
