@@ -195,11 +195,18 @@ object ReduceExprs {
       // object buffer (built-in min/max over a struct would sink the
       // whole Aggregate into SortAggregateExec); payload is the bare
       // long idx. NumPy propagates: any NaN -> index of first NaN.
+      // null values are MISSING and cannot be an extremum (the
+      // framework-wide convention): the ordering nulls out on null-v
+      // rows so they never enter the struct comparison — a bare
+      // struct(v, idx) would sort its null field FIRST and hand argmin
+      // the index of a missing value
       case "argmin" =>
-        val base = extremumBy(idx, struct(v.as("v"), idx.as("i")), isMax = false)
+        val base = extremumBy(idx,
+          when(v.isNotNull, struct(v.as("v"), idx.as("i"))), isMax = false)
         if (fp) when(anyNaN(v), min(when(isnan(v), idx))).otherwise(base) else base
       case "argmax" =>
-        val base = extremumBy(idx, struct(v.as("v"), (-idx).as("i")), isMax = true)
+        val base = extremumBy(idx,
+          when(v.isNotNull, struct(v.as("v"), (-idx).as("i"))), isMax = true)
         if (fp) when(anyNaN(v), min(when(isnan(v), idx))).otherwise(base) else base
       case "nanargmin" =>
         extremumBy(idx, when(valid, struct(v.as("v"), idx.as("i"))), isMax = false)

@@ -123,6 +123,60 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("order-dependent reductions equal the index-aware oracle (law 1b)") {
+    // absolute oracles for the ExtremumBy/min_by family — the reversal
+    // identities below are only RELATIVE laws and would not catch e.g.
+    // null values entering the argmin struct ordering (nulls-first!)
+    def some(o: Option[Double]): Any = o match {
+      case Some(x) => x
+      case None    => null
+    }
+    def valid(g: Seq[(Long, Option[Double])]) =
+      g.filter(_._2.exists(!_.isNaN))
+    def firstNaN(g: Seq[(Long, Option[Double])]): Option[Long] =
+      g.find(_._2.exists(_.isNaN)).map(_._1)
+    val ordOracles: Map[String, Seq[(Long, Option[Double])] => Any] = Map(
+      "first" -> (g => some(g.head._2)),
+      "last" -> (g => some(g.last._2)),
+      "nanfirst" -> (g => some(valid(g).headOption.flatMap(_._2))),
+      "nanlast" -> (g => some(valid(g).lastOption.flatMap(_._2))),
+      // NumPy: any NaN -> index of the first NaN; else first extremum
+      // among PRESENT values (null = missing, never an extremum)
+      "argmin" -> (g => firstNaN(g).getOrElse[Any] {
+        val p = g.filter(_._2.isDefined)
+        if (p.isEmpty) null else p.minBy(_._2.get)._1
+      }),
+      "argmax" -> (g => firstNaN(g).getOrElse[Any] {
+        val p = g.filter(_._2.isDefined)
+        if (p.isEmpty) null else p.maxBy(_._2.get)._1
+      }),
+      "nanargmin" -> (g => {
+        val p = valid(g); if (p.isEmpty) null else p.minBy(_._2.get)._1
+      }),
+      "nanargmax" -> (g => {
+        val p = valid(g); if (p.isEmpty) null else p.maxBy(_._2.get)._1
+      }))
+    samples(genData, 8).foreach { data =>
+      val df = data.zipWithIndex
+        .map { case ((by, v), i) => (i.toLong, by, v) }
+        .toDF("idx", "by", "v")
+        .repartition(3)
+      val grouped: Map[Int, Seq[(Long, Option[Double])]] =
+        data.zipWithIndex.groupBy(_._1._1).view
+          .mapValues(_.map { case ((_, v), i) => (i.toLong, v) }).toMap
+      ordOracles.foreach { case (func, oracle) =>
+        val got = GroupByReduce(df, Seq("by"), "v", func, "r",
+          ReduceOptions(idxCol = Some("idx")))
+          .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+        grouped.foreach { case (k, g) =>
+          val want = oracle(g)
+          assert(close(got(k), want),
+            s"$func group $k: got ${got(k)}, oracle $want, pairs $g")
+        }
+      }
+    }
+  }
+
   test("weighted mean/var equal the pair-skipping oracle on random data") {
     import org.apache.spark.sql.functions.col
     samples(genData, 5).foreach { data =>
