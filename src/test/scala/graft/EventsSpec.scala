@@ -54,6 +54,33 @@ class EventsSpec extends SparkTestBase {
       (200L, Some(9.0)))) // only forward exists
   }
 
+  test("asofJoin tolerance: bounds every direction, inclusive at the bound") {
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 25L), (1L, 102L, 31L),
+      (2L, 200L, 5L)).toDF("k", "id", "ts")
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 6L, 9.0)).toDF("k", "rts", "v")
+    def run(dir: String, tol: Long) =
+      Events.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        prefix = "m_", direction = dir, tolerance = Some(tol))
+        .orderBy("id").select("id", "m_v").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(run("backward", 1L).toSeq === Seq(
+      (100L, Some(1.0)),  // exact hit, distance 0
+      (101L, None),       // latest-before is 20, distance 5 > 1
+      (102L, Some(3.0)),  // distance 1 — INCLUSIVE at the bound
+      (200L, None)))      // nothing at-or-before
+    assert(run("forward", 5L).toSeq === Seq(
+      (100L, Some(1.0)),  // distance 0
+      (101L, Some(3.0)),  // earliest-after is 30, distance 5 inclusive
+      (102L, None),       // nothing after
+      (200L, Some(9.0)))) // distance 1
+    assert(run("nearest", 4L).toSeq === Seq(
+      (100L, Some(1.0)),  // exact hit
+      (101L, None),       // both candidates at distance 5 > 4
+      (102L, Some(3.0)),  // backward distance 1
+      (200L, Some(9.0)))) // forward distance 1
+  }
+
   test("rollingAgg: range frame includes span boundary and drops older rows") {
     val df = Seq((1L, 1L, 0L, 10L), (1L, 2L, 100L, 20L), (1L, 3L, 150L, 30L),
       (2L, 4L, 0L, 5L)).toDF("k", "id", "ts", "v")
