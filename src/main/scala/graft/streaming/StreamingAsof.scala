@@ -42,6 +42,23 @@ object StreamingAsof {
     * state-store serializer rejects Option-typed fields. */
   case class LastRight(ts: Long, value: Double, has: Boolean)
 
+  /** Build the tagged union stream from separate left (probe) and
+    * right (carried) streams sharing column names — the ergonomic
+    * front door; the as-of operators consume the union. Both sides
+    * must satisfy the per-key non-decreasing ts arrival contract. */
+  def taggedUnion(left: org.apache.spark.sql.DataFrame,
+                  right: org.apache.spark.sql.DataFrame,
+                  keyCol: String, tsCol: String,
+                  valueCol: String): Dataset[AsofEvent] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import left.sparkSession.implicits._
+    def side(df: org.apache.spark.sql.DataFrame, tag: Int) =
+      df.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("long").as("ts"),
+        lit(tag).as("tag"), col(valueCol).cast("double").as("value"))
+    side(right, 0).unionByName(side(left, 1)).as[AsofEvent]
+  }
+
   /** Backward as-of over the tagged union stream. Append-mode output:
     * one row per LEFT event; right events only update state. */
   def asofBackward(events: Dataset[AsofEvent]): Dataset[AsofMatch] = {

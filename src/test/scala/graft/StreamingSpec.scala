@@ -372,6 +372,16 @@ class StreamingSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           Option(r.get(3)).map(_.asInstanceOf[Double])))
       assert(batch.toSeq === got.toSeq.map(g => (g._1, g._2, g._3, g._5)))
+      // the taggedUnion front door builds the same event stream
+      val viaUnion = StreamingAsof.taggedUnion(
+        left.toDF("key", "ts", "v"), right.toDF("key", "ts", "v"),
+        "key", "ts", "v").collect().sortBy(e => (e.key, e.ts, e.tag))
+      val expected = (right.toDF("key", "ts", "v").collect()
+        .map(r => StreamingAsof.AsofEvent(r.getLong(0), r.getLong(1), 0, r.getDouble(2))) ++
+        left.toDF("key", "ts", "v").collect()
+          .map(r => StreamingAsof.AsofEvent(r.getLong(0), r.getLong(1), 1, r.getDouble(2))))
+        .sortBy(e => (e.key, e.ts, e.tag))
+      assert(viaUnion.toSeq === expected.toSeq)
     } finally q.stop()
   }
 
