@@ -159,16 +159,17 @@ object Bench {
     // The driver keeps only the last ~2000 bytes of combined output and
     // JSON-parses the final line; full-precision per-query values pushed
     // the line past that window in round 6 (BENCH_r06.json: rc=0,
-    // parsed=null) and r7's 2-decimal format was back at 1902 bytes for 93
-    // queries. The driver line is therefore BOUNDED by construction now:
-    // only the top `maxItemized` slowest queries at >= `fastCut` seconds
-    // are itemized (integer milliseconds, key "queries_ms"); everything
-    // else collapses into "fast":{"n":N,"sec":S}. Worst case ~50*24 bytes
-    // of items + ~120 bytes of envelope ~= 1.3 KB no matter how many
-    // queries future rounds add. Full per-query precision always goes to
-    // bench_full.json (the input for scripts/check_ratios.py).
+    // parsed=null). The driver line is therefore BOUNDED by construction:
+    // queries >= `fastCut` seconds are itemized (integer milliseconds,
+    // key "queries_ms") IN DESCENDING TIME ORDER until the line reaches
+    // `byteBudget`; everything else collapses into "fast":{"n":N,"sec":S}.
+    // Fitting by time, not by a fixed count (r9's maxItemized=50 hid 14
+    // queries >= 0.5s), means anything folded into the bucket is faster
+    // than everything itemized — a genuinely slow query can never hide
+    // while a faster one is listed. Full per-query precision always goes
+    // to bench_full.json (the input for scripts/check_ratios.py).
     val fastCut = 0.5
-    val maxItemized = 50
+    val byteBudget = 1700
     val errNames = results.collect { case (k, v) if v < 0 => k }
     val errs = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -179,19 +180,6 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json: $e") }
-    val slow = results.filter { case (_, v) => v >= fastCut }
-      .sortBy { case (_, v) => -v }.take(maxItemized).sortBy(_._1)
-    // Spillover guard: with > maxItemized slow queries, the overflow
-    // lands in the "fast" bucket and its n/sec stop meaning "fast" —
-    // say so loudly rather than misreport silently.
-    val slowTotal = results.count { case (_, v) => v >= fastCut }
-    if (slowTotal > maxItemized) System.err.println(
-      s"[bench] WARNING: $slowTotal queries >= ${fastCut}s but only " +
-        s"$maxItemized itemized — ${slowTotal - maxItemized} slow queries " +
-        "folded into the 'fast' bucket; read bench_full.json")
-    val fast = results.filter { case (k, v) => v >= 0 && !slow.exists(_._1 == k) }
-    val qs = slow.map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
-      .mkString("{", ",", "}")
     // Locale.ROOT: the f"" interpolator formats with the JVM default
     // locale, which on e.g. de_DE emits "80,1" — an unparseable line.
     def fmt1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", v)
@@ -200,10 +188,26 @@ object Bench {
     // when the parsed line matters most; bench_full.json has them all.
     val errCapped =
       s"""{"n":${errNames.size},"names":${errNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-    val line = s"""{"metric":"total","value":${fmt1(total)},"unit":"sec","queries_ms":$qs,"fast":{"n":${fast.size},"sec":${fmt1(fast.map(_._2).sum)}},"errors":$errCapped,"sf":"$sfDir"}"""
-    if (line.length > 1700) System.err.println(
-      s"[bench] WARNING: driver line ${line.length} bytes — nearing the 2000-byte tail window")
-    println(line)
+    val slowSorted = results.filter { case (_, v) => v >= fastCut }
+      .sortBy { case (_, v) => -v }
+    // Build the line with the n slowest itemized; scan n downward until
+    // it fits the budget. O(n²) string builds over <=hundreds of queries
+    // — simplicity over cleverness in a once-per-run code path.
+    def buildLine(n: Int): String = {
+      val slow = slowSorted.take(n).sortBy(_._1)
+      val itemized = slow.map(_._1).toSet
+      val fast = results.filter { case (k, v) => v >= 0 && !itemized(k) }
+      val qs = slow.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt1(total)},"unit":"sec","queries_ms":$qs,"fast":{"n":${fast.size},"sec":${fmt1(fast.map(_._2).sum)}},"errors":$errCapped,"sf":"$sfDir"}"""
+    }
+    val nFit = (slowSorted.size to 0 by -1)
+      .find(n => buildLine(n).length <= byteBudget).getOrElse(0)
+    if (nFit < slowSorted.size) System.err.println(
+      s"[bench] WARNING: ${slowSorted.size} queries >= ${fastCut}s but only " +
+        s"$nFit fit the $byteBudget-byte line — the ${slowSorted.size - nFit} " +
+        "FASTEST of them folded into the 'fast' bucket; read bench_full.json")
+    println(buildLine(nFit))
     spark.stop()
   }
 }

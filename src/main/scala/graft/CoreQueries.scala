@@ -658,8 +658,10 @@ object CoreQueries {
       s"""SELECT user_id, sum(w) AS wn,
          round(sum(v*w), 2) AS wsum,
          round(sum(v*w) / sum(w), 4) AS wmean,
-         round(sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2), 2) AS wvar,
-         round(sqrt(sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2)), 4) AS wstd
+         round(CASE WHEN sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2) < 0 THEN 0.0
+               ELSE sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2) END, 2) AS wvar,
+         round(sqrt(CASE WHEN sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2) < 0 THEN 0.0
+               ELSE sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2) END), 4) AS wstd
          FROM (SELECT user_id,
                  CASE WHEN NOT isnan(v) THEN v END AS v,
                  CASE WHEN NOT isnan(v) THEN (event_id % 7 + 1)::DOUBLE END AS w
@@ -799,9 +801,10 @@ object CoreQueries {
 
     "q_nanvar_std" ->
       s"""SELECT user_id,
-         round(var_samp(CASE WHEN NOT isnan(v) THEN v END), 4) AS nvar,
-         round(stddev_samp(CASE WHEN NOT isnan(v) THEN v END), 4) AS nstd
-         FROM ($sqlNan) GROUP BY user_id ORDER BY user_id""",
+         round(CASE WHEN count(x) > 1 THEN var_samp(x) ELSE 'NaN'::DOUBLE END, 4) AS nvar,
+         round(CASE WHEN count(x) > 1 THEN stddev_samp(x) ELSE 'NaN'::DOUBLE END, 4) AS nstd
+         FROM (SELECT user_id, CASE WHEN NOT isnan(v) THEN v END AS x FROM ($sqlNan))
+         GROUP BY user_id ORDER BY user_id""",
 
     "q_nan_order" ->
       s"""SELECT user_id, arg_min(v, event_id) AS nfirst, arg_max(v, event_id) AS nlast,

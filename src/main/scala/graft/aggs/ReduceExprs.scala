@@ -75,14 +75,19 @@ object ReduceExprs {
     * already merges with the numerically-stable pairwise update.
     *
     * Degenerate groups follow the reference's `_var_finalize` IEEE
-    * arithmetic exactly (flox/aggregations.py:460-469): n - ddof < 0
-    * -> NaN, n == ddof -> 0/0 = NaN (or +inf when M2 > 0), never the
-    * SQL null Spark's divide-by-zero would produce. ddof 0/1 keep the
-    * built-ins: var_samp already finishes NaN on a single row.
+    * arithmetic exactly (flox/aggregations.py:460-469) at EVERY ddof:
+    * n - ddof < 0 -> NaN, n == ddof -> 0/0 = NaN (or +inf when
+    * M2 > 0), never the SQL null Spark's built-ins return on n <= ddof
+    * (legacy.statisticalAggregate=false). ddof 0/1 keep the built-ins
+    * on the non-degenerate path (bit-identical to DuckDB's
+    * var_pop/var_samp — the reconstructed M2 = var_pop * n is NOT) and
+    * bolt on only the NaN finish; at ddof <= 1 a zero-size (ddof 0) or
+    * one-row (ddof 1) group always has M2 = 0, so the +inf branch is
+    * unreachable and `otherwise(NaN)` is the whole degenerate story.
     */
   private def varDdof(v: Column, ddof: Int): Column = ddof match {
-    case 0 => var_pop(v)
-    case 1 => var_samp(v)
+    case 0 => when(count(v) > 0, var_pop(v)).otherwise(NaN)
+    case 1 => when(count(v) > 1, var_samp(v)).otherwise(NaN)
     case d =>
       val n = count(v).cast("double")
       val m2 = var_pop(v) * n

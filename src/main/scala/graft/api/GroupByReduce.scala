@@ -159,7 +159,12 @@ object GroupByReduce {
     def wsum = sum(v * w)
     def wtot = sum(w)
     def wmean = wsum / wtot
-    def wvar = sum(v * v * w) / wtot - wmean * wmean
+    // the one-pass moment form can cancel to a tiny NEGATIVE value for
+    // large means / low variance, which would make wstd NaN — clamp at
+    // zero via CASE (not greatest(), which drops nulls and would turn
+    // an all-missing group's null into 0)
+    def wvarRaw = sum(v * v * w) / wtot - wmean * wmean
+    def wvar = when(wvarRaw < 0, lit(0.0)).otherwise(wvarRaw)
     val aggCols = reductions.map { case (func, as) =>
       (func match {
         case "wsum"  => wsum

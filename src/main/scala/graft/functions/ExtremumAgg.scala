@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Mutable (ordering, payload) pair tracked by [[ExtremumByAgg]].
   * `ord == null` marks the empty buffer — a row is only admitted when
@@ -48,6 +49,11 @@ case class ExtremumByAgg(
   override def dataType: DataType = valueExpr.dataType
 
   override def nullable: Boolean = true
+
+  // SQL-registered callers can hand us any dtype — reject unorderable
+  // orderings (map, ...) at analysis time, not with a runtime throw
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(orderingExpr.dataType, prettyName)
 
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(orderingExpr.dataType)
@@ -121,11 +127,15 @@ case class LongProductAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = true
+  // coerce narrower integrals at analysis time — the update path's
+  // asInstanceOf[Long] would otherwise CCE on an INT column in SQL
+  // (no type ascription: AbstractDataType is private[sql])
+  override def inputTypes = Seq(LongType)
 
   override def createAggregationBuffer(): Array[Long] = Array(1L, 0L)
 
@@ -185,9 +195,14 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Double]] {
+  extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Double]]
+  with ImplicitCastInputTypes {
 
   require(k >= 1, s"topk: k must be >= 1, got $k")
+
+  // numeric inputs coerce to double at analysis time (same contract as
+  // the built-in double aggs) instead of a runtime ClassCastException
+  override def inputTypes = Seq(DoubleType)
 
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType =

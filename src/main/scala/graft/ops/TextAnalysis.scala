@@ -137,7 +137,12 @@ object TextAnalysis {
     * aggregation is the canonical Spark wordcount shape: map-side
     * combine absorbs per-partition repetition before the single shuffle
     * on token, and the global top-N is a TakeOrdered over the counts,
-    * never a full sort. The rank window runs on topN rows only.
+    * never a full sort. The rank runs through [[graft.api.GlobalScan]]'s
+    * two-pass row number — bounded to topN rows here, but plan-shaped so
+    * a web-scale topN never funnels through the single-partition window
+    * Spark warns about (`WARN WindowExec: No Partition Defined`); as of
+    * r10 NO production path builds that window, so any such warning in a
+    * bench tail is a regression, not a known-cosmetic.
     */
   def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
                  topN: Int): org.apache.spark.sql.DataFrame = {
@@ -148,9 +153,8 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(topN)
-    counts.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("token").asc)).cast("long"))
+    graft.api.GlobalScan.rowNumber(
+      counts, Seq(col("n").desc, col("token").asc), "rank")
   }
 
   /** Per-document repetition signals in the Gopher quality-filter

@@ -51,7 +51,27 @@ object StreamingAsof {
                   keyCol: String, tsCol: String,
                   valueCol: String): Dataset[AsofEvent] = {
     import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
     import left.sparkSession.implicits._
+    // the long casts below are lossless ONLY for integral/time dtypes; a
+    // string/decimal key would cast to null per row, silently collapsing
+    // every row into one state group — fail at plan time instead
+    def checkLossless(df: org.apache.spark.sql.DataFrame, c: String, what: String): Unit = {
+      val dt = df.schema(c).dataType
+      val ok = dt match {
+        case ByteType | ShortType | IntegerType | LongType |
+             DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      require(ok, s"$what column '$c' has dtype $dt; the streaming as-of " +
+        "union casts it to long, which is lossy (non-matches become null and " +
+        "collapse into one state group). Pre-map non-integral keys to long " +
+        "(e.g. hash or dictionary-encode string ids) before taggedUnion.")
+    }
+    for (df <- Seq(left, right)) {
+      checkLossless(df, keyCol, "key")
+      checkLossless(df, tsCol, "ts")
+    }
     def side(df: org.apache.spark.sql.DataFrame, tag: Int) =
       df.select(col(keyCol).cast("long").as("key"),
         col(tsCol).cast("long").as("ts"),

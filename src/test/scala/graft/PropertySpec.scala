@@ -61,7 +61,9 @@ class PropertySpec extends SparkTestBase {
     "nanmax" -> (xs => if (valid(xs).isEmpty) Double.NaN else valid(xs).max),
     "nanvar" -> (xs => {
       val v = valid(xs)
-      if (v.size < 2) null
+      // flox _var_finalize IEEE semantics: n == ddof -> 0/0 = NaN,
+      // n < ddof -> NaN (never SQL null) — flox/aggregations.py:460-469
+      if (v.size < 2) Double.NaN
       else {
         val m = v.sum / v.size
         v.map(x => (x - m) * (x - m)).sum / (v.size - 1)
