@@ -472,6 +472,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming nearest as-of divergence boundary: forward beyond horizon " +
+      "loses to a farther backward (bounded-state contract)") {
+    // The ONE documented divergence from batch (StreamingAsof.asofNearest
+    // scale note): when the true nearest match is a FORWARD right beyond
+    // `horizon` while the backward candidate is even farther, batch keeps
+    // looking and picks the forward row; streaming stops waiting at
+    // leftTs + horizon and emits the backward candidate — bounded state
+    // demands a finite wait. key 1 constructs that divergence; key 2 is
+    // the adjacent agreeing regime (forward INSIDE the horizon beats a
+    // farther backward) so the boundary itself is what's pinned.
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.AsofEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val out = StreamingAsof.asofNearest(input.toDS(), horizon = 50L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_div_out").start()
+    try {
+      // key 1: back right at 0 (distance 100), fwd right at 170
+      // (distance 70 > horizon 50 but < 100 -> batch picks it)
+      // key 2: back right at 0 (distance 100), fwd right at 140
+      // (distance 40 <= horizon -> both engines pick it)
+      input.addData(
+        AsofEvent(1L, 0L, 0, 1.0), AsofEvent(2L, 0L, 0, 1.0),
+        AsofEvent(1L, 100L, 1, 50.0), AsofEvent(2L, 100L, 1, 60.0))
+      q.processAllAvailable()
+      input.addData(AsofEvent(2L, 140L, 0, 2.0), AsofEvent(1L, 170L, 0, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_div_out")
+        .orderBy("key").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      assert(got.toSeq === Seq(
+        // the divergence: streaming emits the BACKWARD candidate when
+        // the right at 170 closes the (deadline = 100 + horizon) window
+        (1L, 100L, Some(0L), Some(1.0)),
+        // the agreeing boundary one step inside the horizon
+        (2L, 100L, Some(140L), Some(2.0))))
+      // batch twin picks the forward row for key 1 — assert the
+      // divergence is real, not an artifact of the test data
+      val left = Seq((1L, 100L, 50.0), (2L, 100L, 60.0)).toDF("k", "ts", "lv")
+      val right = Seq((1L, 0L, 1.0), (2L, 0L, 1.0),
+        (1L, 170L, 3.0), (2L, 140L, 2.0)).toDF("k", "rts", "rv")
+      val batch = ops.Events.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("rv"), prefix = "m_", direction = "nearest")
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      assert(batch.toSeq === Seq((1L, Some(3.0)), (2L, Some(2.0))))
+    } finally q.stop()
+  }
+
   test("streaming range join (bucketed stream-stream) equals batch rangeJoin") {
     import graft.streaming.StreamingRangeJoin
     implicit val sqlCtx = spark.sqlContext
