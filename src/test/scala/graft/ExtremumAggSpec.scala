@@ -84,6 +84,36 @@ class ExtremumAggSpec extends SparkTestBase {
       (3, Seq.empty)))   // all-invalid group -> empty, not null
   }
 
+  test("extremumBy sort-based fallback regime: >>128 groups per task stays correct") {
+    // ObjectHashAggregateExec falls back to sort-based merging past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (default
+    // 128) DISTINCT keys per task. 4000 groups through 2 partitions puts
+    // every task deep into the fallback — the first-order regime at
+    // millions of groups per 100 TB job — and the answers must be
+    // identical to the hash path's. Probe-measured cost of the fallback
+    // on scalar-pair buffers: ~3-5% (DESIGN r10 note), so the default
+    // threshold stays; this test pins that the regime is CORRECT.
+    val rows = (0 until 40000).map { i =>
+      val k = i % 4000
+      (k, i.toLong, (i * 2654435761L % 100000).toDouble)
+    }
+    val df = rows.toDF("k", "idx", "v").repartition(2)
+    val got = df.groupBy("k").agg(
+      extremumBy(col("v"), col("idx"), isMax = false).as("first_v"),
+      extremumBy(col("v"), col("idx"), isMax = true).as("last_v"),
+      extremumBy(col("idx"), struct(col("v"), col("idx")), isMax = false).as("argmin_id"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val oracle = rows.groupBy(_._1).map { case (k, g) =>
+      val sorted = g.sortBy(_._2)
+      k -> ((sorted.head._3, sorted.last._3,
+        g.minBy(r => (r._3, r._2))._2))
+    }
+    assert(got.size === 4000)
+    assert(got === oracle)
+  }
+
   test("longProduct: exact int64, wraparound, null-skip, all-null group") {
     val df = Seq(
       (1, Some(3L)), (1, Some(-4L)), (1, None),
