@@ -257,6 +257,18 @@ object CoreQueries {
           ("x", "nansum", "nsum"),
           ("x", "nanprod", "nprod")))),
 
+    // weighted quantiles (frequency-weight semantics: integer weights =
+    // repeat counts, type-7 interpolation over the expanded multiset —
+    // the oracle literally expands with unnest(generate_series))
+    "q_weighted_quantile" -> ((s, d) =>
+      GroupByReduce.weighted(
+        withNan(ev(s, d)).withColumn("w", col("event_id") % 7 + 1),
+        Seq("user_id"), "v", "w", Seq(
+          ("wmedian", "wmed"),
+          ("wquantile", "wq25")), ReduceOptions(q = Seq(0.25)))
+        .withColumn("wmed", r("wmed", 4))
+        .withColumn("wq25", r("wq25", 4))),
+
     "q_nanvar_std" -> ((s, d) => {
       val e = withNan(ev(s, d))
       GroupByReduce.multi(e, Seq("user_id"), Seq(
@@ -798,6 +810,18 @@ object CoreQueries {
          FROM (SELECT l_orderkey,
                  CASE WHEN l_partkey % 2 = 0 THEN NULL ELSE l_linenumber END AS x
                FROM lineitem) GROUP BY 1 ORDER BY 1""",
+
+    "q_weighted_quantile" ->
+      s"""SELECT user_id,
+         round(quantile_cont(v, 0.5), 4) AS wmed,
+         round(quantile_cont(v, 0.25), 4) AS wq25
+         FROM (SELECT user_id, v, unnest(generate_series(1, w))
+               FROM (SELECT user_id,
+                       CASE WHEN NOT isnan(v) THEN v END AS v,
+                       CASE WHEN NOT isnan(v) THEN event_id % 7 + 1 END AS w
+                     FROM ($sqlNan))
+               WHERE v IS NOT NULL AND w >= 1)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_nanvar_std" ->
       s"""SELECT user_id,

@@ -165,6 +165,44 @@ object GroupByReduce {
     // an all-missing group's null into 0)
     def wvarRaw = sum(v * v * w) / wtot - wmean * wmean
     def wvar = when(wvarRaw < 0, lit(0.0)).otherwise(wvarRaw)
+    // Weighted quantile with FREQUENCY-weight semantics: integer weights
+    // are repeat counts, and the result is the exact type-7 linear
+    // quantile of the expanded multiset — computed WITHOUT expanding,
+    // by walking the weight CDF of the per-group sorted (v, w) buffer.
+    // Same sorted-buffer + bound-lambda machinery as the unweighted
+    // exact quantile (ReduceExprs.quantiles): the buffer sorts once, the
+    // CDF walks are interpreted but run per GROUP, never per row, and
+    // the lo*(1-frac) + hi*frac interpolation algebra is bit-identical
+    // to DuckDB quantile_cont over the unnest-expanded rows (the oracle
+    // re-expression). Pairs with missing value/weight or weight < 1 are
+    // skipped; an all-invalid group is null. Same 100 TB caveat as every
+    // exact quantile — one group's pairs buffer on one task; the
+    // mergeable GK sketch over expanded weights is the escape hatch.
+    def wquantileOf(qq: Double): Column = {
+      val pairQ = pairOk && col(weight).cast("long") >= 1
+      val entry = when(pairQ, struct(col(value).cast("double").as("v"),
+        col(weight).cast("long").as("w")))
+      val bound = transform(array(sort_array(collect_list(entry))), arr => {
+        val n = aggregate(arr, lit(0L), (a, x) => a + x("w"))
+        val target = (n - 1).cast("double") * lit(qq)
+        val lo = floor(target).cast("long")
+        val frac = target - floor(target)
+        // value at 0-based position p of the expanded sorted multiset:
+        // fold the CDF until the remaining offset falls inside a run
+        def valueAt(p: Column): Column = aggregate(arr,
+          struct(p.as("rem"), lit(null).cast("double").as("found")),
+          (acc, x) => when(acc("found").isNotNull, acc)
+            .when(acc("rem") < x("w"),
+              struct(acc("rem").as("rem"), x("v").as("found")))
+            .otherwise(struct((acc("rem") - x("w")).as("rem"),
+              acc("found").as("found"))),
+          acc => acc("found"))
+        val lov = valueAt(lo)
+        val hiv = valueAt(least(lo + 1, n - 1))
+        when(n > 0, lov * (lit(1.0) - frac) + hiv * frac)
+      })
+      element_at(bound, 1)
+    }
     val aggCols = reductions.map { case (func, as) =>
       (func match {
         case "wsum"  => wsum
@@ -172,8 +210,10 @@ object GroupByReduce {
         case "wvar"  => wvar
         case "wstd"  => sqrt(wvar)
         case "wcount" => wtot // total weight of valid pairs
+        case "wmedian"   => wquantileOf(0.5)
+        case "wquantile" => wquantileOf(opts.q.head) // scalar q
         case other => throw new IllegalArgumentException(
-          s"unknown weighted reduction '$other' (wsum|wmean|wvar|wstd|wcount)")
+          s"unknown weighted reduction '$other' (wsum|wmean|wvar|wstd|wcount|wmedian|wquantile)")
       }).as(as)
     }
     val grouped =
