@@ -286,6 +286,43 @@ class ReduceSpec extends SparkTestBase {
     assert(scanEx === 1, scan.queryExecution.executedPlan.toString)
   }
 
+  test("weighted quantile equals the unweighted quantile of the expanded multiset") {
+    import org.apache.spark.sql.functions.col
+    // frequency-weight contract: wquantile(v, w) over rows == quantile
+    // over each row repeated w times. Random-ish values with duplicate
+    // runs and weights 0-4 (0 = skipped pair) across 3 groups and 5
+    // input partitions; null value and NaN rows must be pair-skipped.
+    val rows = (0 until 120).map { i =>
+      val w = (i * 7) % 5 // includes 0 weights
+      val v: Option[Double] =
+        if (i % 17 == 0) None
+        else if (i % 23 == 0) Some(Double.NaN)
+        else Some(((i * 2654435761L) % 50).toDouble)
+      (i % 3, v, w)
+    }
+    val df = rows.toDF("k", "v", "w").repartition(5)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = GroupByReduce.weighted(df, Seq("k"), "v", "w",
+        Seq(("wquantile", "r")), ReduceOptions(q = Seq(q)))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // oracle: expand w copies, drop invalid pairs, unweighted quantile
+      val expanded = rows.collect {
+        case (k, Some(v), w) if !v.isNaN && w >= 1 => (k, v, w)
+      }.flatMap { case (k, v, w) => Seq.fill(w)((k, v)) }
+      val want = expanded.groupBy(_._1).map { case (k, g) =>
+        val s = g.map(_._2).sorted
+        val t = (s.size - 1) * q
+        val lo = t.toInt
+        val frac = t - lo
+        k -> (s(lo) * (1 - frac) + s(math.min(lo + 1, s.size - 1)) * frac)
+      }
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) < 1e-9, s"q=$q group $k: $v vs ${want(k)}")
+      }
+    }
+  }
+
   test("expected_groups left join + fill") {
     val domain = keys.ExpectedGroups.of(spark, "by", Seq(0, 1, 2, 3))
     val r = GroupByReduce(fixture, Seq("by"), "v", "count", "n",
