@@ -574,4 +574,105 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("approxQuantile"))
   }
+
+  // Shared corpus for the streaming-contamination family: 3 benchmark
+  // docs, stream docs spanning exact copy / near-paraphrase / clean.
+  private val benchDocs = Seq(
+    (101L, "the quick brown fox jumps over the lazy dog"),
+    (102L, "machine learning models require large clean training data sets"),
+    (103L, "to be or not to be that is the question"))
+  private val streamDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),            // exact 101
+    (2L, "machine learning models require large clean training data sets today"), // near 102
+    (3L, "completely unrelated text about cooking pasta with tomato sauce"),
+    (4L, "to be or not to be that is the question"),                // exact 103
+    (5L, "the weather in the mountains is cold and snowy this winter"))
+
+  test("streaming fuzzy decontamination (chained per-band anti joins) equals batch, zero state") {
+    import graft.streaming.StreamingContamination
+    implicit val sqlCtx = spark.sqlContext
+    val bench = benchDocs.toDF("bid", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingContamination.decontaminateFuzzy(
+      input.toDF().toDF("id", "text"), bench, "text",
+      threshold = 0.7, numHashes = 6, bandSize = 1, k = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decontam_out").start()
+    try {
+      input.addData(streamDocs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(streamDocs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("decontam_out").select("id")
+        .as[Long].collect().sorted
+      // batch oracle: ids with a verified cross-corpus pair are dropped
+      val docsB = streamDocs.toDF("id", "text")
+      val dropped = ops.Dedup.crossNearDupPairs(bench, docsB, "text",
+          "bid", "id", threshold = 0.7, numHashes = 6, bandSize = 1, k = 2)
+        .select("id_r").as[Long].collect().toSet
+      val want = streamDocs.map(_._1).filterNot(dropped).sorted
+      // the exact copies MUST be caught (every band matches, jaccard 1.0)
+      assert(!got.contains(1L) && !got.contains(4L), got.toSeq.toString)
+      assert(got.toSeq === want, s"got=${got.toSeq} want=$want")
+      // stateless contract: no state store operators in the plan
+      assert(q.lastProgress.stateOperators.isEmpty,
+        q.lastProgress.prettyJson)
+    } finally q.stop()
+  }
+
+  test("streaming contamination pair report equals batch crossNearDupPairs, once per pair") {
+    import graft.streaming.StreamingContamination
+    implicit val sqlCtx = spark.sqlContext
+    val bench = benchDocs.toDF("bid", "text")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingContamination.contaminationPairs(
+      input.toDF().toDF("ts", "id", "text"), bench, "text",
+      idCol = "id", benchIdCol = "bid", tsCol = "ts",
+      delay = "10 minutes", threshold = 0.7,
+      numHashes = 6, bandSize = 1, k = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("contam_pairs_out").start()
+    try {
+      input.addData(streamDocs.take(3).map { case (i, t) => (ts(i.toInt), i, t) }: _*)
+      q.processAllAvailable()
+      input.addData(streamDocs.drop(3).map { case (i, t) => (ts(i.toInt), i, t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("contam_pairs_out")
+        .select(col("id"), col("bid"), round(col("jaccard"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().sorted
+      val want = ops.Dedup.crossNearDupPairs(bench,
+          streamDocs.toDF("id", "text"), "text",
+          "bid", "id", threshold = 0.7, numHashes = 6, bandSize = 1, k = 2)
+        .select(col("id_r"), col("id_l"), round(col("jaccard"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().sorted
+      // exact copies are guaranteed pairs; each pair appears exactly once
+      assert(got.map(p => (p._1, p._2)).contains((1L, 101L)), got.toSeq.toString)
+      assert(got.map(p => (p._1, p._2)).contains((4L, 103L)), got.toSeq.toString)
+      assert(got.length === got.map(p => (p._1, p._2)).distinct.length)
+      assert(want.nonEmpty && got.toSeq === want.toSeq,
+        s"got=${got.toSeq} want=${want.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming exact decontamination mirrors batch Selection on a stream") {
+    import graft.streaming.StreamingContamination
+    implicit val sqlCtx = spark.sqlContext
+    val bench = benchDocs.toDF("bid", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingContamination.decontaminateExact(
+      input.toDF().toDF("id", "text"), bench, "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decontam_exact_out").start()
+    try {
+      input.addData(streamDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("decontam_exact_out").select("id")
+        .as[Long].collect().sorted
+      val want = ops.Selection.decontaminate(
+          streamDocs.toDF("id", "text"), bench, "text")
+        .select("id").as[Long].collect().sorted
+      assert(got.toSeq === Seq(2L, 3L, 5L) && got.toSeq === want.toSeq)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
