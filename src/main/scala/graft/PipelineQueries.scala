@@ -104,6 +104,27 @@ object PipelineQueries {
         TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
         .orderBy("doc_id")),
 
+    // PII scrub report: category counts + masked text. The synthetic
+    // corpus carries no organic PII, so both engines inject the same
+    // deterministic doc_id-derived contacts before scrubbing — the
+    // oracle interpolates the SAME Pii regex/token constants, making
+    // this a cross-engine (java.util.regex vs RE2) parity certificate.
+    "q_pii" -> ((s, d) => {
+      val injected = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com, call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(", ip 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        lit(", ssn 123-45-6789, card 4111 1111 1111 1111."))
+      graft.ops.Pii.scrub(
+          docs(s, d).select(col("doc_id"), injected.as("text")), "text")
+        .select(col("doc_id"), col("n_email"), col("n_card"), col("n_ssn"),
+          col("n_ip"), col("n_phone"), col("n_pii"),
+          md5(col("redacted")).as("red_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition filters: docs that loop over few words or
     // one phrase — the quality signal exact dedup can't see
     "q_repetition" -> ((s, d) =>
@@ -701,6 +722,30 @@ object PipelineQueries {
          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
          list_min(list_transform($SH, s -> md5(s))) AS rfp
          FROM documents ORDER BY doc_id""",
+
+    "q_pii" -> {
+      // single source of truth: interpolate the library's own regex /
+      // token constants (Java-==-RE2 subset by contract in Pii.scala)
+      val cats = graft.ops.Pii.defaults
+      val cnts = cats.map(c =>
+        s"len(regexp_extract_all(text, '${c.re}'))::BIGINT AS n_${c.name}")
+        .mkString(",\n           ")
+      val red = cats.foldLeft("text")((acc, c) =>
+        s"regexp_replace($acc, '${c.re}', '${c.token}', 'g')")
+      val tot = cats.map(c => s"n_${c.name}").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+           text || ' Contact user' || doc_id::VARCHAR ||
+           '@mail.example.com, call 415-555-' ||
+           lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+           ', ip 10.0.' || (doc_id % 256)::VARCHAR || '.' ||
+           ((doc_id * 7) % 256)::VARCHAR ||
+           ', ssn 123-45-6789, card 4111 1111 1111 1111.' AS text
+           FROM documents),
+         c AS (SELECT doc_id, $cnts, md5($red) AS red_hash FROM t)
+         SELECT doc_id, n_email, n_card, n_ssn, n_ip, n_phone,
+           $tot AS n_pii, red_hash
+         FROM c ORDER BY doc_id"""
+    },
 
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $W AS w,

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over a text column — the scrubbing
+  * stage every large-scale training pipeline runs before anything else
+  * sees the crawl (C4 removes lines with "bad words" + policy pages,
+  * Dolma and FineWeb mask emails / phone numbers / IP addresses with
+  * placeholder tokens). flox has no text surface; this extends the
+  * pipeline family (SURVEY §2 beyond-reference ops) the same way the
+  * quality/langid kernels do.
+  *
+  * Engine contract:
+  *  - Pure `regexp_extract_all` / `regexp_replace` column expressions —
+  *    codegen'd, map-only, zero shuffle, streaming-safe (stateless
+  *    projection: the same calls work unchanged on a readStream DF).
+  *  - The pattern set is deliberately restricted to the regex subset on
+  *    which java.util.regex (Spark) and RE2 (DuckDB oracle) agree:
+  *    character classes, bounded repetition, non-capturing groups and
+  *    ASCII word boundaries — no backreferences, no lookaround (RE2
+  *    has none), so a certified query can assert cross-engine parity.
+  *  - Redaction order is load-bearing: EMAIL first (its local part may
+  *    contain dots/digits that later patterns could shred), then CARD
+  *    (16 digits would otherwise partially match PHONE), SSN, IP
+  *    (dotted quads overlap dotted PHONE prefixes), PHONE last.
+  *    Counts are always measured on the ORIGINAL text, so they are
+  *    order-independent.
+  */
+object Pii {
+
+  /** One PII category: stable name, regex (Java == RE2 subset), mask token. */
+  final case class Category(name: String, re: String, token: String)
+
+  val Email = Category("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+  val Card  = Category("card",  "\\b\\d{4}(?:[- ]\\d{4}){3}\\b",                   "<CARD>")
+  val Ssn   = Category("ssn",   "\\b\\d{3}-\\d{2}-\\d{4}\\b",                      "<SSN>")
+  val Ipv4  = Category("ip",    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",                "<IP>")
+  val Phone = Category("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",                "<PHONE>")
+
+  /** Default categories in redaction order (see class doc — the order
+    * is a correctness contract, not a style choice). */
+  val defaults: Seq[Category] = Seq(Email, Card, Ssn, Ipv4, Phone)
+
+  /** Number of matches of `cat` in `text` (on the raw text). */
+  def count(text: Column, cat: Category): Column =
+    size(regexp_extract_all(text, lit(cat.re), lit(0))).cast("long")
+
+  /** All category counts as named columns `n_<cat>`. */
+  def counts(text: Column, cats: Seq[Category] = defaults): Seq[Column] =
+    cats.map(c => count(text, c).as(s"n_${c.name}"))
+
+  /** `text` with every category match replaced by its mask token,
+    * applied in the declared order. */
+  def redact(text: Column, cats: Seq[Category] = defaults): Column =
+    cats.foldLeft(text)((c, cat) => regexp_replace(c, cat.re, cat.token))
+
+  /** Per-document scrub report: input columns + `n_<cat>` counts +
+    * `n_pii` total + `redacted` text. Map-only; survives on streams. */
+  def scrub(df: DataFrame, textCol: String,
+            cats: Seq[Category] = defaults): DataFrame = {
+    val t = col(textCol)
+    // count(t, c) appears in both its named column and the total;
+    // ProjectExec's subexpression elimination evaluates each regex once.
+    df.select(
+      (df.columns.map(col).toSeq ++ counts(t, cats) :+
+        cats.map(c => count(t, c)).reduce(_ + _).as("n_pii") :+
+        redact(t, cats).as("redacted")): _*)
+  }
+
+  /** Drop documents containing more than `maxTotal` PII matches across
+    * all categories — the hard-filter variant (vs masking) used when a
+    * policy forbids the document outright. */
+  def dropPii(df: DataFrame, textCol: String, maxTotal: Long = 0L,
+              cats: Seq[Category] = defaults): DataFrame = {
+    val total = cats.map(c => count(col(textCol), c)).reduce(_ + _)
+    df.filter(total <= maxTotal)
+  }
+}

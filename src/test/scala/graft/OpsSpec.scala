@@ -621,4 +621,54 @@ class OpsSpec extends SparkTestBase {
     assert(viaWav.map(w => (w.energy, w.zeroCrossings)).toSeq ===
       wins.map(w => (w.energy, w.zeroCrossings)).toSeq)
   }
+
+  private val piiText =
+    "Contact user42@mail.example.com or jane.doe+x@sub.domain.co, " +
+      "call 415-555-0123 or 415.555.9876, ip 10.0.3.17 and 192.168.100.1, " +
+      "ssn 123-45-6789, card 4111-1111-1111-1111 and 4111 1111 1111 1111. " +
+      "edge: 1234-555-0123, v1.2.3.4beta, a@b.c"
+
+  test("pii scrub counts every category and masks in redaction order") {
+    import graft.ops.Pii
+    val r = Pii.scrub(Seq((1L, piiText)).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(r.getAs[Long]("n_email") === 2L)
+    assert(r.getAs[Long]("n_phone") === 2L)
+    assert(r.getAs[Long]("n_ip") === 2L)
+    assert(r.getAs[Long]("n_ssn") === 1L)
+    assert(r.getAs[Long]("n_card") === 2L)
+    assert(r.getAs[Long]("n_pii") === 9L)
+    val red = r.getAs[String]("redacted")
+    assert(red ===
+      "Contact <EMAIL> or <EMAIL>, call <PHONE> or <PHONE>, " +
+        "ip <IP> and <IP>, ssn <SSN>, card <CARD> and <CARD>. " +
+        "edge: 1234-555-0123, v1.2.3.4beta, a@b.c")
+    // word-boundary edges survive: no partial phone inside a 4-digit
+    // prefix, no IP inside a dotted version string, no 1-letter TLD
+    assert(red.contains("1234-555-0123") && red.contains("v1.2.3.4beta")
+      && red.contains("a@b.c"))
+  }
+
+  test("pii dropPii keeps only documents under the match budget") {
+    import graft.ops.Pii
+    val df = Seq(
+      (1L, piiText),
+      (2L, "clean text with no contacts at all"),
+      (3L, "one address: someone@example.org")).toDF("doc_id", "text")
+    assert(Pii.dropPii(df, "text").select("doc_id")
+      .as[Long].collect().sorted === Array(2L))
+    assert(Pii.dropPii(df, "text", maxTotal = 1L).select("doc_id")
+      .as[Long].collect().sorted === Array(2L, 3L))
+  }
+
+  test("pii scrub is order-safe: dotted quads redact as IP before PHONE sees them") {
+    import graft.ops.Pii
+    // 10.0.3.17 must become <IP>; a phone-shaped dotted triple inside a
+    // quad (e.g. 192.168.100.1234 is NOT an IP: last octet 4 digits)
+    // falls through to the phone pattern only when it truly matches
+    val r = Pii.scrub(Seq((1L, "at 10.0.3.17; weird 192.168.1007.1234 x"))
+      .toDF("doc_id", "text"), "text").collect().head
+    assert(r.getAs[String]("redacted").contains("<IP>"))
+    assert(r.getAs[Long]("n_ip") === 1L)
+  }
 }

@@ -654,6 +654,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("pii scrub runs unchanged on a stream: stateless projection, batch-equal") {
+    import graft.ops.Pii
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail me at alice@example.com or call 415-555-0123"),
+      (2L, "nothing sensitive here"),
+      (3L, "server at 10.1.2.3, ssn 123-45-6789"))
+    val input = MemoryStream[(Long, String)]
+    val out = Pii.scrub(input.toDF().toDF("id", "text"), "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pii_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("pii_out")
+        .select("id", "n_pii", "redacted").orderBy("id")
+        .as[(Long, Long, String)].collect().toSeq
+      val want = Pii.scrub(rows.toDF("id", "text"), "text")
+        .select("id", "n_pii", "redacted").orderBy("id")
+        .as[(Long, Long, String)].collect().toSeq
+      assert(got === want)
+      assert(got.map(_._2) === Seq(2L, 0L, 2L))
+      assert(got.head._3 === "mail me at <EMAIL> or call <PHONE>")
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact decontamination mirrors batch Selection on a stream") {
     import graft.streaming.StreamingContamination
     implicit val sqlCtx = spark.sqlContext
