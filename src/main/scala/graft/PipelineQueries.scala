@@ -125,6 +125,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Lee-et-al-style span dedup: token 3-gram spans recurring across
+    // documents (boilerplate discovery), and the positional scrub that
+    // removes every covered token from every document
+    "q_dup_spans" -> ((s, d) =>
+      graft.ops.Spans.duplicatedSpans(docs(s, d), "text", "doc_id",
+          k = 3, minDocs = 2, useMd5 = true)
+        .select(col("span_hash"), col("n_docs"), col("n_total"))
+        .orderBy("span_hash")),
+
+    "q_span_scrub" -> ((s, d) =>
+      graft.ops.Spans.scrubSpans(docs(s, d).select("doc_id", "text"),
+          "text", "doc_id", k = 3, minDocs = 2, useMd5 = true)
+        .select(col("doc_id"), md5(col("clean")).as("clean_hash"))
+        .orderBy("doc_id")),
+
     // Gopher-style repetition filters: docs that loop over few words or
     // one phrase — the quality signal exact dedup can't see
     "q_repetition" -> ((s, d) =>
@@ -746,6 +761,38 @@ object PipelineQueries {
            $tot AS n_pii, red_hash
          FROM c ORDER BY doc_id"""
     },
+
+    "q_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),
+         occ AS (SELECT doc_id, u.h AS h FROM
+           (SELECT doc_id, unnest(list_transform(range(1, len(sh)+1),
+              i -> {'h': md5(sh[i])})) AS u FROM t))
+         SELECT h AS span_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_total
+         FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY span_hash""",
+
+    "q_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w, $SH AS sh FROM documents),
+         occ AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM
+           (SELECT doc_id, unnest(list_transform(range(1, len(sh)+1),
+              i -> {'pos': i-1, 'h': md5(sh[i])})) AS u FROM t)),
+         dup AS (SELECT h FROM occ GROUP BY h
+                 HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(0, 3), d -> pos + d)) AS tpos
+           FROM occ JOIN dup USING (h)),
+         tok AS (SELECT doc_id, u.pos AS tpos, u.tok FROM
+           (SELECT doc_id, unnest(list_transform(range(1, len(w)+1),
+              i -> {'pos': i-1, 'tok': w[i]})) AS u FROM t)),
+         keep AS (SELECT tok.doc_id, tok.tpos, tok.tok FROM tok
+                  ANTI JOIN cov ON tok.doc_id = cov.doc_id
+                    AND tok.tpos = cov.tpos),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean
+                 FROM keep GROUP BY doc_id)
+         SELECT d.doc_id, md5(coalesce(a.clean, '')) AS clean_hash
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
 
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $W AS w,

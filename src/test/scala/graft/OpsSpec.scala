@@ -622,6 +622,48 @@ class OpsSpec extends SparkTestBase {
       wins.map(w => (w.energy, w.zeroCrossings)).toSeq)
   }
 
+  test("duplicated spans found across docs; scrub removes exactly the covered tokens") {
+    import graft.ops.Spans
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "look the quick brown fox runs fast today"),
+      (3L, "completely unrelated text here now"),
+      (4L, "the quick brown fox jumps high"),
+      (5L, "tiny doc"),
+      (6L, "")).toDF("doc_id", "text")
+    // 'the quick brown' and 'quick brown fox' recur in docs 1,2,4;
+    // 'brown fox jumps' in docs 1,4
+    val dup = Spans.duplicatedSpans(d, "text", "doc_id", k = 3)
+      .select("n_docs", "n_total").as[(Long, Long)].collect().sorted
+    assert(dup.toSeq === Seq((2L, 2L), (3L, 3L), (3L, 3L)))
+    val clean = Spans.scrubSpans(d, "text", "doc_id", k = 3)
+      .select("doc_id", "clean").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(clean === Seq(
+      (1L, "over the lazy dog"),       // positions 0-4 covered
+      (2L, "look runs fast today"),    // positions 1-4 covered
+      (3L, "completely unrelated text here now"),
+      (4L, "high"),                    // positions 0-4 covered
+      (5L, "tiny doc"),                // shorter than k: no spans
+      (6L, "")))
+    // md5 and xxhash64 modes must agree on everything but the hash col
+    val cleanMd5 = Spans.scrubSpans(d, "text", "doc_id", k = 3, useMd5 = true)
+      .select("doc_id", "clean").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(cleanMd5 === clean)
+  }
+
+  test("scrubSpans on a fully-boilerplate doc yields empty string, keeps all input columns") {
+    import graft.ops.Spans
+    val d = Seq(
+      (1L, "copy this exact text", "a"),
+      (2L, "copy this exact text", "b"),
+      (3L, "prefix copy this exact text", "c")).toDF("doc_id", "text", "tag")
+    val out = Spans.scrubSpans(d, "text", "doc_id", k = 4)
+      .select("doc_id", "tag", "clean").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, "a", ""), (2L, "b", ""), (3L, "c", "prefix")))
+  }
+
   private val piiText =
     "Contact user42@mail.example.com or jane.doe+x@sub.domain.co, " +
       "call 415-555-0123 or 415.555.9876, ip 10.0.3.17 and 192.168.100.1, " +
