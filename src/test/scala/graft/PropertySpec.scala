@@ -421,6 +421,40 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("span scrub equals brute-force local oracle on random boilerplate corpora") {
+    // small vocab so k-gram collisions across docs are common; the law
+    // covers sub-k docs, empty docs, overlapping spans and full coverage
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val genDoc: Gen[String] = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val genCorpus: Gen[List[String]] = Gen.listOfN(18, genDoc)
+    def localScrub(docs: Seq[(Long, String)], k: Int, minDocs: Int): Map[Long, String] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+      val occ = toks.toSeq.flatMap { case (id, w) =>
+        if (w.length >= k)
+          w.sliding(k).zipWithIndex.map { case (s, i) => (id, i, s.mkString(" ")) }.toSeq
+        else Seq.empty }
+      val dup = occ.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+      docs.map { case (id, _) =>
+        val w = toks(id)
+        val covered = occ.filter(o => o._1 == id && dup(o._3))
+          .flatMap(o => o._2 until o._2 + k).toSet
+        id -> w.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+          .mkString(" ")
+      }.toMap
+    }
+    for (k <- Seq(2, 3); corpus <- samples(genCorpus, 3)) {
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = ops.Spans.scrubSpans(docs.toDF("doc_id", "text"), "text",
+          "doc_id", k = k).select("doc_id", "clean")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = localScrub(docs, k, 2)
+      assert(got === want, s"k=$k corpus=$docs")
+    }
+  }
+
   test("scan/reduce duality: last of cumsum equals nansum (law 3/4)") {
     samples(genData, 5).foreach { data =>
       val df = data.zipWithIndex
