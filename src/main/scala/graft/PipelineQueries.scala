@@ -125,6 +125,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // data-recipe mixing: deterministic per-source token budgets (the
+    // Pile/Dolma mixture step); budgets generated by the same formula
+    // on both engines
+    "q_mix_corpus" -> ((s, d) => {
+      val budgets =
+        (0 until 20).map(i => s"src$i" -> (400L + 100L * (i % 5))).toMap
+      graft.ops.Selection.mixCorpus(docs(s, d), "source", "text",
+          "doc_id", budgets)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Lee-et-al-style span dedup: token 3-gram spans recurring across
     // documents (boilerplate discovery), and the positional scrub that
     // removes every covered token from every document
@@ -760,6 +772,20 @@ object PipelineQueries {
          SELECT doc_id, n_email, n_card, n_ssn, n_ip, n_phone,
            $tot AS n_pii, red_hash
          FROM c ORDER BY doc_id"""
+    },
+
+    "q_mix_corpus" -> {
+      val budgetVals = (0 until 20)
+        .map(i => s"('src$i', ${400 + 100 * (i % 5)})").mkString(", ")
+      s"""WITH b(source, budget) AS (VALUES $budgetVals),
+         t AS (SELECT doc_id, source,
+           (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT AS tok,
+           md5(source || '§' || doc_id::VARCHAR) AS k FROM documents),
+         c AS (SELECT doc_id, source,
+           sum(tok) OVER (PARTITION BY source ORDER BY k, doc_id) AS cum
+           FROM t)
+         SELECT c.doc_id, c.source FROM c JOIN b USING (source)
+         WHERE c.cum <= b.budget ORDER BY doc_id"""
     },
 
     "q_dup_spans" ->

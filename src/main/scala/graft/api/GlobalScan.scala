@@ -118,31 +118,56 @@ object GlobalScan {
     * key), and group columns must not collide with `__grn` internals.
     */
   def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
-                       order: Seq[Column], outCol: String): DataFrame = {
+                       order: Seq[Column], outCol: String): DataFrame =
+    groupedRunning(df, groupCols, order, None, outCol)
+
+  /** Per-GROUP inclusive prefix sum of `valueCol` (cast to long, null =
+    * 0) with the same boundary-only bookkeeping as
+    * [[groupedRowNumber]] (which is this scan with value ≡ 1): rows are
+    * range-partitioned on (group, order) so corpus-spanning groups
+    * spread over the cluster, and only the group crossing each
+    * partition boundary carries an offset — 4 scalars per partition to
+    * the driver, never per-group state. */
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+                       order: Seq[Column], valueCol: Column,
+                       outCol: String): DataFrame =
+    groupedRunning(df, groupCols, order, Some(valueCol), outCol)
+
+  private def groupedRunning(df: DataFrame, groupCols: Seq[String],
+                             order: Seq[Column], valueCol: Option[Column],
+                             outCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty; use rowNumber")
     val spark = df.sparkSession
     val gIdx = groupCols.map(df.schema.fieldIndex)
+    // value is materialized as a trailing temp column so both passes
+    // read the SAME evaluated longs from the checkpoint (a non-
+    // deterministic value expression re-evaluating in pass 2 would
+    // desync from pass-1 offsets)
+    val vIdx = df.schema.length
+    val withV = df.withColumn("__grn_v",
+      coalesce(valueCol.getOrElse(lit(1L)).cast(LongType), lit(0L)))
     val sortCols = groupCols.map(col) ++ order
-    val parted = df
+    val parted = withV
       .repartitionByRange(spark.sessionState.conf.numShufflePartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .localCheckpoint() // pin sampled range boundaries between passes
     def gkey(r: Row): Seq[Any] = gIdx.map(i => r.get(i))
+    def gval(r: Row): Long = r.getLong(vIdx)
     // pass 1: per partition, first/last group key + their in-partition
-    // row counts (middle groups never cross a boundary → offset 0)
+    // value sums (middle groups never cross a boundary → offset 0)
     val bounds = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val first = it.next()
         val fk = gkey(first)
-        var fCount = 1L
+        var fCount = gval(first)
         var lk = fk
-        var lCount = 1L
+        var lCount = gval(first)
         var sawOther = false
         it.foreach { r =>
           val k = gkey(r)
-          if (k == lk) { lCount += 1; if (!sawOther) fCount += 1 }
-          else { sawOther = true; lk = k; lCount = 1L }
+          if (k == lk) { lCount += gval(r); if (!sawOther) fCount += gval(r) }
+          else { sawOther = true; lk = k; lCount = gval(r) }
         }
         Iterator((pid, fk, fCount, lk, lCount))
       }
@@ -170,8 +195,9 @@ object GlobalScan {
           cur = k
           run = bc.value.getOrElse((pid, k), 0L)
         }
-        run += 1
-        Row.fromSeq(r.toSeq :+ run)
+        run += gval(r)
+        // drop the trailing __grn_v temp, append the running sum
+        Row.fromSeq(r.toSeq.dropRight(1) :+ run)
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(

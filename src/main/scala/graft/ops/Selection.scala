@@ -102,6 +102,43 @@ object Selection {
       .drop("__k", "__rn", "__n")
   }
 
+  /** Deterministic corpus MIXING to per-source token budgets — the
+    * "data recipe" step (Pile/Dolma-style: N tokens of web, M of code,
+    * …) that turns a scored, deduped corpus into a training mixture.
+    * Documents are taken per source in md5(source,id) order (the same
+    * reproducible order [[stratifiedSample]] uses — no rand(), stable
+    * across runs, engines and partitionings) until the source's
+    * INCLUSIVE token cumsum exceeds its budget; the document that
+    * would cross the budget is not taken, so every selected mixture is
+    * a prefix of a canonical per-source permutation — what a resumable
+    * curriculum/loader needs.
+    *
+    * Scale shape: token counting is map-only; the per-source running
+    * sum is [[graft.api.GlobalScan.groupedPrefixSum]] (range-partition
+    * on (source, key) — a corpus-spanning source spreads over the
+    * cluster instead of one window task); budgets join broadcast
+    * (#sources rows). Sources absent from `budgets` are dropped
+    * (inner join), budget 0 sources contribute nothing.
+    */
+  def mixCorpus(df: DataFrame, sourceCol: String, textCol: String,
+                idCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .withColumn("__mix_tok",
+        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__mix_k",
+        md5(concat_ws("§", col(sourceCol), col(idCol).cast("string"))))
+    val cum = graft.api.GlobalScan.groupedPrefixSum(
+      keyed, Seq(sourceCol), Seq(col("__mix_k"), col(idCol)),
+      col("__mix_tok"), "__mix_cum")
+    val budgetDf = budgets.toSeq.toDF(sourceCol, "__mix_budget")
+    cum.join(broadcast(budgetDf), Seq(sourceCol))
+      .filter(col("__mix_cum") <= col("__mix_budget"))
+      .drop("__mix_tok", "__mix_k", "__mix_cum", "__mix_budget")
+  }
+
   /** `corpus` minus exact benchmark contamination (left_anti mirror of
     * [[contaminated]]) — the decontamination end product a pipeline
     * actually ships. */

@@ -100,6 +100,44 @@ class GlobalScanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("groupedPrefixSum property law: random values x partition counts " +
+    "equal the window oracle (incl. zero and negative values)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase: Gen[(List[List[Int]], Int)] = for {
+      nGroups <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nGroups, Gen.frequency(
+        3 -> Gen.choose(0, 4),
+        2 -> Gen.choose(5, 40),
+        1 -> Gen.choose(60, 120)))
+      values <- Gen.sequence[List[List[Int]], List[Int]](
+        sizes.map(s => Gen.listOfN(s, Gen.choose(-5, 20))))
+      parts <- Gen.oneOf(1, 2, 3, 5, 8)
+    } yield (values, parts)
+    val cases = (0 until 10).flatMap(i =>
+      genCase.apply(Gen.Parameters.default, Seed(7373L + i)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try cases.foreach { case (values, parts) =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val data = values.zipWithIndex.flatMap { case (vs, g) =>
+        vs.zipWithIndex.map { case (v, i) => (s"g$g", i, v) }
+      }.sortBy { case (g, i, _) => (i * 7919 + g.hashCode) % 1009 }
+      if (data.nonEmpty) {
+        val df = data.toDF("g", "id", "v").repartition(4)
+        val got = GlobalScan.groupedPrefixSum(df, Seq("g"), Seq(col("id")),
+            col("v"), "ps")
+          .orderBy("g", "id").select("g", "id", "ps")
+          .as[(String, Int, Long)].collect()
+        val want = df.withColumn("ps",
+            sum(col("v").cast("long"))
+              .over(Window.partitionBy("g").orderBy("id")))
+          .orderBy("g", "id").select("g", "id", "ps")
+          .as[(String, Int, Long)].collect()
+        assert(got === want, s"shufflePartitions=$parts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("packSequences: budget arithmetic, spans, empty docs") {
     val df = Seq((1L, 10L), (2L, 0L), (3L, 70L), (4L, 54L), (5L, 1L))
       .toDF("doc_id", "toks")

@@ -47,6 +47,35 @@ class SelectionSpec extends SparkTestBase {
     assert(x.contains(1L) === x.contains(4L))
   }
 
+  test("mixCorpus: inclusive budgets as greedy prefixes of the md5 order; unknown sources dropped") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 40 docs over 3 sources with 1..4-token texts; source c has no budget
+    val rows = (0 until 40).map { i =>
+      val src = Seq("a", "b", "c")(i % 3)
+      (i.toLong, src, Seq.fill(i % 4 + 1)("w").mkString(" "))
+    }
+    val budgets = Map("a" -> 12L, "b" -> 0L)
+    val got = Selection.mixCorpus(rows.toDF("doc_id", "source", "text"),
+        "source", "text", "doc_id", budgets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // local greedy oracle: md5(source§id) order, take while cumsum <= budget
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+      budgets.get(src).toSeq.flatMap { budget =>
+        var cum = 0L
+        docs.sortBy(d => (md5hex(s"$src§${d._1}"), d._1)).takeWhile { d =>
+          cum += d._3.split(" ").length; cum <= budget
+        }.map(_._1)
+      }
+    }.sorted
+    assert(want.nonEmpty && got === want, s"got=$got want=$want")
+    // no doc from budget-0 b or unbudgeted c; budget bound holds
+    val bySrc = rows.filter(r => got.contains(r._1)).groupBy(_._2)
+    assert(!bySrc.contains("b") && !bySrc.contains("c"))
+    assert(bySrc("a").map(_._3.split(" ").length).sum <= 12L)
+  }
+
   test("contaminated/decontaminate split the corpus on benchmark fingerprints") {
     val bench = docs.filter(col("doc_id") === 1L)
     val hit = Selection.contaminated(docs, bench, "text")
