@@ -165,6 +165,14 @@ object PipelineQueries {
         .withColumnRenamed("rank", "rnk")
         .orderBy("rnk")),
 
+    // BPE merge learning (Sennrich 2016): the tokenizer-TRAINING pass.
+    // 8 merges; cross-engine oracle is the same algorithm unrolled in
+    // SQL (greedy non-overlapping merge via the doubled-space replace
+    // trick — see oracleSql)
+    "q_bpe" -> ((s, d) =>
+      graft.ops.Bpe.learnBpe(docs(s, d), "text", numMerges = 8)
+        .orderBy("rank")),
+
     // context-window chunking with overlap (size 16, stride 12): the
     // packing prep that turns documents into training sequences
     "q_chunks" -> ((s, d) =>
@@ -868,6 +876,37 @@ object PipelineQueries {
          SELECT token, n,
            (row_number() OVER (ORDER BY n DESC, token))::BIGINT AS rnk
          FROM c ORDER BY n DESC, token LIMIT 100""",
+
+    // BPE unrolled: each step k = adjacent-pair count over the symbol
+    // table -> argmax (lexicographic tie-break) -> greedy
+    // non-overlapping merge. Words are space-joined symbol strings;
+    // the merge doubles separators so plain replace(' l  r ' -> ' lr ')
+    // is exactly Sennrich's left-to-right non-overlapping re.sub
+    // (probe-verified vs Spark's fold on [a a a] etc.).
+    "q_bpe" -> {
+      val steps = (0 until 8).map { k =>
+        s"""p$k AS (SELECT p.lft AS lft, p.rgt AS rgt,
+             sum(cnt)::BIGINT AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(s)),
+               i -> {'lft': s[i], 'rgt': s[i+1]})) AS p, cnt
+             FROM (SELECT string_split(w, ' ') AS s, cnt FROM w$k))
+           GROUP BY 1, 2),
+         m$k AS (SELECT $k AS rank, lft, rgt, cnt FROM p$k
+           ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         w${k + 1} AS (SELECT replace(trim(replace(
+             ' ' || replace(w.w, ' ', '  ') || ' ',
+             ' ' || m.lft || '  ' || m.rgt || ' ',
+             ' ' || m.lft || m.rgt || ' ')), '  ', ' ') AS w, w.cnt AS cnt
+           FROM w$k AS w, m$k AS m)"""
+      }.mkString(",\n")
+      val union = (0 until 8).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT t, count(*)::BIGINT AS cnt FROM
+           (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0 GROUP BY t),
+         w0 AS (SELECT array_to_string(string_split(t, ''), ' ') || ' </w>' AS w,
+                cnt FROM tok),
+         $steps
+         SELECT rank, lft, rgt, cnt FROM ($union) ORDER BY rank"""
+    },
 
     "q_chunks" ->
       s"""WITH t AS (SELECT doc_id, $W AS w,

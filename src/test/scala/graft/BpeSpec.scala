@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Bpe
+
+/** BPE merge learning vs a self-contained local reference
+  * implementation of Sennrich et al. 2016 (learn_bpe): character
+  * symbolization + end-of-word marker, most-frequent adjacent pair,
+  * greedy left-to-right non-overlapping merge, lexicographic (lft,
+  * rgt) tie-break. The property law runs random corpora (multibyte and
+  * supplementary chars included) through both. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- local reference: plain-Scala Sennrich BPE ----
+  private def refSymbolize(tok: String): Vector[String] = {
+    val cps = new scala.collection.mutable.ArrayBuffer[String]
+    var i = 0
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      cps += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    cps.toVector :+ Bpe.EndOfWord
+  }
+
+  private def refMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refLearn(corpus: Seq[String], numMerges: Int,
+                       minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = corpus
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (t, c) => refSymbolize(t) -> c }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; j <- 0 until syms.length - 1)
+        pairs((syms(j), syms(j + 1))) = pairs.getOrElse((syms(j), syms(j + 1)), 0L) + c
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < minCount) done = true
+        else {
+          merges += ((i, l, r, c))
+          words = words.groupMapReduce { case (syms, _) => refMerge(syms, l, r) }(_._2)(_ + _)
+          i += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  private def learned(corpus: Seq[String], n: Int, minCount: Long = 2L) =
+    Bpe.learnBpe(corpus.map(Tuple1(_)).toDF("text"), "text", n, minCount)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+
+  test("symbolize: codepoint-wise with end-of-word marker (incl. supplementary chars)") {
+    val got = Seq("low", "中文a", "a😀b", "x</w>").toDF("t")
+      .select(Bpe.symbolize(col("t")).as("s")).as[Seq[String]].collect()
+    assert(got(0) === Seq("l", "o", "w", "</w>"))
+    assert(got(1) === Seq("中", "文", "a", "</w>"))
+    assert(got(2) === Seq("a", "😀", "b", "</w>")) // 😀 is ONE symbol
+    assert(got(3) === Seq("x", "<", "/", "w", ">", "</w>"))
+  }
+
+  test("mergePair: greedy left-to-right non-overlapping (Sennrich re.sub semantics)") {
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("x", "a", "b", "a", "b"), "a", "b", Seq("x", "ab", "ab")),
+      (Seq("a"), "a", "a", Seq("a")),
+      (Seq.empty[String], "a", "a", Seq.empty[String]))
+    cases.foreach { case (in, l, r, want) =>
+      val got = Seq(Tuple1(in)).toDF("syms")
+        .select(Bpe.mergePair(col("syms"), l, r).as("o")).as[Seq[String]].collect()(0)
+      assert(got === want, s"merge [$in] ($l,$r)")
+    }
+  }
+
+  test("learnBpe: Sennrich toy corpus pinned (low/lower/newest/widest)") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val got = learned(corpus, 6)
+    assert(got === Seq(
+      (0, "e", "s", 9L), (1, "es", "t", 9L), (2, "est", "</w>", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L), (5, "e", "w", 6L)))
+  }
+
+  test("learnBpe: minCount early stop") {
+    // every word unique -> all pair counts are 1 -> no merge at minCount=2
+    assert(learned(Seq("abc", "def", "ghi"), 5).isEmpty)
+    // minCount=1 learns merges from singleton pairs deterministically
+    val got = learned(Seq("ab"), 3, minCount = 1L)
+    assert(got.map(m => (m._2, m._3)) === Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("property law: learnBpe equals local Sennrich reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alpha = Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "c", "d"),
+      1 -> Gen.oneOf("中", "😀", "<"))
+    val word = for {
+      n <- Gen.choose(1, 6); cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    val doc = for {
+      n <- Gen.choose(0, 8); ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val corpusGen = for {
+      n <- Gen.choose(1, 30); ds <- Gen.listOfN(n, doc)
+    } yield ds
+    (0 until 8).foreach { i =>
+      val corpus = corpusGen(Gen.Parameters.default, Seed(4242L + i)).get
+      val want = refLearn(corpus, 6)
+      val got = learned(corpus, 6)
+      assert(got === want, s"seed=${4242 + i} corpus=$corpus")
+    }
+  }
+}
