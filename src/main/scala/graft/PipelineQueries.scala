@@ -28,6 +28,34 @@ object PipelineQueries {
   private val SH = shOf("text")
   private def mhSql(h: Int) = mhSqlOf("text", h)
 
+  /** Unrolled 8-step BPE learn over `documents` (see ops.Bpe, q_bpe,
+    * q_bpe_encode): tok → w0 (space-joined char symbols + marker) →
+    * per step k: pair counts p_k, argmax m_k (lexicographic
+    * tie-break), merged state w_{k+1} via the doubled-space replace
+    * (= Sennrich's non-overlapping re.sub). */
+  private val bpeLearnCtes: String = {
+    val steps = (0 until 8).map { k =>
+      s"""p$k AS (SELECT p.lft AS lft, p.rgt AS rgt,
+           sum(cnt)::BIGINT AS cnt FROM (
+           SELECT unnest(list_transform(range(1, len(s)),
+             i -> {'lft': s[i], 'rgt': s[i+1]})) AS p, cnt
+           FROM (SELECT string_split(w, ' ') AS s, cnt FROM w$k))
+         GROUP BY 1, 2),
+       m$k AS (SELECT $k AS rank, lft, rgt, cnt FROM p$k
+         ORDER BY cnt DESC, lft, rgt LIMIT 1),
+       w${k + 1} AS (SELECT replace(trim(replace(
+           ' ' || replace(w.w, ' ', '  ') || ' ',
+           ' ' || m.lft || '  ' || m.rgt || ' ',
+           ' ' || m.lft || m.rgt || ' ')), '  ', ' ') AS w, w.cnt AS cnt
+         FROM w$k AS w, m$k AS m)"""
+    }.mkString(",\n")
+    s"""tok AS (SELECT t, count(*)::BIGINT AS cnt FROM
+         (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0 GROUP BY t),
+       w0 AS (SELECT array_to_string(string_split(t, ''), ' ') || ' </w>' AS w,
+              cnt FROM tok),
+       $steps"""
+  }
+
   private val simhashSql: String = {
     val hs = s"list_transform($W, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
     (0 until 32).map { j =>
@@ -172,6 +200,30 @@ object PipelineQueries {
     "q_bpe" -> ((s, d) =>
       graft.ops.Bpe.learnBpe(docs(s, d), "text", numMerges = 8)
         .orderBy("rank")),
+
+    // the encode side: top-50 corpus subword frequencies under the 8
+    // learned merges — read off the learn loop's final vocab state
+    // (training and encoding the training corpus share all their work)
+    "q_bpe_encode" -> ((s, d) => {
+      val (_, vocab) =
+        graft.ops.Bpe.learnBpeWithVocab(docs(s, d), "text", numMerges = 8)
+      vocab.select(explode(col("syms")).as("subword"), col("cnt"))
+        .groupBy("subword").agg(sum("cnt").as("cnt"))
+        .orderBy(desc("cnt"), asc("subword")).limit(50)
+    }),
+
+    // CCNet-style LM quality: self-trained add-1 bigram model, per-doc
+    // average negative log-likelihood (rounded — libm ln on both
+    // engines agrees to well past 6 decimals)
+    "q_perplexity" -> ((s, d) => {
+      val dd = docs(s, d)
+      val model = graft.ops.LanguageModel.trainBigram(dd, "text")
+      val vocab = graft.ops.LanguageModel.vocabSize(dd, "text")
+      graft.ops.LanguageModel.scoreDocs(dd, model, vocab, "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
 
     // context-window chunking with overlap (size 16, stride 12): the
     // packing prep that turns documents into training sequences
@@ -884,29 +936,39 @@ object PipelineQueries {
     // is exactly Sennrich's left-to-right non-overlapping re.sub
     // (probe-verified vs Spark's fold on [a a a] etc.).
     "q_bpe" -> {
-      val steps = (0 until 8).map { k =>
-        s"""p$k AS (SELECT p.lft AS lft, p.rgt AS rgt,
-             sum(cnt)::BIGINT AS cnt FROM (
-             SELECT unnest(list_transform(range(1, len(s)),
-               i -> {'lft': s[i], 'rgt': s[i+1]})) AS p, cnt
-             FROM (SELECT string_split(w, ' ') AS s, cnt FROM w$k))
-           GROUP BY 1, 2),
-         m$k AS (SELECT $k AS rank, lft, rgt, cnt FROM p$k
-           ORDER BY cnt DESC, lft, rgt LIMIT 1),
-         w${k + 1} AS (SELECT replace(trim(replace(
-             ' ' || replace(w.w, ' ', '  ') || ' ',
-             ' ' || m.lft || '  ' || m.rgt || ' ',
-             ' ' || m.lft || m.rgt || ' ')), '  ', ' ') AS w, w.cnt AS cnt
-           FROM w$k AS w, m$k AS m)"""
-      }.mkString(",\n")
       val union = (0 until 8).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
-      s"""WITH tok AS (SELECT t, count(*)::BIGINT AS cnt FROM
-           (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0 GROUP BY t),
-         w0 AS (SELECT array_to_string(string_split(t, ''), ' ') || ' </w>' AS w,
-                cnt FROM tok),
-         $steps
+      s"""WITH $bpeLearnCtes
          SELECT rank, lft, rgt, cnt FROM ($union) ORDER BY rank"""
     },
+
+    // encode side: the unrolled chain's final w8 state IS the
+    // segmented vocabulary (rank-order replay = Sennrich encode), so
+    // the subword-frequency oracle is one unnest away
+    "q_bpe_encode" ->
+      s"""WITH $bpeLearnCtes
+         SELECT subword, sum(cnt)::BIGINT AS cnt FROM (
+           SELECT unnest(string_split(w, ' ')) AS subword, cnt FROM w8)
+         GROUP BY 1 ORDER BY cnt DESC, subword LIMIT 50""",
+
+    "q_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, $W AS w FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(
+           range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END),
+           i -> w[i] || ' ' || w[i+1])) AS bigram FROM tok),
+         model AS (SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY 1),
+         hist AS (SELECT split_part(bigram, ' ', 1) AS lft,
+           sum(cnt)::BIGINT AS hcnt FROM model GROUP BY 1),
+         v AS (SELECT count(DISTINCT t)::BIGINT AS vv FROM
+           (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0),
+         scored AS (SELECT b.doc_id, b.bigram,
+             -(ln(coalesce(m.cnt, 0) + 1.0) -
+               ln(coalesce(h.hcnt, 0) + 1.0 * v.vv)) AS nll
+           FROM bg b LEFT JOIN model m USING (bigram)
+           LEFT JOIN hist h ON split_part(b.bigram, ' ', 1) = h.lft, v)
+         SELECT d.doc_id, count(s.bigram)::BIGINT AS n_bigrams,
+           round(avg(s.nll), 6) AS nll
+         FROM documents d LEFT JOIN scored s USING (doc_id)
+         GROUP BY 1 ORDER BY doc_id""",
 
     "q_chunks" ->
       s"""WITH t AS (SELECT doc_id, $W AS w,

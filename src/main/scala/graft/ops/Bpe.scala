@@ -56,24 +56,52 @@ object Bpe {
 
   /** Greedy left-to-right non-overlapping merge of the adjacent pair
     * (l, r) within a symbol array — Sennrich's re.sub semantics:
-    * [a a a] merging (a,a) → [aa a]. Fold state carries (out, pending
-    * symbol); a pending `l` followed by `r` emits the fused symbol. */
+    * [a a a] merging (a,a) → [aa a]. Implemented as the doubled-space
+    * string-replace chain (join on ' ', double separators so plain
+    * sequential `replace(' l  r ' → ' lr ')` can't bridge across an
+    * already-consumed neighbor, collapse, split) — the IDENTICAL
+    * algorithm the DuckDB oracle runs, and every step is a codegen'd
+    * string builtin: an earlier `aggregate`-HOF fold formulation was
+    * interpreted and O(|word|²) per merge (15s vs 2s on q_bpe_encode
+    * at sf0.1). Sound because symbols never contain spaces (tokens are
+    * whitespace-split). */
   def mergePair(syms: Column, l: String, r: String): Column = {
-    val fused = l + r
-    def finishPend(out: Column, pend: Column): Column =
-      when(pend.isNotNull, concat(out, array(pend))).otherwise(out)
-    aggregate(
-      syms,
-      struct(lit(Array.empty[String]).as("out"),
-        lit(null).cast("string").as("pend")),
-      (st, x) => when(st.getField("pend") === lit(l) && x === lit(r),
-        struct(concat(st.getField("out"), array(lit(fused))).as("out"),
-          lit(null).cast("string").as("pend")))
-        .otherwise(struct(
-          finishPend(st.getField("out"), st.getField("pend")).as("out"),
-          x.as("pend"))),
-      st => finishPend(st.getField("out"), st.getField("pend")))
+    val doubled = concat(lit(" "),
+      replace(array_join(syms, " "), lit(" "), lit("  ")), lit(" "))
+    val merged = replace(doubled, lit(s" $l  $r "), lit(s" $l$r "))
+    val collapsed = replace(trim(merged), lit("  "), lit(" "))
+    array_remove(split(collapsed, " "), "")
   }
+
+  /** Apply learned merges to a symbol array in RANK ORDER — the encode
+    * side of the tokenizer. Rank-order application replays the exact
+    * state evolution of learning (merge k's pair elements exist only in
+    * state k), which is the canonical Sennrich encode; subword-nmt's
+    * min-rank-present iteration is an optimization of the same
+    * computation. The fold chain is evaluated on vocabulary rows, not
+    * corpus rows ([[segment]]). */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (l, r)) => mergePair(c, l, r) }
+
+  /** Segment every DISTINCT token of the corpus with an already-learned
+    * merge list: (token, cnt, subwords). The merge list is a local Seq
+    * — by definition tokenizer-sized (one entry per merge), the same
+    * bounded-driver-traffic contract as a centroid table. Corpus text
+    * is touched once (word frequency); the merge folds run over the
+    * distinct-token table. */
+  def segment(df: DataFrame, textCol: String,
+              merges: Seq[(String, String)]): DataFrame =
+    wordFrequency(df, textCol)
+      .withColumn("subwords", applyMerges(symbolize(col("token")), merges))
+
+  /** Corpus subword frequency under an already-learned merge list —
+    * the "what does the corpus look like to this tokenizer" view
+    * (vocabulary coverage, compression ratio inputs). */
+  def subwordFrequency(df: DataFrame, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame =
+    segment(df, textCol, merges)
+      .select(explode(col("subwords")).as("subword"), col("cnt"))
+      .groupBy("subword").agg(sum("cnt").as("cnt"))
 
   /** Learn `numMerges` BPE merges from the corpus; returns the local
     * merge table (rank, lft, rgt, cnt) — by definition a small result
@@ -82,12 +110,22 @@ object Bpe {
     * deterministic across runs and partitionings. Stops early when no
     * pair reaches `minCount`. */
   def learnBpe(df: DataFrame, textCol: String, numMerges: Int,
-               minCount: Long = 2L): DataFrame = {
+               minCount: Long = 2L): DataFrame =
+    learnBpeWithVocab(df, textCol, numMerges, minCount)._1
+
+  /** [[learnBpe]] plus the loop's FINAL words state — which is exactly
+    * the corpus vocabulary segmented under the learned merges: (token,
+    * syms, cnt). Training and encoding the training corpus share all
+    * their work, so asking for both costs nothing beyond learning
+    * (vs [[segment]], which re-reads the corpus — the right call only
+    * for encoding a *different* corpus with an existing tokenizer). */
+  def learnBpeWithVocab(df: DataFrame, textCol: String, numMerges: Int,
+                        minCount: Long = 2L): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     var words = wordFrequency(df, textCol)
-      .select(symbolize(col("token")).as("syms"), col("cnt"))
+      .select(col("token"), symbolize(col("token")).as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var i = 0
@@ -105,6 +143,6 @@ object Bpe {
         i += 1
       }
     }
-    merges.toSeq.toDF("rank", "lft", "rgt", "cnt")
+    (merges.toSeq.toDF("rank", "lft", "rgt", "cnt"), words)
   }
 }

@@ -106,6 +106,43 @@ class BpeSpec extends SparkTestBase {
     assert(got.map(m => (m._2, m._3)) === Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("segment: rank-order replay of learned merges equals local reference") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val merges = refLearn(corpus, 6).map(m => (m._2, m._3))
+    val got = Bpe.segment(corpus.map(Tuple1(_)).toDF("text"), "text", merges)
+      .orderBy("token").as[(String, Long, Seq[String])].collect().toSeq
+    val want = corpus.groupBy(identity).toSeq.map { case (t, g) =>
+      (t, g.size.toLong,
+        merges.foldLeft(refSymbolize(t)) { case (s, (l, r)) => refMerge(s, l, r) }.toSeq)
+    }.sortBy(_._1)
+    assert(got === want)
+  }
+
+  test("learnBpeWithVocab: final loop state equals segment() with the learned merges") {
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = corpus.map(Tuple1(_)).toDF("text")
+    val (mergesDf, vocab) = Bpe.learnBpeWithVocab(df, "text", 6)
+    val merges = mergesDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaState = vocab.select("token", "cnt", "syms")
+      .orderBy("token").as[(String, Long, Seq[String])].collect().toSeq
+    val viaSegment = Bpe.segment(df, "text", merges)
+      .select("token", "cnt", "subwords")
+      .orderBy("token").as[(String, Long, Seq[String])].collect().toSeq
+    assert(viaState === viaSegment)
+  }
+
+  test("subwordFrequency: explode x word-frequency weighting") {
+    val corpus = Seq("ab ab", "ab cd")
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val got = Bpe.subwordFrequency(corpus.map(Tuple1(_)).toDF("text"), "text", merges)
+      .orderBy("subword").as[(String, Long)].collect().toSeq
+    // ab x3 -> ab</w> x3; cd x1 -> [c, d, </w>]
+    assert(got === Seq(("</w>", 1L), ("ab</w>", 3L), ("c", 1L), ("d", 1L)))
+  }
+
   test("property law: learnBpe equals local Sennrich reference on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.LanguageModel
+
+/** Bigram LM training + perplexity scoring vs a local reference
+  * implementation of add-k bigram NLL. */
+class LanguageModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // local reference: add-k bigram average NLL
+  private def refScore(train: Seq[String], score: Seq[(Long, String)],
+                       k: Double = 1.0): Seq[(Long, Long, Option[Double])] = {
+    def toks(s: String) = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bigrams(s: String) = { val t = toks(s); t.zip(t.drop(1)).map(p => s"${p._1} ${p._2}") }
+    val model = train.flatMap(bigrams).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val hist = model.toSeq.groupBy(_._1.split(" ")(0)).view.mapValues(_.map(_._2).sum).toMap
+    val v = train.flatMap(toks).distinct.size
+    score.map { case (id, text) =>
+      val bs = bigrams(text)
+      val nlls = bs.map { b =>
+        val c = model.getOrElse(b, 0L)
+        val h = hist.getOrElse(b.split(" ")(0), 0L)
+        -(math.log(c + k) - math.log(h + k * v))
+      }
+      (id, bs.size.toLong, if (bs.isEmpty) None else Some(nlls.sum / nlls.size))
+    }
+  }
+
+  private val train = Seq(
+    "the cat sat on the mat",
+    "the cat ate the fish",
+    "a dog sat on a log")
+
+  test("scoreDocs: in-domain, out-of-domain, unseen-token, and degenerate docs") {
+    val scoreSet = Seq(
+      (1L, "the cat sat on the mat"),   // in-domain
+      (2L, "the dog ate a fish"),       // recombined
+      (3L, "zebra quantum flux"),       // fully unseen -> each bigram 1/V
+      (4L, "single"),                   // 1 token -> 0 bigrams, null nll
+      (5L, ""))                         // empty -> 0 bigrams, null nll
+    val trainDf = train.map(Tuple1(_)).toDF("text")
+    val model = LanguageModel.trainBigram(trainDf, "text")
+    val vocab = LanguageModel.vocabSize(trainDf, "text")
+    val got = LanguageModel.scoreDocs(scoreSet.toDF("doc_id", "text"),
+        model, vocab, "text", "doc_id")
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("nll"))
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    val want = refScore(train, scoreSet)
+    got.zip(want).foreach { case ((gi, gn, gs), (wi, wn, ws)) =>
+      assert(gi === wi && gn === wn)
+      (gs, ws) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-12, s"doc $gi")
+        case (a, b) => assert(a === b, s"doc $gi")
+      }
+    }
+    // unseen-everything doc scores exactly ln(V) per bigram
+    val v = train.flatMap(_.split("\\s+")).distinct.size
+    assert(math.abs(got(2)._3.get - math.log(v)) < 1e-12)
+  }
+
+  test("perplexityFilter: thresholds on nll, drops zero-bigram docs") {
+    val trainDf = train.map(Tuple1(_)).toDF("text")
+    val model = LanguageModel.trainBigram(trainDf, "text")
+    val vocab = LanguageModel.vocabSize(trainDf, "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (3L, "zebra quantum flux"),
+      (4L, "single")).toDF("doc_id", "text")
+    val scores = LanguageModel.scoreDocs(docs, model, vocab, "text", "doc_id")
+      .as[(Long, Long, Option[Double])].collect()
+      .flatMap { case (id, _, s) => s.map(id -> _) }.toMap
+    val cut = (scores(1L) + scores(3L)) / 2
+    val kept = LanguageModel.perplexityFilter(docs, model, vocab,
+      "text", "doc_id", cut).select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L)) // 3 over threshold, 4 has no evidence
+  }
+
+  test("add-k constant k != 1 changes smoothing as specified") {
+    val trainDf = train.map(Tuple1(_)).toDF("text")
+    val model = LanguageModel.trainBigram(trainDf, "text")
+    val vocab = LanguageModel.vocabSize(trainDf, "text")
+    val docs = Seq((1L, "the cat ate")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreDocs(docs, model, vocab, "text", "doc_id", k = 0.5)
+      .select("nll").as[Option[Double]].collect()(0).get
+    val want = refScore(train, Seq((1L, "the cat ate")), k = 0.5)(0)._3.get
+    assert(math.abs(got - want) < 1e-12)
+  }
+}
