@@ -229,6 +229,32 @@ object TextKernels {
     }
     max.toDouble / (n - k + 1)
   }
+
+  /** Add-k bigram NLL of a token array under a local model map (bigram
+    * "l r" and history-marginal "l" keys share the map — unigram keys
+    * contain no space, so they cannot collide). One pass, two O(1)
+    * lookups per bigram. Semantics bit-matched to the join-path
+    * [[graft.ops.LanguageModel.scoreDocs]]. */
+  def bigramNll(arr: ArrayData,
+                model: java.util.HashMap[String, java.lang.Long],
+                v: Long, k: Double): InternalRow = {
+    val n = arr.numElements()
+    var sum = 0.0
+    var cnt = 0L
+    var i = 0
+    var prev: String = if (n > 0) arr.getUTF8String(0).toString else null
+    while (i < n - 1) {
+      val cur = arr.getUTF8String(i + 1).toString
+      val c = model.get(prev + " " + cur)
+      val h = model.get(prev)
+      sum -= math.log((if (c == null) 0L else c.longValue()) + k) -
+        math.log((if (h == null) 0L else h.longValue()) + k * v)
+      cnt += 1
+      prev = cur
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](cnt, if (cnt == 0L) null else sum / cnt))
+  }
 }
 
 /** Struct of the five per-document quality counts from one text pass.
@@ -448,5 +474,36 @@ case class TopShingleFrac(child: Expression, k: Int)
     })
 
   override protected def withNewChildInternal(c: Expression): TopShingleFrac =
+    copy(child = c)
+}
+
+/** Per-row add-k bigram NLL against a LOCAL model table — the kernel
+  * behind [[graft.ops.LanguageModel.scoreDocsLocal]] (the CCNet
+  * deployment shape: a pruned filter model shipped to every worker).
+  * Returns (n_bigrams, nll) with nll null when the document has no
+  * bigrams. The model map is carried as an expression field and enters
+  * generated code via `addReferenceObj`, so the kernel stays inside
+  * whole-stage codegen. */
+case class BigramNllExpr(child: Expression,
+                         model: java.util.HashMap[String, java.lang.Long],
+                         vocabSize: Long, k: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("nll", DoubleType, nullable = true)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bigramNll(input.asInstanceOf[ArrayData], model, vocabSize, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("lmModel", model, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.bigramNll($c, $m, ${vocabSize}L, ${k}D)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BigramNllExpr =
     copy(child = c)
 }

@@ -65,6 +65,81 @@ object LanguageModel {
       avg(when(col("bigram").isNotNull, nll)).as("nll"))
   }
 
+  private val nllFnId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Collect the trained model into one local lookup table: bigram
+    * keys ("l r") and history-marginal keys ("l") share the map
+    * (unigram keys contain no space — no collision). SIZE-GATED: a
+    * model beyond `maxEntries` bigrams refuses to collect — use the
+    * [[scoreDocs]] join path, which never localizes the model. Under
+    * the gate this is the CCNet deployment shape: the (pruned) filter
+    * model ships to every worker and scoring becomes a stateless map
+    * — which is also what makes [[scoreDocsLocal]] streaming-safe. */
+  def localModel(model: DataFrame,
+                 maxEntries: Long = 1L << 21): java.util.HashMap[String, java.lang.Long] = {
+    val n = model.count()
+    require(n <= maxEntries,
+      s"model has $n bigrams > localModel gate $maxEntries; use scoreDocs")
+    val m = new java.util.HashMap[String, java.lang.Long](2 * (n.toInt + 1))
+    model.select(col("bigram"), col("lft"), col("cnt").cast("long")).collect()
+      .foreach { r =>
+        val c = java.lang.Long.valueOf(r.getLong(2))
+        m.put(r.getString(0), c)
+        m.merge(r.getString(1), c,
+          (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+      }
+    m
+  }
+
+  /** [[scoreDocs]] as a stateless map-only projection against a
+    * [[localModel]]: zero shuffles, zero state — runs unchanged on a
+    * stream (ingest-side quality filtering; spec-asserted equal to the
+    * join path). The codegen'd kernel is
+    * [[graft.functions.BigramNllExpr]]; each call registers it under a
+    * fresh function name so concurrently built plans can't see each
+    * other's model. */
+  def scoreDocsLocal(docs: DataFrame,
+                     model: java.util.HashMap[String, java.lang.Long],
+                     vocabSize: Long, textCol: String, idCol: String,
+                     k: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    val fn = s"graft_bigram_nll_${nllFnId.incrementAndGet()}"
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        fn, exprs => graft.functions.BigramNllExpr(
+          exprs(0), model, vocabSize, k), "built-in")
+    docs
+      .withColumn("__lm_s",
+        call_function(fn, TextAnalysis.tokens(col(textCol))))
+      .select(col(idCol),
+        // null text -> null tokens -> null struct; align with the join
+        // path's count() = 0 for no-evidence docs
+        coalesce(col("__lm_s.n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("__lm_s.nll").as("nll"))
+  }
+
+  /** The smoothing constant V as a driver scalar (one aggregate job)
+    * — pairs with [[localModel]] for the local scoring path. */
+  def vocabSizeLocal(df: DataFrame, textCol: String): Long =
+    vocabSize(df, textCol).collect()(0).getLong(0)
+
+  /** [[perplexityFilter]] over the local-model path: a map-only filter
+    * (no join at all), streaming-safe. */
+  def perplexityFilterLocal(docs: DataFrame,
+                            model: java.util.HashMap[String, java.lang.Long],
+                            vocabSize: Long, textCol: String, idCol: String,
+                            maxNll: Double, k: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    val fn = s"graft_bigram_nll_${nllFnId.incrementAndGet()}"
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        fn, exprs => graft.functions.BigramNllExpr(
+          exprs(0), model, vocabSize, k), "built-in")
+    docs.filter(
+      call_function(fn, TextAnalysis.tokens(col(textCol)))
+        .getField("nll") <= maxNll)
+  }
+
   /** Keep documents whose average bigram NLL is at most `maxNll` —
     * the perplexity filter (ppl = exp(nll)). Zero-bigram documents
     * are dropped (no evidence). */

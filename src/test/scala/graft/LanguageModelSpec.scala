@@ -77,6 +77,35 @@ class LanguageModelSpec extends SparkTestBase {
     assert(kept === Array(1L)) // 3 over threshold, 4 has no evidence
   }
 
+  test("scoreDocsLocal: bit-equal to the join path on every doc class; gate refuses oversized models") {
+    val trainDf = train.map(Tuple1(_)).toDF("text")
+    val model = LanguageModel.trainBigram(trainDf, "text")
+    val vocab = LanguageModel.vocabSize(trainDf, "text")
+    val local = LanguageModel.localModel(model)
+    val v = LanguageModel.vocabSizeLocal(trainDf, "text")
+    // local map contents: bigram counts + history marginals, no collisions
+    assert(local.get("the cat") === 2L && local.get("the") === 4L)
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog ate a fish"),
+      (3L, "zebra quantum flux"), (4L, "single"), (5L, "")).toDF("doc_id", "text")
+    val viaJoin = LanguageModel.scoreDocs(docs, model, vocab, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
+    val viaLocal = LanguageModel.scoreDocsLocal(docs, local, v, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(viaLocal === viaJoin) // bit-exact, including null nll rows
+    // filter paths agree too
+    val cut = viaJoin.find(_._1 == 1L).get._3.get + 1e-9
+    val keptJoin = LanguageModel.perplexityFilter(docs, model, vocab,
+      "text", "doc_id", cut).select("doc_id").as[Long].collect().sorted
+    val keptLocal = LanguageModel.perplexityFilterLocal(docs, local, v,
+      "text", "doc_id", cut).select("doc_id").as[Long].collect().sorted
+    assert(keptLocal === keptJoin && keptJoin.contains(1L))
+    // the size gate
+    val e = intercept[IllegalArgumentException](
+      LanguageModel.localModel(model, maxEntries = 2))
+    assert(e.getMessage.contains("gate"))
+  }
+
   test("add-k constant k != 1 changes smoothing as specified") {
     val trainDf = train.map(Tuple1(_)).toDF("text")
     val model = LanguageModel.trainBigram(trainDf, "text")

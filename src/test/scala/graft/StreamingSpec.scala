@@ -702,4 +702,34 @@ class StreamingSpec extends SparkTestBase {
       assert(q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming perplexity filter (local model map) equals batch, zero state") {
+    import graft.ops.LanguageModel
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq("the cat sat on the mat", "the cat ate the fish",
+      "a dog sat on a log").map(Tuple1(_)).toDF("text")
+    val local = LanguageModel.localModel(
+      LanguageModel.trainBigram(train, "text"))
+    val v = LanguageModel.vocabSizeLocal(train, "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog ate a fish"),
+      (3L, "zebra quantum flux"), (4L, "single"))
+    // threshold between in-domain and fully-unseen scores
+    val cut = math.log(v) - 0.5
+    val input = MemoryStream[(Long, String)]
+    val out = LanguageModel.perplexityFilterLocal(
+      input.toDF().toDF("id", "text"), local, v, "text", "id", cut)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ppl_out").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("ppl_out").select("id").as[Long].collect().sorted
+      val want = LanguageModel.perplexityFilterLocal(
+          docs.toDF("id", "text"), local, v, "text", "id", cut)
+        .select("id").as[Long].collect().sorted
+      assert(got.toSeq === want.toSeq && got.contains(1L) && !got.contains(3L))
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
