@@ -43,7 +43,7 @@ object PipelineQueries {
          GROUP BY 1, 2),
        m$k AS (SELECT $k AS rank, lft, rgt, cnt FROM p$k
          ORDER BY cnt DESC, lft, rgt LIMIT 1),
-       w${k + 1} AS (SELECT replace(trim(replace(
+       w${k + 1} AS (SELECT w.t AS t, replace(trim(replace(
            ' ' || replace(w.w, ' ', '  ') || ' ',
            ' ' || m.lft || '  ' || m.rgt || ' ',
            ' ' || m.lft || m.rgt || ' ')), '  ', ' ') AS w, w.cnt AS cnt
@@ -51,7 +51,7 @@ object PipelineQueries {
     }.mkString(",\n")
     s"""tok AS (SELECT t, count(*)::BIGINT AS cnt FROM
          (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0 GROUP BY t),
-       w0 AS (SELECT array_to_string(string_split(t, ''), ' ') || ' </w>' AS w,
+       w0 AS (SELECT t, array_to_string(string_split(t, ''), ' ') || ' </w>' AS w,
               cnt FROM tok),
        $steps"""
   }
@@ -210,6 +210,19 @@ object PipelineQueries {
       vocab.select(explode(col("syms")).as("subword"), col("cnt"))
         .groupBy("subword").agg(sum("cnt").as("cnt"))
         .orderBy(desc("cnt"), asc("subword")).limit(50)
+    }),
+
+    // production tokenization: min-rank encode of every document with
+    // the learned 8-merge table (merge table collected — tokenizer-
+    // sized, the centroid contract); per-doc subword counts
+    "q_bpe_tokenize" -> ((s, d) => {
+      val merges = graft.ops.Bpe.learnBpe(docs(s, d), "text", numMerges = 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.encodeDocs(docs(s, d), "text", merges)
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"))
+        .orderBy("doc_id")
     }),
 
     // CCNet-style LM quality: self-trained add-1 bigram model, per-doc
@@ -949,6 +962,19 @@ object PipelineQueries {
          SELECT subword, sum(cnt)::BIGINT AS cnt FROM (
            SELECT unnest(string_split(w, ' ')) AS subword, cnt FROM w8)
          GROUP BY 1 ORDER BY cnt DESC, subword LIMIT 50""",
+
+    // per-doc subword counts = doc tokens joined to the chain's w8
+    // segmentation (min-rank and replay agree on learned tables —
+    // the kernel's min-rank contract is separately spec-pinned)
+    "q_bpe_tokenize" ->
+      s"""WITH $bpeLearnCtes,
+         seg AS (SELECT t, len(string_split(w, ' '))::BIGINT AS ns FROM w8),
+         dt AS (SELECT doc_id, unnest($W) AS t FROM documents),
+         j AS (SELECT dt.doc_id, seg.ns FROM dt
+               JOIN seg USING (t) WHERE len(dt.t) > 0)
+         SELECT d.doc_id, coalesce(sum(j.ns), 0)::BIGINT AS n_subwords
+         FROM documents d LEFT JOIN j USING (doc_id)
+         GROUP BY 1 ORDER BY doc_id""",
 
     "q_perplexity" ->
       s"""WITH tok AS (SELECT doc_id, $W AS w FROM documents),

@@ -255,6 +255,64 @@ object TextKernels {
     }
     new GenericInternalRow(Array[Any](cnt, if (cnt == 0L) null else sum / cnt))
   }
+
+  /** Canonical BPE encode of a token array under a LOCAL rank map
+    * (key "l r" → merge rank): per token, repeatedly merge the
+    * LOWEST-RANK adjacent pair present (all its non-overlapping
+    * occurrences, left to right) until none remains — the
+    * subword-nmt / HF-tokenizers apply_bpe loop. Subwords of all
+    * tokens are emitted in order; empty tokens are skipped (the
+    * wordFrequency filter). O(|word|²·merges-applied) per DISTINCT
+    * word shape, on short natural-language tokens. */
+  def bpeSegmentAll(arr: ArrayData,
+                    ranks: java.util.HashMap[String, Integer],
+                    marker: UTF8String): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val mark = marker.toString
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = arr.getUTF8String(t).toString
+      if (tok.nonEmpty) {
+        var syms = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < tok.length) {
+          val cp = tok.codePointAt(i)
+          syms += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        syms += mark
+        var go = true
+        while (go) {
+          var bestRank = Integer.MAX_VALUE
+          var bl: String = null
+          var br: String = null
+          var j = 0
+          while (j < syms.length - 1) {
+            val r = ranks.get(syms(j) + " " + syms(j + 1))
+            if (r != null && r.intValue() < bestRank) {
+              bestRank = r.intValue(); bl = syms(j); br = syms(j + 1)
+            }
+            j += 1
+          }
+          if (bl == null) go = false
+          else {
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var p = 0
+            while (p < syms.length) {
+              if (p + 1 < syms.length && syms(p) == bl && syms(p + 1) == br) {
+                merged += bl + br; p += 2
+              } else { merged += syms(p); p += 1 }
+            }
+            syms = merged
+          }
+        }
+        syms.foreach(s => out += UTF8String.fromString(s))
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** Struct of the five per-document quality counts from one text pass.
@@ -505,5 +563,41 @@ case class BigramNllExpr(child: Expression,
   }
 
   override protected def withNewChildInternal(c: Expression): BigramNllExpr =
+    copy(child = c)
+}
+
+/** Canonical min-rank BPE encode of a token array against a LOCAL rank
+  * map — the production tokenization shape: real merge tables are
+  * tokenizer-sized (10⁴–10⁵ entries) and ship to every worker, making
+  * per-document encoding a map-only projection. NOTE the semantic
+  * fine print vs [[graft.ops.Bpe.applyMerges]] (rank-order replay):
+  * on tables that can be LEARNED the two agree, but on arbitrary
+  * (truncated/pruned/hand-built) tables min-rank iteration can merge
+  * occurrences that replay already passed by — min-rank is what
+  * subword-nmt and HF tokenizers do, so it is the contract here
+  * (spec-pinned, including a constructed divergence case). */
+case class BpeSegmentExpr(child: Expression,
+                          ranks: java.util.HashMap[String, Integer],
+                          marker: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val markerU = UTF8String.fromString(marker)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeSegmentAll(input.asInstanceOf[ArrayData], ranks, markerU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    val m = ctx.addReferenceObj("bpeMarker", markerU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.bpeSegmentAll($c, $r, $m)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeSegmentExpr =
     copy(child = c)
 }

@@ -94,6 +94,36 @@ object Bpe {
     wordFrequency(df, textCol)
       .withColumn("subwords", applyMerges(symbolize(col("token")), merges))
 
+  private val segFnId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Tokenize every document with an already-learned merge table —
+    * the production encode path: appends a `subwords` array column
+    * holding the canonical MIN-RANK Sennrich/HF segmentation of the
+    * document's tokens, in order. Map-only at any scale: the merge
+    * table is local (tokenizer-sized by definition — 10⁴–10⁵ entries
+    * ship to every worker inside the codegen'd
+    * [[graft.functions.BpeSegmentExpr]] kernel), so unlike
+    * [[applyMerges]]' replay chain this handles real 30k-merge
+    * tokenizers — a 30k-deep expression chain cannot even plan. On
+    * learnable tables min-rank equals rank-order replay; on arbitrary
+    * truncated/pruned tables they can differ (min-rank is the
+    * subword-nmt / HF contract; divergence is spec-pinned). */
+  def encodeDocs(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val ranks = new java.util.HashMap[String, Integer](2 * merges.size + 1)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      ranks.putIfAbsent(l + " " + r, Integer.valueOf(i))
+    }
+    val spark = df.sparkSession
+    val fn = s"graft_bpe_segment_${segFnId.incrementAndGet()}"
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        fn, exprs => graft.functions.BpeSegmentExpr(
+          exprs(0), ranks, EndOfWord), "built-in")
+    df.withColumn("subwords",
+      call_function(fn, TextAnalysis.tokens(col(textCol))))
+  }
+
   /** Corpus subword frequency under an already-learned merge list —
     * the "what does the corpus look like to this tokenizer" view
     * (vocabulary coverage, compression ratio inputs). */

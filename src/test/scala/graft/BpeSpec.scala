@@ -143,6 +143,64 @@ class BpeSpec extends SparkTestBase {
     assert(got === Seq(("</w>", 1L), ("ab</w>", 3L), ("c", 1L), ("d", 1L)))
   }
 
+  // local reference: canonical min-rank apply_bpe (subword-nmt / HF)
+  private def refEncode(tok: String, merges: Seq[(String, String)]): Vector[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = refSymbolize(tok)
+    var go = true
+    while (go) {
+      val present = syms.zip(syms.drop(1)).filter(rank.contains)
+      if (present.isEmpty) go = false
+      else syms = refMerge(syms, present.minBy(rank)._1, present.minBy(rank)._2)
+    }
+    syms
+  }
+
+  private def encodedDocs(docs: Seq[(Long, String)], merges: Seq[(String, String)]) =
+    Bpe.encodeDocs(docs.toDF("doc_id", "text"), "text", merges)
+      .select("doc_id", "subwords").orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+
+  test("encodeDocs: min-rank kernel equals local apply_bpe reference; learned tables agree with replay") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "中", "😀"))
+    } yield cs.mkString
+    val doc = for { n <- Gen.choose(0, 8); ws <- Gen.listOfN(n, word) } yield ws.mkString(" ")
+    val corpusGen = for { n <- Gen.choose(1, 25); ds <- Gen.listOfN(n, doc) } yield ds
+    (0 until 6).foreach { i =>
+      val corpus = corpusGen(Gen.Parameters.default, Seed(9090L + i)).get
+      val merges = refLearn(corpus, 6, minCount = 1L).map(m => (m._2, m._3))
+      val docs = corpus.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val got = encodedDocs(docs, merges)
+      docs.foreach { case (id, text) =>
+        val wantMinRank = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .toVector.flatMap(refEncode(_, merges))
+        val wantReplay = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .toVector.flatMap(t =>
+            merges.foldLeft(refSymbolize(t)) { case (s, (l, r)) => refMerge(s, l, r) })
+        assert(got.find(_._1 == id).get._2 === wantMinRank, s"seed=${9090 + i} doc=$text")
+        // on LEARNED tables min-rank and rank-order replay coincide
+        assert(wantMinRank === wantReplay, s"seed=${9090 + i} doc=$text")
+      }
+    }
+  }
+
+  test("encodeDocs: min-rank diverges from replay on unlearnable tables, by design") {
+    // (x, ab) before (a, b) cannot be learned: "ab" does not exist at
+    // state 0. min-rank revisits rank 0 after rank 1 creates "ab";
+    // replay has already passed it.
+    val merges = Seq(("x", "ab"), ("a", "b"))
+    val got = encodedDocs(Seq((1L, "xab")), merges)(0)._2
+    assert(got === Seq("xab", "</w>")) // the subword-nmt/HF answer
+    val replay = merges.foldLeft(refSymbolize("xab")) {
+      case (s, (l, r)) => refMerge(s, l, r)
+    }
+    assert(replay === Vector("x", "ab", "</w>")) // replay stops short
+  }
+
   test("property law: learnBpe equals local Sennrich reference on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
