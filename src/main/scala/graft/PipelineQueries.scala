@@ -225,6 +225,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PMI collocation mining: top bigram phrases by pointwise mutual
+    // information at a min-count floor (ordering on the ROUNDED score
+    // so both engines cut the same top-100)
+    "q_collocations" -> ((s, d) =>
+      graft.ops.LanguageModel.collocations(docs(s, d), "text", minCount = 5L)
+        .select(col("bigram"), col("cnt"), round(col("pmi"), 6).as("pmi"))
+        .orderBy(desc("pmi"), asc("bigram")).limit(100)),
+
     // CCNet-style LM quality: self-trained add-1 bigram model, per-doc
     // average negative log-likelihood (rounded — libm ln on both
     // engines agrees to well past 6 decimals)
@@ -975,6 +983,24 @@ object PipelineQueries {
          SELECT d.doc_id, coalesce(sum(j.ns), 0)::BIGINT AS n_subwords
          FROM documents d LEFT JOIN j USING (doc_id)
          GROUP BY 1 ORDER BY doc_id""",
+
+    "q_collocations" ->
+      s"""WITH bg AS (SELECT doc_id, unnest(list_transform(
+           range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END),
+           i -> w[i] || ' ' || w[i+1])) AS bigram FROM
+           (SELECT doc_id, $W AS w FROM documents)),
+         model AS (SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY 1),
+         uni AS (SELECT t, count(*)::BIGINT AS ucnt FROM
+           (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0 GROUP BY 1),
+         tot AS (SELECT sum(ucnt)::BIGINT AS tt FROM uni)
+         SELECT m.bigram, m.cnt,
+           round(ln(m.cnt::DOUBLE * tot.tt::DOUBLE /
+             (l.ucnt::DOUBLE * r.ucnt::DOUBLE)), 6) AS pmi
+         FROM model m
+         JOIN uni l ON split_part(m.bigram, ' ', 1) = l.t
+         JOIN uni r ON split_part(m.bigram, ' ', 2) = r.t, tot
+         WHERE m.cnt >= 5
+         ORDER BY pmi DESC, m.bigram LIMIT 100""",
 
     "q_perplexity" ->
       s"""WITH tok AS (SELECT doc_id, $W AS w FROM documents),

@@ -123,6 +123,40 @@ object LanguageModel {
   def vocabSizeLocal(df: DataFrame, textCol: String): Long =
     vocabSize(df, textCol).collect()(0).getLong(0)
 
+  /** PMI-ranked collocations: bigrams scored by pointwise mutual
+    * information ln(c(l,r)·T / (c(l)·c(r))) over corpus token counts
+    * (T = total tokens), thresholded at `minCount` occurrences to
+    * suppress the low-frequency PMI explosion — the classic
+    * collocation/phrase-mining pass (Church & Hanks 1990; the
+    * word2vec phrase heuristic is the same shape).
+    *
+    * Plan: reuses [[trainBigram]]'s one corpus pass; unigram counts
+    * are one more pass; both marginals join on token keys (hash
+    * equi-joins); T rides as a 1-row broadcast. Returns (bigram, cnt,
+    * pmi) — filter/sort downstream as needed. */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5L): DataFrame = {
+    val uni = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum("ucnt").as("__lm_t"))
+    trainBigram(df, textCol)
+      .filter(col("cnt") >= minCount)
+      .withColumn("rgt", substring_index(col("bigram"), " ", -1))
+      .join(uni.withColumnRenamed("ucnt", "lcnt"),
+        col("lft") === col("t"), "inner").drop("t")
+      .join(uni.withColumnRenamed("ucnt", "rcnt"),
+        col("rgt") === col("t"), "inner").drop("t")
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("cnt"),
+        // doubles BEFORE the multiply: cnt·T in integer space overflows
+        // int64 at web-scale T (1e13 tokens x 1e5 count)
+        log(col("cnt").cast("double") * col("__lm_t").cast("double") /
+          (col("lcnt").cast("double") * col("rcnt").cast("double")))
+          .as("pmi"))
+  }
+
   /** [[perplexityFilter]] over the local-model path: a map-only filter
     * (no join at all), streaming-safe. */
   def perplexityFilterLocal(docs: DataFrame,

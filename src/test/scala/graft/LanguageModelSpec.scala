@@ -106,6 +106,28 @@ class LanguageModelSpec extends SparkTestBase {
     assert(e.getMessage.contains("gate"))
   }
 
+  test("collocations: PMI formula and min-count floor vs local reference") {
+    def toks(s: String) = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val corpus = Seq.fill(4)("new york is big") ++ Seq.fill(3)("big apple") ++
+      Seq("york new", "is is is")
+    val uni = corpus.flatMap(toks).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = uni.values.sum
+    val bigr = corpus.flatMap { s => val w = toks(s); w.zip(w.drop(1)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = bigr.collect { case ((l, r), c) if c >= 2 =>
+      (s"$l $r", c, math.log(c.toDouble * t / (uni(l).toDouble * uni(r))))
+    }.toSeq.sortBy(_._1)
+    val got = LanguageModel.collocations(
+        corpus.map(Tuple1(_)).toDF("text"), "text", minCount = 2L)
+      .orderBy("bigram").as[(String, Long, Double)].collect().toSeq
+    assert(got.map(x => (x._1, x._2)) === want.map(x => (x._1, x._2)))
+    got.zip(want).foreach { case ((b, _, g), (_, _, w)) =>
+      assert(math.abs(g - w) < 1e-12, b) }
+    // "new york" (always adjacent) outranks "is big" (common 'is')
+    val pmi = got.map(x => x._1 -> x._3).toMap
+    assert(pmi("new york") > pmi("is big"))
+  }
+
   test("add-k constant k != 1 changes smoothing as specified") {
     val trainDf = train.map(Tuple1(_)).toDF("text")
     val model = LanguageModel.trainBigram(trainDf, "text")
