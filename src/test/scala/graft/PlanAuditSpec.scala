@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_partial_axis",
     "q_source_shift",        // scalar total joined onto per-source rows
     "q_tfidf",               // scalar corpus doc-count (1-row broadcast)
-    "q_perplexity"           // scalar smoothing V (1-row broadcast)
+    "q_perplexity",          // scalar smoothing V (1-row broadcast)
+    "q_collocations"         // scalar corpus token total T (1-row broadcast)
   )
 
   /** Queries allowed to plan a SortAggregateExec. Deliberately EMPTY:
@@ -56,7 +57,8 @@ class PlanAuditSpec extends SparkTestBase {
   private val singlePartAllowed = Set(
     "q_source_shift", // corpus-total token count -> 1 scalar
     "q_tfidf",        // corpus doc-count -> 1 scalar
-    "q_perplexity"    // distinct-token count V -> 1 scalar
+    "q_perplexity",   // distinct-token count V -> 1 scalar
+    "q_collocations"  // corpus token total T -> 1 scalar
   )
 
   test("no certified query plans a CartesianProduct; BNL only where declared; " +
