@@ -66,6 +66,7 @@ object UnigramLm {
     val spark = df.sparkSession
     val words = Bpe.wordFrequency(df, textCol).localCheckpoint()
     val seed = seedVocab(words, maxPieceLen, maxSeed)
+    require(seed.nonEmpty, "unigram-LM training corpus has no tokens")
     val total = seed.map(_._2).sum.toDouble
     var probs: Map[String, Double] = seed.map { case (p, f) => p -> f / total }.toMap
     var round = 0

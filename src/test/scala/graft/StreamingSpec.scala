@@ -732,4 +732,36 @@ class StreamingSpec extends SparkTestBase {
       assert(q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming tokenize-on-ingest: BPE min-rank and unigram Viterbi equal batch, zero state") {
+    import graft.ops.{Bpe, UnigramLm}
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val trainDf = corpus.map(Tuple1(_)).toDF("text")
+    val merges = Bpe.learnBpe(trainDf, "text", 6).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val ulm = UnigramLm.train(trainDf, "text", numRounds = 2,
+      maxPieceLen = 4, maxSeed = 64, keepPieces = 32)
+    val docs = Seq((1L, "newest lowest"), (2L, "wid low"), (3L, ""))
+    for ((name, enc) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      ("bpe", d => Bpe.encodeDocs(d, "text", merges)),
+      ("ulm", d => UnigramLm.segmentDocs(d, "text", ulm, maxPieceLen = 4)))) {
+      val input = MemoryStream[(Long, String)]
+      val q = enc(input.toDF().toDF("id", "text"))
+        .select("id", "subwords").writeStream.outputMode("append")
+        .format("memory").queryName(s"tok_${name}_out").start()
+      try {
+        input.addData(docs: _*)
+        q.processAllAvailable()
+        val got = spark.table(s"tok_${name}_out").orderBy("id")
+          .as[(Long, Seq[String])].collect().toSeq
+        val want = enc(docs.toDF("id", "text")).select("id", "subwords")
+          .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+        assert(got === want, name)
+        assert(got.map(_._2.nonEmpty) === Seq(true, true, false), name)
+        assert(q.lastProgress.stateOperators.isEmpty, name)
+      } finally q.stop()
+    }
+  }
 }
