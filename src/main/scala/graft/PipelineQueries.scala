@@ -535,6 +535,23 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     // ---------------- similarity search
+    // JL ±1 compression 64->8 dims: the map-only shuffle-byte cutter
+    // in front of the LSH/IVF family; sign matrix re-derived from the
+    // seed by BOTH engines (md5), so this certifies the whole
+    // derivation, not just the arithmetic
+    "q_random_proj" -> ((s, d) =>
+      graft.ops.Similarity.randomProject(emb(s, d), "embedding",
+          inDim = 64, outDim = 8, seed = "jl1")
+        .select(col("vec_id") +:
+          // one scalar column per dim (the compare harness takes no
+          // array columns — the q_quantile_multi convention), cast to
+          // float32 NOT round()ed: the decimal HALF_UP round disagrees
+          // with DuckDB's binary round at representability boundaries
+          // (~1% of rows); the IEEE double->float cast is bit-identical
+          (0 until 8).map(j =>
+            col("proj").getItem(j).cast("float").as(s"p$j")): _*)
+        .orderBy("vec_id")),
+
     "q_embed_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20),
@@ -1407,6 +1424,20 @@ object PipelineQueries {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY 1, 2""",
+
+    // unrolled left-associative sums so the summation order is
+    // bit-identical to the kernel's ascending-dim loop; the md5 CASE
+    // per (j,i) is a constant expression DuckDB folds once
+    "q_random_proj" -> {
+      val dims = (0 until 8).map { j =>
+        val terms = (0 until 64).map { i =>
+          s"embedding[${i + 1}]::DOUBLE * (CASE WHEN substring(md5('jl1:$j:$i'), 1, 1) " +
+            "BETWEEN '0' AND '7' THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)"
+        }.mkString(" + ")
+        s"(($terms) / sqrt(8))::REAL AS p$j"
+      }.mkString(", ")
+      s"""SELECT vec_id, $dims FROM embeddings ORDER BY vec_id"""
+    },
 
     "q_embed_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

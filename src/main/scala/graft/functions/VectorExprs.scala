@@ -237,6 +237,27 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
 
+  /** Achlioptas ±1 random projection: out(j) = Σ_i v(i)·signs(j·dims+i)
+    * / sqrt(outDim). Per-component accumulation ascends dims —
+    * bit-identical to the left-associative unrolled sum the oracle SQL
+    * writes; the final scaling is a DIVISION by sqrt(outDim) (not a
+    * reciprocal multiply) for the same reason. */
+  def randomProject(v: ArrayData, signs: Array[Double], dims: Int,
+                    outDim: Int): ArrayData = {
+    val root = math.sqrt(outDim.toDouble)
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      val base = j * dims
+      var d = 0
+      while (d < dims) { s += v.getDouble(d) * signs(base + d); d += 1 }
+      out(j) = s / root
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Id of the nearest centroid by rounded cosine, smallest-cid
     * tie-break — the scalar replica of Similarity.nearestCentroids'
     * max_by(struct(round(sim, 6), -cid)) for n = 1. `matrix` is
@@ -358,6 +379,65 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
   * object, one traversal. Null or length-mismatched vectors yield null
   * (the signature of a ragged vector is garbage — same stance as
   * DotProduct); null elements yield null via the same check. */
+/** Johnson–Lindenstrauss ±1 (Achlioptas 2003) random projection of a
+  * dense embedding to `outDim` dimensions. The sign matrix is derived
+  * DETERMINISTICALLY from md5("seed:j:i") (first hex digit 0–7 → +1,
+  * else −1) so any engine — the DuckDB oracle included — re-derives
+  * the identical matrix from the seed string alone; no RNG state, no
+  * shipped weights. Wrong-length input → null (the DotProduct
+  * contract). Map-only: the 100 TB use is compressing 1024-d
+  * embeddings before LSH/IVF to cut shuffle bytes. */
+case class RandomProjectExpr(child: Expression, inDim: Int, outDim: Int,
+                             seed: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(inDim >= 1 && outDim >= 1, "dims must be >= 1")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  @transient private lazy val signs: Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Double](outDim * inDim)
+    var j = 0
+    while (j < outDim) {
+      var i = 0
+      while (i < inDim) {
+        md.reset()
+        val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        out(j * inDim + i) = if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != inDim) null
+    else VectorKernels.randomProject(v, signs, inDim, outDim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.addReferenceObj("signs", signs, "double[]")
+      s"""
+         |if ($a.numElements() != $inDim) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = graft.functions.VectorKernels.randomProject(
+         |    $a, $s, $inDim, $outDim);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): RandomProjectExpr =
+    copy(child = c)
+}
+
 case class LshPlaneSigs(child: Expression, weights: Array[Double],
                         dims: Int, bandPlanes: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -462,6 +542,12 @@ object VectorExprs {
         exprs => SimHashTokens(exprs(0),
           exprs(1).eval().asInstanceOf[Boolean]), "built-in")
       reg.createOrReplaceTempFunction(
+        "graft_random_project",
+        exprs => RandomProjectExpr(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int],
+          exprs(3).eval().toString), "built-in")
+      reg.createOrReplaceTempFunction(
         "graft_lsh_sigs",
         exprs => LshPlaneSigs(exprs(0),
           exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -518,6 +604,14 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_dot", a, b)
+  }
+
+  /** JL ±1 random projection (see [[RandomProjectExpr]]). */
+  def randomProject(emb: Column, inDim: Int, outDim: Int, seed: String): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_random_project", emb, lit(inDim), lit(outDim), lit(seed))
   }
 
   /** Deterministic min_by/max_by with arbitrary orderable ordering —

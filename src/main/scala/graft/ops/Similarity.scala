@@ -411,4 +411,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** Johnson–Lindenstrauss ±1 compression of the embedding column to
+    * `outDim` dims (appends `proj`, array<double>): the map-only
+    * front-end that cuts shuffle bytes of every downstream LSH / IVF /
+    * pair join by inDim/outDim while approximately preserving pairwise
+    * distances (Achlioptas 2003). The sign matrix re-derives from the
+    * seed string on any engine (md5-based — see
+    * [[graft.functions.RandomProjectExpr]]); no RNG state, no shipped
+    * weights, deterministic across runs and partitionings. */
+  def randomProject(df: DataFrame, embCol: String, inDim: Int,
+                    outDim: Int, seed: String): DataFrame =
+    df.withColumn("proj",
+      graft.functions.VectorExprs.randomProject(col(embCol), inDim, outDim, seed))
 }

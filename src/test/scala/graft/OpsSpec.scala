@@ -118,6 +118,43 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(tk(2).getDouble(3)) < 1e-6)
   }
 
+  test("randomProject: md5-derived signs match local reference; JL distance preservation; wrong dim -> null") {
+    def sign(seed: String, j: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
+    val e = sf("embeddings")
+    val got = Similarity.randomProject(e, "embedding", 64, 8, "jl1")
+      .select("vec_id", "embedding", "proj")
+      .as[(Long, Seq[Float], Seq[Double])].collect()
+    got.take(20).foreach { case (id, emb, proj) =>
+      (0 until 8).foreach { j =>
+        var s = 0.0
+        (0 until 64).foreach(i => s += emb(i).toDouble * sign("jl1", j, i))
+        assert(math.abs(proj(j) - s / math.sqrt(8)) < 1e-12, s"vec $id dim $j")
+      }
+    }
+    // determinism across partitionings
+    val re = Similarity.randomProject(e.repartition(7), "embedding", 64, 8, "jl1")
+      .select("vec_id", "proj").as[(Long, Seq[Double])].collect().toMap
+    got.foreach { case (id, _, p) => assert(re(id) === p) }
+    // JL sanity: squared distances preserved in expectation (loose band
+    // on the mean ratio over sampled pairs; seed-pinned so not flaky)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sample = got.take(30)
+    val ratios = for (x <- sample; y <- sample if x._1 < y._1) yield
+      d2(x._3, y._3) / d2(x._2.map(_.toDouble), y._2.map(_.toDouble))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean distance ratio $mean")
+    // wrong input dim -> null projection
+    val short = Seq((99L, Array.fill(10)(1.0f))).toDF("vec_id", "embedding")
+    val n = Similarity.randomProject(short, "embedding", 64, 8, "jl1")
+      .select("proj").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("LSH near-dup pairs are a subset of brute force, and find identicals") {
     val e = sf("embeddings")
     val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
