@@ -155,6 +155,35 @@ class OpsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("randomProject composes with near-dup search: planted dups survive 64->16 compression") {
+    // the synthetic embeddings have NO true near-dups (max cosine 0.51
+    // at every SF), so plant them: 40 jittered copies at cosine ~0.9999
+    val base = sf("embeddings").filter(col("vec_id") < 150)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    def jitter(id: Long, v: Seq[Float]): Seq[Float] =
+      v.zipWithIndex.map { case (x, i) =>
+        val h = scala.util.hashing.MurmurHash3.productHash((id, i))
+        x * (1.0f + ((h % 1000) / 1000.0f) * 0.002f)
+      }
+    val planted = base.take(40).map { case (id, v) => (id + 10000L, jitter(id, v)) }
+    val all = (base.toSeq ++ planted).toDF("vec_id", "embedding")
+    val truePairs = base.take(40).map(b => (b._1, b._1 + 10000L)).toSet
+    // the 100 TB shape: JL-compress 64 -> 16 first (4x less shuffle),
+    // search at a LOOSENED threshold (candidate generation), exact-
+    // verify survivors in the original space
+    val proj = Similarity.randomProject(all, "embedding", 64, 16, "jl1")
+      .drop("embedding").withColumnRenamed("proj", "embedding")
+    val candidates = Similarity.nearDupPairs(proj, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.forall(candidates.contains),
+      s"missed ${truePairs.count(!candidates.contains(_))} of 40 planted dups")
+    // and the loosened threshold still separates: no pair of DISTINCT
+    // originals (max true cosine 0.51) floods in
+    val falseAmongOriginals = candidates.count { case (a, b) => a < 150 && b < 150 }
+    assert(falseAmongOriginals <= 5, s"$falseAmongOriginals original pairs leaked")
+  }
+
   test("LSH near-dup pairs are a subset of brute force, and find identicals") {
     val e = sf("embeddings")
     val brute = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
