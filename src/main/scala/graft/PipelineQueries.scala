@@ -225,6 +225,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // raw-crawl cleanup (C4/Dolma normalization): tag strip -> entity
+    // unescape -> control strip -> whitespace collapse; certified via
+    // md5 + length of the normalized text (compact, fully sensitive)
+    "q_normalize" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        md5(graft.ops.Cleaning.normalize(col("text"))).as("h"),
+        length(graft.ops.Cleaning.normalize(col("text"))).cast("long").as("len"))
+        .orderBy("doc_id")),
+
     // PMI collocation mining: top bigram phrases by pointwise mutual
     // information at a min-count floor (ordering on the ROUNDED score
     // so both engines cut the same top-100)
@@ -1000,6 +1009,22 @@ object PipelineQueries {
          SELECT d.doc_id, coalesce(sum(j.ns), 0)::BIGINT AS n_subwords
          FROM documents d LEFT JOIN j USING (doc_id)
          GROUP BY 1 ORDER BY doc_id""",
+
+    // the same chain, DuckDB-side: regexp_replace needs the 'g' flag
+    // (Spark replaces all matches by default); whitespace is the
+    // explicit class — Java's \\s includes \\x0B, RE2's does not
+    "q_normalize" -> {
+      val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      val unescaped = entities.foldLeft(
+        "regexp_replace(text, '<[^>]*>', ' ', 'g')") { case (acc, (f, t)) =>
+        s"replace($acc, '$f', '$t')"
+      }
+      val norm = s"trim(regexp_replace(regexp_replace($unescaped, " +
+        raw"'[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g'))"
+      s"""SELECT doc_id, md5($norm) AS h, length($norm)::BIGINT AS len
+         FROM documents ORDER BY doc_id"""
+    },
 
     "q_collocations" ->
       s"""WITH bg AS (SELECT doc_id, unnest(list_transform(
