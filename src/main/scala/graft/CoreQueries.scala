@@ -811,16 +811,24 @@ object CoreQueries {
                  CASE WHEN l_partkey % 2 = 0 THEN NULL ELSE l_linenumber END AS x
                FROM lineitem) GROUP BY 1 ORDER BY 1""",
 
+    // Grouped over ALL user_ids (LEFT JOIN back to the distinct-key
+    // set), not just those with a valid (v, w) pair: a group whose
+    // every value is NaN must still emit a row with NULL quantiles,
+    // matching GroupByReduce.weighted (the other weighted-agg oracles'
+    // convention).
     "q_weighted_quantile" ->
-      s"""SELECT user_id,
-         round(quantile_cont(v, 0.5), 4) AS wmed,
-         round(quantile_cont(v, 0.25), 4) AS wq25
-         FROM (SELECT user_id, v, unnest(generate_series(1, w))
-               FROM (SELECT user_id,
-                       CASE WHEN NOT isnan(v) THEN v END AS v,
-                       CASE WHEN NOT isnan(v) THEN event_id % 7 + 1 END AS w
-                     FROM ($sqlNan))
-               WHERE v IS NOT NULL AND w >= 1)
+      s"""WITH e AS (SELECT user_id, v FROM
+           (SELECT user_id, v, unnest(generate_series(1, w))
+            FROM (SELECT user_id,
+                    CASE WHEN NOT isnan(v) THEN v END AS v,
+                    CASE WHEN NOT isnan(v) THEN event_id % 7 + 1 END AS w
+                  FROM ($sqlNan))
+            WHERE v IS NOT NULL AND w >= 1)),
+         u AS (SELECT DISTINCT user_id FROM ($sqlNan))
+         SELECT u.user_id,
+           round(quantile_cont(e.v, 0.5), 4) AS wmed,
+           round(quantile_cont(e.v, 0.25), 4) AS wq25
+         FROM u LEFT JOIN e USING (user_id)
          GROUP BY 1 ORDER BY 1""",
 
     "q_nanvar_std" ->

@@ -32,7 +32,12 @@ object PipelineQueries {
     * q_bpe_encode): tok → w0 (space-joined char symbols + marker) →
     * per step k: pair counts p_k, argmax m_k (lexicographic
     * tie-break), merged state w_{k+1} via the doubled-space replace
-    * (= Sennrich's non-overlapping re.sub). */
+    * (= Sennrich's non-overlapping re.sub). m_k mirrors the Spark
+    * side's minCount=2 early stop (`WHERE cnt >= 2` — learnBpe's
+    * default), and w_{k+1} LEFT-joins m_k so an exhausted step passes
+    * the symbol state through unchanged instead of annihilating it —
+    * without these the oracle would keep merging count-1 pairs on a
+    * corpus that exhausts pairs within 8 merges. */
   private val bpeLearnCtes: String = {
     val steps = (0 until 8).map { k =>
       s"""p$k AS (SELECT p.lft AS lft, p.rgt AS rgt,
@@ -42,12 +47,13 @@ object PipelineQueries {
            FROM (SELECT string_split(w, ' ') AS s, cnt FROM w$k))
          GROUP BY 1, 2),
        m$k AS (SELECT $k AS rank, lft, rgt, cnt FROM p$k
-         ORDER BY cnt DESC, lft, rgt LIMIT 1),
-       w${k + 1} AS (SELECT w.t AS t, replace(trim(replace(
+         WHERE cnt >= 2 ORDER BY cnt DESC, lft, rgt LIMIT 1),
+       w${k + 1} AS (SELECT w.t AS t, CASE WHEN m.lft IS NULL THEN w.w
+           ELSE replace(trim(replace(
            ' ' || replace(w.w, ' ', '  ') || ' ',
            ' ' || m.lft || '  ' || m.rgt || ' ',
-           ' ' || m.lft || m.rgt || ' ')), '  ', ' ') AS w, w.cnt AS cnt
-         FROM w$k AS w, m$k AS m)"""
+           ' ' || m.lft || m.rgt || ' ')), '  ', ' ') END AS w, w.cnt AS cnt
+         FROM w$k AS w LEFT JOIN m$k AS m ON TRUE)"""
     }.mkString(",\n")
     s"""tok AS (SELECT t, count(*)::BIGINT AS cnt FROM
          (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0 GROUP BY t),
@@ -140,15 +146,21 @@ object PipelineQueries {
     "q_pii" -> ((s, d) => {
       val injected = concat(col("text"),
         lit(" Contact user"), col("doc_id").cast("string"),
-        lit("@mail.example.com, call 415-555-"),
+        lit("@mail.example.com or \"u "), col("doc_id").cast("string"),
+        lit("\"@corp.example.com, call 415-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" or (628) 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" or +1 206.555."),
+        lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
         lit(", ip 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
         ((col("doc_id") * 7) % 256).cast("string"),
+        lit(", v6 2001:db8::"), ((col("doc_id") % 9000) + 1000).cast("string"),
         lit(", ssn 123-45-6789, card 4111 1111 1111 1111."))
       graft.ops.Pii.scrub(
           docs(s, d).select(col("doc_id"), injected.as("text")), "text")
         .select(col("doc_id"), col("n_email"), col("n_card"), col("n_ssn"),
-          col("n_ip"), col("n_phone"), col("n_pii"),
+          col("n_ipv6"), col("n_ip"), col("n_phone"), col("n_pii"),
           md5(col("redacted")).as("red_hash"))
         .orderBy("doc_id")
     }),
@@ -869,14 +881,18 @@ object PipelineQueries {
       val tot = cats.map(c => s"n_${c.name}").mkString(" + ")
       s"""WITH t AS (SELECT doc_id,
            text || ' Contact user' || doc_id::VARCHAR ||
-           '@mail.example.com, call 415-555-' ||
+           '@mail.example.com or "u ' || doc_id::VARCHAR ||
+           '"@corp.example.com, call 415-555-' ||
            lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+           ' or (628) 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+           ' or +1 206.555.' || lpad(((doc_id * 3) % 10000)::VARCHAR, 4, '0') ||
            ', ip 10.0.' || (doc_id % 256)::VARCHAR || '.' ||
            ((doc_id * 7) % 256)::VARCHAR ||
+           ', v6 2001:db8::' || ((doc_id % 9000) + 1000)::VARCHAR ||
            ', ssn 123-45-6789, card 4111 1111 1111 1111.' AS text
            FROM documents),
          c AS (SELECT doc_id, $cnts, md5($red) AS red_hash FROM t)
-         SELECT doc_id, n_email, n_card, n_ssn, n_ip, n_phone,
+         SELECT doc_id, n_email, n_card, n_ssn, n_ipv6, n_ip, n_phone,
            $tot AS n_pii, red_hash
          FROM c ORDER BY doc_id"""
     },

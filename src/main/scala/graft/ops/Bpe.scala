@@ -94,8 +94,6 @@ object Bpe {
     wordFrequency(df, textCol)
       .withColumn("subwords", applyMerges(symbolize(col("token")), merges))
 
-  private val segFnId = new java.util.concurrent.atomic.AtomicLong()
-
   /** Tokenize every document with an already-learned merge table —
     * the production encode path: appends a `subwords` array column
     * holding the canonical MIN-RANK Sennrich/HF segmentation of the
@@ -114,14 +112,12 @@ object Bpe {
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       ranks.putIfAbsent(l + " " + r, Integer.valueOf(i))
     }
-    val spark = df.sparkSession
-    val fn = s"graft_bpe_segment_${segFnId.incrementAndGet()}"
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        fn, exprs => graft.functions.BpeSegmentExpr(
-          exprs(0), ranks, EndOfWord), "built-in")
-    df.withColumn("subwords",
-      call_function(fn, TextAnalysis.tokens(col(textCol))))
+    graft.functions.TempFunctions.withTempFunction(
+      df.sparkSession, "graft_bpe_segment",
+      exprs => graft.functions.BpeSegmentExpr(exprs(0), ranks, EndOfWord)) { fn =>
+      df.withColumn("subwords",
+        call_function(fn, TextAnalysis.tokens(col(textCol))))
+    }
   }
 
   /** Corpus subword frequency under an already-learned merge list —

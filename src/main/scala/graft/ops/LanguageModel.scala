@@ -65,8 +65,6 @@ object LanguageModel {
       avg(when(col("bigram").isNotNull, nll)).as("nll"))
   }
 
-  private val nllFnId = new java.util.concurrent.atomic.AtomicLong()
-
   /** Collect the trained model into one local lookup table: bigram
     * keys ("l r") and history-marginal keys ("l") share the map
     * (unigram keys contain no space — no collision). SIZE-GATED: a
@@ -101,22 +99,20 @@ object LanguageModel {
   def scoreDocsLocal(docs: DataFrame,
                      model: java.util.HashMap[String, java.lang.Long],
                      vocabSize: Long, textCol: String, idCol: String,
-                     k: Double = 1.0): DataFrame = {
-    val spark = docs.sparkSession
-    val fn = s"graft_bigram_nll_${nllFnId.incrementAndGet()}"
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        fn, exprs => graft.functions.BigramNllExpr(
-          exprs(0), model, vocabSize, k), "built-in")
-    docs
-      .withColumn("__lm_s",
-        call_function(fn, TextAnalysis.tokens(col(textCol))))
-      .select(col(idCol),
-        // null text -> null tokens -> null struct; align with the join
-        // path's count() = 0 for no-evidence docs
-        coalesce(col("__lm_s.n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("__lm_s.nll").as("nll"))
-  }
+                     k: Double = 1.0): DataFrame =
+    graft.functions.TempFunctions.withTempFunction(
+      docs.sparkSession, "graft_bigram_nll",
+      exprs => graft.functions.BigramNllExpr(
+        exprs(0), model, vocabSize, k)) { fn =>
+      docs
+        .withColumn("__lm_s",
+          call_function(fn, TextAnalysis.tokens(col(textCol))))
+        .select(col(idCol),
+          // null text -> null tokens -> null struct; align with the join
+          // path's count() = 0 for no-evidence docs
+          coalesce(col("__lm_s.n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("__lm_s.nll").as("nll"))
+    }
 
   /** The smoothing constant V as a driver scalar (one aggregate job)
     * — pairs with [[localModel]] for the local scoring path. */
@@ -162,17 +158,15 @@ object LanguageModel {
   def perplexityFilterLocal(docs: DataFrame,
                             model: java.util.HashMap[String, java.lang.Long],
                             vocabSize: Long, textCol: String, idCol: String,
-                            maxNll: Double, k: Double = 1.0): DataFrame = {
-    val spark = docs.sparkSession
-    val fn = s"graft_bigram_nll_${nllFnId.incrementAndGet()}"
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        fn, exprs => graft.functions.BigramNllExpr(
-          exprs(0), model, vocabSize, k), "built-in")
-    docs.filter(
-      call_function(fn, TextAnalysis.tokens(col(textCol)))
-        .getField("nll") <= maxNll)
-  }
+                            maxNll: Double, k: Double = 1.0): DataFrame =
+    graft.functions.TempFunctions.withTempFunction(
+      docs.sparkSession, "graft_bigram_nll",
+      exprs => graft.functions.BigramNllExpr(
+        exprs(0), model, vocabSize, k)) { fn =>
+      docs.filter(
+        call_function(fn, TextAnalysis.tokens(col(textCol)))
+          .getField("nll") <= maxNll)
+    }
 
   /** Keep documents whose average bigram NLL is at most `maxNll` —
     * the perplexity filter (ppl = exp(nll)). Zero-bigram documents

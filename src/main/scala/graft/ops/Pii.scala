@@ -17,30 +17,54 @@ import org.apache.spark.sql.functions._
   *    projection: the same calls work unchanged on a readStream DF).
   *  - The pattern set is deliberately restricted to the regex subset on
   *    which java.util.regex (Spark) and RE2 (DuckDB oracle) agree:
-  *    character classes, bounded repetition, non-capturing groups and
-  *    ASCII word boundaries — no backreferences, no lookaround (RE2
-  *    has none), so a certified query can assert cross-engine parity.
+  *    character classes, bounded repetition, non-capturing groups,
+  *    leftmost-first alternation and ASCII word boundaries — no
+  *    backreferences, no lookaround (RE2 has none), so a certified
+  *    query can assert cross-engine parity.
   *  - Redaction order is load-bearing: EMAIL first (its local part may
-  *    contain dots/digits that later patterns could shred), then CARD
-  *    (16 digits would otherwise partially match PHONE), SSN, IP
-  *    (dotted quads overlap dotted PHONE prefixes), PHONE last.
-  *    Counts are always measured on the ORIGINAL text, so they are
-  *    order-independent.
+  *    contain dots/digits/quotes that later patterns could shred),
+  *    then CARD (16 digits would otherwise partially match PHONE),
+  *    SSN, IPV6 (hex groups are colon-joined — disjoint from every
+  *    dotted/dashed pattern, but before IPV4 so "::ffff:" prefixes
+  *    aren't half-shredded), IPV4 (dotted quads overlap dotted PHONE
+  *    prefixes), PHONE last. Counts are always measured on the
+  *    ORIGINAL text, so they are order-independent (spec-asserted).
+  *
+  * Coverage notes (documented subset, not exhaustive PII detection):
+  * emails cover dot-atom and quoted local parts ("a b"@host); phones
+  * cover NANP dashed/dotted forms, parenthesized area codes, and a +1
+  * country prefix — not bare 10-digit runs or other country codes;
+  * IPv6 covers the full 8-group form and single-`::` compressions with
+  * at least one group on each side ("fe80::1") or a trailing `::`
+  * after ≥2 groups ("2001:db8::") — not bare "::1" (no word boundary
+  * exists before ':') or IPv4-mapped tails (the dotted tail redacts as
+  * IPV4).
   */
 object Pii {
 
   /** One PII category: stable name, regex (Java == RE2 subset), mask token. */
   final case class Category(name: String, re: String, token: String)
 
-  val Email = Category("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+  val Email = Category("email",
+    "(?:[A-Za-z0-9._%+-]+|\"[^\"\\r\\n]{1,64}\")@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "<EMAIL>")
   val Card  = Category("card",  "\\b\\d{4}(?:[- ]\\d{4}){3}\\b",                   "<CARD>")
   val Ssn   = Category("ssn",   "\\b\\d{3}-\\d{2}-\\d{4}\\b",                      "<SSN>")
+  val Ipv6  = Category("ipv6",
+    "\\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\\b" +
+      "|\\b(?:[0-9A-Fa-f]{1,4}:){1,6}(?::[0-9A-Fa-f]{1,4}){1,6}\\b" +
+      "|\\b(?:[0-9A-Fa-f]{1,4}:){2,7}:",
+    "<IPV6>")
   val Ipv4  = Category("ip",    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",                "<IP>")
-  val Phone = Category("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",                "<PHONE>")
+  val Phone = Category("phone",
+    "(?:\\+1[-. ]?)?\\(\\d{3}\\)[-. ]?\\d{3}[-.]\\d{4}\\b" +
+      "|\\+1[-. ]?\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" +
+      "|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "<PHONE>")
 
   /** Default categories in redaction order (see class doc — the order
     * is a correctness contract, not a style choice). */
-  val defaults: Seq[Category] = Seq(Email, Card, Ssn, Ipv4, Phone)
+  val defaults: Seq[Category] = Seq(Email, Card, Ssn, Ipv6, Ipv4, Phone)
 
   /** Number of matches of `cat` in `text` (on the raw text). */
   def count(text: Column, cat: Category): Column =

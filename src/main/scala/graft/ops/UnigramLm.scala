@@ -27,8 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
-  private val fnId = new java.util.concurrent.atomic.AtomicLong()
-
   /** All codepoint substrings of length 1..maxPieceLen of every
     * distinct token, occurrence-weighted by word frequency:
     * (piece, freq). One pass over the vocab table. */
@@ -74,19 +72,19 @@ object UnigramLm {
     while (round < numRounds) {
       val pm = new java.util.HashMap[String, java.lang.Double](2 * probs.size)
       probs.foreach { case (p, v) => pm.put(p, java.lang.Double.valueOf(v)) }
-      val fn = s"graft_ulm_expected_${fnId.incrementAndGet()}"
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.functionRegistry.createOrReplaceTempFunction(
-          fn, exprs => graft.functions.UnigramExpectedCountsExpr(
-            exprs(0), pm, maxPieceLen), "built-in")
       // E-step: map-only kernel + one piece-keyed aggregate; the
       // result is the piece table (bounded by the seed) -> M-step local
-      expected = words
-        .select(explode(call_function(fn, col("token"))).as("pc"), col("cnt"))
-        .select(col("pc.piece").as("piece"),
-          (col("pc.c") * col("cnt")).as("c"))
-        .groupBy("piece").agg(sum("c").as("c"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      expected = graft.functions.TempFunctions.withTempFunction(
+        spark, "graft_ulm_expected",
+        exprs => graft.functions.UnigramExpectedCountsExpr(
+          exprs(0), pm, maxPieceLen)) { fn =>
+        words
+          .select(explode(call_function(fn, col("token"))).as("pc"), col("cnt"))
+          .select(col("pc.piece").as("piece"),
+            (col("pc.c") * col("cnt")).as("c"))
+          .groupBy("piece").agg(sum("c").as("c"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
       val z = expected.values.sum
       probs = expected.map { case (p, c) => p -> c / z }
       round += 1
@@ -109,13 +107,11 @@ object UnigramLm {
                   model: Seq[(String, Double)], maxPieceLen: Int = 6): DataFrame = {
     val lm = new java.util.HashMap[String, java.lang.Double](2 * model.size)
     model.foreach { case (p, lp) => lm.put(p, java.lang.Double.valueOf(lp)) }
-    val spark = df.sparkSession
-    val fn = s"graft_ulm_viterbi_${fnId.incrementAndGet()}"
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        fn, exprs => graft.functions.UnigramViterbiExpr(
-          exprs(0), lm, maxPieceLen), "built-in")
-    df.withColumn("subwords",
-      call_function(fn, TextAnalysis.tokens(col(textCol))))
+    graft.functions.TempFunctions.withTempFunction(
+      df.sparkSession, "graft_ulm_viterbi",
+      exprs => graft.functions.UnigramViterbiExpr(exprs(0), lm, maxPieceLen)) { fn =>
+      df.withColumn("subwords",
+        call_function(fn, TextAnalysis.tokens(col(textCol))))
+    }
   }
 }

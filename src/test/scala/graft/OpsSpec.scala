@@ -769,6 +769,27 @@ class OpsSpec extends SparkTestBase {
       .as[Long].collect().sorted === Array(2L, 3L))
   }
 
+  test("pii widened coverage: paren/+1 phones, ipv6 forms, quoted-local emails") {
+    import graft.ops.Pii
+    val t = "Call (415) 555-0134 or +1 628-555-0042 or +1.206.555.2671; " +
+      "\"u v\"@ex.example.com; v6 fe80::1, 2001:db8::8a2e:370:7334, " +
+      "full 1:2:3:4:5:6:7:8, trail 2001:db8:: end"
+    val r = Pii.scrub(Seq((1L, t)).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(r.getAs[Long]("n_phone") === 3L)
+    assert(r.getAs[Long]("n_email") === 1L)
+    assert(r.getAs[Long]("n_ipv6") === 4L)
+    assert(r.getAs[Long]("n_ip") === 0L)
+    assert(r.getAs[String]("redacted") ===
+      "Call <PHONE> or <PHONE> or <PHONE>; <EMAIL>; " +
+        "v6 <IPV6>, <IPV6>, full <IPV6>, trail <IPV6> end")
+    // the narrow r10 forms still hold alongside: no bare-10-digit or
+    // foreign-country capture, and hex words without colons survive
+    val r2 = Pii.scrub(Seq((1L, "id 4155550134, +44 20 7946 0958, deadbeef"))
+      .toDF("doc_id", "text"), "text").collect().head
+    assert(r2.getAs[Long]("n_pii") === 0L)
+  }
+
   test("pii scrub is order-safe: dotted quads redact as IP before PHONE sees them") {
     import graft.ops.Pii
     // 10.0.3.17 must become <IP>; a phone-shaped dotted triple inside a

@@ -474,4 +474,35 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("pii counts are order-independent (redaction order is not)") {
+    import org.apache.spark.sql.functions.col
+    // counts run on the ORIGINAL text (Pii class doc), so permuting
+    // the category order must not change any n_<cat> — only `redacted`
+    // may differ. Texts cover every default category incl. the widened
+    // forms (quoted-local email, (area) and +1 phones, compressed v6).
+    val texts = Seq(
+      "a@b.co and \"q 1\"@h.example.org, +1 415-555-0134, (628) 555-0042",
+      "ssn 123-45-6789 ip 10.0.3.17 v6 fe80::1 and 2001:db8::8a2e:370:7334",
+      "card 4111 1111 1111 1111, 206.555.0100, full 1:2:3:4:5:6:7:8 end",
+      "no pii here at all",
+      "trail 2001:db8:: and +1.415.555.2671 and 0:0:0:0:0:0:0:1")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def countsUnder(cats: Seq[ops.Pii.Category]): Map[(Long, String), Long] =
+      ops.Pii.scrub(df, "text", cats).collect().flatMap { r =>
+        cats.map(c => (r.getAs[Long]("doc_id"), c.name) ->
+          r.getAs[Long](s"n_${c.name}"))
+      }.toMap
+    val fwd = countsUnder(ops.Pii.defaults)
+    val rev = countsUnder(ops.Pii.defaults.reverse)
+    assert(fwd === rev)
+    // and the totals agree with the per-category sum on both orders
+    val tot = ops.Pii.scrub(df, "text").select(col("doc_id"), col("n_pii"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.indices.foreach { i =>
+      val s = ops.Pii.defaults.map(c => fwd((i.toLong, c.name))).sum
+      assert(tot(i.toLong) === s, s"doc $i")
+    }
+  }
 }
