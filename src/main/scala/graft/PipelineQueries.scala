@@ -28,6 +28,75 @@ object PipelineQueries {
   private val SH = shOf("text")
   private def mhSql(h: Int) = mhSqlOf("text", h)
 
+  /** Pinned unigram-LM piece table for q_unigram_tokenize: trained
+    * ONCE by ops.UnigramLm.train at sf0.01 (numRounds=3, maxPieceLen=4,
+    * maxSeed=2048, keepPieces=32 — every corpus codepoint is seeded, so
+    * coverage is total on the certified corpus), log-probs rounded to
+    * 1e-3 then perturbed with a distinct per-piece sub-1e-6 offset so
+    * no two distinct piece multisets tie on a path score — the Viterbi
+    * argmax is unique and cross-engine comparable. Kept as STRINGS:
+    * Scala parses with toDouble, DuckDB parses the same decimal
+    * literal, both land on the identical nearest double, so path
+    * scores accumulate bit-equal addends in both engines. */
+  private val unigramPieces: Seq[(String, String)] = Seq(
+    ("a", "-3.746001000000"),
+    ("agg", "-3.723001427799"),
+    ("b", "-5.150001855598"),
+    ("batc", "-3.956001283394"),
+    ("big", "-3.751001711193"),
+    ("c", "-14.704001138989"),
+    ("cust", "-3.687001566788"),
+    ("d", "-14.244001994587"),
+    ("data", "-3.715001422383"),
+    ("e", "-2.612001850182"),
+    ("er", "-3.393001277978"),
+    ("f", "-22.452001705777"),
+    ("fast", "-3.777001133573"),
+    ("filt", "-3.690001561372"),
+    ("g", "-3.855001989171"),
+    ("h", "-3.956001416967"),
+    ("hash", "-3.673001844766"),
+    ("i", "-23.798001272562"),
+    ("j", "-37.611001700361"),
+    ("join", "-3.656001128157"),
+    ("k", "-11.516001555956"),
+    ("key", "-3.729001983755"),
+    ("l", "-6.636001411551"),
+    ("line", "-3.713001839350"),
+    ("m", "-9.893001267146"),
+    ("mall", "-3.746001694945"),
+    ("merg", "-3.707001122741"),
+    ("n", "-17.118001550540"),
+    ("o", "-6.127001978339"),
+    ("omer", "-3.687001406135"),
+    ("or", "-3.607001833934"),
+    ("ow", "-3.745001261730"),
+    ("p", "-6.065001689529"),
+    ("park", "-3.747001117325"),
+    ("part", "-3.749001545124"),
+    ("q", "-6.868001972923"),
+    ("quer", "-3.940001400719"),
+    ("r", "-4.498001828518"),
+    ("ream", "-3.768001256314"),
+    ("roup", "-3.857001684113"),
+    ("row", "-3.688001111909"),
+    ("s", "-3.047001539708"),
+    ("scan", "-3.685001967507"),
+    ("slow", "-3.705001395303"),
+    ("sort", "-3.756001823102"),
+    ("st", "-3.779001250898"),
+    ("t", "-6.918001678697"),
+    ("tabl", "-3.743001106493"),
+    ("the", "-3.794001534292"),
+    ("u", "-16.396001962091"),
+    ("v", "-12.567001389887"),
+    ("valu", "-3.728001817686"),
+    ("vect", "-3.729001245482"),
+    ("w", "-15.265001673281"),
+    ("wind", "-3.756001101077"),
+    ("y", "-3.930001528876")
+  )
+
   /** Unrolled 8-step BPE learn over `documents` (see ops.Bpe, q_bpe,
     * q_bpe_encode): tok → w0 (space-joined char symbols + marker) →
     * per step k: pair counts p_k, argmax m_k (lexicographic
@@ -236,6 +305,25 @@ object PipelineQueries {
           size(col("subwords")).cast("long").as("n_subwords"))
         .orderBy("doc_id")
     }),
+
+    // SentencePiece-style production tokenization (Kudo 2018 §3.2
+    // inference): Viterbi segmentation of every document under the
+    // FIXED pinned piece table below — the deploy shape of a trained
+    // unigram-LM tokenizer. Map-only at any scale (the model rides
+    // into the codegen'd kernel via addReferenceObj). Certified
+    // end-to-end: per-doc subword count + md5 of the space-joined
+    // segmentation vs the oracle's recursive path enumeration (the
+    // pinned log-probs carry distinct sub-1e-6 jitter, so the argmax
+    // path is unique and both engines must find the same one).
+    "q_unigram_tokenize" -> ((s, d) =>
+      graft.ops.UnigramLm.segmentDocs(
+          docs(s, d).select(col("doc_id"), col("text")),
+          "text", unigramPieces.map { case (p, lp) => (p, lp.toDouble) },
+          maxPieceLen = 4)
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          md5(concat_ws(" ", col("subwords"))).as("seg_hash"))
+        .orderBy("doc_id")),
 
     // raw-crawl cleanup (C4/Dolma normalization): tag strip -> entity
     // unescape -> control strip -> whitespace collapse; certified via
@@ -1025,6 +1113,51 @@ object PipelineQueries {
          SELECT d.doc_id, coalesce(sum(j.ns), 0)::BIGINT AS n_subwords
          FROM documents d LEFT JOIN j USING (doc_id)
          GROUP BY 1 ORDER BY doc_id""",
+
+    // Viterbi re-expressed as recursive path enumeration: every
+    // segmentation of every distinct token into pinned pieces is a
+    // path (piece table is small and the corpus tokens short, so the
+    // walk is bounded); arg_max(seg, score) picks the unique-by-
+    // construction argmax path (distinct per-piece jitter — see
+    // unigramPieces). Both engines accumulate the score left-to-right
+    // along the path from bit-identical addends, so the winner agrees.
+    // Unsegmentable tokens fall back to raw codepoints (never hit on
+    // the certified corpus — the model seeds every corpus codepoint).
+    "q_unigram_tokenize" -> {
+      val vals = unigramPieces.map { case (p, lp) =>
+        s"('${p.replace("'", "''")}', ${lp}::DOUBLE)"
+      }.mkString(",\n           ")
+      s"""WITH RECURSIVE
+         up(p, lp) AS (VALUES $vals),
+         toks AS (SELECT DISTINCT t FROM
+           (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0),
+         paths AS (
+           SELECT t, 0 AS pos, 0.0::DOUBLE AS score, '' AS seg FROM toks
+           UNION ALL
+           SELECT pa.t, pa.pos + len(up.p), pa.score + up.lp,
+             CASE WHEN pa.seg = '' THEN up.p
+                  ELSE pa.seg || ' ' || up.p END
+           FROM paths pa JOIN up
+             ON substr(pa.t, pa.pos + 1, len(up.p)) = up.p
+           WHERE pa.pos < len(pa.t)),
+         best AS (SELECT t, arg_max(seg, score) AS seg
+           FROM paths WHERE pos = len(t) GROUP BY t),
+         sg AS (SELECT toks.t AS t, coalesce(best.seg,
+             array_to_string(regexp_extract_all(toks.t, '.'), ' ')) AS seg
+           FROM toks LEFT JOIN best USING (t)),
+         dtok AS (SELECT doc_id, i, w[i] AS t FROM
+           (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM
+             (SELECT doc_id, $W AS w FROM documents))
+           WHERE len(w[i]) > 0),
+         j AS (SELECT dtok.doc_id,
+             sum(len(string_split(sg.seg, ' ')))::BIGINT AS ns,
+             string_agg(sg.seg, ' ' ORDER BY dtok.i) AS ss
+           FROM dtok JOIN sg USING (t) GROUP BY dtok.doc_id)
+         SELECT d.doc_id, coalesce(j.ns, 0)::BIGINT AS n_subwords,
+           md5(coalesce(j.ss, '')) AS seg_hash
+         FROM documents d LEFT JOIN j USING (doc_id)
+         ORDER BY doc_id"""
+    },
 
     // the same chain, DuckDB-side: regexp_replace needs the 'g' flag
     // (Spark replaces all matches by default); whitespace is the
