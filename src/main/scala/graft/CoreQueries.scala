@@ -390,15 +390,15 @@ object CoreQueries {
     // micros view + interval restore (DtypeView); min/max run natively
     // on the interval. Output in micros so both engines compare exactly.
     "q_duration_aggs" -> ((s, d) => {
-      // gaps from MICRO-truncated timestamps: DuckDB reads
-      // TIMESTAMP(NANOS) parquet at micro precision, so deriving from
-      // raw nanos would disagree by 1 us on ~half the rows
+      // gaps from MICRO-precision event times (DuckDB's epoch_us view
+      // of the same column, whatever the parquet physical encoding —
+      // see Tables.tsMicros)
       val gapUs = expr(
-        "(ts div 1000) - lag(ts div 1000) over " +
-          "(partition by user_id order by ts div 1000, event_id)")
+        "tsu - lag(tsu) over (partition by user_id order by tsu, event_id)")
       val toUs: Column => Column =
         c => (c.cast("decimal(26,6)") * 1000000L).cast("long")
-      val e = ev(s, d).withColumn("dur",
+      val ev0 = ev(s, d)
+      val e = ev0.withColumn("tsu", Tables.tsMicros(ev0)).withColumn("dur",
         make_dt_interval(lit(0), lit(0), lit(0),
           (gapUs.cast("decimal(26,0)") / lit(1000000L).cast("decimal(7,0)"))
             .cast("decimal(18,6)")))
@@ -485,13 +485,14 @@ object CoreQueries {
         ReduceOptions(idxCol = Some("o_orderkey")))),
 
     // ---------------- calendar resampling — flox's bread-and-butter
-    // xarray case (daily buckets from the TIMESTAMP(NANOS) event
-    // stream; nanos load as long per Tables, viewed to micros)
+    // xarray case (daily buckets from the event stream; event time
+    // viewed at micros via Tables.tsMicros regardless of encoding)
     "q_resample" -> ((s, d) =>
       GroupByReduce.multi(
-        ev(s, d).withColumn("day",
-          date_trunc("DAY", timestamp_micros(expr("ts div 1000")))
-            .cast("timestamp_ntz")),
+        { val e = ev(s, d)
+          e.withColumn("day",
+            date_trunc("DAY", timestamp_micros(Tables.tsMicros(e)))
+              .cast("timestamp_ntz")) },
         Seq("day"), Seq(
           ("value", "mean", "vmean"),
           ("value", "count", "n"),

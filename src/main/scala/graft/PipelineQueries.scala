@@ -14,6 +14,12 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
   private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+  // events with event time normalized to micros-since-epoch BIGINT
+  // regardless of the physical ts encoding (see Tables.tsMicros)
+  private def evu(s: SparkSession, d: String) = {
+    val e = ev(s, d)
+    e.withColumn("tsu", Tables.tsMicros(e))
+  }
 
   // ---- shared oracle SQL fragments -------------------------------------
   private def wOf(c: String) = raw"string_split_regex(lower(trim($c)), '\s+')"
@@ -399,8 +405,8 @@ object PipelineQueries {
     // error at-or-before it (the operator Spark lacks; DuckDB ASOF JOIN
     // is the oracle). Timestamps compared at micros on both sides.
     "q_asof" -> ((s, d) => {
-      val e = ev(s, d).select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
+      val e = evu(s, d).select(col("user_id"), col("event_id"),
+        col("tsu"), col("event_type"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
         .select("user_id", "event_id", "tsu")
       val errors = e.filter(col("event_type") === "error")
@@ -414,8 +420,8 @@ object PipelineQueries {
     // as-of with pandas merge_asof `tolerance`: a backward match only
     // counts within 10 minutes (6e8 us) — stale matches null out
     "q_asof_tol" -> ((s, d) => {
-      val e = ev(s, d).select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
+      val e = evu(s, d).select(col("user_id"), col("event_id"),
+        col("tsu"), col("event_type"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
         .select("user_id", "event_id", "tsu")
       val errors = e.filter(col("event_type") === "error")
@@ -431,8 +437,8 @@ object PipelineQueries {
     // at-or-after it (direction="forward"; DuckDB oracle = backward
     // ASOF on negated timestamps)
     "q_asof_fwd" -> ((s, d) => {
-      val e = ev(s, d).select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsu"), col("event_type"), col("value"))
+      val e = evu(s, d).select(col("user_id"), col("event_id"),
+        col("tsu"), col("event_type"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
         .select("user_id", "event_id", "tsu")
       val errors = e.filter(col("event_type") === "error")
@@ -447,9 +453,8 @@ object PipelineQueries {
     // trailing 24h per-user rolling stats (RANGE frame — tie-safe);
     // integral values keep the windowed sum engine-exact
     "q_rolling" -> ((s, d) => {
-      val e = ev(s, d).select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsu"),
-        floor(col("value")).cast("long").as("v"))
+      val e = evu(s, d).select(col("user_id"), col("event_id"),
+        col("tsu"), floor(col("value")).cast("long").as("v"))
       graft.ops.Events.rollingAgg(e, "user_id", "tsu", "v",
         span = 86400000000L)
         .select("user_id", "event_id", "tsu", "roll_n", "roll_sum", "roll_mean")
@@ -458,8 +463,8 @@ object PipelineQueries {
 
     // gap sessionization (4h inactivity cut) + per-session rollup
     "q_sessions" -> ((s, d) => {
-      val e = ev(s, d).select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsu"))
+      val e = evu(s, d).select(col("user_id"), col("event_id"),
+        col("tsu"))
       graft.ops.Events.sessionize(e, "user_id", "tsu", "event_id",
         gap = 14400000000L)
         .groupBy("user_id", "session_id")
@@ -473,8 +478,8 @@ object PipelineQueries {
     // otherwise plan as a nested loop. Inner semantics: errors with no
     // click in range don't appear (matches the oracle's inner join).
     "q_range_join" -> ((s, d) => {
-      val e = ev(s, d).select(col("event_id"),
-        expr("ts div 1000").as("tsu"), col("event_type"))
+      val e = evu(s, d).select(col("event_id"),
+        col("tsu"), col("event_type"))
       val errors = e.filter(col("event_type") === "error")
         .select("event_id", "tsu")
       val clicks = e.filter(col("event_type") === "click")
