@@ -550,7 +550,12 @@ object PipelineQueries {
             (lit(1.0) - col("__f.n_punct") / greatest(col("__f.len_nws"), lit(1L))) * 0.2))
         .filter(col("quality") >= 0.6)
         .select("doc_id", "lang", "text")
-      val exact = Dedup.dropExact(qual, "text", "doc_id")
+      // Materialize the exact-deduped corpus ONCE (executor-local
+      // storage, the band-table precedent in Dedup.lshCandidates): the
+      // near-dup stage reads it three times (signature bands, shingle
+      // verify, survivor anti-join) and each read would otherwise
+      // re-run quality scoring + exact dedup over the full text.
+      val exact = Dedup.dropExact(qual, "text", "doc_id").localCheckpoint()
       val nd = Dedup.dropNearDups(exact, "text", "doc_id",
         threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
       val clean = Selection.decontaminate(nd,

@@ -223,4 +223,58 @@ class BpeSpec extends SparkTestBase {
       assert(got === want, s"seed=${4242 + i} corpus=$corpus")
     }
   }
+
+  private def learnedBatched(corpus: Seq[String], n: Int, batch: Int,
+                             minCount: Long = 2L) =
+    Bpe.learnBpe(corpus.map(Tuple1(_)).toDF("text"), "text", n, minCount, batch)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+
+  test("batched law: batched selection equals sequential when batches don't interact") {
+    // top pairs (a,b):20 (c,d):18 (e,f):16 are symbol-disjoint (incl.
+    // their merged forms), so one batch=3 round must produce exactly the
+    // sequential schedule
+    val corpus = Seq.fill(10)("abab") ++ Seq.fill(9)("cdcd") ++ Seq.fill(8)("efef")
+    val want = learned(corpus, 6)
+    Seq(2, 3, 8).foreach { b =>
+      assert(learnedBatched(corpus, 6, b) === want, s"batch=$b")
+    }
+  }
+
+  test("batched law: first conflict stops the batch (never skips), preserving the sequential schedule") {
+    // every adjacent candidate chains through a shared symbol
+    // ((a,b),(b,c),(c,</w>)) so each round accepts exactly one merge —
+    // batched must still equal sequential, one round per merge
+    val corpus = Seq.fill(10)("abc")
+    Seq(2, 4).foreach { b =>
+      assert(learnedBatched(corpus, 5, b, minCount = 1L) ===
+        learned(corpus, 5, minCount = 1L), s"batch=$b")
+    }
+  }
+
+  test("batched law: sequential property corpora stay exact under batching whenever schedules coincide") {
+    // the disjoint-pairs corpus mixed with the Sennrich toy corpus:
+    // batch rounds interleave multi-accept rounds (disjoint letter
+    // pairs) with conflict-stopped rounds — batched must equal
+    // sequential end-to-end because every conflict stops the batch
+    // rather than skipping past it
+    val corpus = Seq.fill(10)("abab") ++ Seq.fill(9)("cdcd") ++
+      Seq.fill(5)("low") ++ Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    Seq(2, 3, 6).foreach { b =>
+      assert(learnedBatched(corpus, 10, b) === learned(corpus, 10), s"batch=$b")
+    }
+  }
+
+  test("superseded checkpoint blocks are freed as merge rounds advance") {
+    val sc = spark.sparkContext
+    val corpus = Seq.fill(10)("abab") ++ Seq.fill(9)("cdcd") ++ Seq.fill(8)("efef")
+    val before = sc.getPersistentRDDs.keySet
+    val (merges, vocab) = Bpe.learnBpeWithVocab(
+      corpus.map(Tuple1(_)).toDF("text"), "text", 6, minCount = 2L)
+    assert(merges.count() === 6)
+    // only the FINAL words checkpoint may remain pinned (it backs the
+    // returned vocab); every earlier round's blocks must be gone
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"expected <=1 live checkpoint, got ${leaked.size}")
+    vocab.unpersist()
+  }
 }

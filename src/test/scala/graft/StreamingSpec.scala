@@ -733,6 +733,120 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("composed ingest pipeline: normalize -> PII scrub -> perplexity filter -> " +
+    "watermark dedup -> fuzzy decontamination equals batch; exactly one stateful op") {
+    import graft.ops.{Cleaning, Dedup, LanguageModel, Pii}
+    import graft.streaming.{StreamingContamination, StreamingDedup}
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq("the cat sat on the mat", "the cat ate the fish",
+      "a dog sat on a log", "the quick brown fox jumps over the lazy dog")
+      .map(Tuple1(_)).toDF("text")
+    val local = LanguageModel.localModel(LanguageModel.trainBigram(train, "text"))
+    val v = LanguageModel.vocabSizeLocal(train, "text")
+    val cut = math.log(v.toDouble) - 0.5
+    val bench = Seq((101L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bid", "text")
+    // The deployment-shape chain every stage individually mirrors:
+    // each stage feeds the next exactly as q_pipeline_e2e's batch
+    // composition does. `dedup` is the one stage whose engine differs
+    // (state store vs min-id groupBy); everything else is the SAME
+    // operator object running under both engines.
+    def pipeline(df: org.apache.spark.sql.DataFrame,
+                 streaming: Boolean): org.apache.spark.sql.DataFrame = {
+      val norm = df.withColumn("text", Cleaning.normalize(col("text")))
+      val scrubbed = Pii.scrub(norm, "text")
+        .withColumn("text", col("redacted"))
+        .select("ts", "id", "text")
+      val kept = LanguageModel.perplexityFilterLocal(
+        scrubbed, local, v, "text", "id", cut)
+      val deduped =
+        if (streaming) StreamingDedup.dropExactWithinWatermark(
+          kept, "text", "ts", delay = "10 minutes")
+        else Dedup.dropExact(kept, "text", "id")
+      StreamingContamination.decontaminateFuzzy(deduped, bench, "text",
+        threshold = 0.7, numHashes = 6, bandSize = 1, k = 2)
+    }
+    // batch-1 docs carry the duplicate-group minimum ids so the batch
+    // analog (min-id keeper) and the stream (first-arrival keeper)
+    // choose the same survivors
+    // ts starts at minute 1: an event time of exactly epoch 0 equals the
+    // query's INITIAL watermark and dropDuplicatesWithinWatermark drops
+    // it as late — a degenerate fixture, not pipeline behavior
+    val batch1 = Seq(
+      (ts(1), 1L, "the cat sat on the mat"),
+      // long in-domain prefix keeps the avg bigram NLL under the cut
+      // with the two post-redaction unseen bigrams (*, <PHONE>)
+      (ts(1), 4L, "the cat sat on the mat the cat ate the fish 415-555-0123"))
+    val batch2 = Seq(
+      (ts(2), 12L, "the cat <b>sat</b> on  the mat"), // dup of 1 ONLY after normalize
+      (ts(2), 3L, "zebra quantum flux"),              // perplexity reject
+      (ts(3), 5L, "the quick brown fox jumps over the lazy dog")) // bench copy
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = pipeline(input.toDF().toDF("ts", "id", "text"), streaming = true)
+      .select("id", "text").writeStream.outputMode("append")
+      .format("memory").queryName("ingest_e2e_out").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("ingest_e2e_out")
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val want = pipeline((batch1 ++ batch2).toDF("ts", "id", "text"),
+        streaming = false)
+        .select("id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+      assert(got === want, s"got=$got want=$want")
+      val ids = got.map(_._1)
+      assert(ids.contains(1L))                 // clean in-domain doc survives
+      assert(!ids.contains(12L))               // normalized dup of 1 deduped
+      assert(!ids.contains(3L))                // out-of-domain rejected
+      assert(!ids.contains(5L))                // bench copy decontaminated
+      assert(got.find(_._1 == 4L).get._2.contains("<PHONE>")) // scrub upstream of dedup
+      // the ONLY state in the whole chain is the dedup store — every
+      // other stage is a stateless projection / broadcast anti join
+      assert(q.lastProgress.stateOperators.length === 1, q.lastProgress.prettyJson)
+    } finally q.stop()
+  }
+
+  test("ingest pipeline ordering: dedup before normalize does NOT commute (duplicate leaks)") {
+    // The first non-commuting ordering in the composed chain: the
+    // dedup fingerprint already folds case/whitespace, but NOT the
+    // normalize stage's tag strip — so a tag-wrapped duplicate is
+    // only caught when normalize runs upstream of dedup. (Scrub/dedup
+    // is the same shape: docs differing only in their PII literals
+    // dedup only after redaction.) Stream and batch agree on this —
+    // the ordering contract is pipeline-inherent, not engine-specific.
+    import graft.ops.Cleaning
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (ts(1), 1L, "the cat sat on the mat"),  // ts(1): epoch 0 == initial watermark is dropped as late
+      (ts(2), 12L, "the cat <b>sat</b> on  the mat"))
+    def run(normalizeFirst: Boolean): Seq[Long] = {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val df = input.toDF().toDF("ts", "id", "text")
+      val chain =
+        if (normalizeFirst)
+          StreamingDedup.dropExactWithinWatermark(
+            df.withColumn("text", Cleaning.normalize(col("text"))),
+            "text", "ts", delay = "10 minutes")
+        else
+          StreamingDedup.dropExactWithinWatermark(
+            df, "text", "ts", delay = "10 minutes")
+            .withColumn("text", Cleaning.normalize(col("text")))
+      val name = s"order_${normalizeFirst}_out"
+      val q = chain.select("id").writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(docs.head); q.processAllAvailable()
+        input.addData(docs(1)); q.processAllAvailable()
+        spark.table(name).as[Long].collect().toSeq.sorted
+      } finally q.stop()
+    }
+    assert(run(normalizeFirst = true) === Seq(1L))       // dup caught
+    assert(run(normalizeFirst = false) === Seq(1L, 12L)) // dup leaks
+  }
+
   test("streaming tokenize-on-ingest: BPE min-rank and unigram Viterbi equal batch, zero state") {
     import graft.ops.{Bpe, UnigramLm}
     implicit val sqlCtx = spark.sqlContext
