@@ -31,6 +31,38 @@ object PipelineQueries {
   private def mhSqlOf(c: String, h: Int) =
     s"list_min(list_transform(${shOf(c)}, s -> md5('$h' || '|' || s)))"
   private val W = wOf("text")
+
+  // ---- pinned quality-classifier model (q_quality_classifier) ----------
+  // fastText-style hashed-bag logistic model trained ONCE at sf0.01
+  // (QualityClassifier.train, dim=128, 300 iters, lr=1.0, label
+  // "more 'slow' than 'fast' tokens"), weights rounded to 6 dp and
+  // pinned — the q_unigram_tokenize convention: training is
+  // spec-certified (QualityClassifierSpec vs a local reference), the
+  // INFERENCE path is hash-certified against DuckDB re-deriving the
+  // same margins from these literals. 6-dp weights × integer counts
+  // make every margin a 6-dp decimal, so round(margin, 6) is
+  // bit-stable across engines (probe: max distance to the 6-dp grid
+  // 9e-14, min |margin| 0.030 — sign clearance >> cross-engine ulps).
+  private val qcDim = 128
+  private val qcWeights: Seq[Double] = Seq(
+    0.0, 0.0, 0.0, 0.0, 0.86429, 0.0, 0.0, 1.98785, 0.0, -1.719233,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.697211, 0.0, 0.0,
+    0.0, 0.0, 0.0, -0.413231, 0.722986, 0.0, 0.0, 0.0, 0.0, 0.0,
+    -1.308308, 0.0, 0.0, -0.714209, -8.298956, 0.0, 0.612238, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.149355, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.114926, 0.0, 0.0, 0.0, 0.0, 0.0, 0.549249, 0.0,
+    0.0, 0.0, 0.0, 0.643988, -0.208054, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 1.36358, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 1.097129, 0.520279, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.057033,
+    0.0, 0.0, 0.0, -0.01419, 0.0, 0.0, 0.0, 0.0, 15.322973, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.769584, -0.947089, 0.0, -0.989977, -0.321158,
+    0.0, 0.0, 0.0, 0.0, 0.0, -1.460289, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -3.295219)
+  // the same model rendered for the oracle: nonzero (feat, wt) rows
+  private def qcValuesSql: String =
+    qcWeights.init.zipWithIndex
+      .collect { case (wt, i) if wt != 0.0 => s"($i, $wt)" }
+      .mkString(", ")
   private val SH = shOf("text")
   private def mhSql(h: Int) = mhSqlOf("text", h)
 
@@ -361,6 +393,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail curation buckets: per-language perplexity
+    // terciles (value cutoffs broadcast back — no per-language window)
+    "q_ppl_buckets" -> ((s, d) => {
+      val dd = docs(s, d)
+      val model = graft.ops.LanguageModel.trainBigram(dd, "text")
+      val vocab = graft.ops.LanguageModel.vocabSize(dd, "text")
+      graft.ops.LanguageModel.perplexityBuckets(
+        dd, model, vocab, "text", "doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // context-window chunking with overlap (size 16, stride 12): the
     // packing prep that turns documents into training sequences
     "q_chunks" -> ((s, d) =>
@@ -519,6 +562,16 @@ object PipelineQueries {
         .select("pred_lang", "doc_id", "quality")
         .orderBy("pred_lang", "doc_id")
     }),
+
+    // model-based quality filter: the pinned fastText-style classifier
+    // scores every document in one map-only pass (weights are a plan
+    // literal; no join, no shuffle before the sort)
+    "q_quality_classifier" -> ((s, d) =>
+      graft.ops.QualityClassifier.scoreDocs(
+        docs(s, d), qcWeights, qcDim, "text", "doc_id")
+        .select(col("doc_id"), round(col("margin"), 6).as("marg"),
+          (col("margin") >= 0).cast("long").as("pred"))
+        .orderBy("doc_id")),
 
     // reproducible content-hash sampling: ~20% keep, same rows every
     // run on every engine
@@ -1223,6 +1276,36 @@ object PipelineQueries {
          FROM documents d LEFT JOIN scored s USING (doc_id)
          GROUP BY 1 ORDER BY doc_id""",
 
+    "q_ppl_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, $W AS w FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(
+           range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END),
+           i -> w[i] || ' ' || w[i+1])) AS bigram FROM tok),
+         model AS (SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY 1),
+         hist AS (SELECT split_part(bigram, ' ', 1) AS lft,
+           sum(cnt)::BIGINT AS hcnt FROM model GROUP BY 1),
+         v AS (SELECT count(DISTINCT t)::BIGINT AS vv FROM
+           (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0),
+         scored AS (SELECT b.doc_id, b.bigram,
+             -(ln(coalesce(m.cnt, 0) + 1.0) -
+               ln(coalesce(h.hcnt, 0) + 1.0 * v.vv)) AS nll
+           FROM bg b LEFT JOIN model m USING (bigram)
+           LEFT JOIN hist h ON split_part(b.bigram, ' ', 1) = h.lft, v),
+         per_doc AS (SELECT d.doc_id, d.lang,
+             round(avg(s.nll), 6) AS nllr
+           FROM documents d JOIN scored s USING (doc_id)
+           GROUP BY 1, 2),
+         cuts AS (SELECT lang,
+             round(quantile_cont(nllr, 1.0/3), 6) AS q1,
+             round(quantile_cont(nllr, 2.0/3), 6) AS q2
+           FROM per_doc GROUP BY 1)
+         SELECT p.doc_id, p.lang, p.nllr,
+           CASE WHEN p.nllr <= c.q1 THEN 'head'
+                WHEN p.nllr <= c.q2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM per_doc p JOIN cuts c USING (lang)
+         ORDER BY p.doc_id""",
+
     "q_chunks" ->
       s"""WITH t AS (SELECT doc_id, $W AS w,
            CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END AS n
@@ -1405,6 +1488,20 @@ object PipelineQueries {
            (PARTITION BY pred_lang ORDER BY quality DESC, doc_id) AS rk FROM q)
          SELECT pred_lang, doc_id, quality FROM r WHERE rk <= 5
          ORDER BY pred_lang, doc_id""",
+
+    "q_quality_classifier" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($W) AS t FROM documents),
+         f AS (SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % $qcDim AS feat,
+             count(*)::BIGINT AS cnt
+           FROM tok WHERE len(t) > 0 GROUP BY 1, 2),
+         w AS (SELECT * FROM (VALUES $qcValuesSql) AS v(feat, wt)),
+         m AS (SELECT f.doc_id,
+             sum(coalesce(w.wt, 0) * f.cnt) + (${qcWeights.last}) AS margin
+           FROM f LEFT JOIN w ON f.feat = w.feat GROUP BY 1)
+         SELECT doc_id, round(margin, 6) AS marg,
+           (CASE WHEN margin >= 0 THEN 1 ELSE 0 END)::BIGINT AS pred
+         FROM m ORDER BY doc_id""",
 
     "q_sample_hash" ->
       s"""SELECT doc_id FROM documents

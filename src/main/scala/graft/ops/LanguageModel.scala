@@ -171,6 +171,43 @@ object LanguageModel {
   /** Keep documents whose average bigram NLL is at most `maxNll` —
     * the perplexity filter (ppl = exp(nll)). Zero-bigram documents
     * are dropped (no evidence). */
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020 §4.3, the reference pipeline's "keep the head, downsample
+    * the tail" curation signal): documents split into
+    * head/middle/tail at the tercile cutoffs of their average bigram
+    * NLL WITHIN their language. Scores AND cutoffs are rounded to
+    * 6 dp before comparison so the bucket edges are stable across
+    * engines: a rounded interpolated cutoff is either exactly a
+    * sample value (where `<=` keeps the sample in the lower bucket in
+    * both engines) or separated from every 6-dp sample by the
+    * interpolation fraction. Zero-evidence docs (< 2 tokens: no
+    * bigram, null nll) are dropped — no score, no bucket.
+    *
+    * Scale shape: one scoreDocs pass, one per-language exact-quantile
+    * aggregate whose output is ONE ROW PER LANGUAGE (broadcast back),
+    * never a per-language window sort — the same no-funnel contract
+    * as the corpus mixer. */
+  def perplexityBuckets(docs: DataFrame, model: DataFrame, vocab: DataFrame,
+                        textCol: String, idCol: String, langCol: String,
+                        k: Double = 1.0): DataFrame = {
+    val scored = scoreDocs(docs, model, vocab, textCol, idCol, k)
+      .filter(col("n_bigrams") > 0)
+      .withColumn("nllr", round(col("nll"), 6))
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val cuts = graft.api.GroupByReduce(scored, Seq(langCol), "nllr",
+      "quantile", "__q",
+      graft.aggs.ReduceOptions(q = Seq(1.0 / 3, 2.0 / 3)))
+      .select(col(langCol),
+        round(element_at(col("__q"), 1), 6).as("__q1"),
+        round(element_at(col("__q"), 2), 6).as("__q2"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        when(col("nllr") <= col("__q1"), lit("head"))
+          .when(col("nllr") <= col("__q2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("nllr"), col("bucket"))
+  }
+
   def perplexityFilter(docs: DataFrame, model: DataFrame, vocab: DataFrame,
                        textCol: String, idCol: String, maxNll: Double,
                        k: Double = 1.0): DataFrame = {

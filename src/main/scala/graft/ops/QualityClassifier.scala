@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style supervised quality classifier (Joulin et al. 2016,
+  * "Bag of Tricks for Efficient Text Classification") — the
+  * model-based document filter production curation pipelines train
+  * against a trusted reference corpus ("does this page look like the
+  * reference?"; the GPT-3/LLaMA quality-classifier stage and CCNet's
+  * companion filter). A linear model over hashed bag-of-token
+  * features with a logistic loss: the fastText recipe minus the
+  * embedding indirection (rank-1 fastText with mean pooling IS a
+  * linear model over the bag, so this is the same hypothesis class
+  * for binary filtering).
+  *
+  * Scale contract:
+  *  - FEATURES are 60-bit-md5 hash buckets (`dim` of them) — the
+  *    model is O(dim) doubles no matter the corpus vocabulary, the
+  *    hashing trick from the paper, cross-engine reproducible (the
+  *    oracle recomputes the bucket in SQL: see
+  *    [[Selection.hashSampleKey]] for the idiom's certification).
+  *  - SCORING is one stateless map-only projection — the margin folds
+  *    over the token array with the weight vector as a plan literal;
+  *    no explode, no shuffle, no state: runs unchanged on a stream
+  *    (the ingest-side filter shape, like [[Pii.scrub]]).
+  *  - TRAINING is full-batch gradient descent: the corpus is
+  *    tokenized ONCE into an integer feature-index table
+  *    (localCheckpoint, the wordFrequency contract), then every
+  *    iteration is one map (margins from the weight literal) + one
+  *    explode + one (dim+1)-row aggregate collected to the driver —
+  *    driver traffic per iteration is the MODEL, never the corpus,
+  *    the same bounded-collect contract as Lloyd / BPE / unigram EM.
+  */
+object QualityClassifier {
+
+  /** Hash bucket of one token: first 15 hex chars of md5 (60 bits,
+    * non-negative in a signed long) mod `dim`. Oracle form:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT % dim`. */
+  def featureIdx(token: Column, dim: Int): Column =
+    (conv(substring(md5(token), 1, 15), 16, 10).cast("long") % dim).cast("int")
+
+  private def tokenFeats(text: Column, dim: Int): Column =
+    transform(
+      filter(TextAnalysis.tokens(text), t => length(t) > 0),
+      t => featureIdx(t, dim))
+
+  /** Linear margin w·x + b of one document under a LOCAL weight
+    * vector (length dim + 1; last entry is the bias): a fold over the
+    * token array with the weights as a plan literal. Map-only,
+    * streaming-safe. Zero-token documents score the bias alone. */
+  def margin(text: Column, weights: Seq[Double], dim: Int): Column = {
+    require(weights.length == dim + 1,
+      s"weights must be dim+1 = ${dim + 1} long (bias last), got ${weights.length}")
+    val w = typedLit(weights)
+    aggregate(tokenFeats(text, dim), lit(weights.last),
+      (acc, f) => acc + element_at(w, f + 1))
+  }
+
+  /** Per-document scores: (idCol, margin, prob). Documents with no
+    * tokens are DROPPED (no evidence — the perplexity-filter
+    * convention); the margin of the survivors includes the bias. */
+  def scoreDocs(docs: DataFrame, weights: Seq[Double], dim: Int,
+                textCol: String, idCol: String): DataFrame =
+    docs
+      .filter(size(tokenFeats(col(textCol), dim)) > 0)
+      .select(col(idCol),
+        margin(col(textCol), weights, dim).as("margin"))
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+
+  /** Keep documents the classifier accepts: margin >= `cut` (cut 0.0
+    * = prob 0.5). Map-only filter over the scan, streaming-safe. */
+  def filterByQuality(docs: DataFrame, weights: Seq[Double], dim: Int,
+                      textCol: String, cut: Double = 0.0): DataFrame =
+    docs.filter(size(tokenFeats(col(textCol), dim)) > 0 &&
+      margin(col(textCol), weights, dim) >= cut)
+
+  /** Train by full-batch gradient descent on the mean logistic loss;
+    * returns the weight vector (length dim + 1, bias last).
+    * `labelCol` must be 0/1 (cast to double). Zero-token documents
+    * are dropped before training (they carry no feature evidence and
+    * are dropped at scoring time too). Deterministic for a fixed
+    * input: the per-feature gradient sums are keyed aggregates whose
+    * result does not depend on row order. */
+  def train(docs: DataFrame, textCol: String, idCol: String,
+            labelCol: String, dim: Int = 128, iters: Int = 100,
+            lr: Double = 0.5): Array[Double] = {
+    require(dim >= 2 && iters >= 1)
+    val bias = dim // bias pseudo-feature: one occurrence per document
+    // one tokenize pass; ints-only table, checkpointed for the loop
+    val feats = docs
+      .select(col(labelCol).cast("double").as("__y"),
+        concat(tokenFeats(col(textCol), dim), array(lit(bias))).as("__f"))
+      .filter(size(col("__f")) > 1)
+      .localCheckpoint()
+    val n = feats.count().toDouble
+    require(n > 0, "no trainable documents (all zero-token?)")
+    val w = Array.fill(dim + 1)(0.0)
+    var it = 0
+    while (it < iters) {
+      val wl = typedLit(w.toSeq)
+      val m = aggregate(col("__f"), lit(0.0),
+        (acc, f) => acc + element_at(wl, f + 1))
+      val r = lit(1.0) / (lit(1.0) + exp(-m)) - col("__y")
+      // gradient: one explode + one (dim+1)-row aggregate to the driver
+      val g = feats.select(explode(col("__f")).as("__feat"), r.as("__r"))
+        .groupBy("__feat").agg(sum("__r").as("__g"))
+        .collect()
+      g.foreach { row =>
+        w(row.getInt(0)) -= lr * row.getDouble(1) / n
+      }
+      it += 1
+    }
+    feats.unpersist()
+    w
+  }
+}

@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_source_shift",        // scalar total joined onto per-source rows
     "q_tfidf",               // scalar corpus doc-count (1-row broadcast)
     "q_perplexity",          // scalar smoothing V (1-row broadcast)
+    "q_ppl_buckets",         // same scoreDocs scalar V (1-row broadcast)
     "q_collocations"         // scalar corpus token total T (1-row broadcast)
   )
 
@@ -58,6 +59,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_source_shift", // corpus-total token count -> 1 scalar
     "q_tfidf",        // corpus doc-count -> 1 scalar
     "q_perplexity",   // distinct-token count V -> 1 scalar
+    "q_ppl_buckets",  // same scoreDocs distinct-token count V -> 1 scalar
     "q_collocations"  // corpus token total T -> 1 scalar
   )
 

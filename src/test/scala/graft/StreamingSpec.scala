@@ -681,6 +681,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quality-classifier scoring runs unchanged on a stream: stateless projection, batch-equal") {
+    import graft.ops.QualityClassifier
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    val goodIdx = Seq("good").toDF("t")
+      .select(QualityClassifier.featureIdx(col("t"), dim)).as[Int].head()
+    val w = Array.fill(dim + 1)(0.0)
+    w(goodIdx) = 2.0
+    w(dim) = -1.0 // bias
+    val rows = Seq((1L, "good stuff here"), (2L, "nothing relevant"), (3L, ""))
+    val input = MemoryStream[(Long, String)]
+    val out = QualityClassifier.scoreDocs(
+      input.toDF().toDF("id", "text"), w.toSeq, dim, "text", "id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("qc_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("qc_out").select("id", "margin").orderBy("id")
+        .as[(Long, Double)].collect().toSeq
+      val want = QualityClassifier.scoreDocs(
+          rows.toDF("id", "text"), w.toSeq, dim, "text", "id")
+        .select("id", "margin").orderBy("id")
+        .as[(Long, Double)].collect().toSeq
+      assert(got === want)
+      assert(got.map(_._1) === Seq(1L, 2L)) // empty doc dropped, no evidence
+      assert(got.head._2 > 0 && got(1)._2 < 0)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact decontamination mirrors batch Selection on a stream") {
     import graft.streaming.StreamingContamination
     implicit val sqlCtx = spark.sqlContext
