@@ -563,6 +563,24 @@ object PipelineQueries {
         .orderBy("pred_lang", "doc_id")
     }),
 
+    // Gopher document-level rule gate (Rae 2021 A1.1): per-doc metrics
+    // + composite keep, thresholds tuned to this corpus's length
+    // regime (the paper's 50-word floor kept; mwl ceiling 4.5 and
+    // 1-stopword floor split the synthetic vocabulary non-trivially)
+    "q_gopher_filter" -> ((s, d) => {
+      val m = graft.ops.RuleFilters.gopherMetrics(col("text"),
+        minWords = 50, maxWords = 100000, minMwl = 3.0, maxMwl = 4.5,
+        minAlphaFrac = 0.8, minStopHits = 1)
+      docs(s, d).select(col("doc_id"), m.as("__m"))
+        .filter(col("__m.n_words") > 0)
+        .select(col("doc_id"), col("__m.n_words").as("n_words"),
+          round(col("__m.mean_word_len"), 4).as("mwl"),
+          round(col("__m.alpha_frac"), 4).as("af"),
+          col("__m.n_stop").as("n_stop"),
+          col("__m.keep").cast("long").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // model-based quality filter: the pinned fastText-style classifier
     // scores every document in one map-only pass (weights are a plan
     // literal; no join, no shuffle before the sort)
@@ -1488,6 +1506,30 @@ object PipelineQueries {
            (PARTITION BY pred_lang ORDER BY quality DESC, doc_id) AS rk FROM q)
          SELECT pred_lang, doc_id, quality FROM r WHERE rk <= 5
          ORDER BY pred_lang, doc_id""",
+
+    "q_gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id,
+           list_filter($W, x -> len(x) > 0) AS w FROM documents),
+         m AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+             list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) AS mwl0,
+             len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+               / len(w) AS af0,
+             ((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+             )::BIGINT AS n_stop
+           FROM t WHERE len(w) > 0)
+         SELECT doc_id, n_words, round(mwl0, 4) AS mwl,
+           round(af0, 4) AS af, n_stop,
+           (CASE WHEN n_words >= 50 AND n_words <= 100000
+              AND mwl0 >= 3.0 AND mwl0 <= 4.5
+              AND af0 >= 0.8 AND n_stop >= 1 THEN 1 ELSE 0 END)::BIGINT AS keep
+         FROM m ORDER BY doc_id""",
 
     "q_quality_classifier" ->
       s"""WITH tok AS (SELECT doc_id, unnest($W) AS t FROM documents),

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based document quality filters — the published heuristic
+  * gates production corpora pass BEFORE any model-based scoring:
+  * Gopher's document-level rules (Rae et al. 2021, Appendix A1.1,
+  * the MassiveWeb filter reused by Chinchilla/LLaMA-class pipelines)
+  * and C4's line/page rules (Raffel et al. 2020 §2.2). Every rule is
+  * a map-only projection over the text column — no shuffle, no
+  * state, streaming-safe, and the filter sits directly over the scan
+  * so Parquet row-group pruning still applies upstream.
+  */
+object RuleFilters {
+
+  /** Gopher document-level quality metrics + the composite keep
+    * decision: (n_words, mean_word_len, alpha_frac, n_stop, keep).
+    *
+    *  - 50 <= n_words <= 100000        (word-count bounds)
+    *  - 3 <= mean word length <= 10    (symbol soup / minified text)
+    *  - >= 80% of words contain an alphabetic character
+    *  - >= 2 distinct hits from the required-stopword list
+    *    ("the be to of and that have with" — Gopher's own list)
+    *
+    * Thresholds are parameters so corpora with different length
+    * regimes can re-gate; defaults are the paper's. All arithmetic is
+    * integer until the two final divisions, so the metrics are
+    * bit-identical across engines at any rounding. */
+  def gopherMetrics(text: Column,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMwl: Double = 3.0, maxMwl: Double = 10.0,
+                    minAlphaFrac: Double = 0.8,
+                    minStopHits: Int = 2): Column = {
+    val toks = filter(TextAnalysis.tokens(text), t => length(t) > 0)
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = stops.map(s => when(array_contains(toks, s), 1).otherwise(0))
+      .reduce(_ + _)
+    val mwl = when(n > 0, sumLen.cast("double") / n).otherwise(lit(0.0))
+    val alphaFrac = when(n > 0, nAlpha.cast("double") / n).otherwise(lit(0.0))
+    val keep = n >= minWords && n <= maxWords &&
+      mwl >= minMwl && mwl <= maxMwl &&
+      alphaFrac >= minAlphaFrac && nStop >= minStopHits
+    struct(n.cast("long").as("n_words"), mwl.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"), nStop.cast("long").as("n_stop"),
+      keep.as("keep"))
+  }
+
+  /** Gopher-filtered corpus: rows whose metrics pass the composite
+    * gate. Map-only filter directly over the scan. */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMwl: Double = 3.0, maxMwl: Double = 10.0,
+                   minAlphaFrac: Double = 0.8,
+                   minStopHits: Int = 2): DataFrame =
+    df.filter(gopherMetrics(col(textCol), minWords, maxWords, minMwl,
+      maxMwl, minAlphaFrac, minStopHits).getField("keep"))
+
+  /** C4 line/page cleanup (Raffel et al. 2020 §2.2): keep lines that
+    * end in terminal punctuation and do not mention javascript; then
+    * gate the page on >= `minSentences` sentences in the kept text,
+    * no "lorem ipsum", and no curly brace. Returns
+    * (kept_text, n_lines, n_kept_lines, n_sentences, keep).
+    * Terminal punctuation is the paper's set: . ! ? plus closing
+    * quote after one. */
+  def c4Metrics(text: Column, minSentences: Int = 5): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val keptLines = filter(lines, l =>
+      trim(l).rlike("[.!?\"']$") && !lower(l).contains("javascript"))
+    val keptText = array_join(keptLines, "\n")
+    // sentence count = terminal-punctuation runs in the kept text
+    val nSent = size(filter(split(keptText, "[.!?]+"),
+      s => length(trim(s)) > 0))
+    val keep = nSent >= minSentences &&
+      !lower(text).contains("lorem ipsum") && !text.contains("{")
+    struct(keptText.as("kept_text"), size(lines).cast("long").as("n_lines"),
+      size(keptLines).cast("long").as("n_kept_lines"),
+      nSent.cast("long").as("n_sentences"), keep.as("keep"))
+  }
+
+  /** C4-cleaned corpus: pages that survive the gate, with their text
+    * replaced by the kept lines. Map-only. */
+  def c4Filter(df: DataFrame, textCol: String,
+               minSentences: Int = 5): DataFrame = {
+    val m = c4Metrics(col(textCol), minSentences)
+    df.withColumn("__c4", m)
+      .filter(col("__c4.keep"))
+      .withColumn(textCol, col("__c4.kept_text"))
+      .drop("__c4")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.RuleFilters
+
+/** Gopher (Rae 2021 A1.1) and C4 (Raffel 2020 §2.2) rule filters vs
+  * hand-built documents that trip each rule individually. */
+class RuleFiltersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def gopher(rows: Seq[(Long, String)],
+                     minWords: Int = 3, minStopHits: Int = 1) =
+    rows.toDF("id", "text")
+      .select(col("id"), RuleFilters.gopherMetrics(col("text"),
+        minWords = minWords, maxWords = 10, minMwl = 2.0, maxMwl = 6.0,
+        minAlphaFrac = 0.5, minStopHits = minStopHits).as("m"))
+      .select(col("id"), col("m.n_words"), col("m.mean_word_len"),
+        col("m.alpha_frac"), col("m.n_stop"), col("m.keep"))
+      .as[(Long, Long, Double, Double, Long, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+
+  test("gopher metrics: each rule trips independently") {
+    val got = gopher(Seq(
+      (1L, "the cat sat on mats"),       // all rules pass
+      (2L, "the cat"),                   // too few words
+      (3L, "the aa bb cc dd ee ff gg hh ii jj kk"), // too many words (max 10)
+      (4L, "the x y z a"),               // mean word length < 2
+      (5L, "the 123 456 789 000"),       // alpha fraction 1/5 < 0.5
+      (6L, "cat sat on mats here")))     // zero required stopwords
+    assert(got.map(r => (r._1, r._6)) === Seq(
+      (1L, true), (2L, false), (3L, false), (4L, false), (5L, false), (6L, false)))
+    val d1 = got.head
+    assert(d1._2 === 5L)
+    assert(math.abs(d1._3 - 15.0 / 5) < 1e-12) // the+cat+sat+on+mats = 15 chars
+    assert(d1._4 === 1.0 && d1._5 === 1L)
+    // empty text: zero words, metrics zeroed, dropped by any floor
+    val e = gopher(Seq((9L, "   ")))
+    assert(e.head._2 === 0L && e.head._3 === 0.0 && !e.head._6)
+  }
+
+  test("gopherFilter keeps exactly the passing rows") {
+    val df = Seq((1L, "the cat sat on mats"), (2L, "the cat")).toDF("id", "text")
+    val kept = RuleFilters.gopherFilter(df, "text", minWords = 3,
+      maxWords = 10, minMwl = 2.0, maxMwl = 6.0, minAlphaFrac = 0.5,
+      minStopHits = 1).select("id").as[Long].collect()
+    assert(kept.toSeq === Seq(1L))
+  }
+
+  test("c4 metrics: line gate, javascript drop, sentence floor, page vetoes") {
+    def c4(rows: Seq[(Long, String)], minSentences: Int = 2) =
+      rows.toDF("id", "text")
+        .select(col("id"), RuleFilters.c4Metrics(col("text"), minSentences).as("m"))
+        .select(col("id"), col("m.kept_text"), col("m.n_lines"),
+          col("m.n_kept_lines"), col("m.n_sentences"), col("m.keep"))
+        .as[(Long, String, Long, Long, Long, Boolean)]
+        .collect().toSeq.sortBy(_._1)
+    val got = c4(Seq(
+      (1L, "Good first line.\nNo terminal punct\nAnother fine one!\nIs it ok?"),
+      (2L, "enable javascript to continue.\nOnly one real sentence here."),
+      (3L, "Fine sentence one. And two!\nBut lorem ipsum poisons the page."),
+      (4L, "Braces { inside } veto.\nEven with sentences. Like this one.")))
+    val d1 = got.head
+    assert(d1._2 === "Good first line.\nAnother fine one!\nIs it ok?")
+    assert((d1._3, d1._4, d1._5, d1._6) === (4L, 3L, 3L, true))
+    assert(got(1)._4 === 1L && got(1)._5 === 1L && !got(1)._6) // js line dropped, 1 < 2
+    assert(!got(2)._6 && got(2)._5 >= 2)                        // lorem ipsum veto
+    assert(!got(3)._6)                                          // curly-brace veto
+    val kept = RuleFilters.c4Filter(
+      Seq((1L, "One good line.\nbad\nTwo good lines!")).toDF("id", "text"),
+      "text", minSentences = 2)
+      .select("text").as[String].collect()
+    assert(kept.toSeq === Seq("One good line.\nTwo good lines!"))
+  }
+}
