@@ -69,6 +69,40 @@ object HashKernels {
     toHex(min)
   }
 
+  /** Linear hashed-bag margin (the fastText/QualityClassifier scorer):
+    * weights(dim) [the bias] + Σ over NONEMPTY tokens of
+    * weights(bucket), bucket = top 60 bits of md5(token) mod dim —
+    * the same bucket as the certified
+    * `conv(substring(md5(t), 1, 15), 16, 10) % dim` (first 15 hex
+    * chars ARE the top 60 digest bits), and the same left-to-right
+    * accumulation order as the HOF fold it replaces, so results are
+    * bit-identical. Null when the array has no nonempty token
+    * (no evidence — callers drop or coalesce to the bias). */
+  def linearBagScore(arr: ArrayData, weights: Array[Double],
+                     dim: Int): java.lang.Double = {
+    val n = arr.numElements()
+    val digest = digests.get()
+    var acc = weights(dim)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t.numBytes() > 0) {
+        seen = true
+        digest.reset()
+        digest.update(t.getBytes)
+        val h = digest.digest()
+        var v = 0L
+        var j = 0
+        while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+        v = (v << 4) | ((h(7) >> 4) & 0xfL)
+        acc += weights((v % dim).toInt)
+      }
+      i += 1
+    }
+    if (seen) java.lang.Double.valueOf(acc) else null
+  }
+
   private def toHex(bytes: Array[Byte]): UTF8String = {
     val out = new Array[Char](32)
     var j = 0
@@ -280,6 +314,41 @@ case class MinHashMd5Tokens(child: Expression, k: Int, prefix: String)
     })
 
   override protected def withNewChildInternal(c: Expression): MinHashMd5Tokens =
+    copy(child = c)
+}
+
+/** Codegen'd linear hashed-bag scorer (QualityClassifier inference):
+  * one streamed digest pass per row with the weight vector as a
+  * referenced constant — replaces the interpreted
+  * transform+aggregate HOF pair (HOF lambdas run outside whole-stage
+  * codegen), bit-identical by construction (same bucket hash, same
+  * accumulation order). Null for rows with no nonempty token. */
+case class LinearBagScoreExpr(child: Expression, weights: Array[Double],
+                              dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(weights.length == dim + 1, "weights must be dim+1 (bias last)")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.linearBagScore(input.asInstanceOf[ArrayData], weights, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("qcWeights", weights, "double[]")
+      val r = ctx.freshName("margin")
+      s"""
+         |java.lang.Double $r = graft.functions.HashKernels.linearBagScore($a, $w, $dim);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): LinearBagScoreExpr =
     copy(child = c)
 }
 

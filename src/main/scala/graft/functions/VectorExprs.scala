@@ -527,6 +527,12 @@ object VectorExprs {
         "graft_jaccard_sorted",
         exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
+        "graft_linear_bag_score",
+        exprs => LinearBagScoreExpr(exprs(0),
+          exprs(1).eval().asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
+          exprs(2).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
         "graft_quality_features",
         exprs => QualityFeatures(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
@@ -703,6 +709,17 @@ object VectorExprs {
     call_function("graft_minhash_md5_tokens", tokens,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(prefix))
+  }
+
+  /** Codegen'd linear hashed-bag margin over a token array (the
+    * QualityClassifier scorer); null when no nonempty token. */
+  def linearBagScore(tokens: Column, weights: Seq[Double], dim: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_linear_bag_score", tokens,
+      org.apache.spark.sql.functions.typedLit(weights),
+      org.apache.spark.sql.functions.lit(dim))
   }
 
   /** Fused k-shingle + min-xxhash64 lane over a TOKEN array (k = 1:

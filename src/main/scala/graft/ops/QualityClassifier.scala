@@ -45,17 +45,23 @@ object QualityClassifier {
       filter(TextAnalysis.tokens(text), t => length(t) > 0),
       t => featureIdx(t, dim))
 
-  /** Linear margin w·x + b of one document under a LOCAL weight
-    * vector (length dim + 1; last entry is the bias): a fold over the
-    * token array with the weights as a plan literal. Map-only,
-    * streaming-safe. Zero-token documents score the bias alone. */
-  def margin(text: Column, weights: Seq[Double], dim: Int): Column = {
+  /** Raw kernel margin: null when the document has no nonempty token
+    * (no evidence). One codegen'd streamed-digest pass per row
+    * ([[graft.functions.LinearBagScoreExpr]]) — bit-identical to the
+    * transform+aggregate HOF formulation (same bucket hash, same
+    * left-to-right accumulation) but inside whole-stage codegen. */
+  private def rawMargin(text: Column, weights: Seq[Double], dim: Int): Column = {
     require(weights.length == dim + 1,
       s"weights must be dim+1 = ${dim + 1} long (bias last), got ${weights.length}")
-    val w = typedLit(weights)
-    aggregate(tokenFeats(text, dim), lit(weights.last),
-      (acc, f) => acc + element_at(w, f + 1))
+    graft.functions.VectorExprs.linearBagScore(
+      TextAnalysis.tokens(text), weights, dim)
   }
+
+  /** Linear margin w·x + b of one document under a LOCAL weight
+    * vector (length dim + 1; last entry is the bias). Map-only,
+    * streaming-safe. Zero-token documents score the bias alone. */
+  def margin(text: Column, weights: Seq[Double], dim: Int): Column =
+    coalesce(rawMargin(text, weights, dim), lit(weights.last))
 
   /** Per-document scores: (idCol, margin, prob). Documents with no
     * tokens are DROPPED (no evidence — the perplexity-filter
@@ -63,17 +69,17 @@ object QualityClassifier {
   def scoreDocs(docs: DataFrame, weights: Seq[Double], dim: Int,
                 textCol: String, idCol: String): DataFrame =
     docs
-      .filter(size(tokenFeats(col(textCol), dim)) > 0)
       .select(col(idCol),
-        margin(col(textCol), weights, dim).as("margin"))
+        rawMargin(col(textCol), weights, dim).as("margin"))
+      .filter(col("margin").isNotNull)
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
 
   /** Keep documents the classifier accepts: margin >= `cut` (cut 0.0
-    * = prob 0.5). Map-only filter over the scan, streaming-safe. */
+    * = prob 0.5; no-evidence documents fail the gate). Map-only
+    * filter over the scan, streaming-safe. */
   def filterByQuality(docs: DataFrame, weights: Seq[Double], dim: Int,
                       textCol: String, cut: Double = 0.0): DataFrame =
-    docs.filter(size(tokenFeats(col(textCol), dim)) > 0 &&
-      margin(col(textCol), weights, dim) >= cut)
+    docs.filter(rawMargin(col(textCol), weights, dim) >= cut)
 
   /** Train by full-batch gradient descent on the mean logistic loss;
     * returns the weight vector (length dim + 1, bias last).

@@ -86,6 +86,37 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(w1.toSeq === w2.toSeq)
   }
 
+  test("codegen'd margin kernel equals the HOF formulation bit-exactly") {
+    import org.apache.spark.sql.Column
+    val dim = 32
+    val rng = new scala.util.Random(77)
+    val w = Array.fill(dim + 1)(math.rint(rng.nextGaussian() * 1e6) / 1e6)
+    // the pre-kernel formulation: filter+transform+aggregate HOFs
+    def hofMargin(text: Column): Column = {
+      val wl = typedLit(w.toSeq)
+      aggregate(
+        transform(
+          filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0),
+          t => QualityClassifier.featureIdx(t, dim)),
+        lit(w.last), (acc, f) => acc + element_at(wl, f + 1))
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox 中文 😀 jumps"),
+      (2L, "a a a a a a a a a a a a"),
+      (3L, "mixed 123 !punct? and-dashes x"),
+      (4L, "singleton")).toDF("id", "text")
+    val got = QualityClassifier.scoreDocs(docs, w.toSeq, dim, "text", "id")
+      .select("id", "margin").as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val want = docs.select(col("id"), hofMargin(col("text")).as("m"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((gi, gm), (wi, wm)) =>
+      assert(gi === wi)
+      assert(java.lang.Double.doubleToRawLongBits(gm) ===
+        java.lang.Double.doubleToRawLongBits(wm), s"doc $gi: $gm vs $wm")
+    }
+  }
+
   test("scoreDocs drops zero-token docs; prob is the sigmoid of the margin; filter agrees") {
     val w = Array.fill(17)(0.0); w(16) = 0.3 // bias-only model, dim 16
     val df = Seq((1L, "some words"), (2L, "   "), (3L, "")).toDF("id", "text")
