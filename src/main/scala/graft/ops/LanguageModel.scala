@@ -190,10 +190,15 @@ object LanguageModel {
   def perplexityBuckets(docs: DataFrame, model: DataFrame, vocab: DataFrame,
                         textCol: String, idCol: String, langCol: String,
                         k: Double = 1.0): DataFrame = {
+    // materialize the scored table ONCE (executor-local storage, the
+    // band-table precedent): both consumers — the tercile aggregate
+    // and the bucket join — would otherwise re-run the whole scoreDocs
+    // subtree, which re-trains the model when it is built inline
     val scored = scoreDocs(docs, model, vocab, textCol, idCol, k)
       .filter(col("n_bigrams") > 0)
       .withColumn("nllr", round(col("nll"), 6))
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .localCheckpoint()
     val cuts = graft.api.GroupByReduce(scored, Seq(langCol), "nllr",
       "quantile", "__q",
       graft.aggs.ReduceOptions(q = Seq(1.0 / 3, 2.0 / 3)))
