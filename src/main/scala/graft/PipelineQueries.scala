@@ -393,6 +393,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // interpolated Kneser-Ney perplexity (KenLM's smoothing family —
+    // what CCNet's shipped models actually use), count-of-counts
+    // discount estimated from the corpus; same rounding contract
+    "q_perplexity_kn" -> ((s, d) => {
+      val dd = docs(s, d)
+      val model = graft.ops.LanguageModel.trainBigram(dd, "text")
+      val vocab = graft.ops.LanguageModel.vocabSize(dd, "text")
+      graft.ops.LanguageModel.scoreDocsKneserNey(
+        dd, model, vocab, "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet head/middle/tail curation buckets: per-language perplexity
     // terciles (value cutoffs broadcast back — no per-language window)
     "q_ppl_buckets" -> ((s, d) => {
@@ -1289,6 +1303,41 @@ object PipelineQueries {
                ln(coalesce(h.hcnt, 0) + 1.0 * v.vv)) AS nll
            FROM bg b LEFT JOIN model m USING (bigram)
            LEFT JOIN hist h ON split_part(b.bigram, ' ', 1) = h.lft, v)
+         SELECT d.doc_id, count(s.bigram)::BIGINT AS n_bigrams,
+           round(avg(s.nll), 6) AS nll
+         FROM documents d LEFT JOIN scored s USING (doc_id)
+         GROUP BY 1 ORDER BY doc_id""",
+
+    "q_perplexity_kn" ->
+      s"""WITH tok AS (SELECT doc_id, $W AS w FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(
+           range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END),
+           i -> w[i] || ' ' || w[i+1])) AS bigram FROM tok),
+         model AS (SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY 1),
+         hist AS (SELECT split_part(bigram, ' ', 1) AS lft,
+           sum(cnt)::BIGINT AS hcnt, count(*)::BIGINT AS n1h
+           FROM model GROUP BY 1),
+         cont AS (SELECT split_part(bigram, ' ', 2) AS rgt,
+           count(*)::BIGINT AS n1c FROM model GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS b,
+           sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+           sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+           FROM model),
+         v AS (SELECT count(DISTINCT t)::BIGINT AS vv FROM
+           (SELECT unnest($W) AS t FROM documents) WHERE len(t) > 0),
+         dsc AS (SELECT CASE WHEN n1 + 2 * n2 > 0
+             THEN n1::DOUBLE / (n1 + 2 * n2) ELSE 0.5 END AS d
+           FROM tot),
+         scored AS (SELECT b.doc_id, b.bigram,
+             -ln(CASE WHEN h.hcnt IS NOT NULL THEN
+               (greatest(coalesce(m.cnt, 0) - dsc.d, 0.0) +
+                dsc.d * h.n1h *
+                ((coalesce(c.n1c, 0) + 1.0) / (tot.b + v.vv))) / h.hcnt
+             ELSE (coalesce(c.n1c, 0) + 1.0) / (tot.b + v.vv) END) AS nll
+           FROM bg b LEFT JOIN model m USING (bigram)
+           LEFT JOIN hist h ON split_part(b.bigram, ' ', 1) = h.lft
+           LEFT JOIN cont c ON split_part(b.bigram, ' ', 2) = c.rgt,
+           tot, v, dsc)
          SELECT d.doc_id, count(s.bigram)::BIGINT AS n_bigrams,
            round(avg(s.nll), 6) AS nll
          FROM documents d LEFT JOIN scored s USING (doc_id)

@@ -85,6 +85,65 @@ object TextKernels {
     new GenericInternalRow(Array[Any](nTok, lenNws, nStop, punct, digit))
   }
 
+  // Gopher's required-stopword list (Rae et al. 2021 A1.1), fixed by
+  // the rule itself — membership is DISTINCT (array_contains per word,
+  // counted once each), hence the bitmask, not a per-token counter.
+  private val gopherStops =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def gopherStopIdx(t: String, from: Int, until: Int): Int = {
+    var k = 0
+    while (k < gopherStops.length) {
+      val w = gopherStops(k)
+      if (until - from == w.length && t.regionMatches(from, w, 0, w.length))
+        return k
+      k += 1
+    }
+    -1
+  }
+
+  /** (n_words, sum_len, n_alpha, n_stop) of LOWERCASED text in one
+    * pass — the Gopher rule-filter counts (RuleFilters.gopherMetrics).
+    * Token semantics = the nonempty elements of `split(trim(s),
+    * "\\s+")`, i.e. maximal runs of non-`\s` chars; token length
+    * counts CODE POINTS (Spark `length`); alpha = token contains an
+    * [a-z] code point (the `rlike("[a-z]")` test); n_stop = distinct
+    * Gopher stopwords present. Bit-identical to the HOF formulation
+    * it replaces (RuleFiltersSpec pins the law). */
+  def gopherStats(u: UTF8String): InternalRow = {
+    val t = u.toString
+    var words = 0L
+    var sumLen = 0L
+    var alpha = 0L
+    var stopMask = 0
+    var i = 0
+    val n = t.length
+    while (i < n) {
+      val cp = t.codePointAt(i)
+      if (isWs(cp)) i += Character.charCount(cp)
+      else {
+        val start = i
+        var chars = 0L
+        var hasAlpha = false
+        var j = i
+        while (j < n && !isWs(t.codePointAt(j))) {
+          val c = t.codePointAt(j)
+          if (c >= 'a' && c <= 'z') hasAlpha = true
+          chars += 1
+          j += Character.charCount(c)
+        }
+        words += 1
+        sumLen += chars
+        if (hasAlpha) alpha += 1
+        val si = gopherStopIdx(t, start, j)
+        if (si >= 0) stopMask |= 1 << si
+        i = j
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      words, sumLen, alpha, java.lang.Integer.bitCount(stopMask).toLong))
+  }
+
   private val langs = Array("en", "es", "de", "fr", "zh")
   private val markers: Array[Array[UTF8String]] = Array(
     Array("the", "a", "is", "and"),
@@ -336,6 +395,29 @@ case class QualityFeatures(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.qualityFeatures($c)")
 
   override protected def withNewChildInternal(c: Expression): QualityFeatures =
+    copy(child = c)
+}
+
+/** Struct of the four Gopher rule-filter counts from one text pass
+  * (TextKernels.gopherStats). Input must already be lowercased. */
+case class GopherStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.gopherStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.gopherStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): GopherStats =
     copy(child = c)
 }
 

@@ -536,6 +536,9 @@ object VectorExprs {
         "graft_quality_features",
         exprs => QualityFeatures(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
+        "graft_gopher_stats",
+        exprs => GopherStats(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction(
         "graft_langid",
         exprs => LangIdBest(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
@@ -713,6 +716,15 @@ object VectorExprs {
 
   /** Codegen'd linear hashed-bag margin over a token array (the
     * QualityClassifier scorer); null when no nonempty token. */
+  /** One-pass Gopher rule-filter counts over LOWERCASED text
+    * (see [[graft.functions.GopherStats]]). */
+  def gopherStats(loweredText: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_gopher_stats", loweredText)
+  }
+
   def linearBagScore(tokens: Column, weights: Seq[Double], dim: Int): Column = {
     SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)

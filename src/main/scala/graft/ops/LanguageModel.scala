@@ -65,6 +65,78 @@ object LanguageModel {
       avg(when(col("bigram").isNotNull, nll)).as("nll"))
   }
 
+  /** Per-document average negative log-likelihood under INTERPOLATED
+    * KNESER-NEY smoothing (Kneser & Ney 1995; Chen & Goodman 1998
+    * eq. 4.28) — the smoothing family KenLM implements and CCNet's
+    * shipped models actually use, next to [[scoreDocs]]'s simpler
+    * add-k. Same model table ([[trainBigram]]'s one corpus pass);
+    * everything KN adds is derived marginals of it:
+    *
+    *   P(w|h) = (max(c(h,w) − D, 0) + D · N1+(h,·) · Pcont(w)) / c(h)
+    *   Pcont(w) = (N1+(·,w) + 1) / (B + V)        — continuation prob
+    *   unseen history h:  P(w|h) = Pcont(w)
+    *
+    * where N1+(h,·) = distinct continuations of h, N1+(·,w) = distinct
+    * histories of w, B = distinct bigrams, V = vocab size. The +1/+V
+    * on Pcont is continuation add-one: it keeps Σ_w Pcont = 1 exactly
+    * over the vocab while giving out-of-vocabulary words positive mass
+    * (standard KN zeroes them; KenLM handles this with an <unk>
+    * unigram — same role). With D ≤ 1 ≤ every count, each seen-history
+    * row normalizes exactly: Σ_w max(c−D,0) = c(h) − D·N1+(h,·) and
+    * the continuation term restores precisely that deficit.
+    *
+    * `discount` None estimates D = n1/(n1 + 2·n2) from the bigram
+    * count-of-counts (Ney, Essen & Kneser 1994's leave-one-out
+    * estimate — what KenLM computes); a degenerate corpus with
+    * n1 + 2·n2 = 0 falls back to 0.5.
+    *
+    * Scale shape identical to [[scoreDocs]]: the model and both
+    * marginals are DataFrames joined on token keys (never collected);
+    * (B, n1, n2, V) ride as ONE broadcast row. */
+  def scoreDocsKneserNey(docs: DataFrame, rawModel: DataFrame, vocab: DataFrame,
+                         textCol: String, idCol: String,
+                         discount: Option[Double] = None): DataFrame = {
+    // four consumers of the model subtree (join, hist, cont, totals):
+    // materialize it once or an inline-built model re-runs its corpus
+    // pass four times (the perplexityBuckets precedent)
+    val model = rawModel.localCheckpoint()
+    val hist = model.groupBy("lft")
+      .agg(sum("cnt").as("hcnt"), count(lit(1)).as("n1h"))
+    val cont = model
+      .withColumn("rgt", substring_index(col("bigram"), " ", -1))
+      .groupBy("rgt").agg(count(lit(1)).as("n1c"))
+    val totals = model.agg(
+      count(lit(1)).as("__kn_b"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("__kn_n1"),
+      sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("__kn_n2"))
+      .crossJoin(vocab)
+    val pairs = docs
+      .select(col(idCol), explode_outer(
+        TextAnalysis.shingles(col(textCol), 2)).as("bigram"))
+      .withColumn("lft", substring_index(col("bigram"), " ", 1))
+      .withColumn("rgt", substring_index(col("bigram"), " ", -1))
+      .join(model.select(col("bigram"), col("cnt")), Seq("bigram"), "left")
+      .join(hist, Seq("lft"), "left")
+      .join(cont, Seq("rgt"), "left")
+      .crossJoin(broadcast(totals))
+    val d = discount match {
+      case Some(v) => lit(v)
+      case None => when(col("__kn_n1") + lit(2L) * col("__kn_n2") > 0,
+        col("__kn_n1").cast("double") /
+          (col("__kn_n1") + lit(2L) * col("__kn_n2"))).otherwise(lit(0.5))
+    }
+    val pcont = (coalesce(col("n1c"), lit(0L)) + lit(1.0)) /
+      (col("__kn_b") + col("__lm_v"))
+    val p = when(col("hcnt").isNotNull,
+      (greatest(coalesce(col("cnt"), lit(0L)) - d, lit(0.0)) +
+        d * col("n1h") * pcont) / col("hcnt"))
+      .otherwise(pcont)
+    val nll = -log(p)
+    pairs.groupBy(idCol).agg(
+      count(col("bigram")).as("n_bigrams"),
+      avg(when(col("bigram").isNotNull, nll)).as("nll"))
+  }
+
   /** Collect the trained model into one local lookup table: bigram
     * keys ("l r") and history-marginal keys ("l") share the map
     * (unigram keys contain no space — no collision). SIZE-GATED: a

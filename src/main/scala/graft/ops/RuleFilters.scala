@@ -32,20 +32,21 @@ object RuleFilters {
                     minMwl: Double = 3.0, maxMwl: Double = 10.0,
                     minAlphaFrac: Double = 0.8,
                     minStopHits: Int = 2): Column = {
-    val toks = filter(TextAnalysis.tokens(text), t => length(t) > 0)
-    val n = size(toks)
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val nStop = stops.map(s => when(array_contains(toks, s), 1).otherwise(0))
-      .reduce(_ + _)
+    // One codegen'd text pass for the four counts (the HOF
+    // filter/aggregate/rlike formulation ran as interpreted lambdas
+    // with a regex per token; RuleFiltersSpec pins kernel == HOF).
+    val st = graft.functions.VectorExprs.gopherStats(lower(text))
+    val n = st.getField("n_words")
+    val sumLen = st.getField("sum_len")
+    val nAlpha = st.getField("n_alpha")
+    val nStop = st.getField("n_stop")
     val mwl = when(n > 0, sumLen.cast("double") / n).otherwise(lit(0.0))
     val alphaFrac = when(n > 0, nAlpha.cast("double") / n).otherwise(lit(0.0))
     val keep = n >= minWords && n <= maxWords &&
       mwl >= minMwl && mwl <= maxMwl &&
       alphaFrac >= minAlphaFrac && nStop >= minStopHits
-    struct(n.cast("long").as("n_words"), mwl.as("mean_word_len"),
-      alphaFrac.as("alpha_frac"), nStop.cast("long").as("n_stop"),
+    struct(n.as("n_words"), mwl.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"), nStop.as("n_stop"),
       keep.as("keep"))
   }
 

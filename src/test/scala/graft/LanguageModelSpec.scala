@@ -138,4 +138,82 @@ class LanguageModelSpec extends SparkTestBase {
     val want = refScore(train, Seq((1L, "the cat ate")), k = 0.5)(0)._3.get
     assert(math.abs(got - want) < 1e-12)
   }
+
+  // local reference: interpolated KN bigram probability, continuation
+  // add-one floor — mirrors LanguageModel.scoreDocsKneserNey's spec
+  private def knRef(train: Seq[String], discount: Option[Double]) = {
+    def toks(s: String) = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bigrams(s: String) = { val t = toks(s); t.zip(t.drop(1)) }
+    val model = train.flatMap(bigrams).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val hcnt = model.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val n1h = model.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1c = model.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = model.size.toLong
+    val v = train.flatMap(toks).distinct.size.toLong
+    val n1 = model.values.count(_ == 1L).toLong
+    val n2 = model.values.count(_ == 2L).toLong
+    val d = discount.getOrElse(
+      if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2) else 0.5)
+    (l: String, r: String) => {
+      val pc = (n1c.getOrElse(r, 0L) + 1.0) / (b + v)
+      hcnt.get(l) match {
+        case Some(h) =>
+          (math.max(model.getOrElse((l, r), 0L) - d, 0.0) +
+            d * n1h(l) * pc) / h
+        case None => pc
+      }
+    }
+  }
+
+  test("kneser-ney: matches local reference on seen/unseen/OOV bigrams") {
+    val trainDf = train.map(Tuple1(_)).toDF("text")
+    val model = LanguageModel.trainBigram(trainDf, "text")
+    val vocab = LanguageModel.vocabSize(trainDf, "text")
+    val p = knRef(train, None)
+    val cases = Seq(
+      (1L, "the cat sat"),        // seen bigrams
+      (2L, "the dog ate a fish"), // recombined: seen histories, unseen pairs
+      (3L, "zebra quantum flux"), // fully OOV -> pure continuation floor
+      (4L, "mat the"))            // seen words, 'mat' history unseen
+    val got = LanguageModel.scoreDocsKneserNey(
+      cases.toDF("doc_id", "text"), model, vocab, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "nll")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    cases.zip(got).foreach { case ((id, text), (gid, gn, gnll)) =>
+      val ts = text.split(" ").toSeq
+      val bs = ts.zip(ts.drop(1))
+      assert(gid === id && gn === bs.size.toLong)
+      val want = bs.map { case (l, r) => -math.log(p(l, r)) }.sum / bs.size
+      assert(math.abs(gnll.get - want) < 1e-12, s"doc $id")
+    }
+  }
+
+  test("kneser-ney: seen-history rows normalize to 1 over vocab + OOV mass") {
+    // With continuation add-one, sum_w P(w|h) over the VOCAB is exactly
+    // 1 for every seen history (the discount deficit equals the
+    // restored continuation mass); OOV words add strictly positive
+    // extra mass of 1/(B+V) each, never zero.
+    val p = knRef(train, None)
+    val vocabToks = train.flatMap(_.split(" ")).distinct
+    for (h <- Seq("the", "cat", "on", "a")) {
+      val s = vocabToks.map(w => p(h, w)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"history $h sums to $s")
+    }
+    assert(p("the", "zebra") > 0.0)
+    // fixed-discount variant obeys the same law
+    val pFix = knRef(train, Some(0.75))
+    val s = vocabToks.map(w => pFix("the", w)).sum
+    assert(math.abs(s - 1.0) < 1e-12)
+    // engine agrees with the fixed-discount reference too
+    val trainDf = train.map(Tuple1(_)).toDF("text")
+    val got = LanguageModel.scoreDocsKneserNey(
+      Seq((1L, "the cat")).toDF("doc_id", "text"),
+      LanguageModel.trainBigram(trainDf, "text"),
+      LanguageModel.vocabSize(trainDf, "text"),
+      "text", "doc_id", discount = Some(0.75))
+      .select("nll").as[Option[Double]].collect()(0).get
+    assert(math.abs(got - (-math.log(pFix("the", "cat")))) < 1e-12)
+  }
 }

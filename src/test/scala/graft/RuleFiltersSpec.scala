@@ -71,4 +71,34 @@ class RuleFiltersSpec extends SparkTestBase {
       .select("text").as[String].collect()
     assert(kept.toSeq === Seq("One good line.\nTwo good lines!"))
   }
+
+  test("gopher kernel law: one-pass GopherStats == the HOF formulation") {
+    // The codegen'd kernel must be bit-identical to the original
+    // filter/aggregate/rlike/array_contains formulation on real corpus
+    // text plus the whitespace/unicode edge cases.
+    def hofStats(text: org.apache.spark.sql.Column) = {
+      val toks = filter(graft.ops.TextAnalysis.tokens(text), t => length(t) > 0)
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      struct(
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        stops.map(s => when(array_contains(toks, s), 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("n_stop"))
+    }
+    val edge = Seq("", "   ", "\tthe\n be  ofé café 世界 123 ...",
+      "THE BE to OF", "have-with that.be", "á é").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val corpus = sf("documents").select(col("doc_id").as("id"), col("text"))
+      .unionAll(edge.toDF("id", "text"))
+    val diff = corpus
+      .select(graft.functions.VectorExprs.gopherStats(lower(col("text"))).as("k"),
+        hofStats(col("text")).as("h"))
+      .filter(col("k.n_words") =!= col("h.n_words") ||
+        col("k.sum_len") =!= col("h.sum_len") ||
+        col("k.n_alpha") =!= col("h.n_alpha") ||
+        col("k.n_stop") =!= col("h.n_stop"))
+      .count()
+    assert(diff === 0L)
+  }
 }
