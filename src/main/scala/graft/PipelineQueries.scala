@@ -605,6 +605,16 @@ object PipelineQueries {
           (col("margin") >= 0).cast("long").as("pred"))
         .orderBy("doc_id")),
 
+    // DSIR importance resampling (Xie 2023): 100 docs Gumbel-top-k
+    // resampled toward the lang='en' hashed-n-gram distribution;
+    // models trained inline, ratio table complete over 512 buckets
+    "q_dsir" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.ops.Dsir.resample(dd, dd.filter(col("lang") === "en"),
+        "text", "doc_id", dim = 512, k = 100)
+        .orderBy(desc("key"), col("doc_id"))
+    }),
+
     // reproducible content-hash sampling: ~20% keep, same rows every
     // run on every engine
     "q_sample_hash" -> ((s, d) =>
@@ -1593,6 +1603,39 @@ object PipelineQueries {
          SELECT doc_id, round(margin, 6) AS marg,
            (CASE WHEN margin >= 0 THEN 1 ELSE 0 END)::BIGINT AS pred
          FROM m ORDER BY doc_id""",
+
+    "q_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $W AS w FROM documents),
+         uni AS (SELECT doc_id, lang, unnest(w) AS t FROM tok),
+         bi AS (SELECT doc_id, lang, unnest(list_transform(
+           range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END),
+           i -> w[i] || ' ' || w[i+1])) AS t FROM tok),
+         feats AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS bucket
+           FROM (SELECT * FROM uni WHERE len(t) > 0
+                 UNION ALL SELECT * FROM bi)),
+         tcnt AS (SELECT bucket, count(*)::BIGINT AS tcnt FROM feats
+           WHERE lang = 'en' GROUP BY 1),
+         rcnt AS (SELECT bucket, count(*)::BIGINT AS rcnt FROM feats
+           GROUP BY 1),
+         buckets AS (SELECT range::INT AS bucket FROM range(512)),
+         j AS (SELECT b.bucket, t.tcnt, r.rcnt FROM buckets b
+           LEFT JOIN tcnt t USING (bucket) LEFT JOIN rcnt r USING (bucket)),
+         tot AS (SELECT sum(coalesce(tcnt, 0))::BIGINT AS tt,
+           sum(coalesce(rcnt, 0))::BIGINT AS tr FROM j),
+         ratio AS (SELECT bucket,
+             round(ln((coalesce(tcnt, 0) + 1.0) / (tot.tt + 512)) -
+                   ln((coalesce(rcnt, 0) + 1.0) / (tot.tr + 512)), 6) AS r
+           FROM j, tot),
+         scored AS (SELECT f.doc_id, round(sum(rt.r), 6) AS logw
+           FROM feats f JOIN ratio rt USING (bucket) GROUP BY 1),
+         keyed AS (SELECT doc_id, logw,
+             round(logw + round(-ln(-ln(
+               ((('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 ::DOUBLE + 0.5) / 1152921504606846976.0))), 6), 6) AS key
+           FROM scored)
+         SELECT doc_id, logw, key FROM keyed
+         ORDER BY key DESC, doc_id LIMIT 100""",
 
     "q_sample_hash" ->
       s"""SELECT doc_id FROM documents

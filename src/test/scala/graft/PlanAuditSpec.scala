@@ -33,7 +33,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_source_shift",        // scalar total joined onto per-source rows
     "q_tfidf",               // scalar corpus doc-count (1-row broadcast)
     "q_perplexity",          // scalar smoothing V (1-row broadcast)
+    "q_perplexity_kn",       // scalar (B, n1, n2, V) KN totals (1-row broadcast)
     "q_ppl_buckets",         // same scoreDocs scalar V (1-row broadcast)
+    "q_dsir",                // scalar (tt, tr) model totals (1-row broadcast)
     "q_collocations"         // scalar corpus token total T (1-row broadcast)
   )
 
@@ -59,7 +61,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_source_shift", // corpus-total token count -> 1 scalar
     "q_tfidf",        // corpus doc-count -> 1 scalar
     "q_perplexity",   // distinct-token count V -> 1 scalar
+    "q_perplexity_kn",// KN count-of-counts totals -> 1 scalar
     "q_ppl_buckets",  // same scoreDocs distinct-token count V -> 1 scalar
+    "q_dsir",         // hashed-bag model totals -> 1 scalar
     "q_collocations"  // corpus token total T -> 1 scalar
   )
 
