@@ -103,6 +103,34 @@ object HashKernels {
     if (seen) java.lang.Double.valueOf(acc) else null
   }
 
+  /** Per-row hashed-bag count vector: counts(bucket) over the nonempty
+    * elements, bucket = top 60 md5 digest bits mod dim — EXACTLY
+    * [[linearBagScore]]'s bucket (== the certified
+    * `conv(substr(md5(t),1,15),16,10) % dim` oracle idiom). Doubles so
+    * the corpus model is one VectorSumAgg away (counts are integral,
+    * exact below 2^53). */
+  def hashedBagCounts(arr: ArrayData, dim: Int): ArrayData = {
+    val n = arr.numElements()
+    val counts = new Array[Double](dim)
+    val digest = digests.get()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t.numBytes() > 0) {
+        digest.reset()
+        digest.update(t.getBytes)
+        val h = digest.digest()
+        var v = 0L
+        var j = 0
+        while (j < 7) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
+        v = (v << 4) | ((h(7) >> 4) & 0xfL)
+        counts((v % dim).toInt) += 1.0
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
   private def toHex(bytes: Array[Byte]): UTF8String = {
     val out = new Array[Char](32)
     var j = 0
@@ -349,6 +377,31 @@ case class LinearBagScoreExpr(child: Expression, weights: Array[Double],
     })
 
   override protected def withNewChildInternal(c: Expression): LinearBagScoreExpr =
+    copy(child = c)
+}
+
+/** Per-row hashed-bag count vector over a token array (see
+  * HashKernels.hashedBagCounts) — feeds VectorSumAgg so a corpus
+  * bag-of-buckets model is one map pass + one dim-length vector
+  * aggregate, no explode. */
+case class HashedBagCountsExpr(child: Expression, dim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.hashedBagCounts(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.hashedBagCounts($a, $dim);")
+
+  override protected def withNewChildInternal(c: Expression): HashedBagCountsExpr =
     copy(child = c)
 }
 

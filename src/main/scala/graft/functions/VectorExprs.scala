@@ -539,6 +539,10 @@ object VectorExprs {
         "graft_gopher_stats",
         exprs => GopherStats(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
+        "graft_hashed_bag_counts",
+        exprs => HashedBagCountsExpr(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
         "graft_langid",
         exprs => LangIdBest(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
@@ -716,6 +720,15 @@ object VectorExprs {
 
   /** Codegen'd linear hashed-bag margin over a token array (the
     * QualityClassifier scorer); null when no nonempty token. */
+  /** Per-row hashed-bag count vector (dim doubles) over a token array
+    * (see [[graft.functions.HashedBagCountsExpr]]). */
+  def hashedBagCounts(tokens: Column, dim: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_hashed_bag_counts", tokens, lit(dim))
+  }
+
   /** One-pass Gopher rule-filter counts over LOWERCASED text
     * (see [[graft.functions.GopherStats]]). */
   def gopherStats(loweredText: Column): Column = {

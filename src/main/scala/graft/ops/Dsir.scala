@@ -49,22 +49,33 @@ object Dsir {
       filter(TextAnalysis.tokens(text), t => length(t) > 0),
       TextAnalysis.shingles(text, 2))
 
-  /** (bucket, cnt) hashed-bag counts of a corpus — one explode +
-    * hash-aggregate pass, ≤ dim rows out. */
+  /** (bucket, cnt) hashed-bag counts of a corpus: one codegen'd
+    * map pass (per-doc count vector, no explode — the bucket is the
+    * same top-60-md5-bits as [[QualityClassifier.featureIdx]],
+    * DsirSpec pins the law) + one dim-length vector-sum aggregate,
+    * ≤ dim rows out. */
   def bucketCounts(df: DataFrame, textCol: String, dim: Int): DataFrame =
-    df.select(explode(featureStrings(col(textCol))).as("__t"))
-      .select(QualityClassifier.featureIdx(col("__t"), dim).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    df.select(graft.functions.VectorExprs.hashedBagCounts(
+        featureStrings(col(textCol)), dim).as("__v"))
+      .agg(graft.functions.VectorExprs.vectorSum(col("__v")).as("__s"))
+      .select(posexplode(col("__s")).as(Seq("bucket", "__c")))
+      .filter(col("__c") > 0)
+      .select(col("bucket"), col("__c").cast("long").as("cnt"))
 
   /** COMPLETE dim-row log-ratio table (bucket, r): r_b =
     * round(ln p_target(b) − ln p_raw(b), 6) with add-1 smoothing, a
     * row for every bucket in [0, dim) so scoring never needs a
     * missing-bucket default. Totals ride as one broadcast row. */
   def logRatios(target: DataFrame, raw: DataFrame, textCol: String,
-                dim: Int): DataFrame = {
-    val tc = bucketCounts(target, textCol, dim).withColumnRenamed("cnt", "tcnt")
-    val rc = bucketCounts(raw, textCol, dim).withColumnRenamed("cnt", "rcnt")
-    val spark = target.sparkSession
+                dim: Int): DataFrame =
+    logRatiosFromCounts(
+      bucketCounts(target, textCol, dim).withColumnRenamed("cnt", "tcnt"),
+      bucketCounts(raw, textCol, dim).withColumnRenamed("cnt", "rcnt"),
+      target.sparkSession, dim)
+
+  private def logRatiosFromCounts(tc: DataFrame, rc: DataFrame,
+                                  spark: org.apache.spark.sql.SparkSession,
+                                  dim: Int): DataFrame = {
     val buckets = spark.range(0, dim).select(col("id").cast("int").as("bucket"))
     val joined = buckets
       .join(tc, Seq("bucket"), "left")
@@ -94,6 +105,22 @@ object Dsir {
         count(lit(1)).as("n_feats"),
         round(sum(col("r")), 6).as("logw"))
 
+  /** [[logImportance]] against a LOCAL pinned ratio vector (index =
+    * bucket; a zero bias slot is appended internally for the kernel):
+    * one codegen'd map-only fold per row
+    * ([[graft.functions.LinearBagScoreExpr]] — same md5 bucket, same
+    * accumulation), no join, no shuffle, no state — runs unchanged on
+    * a stream, the ingest-side domain-scoring shape. Docs with no
+    * features are dropped (null margin), matching the join path. */
+  def logImportanceLocal(docs: DataFrame, ratios: Seq[Double], dim: Int,
+                         textCol: String, idCol: String): DataFrame = {
+    require(ratios.length == dim, s"need $dim ratios, got ${ratios.length}")
+    docs.select(col(idCol),
+      round(graft.functions.VectorExprs.linearBagScore(
+        featureStrings(col(textCol)), ratios :+ 0.0, dim), 6).as("logw"))
+      .filter(col("logw").isNotNull)
+  }
+
   /** Deterministic Gumbel noise for one doc id: g = −ln(−ln u),
     * u = (md5-hash-uniform + 0.5) / 2^60 ∈ (0, 1), seeded so reruns
     * and engines agree. Rounded to 6 dp (resampling-key contract). */
@@ -111,8 +138,21 @@ object Dsir {
     * exact, ties broken on the id. */
   def resample(docs: DataFrame, target: DataFrame, textCol: String,
                idCol: String, dim: Int, k: Int, seed: Int = 7): DataFrame = {
+    require(dim <= (1 << 20),
+      s"dim=$dim exceeds the local-ratio gate (2^20); compose " +
+        "logRatios + logImportance (the join path) instead")
+    // The model passes collapse to dim rows each (explode → map-side
+    // partial agg → dim-row final); the ratio VECTOR is dim doubles —
+    // a DECLARED size-gated collect (the localModel contract). Scoring
+    // is then the stateless codegen'd fold (logImportanceLocal): no
+    // doc×bucket shuffle, no join — the corpus is touched by exactly
+    // one map pass plus TakeOrdered's per-partition heaps. The ratios
+    // are rounded INSIDE the plan (executor round == join path), so
+    // logw here is bit-equal to the join path's.
     val ratios = logRatios(target, docs, textCol, dim)
-    logImportance(docs, ratios, dim, textCol, idCol)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    logImportanceLocal(docs, ratios.toSeq, dim, textCol, idCol)
       .select(col(idCol), col("logw"),
         round(col("logw") + gumbel(col(idCol), seed), 6).as("key"))
       .orderBy(desc("key"), col(idCol))

@@ -30,9 +30,16 @@ class DsirSpec extends SparkTestBase {
     val rows = rt.collect()
     assert(rows.length === dim)
     assert(rows.map(_.getInt(0)).sorted.toSeq === (0 until dim))
-    // add-1 smoothing: sum_b (c_b+1)/(total+dim) = 1 exactly per corpus
+    // kernel law: the fused count-vector path == the explode/featureIdx
+    // formulation (same top-60-md5-bits bucket)
     val tc = Dsir.bucketCounts(target.toDF("id", "text"), "text", dim)
       .as[(Int, Long)].collect().toMap
+    val explodePath = target.toDF("id", "text")
+      .select(explode(Dsir.featureStrings(col("text"))).as("t"))
+      .select(graft.ops.QualityClassifier.featureIdx(col("t"), dim).as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect().toMap
+    assert(tc === explodePath)
+    // add-1 smoothing: sum_b (c_b+1)/(total+dim) = 1 exactly per corpus
     val total = tc.values.sum
     val pSum = (0 until dim).map(b =>
       (tc.getOrElse(b, 0L) + 1.0) / (total + dim)).sum
@@ -44,13 +51,10 @@ class DsirSpec extends SparkTestBase {
     val ratios = Dsir.logRatios(target.toDF("id", "text"), rawDf, "text", dim)
     val joinPath = Dsir.logImportance(rawDf, ratios, dim, "text", "id")
       .select(col("id"), col("logw")).as[(Long, Double)].collect().toMap
-    // same ratio vector as a local weight array, bias 0: the streaming
+    // same ratio vector as a local weight array: the streaming
     // map-only scoring shape
-    val w = ratios.as[(Int, Double)].collect().sortBy(_._1).map(_._2) :+ 0.0
-    val localPath = rawDf
-      .select(col("id"), round(graft.functions.VectorExprs.linearBagScore(
-        Dsir.featureStrings(col("text")), w.toSeq, dim), 6).as("logw"))
-      .filter(col("logw").isNotNull)
+    val w = ratios.as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val localPath = Dsir.logImportanceLocal(rawDf, w.toSeq, dim, "text", "id")
       .as[(Long, Double)].collect().toMap
     assert(joinPath.keySet === localPath.keySet) // doc 15 absent from both
     joinPath.foreach { case (id, lw) =>

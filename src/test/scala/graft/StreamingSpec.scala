@@ -712,6 +712,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("gopher gate + DSIR local scoring run unchanged on a stream: " +
+    "stateless projections, batch-equal") {
+    import graft.ops.{Dsir, RuleFilters}
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 32
+    // pinned ratio vector (the deployed-model shape): favor 'the'-bucket
+    val idx = Seq("the").toDF("t")
+      .select(graft.ops.QualityClassifier.featureIdx(col("t"), dim))
+      .as[Int].head()
+    val ratios = Array.fill(dim)(-0.1)
+    ratios(idx) = 1.5
+    val rows = Seq(
+      (1L, "the cat sat on the mat and the dog"),
+      (2L, "xx yy zz"),  // fails gopher word floor
+      (3L, "the committee shall review the annual report with care"),
+      (4L, ""))
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      Dsir.logImportanceLocal(
+        RuleFilters.gopherFilter(df, "text", minWords = 5, maxWords = 100,
+          minMwl = 2.0, maxMwl = 8.0, minAlphaFrac = 0.5, minStopHits = 1),
+        ratios.toSeq, dim, "text", "id")
+    val input = MemoryStream[(Long, String)]
+    val q = pipe(input.toDF().toDF("id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_gopher_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_gopher_out").orderBy("id")
+        .as[(Long, Double)].collect().toSeq
+      val want = pipe(rows.toDF("id", "text")).orderBy("id")
+        .as[(Long, Double)].collect().toSeq
+      assert(got === want)
+      assert(got.map(_._1) === Seq(1L, 3L)) // 2 gated out, 4 no evidence
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact decontamination mirrors batch Selection on a stream") {
     import graft.streaming.StreamingContamination
     implicit val sqlCtx = spark.sqlContext
