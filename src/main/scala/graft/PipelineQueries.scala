@@ -30,6 +30,13 @@ object PipelineQueries {
   }
   private def mhSqlOf(c: String, h: Int) =
     s"list_min(list_transform(${shOf(c)}, s -> md5('$h' || '|' || s)))"
+  // generic k-gram mirror of shOf (shOf is the k=3 fast path)
+  private def kShOf(c: String, k: Int) = {
+    val w = wOf(c)
+    s"list_transform(range(1, CASE WHEN len($w) >= $k THEN len($w) - ${k - 2} " +
+      s"ELSE 1 END), i -> list_aggregate(list_slice($w, i, i + ${k - 1}), " +
+      "'string_agg', ' '))"
+  }
   private val W = wOf("text")
 
   // ---- pinned quality-classifier model (q_quality_classifier) ----------
@@ -674,6 +681,25 @@ object PipelineQueries {
     "q_decontaminate" -> ((s, d) =>
       Selection.decontaminate(docs(s, d),
         docs(s, d).filter(col("doc_id") < 50), "text")
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // N-GRAM-overlap contamination (Brown et al. 2020 appendix C):
+    // docs sharing ANY 5-gram with the benchmark slice — catches
+    // partial inclusion fingerprint matching misses. Exact path.
+    "q_ngram_contam" -> ((s, d) =>
+      graft.ops.Contamination.contaminated(docs(s, d),
+        docs(s, d).filter(col("doc_id") < 50), "text", "doc_id", k = 5)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // bloom two-phase decontaminate: map-only bloom prefilter (plan-
+    // constant filter over benchmark 5-gram xxhash64s), exact verify
+    // over the candidate sliver only. The EXACT oracle passing is the
+    // machine-checked no-false-negative law.
+    "q_bloom_decontam" -> ((s, d) =>
+      graft.ops.Contamination.decontaminateBloom(docs(s, d),
+        docs(s, d).filter(col("doc_id") < 50), "text", "doc_id", k = 5)
         .select("doc_id")
         .orderBy("doc_id")),
 
@@ -1657,6 +1683,25 @@ object PipelineQueries {
            AND md5(regexp_replace(trim(lower(b.text)), '\\s+', ' ', 'g'))
              = md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')))
          ORDER BY doc_id""",
+
+    "q_ngram_contam" ->
+      s"""WITH t AS (SELECT doc_id, ${kShOf("text", 5)} AS sh FROM documents),
+         b AS (SELECT DISTINCT u AS g FROM
+           (SELECT unnest(sh) AS u FROM t WHERE doc_id < 50)),
+         c AS (SELECT DISTINCT doc_id FROM
+           (SELECT doc_id, unnest(sh) AS u FROM t)
+           WHERE u IN (SELECT g FROM b))
+         SELECT doc_id FROM c ORDER BY doc_id""",
+
+    "q_bloom_decontam" ->
+      s"""WITH t AS (SELECT doc_id, ${kShOf("text", 5)} AS sh FROM documents),
+         b AS (SELECT DISTINCT u AS g FROM
+           (SELECT unnest(sh) AS u FROM t WHERE doc_id < 50)),
+         c AS (SELECT DISTINCT doc_id FROM
+           (SELECT doc_id, unnest(sh) AS u FROM t)
+           WHERE u IN (SELECT g FROM b))
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM c) ORDER BY doc_id""",
 
     "q_pipeline_e2e" ->
       s"""WITH RECURSIVE base AS (SELECT doc_id, lang, text,

@@ -219,6 +219,45 @@ object HashKernels {
     min
   }
 
+  /** Fused shingle → xxhash64 → bloom probe, short-circuit on first
+    * hit: does ANY k-token shingle of `arr` land in `bf`? The shingle
+    * bytes stream through the same thread-local buffer as
+    * [[minHashXx64Shingles]]; the probe key is Spark's unseeded
+    * `xxhash64(shingle)` (XXH64 over the joined bytes, seed 42) — the
+    * EXACT hash the bloom's build side inserts
+    * ([[graft.ops.Contamination.benchNgramBloom]]), so the
+    * no-false-negative law is a bit-level identity, not a convention.
+    * False for arrays shorter than k (no shingles). */
+  def bloomAnyShingle(arr: ArrayData, k: Int,
+                      bf: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    val n = arr.numElements()
+    var buf = xxBuf.get()
+    var i = 0
+    while (i <= n - k) {
+      var len = 0
+      var j = 0
+      while (j < k) { len += arr.getUTF8String(i + j).numBytes; j += 1 }
+      len += k - 1
+      if (buf.length < len) {
+        buf = new Array[Byte](Integer.highestOneBit(len - 1) << 1)
+        xxBuf.set(buf)
+      }
+      var off = 0
+      j = 0
+      while (j < k) {
+        val t = arr.getUTF8String(i + j)
+        t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
+        off += t.numBytes
+        if (j < k - 1) { buf(off) = ' '.toByte; off += 1 }
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (bf.mightContainLong(h)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Fused token-hash + SimHash vote: per token, hash (md5-first-4-bytes
     * unsigned, matching `conv(substring(md5(t),1,8),16,10)`, or Spark's
     * `xxhash64(t)`), then the 32-bit ±1 vote loop — one pass, no
@@ -402,6 +441,45 @@ case class HashedBagCountsExpr(child: Expression, dim: Int)
       s"${ev.value} = graft.functions.HashKernels.hashedBagCounts($a, $dim);")
 
   override protected def withNewChildInternal(c: Expression): HashedBagCountsExpr =
+    copy(child = c)
+}
+
+/** Bloom-filter membership prefilter over a token array: true iff ANY
+  * k-token shingle's `xxhash64` lands in the bloom. The filter ships
+  * as its serialized bytes (a plan constant, like the classifier's
+  * weight vector — the caller gates its size), deserialized once per
+  * executor via the lazy field; codegen references the deserialized
+  * object directly (`addReferenceObj`), so the hot loop is one
+  * streamed hash+probe pass per row — no UDF, no join, no state:
+  * safe on a stream. Guarantee: NO false negatives (bit-identical
+  * build/probe hash), so `!result` proves "shares no k-gram with the
+  * benchmark" and a downstream exact verify only ever sees the
+  * candidate sliver. */
+case class BloomContainsAnyShingle(child: Expression, bloomBytes: Array[Byte],
+                                   k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.bloomAnyShingle(input.asInstanceOf[ArrayData], k, bf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashKernels.bloomAnyShingle($a, $k, $bloomRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomContainsAnyShingle =
     copy(child = c)
 }
 

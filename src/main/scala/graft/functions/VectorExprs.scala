@@ -539,6 +539,11 @@ object VectorExprs {
         "graft_gopher_stats",
         exprs => GopherStats(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction(
+        "graft_bloom_any_shingle",
+        exprs => BloomContainsAnyShingle(exprs(0),
+          exprs(1).eval().asInstanceOf[Array[Byte]],
+          exprs(2).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction(
         "graft_hashed_bag_counts",
         exprs => HashedBagCountsExpr(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -720,6 +725,16 @@ object VectorExprs {
 
   /** Codegen'd linear hashed-bag margin over a token array (the
     * QualityClassifier scorer); null when no nonempty token. */
+  /** True iff any k-token shingle of `tokens` might be in the bloom
+    * filter (serialized bytes) — see
+    * [[graft.functions.BloomContainsAnyShingle]]. */
+  def bloomAnyShingle(tokens: Column, bloomBytes: Array[Byte], k: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_bloom_any_shingle", tokens, lit(bloomBytes), lit(k))
+  }
+
   /** Per-row hashed-bag count vector (dim doubles) over a token array
     * (see [[graft.functions.HashedBagCountsExpr]]). */
   def hashedBagCounts(tokens: Column, dim: Int): Column = {

@@ -750,6 +750,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming bloom n-gram decontamination: stateless plan-constant " +
+    "prefilter, batch-equal, never leaks a contaminated doc") {
+    import graft.ops.Contamination
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")).toDF("id", "text")
+    val rows = Seq(
+      (1L, "he said the quick brown fox was a myth"), // shares a 3-gram
+      (2L, "entirely novel content with no overlap at all"),
+      (3L, "five dozen liquor jugs were packed"),      // shares a 3-gram
+      (4L, "short one"))
+    val bytes = Contamination.benchNgramBloom(bench, "text", k = 3)
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      df.filter(!Contamination.mightBeContaminated(col("text"), bytes, 3))
+    val input = MemoryStream[(Long, String)]
+    val q = clean(input.toDF().toDF("id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloom_decontam_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("bloom_decontam_out").select("id")
+        .as[Long].collect().toSet
+      val want = clean(rows.toDF("id", "text")).select("id")
+        .as[Long].collect().toSet
+      assert(got === want)
+      // conservative law: the stream NEVER keeps a doc the exact path
+      // calls contaminated (bloom has no false negatives)
+      val exact = Contamination.contaminatedIds(
+        rows.toDF("id", "text"), bench, "text", "id", k = 3)
+        .as[Long].collect().toSet
+      assert(got.intersect(exact).isEmpty)
+      assert((Set(1L, 2L, 3L, 4L) -- exact -- got).isEmpty ||
+        got === Set(2L, 4L)) // fpp may drop extra docs, never leak
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact decontamination mirrors batch Selection on a stream") {
     import graft.streaming.StreamingContamination
     implicit val sqlCtx = spark.sqlContext
