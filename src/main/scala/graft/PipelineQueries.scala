@@ -763,6 +763,20 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // CCNet/Dolma-style boilerplate: passage windows whose hash recurs
+    // corpus-wide (total occurrences), and the per-doc scrub that
+    // removes them and reassembles the survivors in order
+    "q_boilerplate" -> ((s, d) =>
+      Dedup.frequentPassages(docs(s, d), "text", "doc_id",
+          window = 10, minCount = 2, useMd5 = true)
+        .orderBy("p_hash")),
+
+    "q_boilerplate_scrub" -> ((s, d) =>
+      Dedup.scrubFrequentPassages(docs(s, d).select("doc_id", "text"),
+          "text", "doc_id", window = 10, minCount = 2, useMd5 = true)
+        .select(col("doc_id"), md5(col("clean")).as("clean_hash"))
+        .orderBy("doc_id")),
+
     // SimHash near-dup pairs: pigeonhole-banded candidates + hamming
     // verify — provably equal to the O(n²) scan it never runs
     "q_simhash_neardup" -> ((s, d) =>
@@ -1844,6 +1858,31 @@ object PipelineQueries {
     // EQUI-join candidate shape (one hash join per minhash lane,
     // UNION-dedup'd) — the same plan family Spark runs, and hash-joinable
     // for DuckDB where the OR-join formulation would nested-loop
+    "q_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         p0 AS (SELECT doc_id, w,
+           unnest(range(0, (len(w) + 9) // 10))::BIGINT AS para_idx FROM t),
+         p AS (SELECT doc_id, para_idx,
+           array_to_string(w[para_idx * 10 + 1 : para_idx * 10 + 10], ' ') AS pt
+           FROM p0)
+         SELECT md5(pt) AS p_hash, count(*)::BIGINT AS n_total
+         FROM p GROUP BY 1 HAVING count(*) >= 2 ORDER BY p_hash""",
+
+    "q_boilerplate_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         p0 AS (SELECT doc_id, w,
+           unnest(range(0, (len(w) + 9) // 10))::BIGINT AS para_idx FROM t),
+         p AS (SELECT doc_id, para_idx,
+           array_to_string(w[para_idx * 10 + 1 : para_idx * 10 + 10], ' ') AS pt
+           FROM p0),
+         freq AS (SELECT md5(pt) AS h FROM p GROUP BY 1 HAVING count(*) >= 2),
+         kept AS (SELECT doc_id, para_idx, pt FROM p
+           WHERE md5(pt) NOT IN (SELECT h FROM freq)),
+         re AS (SELECT doc_id, string_agg(pt, ' ' ORDER BY para_idx) AS clean
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, md5(coalesce(re.clean, '')) AS clean_hash
+         FROM documents d LEFT JOIN re USING (doc_id) ORDER BY doc_id""",
+
     "q_passage_near_dup" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          p0 AS (SELECT doc_id, w,

@@ -526,6 +526,60 @@ object Dedup {
       .drop("__nt")
   }
 
+  /** Passage hashes occurring ≥ `minCount` times ACROSS THE CORPUS
+    * (total occurrences — a passage repeated inside one doc counts
+    * every time): (p_hash, n_total). The CCNet paragraph-hash
+    * frequency view (Wenzek et al. 2020 §4.1 dedups paragraphs by
+    * hash; Dolma ships the same as its paragraph-level dedup),
+    * at fixed-token-window granularity for corpora without structural
+    * separators. One hash-partitioned aggregate over the map-only
+    * passage explode; the frequent set stays DISTRIBUTED (on a
+    * web-scale corpus boilerplate is itself huge — the [[Spans]]
+    * posture). */
+  def frequentPassages(df: DataFrame, textCol: String, idCol: String,
+                       window: Int = 20, minCount: Int = 2,
+                       useMd5: Boolean = false): DataFrame = {
+    val h = if (useMd5) md5(col("para_text")) else hex(xxhash64(col("para_text")))
+    passages(df, textCol, idCol, window)
+      .select(h.as("p_hash"))
+      .groupBy("p_hash").agg(count(lit(1)).as("n_total"))
+      .filter(col("n_total") >= minCount)
+  }
+
+  /** Every document with its corpus-frequent passages removed —
+    * boilerplate scrub: a window survives iff its hash occurs fewer
+    * than `minCount` times corpus-wide; surviving windows are
+    * rejoined in document order into `outCol` (lowercased, the
+    * [[passages]] normalization). Docs that are pure boilerplate
+    * yield "". Complements [[Spans.scrubSpans]]: spans remove
+    * content duplicated across ≥ minDocs DISTINCT documents at
+    * every token offset; this removes high-TOTAL-frequency fixed
+    * windows — the CCNet/Dolma semantics — with a far cheaper plan
+    * (no per-position coverage join; one anti join + one reassembly).
+    *
+    * Scale: two map-only passes over the corpus (the frequency pass
+    * prunes to the hash column — recomputing beats caching a
+    * corpus-sized passage table), one hash aggregate, one left_anti
+    * equi-join on the passage hash, one doc-keyed reassembly whose
+    * buffer holds a single document (the chunker bound). */
+  def scrubFrequentPassages(df: DataFrame, textCol: String, idCol: String,
+                            window: Int = 20, minCount: Int = 2,
+                            useMd5: Boolean = false,
+                            outCol: String = "clean"): DataFrame = {
+    val h = if (useMd5) md5(col("para_text")) else hex(xxhash64(col("para_text")))
+    val freq = frequentPassages(df, textCol, idCol, window, minCount, useMd5)
+      .select("p_hash")
+    val kept = passages(df, textCol, idCol, window)
+      .withColumn("p_hash", h)
+      .join(freq, Seq("p_hash"), "left_anti")
+    val reassembled = kept.groupBy(idCol).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("para_idx"), col("para_text")))),
+          x => x.getField("para_text")), " ").as(outCol))
+    df.join(reassembled, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("")))
+  }
+
   /** 32-bit SimHash over token hashes. md5 mode (cross-engine
     * reproducible, used by the oracle queries) hashes each token to its
     * first-4-md5-bytes value; xxhash64 mode is the production fast

@@ -339,6 +339,38 @@ class OpsSpec extends SparkTestBase {
     assert("CASE WHEN".r.findAllIn(ubPlan).size <= 1, ubPlan)
   }
 
+  test("frequent-passage boilerplate scrub: corpus-frequent windows " +
+    "removed, in-doc repeats count, unique content survives") {
+    val d = Seq(
+      // docs 1..3 share the same 4-token header window; doc 3 also has
+      // unique tail content; doc 4 repeats one window INSIDE itself
+      (1L, "copyright acme corp reserved alpha beta gamma delta"),
+      (2L, "copyright acme corp reserved epsilon zeta eta theta"),
+      (3L, "copyright acme corp reserved iota kappa lambda mu"),
+      (4L, "one two three four one two three four"),
+      (5L, "wholly original text lives here untouched")).toDF("doc_id", "text")
+    val freq = Dedup.frequentPassages(d, "text", "doc_id",
+      window = 4, minCount = 2, useMd5 = true)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    // header x3, doc-4 window x2
+    assert(freq === Seq(2L, 3L))
+    val out = Dedup.scrubFrequentPassages(d, "text", "doc_id",
+      window = 4, minCount = 2, useMd5 = true)
+      .select("doc_id", "clean").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) === "alpha beta gamma delta")
+    assert(out(2L) === "epsilon zeta eta theta")
+    assert(out(3L) === "iota kappa lambda mu")
+    assert(out(4L) === "") // pure self-repeated boilerplate
+    assert(out(5L) === "wholly original text lives here untouched")
+    // xxhash64 production mode scrubs the identical windows
+    val outXx = Dedup.scrubFrequentPassages(d, "text", "doc_id",
+      window = 4, minCount = 2)
+      .select("doc_id", "clean").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(outXx === out)
+  }
+
   test("passages chunk tokens into fixed windows; paragraphs split on blank lines") {
     val p = Dedup.passages(docs, "text", "doc_id", window = 4)
     // doc 1 has 9 tokens -> windows of 4, 4, 1
