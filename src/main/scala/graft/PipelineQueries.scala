@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** Bench inputs are single-split parquet (one row group), so a
+    * query's stage-1 per-row kernels would run on ONE task; production
+    * inputs arrive in many splits and get stage-1 parallelism from the
+    * scan. An explicit-count hash repartition recreates that
+    * parallelism — explicit because REPARTITION_BY_NUM is exempt from
+    * AQE coalescing, which would fold these small bench rows straight
+    * back to one task. Applied only where stage-1 kernel cost
+    * dominates (tokenize/shingle/minhash/segment over documents). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
   private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
   // events with event time normalized to micros-since-epoch BIGINT
@@ -271,8 +282,16 @@ object PipelineQueries {
         ((col("doc_id") * 7) % 256).cast("string"),
         lit(", v6 2001:db8::"), ((col("doc_id") % 9000) + 1000).cast("string"),
         lit(", ssn 123-45-6789, card 4111 1111 1111 1111."))
+      // repartition BEFORE the regex-heavy projection: the bench input
+      // is one parquet split, which would run the per-row kernels
+      // single-threaded — at production scale input splits provide the
+      // parallelism and the operator itself stays a pure projection
       graft.ops.Pii.scrub(
-          docs(s, d).select(col("doc_id"), injected.as("text")), "text")
+          docs(s, d).select(col("doc_id"), injected.as("text"))
+            // explicit count: REPARTITION_BY_NUM is exempt from AQE
+            // coalescing, which would fold these small rows back to 1
+            .repartition(s.sparkContext.defaultParallelism,
+              col("doc_id")), "text")
         .select(col("doc_id"), col("n_email"), col("n_card"), col("n_ssn"),
           col("n_ipv6"), col("n_ip"), col("n_phone"), col("n_pii"),
           md5(col("redacted")).as("red_hash"))
@@ -295,13 +314,13 @@ object PipelineQueries {
     // documents (boilerplate discovery), and the positional scrub that
     // removes every covered token from every document
     "q_dup_spans" -> ((s, d) =>
-      graft.ops.Spans.duplicatedSpans(docs(s, d), "text", "doc_id",
+      graft.ops.Spans.duplicatedSpans(spread(s, docs(s, d)), "text", "doc_id",
           k = 3, minDocs = 2, useMd5 = true)
         .select(col("span_hash"), col("n_docs"), col("n_total"))
         .orderBy("span_hash")),
 
     "q_span_scrub" -> ((s, d) =>
-      graft.ops.Spans.scrubSpans(docs(s, d).select("doc_id", "text"),
+      graft.ops.Spans.scrubSpans(spread(s, docs(s, d).select("doc_id", "text")),
           "text", "doc_id", k = 3, minDocs = 2, useMd5 = true)
         .select(col("doc_id"), md5(col("clean")).as("clean_hash"))
         .orderBy("doc_id")),
@@ -755,7 +774,7 @@ object PipelineQueries {
     // shingle-minhash LSH machinery as the doc-level path — boilerplate
     // repeating across otherwise-distinct documents surfaces here
     "q_passage_near_dup" -> ((s, d) => {
-      val p = Dedup.passages(docs(s, d), "text", "doc_id", window = 20)
+      val p = Dedup.passages(spread(s, docs(s, d)), "text", "doc_id", window = 20)
         .withColumn("pid", col("doc_id") * 1000 + col("para_idx"))
       Dedup.nearDupPairs(p, "para_text", "pid",
         threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)

@@ -19,6 +19,40 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** All per-category PII match counts in ONE String conversion:
+    * per pattern a plain find() loop — the count `size(
+    * regexp_extract_all(text, re, 0))` computes, without materializing
+    * the match array or converting the UTF8String once per category. */
+  def piiCounts(text: UTF8String,
+                patterns: Array[java.util.regex.Pattern]): ArrayData = {
+    val s = text.toString
+    val out = new Array[Long](patterns.length)
+    var i = 0
+    while (i < patterns.length) {
+      val m = patterns(i).matcher(s)
+      var c = 0L
+      while (m.find()) c += 1
+      out(i) = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Ordered multi-category redaction in ONE String conversion:
+    * replaceAll per pattern, in declared order — bit-identical to the
+    * chained `regexp_replace` fold (mask tokens contain no `$`/`\`,
+    * so literal replaceAll == regexp_replace's group-ref semantics). */
+  def piiRedact(text: UTF8String, patterns: Array[java.util.regex.Pattern],
+                tokens: Array[String]): UTF8String = {
+    var s = text.toString
+    var i = 0
+    while (i < patterns.length) {
+      s = patterns(i).matcher(s).replaceAll(tokens(i))
+      i += 1
+    }
+    UTF8String.fromString(s)
+  }
+
   // Java regex \s — exactly [ \t\n\x0B\f\r], NOT Character.isWhitespace
   private def isWs(c: Int): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
@@ -418,6 +452,73 @@ case class GopherStats(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.gopherStats($c)")
 
   override protected def withNewChildInternal(c: Expression): GopherStats =
+    copy(child = c)
+}
+
+/** All PII category counts over one text value as array<long> (order =
+  * declared category order): one String conversion + one find() loop
+  * per pattern, replacing a `size(regexp_extract_all(...))` per
+  * category (each of which re-converted the string AND materialized
+  * its match array). Patterns compile once per executor via the lazy
+  * field; codegen references the compiled array (`addReferenceObj` —
+  * java.util.regex.Pattern is Serializable). */
+case class PiiCountsExpr(child: Expression, regexes: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val compiled: Array[java.util.regex.Pattern] =
+    regexes.map(java.util.regex.Pattern.compile).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.piiCounts(input.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("piiPatterns", compiled,
+      "java.util.regex.Pattern[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.piiCounts($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PiiCountsExpr =
+    copy(child = c)
+}
+
+/** Ordered PII redaction over one text value: the chained
+  * `regexp_replace` fold as one String conversion + in-order
+  * replaceAll passes. Bit-identical by construction (mask tokens
+  * contain no replacement metacharacters); PropertySpec pins the law
+  * against the fold formulation. */
+case class PiiRedactExpr(child: Expression, regexes: Seq[String],
+                         tokens: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(regexes.length == tokens.length, "one token per regex")
+  require(tokens.forall(t => !t.contains("$") && !t.contains("\\")),
+    "mask tokens must be literal (no $ group refs / escapes)")
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val compiled: Array[java.util.regex.Pattern] =
+    regexes.map(java.util.regex.Pattern.compile).toArray
+
+  @transient private lazy val toks: Array[String] = tokens.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.piiRedact(input.asInstanceOf[UTF8String], compiled, toks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("piiPatterns", compiled,
+      "java.util.regex.Pattern[]")
+    val tRef = ctx.addReferenceObj("piiTokens", toks, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.piiRedact($c, $pRef, $tRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PiiRedactExpr =
     copy(child = c)
 }
 

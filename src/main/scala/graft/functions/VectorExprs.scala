@@ -538,6 +538,17 @@ object VectorExprs {
       reg.createOrReplaceTempFunction(
         "graft_gopher_stats",
         exprs => GopherStats(exprs(0)), "built-in")
+      def strSeq(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+          .map(_.toString).toSeq
+      reg.createOrReplaceTempFunction(
+        "graft_pii_counts",
+        exprs => PiiCountsExpr(exprs(0), strSeq(exprs(1))), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_pii_redact",
+        exprs => PiiRedactExpr(exprs(0), strSeq(exprs(1)), strSeq(exprs(2))),
+        "built-in")
       reg.createOrReplaceTempFunction(
         "graft_bloom_any_shingle",
         exprs => BloomContainsAnyShingle(exprs(0),
@@ -725,6 +736,28 @@ object VectorExprs {
 
   /** Codegen'd linear hashed-bag margin over a token array (the
     * QualityClassifier scorer); null when no nonempty token. */
+  /** All PII category match counts in one pass (array<long>, declared
+    * order) — see [[graft.functions.PiiCountsExpr]]. */
+  def piiCounts(text: Column, regexes: Seq[String]): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_pii_counts", text,
+      org.apache.spark.sql.functions.typedLit(regexes))
+  }
+
+  /** Ordered multi-category PII redaction in one pass — see
+    * [[graft.functions.PiiRedactExpr]]. */
+  def piiRedact(text: Column, regexes: Seq[String],
+                tokens: Seq[String]): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_pii_redact", text,
+      org.apache.spark.sql.functions.typedLit(regexes),
+      org.apache.spark.sql.functions.typedLit(tokens))
+  }
+
   /** True iff any k-token shingle of `tokens` might be in the bloom
     * filter (serialized bytes) — see
     * [[graft.functions.BloomContainsAnyShingle]]. */

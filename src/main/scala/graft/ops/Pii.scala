@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * quality/langid kernels do.
   *
   * Engine contract:
-  *  - Pure `regexp_extract_all` / `regexp_replace` column expressions —
-  *    codegen'd, map-only, zero shuffle, streaming-safe (stateless
-  *    projection: the same calls work unchanged on a readStream DF).
+  *  - Codegen'd fused kernels ([[graft.functions.PiiCountsExpr]] /
+  *    [[graft.functions.PiiRedactExpr]]): ONE String conversion per
+  *    row for all category counts (find() loops — no match-array
+  *    materialization) and one for the ordered redaction chain —
+  *    map-only, zero shuffle, streaming-safe (stateless projection:
+  *    the same calls work unchanged on a readStream DF). The
+  *    `regexp_extract_all`/`regexp_replace` formulations they fuse
+  *    are kept as the spec-pinned reference law ([[count]]).
   *  - The pattern set is deliberately restricted to the regex subset on
   *    which java.util.regex (Spark) and RE2 (DuckDB oracle) agree:
   *    character classes, bounded repetition, non-capturing groups,
@@ -66,29 +71,47 @@ object Pii {
     * is a correctness contract, not a style choice). */
   val defaults: Seq[Category] = Seq(Email, Card, Ssn, Ipv6, Ipv4, Phone)
 
-  /** Number of matches of `cat` in `text` (on the raw text). */
+  /** Number of matches of `cat` in `text` (on the raw text). The
+    * reference formulation — [[counts]] computes every category in one
+    * fused pass; PropertySpec pins the two equal. */
   def count(text: Column, cat: Category): Column =
     size(regexp_extract_all(text, lit(cat.re), lit(0))).cast("long")
 
-  /** All category counts as named columns `n_<cat>`. */
-  def counts(text: Column, cats: Seq[Category] = defaults): Seq[Column] =
-    cats.map(c => count(text, c).as(s"n_${c.name}"))
+  /** All match counts as ONE array<long> in category order: a single
+    * codegen'd pass over one String conversion
+    * ([[graft.functions.PiiCountsExpr]]) — replaces a
+    * `size(regexp_extract_all(...))` per category, each of which
+    * re-converted the string and materialized its match array. */
+  def countsVec(text: Column, cats: Seq[Category] = defaults): Column =
+    graft.functions.VectorExprs.piiCounts(text, cats.map(_.re))
+
+  /** All category counts as named columns `n_<cat>` (one fused pass;
+    * Catalyst's subexpression elimination evaluates the shared
+    * [[countsVec]] once per row). */
+  def counts(text: Column, cats: Seq[Category] = defaults): Seq[Column] = {
+    val v = countsVec(text, cats)
+    cats.zipWithIndex.map { case (c, i) =>
+      element_at(v, i + 1).as(s"n_${c.name}") }
+  }
 
   /** `text` with every category match replaced by its mask token,
-    * applied in the declared order. */
+    * applied in the declared order — one fused pass
+    * ([[graft.functions.PiiRedactExpr]]); the chained `regexp_replace`
+    * fold it replaces is pinned equal in PropertySpec. */
   def redact(text: Column, cats: Seq[Category] = defaults): Column =
-    cats.foldLeft(text)((c, cat) => regexp_replace(c, cat.re, cat.token))
+    graft.functions.VectorExprs.piiRedact(text,
+      cats.map(_.re), cats.map(_.token))
 
   /** Per-document scrub report: input columns + `n_<cat>` counts +
     * `n_pii` total + `redacted` text. Map-only; survives on streams. */
   def scrub(df: DataFrame, textCol: String,
             cats: Seq[Category] = defaults): DataFrame = {
     val t = col(textCol)
-    // count(t, c) appears in both its named column and the total;
-    // ProjectExec's subexpression elimination evaluates each regex once.
+    val v = countsVec(t, cats)
+    val total = cats.indices.map(i => element_at(v, i + 1)).reduce(_ + _)
     df.select(
       (df.columns.map(col).toSeq ++ counts(t, cats) :+
-        cats.map(c => count(t, c)).reduce(_ + _).as("n_pii") :+
+        total.as("n_pii") :+
         redact(t, cats).as("redacted")): _*)
   }
 
@@ -97,7 +120,8 @@ object Pii {
     * policy forbids the document outright. */
   def dropPii(df: DataFrame, textCol: String, maxTotal: Long = 0L,
               cats: Seq[Category] = defaults): DataFrame = {
-    val total = cats.map(c => count(col(textCol), c)).reduce(_ + _)
-    df.filter(total <= maxTotal)
+    val v = countsVec(col(textCol), cats)
+    df.filter(cats.indices.map(i => element_at(v, i + 1)).reduce(_ + _)
+      <= maxTotal)
   }
 }

@@ -505,4 +505,35 @@ class PropertySpec extends SparkTestBase {
       assert(tot(i.toLong) === s, s"doc $i")
     }
   }
+
+  test("pii fused kernels equal the regexp_extract_all / regexp_replace " +
+    "fold formulations bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    val texts = Seq(
+      "a@b.co and \"q 1\"@h.example.org, +1 415-555-0134, (628) 555-0042",
+      "ssn 123-45-6789 ip 10.0.3.17 v6 fe80::1 and 2001:db8::8a2e:370:7334",
+      "card 4111 1111 1111 1111, 206.555.0100, full 1:2:3:4:5:6:7:8 end",
+      "edge: a@b.co.a@b.co overlapping 123-45-678910.0.0.1 dense",
+      "", "   ", "no pii here at all")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val cats = ops.Pii.defaults
+    // counts law: fused vector == per-category reference formulation
+    val fused = df.select(col("doc_id") +: ops.Pii.counts(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        cats.indices.map(i => r.getLong(i + 1))).toMap
+    val ref = df.select(col("doc_id") +:
+        cats.map(c => ops.Pii.count(col("text"), c)): _*)
+      .collect().map(r => r.getLong(0) ->
+        cats.indices.map(i => r.getLong(i + 1))).toMap
+    assert(fused === ref)
+    // redact law: fused chain == the chained regexp_replace fold
+    val both = df.select(col("doc_id"),
+        ops.Pii.redact(col("text")).as("k"),
+        cats.foldLeft(col("text"))((c, cat) =>
+          regexp_replace(c, lit(cat.re), lit(cat.token))).as("f"))
+      .collect()
+    both.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"doc ${r.getLong(0)}"))
+  }
 }
