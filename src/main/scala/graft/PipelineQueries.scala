@@ -687,6 +687,24 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis via
+    // deterministic Gumbel keys): inclusion probability ∝ token count
+    "q_weighted_sample" -> ((s, d) =>
+      Selection.weightedSample(
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("w")),
+        "w", "doc_id", k = 100, seed = 11)
+        .orderBy(desc("key"), col("doc_id"))),
+
+    // deterministic token-balanced output sharding: each doc assigned
+    // to the shard where its exclusive token prefix (canonical md5
+    // permutation) falls
+    "q_shard" -> ((s, d) =>
+      Selection.shardByTokenBudget(
+        docs(s, d).select("doc_id", "text"), "text", "doc_id", 8)
+        .select(col("doc_id"), col("n_tok"), col("shard"))
+        .orderBy("doc_id")),
+
     // exact train/eval contamination: docs sharing a normalized
     // fingerprint with the benchmark slice (doc_id < 50 stands in for
     // the eval set; the slice itself reports as self-contaminated,
@@ -1700,6 +1718,29 @@ object PipelineQueries {
       s"""SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT % 100 < 20
          ORDER BY doc_id""",
+
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 0 ELSE len($W) END)::BIGINT AS w
+           FROM documents),
+         keyed AS (SELECT doc_id, w,
+             round(round(ln(w::DOUBLE), 6) + round(-ln(-ln(
+               ((('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 ::DOUBLE + 0.5) / 1152921504606846976.0))), 6), 6) AS key
+           FROM t WHERE w > 0)
+         SELECT doc_id, w, key FROM keyed
+         ORDER BY key DESC, doc_id LIMIT 100""",
+
+    "q_shard" ->
+      s"""WITH t AS (SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 0 ELSE len($W) END)::BIGINT AS n_tok,
+           md5(doc_id::VARCHAR) AS k FROM documents),
+         c AS (SELECT doc_id, n_tok,
+           sum(n_tok) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n_tok) OVER () AS total FROM t)
+         SELECT doc_id, n_tok,
+           least(floor((cum - n_tok) / ceil(total / 8.0)), 7)::INT AS shard
+         FROM c ORDER BY doc_id""",
 
     "q_stratified_sample" ->
       """WITH r AS (SELECT lang, doc_id,

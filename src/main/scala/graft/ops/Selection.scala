@@ -139,6 +139,62 @@ object Selection {
       .drop("__mix_tok", "__mix_k", "__mix_cum", "__mix_budget")
   }
 
+  /** Weighted sampling WITHOUT replacement, inclusion probability ∝
+    * `weightCol` (Efraimidis & Spirakis 2006, via the equivalent
+    * Gumbel-key formulation: max-k of ln w + Gumbel noise ≡ max-k of
+    * u^(1/w)). The noise is the deterministic md5 hash-uniform Gumbel
+    * of the id ([[Dsir.gumbel]] — the same machinery q_dsir
+    * certifies), so runs, engines and partitionings agree exactly;
+    * both ln w and the final key round to 6 dp (the resampling-key
+    * contract). Rows with weight ≤ 0 or null carry zero mass and are
+    * excluded. Returns the input columns + `key`.
+    *
+    * Scale: one map pass + TakeOrdered (per-partition k-heaps, driver
+    * merge of k rows) — never a global sort. The quality-weighted
+    * subsample step ("keep 10M docs, preferring high quality") of a
+    * scored corpus. */
+  def weightedSample(df: DataFrame, weightCol: String, idCol: String,
+                     k: Int, seed: Int = 7): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .withColumn("key",
+        round(round(log(col(weightCol).cast("double")), 6) +
+          Dsir.gumbel(col(idCol), seed), 6))
+      .orderBy(desc("key"), col(idCol))
+      .limit(k)
+
+  /** Deterministic assignment of documents to `numShards` output
+    * shards of near-equal TOKEN mass — the "write the mixture as N
+    * balanced training shards" step (a loader wants shards it can
+    * stream round-robin without one file running long). Documents are
+    * laid out in the canonical md5(id) permutation ([[stratifiedSample]]
+    * order, so shard contents are reproducible across runs/engines)
+    * and cut greedily: a document belongs to the shard where its
+    * EXCLUSIVE token prefix-sum falls (shard = prefix / ceil(total/N),
+    * capped at N−1), so every shard holds a contiguous run of the
+    * permutation and overshoots its budget by at most one document.
+    *
+    * Scale: token counting is map-only; the prefix sum is
+    * [[graft.api.GlobalScan.prefixSum]] (range partition — no single
+    * window task); the total joins as one broadcast row. Returns the
+    * input columns + `n_tok` + `shard`. */
+  def shardByTokenBudget(df: DataFrame, textCol: String, idCol: String,
+                         numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val keyed = df
+      .withColumn("n_tok", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__sh_k", md5(col(idCol).cast("string").cast("binary")))
+    val cum = graft.api.GlobalScan.prefixSum(
+      keyed, Seq(col("__sh_k"), col(idCol)), col("n_tok"), "__sh_cum")
+    val total = cum.agg(sum(col("n_tok")).as("__sh_total"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("shard",
+        least(
+          floor((col("__sh_cum") - col("n_tok")) /
+            ceil(col("__sh_total") / lit(numShards.toDouble))),
+          lit(numShards - 1L)).cast("int"))
+      .drop("__sh_k", "__sh_cum", "__sh_total")
+  }
+
   /** `corpus` minus exact benchmark contamination (left_anti mirror of
     * [[contaminated]]) — the decontamination end product a pipeline
     * actually ships. */

@@ -245,6 +245,51 @@ class SelectionSpec extends SparkTestBase {
     assert(v.toSet === Set(("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)))
   }
 
+  test("weightedSample: without-replacement, weight-monotone in " +
+    "expectation, zero-weight excluded, deterministic") {
+    import org.apache.spark.sql.functions.col
+    // 50 light docs (w=1) + 5 heavy docs (w=1000): heavies should
+    // essentially always make a k=10 sample
+    val d = ((1L to 50L).map(i => (i, 1L)) ++
+      (101L to 105L).map(i => (i, 1000L)) :+ ((200L, 0L))).toDF("doc_id", "w")
+    val s1 = ops.Selection.weightedSample(d, "w", "doc_id", k = 10, seed = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1.distinct.length === 10)          // without replacement
+    assert(!s1.contains(200L))                 // zero weight excluded
+    assert((101L to 105L).forall(s1.contains)) // heavies dominate
+    val s2 = ops.Selection.weightedSample(d, "w", "doc_id", k = 10, seed = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 === s2)                          // deterministic
+    val s3 = ops.Selection.weightedSample(d, "w", "doc_id", k = 10, seed = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 !== s3)                          // seed matters
+  }
+
+  test("shardByTokenBudget: canonical-permutation contiguous cuts, " +
+    "near-equal token mass, deterministic") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val d = (1L to 200L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "))).toDF("doc_id", "text")
+    val out = ops.Selection.shardByTokenBudget(d, "text", "doc_id", 4)
+    val rows = out.select("doc_id", "n_tok", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length === 200)
+    assert(rows.map(_._3).distinct.sorted.toSeq === Seq(0, 1, 2, 3))
+    val total = rows.map(_._2).sum
+    val per = math.ceil(total / 4.0).toLong
+    val mass = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    // each shard overshoots its budget by at most one document (max 7)
+    mass.foreach { case (sh, m) => assert(m <= per + 7, s"shard $sh: $m") }
+    // contiguity in the canonical md5 order: shard ids are monotone
+    val perm = out.withColumn("__k", md5(col("doc_id").cast("string").cast("binary")))
+      .orderBy("__k", "doc_id").select("shard").as[Int].collect().toSeq
+    assert(perm === perm.sorted)
+    val again = ops.Selection.shardByTokenBudget(d, "text", "doc_id", 4)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(rows.map(r => r._1 -> r._3).toMap === again)
+  }
+
   test("repetitionSignals: repetitive text scores high, varied text low") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),
