@@ -687,6 +687,24 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // near-duplicate IMAGE detection: real PNG decode -> 64-bit dHash
+    // -> pigeonhole band join + hamming verify. Deterministic fixture
+    // images (12 distinct + 3 tweaked copies); the oracle pins the
+    // expected pairs as literals (the q_decode convention — decode is
+    // not SQL-expressible, but its deterministic output is pinnable;
+    // the banding==brute-force law is spec-asserted in OpsSpec)
+    "q_image_neardup" -> ((s, d) => {
+      import graft.ops.Multimodal.{MediaRow, fixtureImage}
+      val rows = (0 until 12).map(i =>
+        MediaRow(i.toLong, fixtureImage(64, 48, seed = i * 7 + 1))) ++
+        (0 until 3).map(i => MediaRow(100L + i,
+          fixtureImage(64, 48, seed = i * 7 + 1, tweak = 0x080808)))
+      val ds = s.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[MediaRow])
+      graft.ops.Multimodal.imageNearDupPairs(ds, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
     // weighted sampling without replacement (Efraimidis–Spirakis via
     // deterministic Gumbel keys): inclusion probability ∝ token count
     "q_weighted_sample" -> ((s, d) =>
@@ -1718,6 +1736,13 @@ object PipelineQueries {
       s"""SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT % 100 < 20
          ORDER BY doc_id""",
+
+    "q_image_neardup" ->
+      """SELECT * FROM (VALUES
+         (0::BIGINT, 100::BIGINT, 0::BIGINT),
+         (1::BIGINT, 101::BIGINT, 0::BIGINT),
+         (2::BIGINT, 102::BIGINT, 1::BIGINT))
+         AS t(id_a, id_b, hamming_dist) ORDER BY id_a, id_b""",
 
     "q_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id,

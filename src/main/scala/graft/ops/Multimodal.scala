@@ -182,6 +182,135 @@ object Multimodal {
     })
   }
 
+  /** 64-bit DIFFERENCE hash (dHash — the standard perceptual near-dup
+    * fingerprint): decode, sample a 9×8 grayscale point grid, set bit
+    * (y*8 + x) iff gray(x,y) < gray(x+1,y). Horizontal gradient signs
+    * survive resizing/re-encoding/brightness shifts, so visually-equal
+    * variants land within a few bits — the IMAGE analog of SimHash.
+    * Undecodable payloads take a clearly-deterministic pseudo-hash of
+    * the bytes (the [[decodeFallback]] posture) so the operator stays
+    * total; such rows only ever pair with byte-identical payloads. */
+  def imageDHash(bytes: Array[Byte]): Long =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) dHashFallback(bytes)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val g = new Array[Int](9 * 8)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val rgb = img.getRGB(gx * (w - 1) / 8, gy * (h - 1) / 7)
+            g(gy * 9 + gx) = ((rgb >> 16 & 0xff) * 299 +
+              (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            gx += 1
+          }
+          gy += 1
+        }
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          val gy2 = i / 8; val gx2 = i % 8
+          if (g(gy2 * 9 + gx2) < g(gy2 * 9 + gx2 + 1)) bits |= 1L << i
+          i += 1
+        }
+        bits
+      }
+    } catch { case _: Exception => dHashFallback(bytes) }
+
+  private def dHashFallback(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** (id, dhash) for every media row — partition-parallel decode,
+    * one pass, the signature stage of [[imageNearDupPairs]]. */
+  def withImageDHash(ds: Dataset[MediaRow]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r => (r.id, imageDHash(r.media))))
+      .toDF("id", "dhash")
+  }
+
+  /** Near-duplicate IMAGE pairs: (id_a, id_b, hamming_dist ≤
+    * maxHamming) over the 64-bit dHash, via the pigeonhole band join
+    * ([[Dedup.simhashNearDupPairs]]'s scheme on 64 bits): two hashes
+    * within hamming h agree EXACTLY on at least one of h+1 disjoint
+    * bit bands, so candidates come from h+1 equi-joins (one exploded
+    * band table), never an all-pairs scan; `maxBucket` guards the
+    * degenerate band (e.g. flat images all hashing 0). Decode cost is
+    * one pass; everything after joins on 64-bit keys. */
+  def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 6,
+                        maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+    val nBands = maxHamming + 1
+    val sig = withImageDHash(ds)
+      .select(col("id").as("__id"), col("dhash").as("__sig"))
+    val bandExprs = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
+      shiftright(col("__sig"), lo).bitwiseAND(lit(mask))
+    }
+    val bands = sig.select(col("__id"), col("__sig"),
+      posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bkey")
+    val oversized = bands.groupBy("__band", "__bkey")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("__band", "__bkey")
+    val pruned = bands.join(broadcast(oversized),
+      Seq("__band", "__bkey"), "left_anti")
+    val a = pruned.select(col("__band"), col("__bkey"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = pruned.select(col("__band"), col("__bkey"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("__band", "__bkey")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming_dist",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming_dist") <= maxHamming)
+      .select("id_a", "id_b", "hamming_dist").distinct()
+  }
+
+  /** Deterministic RGB PNG fixture with per-`seed` content and an
+    * optional small `tweak` (a handful of pixels nudged in one block):
+    * tweaked copies decode to dHashes within a few bits of their
+    * original — planted near-duplicates for the image-dedup tests. */
+  def fixtureImage(w: Int, h: Int, seed: Long, tweak: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // 8x8 grid of flat tiles with per-(tile, seed) pseudo-random gray:
+    // distinct seeds give ~independent difference-sign patterns (no
+    // gradient-monotony collisions), while tile-flat content survives
+    // smooth rescaling — the properties real photos have at dHash's
+    // grid scale
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val tx = x * 8 / w; val ty = y * 8 / h
+        // murmur-style avalanche so the per-seed sign patterns are
+        // actually independent (a linear mix leaves seeds XOR-related,
+        // which preserves most comparisons)
+        var m = tx * 73856093L ^ ty * 19349663L ^ seed * 83492791L
+        m = (m ^ (m >>> 33)) * 0xff51afd7ed558ccdL
+        m = (m ^ (m >>> 33)) * 0xc4ceb9fe1a85ec53L
+        val v = ((m ^ (m >>> 33)) & 0xff).toInt
+        var rgb = (v << 16) | (v << 8) | v
+        if (tweak > 0 && tx == 0 && ty == 0)
+          rgb = rgb ^ (tweak & 0x0f0f0f) // nudge one tile only
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic PNG fixture: pixels set by an arithmetic formula,
     * encoded with the JDK encoder. PNG is lossless, so decode recovers
     * the EXACT pixel values regardless of encoder byte layout — the

@@ -618,6 +618,48 @@ class OpsSpec extends SparkTestBase {
     assert(a.forall(m => m.width >= 64 && m.channels === 3))
   }
 
+  test("image dHash near-dup: planted tweaked/resized copies pair up, " +
+    "distinct images don't; banding equals the all-pairs scan") {
+    import graft.ops.Multimodal.{MediaRow, fixtureImage, imageDHash}
+    // 12 distinct base images; ids 100+i are slightly-tweaked copies of
+    // i for i < 3; id 200 is a RESIZED copy of image 0 (64x48 -> 32x24)
+    val rows = (0 until 12).map(i =>
+      MediaRow(i.toLong, fixtureImage(64, 48, seed = i * 7 + 1))) ++
+      (0 until 3).map(i =>
+        MediaRow(100L + i, fixtureImage(64, 48, seed = i * 7 + 1, tweak = 0x080808))) :+
+      MediaRow(200L, {
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(fixtureImage(64, 48, seed = 1)))
+        val dst = new java.awt.image.BufferedImage(32, 24,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = dst.createGraphics()
+        g2.drawImage(src.getScaledInstance(32, 24, java.awt.Image.SCALE_SMOOTH),
+          0, 0, null)
+        g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      })
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair found
+    assert(pairs.contains((0L, 100L)), pairs.toString)
+    assert(pairs.contains((1L, 101L)))
+    assert(pairs.contains((2L, 102L)))
+    assert(pairs.contains((0L, 200L)), "resized copy must pair with original")
+    // the banded join equals the brute-force scan (pigeonhole is lossless)
+    val hashes = rows.map(r => r.id -> imageDHash(r.media))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ia, ib)).toSet
+    assert(pairs === brute)
+    // distinct bases stay apart
+    assert(!pairs.exists { case (a, b) => a < 12 && b < 12 })
+  }
+
   test("real PNG/JPEG bytes decode to true dimensions and channels") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
