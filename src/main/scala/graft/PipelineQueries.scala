@@ -705,6 +705,22 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // near-duplicate AUDIO detection: real WAV decode -> 64-bit
+    // energy-envelope fingerprint -> the same pigeonhole band join;
+    // planted copies are HALF-VOLUME (gain scaling preserves every
+    // envelope difference sign -> hamming 0, the invariance claim)
+    "q_audio_neardup" -> ((s, d) => {
+      import graft.ops.Multimodal.{MediaRow, fixtureAudio}
+      val rows = (0 until 10).map(i =>
+        MediaRow(i.toLong, fixtureAudio(seed = i * 11 + 5))) ++
+        (0 until 3).map(i => MediaRow(100L + i,
+          fixtureAudio(seed = i * 11 + 5, gain = 0.5)))
+      val ds = s.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[MediaRow])
+      graft.ops.Multimodal.audioNearDupPairs(ds, maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // weighted sampling without replacement (Efraimidis–Spirakis via
     // deterministic Gumbel keys): inclusion probability ∝ token count
     "q_weighted_sample" -> ((s, d) =>
@@ -1736,6 +1752,13 @@ object PipelineQueries {
       s"""SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT % 100 < 20
          ORDER BY doc_id""",
+
+    "q_audio_neardup" ->
+      """SELECT * FROM (VALUES
+         (0::BIGINT, 100::BIGINT, 0::BIGINT),
+         (1::BIGINT, 101::BIGINT, 0::BIGINT),
+         (2::BIGINT, 102::BIGINT, 0::BIGINT))
+         AS t(id_a, id_b, hamming_dist) ORDER BY id_a, id_b""",
 
     "q_image_neardup" ->
       """SELECT * FROM (VALUES

@@ -608,13 +608,30 @@ object Dedup {
                           maxHamming: Int = 3, useMd5: Boolean = true,
                           maxBucket: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+    hammingNearDupPairs(
+      df.select(col(idCol).as("__id"),
+        simhash32(col(textCol), useMd5).as("__sig")),
+      sigBits = 32, maxHamming = maxHamming, maxBucket = maxBucket)
+  }
+
+  /** Pigeonhole hamming near-dup join over any ≤64-bit signature
+    * column: hashes within hamming ≤ `maxHamming` agree EXACTLY on at
+    * least one of maxHamming+1 disjoint bit bands, so candidates come
+    * from band equi-joins (one exploded band table) — never an
+    * all-pairs scan — with a degenerate-bucket guard. The machinery
+    * behind SimHash text pairs, image dHash pairs and audio
+    * fingerprint pairs; input must be (__id, __sig). */
+  def hammingNearDupPairs(sig: DataFrame, sigBits: Int, maxHamming: Int,
+                          maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming in [0, $sigBits)")
+    require(sigBits >= 1 && sigBits <= 64, "sigBits in [1, 64]")
     val nBands = maxHamming + 1
-    val sig = df.select(col(idCol).as("__id"),
-      simhash32(col(textCol), useMd5).as("__sig"))
     val bandExprs = (0 until nBands).map { b =>
-      val lo = b * 32 / nBands
-      val hi = (b + 1) * 32 / nBands
-      shiftright(col("__sig"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+      val lo = b * sigBits / nBands
+      val hi = (b + 1) * sigBits / nBands
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
+      shiftright(col("__sig"), lo).bitwiseAND(lit(mask))
     }
     val bands = sig.select(col("__id"), col("__sig"),
       posexplode(array(bandExprs: _*)))

@@ -243,35 +243,65 @@ object Multimodal {
     * degenerate band (e.g. flat images all hashing 0). Decode cost is
     * one pass; everything after joins on 64-bit keys. */
   def imageNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 6,
+                        maxBucket: Int = 100000): DataFrame =
+    Dedup.hammingNearDupPairs(
+      withImageDHash(ds)
+        .select(col("id").as("__id"), col("dhash").as("__sig")),
+      sigBits = 64, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** 64-bit AUDIO fingerprint: decode (javax.sound WAV/AU/AIFF), mean
+    * absolute amplitude over 65 equal time windows, bit i = sign of
+    * the energy-envelope difference window i vs i+1 — the dHash idea
+    * on the loudness contour, robust to gain changes (scaling
+    * preserves difference signs) and small edits. Undecodable
+    * payloads take the deterministic byte pseudo-hash. */
+  def audioFingerprint(bytes: Array[Byte]): Long =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val frameSize = fmt.getFrameSize
+      val data = in.readAllBytes()
+      val nFrames = data.length / math.max(frameSize, 1)
+      if (nFrames < 65) dHashFallback(bytes)
+      else {
+        val env = new Array[Double](65)
+        var w = 0
+        while (w < 65) {
+          val from = w * nFrames / 65
+          val until = (w + 1) * nFrames / 65
+          var acc = 0.0
+          var f = from
+          while (f < until) {
+            // first channel, 16-bit little-endian PCM (the fixture/WAV
+            // norm); other widths still hash deterministically
+            val off = f * frameSize
+            val s = ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+            acc += math.abs(s.toDouble)
+            f += 1
+          }
+          env(w) = acc / math.max(until - from, 1)
+          w += 1
+        }
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (env(i) < env(i + 1)) bits |= 1L << i
+          i += 1
+        }
+        bits
+      }
+    } catch { case _: Exception => dHashFallback(bytes) }
+
+  /** Near-duplicate AUDIO pairs over [[audioFingerprint]] — the same
+    * pigeonhole band join as images. */
+  def audioNearDupPairs(ds: Dataset[MediaRow], maxHamming: Int = 6,
                         maxBucket: Int = 100000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
-    val nBands = maxHamming + 1
-    val sig = withImageDHash(ds)
-      .select(col("id").as("__id"), col("dhash").as("__sig"))
-    val bandExprs = (0 until nBands).map { b =>
-      val lo = b * 64 / nBands
-      val hi = (b + 1) * 64 / nBands
-      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
-      shiftright(col("__sig"), lo).bitwiseAND(lit(mask))
-    }
-    val bands = sig.select(col("__id"), col("__sig"),
-      posexplode(array(bandExprs: _*)))
-      .withColumnRenamed("pos", "__band")
-      .withColumnRenamed("col", "__bkey")
-    val oversized = bands.groupBy("__band", "__bkey")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket).select("__band", "__bkey")
-    val pruned = bands.join(broadcast(oversized),
-      Seq("__band", "__bkey"), "left_anti")
-    val a = pruned.select(col("__band"), col("__bkey"),
-      col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val b = pruned.select(col("__band"), col("__bkey"),
-      col("__id").as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("__band", "__bkey")).filter(col("id_a") < col("id_b"))
-      .withColumn("hamming_dist",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-      .filter(col("hamming_dist") <= maxHamming)
-      .select("id_a", "id_b", "hamming_dist").distinct()
+    import ds.sparkSession.implicits._
+    Dedup.hammingNearDupPairs(
+      ds.mapPartitions(_.map(r => (r.id, audioFingerprint(r.media))))
+        .toDF("__id", "__sig"),
+      sigBits = 64, maxHamming = maxHamming, maxBucket = maxBucket)
   }
 
   /** Deterministic RGB PNG fixture with per-`seed` content and an
@@ -354,6 +384,39 @@ object Multimodal {
     var i = 0
     while (i < frames * channels) {
       bb.putShort(((i * 257) % 32768 - 16384).toShort); i += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic mono-WAV fixture with a per-`seed` loudness
+    * CONTOUR: 130 windows of constant seeded amplitude (alternating
+    * sample sign, so mean |amplitude| per window IS the level), scaled
+    * by `gain` — a gain-scaled copy has the identical envelope
+    * difference-sign pattern, the invariance [[audioFingerprint]]
+    * claims. */
+  def fixtureAudio(seed: Long, framesPerWindow: Int = 40,
+                   gain: Double = 1.0): Array[Byte] = {
+    val windows = 130
+    val frames = windows * framesPerWindow
+    val dataLen = frames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(8000 * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var f = 0
+    while (f < frames) {
+      val w = f / framesPerWindow
+      var m = w * 73856093L ^ seed * 83492791L
+      m = (m ^ (m >>> 33)) * 0xff51afd7ed558ccdL
+      m = (m ^ (m >>> 33)) * 0xc4ceb9fe1a85ec53L
+      val level = (((m ^ (m >>> 33)) & 0x3fff) + 512) * gain
+      val s = (if (f % 2 == 0) level else -level).toInt.toShort
+      bb.putShort(s)
+      f += 1
     }
     bb.array()
   }

@@ -195,6 +195,21 @@ object Selection {
       .drop("__sh_k", "__sh_cum", "__sh_total")
   }
 
+  /** Materialize [[shardByTokenBudget]] as `numShards` parquet shard
+    * directories under `path` (`shard=K/...`) — the sink a training
+    * loader actually consumes. The hash repartition on the shard id
+    * puts every shard's rows in ONE task, so each shard directory
+    * holds one file regardless of input partitioning; partition
+    * pruning then serves `shard=K` reads without touching the rest.
+    * At 100 TB, rows-per-shard is total/numShards by construction —
+    * pick numShards so a shard fits the downstream reader, exactly
+    * the knob this op exists to provide. */
+  def writeShards(df: DataFrame, textCol: String, idCol: String,
+                  numShards: Int, path: String): Unit =
+    shardByTokenBudget(df, textCol, idCol, numShards)
+      .repartition(numShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** `corpus` minus exact benchmark contamination (left_anti mirror of
     * [[contaminated]]) — the decontamination end product a pipeline
     * actually ships. */

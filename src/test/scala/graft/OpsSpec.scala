@@ -660,6 +660,30 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a < 12 && b < 12 })
   }
 
+  test("audio fingerprint near-dup: gain-scaled copy pairs with its " +
+    "original, distinct contours don't, banding equals all-pairs") {
+    import graft.ops.Multimodal.{MediaRow, fixtureAudio, audioFingerprint}
+    val rows = (0 until 10).map(i =>
+      MediaRow(i.toLong, fixtureAudio(seed = i * 11 + 5))) ++
+      (0 until 3).map(i => MediaRow(100L + i,
+        fixtureAudio(seed = i * 11 + 5, gain = 0.5))) // half volume
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val pairs = Multimodal.audioNearDupPairs(ds, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)).intersect(
+      Set((0L, 100L), (1L, 101L), (2L, 102L))) === Set((0L, 100L), (1L, 101L), (2L, 102L)))
+    // gain scaling preserves every difference sign: hamming 0
+    assert(pairs.filter(p => p._2 >= 100L).forall(_._3 === 0L))
+    assert(!pairs.exists { case (a, b, _) => a < 10 && b < 10 })
+    val hashes = rows.map(r => r.id -> audioFingerprint(r.media))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (ia, ib)).toSet
+    assert(pairs.map(p => (p._1, p._2)) === brute)
+  }
+
   test("real PNG/JPEG bytes decode to true dimensions and channels") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream

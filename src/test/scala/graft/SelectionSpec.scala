@@ -290,6 +290,42 @@ class SelectionSpec extends SparkTestBase {
     assert(rows.map(r => r._1 -> r._3).toMap === again)
   }
 
+  test("writeShards: one file per shard directory, round-trip equals " +
+    "the shard assignment, partition pruning serves single-shard reads") {
+    import org.apache.spark.sql.functions.col
+    val d = (1L to 150L).map(i =>
+      (i, Seq.fill((i % 5 + 1).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      ops.Selection.writeShards(d, "text", "doc_id", 4, dir)
+      val dirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+      assert(dirs.toSeq === Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+      dirs.foreach { sh =>
+        val files = new java.io.File(s"$dir/$sh").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1, s"$sh has ${files.length} files")
+      }
+      val back = spark.read.parquet(dir)
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val direct = ops.Selection.shardByTokenBudget(d, "text", "doc_id", 4)
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(back === direct)
+      // partition pruning: a shard=2 read scans only that directory
+      val plan = spark.read.parquet(dir).filter(col("shard") === 2)
+        .queryExecution.executedPlan.toString
+      assert(back.values.count(_ == 2) ===
+        spark.read.parquet(dir).filter(col("shard") === 2).count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("repetitionSignals: repetitive text scores high, varied text low") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),
