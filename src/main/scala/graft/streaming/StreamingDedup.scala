@@ -23,4 +23,55 @@ object StreamingDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Within-stream FUZZY near-dup drop — the streaming mirror of
+    * [[graft.ops.Dedup.dropNearDups]] at LSH-candidate granularity:
+    * each document explodes to its MinHash band keys, each band key is
+    * deduped within the watermark horizon, and a document SURVIVES iff
+    * it was the first claimant of ALL its bands (any band already
+    * claimed ⇒ the doc is an LSH candidate against earlier content ⇒
+    * dropped). Same posture as the streaming contamination family:
+    * over-drops on LSH false positives — there is no stored earlier
+    * text to Jaccard-verify against without unbounded state — but
+    * NEVER leaks a candidate duplicate.
+    *
+    * Two chained stateful operators, both watermark-bounded (the
+    * multi-stateful-operator shape Structured Streaming supports when
+    * every stage is event-time based): (1)
+    * `dropDuplicatesWithinWatermark` over (band_idx, band_hash) —
+    * state = one entry per band key within the horizon; (2) an
+    * append-mode windowed count per document — a doc's band rows all
+    * carry its own event time, so the count arrives complete and the
+    * window emits survivors once the watermark passes. State is
+    * O(band keys in horizon) + O(docs per open window): bounded.
+    *
+    * Returns (window, idCol, textCol) of surviving documents; rows
+    * appear AFTER the watermark passes their window end (the price of
+    * the final aggregation — downstream sinks see a delayed but
+    * exactly-once survivor stream). Ties inside one microbatch keep
+    * the dedup operator's first-encountered row (the
+    * [[dropExactWithinWatermark]] contract). */
+  def dropNearDupsWithinWatermark(df: DataFrame, textCol: String,
+                                  idCol: String, tsCol: String,
+                                  numHashes: Int = 4, bandSize: Int = 1,
+                                  k: Int = 3,
+                                  delay: String = "10 minutes",
+                                  windowLen: String = "1 minute"): DataFrame = {
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val nBands = numHashes / bandSize
+    val sig = graft.ops.Dedup.withMinhashSignature(df, textCol, numHashes, k)
+    val bands = sig.select(
+      col(idCol), col(tsCol), col(textCol),
+      posexplode(array((0 until nBands).map(b =>
+        md5(concat_ws("|", (0 until bandSize).map(j =>
+          col(s"mh${b * bandSize + j}").cast("string")): _*))): _*))
+        .as(Seq("band_idx", "band_hash")))
+    bands
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("band_idx", "band_hash")
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("__n_won"), first(col(textCol)).as(textCol))
+      .filter(col("__n_won") === nBands)
+      .drop("__n_won")
+  }
 }

@@ -104,6 +104,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming within-stream fuzzy near-dup drop: band claims carry " +
+    "across batches, survivors match the batch replay of the same rule") {
+    import graft.streaming.StreamingDedup
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq( // (minute, id, text) — ids 3,5 near-dup earlier docs
+      (1, 1L, "the quick brown fox jumps high today"),
+      (1, 2L, "completely different content lives here now"),
+      (2, 3L, "the quick brown fox jumps low today"),
+      (2, 4L, "yet another unrelated document entirely fresh"),
+      (3, 5L, "completely different content lives here still"))
+    // batch replay of the rule: claim band keys in arrival order, a doc
+    // survives iff it claims ALL its bands first
+    val sigRows = Dedup.withMinhashSignature(
+      docs.map { case (_, id, t) => (id, t) }.toDF("id", "text"),
+      "text", numHashes = 4, k = 2).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (0 until 4).map(h => r.getAs[Long](s"mh$h")).toVector).toMap
+    val claimed = scala.collection.mutable.Map[(Int, Long), Long]()
+    val expected = docs.sortBy(d => (d._1, d._2)).flatMap { case (_, id, _) =>
+      val bands = sigRows(id).zipWithIndex.map { case (h, b) => (b, h) }
+      val wins = bands.map(bk => claimed.getOrElseUpdate(bk, id) == id)
+      if (wins.forall(identity)) Some(id) else None
+    }.toSet
+    assert(expected.contains(1L) && expected.contains(2L))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDedup.dropNearDupsWithinWatermark(
+      input.toDF().toDF("ts", "id", "text"), "text", "id", "ts",
+      numHashes = 4, bandSize = 1, k = 2,
+      delay = "10 minutes", windowLen = "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fuzzy_dedup_out").start()
+    try {
+      docs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, batch) =>
+        input.addData(batch.map { case (m, id, t) => (ts(m), id, t) }: _*)
+        q.processAllAvailable()
+      }
+      // flush: advance the watermark past every doc window
+      input.addData((ts(30), 99L, "watermark flush row"))
+      q.processAllAvailable()
+      val got = spark.table("fuzzy_dedup_out").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"got $got expected $expected")
+      assert(!got.contains(3L) && !got.contains(5L),
+        "near-dups of earlier stream content must be dropped")
+      assert(q.lastProgress.stateOperators.length === 2) // dedup + window agg
+    } finally q.stop()
+  }
+
   test("streaming sessionize carries session state across batches, equals batch") {
     import graft.streaming.StreamingSessionize
     import graft.streaming.StreamingSessionize.SessionEvent
