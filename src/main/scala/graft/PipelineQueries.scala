@@ -84,6 +84,153 @@ object PipelineQueries {
   private val SH = shOf("text")
   private def mhSql(h: Int) = mhSqlOf("text", h)
 
+  /** Pinned PQ codebook for q_pq_topk: trained ONCE at sf0.01
+    * (Similarity.trainPq, dims=64, m=8, codesPerSub=16, iters=3,
+    * 6-dp rounded — the quality-classifier pinning convention:
+    * training is spec-certified (PqSpec determinism + monotone-error
+    * laws), the ENCODE + ADC SEARCH path is hash-certified against
+    * DuckDB re-deriving codes and scores from these literals. Flat
+    * row-major (s*16 + c)*8 + d. */
+  private val pqCb: Seq[Double] = Seq(
+    0.081334, 0.192456, 0.077139, 0.045294, -0.039774, 0.034325, 0.026667, -0.075818,
+    -0.093724, -0.013413, -0.010318, 0.096698, -0.072637, 0.030768, 0.115382, 0.068522,
+    0.072501, -0.013953, 0.175345, 7.02E-4, 0.02799, 0.164214, -0.0936, 0.042421,
+    0.096124, -0.026621, 0.108499, -0.103401, 0.098886, 0.032747, 0.066946, 0.012303,
+    0.069096, 0.132907, -0.096214, -0.130694, -0.005147, -0.020926, -0.033842, 0.094673,
+    -0.100654, -0.152998, 0.023368, -0.043592, 0.069643, 0.018416, -0.122166, 0.043885,
+    0.037775, 0.016344, 0.093822, 0.010324, 0.075685, -0.163731, 0.012034, 0.128219,
+    -0.109104, 0.123173, 0.100597, -0.106396, -0.020086, -0.001309, 0.002467, -0.058245,
+    0.007899, 0.018996, -0.042039, 0.113093, 0.045252, 0.029464, -0.209507, -0.070203,
+    -0.129222, 0.001427, 0.063391, -0.028566, 0.027904, -0.211734, -0.056452, -0.072483,
+    -0.129962, 0.097937, 0.04621, -0.002457, 0.091468, 0.101546, -0.025284, 0.089709,
+    0.031698, -0.022985, 0.05879, -0.084739, -0.199283, -0.026718, -0.046787, -9.72E-4,
+    0.06178, -0.099763, -0.085407, -0.012136, -0.002501, -0.140609, 0.050514, 0.078111,
+    -0.015107, -0.013043, -0.144934, -0.041282, -0.013391, 0.105013, -0.031079, -0.017301,
+    0.12096, -0.039844, -0.027072, 0.128001, 0.048697, 0.062714, -0.091429, 0.107695,
+    0.019252, -0.064017, -0.030839, 0.018203, 0.057286, 0.005835, 0.040518, -0.184653,
+    -0.156119, -0.009307, 0.139263, -0.004736, 0.015628, 0.063877, -0.035139, 0.024638,
+    -0.00858, -0.00775, 0.004133, -0.181689, -0.061018, 0.003356, -0.144753, 0.106123,
+    -0.014207, 0.062578, 0.020563, 0.23039, -0.085019, -0.02181, -0.130403, 0.060725,
+    -0.102044, -0.116617, 0.060907, 0.094722, -0.125811, 0.027537, 0.078709, 0.12237,
+    0.042055, -0.096583, -0.037191, -0.013613, 0.095196, 0.129574, -0.037773, 0.141845,
+    0.018149, 0.088941, -0.101501, 0.018141, 0.024005, -0.17147, 0.043226, 0.037851,
+    -0.131089, 0.005851, -0.114874, -0.079648, -0.036012, 0.06688, 0.057058, 0.090282,
+    0.135334, 0.043176, 2.39E-4, 0.052944, -0.123763, 0.052564, 0.071898, -0.051535,
+    0.015359, -0.157884, 0.001075, -0.100291, -0.08105, -0.044326, 0.002818, -0.111873,
+    -0.061766, 0.094251, -0.069653, 0.145833, 0.113935, 0.01325, 0.070663, 0.015546,
+    -0.056171, -0.140032, -0.123731, 0.072479, 0.051694, 0.079646, 0.074444, -0.136134,
+    0.14464, -0.037237, -0.049449, -0.149165, 0.089076, -0.030259, 0.006254, -0.048683,
+    0.057113, 0.006779, 0.135097, -0.029596, 0.071454, -0.064302, 0.090802, 0.06371,
+    0.036444, 0.178677, 0.07786, -0.044897, 0.024308, 0.123692, -0.017067, -0.030566,
+    -0.080823, 0.032874, 0.065132, -0.03591, -0.062112, -0.095188, -0.04834, -0.150904,
+    0.029653, -0.110169, -0.00686, 0.082241, 0.008659, -0.01508, -0.117083, 0.022426,
+    -0.114702, 0.015356, -0.10238, -0.039267, 0.013015, -0.008964, -0.134153, -0.026675,
+    -0.153048, -0.152006, -0.037744, -0.018854, -0.097814, 0.008978, -0.046992, -0.061432,
+    0.023408, -0.02056, -0.030427, -0.097178, 0.029587, -0.011476, 0.08486, -0.178323,
+    0.068397, 0.00971, 0.063684, -0.050735, -0.085643, -0.057464, -0.009907, 0.198138,
+    0.083098, -0.01677, 0.038823, -0.153502, 0.132584, 0.083695, 0.062841, 0.031815,
+    0.032922, 0.033659, -0.051621, 0.174033, 0.062612, 0.044459, 0.075668, -1.64E-4,
+    -0.050882, -0.03449, 0.036842, 0.053077, 0.110641, -0.0802, 0.054381, 0.044533,
+    -0.15752, 0.068595, 0.007913, -0.036433, -0.011634, 0.169497, -0.014486, 0.087808,
+    0.132642, 0.090764, 0.013185, -0.082265, -0.109005, 0.111302, 0.065935, -0.173574,
+    -0.043798, 0.187164, 0.039509, -0.025572, -0.006339, 0.064413, 0.01255, -0.032417,
+    0.095766, -0.130057, -0.169579, 0.056228, 0.01431, -0.011126, -0.047424, 0.012804,
+    -0.00791, 0.128347, -0.021898, 0.090775, -0.045938, -0.109142, 0.0208, -0.109942,
+    0.099202, -0.062351, 0.033344, -0.031232, -0.035927, -0.069869, -0.110439, -0.01167,
+    0.015034, -0.026694, -0.07225, 0.027173, -0.190664, 0.062696, 0.10519, 0.032102,
+    -0.048623, -0.086925, 0.192414, 0.042978, -0.024387, -7.98E-4, 0.007461, 0.004364,
+    0.070505, 0.028986, -0.03163, 0.034871, 0.111487, 0.089301, -0.098188, 0.146818,
+    0.062671, 0.103439, -0.052337, 0.088781, 0.087441, 0.136432, -0.04292, -0.079745,
+    0.011548, -0.026659, 0.010511, -0.034946, 0.029467, -0.180353, 0.034974, 0.002703,
+    0.100198, 0.031951, -0.027599, -0.062928, 0.070378, 0.03785, 0.143549, -0.125852,
+    -0.068883, 0.071473, 0.133255, 0.041142, 0.052987, 0.027535, -0.12741, 0.053282,
+    -0.113564, -0.047127, 0.036403, -0.127928, -0.081837, 0.04209, 0.042288, -0.035043,
+    -0.050851, 0.206544, 0.088083, -0.03586, 0.012692, -0.136825, 0.040415, 0.049367,
+    -0.147147, 0.066624, -0.108946, 0.02706, 0.095186, 0.02425, -0.018884, 0.136521,
+    -0.047082, 0.017939, -0.007724, -0.061119, -0.00272, -0.040015, -0.15682, -0.164347,
+    -0.147296, -0.119858, -0.014444, 0.025589, 0.103686, 0.03988, 0.03457, -0.068407,
+    0.039354, 0.072236, -0.155801, -0.049633, -0.080392, 0.074143, -0.080211, 0.059229,
+    0.148848, 0.12597, 0.083741, -0.005241, -0.067065, 0.025719, -0.011965, 0.059756,
+    -0.009638, 0.048751, -0.090671, 0.128526, -0.111069, -0.011307, 0.113042, -0.063223,
+    -0.040337, -0.016712, -0.03411, 0.163206, -0.186174, -0.065125, -0.137131, -0.057315,
+    0.016399, -0.12634, 0.144951, 0.094155, 0.025295, -0.022636, 0.089427, -0.001381,
+    0.111331, -0.049599, 0.012928, 0.045955, 0.092182, 0.084226, -0.022655, 0.131379,
+    0.049018, -0.159493, -0.078702, 0.073583, -0.05056, -0.020595, -0.012855, -0.011271,
+    0.073699, -0.090493, -0.086607, -0.047036, -0.079197, -0.056777, 0.103617, -0.033719,
+    0.101781, 0.102939, 0.168657, 0.081615, -0.030551, 0.043606, -0.075654, 0.087824,
+    -0.048581, -0.16156, -0.035105, -0.032689, 0.047932, -0.081048, -0.068769, 0.048858,
+    0.067382, -0.007479, 0.111146, -0.053601, -0.032183, 0.121392, 0.102332, -0.067125,
+    -0.145391, 0.026929, -0.030586, -0.021316, 0.096231, 0.049074, 0.009192, -0.072619,
+    0.036829, -0.041494, 0.026368, -0.221782, -0.034646, -0.115932, -6.26E-4, -0.02426,
+    0.074341, -0.056621, -0.087423, 0.030674, 0.01741, 0.149761, -0.144755, 0.044138,
+    0.026132, 0.0756, 0.093675, -0.022292, 0.041682, -0.142825, -0.06912, -0.112474,
+    -0.042897, -0.001113, 0.10217, 0.07401, -0.175695, -0.125737, 0.107859, 0.102106,
+    0.019411, 0.049365, -0.094688, 0.160552, -0.01487, -0.007036, 0.139725, -0.009556,
+    0.05488, 0.09071, -0.070745, 0.146263, 0.027428, -0.161332, -0.046872, -0.055018,
+    -0.027286, 0.109972, -0.061747, -0.04938, -0.121591, 0.063621, -0.031834, -0.065034,
+    -0.001591, -0.072761, 0.107729, 0.105638, 0.049017, 0.041207, -0.084894, -0.11784,
+    0.095905, -0.073348, -0.011939, 0.130159, 0.151685, 0.026801, 0.058987, 0.059277,
+    -0.160954, -0.036142, -0.001438, -0.042135, -0.085152, 0.103636, -0.033348, 0.081291,
+    0.091773, 0.077555, 0.024867, -0.050345, 0.078915, -0.013931, 0.030945, 0.129351,
+    0.085039, -0.149389, -0.06664, -0.009944, -0.162079, 0.028903, -0.044099, 0.024378,
+    -0.106141, 0.009907, -0.104178, -0.105652, -0.047866, 0.073733, -0.15744, 0.091368,
+    0.103919, -0.055314, -0.002758, -0.132842, 0.006905, -0.004961, 0.0528, 0.128708,
+    -0.142686, 0.036763, 0.040146, -0.007919, -0.058262, -0.111417, 0.049082, 0.039974,
+    0.030973, 0.150136, -0.115099, -0.056311, -0.008216, -0.07022, -0.011554, 0.001216,
+    -0.015295, -0.093043, 0.106531, -0.009141, 0.109779, 0.040594, 0.033219, 0.043047,
+    0.077821, 0.11562, 0.059522, 0.027348, -0.081754, 0.023464, 0.1012, -0.175998,
+    0.179562, -0.014194, 0.005546, -0.055092, 0.017738, 0.106099, -0.087313, -0.038102,
+    -0.086378, -0.04476, -0.101126, -0.007038, 0.03301, 0.038633, 0.001214, -0.108215,
+    -0.02175, -0.013129, 0.177911, 0.065238, -0.130883, 0.089548, -0.087564, -0.062755,
+    -0.045018, -0.079025, -0.004131, -0.083296, -0.035488, -0.128164, -0.125304, -0.033585,
+    1.77E-4, -0.06099, -0.076682, 0.100784, -0.022444, 0.114776, 0.144978, 0.025131,
+    0.014254, -0.036585, 0.002964, 0.228072, 0.025174, -6.21E-4, -0.013246, 0.016222,
+    0.159015, -0.140053, 0.126312, -0.043956, 0.011962, -0.094438, -0.004566, -0.054821,
+    -0.056148, -7.09E-4, -0.043731, 0.059918, 0.030095, -0.102634, -0.062603, 0.217214,
+    -0.056371, 0.238764, 0.02251, -0.040994, 0.135163, 0.037611, 0.066492, 0.099192,
+    0.028849, -0.12925, -0.144646, -0.026139, 0.010061, 0.113874, -0.058208, -0.103498,
+    -0.003575, 0.111519, 0.082005, -0.02697, 0.04261, 0.121559, 0.022654, -0.004884,
+    -0.001762, 0.068432, 0.064703, 0.076244, 0.091529, -0.08592, 0.014144, 0.115625,
+    0.025524, -0.111972, -0.024416, 0.018483, -0.027643, -0.07734, -0.130792, 0.131304,
+    -0.00942, 0.02234, -0.096816, -0.168785, -0.020753, 0.001304, 0.109636, -0.062503,
+    -0.158104, 0.041698, -0.016823, 0.133145, -0.078007, 0.067653, -0.076082, -0.098524,
+    -0.095593, 0.025651, -0.079737, -0.02494, 0.139271, -0.033749, -0.048137, 0.019663,
+    0.175357, -0.113619, 0.008602, -0.092592, 0.037151, 0.050255, -0.004908, 0.051043,
+    -0.063056, -0.056852, 0.030897, -0.00948, 0.144965, -0.057374, 0.11848, -0.045677,
+    0.021177, -0.079633, 0.175774, 0.047565, -0.00123, -0.012008, -0.033836, -0.039051,
+    -0.051185, -0.006734, -0.059782, 0.098636, -0.109686, -0.048729, 0.135759, 0.010941,
+    -0.019917, -0.114398, 0.055002, 0.072521, -0.063301, 0.134792, 0.105788, 0.054047,
+    0.086204, 0.098268, 0.055185, -0.059382, -0.041151, -0.049991, -0.083363, -0.131324,
+    0.164226, 0.121247, -0.131902, 0.017447, -0.018139, -0.072891, 0.05242, 0.051713,
+    -0.120697, -0.040861, -0.041635, -0.100549, -0.156498, -0.081321, -0.090966, 0.016095,
+    -0.100991, -0.220065, 0.053248, 0.005848, 0.052174, -0.116595, -0.107116, -0.079862,
+    0.17409, 0.073056, 0.09388, 0.021945, 0.110594, 0.069082, -0.074129, -0.018177,
+    0.049338, 0.123334, 0.011534, -0.143333, -0.069876, -0.034104, 0.066921, -0.148133,
+    0.075807, -0.038374, -0.143998, -0.08294, 0.100111, -0.155743, 0.014234, -0.029895,
+    -0.015824, 0.074792, -0.079502, 0.080761, 0.074721, -0.032982, -0.055524, 0.15551,
+    -0.052183, 0.05787, -0.041884, 0.044579, 0.034227, -0.030942, 0.219171, -0.003485,
+    0.049412, -0.099582, -0.046987, 0.062298, -0.005152, 0.009417, -0.049172, -0.18367,
+    0.045153, 0.037489, -0.165016, 0.024688, -0.115154, 0.047166, -0.048151, 0.090671,
+    -0.051221, -0.01688, 0.093252, -0.079686, -0.054479, -0.0581, 0.087787, 0.056271,
+    -0.041655, 0.036296, 0.185919, 0.016022, -0.034464, 0.110129, -0.122149, -0.035873,
+    -0.014621, -0.035151, -0.095031, -0.042119, -0.150336, 0.172884, -0.015704, -0.081113,
+    0.052993, -0.007725, 0.059504, 0.142928, -0.102057, -0.065957, 0.033889, -0.011648,
+    -0.100817, 0.109647, -0.108584, -0.107793, -0.001107, -0.089349, -0.0926, -0.03874,
+    0.070426, 0.002655, 0.067115, -0.158933, -0.111722, 0.04454, -0.121117, -0.016039,
+    -0.045641, 0.028596, 0.002597, -0.074877, 0.078224, 0.14931, 0.013656, -0.022027,
+    -0.023105, -0.171459, -0.077085, -0.025368, 0.007047, 0.042879, 0.075417, 0.051725,
+    -0.062715, -0.067519, 0.070785, 0.046454, 0.125103, -0.056881, -0.081874, -0.036776)
+  private val pqM = 8
+  private val pqK = 16
+  private val pqSubDim = 8
+  // the same codebook rendered for the oracle: (s, c, [8 components])
+  private def pqCbValuesSql: String =
+    (for (s <- 0 until pqM; c <- 0 until pqK) yield {
+      val comps = (0 until pqSubDim)
+        .map(d => pqCb((s * pqK + c) * pqSubDim + d)).mkString(", ")
+      s"($s, $c, [$comps])"
+    }).mkString(",\n         ")
+
   /** Pinned unigram-LM piece table for q_unigram_tokenize: trained
     * ONCE by ops.UnigramLm.train at sf0.01 (numRounds=3, maxPieceLen=4,
     * maxSeed=2048, keepPieces=32 — every corpus codepoint is seeded, so
@@ -923,6 +1070,19 @@ object PipelineQueries {
         "embedding", cents, k = 3, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // product-quantization ADC search (Jégou 2011) under the PINNED
+    // codebook above: map-only encode (m codes/vector), per-query LUT,
+    // codegen'd lookup-sum scoring — the memory/recall tier of the ANN
+    // ladder (brute -> LSH -> IVF -> PQ)
+    "q_pq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", pqCb.toArray, pqM, pqK, topK = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
         .orderBy("query_id", "rank")
     }),
 
@@ -2074,6 +2234,37 @@ object PipelineQueries {
     // sides so aggregation order can't perturb assignments; all
     // similarity ranks tie-break on round(sim, 6) then id, matching the
     // Spark windows exactly
+    "q_pq_topk" -> {
+      val d2 = (0 until pqSubDim).map(i =>
+        s"(e.embedding[cb.s*8+${i + 1}]::DOUBLE - cb.cv[${i + 1}]) * " +
+          s"(e.embedding[cb.s*8+${i + 1}]::DOUBLE - cb.cv[${i + 1}])")
+        .mkString(" + ")
+      val ip = (0 until pqSubDim).map(i =>
+        s"q.embedding[b.s*8+${i + 1}]::DOUBLE * cb.cv[${i + 1}]")
+        .mkString(" + ")
+      s"""WITH cb(s, c, cv) AS (VALUES
+         $pqCbValuesSql),
+         e AS (SELECT vec_id, embedding FROM embeddings),
+         d AS (SELECT e.vec_id, cb.s, cb.c, $d2 AS d2 FROM e CROSS JOIN cb),
+         best AS (SELECT vec_id, s, c FROM (
+           SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, c) AS rn FROM d) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < 10),
+         ips AS (SELECT q.query_id, b.vec_id AS neighbor_id, b.s, $ip AS ip
+           FROM q CROSS JOIN best b
+           JOIN cb ON cb.s = b.s AND cb.c = b.c),
+         adc AS (SELECT query_id, neighbor_id,
+           round(list_sum(list(ip ORDER BY s)), 6) AS sim
+           FROM ips GROUP BY 1, 2),
+         ranked AS (SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rank
+           FROM adc WHERE query_id <> neighbor_id)
+         SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
     "q_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n

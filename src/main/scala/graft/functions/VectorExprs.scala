@@ -258,6 +258,69 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** PQ encode: codes(s) = argmin_c Σ_d (v[s·subDim+d] −
+    * cb[(s·k+c)·subDim+d])², strict-less argmin so ties keep the
+    * LOWEST code. The squared-distance accumulation ascends d —
+    * bit-identical to the oracle SQL's sequential list_sum, so the
+    * argmin needs no rounding to agree across engines. */
+  def pqEncode(v: ArrayData, cb: Array[Double], m: Int, k: Int,
+               subDim: Int): ArrayData = {
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        var d2 = 0.0
+        val base = (s * k + c) * subDim
+        var d = 0
+        while (d < subDim) {
+          val diff = v.getDouble(s * subDim + d) - cb(base + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** PQ ADC lookup table of one query: lut(s·k+c) = Σ_d
+    * q[s·subDim+d] · cb[(s·k+c)·subDim+d] (ascending-d accumulation —
+    * the oracle-parity contract). m·k doubles per query. */
+  def pqLut(q: ArrayData, cb: Array[Double], m: Int, k: Int,
+            subDim: Int): ArrayData = {
+    val out = new Array[Double](m * k)
+    var sc = 0
+    while (sc < m * k) {
+      val s = sc / k
+      var acc = 0.0
+      val base = sc * subDim
+      var d = 0
+      while (d < subDim) {
+        acc += q.getDouble(s * subDim + d) * cb(base + d)
+        d += 1
+      }
+      out(sc) = acc
+      sc += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** PQ ADC score: Σ_s lut[s·k + codes(s)] — the inner product of the
+    * query with the RECONSTRUCTED (quantized) vector, exactly. */
+  def pqAdc(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += lut.getDouble(s * k + codes.getInt(s)); s += 1 }
+    acc
+  }
+
   /** Id of the nearest centroid by rounded cosine, smallest-cid
     * tie-break — the scalar replica of Similarity.nearestCentroids'
     * max_by(struct(round(sim, 6), -cid)) for n = 1. `matrix` is
@@ -491,6 +554,126 @@ case class LshPlaneSigs(child: Expression, weights: Array[Double],
     copy(child = c)
 }
 
+/** Product-quantization encode: m codes per vector, code s = nearest
+  * (squared-L2) of the k sub-centroids of subspace s. The flat
+  * codebook ((s·k+c)·subDim+d layout) rides as a plan constant via
+  * addReferenceObj — the NearestCentroid posture. Wrong-length or
+  * null-element vectors → null. */
+case class PqEncodeExpr(child: Expression, cb: Array[Double],
+                        m: Int, k: Int, subDim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(cb.length == m * k * subDim, "codebook must be m*k*subDim")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  private lazy val needNullCheck: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  }
+
+  private def dims = m * subDim
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dims) return null
+    if (needNullCheck) {
+      var i = 0
+      while (i < dims) { if (v.isNullAt(i)) return null; i += 1 }
+    }
+    VectorKernels.pqEncode(v, cb, m, k, subDim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("pqCb", cb, "double[]")
+      val i = ctx.freshName("i")
+      val elemNullCheck =
+        if (needNullCheck)
+          s"""for (int $i = 0; $i < $dims && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
+      s"""
+         |if ($a.numElements() != $dims) { ${ev.isNull} = true; }
+         |$elemNullCheck
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.VectorKernels.pqEncode(
+         |    $a, $cbRef, $m, $k, $subDim);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** Per-query ADC lookup table (m·k inner products with every
+  * sub-centroid) — computed once per QUERY row, so the corpus-side
+  * scoring is pure table lookups. */
+case class PqLutExpr(child: Expression, cb: Array[Double],
+                     m: Int, k: Int, subDim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(cb.length == m * k * subDim, "codebook must be m*k*subDim")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  private def dims = m * subDim
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dims) null
+    else VectorKernels.pqLut(v, cb, m, k, subDim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("pqCb", cb, "double[]")
+      s"""
+         |if ($a.numElements() != $dims) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.VectorKernels.pqLut(
+         |  $a, $cbRef, $m, $k, $subDim); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PqLutExpr =
+    copy(child = c)
+}
+
+/** ADC score: inner product of the query with the reconstructed
+  * quantized vector — Σ_s lut[s·k + codes(s)]. Codegen'd lookup sum,
+  * the per-candidate cost of PQ search. */
+case class PqAdcExpr(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(
+    ArrayType(org.apache.spark.sql.types.IntegerType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorKernels.pqAdc(codes.asInstanceOf[ArrayData],
+      lut.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.functions.VectorKernels.pqAdc($c, $l, $k);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcExpr = copy(left = l, right = r)
+}
+
 object VectorExprs {
 
   /** Sessions whose function registry already has the kernel. Weak keys:
@@ -621,6 +804,22 @@ object VectorExprs {
           exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
             .toDoubleArray(),
           exprs(3).eval().asInstanceOf[Int]), "built-in")
+      def dblArr(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()
+      def int(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e.eval().asInstanceOf[Int]
+      reg.createOrReplaceTempFunction(
+        "graft_pq_encode",
+        exprs => PqEncodeExpr(exprs(0), dblArr(exprs(1)),
+          int(exprs(2)), int(exprs(3)), int(exprs(4))), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_pq_lut",
+        exprs => PqLutExpr(exprs(0), dblArr(exprs(1)),
+          int(exprs(2)), int(exprs(3)), int(exprs(4))), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_pq_adc",
+        exprs => PqAdcExpr(exprs(0), exprs(1), int(exprs(2))), "built-in")
     }
 
   /** Codegen'd dot product of two vector columns (any numeric array —
@@ -892,5 +1091,42 @@ object VectorExprs {
       org.apache.spark.sql.functions.lit(cids),
       org.apache.spark.sql.functions.lit(matrix),
       org.apache.spark.sql.functions.lit(dims))
+  }
+
+  /** PQ codes of a vector against a flat literal codebook
+    * (see [[graft.functions.PqEncodeExpr]]). */
+  def pqEncode(vec: Column, cb: Array[Double], m: Int, k: Int,
+               subDim: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_pq_encode", vec,
+      org.apache.spark.sql.functions.lit(cb),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(subDim))
+  }
+
+  /** Per-query PQ ADC lookup table (see [[graft.functions.PqLutExpr]]). */
+  def pqLut(vec: Column, cb: Array[Double], m: Int, k: Int,
+            subDim: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_pq_lut", vec,
+      org.apache.spark.sql.functions.lit(cb),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(subDim))
+  }
+
+  /** ADC score of a code array against a query LUT
+    * (see [[graft.functions.PqAdcExpr]]). */
+  def pqAdc(codes: Column, lut: Column, k: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_pq_adc", codes, lut,
+      org.apache.spark.sql.functions.lit(k))
   }
 }

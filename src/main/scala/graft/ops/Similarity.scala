@@ -412,6 +412,110 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Product-quantization codebook training (Jégou et al. 2011 §II):
+    * split the `dims`-d space into `m` subspaces of dims/m and run
+    * k-means with `codesPerSub` centroids in each — jointly, so every
+    * iteration is ONE corpus pass: the current flat codebook rides
+    * into the codegen'd [[graft.functions.PqEncodeExpr]] (assignment
+    * is map-only inside the scan), then one (sub, code)-keyed
+    * vector-sum aggregate recomputes the means — m·codesPerSub·subDim
+    * doubles cross the wire per round, never #vectors rows (the
+    * refineCentroids shape). Seeding is deterministic: the first
+    * `codesPerSub` vectors in canonical md5(id) order. Empty cells
+    * keep their previous centroid (the standard collapse guard);
+    * components round to `roundTo` dp so the codebook is independent
+    * of aggregation order — across partitionings AND engines.
+    * Returns the flat row-major codebook ((s·k+c)·subDim+d). */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String, dims: Int,
+              m: Int, codesPerSub: Int, iters: Int = 5,
+              roundTo: Int = 6): Array[Double] = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    VectorExprs.ensureRegistered(corpus.sparkSession)
+    val subDim = dims / m
+    val k = codesPerSub
+    val vecs = corpus
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .filter(size(col("__v")) === dims)
+    val seeds = vecs
+      .orderBy(md5(col("__id").cast("string").cast("binary")), col("__id"))
+      .limit(k).select("__v").collect().map(_.getSeq[Double](0))
+    require(seeds.length == k, s"need >= $k vectors to seed PQ")
+    var cb = new Array[Double](m * k * subDim)
+    for (c <- 0 until k; s <- 0 until m; d <- 0 until subDim)
+      cb((s * k + c) * subDim + d) = seeds(c)(s * subDim + d)
+    var i = 0
+    while (i < iters) {
+      val means = vecs
+        .select(col("__v"),
+          VectorExprs.pqEncode(col("__v"), cb, m, k, subDim).as("__codes"))
+        .select(col("__v"), posexplode(col("__codes")).as(Seq("__s", "__c")))
+        .select(col("__s"), col("__c"),
+          slice(col("__v"), col("__s") * subDim + 1, lit(subDim)).as("__sv"))
+        .groupBy("__s", "__c")
+        .agg(VectorExprs.vectorSum(col("__sv")).as("__sum"),
+          count(lit(1)).as("__n"))
+        // the transform runs over m·k result rows, not the corpus
+        .select(col("__s"), col("__c"),
+          transform(col("__sum"), x => round(x / col("__n"), roundTo)).as("__mean"))
+        .collect()
+      val next = cb.clone()
+      means.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1)
+        val mv = r.getSeq[Double](2)
+        var d = 0
+        while (d < subDim) { next((s * k + c) * subDim + d) = mv(d); d += 1 }
+      }
+      cb = next
+      i += 1
+    }
+    cb
+  }
+
+  /** (idCol, codes) — PQ-encode every vector against the flat
+    * codebook: map-only, m bytes-ish of code per vector instead of
+    * dims doubles, the 100 TB storage/shuffle shape. Wrong-length
+    * vectors drop (null codes). */
+  def pqEncodeCorpus(df: DataFrame, idCol: String, vecCol: String,
+                     cb: Array[Double], m: Int, codesPerSub: Int,
+                     subDim: Int): DataFrame = {
+    VectorExprs.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        VectorExprs.pqEncode(asDouble(col(vecCol)), cb, m, codesPerSub, subDim)
+          .as("codes"))
+      .filter(col("codes").isNotNull)
+  }
+
+  /** PQ ADC top-k search: per query one LUT of m·k sub-inner-products
+    * (map-only on the tiny broadcast query side), then each corpus
+    * CODE row scores with a codegen'd lookup sum — the inner product
+    * with the reconstructed quantized vector, exactly. The corpus is
+    * read once map-side (codes can also be precomputed/stored);
+    * only per-query candidates shuffle into the top-k window. Recall
+    * is quantization-bounded (raise m/codesPerSub for fidelity) —
+    * the memory/recall dial IVF alone doesn't have. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, cb: Array[Double], m: Int, codesPerSub: Int,
+             topK: Int): DataFrame = {
+    VectorExprs.ensureRegistered(corpus.sparkSession)
+    val subDim = cb.length / (m * codesPerSub)
+    val codes = pqEncodeCorpus(corpus, idCol, vecCol, cb, m, codesPerSub, subDim)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"),
+        VectorExprs.pqLut(asDouble(col(vecCol)), cb, m, codesPerSub, subDim)
+          .as("__lut"))
+      .filter(col("__lut").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(VectorExprs.pqAdc(col("codes"), col("__lut"), codesPerSub), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Johnson–Lindenstrauss ±1 compression of the embedding column to
     * `outDim` dims (appends `proj`, array<double>): the map-only
     * front-end that cuts shuffle bytes of every downstream LSH / IVF /

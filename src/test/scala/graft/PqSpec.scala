@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dims = 64; private val m = 8; private val k = 16
+  private val subDim = dims / m
+
+  private def emb = sf("embeddings")
+
+  private def reconstruct(cb: Array[Double], codes: Seq[Int]): Array[Double] = {
+    val out = new Array[Double](dims)
+    for (s <- 0 until m; d <- 0 until subDim)
+      out(s * subDim + d) = cb((s * k + codes(s)) * subDim + d)
+    out
+  }
+
+  test("trainPq is deterministic and k-means error is non-increasing " +
+    "over iterations") {
+    val cb1 = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 3)
+    val cb2 = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 3)
+    assert(cb1.toSeq === cb2.toSeq)
+    assert(cb1.length === m * k * subDim)
+    // quantization MSE per iteration count: k-means monotone descent
+    // (up to the 6-dp centroid rounding, which is << the error scale)
+    val vecs = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def mse(cb: Array[Double]): Double = {
+      val errs = vecs.map { v =>
+        val codes = (0 until m).map { s =>
+          (0 until k).minBy { c =>
+            var d2 = 0.0
+            for (d <- 0 until subDim) {
+              val diff = v(s * subDim + d) - cb((s * k + c) * subDim + d)
+              d2 += diff * diff
+            }
+            d2
+          }
+        }
+        val r = reconstruct(cb, codes)
+        v.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      errs.sum / errs.length
+    }
+    val errors = (1 to 4).map(i =>
+      mse(Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = i)))
+    errors.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-6, errors) }
+  }
+
+  test("pqEncode emits m codes in [0,k); ADC equals the inner product " +
+    "with the reconstructed vector exactly") {
+    val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 2)
+    val codes = Similarity.pqEncodeCorpus(emb, "vec_id", "embedding",
+      cb, m, k, subDim).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == m && c.forall(x => x >= 0 && x < k)))
+    // ADC law against 5 query vectors
+    val queries = emb.limit(5)
+    val got = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      cb, m, k, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val qVecs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.foreach { case ((qid, nid), sim) =>
+      val expect = qVecs(qid).zip(reconstruct(cb, codes(nid)))
+        .map { case (a, b) => a * b }.sum
+      assert(math.abs(sim - expect) < 1e-6, s"($qid,$nid): $sim vs $expect")
+    }
+  }
+
+  test("pqTopK ranks a planted exact-duplicate vector at the top") {
+    val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 2)
+    // plant an exact copy of vec 0 with id 9999
+    val base = emb.select("vec_id", "embedding")
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val corpus = base.unionAll(dup)
+    val res = Similarity.pqTopK(corpus, dup, "vec_id", "embedding",
+      cb, m, k, topK = 3).filter(col("query_id") === 9999L)
+      .orderBy("rank").collect()
+    // identical vector -> identical codes -> maximal ADC: vec 0 must be
+    // rank 1 (ties broken by lowest neighbor id, 0 wins those too)
+    assert(res.head.getLong(2) === 0L, res.mkString(";"))
+  }
+}
