@@ -516,6 +516,47 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** IVF-PQ: the production-scale ANN index (FAISS's default posture)
+    * — IVF coarse cells bound WHICH vectors each query scores
+    * (nProbe nearest cells), PQ codes bound the PER-CANDIDATE cost
+    * (codegen'd ADC lookup sum instead of a dims-length dot). The
+    * corpus is read once map-side (cell assignment + PQ encode in one
+    * projection); only probed-cell candidates shuffle into the
+    * per-query top-k window. Law (PqSpec): equals [[pqTopK]]
+    * restricted to the probed cells — the IVF stage changes
+    * candidate SCOPE, never a surviving candidate's score. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, centroids: DataFrame, cb: Array[Double],
+                m: Int, codesPerSub: Int, topK: Int,
+                nProbe: Int = 2): DataFrame = {
+    VectorExprs.ensureRegistered(corpus.sparkSession)
+    val subDim = cb.length / (m * codesPerSub)
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val assigned = nearestCentroids(e, idCol, centroids, 1)
+      .select(col(idCol).as("neighbor_id"), col("cid"),
+        VectorExprs.pqEncode(col("__v"), cb, m, codesPerSub, subDim)
+          .as("__codes"))
+      .filter(col("__codes").isNotNull)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val probes = nearestCentroids(q, "query_id", centroids, nProbe)
+      .select(col("query_id"), col("cid"),
+        VectorExprs.pqLut(col("__v"), cb, m, codesPerSub, subDim).as("__lut"))
+      .filter(col("__lut").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(VectorExprs.pqAdc(col("__codes"), col("__lut"), codesPerSub), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Johnson–Lindenstrauss ±1 compression of the embedding column to
     * `outDim` dims (appends `proj`, array<double>): the map-only
     * front-end that cuts shuffle bytes of every downstream LSH / IVF /

@@ -71,6 +71,36 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqTopK equals pqTopK restricted to the probed cells: IVF " +
+    "bounds candidate scope, never a surviving candidate's score") {
+    val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 2)
+    val cents = Similarity.centroidsFromLabels(emb, "label", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      cents, cb, m, k, topK = 4, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // replay: probed cells per query + full assignment, then pqTopK
+    // filtered to candidates in those cells must agree row-for-row
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      cb, m, k, topK = Int.MaxValue / 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // probe cells come from the same nearestCentroids(n=2) machinery;
+    // reuse ivfTopK's probe result indirectly: derive from ivfpq rows'
+    // own cells is circular, so recompute via a 2-probe ivf run
+    val probesDf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      cents, k = Int.MaxValue / 2, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet // (query, candidate in probed cells)
+    val expected = allPq
+      .filter { case (q, n, _) => probesDf.contains((q, n)) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, n, s) => (-s, n) }.take(4).zipWithIndex
+          .map { case ((_, n, s), i) => (q, i + 1, n, s) }
+      }.toSet
+    assert(ivfpq.toSet === expected, s"\nivfpq=${ivfpq.toSeq.sorted}\nexp=${expected.toSeq.sorted}")
+  }
+
   test("pqTopK ranks a planted exact-duplicate vector at the top") {
     val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 2)
     // plant an exact copy of vec 0 with id 9999
