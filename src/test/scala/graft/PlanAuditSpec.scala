@@ -36,7 +36,10 @@ class PlanAuditSpec extends SparkTestBase {
     "q_perplexity_kn",       // scalar (B, n1, n2, V) KN totals (1-row broadcast)
     "q_ppl_buckets",         // same scoreDocs scalar V (1-row broadcast)
     "q_dsir",                // scalar (tt, tr) model totals (1-row broadcast)
-    "q_collocations"         // scalar corpus token total T (1-row broadcast)
+    "q_collocations",        // scalar corpus token total T (1-row broadcast)
+    "q_pq_topk",             // corpus codes vs BROADCAST query LUTs, =!= condition
+    "q_ivf_pq_topk",         // broadcast centroid assignment + broadcast probe LUTs
+    "q_shard"                // scalar corpus token total (1-row broadcast)
   )
 
   /** Queries allowed to plan a SortAggregateExec. Deliberately EMPTY:
@@ -64,7 +67,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_perplexity_kn",// KN count-of-counts totals -> 1 scalar
     "q_ppl_buckets",  // same scoreDocs distinct-token count V -> 1 scalar
     "q_dsir",         // hashed-bag model totals -> 1 scalar
-    "q_collocations"  // corpus token total T -> 1 scalar
+    "q_collocations", // corpus token total T -> 1 scalar
+    "q_shard"         // corpus token total -> 1 scalar (shard width)
   )
 
   test("no certified query plans a CartesianProduct; BNL only where declared; " +
