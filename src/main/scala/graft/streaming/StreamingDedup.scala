@@ -24,6 +24,32 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming SEMANTIC dedup: drop documents whose embedding
+    * product-quantizes to the SAME code word as earlier stream content
+    * — the ingest-side mirror of SemDeDup-style embedding dedup, with
+    * PQ as the similarity radius (two embeddings share all m codes iff
+    * every subvector falls in the same Voronoi cell; raise m /
+    * codesPerSub to tighten). Map-only codegen'd encode
+    * ([[graft.functions.PqEncodeExpr]], codebook as plan constant) +
+    * ONE `dropDuplicatesWithinWatermark` on the code-word hash —
+    * state is one entry per distinct code word in the horizon,
+    * bounded by m·log2(codesPerSub) bits of key space and the
+    * watermark, whichever is smaller. */
+  def dropSemanticWithinWatermark(df: DataFrame, vecCol: String,
+                                  tsCol: String, cb: Array[Double],
+                                  m: Int, codesPerSub: Int,
+                                  delay: String = "10 minutes"): DataFrame = {
+    val subDim = cb.length / (m * codesPerSub)
+    df.withColumn("__pq",
+        graft.functions.VectorExprs.pqEncode(
+          col(vecCol).cast("array<double>"), cb, m, codesPerSub, subDim))
+      .filter(col("__pq").isNotNull)
+      .withColumn("__pqh", md5(concat_ws(",", col("__pq"))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__pqh")
+      .drop("__pq", "__pqh")
+  }
+
   /** Within-stream FUZZY near-dup drop — the streaming mirror of
     * [[graft.ops.Dedup.dropNearDups]] at LSH-candidate granularity:
     * each document explodes to its MinHash band keys, each band key is

@@ -153,6 +153,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup drops same-PQ-code embeddings across " +
+    "batches; distinct embeddings survive; one state op") {
+    import graft.streaming.StreamingDedup
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = sf("embeddings")
+    val cb = Similarity.trainPq(emb, "vec_id", "embedding",
+      dims = 64, m = 8, codesPerSub = 16, iters = 2)
+    val vecs = emb.orderBy("vec_id").limit(3)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    def jitter(v: Seq[Double], eps: Double) = v.map(_ + eps)
+    val rows = Seq(
+      (ts(1), 1L, vecs(0)),
+      (ts(1), 2L, vecs(1)),
+      // batch 2: a near-identical copy of vec 0 (tiny jitter keeps the
+      // same Voronoi cells) and a genuinely different vector
+      (ts(2), 3L, jitter(vecs(0), 1e-9)),
+      (ts(2), 4L, vecs(2)))
+    val input = MemoryStream[(Timestamp, Long, Seq[Double])]
+    val q = StreamingDedup.dropSemanticWithinWatermark(
+      input.toDF().toDF("ts", "id", "embedding"), "embedding", "ts",
+      cb, m = 8, codesPerSub = 16)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_dedup_out").start()
+    try {
+      rows.groupBy(_._1).toSeq.sortBy(_._1.getTime).foreach { case (_, b) =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("sem_dedup_out").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 2L, 4L), got.toString)
+      assert(q.lastProgress.stateOperators.length === 1)
+    } finally q.stop()
+  }
+
   test("streaming sessionize carries session state across batches, equals batch") {
     import graft.streaming.StreamingSessionize
     import graft.streaming.StreamingSessionize.SessionEvent
