@@ -686,140 +686,91 @@ object VectorExprs {
 
   /** Register the kernel in the session's function registry (idempotent,
     * cheap — createOrReplaceTempFunction just swaps a map entry). */
+  /** Canonical (name, builder) registry of every graft kernel /
+    * aggregate exposed as a SQL function — consumed by BOTH the lazy
+    * per-session registration below (the Column-API path) and
+    * [[graft.GraftExtensions]] (the `spark.sql.extensions` install
+    * path, which injects these into every session at build time). */
+  private[graft] lazy val functionBuilders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    def strSeq(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+        .map(_.toString).toSeq
+    def dblArr(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray()
+    def int(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.eval().asInstanceOf[Int]
+    Seq(
+      "graft_dot" -> ((exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))),
+      "graft_simhash32" -> (exprs => SimHashVote(exprs(0), 32)),
+      "graft_minhash_md5" -> (exprs =>
+        MinHashMd5(exprs(0), exprs(1).eval().toString)),
+      "graft_minhash_md5_tokens" -> (exprs =>
+        MinHashMd5Tokens(exprs(0), int(exprs(1)), exprs(2).eval().toString)),
+      "graft_shingles" -> (exprs => ShinglesExpr(exprs(0), int(exprs(1)))),
+      "graft_jaccard_sorted" -> (exprs => JaccardSorted(exprs(0), exprs(1))),
+      "graft_linear_bag_score" -> (exprs =>
+        LinearBagScoreExpr(exprs(0), dblArr(exprs(1)), int(exprs(2)))),
+      "graft_quality_features" -> (exprs => QualityFeatures(exprs(0))),
+      "graft_gopher_stats" -> (exprs => GopherStats(exprs(0))),
+      "graft_pii_counts" -> (exprs => PiiCountsExpr(exprs(0), strSeq(exprs(1)))),
+      "graft_pii_redact" -> (exprs =>
+        PiiRedactExpr(exprs(0), strSeq(exprs(1)), strSeq(exprs(2)))),
+      "graft_bloom_any_shingle" -> (exprs =>
+        BloomContainsAnyShingle(exprs(0),
+          exprs(1).eval().asInstanceOf[Array[Byte]], int(exprs(2)))),
+      "graft_hashed_bag_counts" -> (exprs =>
+        HashedBagCountsExpr(exprs(0), int(exprs(1)))),
+      "graft_langid" -> (exprs => LangIdBest(exprs(0))),
+      "graft_minhash_xx64" -> (exprs =>
+        MinHashXx64Tokens(exprs(0), int(exprs(1)), int(exprs(2)))),
+      "graft_simhash_tokens" -> (exprs =>
+        SimHashTokens(exprs(0), exprs(1).eval().asInstanceOf[Boolean])),
+      "graft_random_project" -> (exprs =>
+        RandomProjectExpr(exprs(0), int(exprs(1)), int(exprs(2)),
+          exprs(3).eval().toString)),
+      "graft_lsh_sigs" -> (exprs =>
+        LshPlaneSigs(exprs(0), dblArr(exprs(1)), int(exprs(2)), int(exprs(3)))),
+      "graft_vector_sum" -> (exprs => VectorSumAgg(exprs(0))),
+      "graft_extremum_by" -> (exprs =>
+        ExtremumByAgg(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Boolean])),
+      "graft_long_product" -> (exprs => LongProductAgg(exprs(0))),
+      "graft_topk" -> (exprs => TopKAgg(exprs(0), int(exprs(1)))),
+      "graft_top_shingle_frac" -> (exprs =>
+        TopShingleFrac(exprs(0), int(exprs(1)))),
+      "graft_repetition_stats" -> (exprs => RepetitionStats(exprs(0))),
+      "graft_del_neighborhood" -> (exprs =>
+        DeletionNeighborhood(exprs(0), int(exprs(1)))),
+      "graft_chunk_windows" -> (exprs =>
+        ChunkWindows(exprs(0), int(exprs(1)), int(exprs(2)),
+          exprs.length > 3 && exprs(3).eval().asInstanceOf[Boolean])),
+      "graft_nearest_centroid" -> (exprs =>
+        NearestCentroid(exprs(0),
+          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray(),
+          dblArr(exprs(2)), int(exprs(3)))),
+      "graft_pq_encode" -> (exprs =>
+        PqEncodeExpr(exprs(0), dblArr(exprs(1)), int(exprs(2)), int(exprs(3)),
+          int(exprs(4)))),
+      "graft_pq_lut" -> (exprs =>
+        PqLutExpr(exprs(0), dblArr(exprs(1)), int(exprs(2)), int(exprs(3)),
+          int(exprs(4)))),
+      "graft_pq_adc" -> (exprs => PqAdcExpr(exprs(0), exprs(1), int(exprs(2))))
+    )
+  }
+
   def ensureRegistered(spark: SparkSession): Unit =
     if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
       val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
-      reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_simhash32", exprs => SimHashVote(exprs(0), 32), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_minhash_md5",
-        exprs => MinHashMd5(exprs(0), exprs(1).eval().toString), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_minhash_md5_tokens",
-        exprs => MinHashMd5Tokens(exprs(0),
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().toString), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_shingles",
-        exprs => ShinglesExpr(exprs(0),
-          exprs(1).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_jaccard_sorted",
-        exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_linear_bag_score",
-        exprs => LinearBagScoreExpr(exprs(0),
-          exprs(1).eval().asInstanceOf[
-            org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray(),
-          exprs(2).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_quality_features",
-        exprs => QualityFeatures(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_gopher_stats",
-        exprs => GopherStats(exprs(0)), "built-in")
-      def strSeq(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-        e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
-          .map(_.toString).toSeq
-      reg.createOrReplaceTempFunction(
-        "graft_pii_counts",
-        exprs => PiiCountsExpr(exprs(0), strSeq(exprs(1))), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_pii_redact",
-        exprs => PiiRedactExpr(exprs(0), strSeq(exprs(1)), strSeq(exprs(2))),
-        "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_bloom_any_shingle",
-        exprs => BloomContainsAnyShingle(exprs(0),
-          exprs(1).eval().asInstanceOf[Array[Byte]],
-          exprs(2).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_hashed_bag_counts",
-        exprs => HashedBagCountsExpr(exprs(0),
-          exprs(1).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_langid",
-        exprs => LangIdBest(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_minhash_xx64",
-        exprs => MinHashXx64Tokens(exprs(0),
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_simhash_tokens",
-        exprs => SimHashTokens(exprs(0),
-          exprs(1).eval().asInstanceOf[Boolean]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_random_project",
-        exprs => RandomProjectExpr(exprs(0),
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int],
-          exprs(3).eval().toString), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_lsh_sigs",
-        exprs => LshPlaneSigs(exprs(0),
-          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toDoubleArray(),
-          exprs(2).eval().asInstanceOf[Int],
-          exprs(3).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_vector_sum",
-        exprs => VectorSumAgg(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_extremum_by",
-        exprs => ExtremumByAgg(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Boolean]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_long_product",
-        exprs => LongProductAgg(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_topk",
-        exprs => TopKAgg(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_top_shingle_frac",
-        exprs => TopShingleFrac(exprs(0),
-          exprs(1).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_repetition_stats",
-        exprs => RepetitionStats(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_del_neighborhood",
-        exprs => DeletionNeighborhood(exprs(0),
-          exprs(1).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_chunk_windows",
-        exprs => ChunkWindows(exprs(0),
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int],
-          exprs.length > 3 && exprs(3).eval().asInstanceOf[Boolean]), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_nearest_centroid",
-        exprs => NearestCentroid(exprs(0),
-          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toLongArray(),
-          exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toDoubleArray(),
-          exprs(3).eval().asInstanceOf[Int]), "built-in")
-      def dblArr(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-        e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray()
-      def int(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-        e.eval().asInstanceOf[Int]
-      reg.createOrReplaceTempFunction(
-        "graft_pq_encode",
-        exprs => PqEncodeExpr(exprs(0), dblArr(exprs(1)),
-          int(exprs(2)), int(exprs(3)), int(exprs(4))), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_pq_lut",
-        exprs => PqLutExpr(exprs(0), dblArr(exprs(1)),
-          int(exprs(2)), int(exprs(3)), int(exprs(4))), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_pq_adc",
-        exprs => PqAdcExpr(exprs(0), exprs(1), int(exprs(2))), "built-in")
+      functionBuilders.foreach { case (name, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
 
   /** Codegen'd dot product of two vector columns (any numeric array —
