@@ -750,6 +750,32 @@ object PipelineQueries {
         .orderBy("pred_lang", "doc_id")
     }),
 
+    // C4 line/page cleanup (Raffel 2020 §2.2) — the synthetic corpus
+    // has no newlines or punctuation, so (the q_pii convention) both
+    // engines inject the same deterministic doc_id-derived line
+    // structure first: terminal-punct variance, a javascript line,
+    // a varying sentence tail, lorem-ipsum and brace page vetoes
+    "q_c4" -> ((s, d) => {
+      val injected = concat(
+        col("text"), lit("."), lit("\n"),
+        lit("Second line kept here"),
+        when(col("doc_id") % 3 === 0, ".").otherwise(""), lit("\n"),
+        when(col("doc_id") % 5 === 0, "Enable javascript to continue.")
+          .otherwise("Plain closing line."), lit("\n"),
+        expr("repeat('Extra sentence goes here. ', cast(doc_id % 4 as int))"),
+        when(col("doc_id") % 11 === 0, "\nlorem ipsum disclaimer.")
+          .otherwise(""),
+        when(col("doc_id") % 13 === 0, "\ncode { sample }").otherwise(""))
+      val m = graft.ops.RuleFilters.c4Metrics(col("__t"), minSentences = 4)
+      docs(s, d).select(col("doc_id"), injected.as("__t"))
+        .select(col("doc_id"), m.as("__m"))
+        .select(col("doc_id"),
+          col("__m.n_lines"), col("__m.n_kept_lines"),
+          col("__m.n_sentences"), col("__m.keep"),
+          md5(col("__m.kept_text")).as("kept_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher document-level rule gate (Rae 2021 A1.1): per-doc metrics
     // + composite keep, thresholds tuned to this corpus's length
     // regime (the paper's 50-word floor kept; mwl ceiling 4.5 and
@@ -1850,6 +1876,37 @@ object PipelineQueries {
            (PARTITION BY pred_lang ORDER BY quality DESC, doc_id) AS rk FROM q)
          SELECT pred_lang, doc_id, quality FROM r WHERE rk <= 5
          ORDER BY pred_lang, doc_id""",
+
+    "q_c4" ->
+      """WITH t AS (SELECT doc_id,
+           text || '.' || chr(10) ||
+           'Second line kept here' ||
+             (CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END) || chr(10) ||
+           (CASE WHEN doc_id % 5 = 0 THEN 'Enable javascript to continue.'
+             ELSE 'Plain closing line.' END) || chr(10) ||
+           repeat('Extra sentence goes here. ', (doc_id % 4)::INT) ||
+           (CASE WHEN doc_id % 11 = 0
+             THEN chr(10) || 'lorem ipsum disclaimer.' ELSE '' END) ||
+           (CASE WHEN doc_id % 13 = 0
+             THEN chr(10) || 'code { sample }' ELSE '' END) AS txt
+           FROM documents),
+         m AS (SELECT doc_id, txt,
+           list_filter(string_split(txt, chr(10)),
+             l -> len(trim(l)) > 0) AS lines FROM t),
+         k AS (SELECT doc_id, txt, lines,
+           list_filter(lines, l -> regexp_matches(trim(l), '[.!?"'']$')
+             AND NOT contains(lower(l), 'javascript')) AS kept FROM m),
+         x AS (SELECT doc_id, txt, len(lines)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept_lines,
+           array_to_string(kept, chr(10)) AS kt FROM k),
+         y AS (SELECT doc_id, txt, n_lines, n_kept_lines, kt,
+           len(list_filter(string_split_regex(kt, '[.!?]+'),
+             s2 -> len(trim(s2)) > 0))::BIGINT AS n_sentences FROM x)
+         SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           (n_sentences >= 4 AND NOT contains(lower(txt), 'lorem ipsum')
+             AND NOT contains(txt, '{')) AS keep,
+           md5(kt) AS kept_hash
+         FROM y ORDER BY doc_id""",
 
     "q_gopher_filter" ->
       s"""WITH t AS (SELECT doc_id,
