@@ -776,6 +776,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the MODERN curation recipe end-to-end: Gopher rule gate ->
+    // pinned-classifier quality filter -> DSIR domain resampling
+    // toward the en slice -> token-balanced output sharding. Certifies
+    // that this round's model-based stages COMPOSE (the q_pipeline_e2e
+    // posture for the r12 operator families)
+    "q_curation_e2e" -> ((s, d) => {
+      val gated = graft.ops.RuleFilters.gopherFilter(docs(s, d), "text",
+        minWords = 50, maxWords = 100000, minMwl = 3.0, maxMwl = 4.5,
+        minAlphaFrac = 0.8, minStopHits = 1)
+      val quality = graft.ops.QualityClassifier.filterByQuality(
+        gated, qcWeights, qcDim, "text", cut = 0.0)
+      val picked = graft.ops.Dsir.resample(quality,
+        quality.filter(col("lang") === "en"), "text", "doc_id",
+        dim = 512, k = 40)
+      val sel = quality.join(picked.select("doc_id", "logw"), Seq("doc_id"))
+      Selection.shardByTokenBudget(
+          sel.select("doc_id", "text", "logw"), "text", "doc_id", 4)
+        .select(col("doc_id"), col("logw"), col("n_tok"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher document-level rule gate (Rae 2021 A1.1): per-doc metrics
     // + composite keep, thresholds tuned to this corpus's length
     // regime (the paper's 50-word floor kept; mwl ceiling 4.5 and
@@ -1907,6 +1928,78 @@ object PipelineQueries {
              AND NOT contains(txt, '{')) AS keep,
            md5(kt) AS kept_hash
          FROM y ORDER BY doc_id""",
+
+    "q_curation_e2e" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, text,
+           list_filter($W, x -> len(x) > 0) AS w FROM documents),
+         gm AS (SELECT doc_id, lang, text, w, len(w)::BIGINT AS n_words,
+             list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) AS mwl0,
+             len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+               / len(w) AS af0,
+             ((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END) +
+              (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+             )::BIGINT AS n_stop
+           FROM t0 WHERE len(w) > 0),
+         gated AS (SELECT doc_id, lang, w FROM gm
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND mwl0 >= 3.0 AND mwl0 <= 4.5
+             AND af0 >= 0.8 AND n_stop >= 1),
+         ctok AS (SELECT doc_id, unnest(w) AS t FROM gated),
+         cf AS (SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % $qcDim AS feat,
+             count(*)::BIGINT AS cnt FROM ctok GROUP BY 1, 2),
+         cw AS (SELECT * FROM (VALUES $qcValuesSql) AS v(feat, wt)),
+         cm AS (SELECT cf.doc_id,
+             sum(coalesce(cw.wt, 0) * cf.cnt) + (${qcWeights.last}) AS margin
+           FROM cf LEFT JOIN cw ON cf.feat = cw.feat GROUP BY 1),
+         quality AS (SELECT g.doc_id, g.lang, g.w FROM gated g
+           JOIN cm ON cm.doc_id = g.doc_id WHERE cm.margin >= 0),
+         uni AS (SELECT doc_id, lang, unnest(w) AS t FROM quality),
+         bi AS (SELECT doc_id, lang, unnest(list_transform(
+           range(1, CASE WHEN len(w) >= 2 THEN len(w) ELSE 1 END),
+           i -> w[i] || ' ' || w[i+1])) AS t FROM quality),
+         feats AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % 512 AS bucket
+           FROM (SELECT * FROM uni WHERE len(t) > 0
+                 UNION ALL SELECT * FROM bi)),
+         tcnt AS (SELECT bucket, count(*)::BIGINT AS tcnt FROM feats
+           WHERE lang = 'en' GROUP BY 1),
+         rcnt AS (SELECT bucket, count(*)::BIGINT AS rcnt FROM feats
+           GROUP BY 1),
+         buckets AS (SELECT range::INT AS bucket FROM range(512)),
+         j AS (SELECT b.bucket, t.tcnt, r.rcnt FROM buckets b
+           LEFT JOIN tcnt t USING (bucket) LEFT JOIN rcnt r USING (bucket)),
+         tot AS (SELECT sum(coalesce(tcnt, 0))::BIGINT AS tt,
+           sum(coalesce(rcnt, 0))::BIGINT AS tr FROM j),
+         ratio AS (SELECT bucket,
+             round(ln((coalesce(tcnt, 0) + 1.0) / (tot.tt + 512)) -
+                   ln((coalesce(rcnt, 0) + 1.0) / (tot.tr + 512)), 6) AS r
+           FROM j, tot),
+         scored AS (SELECT f.doc_id, round(sum(rt.r), 6) AS logw
+           FROM feats f JOIN ratio rt USING (bucket) GROUP BY 1),
+         keyed AS (SELECT doc_id, logw,
+             round(logw + round(-ln(-ln(
+               ((('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 ::DOUBLE + 0.5) / 1152921504606846976.0))), 6), 6) AS key
+           FROM scored),
+         picked AS (SELECT doc_id, logw FROM keyed
+           ORDER BY key DESC, doc_id LIMIT 40),
+         sel AS (SELECT q.doc_id, p.logw, q.w FROM picked p
+           JOIN quality q USING (doc_id)),
+         sh0 AS (SELECT doc_id, logw, len(w)::BIGINT AS n_tok,
+           md5(doc_id::VARCHAR) AS k2 FROM sel),
+         c AS (SELECT doc_id, logw, n_tok,
+           sum(n_tok) OVER (ORDER BY k2, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n_tok) OVER () AS total FROM sh0)
+         SELECT doc_id, logw, n_tok,
+           least(floor((cum - n_tok) / ceil(total / 4.0)), 3)::INT AS shard
+         FROM c ORDER BY doc_id""",
 
     "q_gopher_filter" ->
       s"""WITH t AS (SELECT doc_id,
