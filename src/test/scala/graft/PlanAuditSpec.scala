@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_collocations",        // scalar corpus token total T (1-row broadcast)
     "q_pq_topk",             // corpus codes vs BROADCAST query LUTs, =!= condition
     "q_ivf_pq_topk",         // broadcast centroid assignment + broadcast probe LUTs
-    "q_shard"                // scalar corpus token total (1-row broadcast)
+    "q_shard",               // scalar corpus token total (1-row broadcast)
+    "q_curation_e2e"         // DSIR model totals + shard token total (1-row broadcasts)
   )
 
   /** Queries allowed to plan a SortAggregateExec. Deliberately EMPTY:
@@ -68,7 +69,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ppl_buckets",  // same scoreDocs distinct-token count V -> 1 scalar
     "q_dsir",         // hashed-bag model totals -> 1 scalar
     "q_collocations", // corpus token total T -> 1 scalar
-    "q_shard"         // corpus token total -> 1 scalar (shard width)
+    "q_shard",        // corpus token total -> 1 scalar (shard width)
+    "q_curation_e2e"  // DSIR model totals + shard total -> 1-row scalars
   )
 
   test("no certified query plans a CartesianProduct; BNL only where declared; " +
