@@ -875,6 +875,69 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("composed streaming curation: gopher gate -> classifier filter -> " +
+    "DSIR scoring -> bloom decontam -> PQ semantic dedup; batch-equal, " +
+    "one stateful op") {
+    import graft.ops.{Contamination, Dsir, QualityClassifier, RuleFilters, Similarity}
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 32
+    // pinned DSIR ratios and classifier weights (deployed-model shape)
+    val idx = Seq("the").toDF("t")
+      .select(QualityClassifier.featureIdx(col("t"), dim)).as[Int].head()
+    val ratios = Array.fill(dim)(-0.05); ratios(idx) = 1.0
+    val qcw = Array.fill(dim + 1)(0.4) // every token votes keep
+    // PQ codebook trained on the small embeddings table
+    val cb = Similarity.trainPq(sf("embeddings"), "vec_id", "embedding",
+      dims = 64, m = 8, codesPerSub = 16, iters = 1)
+    val vecs = sf("embeddings").orderBy("vec_id").limit(2)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    val bench = Seq((90L, "the eval set secret answer sheet rows")).toDF("id", "text")
+    val bloomBytes = Contamination.benchNgramBloom(bench, "text", k = 3)
+    val rows = Seq(
+      // survives every stage
+      (ts(1), 1L, "the committee shall review the annual report with care today", vecs(0)),
+      // fails the gopher word floor
+      (ts(1), 2L, "too short", vecs(1)),
+      // contaminated: embeds a bench 3-gram
+      (ts(1), 3L, "copy of the eval set secret answer sheet found here today", vecs(1)),
+      // batch 2: same embedding cell as doc 1 -> semantic dup, dropped
+      (ts(2), 4L, "the board must inspect the yearly figures with diligence now", vecs(0)),
+      // batch 2: distinct embedding, clean, long enough -> survives
+      (ts(2), 5L, "the council will examine the quarterly outcomes with rigor soon", vecs(1)))
+    def pipe(df: org.apache.spark.sql.DataFrame) = {
+      val gated = RuleFilters.gopherFilter(df, "text", minWords = 8,
+        maxWords = 100, minMwl = 2.0, maxMwl = 9.0,
+        minAlphaFrac = 0.5, minStopHits = 1)
+      // DSIR scoring as a COLUMN (logImportanceLocal's kernel inline) —
+      // a join back onto the same stream would be a stream-stream join
+      val scored = QualityClassifier
+        .filterByQuality(gated, qcw.toSeq, dim, "text")
+        .withColumn("logw", round(graft.functions.VectorExprs.linearBagScore(
+          Dsir.featureStrings(col("text")), ratios.toSeq :+ 0.0, dim), 6))
+        .filter(col("logw").isNotNull)
+      val clean = scored
+        .filter(!Contamination.mightBeContaminated(col("text"), bloomBytes, 3))
+      StreamingDedup.dropSemanticWithinWatermark(clean, "embedding", "ts",
+        cb, m = 8, codesPerSub = 16)
+    }
+    val input = MemoryStream[(Timestamp, Long, String, Seq[Double])]
+    val q = pipe(input.toDF().toDF("ts", "id", "text", "embedding"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curation_out").start()
+    try {
+      rows.groupBy(_._1).toSeq.sortBy(_._1.getTime).foreach { case (_, b) =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("curation_out").select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 5L), got.toString)
+      assert(q.lastProgress.stateOperators.length === 1)
+    } finally q.stop()
+  }
+
   test("streaming exact decontamination mirrors batch Selection on a stream") {
     import graft.streaming.StreamingContamination
     implicit val sqlCtx = spark.sqlContext
