@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+class IngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("readJsonl: well-formed rows load typed, malformed lines " +
+    "quarantine with the raw line — nothing silently dropped") {
+    val dir = Files.createTempDirectory("graft_jsonl")
+    try {
+      Files.writeString(dir.resolve("part0.jsonl"),
+        """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}
+          |{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web"}
+          |this is not json at all
+          |{"doc_id": 3, "text": "ok", "lang": "en", "source": "books"}
+          |{"broken": [unterminated
+          |""".stripMargin)
+      val r = graft.sources.Ingest.readJsonl(spark, dir.toString)
+      val docs = r.docs.orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+      assert(docs.toSeq === Seq((1L, "hello world", "en"),
+        (2L, "bonjour", "fr"), (3L, "ok", "en")))
+      val bad = r.quarantine.as[String].collect().sorted
+      assert(bad.length === 2)
+      assert(bad.exists(_.contains("not json")))
+      assert(bad.exists(_.contains("unterminated")))
+      // conservation: every input line accounted for exactly once
+      assert(r.docs.count() + r.quarantine.count() === 5)
+      // the loaded frame feeds the ops layer directly
+      val toks = r.docs.select(
+        graft.ops.TextAnalysis.tokenCount(org.apache.spark.sql.functions.col("text")))
+        .as[Int].collect().sum
+      assert(toks === 4)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
+  test("readTextDir: one row per file, recursive, glob-filtered") {
+    val dir = Files.createTempDirectory("graft_txt")
+    try {
+      Files.createDirectory(dir.resolve("sub"))
+      Files.writeString(dir.resolve("a.txt"), "alpha beta")
+      Files.writeString(dir.resolve("sub").resolve("b.txt"), "gamma")
+      Files.writeString(dir.resolve("ignored.json"), "{}")
+      val rows = graft.sources.Ingest.readTextDir(spark, dir.toString)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(rows.length === 2)
+      assert(rows.exists(r => r._1.endsWith("a.txt") && r._2 == "alpha beta" && r._3 == 10L))
+      assert(rows.exists(r => r._1.endsWith("b.txt") && r._2 == "gamma"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
+}
