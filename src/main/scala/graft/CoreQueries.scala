@@ -229,7 +229,17 @@ object CoreQueries {
 
     // ---------------- NaN-skipping vs NaN-propagating variants
     "q_nan_aggs" -> ((s, d) => {
+      // integer-grid stabilization: aggregate v·10⁶ floored to an
+      // INTEGRAL double (NaN flows through floor unchanged) so every
+      // sum is exact and order-independent across partitionings AND
+      // engines, then scale back in the projection — the same
+      // boundary-flip class as q_custom_agg, surfaced by the sf0.1
+      // probe on nmean's 4-dp round. NaN-skip semantics untouched.
+      // NB Spark's floor() yields BIGINT (NaN would cast to 0!) — keep
+      // the NaN lane explicit and cast the integral result back
       val e = withNan(ev(s, d))
+        .withColumn("v", when(isnan(col("v")), col("v"))
+          .otherwise(floor(col("v") * 1e6 + 0.5).cast("double")))
       GroupByReduce.multi(e, Seq("user_id"), Seq(
         ("v", "count", "n_valid"),
         ("v", "nansum", "nsum"),
@@ -237,10 +247,13 @@ object CoreQueries {
         ("v", "nanmin", "nmin"),
         ("v", "nanmax", "nmax"),
         ("v", "sum", "sum_prop")))
-        .withColumn("nsum", r("nsum", 2))
-        .withColumn("nmean", r("nmean", 4))
+        .withColumn("nsum", round(col("nsum") / 1e6, 2))
+        .withColumn("nmean", round(col("nmean") / 1e6, 4))
+        .withColumn("nmin", round(col("nmin") / 1e6, 6))
+        .withColumn("nmax", round(col("nmax") / 1e6, 6))
         // NaN-propagating sum: encode NaN as null for hash-stable compare
-        .withColumn("sum_prop", when(!isnan(col("sum_prop")), r("sum_prop", 2)))
+        .withColumn("sum_prop",
+          when(!isnan(col("sum_prop")), round(col("sum_prop") / 1e6, 2)))
     }),
 
     // Integer-dtype fill parity (flox/xrdtypes.py:175-185): nansum /
@@ -345,14 +358,24 @@ object CoreQueries {
     // §2.5 custom Aggregation registered by name and certified against
     // the oracle (reference custom-agg test: tests/test_core.py:1510-1548)
     "q_custom_agg" -> ((s, d) => {
+      // chunk adds floor(value²·10⁴ + 0.5): INTEGRAL terms keep the
+      // double sum exact (≪ 2^53) and therefore order-independent
+      // across partitionings AND engines — the rounding-boundary flip
+      // the sf0.1 probe surfaced (round-2dp of an order-drifted float
+      // sum) cannot occur. The registry algebra (identity/chunk/
+      // combine) is what this certifies; the kernel math is a demo.
       graft.aggs.CustomAggregations.register("sum_of_squares",
         new graft.aggs.CustomAggregations.SimpleAggregation {
           def identity = 0.0
-          def chunk(state: Double, value: Double) = state + value * value
+          def chunk(state: Double, value: Double) =
+            state + math.floor(value * value * 1e2 + 0.5)
           def combine(a: Double, b: Double) = a + b
         })
+      // one exact-integer / 100 division, NO round() — a float round of
+      // an S/10^k quotient can land exactly on a .5 boundary where the
+      // engines' rounding algorithms disagree even on identical input
       GroupByReduce(ev(s, d), Seq("user_id"), "value", "sum_of_squares", "ss")
-        .withColumn("ss", r("ss", 2))
+        .withColumn("ss", col("ss") / 100.0)
     }),
 
     // ---------------- §2.3 binning
@@ -797,12 +820,15 @@ object CoreQueries {
 
     "q_nan_aggs" ->
       s"""SELECT user_id, count(CASE WHEN NOT isnan(v) THEN v END) AS n_valid,
-         round(coalesce(sum(CASE WHEN NOT isnan(v) THEN v END), 0.0), 2) AS nsum,
-         round(avg(CASE WHEN NOT isnan(v) THEN v END), 4) AS nmean,
-         min(CASE WHEN NOT isnan(v) THEN v END) AS nmin,
-         max(CASE WHEN NOT isnan(v) THEN v END) AS nmax,
-         CASE WHEN NOT isnan(sum(v)) THEN round(sum(v), 2) END AS sum_prop
-         FROM ($sqlNan) GROUP BY user_id ORDER BY user_id""",
+         round(coalesce(sum(CASE WHEN NOT isnan(v) THEN v END), 0.0)
+           / 1000000.0, 2) AS nsum,
+         round(avg(CASE WHEN NOT isnan(v) THEN v END) / 1000000.0, 4) AS nmean,
+         round(min(CASE WHEN NOT isnan(v) THEN v END) / 1000000.0, 6) AS nmin,
+         round(max(CASE WHEN NOT isnan(v) THEN v END) / 1000000.0, 6) AS nmax,
+         CASE WHEN NOT isnan(sum(v))
+           THEN round(sum(v) / 1000000.0, 2) END AS sum_prop
+         FROM (SELECT * EXCLUDE (v), floor(v * 1000000 + 0.5) AS v
+               FROM ($sqlNan)) GROUP BY user_id ORDER BY user_id""",
 
     "q_nan_aggs_int" ->
       """SELECT l_orderkey,
@@ -878,7 +904,9 @@ object CoreQueries {
          ) GROUP BY 1 ORDER BY 1""",
 
     "q_custom_agg" ->
-      "SELECT user_id, round(sum(value * value), 2) AS ss FROM events GROUP BY 1 ORDER BY 1",
+      """SELECT user_id,
+         sum(floor(value * value * 100 + 0.5)) / 100.0 AS ss
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_bins" ->
       """SELECT bin, bin_label, round(sum(l_extendedprice), 2) AS sum_price,
