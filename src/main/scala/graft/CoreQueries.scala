@@ -158,6 +158,15 @@ object CoreQueries {
       GroupByReduce(li(s, d), Seq("l_returnflag"), "l_extendedprice", "quantile", "p90",
         ReduceOptions(q = Seq(0.9))).withColumn("p90", r("p90", 4))),
 
+    // the SAME exact quantile via the mega-group-safe two-stage
+    // distributed plan (range-partitioned rank + bracket pick) —
+    // bit-equal to the buffered path by the shared interpolation
+    // algebra, certified against the same oracle
+    "q_quantile_dist" -> ((s, d) =>
+      GroupByReduce.quantileDistributed(li(s, d), Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.9), "p90")
+        .withColumn("p90", r("p90", 4))),
+
     // vector q -> array column (the reference's "new output dim",
     // flox/aggregations.py:688-710), unpacked to named columns — ONE pass.
     "q_quantile_multi" -> ((s, d) =>
@@ -735,6 +744,10 @@ object CoreQueries {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_quantile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_quantile_dist" ->
       """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 

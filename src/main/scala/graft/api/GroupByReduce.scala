@@ -222,6 +222,66 @@ object GroupByReduce {
     if (opts.sort && by.nonEmpty) grouped.orderBy(by.map(col): _*) else grouped
   }
 
+  /** EXACT grouped quantile for MEGA-GROUP regimes: the default exact
+    * path ([[graft.aggs.ReduceExprs]]) sorts each group's values in a
+    * single aggregation buffer — correct and fastest when groups are
+    * modest, but one corpus-spanning group then sorts on one task
+    * (100× probe: 3 groups × 20M values → 11s single-buffer sorts).
+    * This two-stage plan keeps everything distributed: a
+    * range-partitioned grouped row-number over (group, value) — the
+    * [[GlobalScan]] machinery, never a single window task — then one
+    * hash aggregation picking the two bracketing ranks per quantile,
+    * interpolated with the IDENTICAL lo·(1−frac) + hi·frac algebra, so
+    * results are bit-equal to the buffered path (spec-pinned law).
+    * Memory: O(1) per row at every stage — NO group-size bound.
+    *
+    * When to use which (measured, 60M rows / 3 mega-groups at
+    * local[32]): the buffered sort wins on THROUGHPUT whenever groups
+    * fit one task's memory (10.5s vs this path's 50s — in-buffer
+    * sorts parallelize across groups and shuffle nothing), and the GK
+    * sketch wins when approximation is acceptable (3.3s). This path
+    * exists for the regime the other two cannot enter at all: an
+    * EXACT quantile of a group too large for any single task's buffer
+    * (tens of billions of values at 100 TB) — correctness at
+    * unbounded group size, at a known shuffle cost. Nulls are skipped
+    * (collect_list parity); all-null groups yield null. Scalar q →
+    * double column, vector q → array column. */
+  def quantileDistributed(df: DataFrame, by: Seq[String], value: String,
+                          qs: Seq[Double],
+                          as: String = "result"): DataFrame = {
+    require(by.nonEmpty, "quantileDistributed needs group keys")
+    require(qs.nonEmpty, "need at least one quantile")
+    val v = col(value)
+    val sizes = df.groupBy(by.map(col): _*).agg(count(v).as("__qn"))
+    val ranked = GlobalScan.groupedRowNumber(
+      df.filter(v.isNotNull)
+        .select(by.map(col) :+ v.cast("double").as("__qv"): _*),
+      by, Seq(col("__qv")), "__qrn")
+    val withN = ranked.join(sizes, by)
+    val picks = qs.zipWithIndex.flatMap { case (q, i) =>
+      val target = (col("__qn") - 1).cast("double") * lit(q)
+      val lo = floor(target).cast("long")
+      Seq(
+        max(when(col("__qrn") === lo + 1, col("__qv"))).as(s"__lo$i"),
+        max(when(col("__qrn") === least(lo + 2, col("__qn")), col("__qv")))
+          .as(s"__hi$i"))
+    }
+    val picked = withN.groupBy(by.map(col): _*)
+      .agg(picks.head, picks.tail: _*)
+    def interp(q: Double, i: Int): Column = {
+      val target = (col("__qn") - 1).cast("double") * lit(q)
+      val frac = target - floor(target)
+      when(col("__qn") > 0,
+        col(s"__lo$i") * (lit(1.0) - frac) + col(s"__hi$i") * frac)
+    }
+    val out = sizes.join(picked, by, "left")
+      .withColumn(as,
+        if (qs.length == 1) interp(qs.head, 0)
+        else array(qs.zipWithIndex.map { case (q, i) => interp(q, i) }: _*))
+      .select(by.map(col) :+ col(as): _*)
+    out.orderBy(by.map(col): _*)
+  }
+
   /** Grouped mode with the reference's smallest-value tie-break
     * (scipy.stats.mode semantics, flox/aggregate_npg.py:185-215).
     * Two-stage plan: per-(key,value) counts (map-side combinable), then

@@ -323,6 +323,41 @@ class ReduceSpec extends SparkTestBase {
     }
   }
 
+  test("quantileDistributed is BIT-equal to the buffered exact path: " +
+    "many groups, vector q, nulls skipped, all-null group yields null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = sf("events")
+    // scalar q over many groups
+    val buf = GroupByReduce(ev, Seq("user_id"), "value", "quantile", "p",
+      ReduceOptions(q = Seq(0.37))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = GroupByReduce.quantileDistributed(ev, Seq("user_id"),
+      "value", Seq(0.37), "p").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist.keySet === buf.keySet)
+    dist.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(v) ===
+        java.lang.Double.doubleToRawLongBits(buf(k)), s"group $k")
+    }
+    // vector q
+    val bufV = GroupByReduce(ev, Seq("user_id"), "value", "quantile", "qs",
+      ReduceOptions(q = Seq(0.0, 0.5, 0.9, 1.0))).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val distV = GroupByReduce.quantileDistributed(ev, Seq("user_id"),
+      "value", Seq(0.0, 0.5, 0.9, 1.0), "qs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(distV === bufV)
+    // nulls skipped; all-null group present with null result
+    val d = Seq((1, Some(2.0)), (1, None), (1, Some(4.0)),
+      (2, None), (2, None)).toDF("k", "value")
+    val rows = GroupByReduce.quantileDistributed(d, Seq("k"),
+      "value", Seq(0.5), "m").collect()
+      .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(rows(1) === Some(3.0))
+    assert(rows(2) === None)
+  }
+
   test("expected_groups left join + fill") {
     val domain = keys.ExpectedGroups.of(spark, "by", Seq(0, 1, 2, 3))
     val r = GroupByReduce(fixture, Seq("by"), "v", "count", "n",
