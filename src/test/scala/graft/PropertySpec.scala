@@ -506,6 +506,56 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("bloom two-phase contamination equals the exact path on random " +
+    "corpora at every fpp — the no-false-negative law, adversarially") {
+    import org.apache.spark.sql.functions.col
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val doc = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(14, doc)
+    samples(Gen.zip(corpusGen, Gen.oneOf(0.3, 0.05, 0.001),
+      Gen.choose(2, 4)), 6).foreach { case (texts, fpp, k) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val bench = df.filter(col("id") < 4)
+      val exact = ops.Contamination
+        .contaminatedIds(df, bench, "text", "id", k)
+        .as[Long].collect().toSet
+      val bloom = ops.Contamination
+        .contaminatedBloom(df, bench, "text", "id", k, fpp)
+        .select("id").as[Long].collect().toSet
+      assert(bloom === exact, s"k=$k fpp=$fpp texts=$texts")
+    }
+  }
+
+  test("boilerplate scrub postcondition on random corpora: no surviving " +
+    "window is corpus-frequent, and unique windows all survive") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(2, 10).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    samples(Gen.zip(Gen.listOfN(10, doc), Gen.choose(2, 3)), 6)
+      .foreach { case (texts, minCount) =>
+        val w = 2
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        // local replay of the frequency rule
+        def windows(t: String): Seq[String] =
+          t.toLowerCase.split("\\s+").toSeq.grouped(w).map(_.mkString(" ")).toSeq
+        val freq = texts.flatMap(windows).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        val out = ops.Dedup.scrubFrequentPassages(df, "text", "doc_id",
+          window = w, minCount = minCount)
+          .select("doc_id", "clean").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          val kept = windows(t).filter(freq(_) < minCount)
+          assert(out(i.toLong) === kept.mkString(" "),
+            s"doc $i of $texts minCount=$minCount")
+        }
+      }
+  }
+
   test("pii fused kernels equal the regexp_extract_all / regexp_replace " +
     "fold formulations bit-for-bit") {
     import org.apache.spark.sql.functions.{col, lit, regexp_replace}
