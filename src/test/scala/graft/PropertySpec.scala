@@ -556,6 +556,35 @@ class PropertySpec extends SparkTestBase {
       }
   }
 
+  test("hamming band join equals the all-pairs scan on random 64-bit " +
+    "signatures at every maxHamming — the pigeonhole completeness law") {
+    import org.apache.spark.sql.functions.col
+    // clustered signatures: base points + few-bit perturbations, so
+    // pairs actually exist at small distances
+    val base = Gen.choose(Long.MinValue, Long.MaxValue)
+    val sigs = Gen.listOfN(5, base).flatMap { bs =>
+      Gen.listOfN(20, Gen.zip(Gen.oneOf(bs), Gen.choose(0, 5),
+        Gen.choose(0L, Long.MaxValue)))
+        .map(_.map { case (b, nb, rnd) =>
+          (0 until nb).foldLeft(b)((acc, i) =>
+            acc ^ (1L << (((rnd >> (i * 6)) & 63).toInt)))
+        })
+    }
+    samples(Gen.zip(sigs, Gen.choose(1, 7)), 5).foreach { case (hs, mh) =>
+      val df = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("__id", "__sig")
+      val got = ops.Dedup.hammingNearDupPairs(df, sigBits = 64, maxHamming = mh)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (a, ia) <- hs.zipWithIndex; (b, ib) <- hs.zipWithIndex
+        if ia < ib && java.lang.Long.bitCount(a ^ b) <= mh
+      } yield (ia.toLong, ib.toLong)).toSet
+      assert(got === brute, s"maxHamming=$mh")
+      assert(brute.nonEmpty || hs.distinct.size == hs.size)
+    }
+  }
+
   test("pii fused kernels equal the regexp_extract_all / regexp_replace " +
     "fold formulations bit-for-bit") {
     import org.apache.spark.sql.functions.{col, lit, regexp_replace}
