@@ -367,7 +367,7 @@ object CoreQueries {
     // §2.5 custom Aggregation registered by name and certified against
     // the oracle (reference custom-agg test: tests/test_core.py:1510-1548)
     "q_custom_agg" -> ((s, d) => {
-      // chunk adds floor(value²·10⁴ + 0.5): INTEGRAL terms keep the
+      // chunk adds floor(value²·10² + 0.5) (2-decimal grid): INTEGRAL terms keep the
       // double sum exact (≪ 2^53) and therefore order-independent
       // across partitionings AND engines — the rounding-boundary flip
       // the sf0.1 probe surfaced (round-2dp of an order-drifted float

@@ -246,18 +246,34 @@ object GroupByReduce {
     * unbounded group size, at a known shuffle cost. Nulls are skipped
     * (collect_list parity); all-null groups yield null. Scalar q →
     * double column, vector q → array column. */
-  def quantileDistributed(df: DataFrame, by: Seq[String], value: String,
+  def quantileDistributed(df0: DataFrame, by: Seq[String], value: String,
                           qs: Seq[Double],
-                          as: String = "result"): DataFrame = {
+                          as: String = "result",
+                          dropNullKeys: Boolean = true): DataFrame = {
     require(by.nonEmpty, "quantileDistributed needs group keys")
     require(qs.nonEmpty, "need at least one quantile")
+    // flox null-label-drop parity (same default as the buffered path's
+    // ReduceOptions.dropNullKeys); with it off, the NULL-keyed group is
+    // a real group and the null-safe joins below carry it correctly.
+    val df =
+      if (dropNullKeys)
+        df0.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
+      else df0
     val v = col(value)
+    // Null-safe key joins (<=>): a NULL-keyed group is a real group for
+    // groupBy, so a plain equi-join here would drop its ranked/picked
+    // rows and break bit-equality with the buffered exact path.
+    def nsJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+      val rr = by.foldLeft(r)((d, k) => d.withColumnRenamed(k, s"__qr_$k"))
+      val cond = by.map(k => col(k) <=> col(s"__qr_$k")).reduce(_ && _)
+      l.join(rr, cond, how).drop(by.map(k => s"__qr_$k"): _*)
+    }
     val sizes = df.groupBy(by.map(col): _*).agg(count(v).as("__qn"))
     val ranked = GlobalScan.groupedRowNumber(
       df.filter(v.isNotNull)
         .select(by.map(col) :+ v.cast("double").as("__qv"): _*),
       by, Seq(col("__qv")), "__qrn")
-    val withN = ranked.join(sizes, by)
+    val withN = nsJoin(ranked, sizes, "inner")
     val picks = qs.zipWithIndex.flatMap { case (q, i) =>
       val target = (col("__qn") - 1).cast("double") * lit(q)
       val lo = floor(target).cast("long")
@@ -274,7 +290,7 @@ object GroupByReduce {
       when(col("__qn") > 0,
         col(s"__lo$i") * (lit(1.0) - frac) + col(s"__hi$i") * frac)
     }
-    val out = sizes.join(picked, by, "left")
+    val out = nsJoin(sizes, picked, "left")
       .withColumn(as,
         if (qs.length == 1) interp(qs.head, 0)
         else array(qs.zipWithIndex.map { case (q, i) => interp(q, i) }: _*))

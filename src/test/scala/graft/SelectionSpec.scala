@@ -290,6 +290,16 @@ class SelectionSpec extends SparkTestBase {
     assert(rows.map(r => r._1 -> r._3).toMap === again)
   }
 
+  test("shardByTokenBudget: an all-zero-token corpus lands wholly in " +
+    "shard 0, never null shard ids (r12 ADVICE divisor clamp)") {
+    val d = (1L to 20L).map(i => (i, "")).toDF("doc_id", "text")
+    val rows = ops.Selection.shardByTokenBudget(d, "text", "doc_id", 4)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    assert(rows.length === 20)
+    assert(rows.forall(_._2 === Some(0)), rows.take(5).toSeq)
+  }
+
   test("writeShards: one file per shard directory, round-trip equals " +
     "the shard assignment, partition pruning serves single-shard reads") {
     import org.apache.spark.sql.functions.col
