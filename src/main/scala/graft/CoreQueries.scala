@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
 object CoreQueries {
 
   private def li(s: SparkSession, dir: String) = Tables(s, dir, "lineitem")
+  /** Bench parquet is one row group -> stage-1 runs on ONE task; an
+    * explicit-count repartition on the GROUP KEY recreates production
+    * scan parallelism AND satisfies the window/agg required
+    * distribution, so no further exchange is added (the
+    * PipelineQueries.spread convention; REPARTITION_BY_NUM is exempt
+    * from AQE's coalesce-to-1 at bench row counts). Applied only on
+    * measured wins. */
+  private def spreadBy(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, col(key))
   private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
   private def ord(s: SparkSession, dir: String) = Tables(s, dir, "orders")
 
@@ -284,7 +293,8 @@ object CoreQueries {
     // the oracle literally expands with unnest(generate_series))
     "q_weighted_quantile" -> ((s, d) =>
       GroupByReduce.weighted(
-        withNan(ev(s, d)).withColumn("w", col("event_id") % 7 + 1),
+        spreadBy(s, withNan(ev(s, d)).withColumn("w", col("event_id") % 7 + 1),
+          "user_id"),
         Seq("user_id"), "v", "w", Seq(
           ("wmedian", "wmed"),
           ("wquantile", "wq25")), ReduceOptions(q = Seq(0.25)))
@@ -581,9 +591,9 @@ object CoreQueries {
         .orderBy("event_id")),
 
     "q_nancumsum" -> ((s, d) =>
-      GroupByScan(withNan(ev(s, d)), Seq("user_id"), "v", "nancumsum", "event_id", "ncsum")
-        .select(col("event_id"), col("user_id"), r("ncsum", 4).as("ncsum"))
-        .orderBy("event_id")),
+      GroupByScan(spreadBy(s, withNan(ev(s, d)), "user_id"),
+        Seq("user_id"), "v", "nancumsum", "event_id", "ncsum")
+        .select(col("event_id"), col("user_id"), r("ncsum", 4).as("ncsum"))),
 
     // Built-in running extrema (beyond-reference; np.maximum/minimum
     // .accumulate semantics — NaN poisons the running value once seen,
@@ -591,7 +601,7 @@ object CoreQueries {
     // cummax propagates identically; cummin carries an explicit
     // bool_or(isnan) guard on BOTH sides.
     "q_cum_extrema" -> ((s, d) => {
-      val e = withNan(ev(s, d))
+      val e = spreadBy(s, withNan(ev(s, d)), "user_id")
       val c1 = GroupByScan(e, Seq("user_id"), "v", "cummax", "event_id", "cmax")
       val c2 = GroupByScan(c1, Seq("user_id"), "v", "cummin", "event_id", "cmin")
       val c3 = GroupByScan(c2, Seq("user_id"), "v", "nancummax", "event_id", "ncmax")
@@ -600,7 +610,6 @@ object CoreQueries {
         // variants' NaN via the same when() both engines agree on
         .select(col("event_id"), col("user_id"),
           col("cmax"), col("cmin"), col("ncmax"), col("ncmin"))
-        .orderBy("event_id")
     }),
 
     // Bounded top-k values per group (beyond-reference): O(k) heap per
@@ -625,12 +634,11 @@ object CoreQueries {
       CustomScans.register("cummax", CustomScans.ScanSpec(v => max(v)))
       CustomScans.register("cumfrac", CustomScans.ScanSpec(
         v => sum(v), finish = (run, whole) => run / whole))
-      val base = GroupByScan(ev(s, d), Seq("user_id"), "value", "cummax",
-        "event_id", "cmax")
+      val base = GroupByScan(spreadBy(s, ev(s, d), "user_id"),
+        Seq("user_id"), "value", "cummax", "event_id", "cmax")
       GroupByScan(base, Seq("user_id"), "value", "cumfrac", "event_id", "cfrac")
         .select(col("event_id"), col("user_id"), col("cmax"),
           r("cfrac", 6).as("cfrac"))
-        .orderBy("event_id")
     }),
 
     // §2.5 callable-per-group escape hatch (flox/core.py:363-366):

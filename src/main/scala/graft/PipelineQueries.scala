@@ -20,9 +20,20 @@ object PipelineQueries {
     * parallelism — explicit because REPARTITION_BY_NUM is exempt from
     * AQE coalescing, which would fold these small bench rows straight
     * back to one task. Applied only where stage-1 kernel cost
-    * dominates (tokenize/shingle/minhash/segment over documents). */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    * dominates (tokenize/shingle/minhash/segment over documents;
+    * encode/score over embeddings).
+    *
+    * Output-order note (r13 floor work): queries whose trailing
+    * `.orderBy` was purely cosmetic (doc-keyed map outputs, top-k
+    * results already ranked inside the operator) no longer sort —
+    * the driver compare sorts rows itself, and at 100 TB a
+    * gratuitous total sort is a full extra range-partition shuffle.
+    * Every orderBy feeding a `limit` (true top-k semantics) and every
+    * grouped-reduce output sort (the §2.3 flox sort contract, applied
+    * inside GroupByReduce) is retained. */
+  private def spread(s: SparkSession, df: DataFrame,
+                     key: String = "doc_id"): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, col(key))
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
   private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
   // events with event time normalized to micros-since-epoch BIGINT
@@ -345,9 +356,8 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- text analysis
     "q_doc_tokens" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .orderBy("doc_id")),
+      spread(s, docs(s, d)).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
 
     // NOTE: these ratios are finite decimals, which land exactly on
     // .xxxx5 — engine round() implementations disagree there (Spark
@@ -381,10 +391,9 @@ object PipelineQueries {
     // BPE-ish subword count next to the whitespace count: the token
     // estimate a training pipeline budgets with
     "q_doc_subwords" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
+      spread(s, docs(s, d)).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
-        TextAnalysis.subwordTokenCount(col("text")).cast("long").as("n_subwords"))
-        .orderBy("doc_id")),
+        TextAnalysis.subwordTokenCount(col("text")).cast("long").as("n_subwords"))),
 
     // multimodal binary plumbing, hash-certified: text bytes stand in
     // for media payloads; frame slicing + per-frame digest is the exact
@@ -442,7 +451,37 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_email"), col("n_card"), col("n_ssn"),
           col("n_ipv6"), col("n_ip"), col("n_phone"), col("n_pii"),
           md5(col("redacted")).as("red_hash"))
-        .orderBy("doc_id")
+    }),
+
+    // the SPARSE-PII regime (r12 missing #3): PII injected into 2% of
+    // docs (doc_id % 50 == 0) — the realistic crawl incidence — and
+    // scrubbed through the mayContainPii-gated kernels. The synthetic
+    // corpus is digit/@/colon-free, so the prefilter provably prunes
+    // every clean doc; the gate's EXACTNESS is the PropertySpec law
+    // (scrubSparse ≡ scrub on any corpus), this row certifies the
+    // gated path end-to-end cross-engine.
+    "q_pii_sparse" -> ((s, d) => {
+      val injected = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or \"u "), col("doc_id").cast("string"),
+        lit("\"@corp.example.com, call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" or (628) 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" or +1 206.555."),
+        lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+        lit(", ip 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        lit(", v6 2001:db8::"), ((col("doc_id") % 9000) + 1000).cast("string"),
+        lit(", ssn 123-45-6789, card 4111 1111 1111 1111."))
+      val sparse = when(col("doc_id") % 50 === 0, injected)
+        .otherwise(col("text"))
+      graft.ops.Pii.scrubSparse(
+          spread(s, docs(s, d).select(col("doc_id"), sparse.as("text"))),
+          "text")
+        .select(col("doc_id"), col("n_email"), col("n_card"), col("n_ssn"),
+          col("n_ipv6"), col("n_ip"), col("n_phone"), col("n_pii"),
+          md5(col("redacted")).as("red_hash"))
     }),
 
     // data-recipe mixing: deterministic per-source token budgets (the
@@ -482,8 +521,7 @@ object PipelineQueries {
     // tokenizer-training view of the corpus
     "q_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(docs(s, d), "text", topN = 100)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("rnk")),
+        .withColumnRenamed("rank", "rnk")),
 
     // BPE merge learning (Sennrich 2016): the tokenizer-TRAINING pass.
     // 8 merges; cross-engine oracle is the same algorithm unrolled in
@@ -528,22 +566,20 @@ object PipelineQueries {
     // path is unique and both engines must find the same one).
     "q_unigram_tokenize" -> ((s, d) =>
       graft.ops.UnigramLm.segmentDocs(
-          docs(s, d).select(col("doc_id"), col("text")),
+          spread(s, docs(s, d).select(col("doc_id"), col("text"))),
           "text", unigramPieces.map { case (p, lp) => (p, lp.toDouble) },
           maxPieceLen = 4)
         .select(col("doc_id"),
           size(col("subwords")).cast("long").as("n_subwords"),
-          md5(concat_ws(" ", col("subwords"))).as("seg_hash"))
-        .orderBy("doc_id")),
+          md5(concat_ws(" ", col("subwords"))).as("seg_hash"))),
 
     // raw-crawl cleanup (C4/Dolma normalization): tag strip -> entity
     // unescape -> control strip -> whitespace collapse; certified via
     // md5 + length of the normalized text (compact, fully sensitive)
     "q_normalize" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
+      spread(s, docs(s, d)).select(col("doc_id"),
         md5(graft.ops.Cleaning.normalize(col("text"))).as("h"),
-        length(graft.ops.Cleaning.normalize(col("text"))).cast("long").as("len"))
-        .orderBy("doc_id")),
+        length(graft.ops.Cleaning.normalize(col("text"))).cast("long").as("len"))),
 
     // PMI collocation mining: top bigram phrases by pointwise mutual
     // information at a min-count floor (ordering on the ROUNDED score
@@ -557,38 +593,35 @@ object PipelineQueries {
     // average negative log-likelihood (rounded — libm ln on both
     // engines agrees to well past 6 decimals)
     "q_perplexity" -> ((s, d) => {
-      val dd = docs(s, d)
+      val dd = spread(s, docs(s, d))
       val model = graft.ops.LanguageModel.trainBigram(dd, "text")
       val vocab = graft.ops.LanguageModel.vocabSize(dd, "text")
       graft.ops.LanguageModel.scoreDocs(dd, model, vocab, "text", "doc_id")
         .select(col("doc_id"), col("n_bigrams"),
           round(col("nll"), 6).as("nll"))
-        .orderBy("doc_id")
     }),
 
     // interpolated Kneser-Ney perplexity (KenLM's smoothing family —
     // what CCNet's shipped models actually use), count-of-counts
     // discount estimated from the corpus; same rounding contract
     "q_perplexity_kn" -> ((s, d) => {
-      val dd = docs(s, d)
+      val dd = spread(s, docs(s, d))
       val model = graft.ops.LanguageModel.trainBigram(dd, "text")
       val vocab = graft.ops.LanguageModel.vocabSize(dd, "text")
       graft.ops.LanguageModel.scoreDocsKneserNey(
         dd, model, vocab, "text", "doc_id")
         .select(col("doc_id"), col("n_bigrams"),
           round(col("nll"), 6).as("nll"))
-        .orderBy("doc_id")
     }),
 
     // CCNet head/middle/tail curation buckets: per-language perplexity
     // terciles (value cutoffs broadcast back — no per-language window)
     "q_ppl_buckets" -> ((s, d) => {
-      val dd = docs(s, d)
+      val dd = spread(s, docs(s, d))
       val model = graft.ops.LanguageModel.trainBigram(dd, "text")
       val vocab = graft.ops.LanguageModel.vocabSize(dd, "text")
       graft.ops.LanguageModel.perplexityBuckets(
         dd, model, vocab, "text", "doc_id", "lang")
-        .orderBy("doc_id")
     }),
 
     // context-window chunking with overlap (size 16, stride 12): the
@@ -620,9 +653,8 @@ object PipelineQueries {
     // top-3 characteristic terms per document; tf*N/df idf form keeps
     // the score engine-exact (single IEEE division, no libm log)
     "q_tfidf" -> ((s, d) =>
-      TextAnalysis.tfidfTopTerms(docs(s, d), "text", "doc_id", k = 3)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("doc_id", "rnk")),
+      TextAnalysis.tfidfTopTerms(spread(s, docs(s, d)), "text", "doc_id", k = 3)
+        .withColumnRenamed("rank", "rnk")),
 
     // per-source token-distribution shift vs the corpus (total-variation
     // distance, integer-exact until one final division)
@@ -820,19 +852,39 @@ object PipelineQueries {
     // literal; no join, no shuffle before the sort)
     "q_quality_classifier" -> ((s, d) =>
       graft.ops.QualityClassifier.scoreDocs(
-        docs(s, d), qcWeights, qcDim, "text", "doc_id")
+        spread(s, docs(s, d)), qcWeights, qcDim, "text", "doc_id")
         .select(col("doc_id"), round(col("margin"), 6).as("marg"),
+          (col("margin") >= 0).cast("long").as("pred"))),
+
+    // TRAIN-THEN-INFER certification (r12 missing #2): the full GD
+    // trajectory — not pinned weights — certified cross-engine.
+    // trainCertified snaps weights to exact 2^-20 multiples each
+    // iteration, so every margin is an exact (order/engine-independent)
+    // double sum and the oracle re-derives the SAME 4-iteration
+    // trajectory in unrolled DuckDB SQL; output margins compare as
+    // exact doubles, no rounding anywhere.
+    "q_quality_train_infer" -> ((s, d) => {
+      val dd = docs(s, d)
+      val toks = filter(TextAnalysis.tokens(col("text")),
+        t => length(t) > 0)
+      val y = (size(filter(toks, t => t === lit("slow"))) >
+        size(filter(toks, t => t === lit("fast")))).cast("double")
+      val w = graft.ops.QualityClassifier.trainCertified(
+        dd.select(col("doc_id"), col("text"), y.as("label")),
+        "text", "doc_id", "label", dim = 16, iters = 4, lr = 1.0)
+      graft.ops.QualityClassifier.scoreDocs(dd, w.toSeq, 16,
+        "text", "doc_id")
+        .select(col("doc_id"), col("margin"),
           (col("margin") >= 0).cast("long").as("pred"))
-        .orderBy("doc_id")),
+    }),
 
     // DSIR importance resampling (Xie 2023): 100 docs Gumbel-top-k
     // resampled toward the lang='en' hashed-n-gram distribution;
     // models trained inline, ratio table complete over 512 buckets
     "q_dsir" -> ((s, d) => {
-      val dd = docs(s, d)
+      val dd = spread(s, docs(s, d))
       graft.ops.Dsir.resample(dd, dd.filter(col("lang") === "en"),
         "text", "doc_id", dim = 512, k = 100)
-        .orderBy(desc("key"), col("doc_id"))
     }),
 
     // reproducible content-hash sampling: ~20% keep, same rows every
@@ -919,10 +971,9 @@ object PipelineQueries {
     // deterministic Gumbel keys): inclusion probability ∝ token count
     "q_weighted_sample" -> ((s, d) =>
       Selection.weightedSample(
-        docs(s, d).select(col("doc_id"),
+        spread(s, docs(s, d)).select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("w")),
-        "w", "doc_id", k = 100, seed = 11)
-        .orderBy(desc("key"), col("doc_id"))),
+        "w", "doc_id", k = 100, seed = 11)),
 
     // deterministic token-balanced output sharding: each doc assigned
     // to the shard where its exclusive token prefix (canonical md5
@@ -1032,15 +1083,13 @@ object PipelineQueries {
     // corpus-wide (total occurrences), and the per-doc scrub that
     // removes them and reassembles the survivors in order
     "q_boilerplate" -> ((s, d) =>
-      Dedup.frequentPassages(docs(s, d), "text", "doc_id",
-          window = 10, minCount = 2, useMd5 = true)
-        .orderBy("p_hash")),
+      Dedup.frequentPassages(spread(s, docs(s, d)), "text", "doc_id",
+          window = 10, minCount = 2, useMd5 = true)),
 
     "q_boilerplate_scrub" -> ((s, d) =>
-      Dedup.scrubFrequentPassages(docs(s, d).select("doc_id", "text"),
+      Dedup.scrubFrequentPassages(spread(s, docs(s, d).select("doc_id", "text")),
           "text", "doc_id", window = 10, minCount = 2, useMd5 = true)
-        .select(col("doc_id"), md5(col("clean")).as("clean_hash"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), md5(col("clean")).as("clean_hash"))),
 
     // SimHash near-dup pairs: pigeonhole-banded candidates + hamming
     // verify — provably equal to the O(n²) scan it never runs
@@ -1085,10 +1134,9 @@ object PipelineQueries {
     // cross product. The exact all-pairs join below stays certified
     // separately as the bounded-corpus verify step it is.
     "q_embed_neardup" -> ((s, d) =>
-      Similarity.lshNearDupPairs(emb(s, d), "vec_id", "embedding",
+      Similarity.lshNearDupPairs(spread(s, emb(s, d), "vec_id"), "vec_id", "embedding",
         dims = 64, threshold = 0.4, planes = 16, bandPlanes = 4)
-        .withColumn("sim", round(col("sim"), 4))
-        .orderBy("id_a", "id_b")),
+        .withColumn("sim", round(col("sim"), 4))),
 
     "q_embed_neardup_groups" -> ((s, d) =>
       Similarity.lshNearDupGroups(emb(s, d), "vec_id", "embedding",
@@ -1111,13 +1159,12 @@ object PipelineQueries {
     // probe the nProbe nearest lists only — the scale path where
     // brute-force is the baseline
     "q_ivf_topk" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = spread(s, emb(s, d), "vec_id")
       val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id",
         "embedding", cents, k = 3, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("sim"), 4).as("sim"))
-        .orderBy("query_id", "rank")
     }),
 
     // IVF-PQ: the production ANN index — IVF cells bound WHICH vectors
@@ -1125,13 +1172,12 @@ object PipelineQueries {
     // pqTopK restricted to probed cells (PqSpec law), both halves ALSO
     // certified standalone (q_ivf_topk, q_pq_topk)
     "q_ivf_pq_topk" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = spread(s, emb(s, d), "vec_id")
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), "vec_id",
         "embedding", Similarity.centroidsFromLabels(e, "label", "embedding"),
         pqCb.toArray, pqM, pqK, topK = 4, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("sim"))
-        .orderBy("query_id", "rank")
     }),
 
     // product-quantization ADC search (Jégou 2011) under the PINNED
@@ -1139,12 +1185,11 @@ object PipelineQueries {
     // codegen'd lookup-sum scoring — the memory/recall tier of the ANN
     // ladder (brute -> LSH -> IVF -> PQ)
     "q_pq_topk" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = spread(s, emb(s, d), "vec_id")
       Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", pqCb.toArray, pqM, pqK, topK = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("sim"))
-        .orderBy("query_id", "rank")
     }),
 
     "q_embed_centroids" -> ((s, d) =>
@@ -1157,13 +1202,12 @@ object PipelineQueries {
     // the cluster-bounded (deliberately cross-cell-lossy) semantic
     // dedup that published training-data pipelines run next to LSH
     "q_semantic_neardup" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = spread(s, emb(s, d), "vec_id")
       Similarity.semanticNearDupPairs(e, "vec_id", "embedding",
         Similarity.centroidsFromLabels(e, "label", "embedding"),
         threshold = 0.4)
         .select(col("cid"), col("id_a"), col("id_b"),
           round(col("sim"), 4).as("sim"))
-        .orderBy("id_a", "id_b")
     }),
 
     "q_semantic_drop" -> ((s, d) => {
@@ -1179,7 +1223,7 @@ object PipelineQueries {
     // centroids -> assign -> recompute (rounded-centroid determinism)
     // -> probe-limited search against the REFINED quantizer
     "q_ivf_refined_topk" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = spread(s, emb(s, d), "vec_id")
       val cents0 = Similarity.centroidsFromLabels(e, "label", "embedding")
       val cents1 = Similarity.refineCentroids(e, "vec_id", "embedding",
         cents0, iters = 1)
@@ -1187,7 +1231,6 @@ object PipelineQueries {
         "embedding", cents1, k = 3, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("sim"), 4).as("sim"))
-        .orderBy("query_id", "rank")
     }),
 
     // ---------------- multimodal decode certification: REAL JDK codec
@@ -1420,6 +1463,78 @@ object PipelineQueries {
          SELECT doc_id, n_email, n_card, n_ssn, n_ipv6, n_ip, n_phone,
            $tot AS n_pii, red_hash
          FROM c ORDER BY doc_id"""
+    },
+
+    "q_pii_sparse" -> {
+      // q_pii's oracle with the injection conditional on doc_id % 50:
+      // the oracle scrubs EVERY row unconditionally (DuckDB has no
+      // prefilter) — so a hash match here is exactly the claim that
+      // the gated Spark path equals the ungated scrub
+      val cats = graft.ops.Pii.defaults
+      val cnts = cats.map(c =>
+        s"len(regexp_extract_all(text, '${c.re}'))::BIGINT AS n_${c.name}")
+        .mkString(",\n           ")
+      val red = cats.foldLeft("text")((acc, c) =>
+        s"regexp_replace($acc, '${c.re}', '${c.token}', 'g')")
+      val tot = cats.map(c => s"n_${c.name}").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+           CASE WHEN doc_id % 50 = 0 THEN
+           text || ' Contact user' || doc_id::VARCHAR ||
+           '@mail.example.com or "u ' || doc_id::VARCHAR ||
+           '"@corp.example.com, call 415-555-' ||
+           lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+           ' or (628) 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+           ' or +1 206.555.' || lpad(((doc_id * 3) % 10000)::VARCHAR, 4, '0') ||
+           ', ip 10.0.' || (doc_id % 256)::VARCHAR || '.' ||
+           ((doc_id * 7) % 256)::VARCHAR ||
+           ', v6 2001:db8::' || ((doc_id % 9000) + 1000)::VARCHAR ||
+           ', ssn 123-45-6789, card 4111 1111 1111 1111.'
+           ELSE text END AS text
+           FROM documents),
+         c AS (SELECT doc_id, $cnts, md5($red) AS red_hash FROM t)
+         SELECT doc_id, n_email, n_card, n_ssn, n_ipv6, n_ip, n_phone,
+           $tot AS n_pii, red_hash
+         FROM c ORDER BY doc_id"""
+    },
+
+    "q_quality_train_infer" -> {
+      // the SAME 4-iteration full-batch GD, unrolled: weights snap to
+      // exact 2^-20 multiples each step (floor(w·2²⁰+0.5)/2²⁰ — every
+      // operation exact double arithmetic), margins are exact sums of
+      // grid multiples, so the final margins compare as exact doubles
+      val dim = 16
+      val iters = 4
+      def wStep(k: Int): String = {
+        val prev = if (k == 1) "w0" else s"w${k - 1}"
+        s"""m$k AS (SELECT f.doc_id, f.y, sum(w.wt) AS m
+              FROM feats f JOIN $prev w USING (f) GROUP BY f.doc_id, f.y),
+            r$k AS (SELECT doc_id, 1.0/(1.0 + exp(-m)) - y AS r FROM m$k),
+            g$k AS (SELECT f.f, sum(r.r) AS g
+              FROM feats f JOIN r$k r USING (doc_id) GROUP BY f.f),
+            w$k AS (SELECT p.f,
+              floor((p.wt - 1.0*coalesce(g.g, 0.0)/(SELECT c FROM n))
+                * 1048576.0 + 0.5) / 1048576.0 AS wt
+              FROM $prev p LEFT JOIN g$k g USING (f))"""
+      }
+      s"""WITH toks AS (SELECT doc_id,
+             list_filter($W, t -> len(t) > 0) AS w FROM documents),
+         labeled AS (SELECT doc_id,
+             CASE WHEN len(list_filter(w, x -> x = 'slow')) >
+                       len(list_filter(w, x -> x = 'fast'))
+               THEN 1.0 ELSE 0.0 END AS y, w
+           FROM toks WHERE len(w) > 0),
+         feats AS (
+           SELECT doc_id, y,
+             ('0x' || substr(md5(u), 1, 15))::BIGINT % $dim AS f
+           FROM (SELECT doc_id, y, unnest(w) AS u FROM labeled)
+           UNION ALL SELECT doc_id, y, $dim AS f FROM labeled),
+         n AS (SELECT count(*)::DOUBLE AS c FROM labeled),
+         w0 AS (SELECT f::BIGINT AS f, 0.0 AS wt FROM range(${dim + 1}) t(f)),
+         ${(1 to iters).map(wStep).mkString(",\n         ")},
+         scored AS (SELECT f.doc_id, sum(w.wt) AS margin
+           FROM feats f JOIN w$iters w USING (f) GROUP BY f.doc_id)
+         SELECT doc_id, margin, (margin >= 0)::BIGINT AS pred
+         FROM scored ORDER BY doc_id"""
     },
 
     "q_mix_corpus" -> {

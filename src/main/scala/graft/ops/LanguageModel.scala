@@ -50,6 +50,10 @@ object LanguageModel {
     */
   def scoreDocs(docs: DataFrame, model: DataFrame, vocab: DataFrame,
                 textCol: String, idCol: String, k: Double = 1.0): DataFrame = {
+    // NOT localCheckpoint'd like scoreDocsKneserNey: with only TWO
+    // consumers of the model subtree the materialization write costs
+    // more than the saved recompute (measured r13: 0.72s -> 0.96s at
+    // sf0.1); KN's four consumers tip the balance the other way.
     val hist = model.groupBy("lft").agg(sum("cnt").as("hcnt"))
     val pairs = docs
       .select(col(idCol), explode_outer(

@@ -115,6 +115,42 @@ object Pii {
         redact(t, cats).as("redacted")): _*)
   }
 
+  /** NECESSARY-condition prefilter for the [[defaults]] categories: a
+    * text failing this test cannot contain any default-category match
+    * (email ⇒ '@'; ipv6 ⇒ ':'; card/ssn/ipv4/phone each ⇒ at least
+    * two digits — every branch of every pattern), so gating the fused
+    * kernels on it is EXACT, not approximate (PropertySpec law:
+    * [[scrubSparse]] ≡ [[scrub]] on any corpus). Three cheap scans
+    * (two contains + one two-digit rlike) versus six-pattern find
+    * loops: on a real crawl where PII incidence is low this collapses
+    * the per-row cost to the prefilter; on an all-PII corpus it adds
+    * only the prefilter scans (the r12 DESIGN "sparse-PII regime"
+    * item). (?s) so digits split across lines still match. */
+  def mayContainPii(text: Column): Column =
+    text.contains("@") || text.contains(":") ||
+      text.rlike("(?s)[0-9].*[0-9]")
+
+  /** [[scrub]] gated on [[mayContainPii]]: rows failing the necessary
+    * condition skip the fused kernels entirely and pass through with
+    * zero counts and unredacted text — bit-equal to [[scrub]] by the
+    * necessity argument above, at prefilter cost on the clean bulk.
+    * Defined for the default category set only (the necessity proof is
+    * per-pattern; custom categories need their own prefilter). */
+  def scrubSparse(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val pf = mayContainPii(t)
+    val cats = defaults
+    val v = countsVec(t, cats)
+    val total = cats.indices.map(i => element_at(v, i + 1)).reduce(_ + _)
+    df.select(
+      (df.columns.map(col).toSeq ++
+        cats.zipWithIndex.map { case (c, i) =>
+          when(pf, element_at(v, i + 1)).otherwise(lit(0L)).as(s"n_${c.name}")
+        } :+
+        when(pf, total).otherwise(lit(0L)).as("n_pii") :+
+        when(pf, redact(t, cats)).otherwise(t).as("redacted")): _*)
+  }
+
   /** Drop documents containing more than `maxTotal` PII matches across
     * all categories — the hard-filter variant (vs masking) used when a
     * policy forbids the document outright. */

@@ -90,7 +90,33 @@ object QualityClassifier {
     * result does not depend on row order. */
   def train(docs: DataFrame, textCol: String, idCol: String,
             labelCol: String, dim: Int = 128, iters: Int = 100,
-            lr: Double = 0.5): Array[Double] = {
+            lr: Double = 0.5): Array[Double] =
+    trainImpl(docs, textCol, idCol, labelCol, dim, iters, lr,
+      gridRound = false)
+
+  /** [[train]] with each post-update weight snapped to an exact
+    * multiple of 2^-20 (floor(w·2²⁰ + 0.5)/2²⁰ — every step exact
+    * double arithmetic: ·2²⁰ is a power-of-two scale, the result fits
+    * 53 bits). This makes the WHOLE trajectory cross-engine
+    * reproducible, which pinned-weight inference cannot certify (r12
+    * missing #2): margins are then sums of grid multiples — exact,
+    * hence order- and engine-independent — so the only cross-engine
+    * drift left is libm exp() ulps inside the sigmoid, ~1e-13 against
+    * a 9.5e-7 grid. A clearance guard REQUIRES every pre-round value
+    * to sit > 1e-9 from a rounding boundary, so a corpus that could
+    * make the two engines round apart fails loudly instead of
+    * producing a silent oracle mismatch. q_quality_train_infer
+    * certifies train→infer end-to-end against the same GD unrolled in
+    * DuckDB SQL (the q_bpe convention). */
+  def trainCertified(docs: DataFrame, textCol: String, idCol: String,
+                     labelCol: String, dim: Int, iters: Int,
+                     lr: Double = 1.0): Array[Double] =
+    trainImpl(docs, textCol, idCol, labelCol, dim, iters, lr,
+      gridRound = true)
+
+  private def trainImpl(docs: DataFrame, textCol: String, idCol: String,
+                        labelCol: String, dim: Int, iters: Int,
+                        lr: Double, gridRound: Boolean): Array[Double] = {
     require(dim >= 2 && iters >= 1)
     val bias = dim // bias pseudo-feature: one occurrence per document
     // one tokenize pass; ints-only table, checkpointed for the loop
@@ -114,6 +140,19 @@ object QualityClassifier {
         .collect()
       g.foreach { row =>
         w(row.getInt(0)) -= lr * row.getDouble(1) / n
+      }
+      if (gridRound) {
+        var i = 0
+        while (i < w.length) {
+          val x = w(i) * 1048576.0 + 0.5
+          val clearance = math.abs(x - math.rint(x))
+          require(clearance > 1e-9,
+            s"trainCertified: weight $i pre-round value sits $clearance " +
+              "from a 2^-20 rounding boundary — cross-engine rounding " +
+              "could diverge; change dim/iters/lr or corpus")
+          w(i) = math.floor(x) / 1048576.0
+          i += 1
+        }
       }
       it += 1
     }

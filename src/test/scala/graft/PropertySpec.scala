@@ -615,4 +615,29 @@ class PropertySpec extends SparkTestBase {
     both.foreach(r => assert(r.getString(1) === r.getString(2),
       s"doc ${r.getLong(0)}"))
   }
+
+  test("scrubSparse equals scrub on ANY corpus: the mayContainPii gate " +
+    "is a necessary condition, never a filter (r12 missing #3)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(17)
+    val pieces = Seq(
+      "a@b.co", "\"q 1\"@h.example.org", "+1 415-555-0134", "(628) 555-0042",
+      "123-45-6789", "10.0.3.17", "fe80::1", "2001:db8::8a2e:370:7334",
+      "4111 1111 1111 1111", "206.555.0100", "1:2:3:4:5:6:7:8",
+      "plain words only", "no pii", "x", "", "  ", "colon: but clean",
+      "digit 7 alone", "7 and 9 two digits but no pattern", "at @ alone")
+    val texts = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(5))(pieces(rnd.nextInt(pieces.size)))
+        .mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val full = ops.Pii.scrub(df, "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    val sparse = ops.Pii.scrubSparse(df, "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    assert(sparse.keySet === full.keySet)
+    full.foreach { case (id, row) =>
+      assert(sparse(id) === row, s"doc $id: ${texts(id.toInt)._2}")
+    }
+  }
 }

@@ -336,6 +336,48 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("writeShards commit protocol: manifest matches files, rerun is " +
+    "manifest-identical, a lost shard file is detected (r12 missing #1)") {
+    import org.apache.spark.sql.functions.col
+    val d = (1L to 120L).map(i =>
+      (i, Seq.fill((i % 6 + 1).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    try {
+      ops.Selection.writeShards(d, "text", "doc_id", 3, dir)
+      val mf = java.nio.file.Paths.get(dir, "_MANIFEST.json")
+      assert(java.nio.file.Files.exists(mf))
+      // files agree with the manifest
+      ops.Selection.verifyShards(spark, dir)
+      val m1 = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      // kill-and-rerun: content + manifest converge (file names differ;
+      // the manifest IS the content contract)
+      ops.Selection.writeShards(d, "text", "doc_id", 3, dir)
+      val m2 = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      assert(m1 === m2, "rerun must be manifest-identical")
+      ops.Selection.verifyShards(spark, dir)
+      // truncated output (a shard's file lost after commit) is caught
+      val victim = new java.io.File(s"$dir/shard=1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(victim.delete())
+      val e = intercept[IllegalArgumentException] {
+        ops.Selection.verifyShards(spark, dir)
+      }
+      assert(e.getMessage.contains("mismatch") ||
+        e.getMessage.contains("shard set"))
+      // no manifest at all = never committed
+      assert(java.nio.file.Files.deleteIfExists(mf))
+      val e2 = intercept[IllegalArgumentException] {
+        ops.Selection.verifyShards(spark, dir)
+      }
+      assert(e2.getMessage.contains("never committed"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("repetitionSignals: repetitive text scores high, varied text low") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),
