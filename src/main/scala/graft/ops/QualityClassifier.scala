@@ -121,9 +121,19 @@ object QualityClassifier {
     val bias = dim // bias pseudo-feature: one occurrence per document
     // one tokenize pass; ints-only table, checkpointed for the loop
     val feats = docs
-      .select(col(labelCol).cast("double").as("__y"),
+      .select(col(idCol), col(labelCol).cast("double").as("__y"),
         concat(tokenFeats(col(textCol), dim), array(lit(bias))).as("__f"))
       .filter(size(col("__f")) > 1)
+      // hash-spread on the id BEFORE checkpointing: the slab otherwise
+      // inherits the input's split count (ONE for a single-row-group
+      // scan) and every gradient iteration's explode+aggregate runs on
+      // one task (measured r13: ~800ms/iter -> ~50ms/iter at 32 cores).
+      // Deterministic: gradient sums are keyed aggregates; the float
+      // accumulation-order jitter this introduces is ~1e-15, absorbed
+      // by the spec's 1e-9 tolerance and trainCertified's 2^-20 grid.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .drop(idCol)
       .localCheckpoint()
     val n = feats.count().toDouble
     require(n > 0, "no trainable documents (all zero-token?)")

@@ -86,4 +86,90 @@ class ExtensionsSpec extends SparkTestBase {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("RangeJoinRewrite fuzz: random conjunct order / bound orientation / " +
+    "literal placement / int-long mixes / extra predicates / self-joins " +
+    "all equal the naive join; equi-keyed joins are never rewritten (r12 #6)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.{Column, DataFrame}
+
+    // case shape: interval bounds, frame types, condition surface forms
+    case class C(lo: Int, hi: Int, typ: Int, flipLower: Boolean,
+                 flipUpper: Boolean, litStyle: Int, extra: Int,
+                 equi: Boolean, self: Boolean, shuffleSeed: Int)
+    val gen = for {
+      lo <- Gen.choose(-40, 40)
+      hi <- Gen.choose(-40, 40)
+      typ <- Gen.choose(0, 2)         // 0: long/long, 1: int/int, 2: int/long
+      fl <- Gen.oneOf(true, false)    // a >= b+lo   vs   b+lo <= a
+      fu <- Gen.oneOf(true, false)
+      ls <- Gen.choose(0, 2)          // e+lit | lit+e | e-lit
+      ex <- Gen.choose(0, 2)          // none | one-sided | cross non-equi
+      eq <- Gen.frequency(4 -> false, 1 -> true)
+      se <- Gen.frequency(4 -> false, 1 -> true)
+      sh <- Gen.choose(0, 1000)
+    } yield C(lo, hi, typ, fl, fu, ls, ex, eq, se, sh)
+
+    def mkLeft(typ: Int): DataFrame = typ match {
+      case 1 | 2 => (0 until 60).map(i => (i, i * 37 % 400)).toDF("lid", "lts")
+      case _     => (0L until 60L).map(i => (i, i * 37 % 400)).toDF("lid", "lts")
+    }
+    def mkRight(typ: Int, self: Boolean, left: DataFrame): DataFrame =
+      if (self) left.select(col("lid").as("rid"), col("lts").as("rts"))
+      else typ match {
+        case 1 => (0 until 60).map(i => (i, i * 91 % 400)).toDF("rid", "rts")
+        case _ => (0L until 60L).map(i => (i, i * 91 % 400)).toDF("rid", "rts")
+      }
+
+    val prev = spark.experimental.extraOptimizations
+    try {
+      (0 until 40).foreach { k =>
+        val c = gen.pureApply(Gen.Parameters.default, Seed(k.toLong * 7919 + 3))
+        val l = mkLeft(c.typ)
+        val r = mkRight(c.typ, c.self, l)
+        def bnd(v: Int): Column = c.litStyle match {
+          case 0 => col("rts") + lit(v)
+          case 1 => lit(v) + col("rts")
+          case 2 => col("rts") - lit(-v)
+        }
+        val lower =
+          if (c.flipLower) col("lts") >= bnd(c.lo) else bnd(c.lo) <= col("lts")
+        val upper =
+          if (c.flipUpper) col("lts") <= bnd(c.hi) else bnd(c.hi) >= col("lts")
+        val extras: Seq[Column] = c.extra match {
+          case 1 => Seq(col("lid") % 2 === 0)
+          case 2 => Seq(col("lts") =!= col("rts"))
+          case _ => Nil
+        }
+        val equis: Seq[Column] =
+          if (c.equi) Seq(col("lid") % lit(7) === col("rid") % lit(7)) else Nil
+        val conjuncts =
+          new scala.util.Random(c.shuffleSeed)
+            .shuffle(Seq(lower, upper) ++ extras ++ equis)
+        val cond = conjuncts.reduce(_ && _)
+        def q = l.join(r, cond).select(col("lid").cast("long"),
+          col("rid").cast("long"))
+
+        spark.experimental.extraOptimizations = prev
+        val expected = q.collect().map(x => (x.getLong(0), x.getLong(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        spark.experimental.extraOptimizations =
+          prev :+ graft.plans.RangeJoinRewrite
+        val plan = q.queryExecution.executedPlan.toString
+        val got = q.collect().map(x => (x.getLong(0), x.getLong(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        assert(got === expected, s"case $k: $c")
+        if (c.equi) {
+          // equi conjunct present: the rule must step aside (Spark hash
+          // joins on the key; no bucket machinery in the plan)
+          assert(!plan.contains("__graft_bucket"), s"case $k: $c\n$plan")
+        } else if (c.hi >= c.lo) {
+          // rewrite applies: no pair-comparing join survives
+          assert(!plan.contains("BroadcastNestedLoopJoin") &&
+            !plan.contains("CartesianProduct"), s"case $k: $c\n$plan")
+        }
+      }
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }

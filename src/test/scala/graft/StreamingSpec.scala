@@ -1135,4 +1135,65 @@ class StreamingSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("streaming JSONL ingest: quarantine conservation across " +
+    "micro-batches, docs feed a stateless curation op, batch-equal (r12 #8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream")
+    def writeShard(name: String, lines: String): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.writeString(tmp, lines)
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    try {
+      writeShard("a.jsonl",
+        """{"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "w"}
+          |broken line one
+          |{"doc_id": 2, "text": "delta", "lang": "en", "source": "w"}
+          |""".stripMargin)
+      val r = graft.sources.Ingest.readJsonlStream(spark, dir.toString)
+      assert(r.docs.isStreaming && r.quarantine.isStreaming)
+      // docs branch composes with a stateless curation op on the stream
+      // (the ingest-side filter shape): token counting + a length gate
+      val curated = r.docs.select(col("doc_id"), col("text"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 2)
+      val qd = curated.writeStream.outputMode("append")
+        .format("memory").queryName("jsonl_docs_out").start()
+      val qq = r.quarantine.writeStream.outputMode("append")
+        .format("memory").queryName("jsonl_quar_out").start()
+      try {
+        qd.processAllAvailable(); qq.processAllAvailable()
+        // second micro-batch arrives as a new file
+        writeShard("b.jsonl",
+          """{"doc_id": 3, "text": "epsilon zeta", "lang": "fr", "source": "b"}
+            |{"bad": [unterminated
+            |""".stripMargin)
+        qd.processAllAvailable(); qq.processAllAvailable()
+        val docsGot = spark.table("jsonl_docs_out")
+          .select("doc_id", "n_tok").collect()
+          .map(x => x.getLong(0) -> x.getLong(1)).toMap
+        // doc 2 ("delta") fails the >= 2 token curation gate
+        assert(docsGot === Map(1L -> 3L, 3L -> 2L))
+        val quarGot = spark.table("jsonl_quar_out")
+          .as[String].collect().sorted
+        assert(quarGot.length === 2)
+        assert(quarGot.exists(_.contains("broken line")))
+        assert(quarGot.exists(_.contains("unterminated")))
+        // conservation vs the BATCH reader over the same files: every
+        // line lands exactly once on each side of the split
+        val batch = graft.sources.Ingest.readJsonl(spark, dir.toString)
+        assert(batch.docs.count() === 3)  // pre-curation docs
+        assert(batch.quarantine.count() === quarGot.length)
+        // stateless plumbing: no state operators in either stream
+        assert(qd.lastProgress.stateOperators.isEmpty)
+        assert(qq.lastProgress.stateOperators.isEmpty)
+      } finally { qd.stop(); qq.stop() }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
 }
