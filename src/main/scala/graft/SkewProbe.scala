@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, scratch, factorStr) = args
-    val factor = factorStr.toInt
+    val srcDir = args(0); val scratch = args(1)
+    val factor = args(2).toInt
+    val section = if (args.length > 3) args(3) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,7 +33,14 @@ object SkewProbe {
     def stack(src: DataFrame)(perturb: (DataFrame, Int) => DataFrame) =
       (0 until factor).map(i => perturb(src, i)).reduce(_ unionAll _)
 
+    def timed(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[skew] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s, rows=$n")
+    }
+
     // ---- documents: plain 100x vs 1%-hot-text 100x
+    if (section == "all" || section == "docs") {
     val docs = Tables(spark, srcDir, "documents").select("doc_id", "text")
     def docCopy(df: DataFrame, i: Int) =
       df.withColumn("doc_id", col("doc_id") + lit(i * off))
@@ -51,11 +59,6 @@ object SkewProbe {
       }
       out.write.mode("overwrite").parquet(s"$scratch/docs_$label.parquet")
     }
-    def timed(label: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      println(f"[skew] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s, rows=$n")
-    }
     for (label <- Seq("plain", "hot1pct")) {
       val d = spark.read.parquet(s"$scratch/docs_$label.parquet")
       val nDocs = d.count()
@@ -70,17 +73,25 @@ object SkewProbe {
       }
       timed(s"lsh_candidates[$label]") { sig.count() }
     }
-    // guard accounting on the hot set: bucket sizes over threshold
+    // guard accounting on the hot set: bucket sizes over threshold,
+    // and the A/B the guard prevents (maxBucket=MaxValue lets the hot
+    // bucket's quadratic candidate join actually run)
     {
       val d = spark.read.parquet(s"$scratch/docs_hot1pct.parquet")
-      val toks = graft.ops.TextAnalysis.tokens(col("text"))
       val hotN = d.filter(col("doc_id") % 100 === 0).count()
       println(s"[skew] planted hot docs: $hotN (identical text, " +
         "all 4 bands collide -> unguarded candidate pairs would be " +
         s"${hotN.toLong * (hotN - 1) / 2} per band)")
+      timed("lsh_candidates[hot1pct GUARD OFF]") {
+        graft.ops.Dedup.lshCandidates(d, "text", "doc_id",
+          numHashes = 4, bandSize = 1, k = 3, useMd5 = false,
+          maxBucket = Int.MaxValue).count()
+      }
+    }
     }
 
     // ---- events: plain 100x vs 1%-hot-user 100x
+    if (section == "all" || section == "events") {
     val ev0 = Tables(spark, srcDir, "events")
     val evu = ev0.withColumn("tsu", Tables.tsMicros(ev0))
       .select("event_id", "user_id", "tsu", "event_type", "value")
@@ -99,9 +110,14 @@ object SkewProbe {
     for (label <- Seq("plain", "hot1pct")) {
       val e = spark.read.parquet(s"$scratch/events_$label.parquet")
       val n = e.count()
+      // aggregate OVER the produced columns: a bare count() would let
+      // Catalyst prune the window/join work entirely (the r2 bench
+      // harness lesson) and time only parquet row-count metadata
       timed(s"sessionize[$label] events=$n") {
         graft.ops.Events.sessionize(e, "user_id", "tsu", "event_id",
-          gap = 600L * 1000000L).count()
+          gap = 600L * 1000000L)
+          .agg(sum(col("session_id"))).collect()
+        n
       }
       timed(s"asof[$label]") {
         val clicks = e.filter(col("event_type") === "click")
@@ -109,9 +125,15 @@ object SkewProbe {
         val errors = e.filter(col("event_type") === "error")
           .groupBy("user_id", "tsu").agg(max("value").as("eval"))
           .withColumnRenamed("tsu", "etsu")
-        graft.ops.Events.asofJoin(clicks, errors, Seq("user_id"),
-          "tsu", "etsu", Seq("etsu", "eval"), prefix = "err_").count()
+        val j = graft.ops.Events.asofJoin(clicks, errors, Seq("user_id"),
+          "tsu", "etsu", Seq("etsu", "eval"), prefix = "err_")
+        // modular sum: a raw sum of epoch-micros over 2M rows
+        // overflows int64 under ANSI mode
+        j.agg(count(col("err_eval")), sum(col("err_etsu") % 1000000L))
+          .collect()
+        j.count()
       }
+    }
     }
     spark.stop()
   }
