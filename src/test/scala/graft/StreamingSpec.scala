@@ -1147,34 +1147,45 @@ class StreamingSpec extends SparkTestBase {
     }
     try {
       writeShard("a.jsonl",
-        """{"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "w"}
+        """{"doc_id": 1, "text": "the committee shall review the annual report with care today", "lang": "en", "source": "w"}
           |broken line one
-          |{"doc_id": 2, "text": "delta", "lang": "en", "source": "w"}
+          |{"doc_id": 2, "text": "too short", "lang": "en", "source": "w"}
           |""".stripMargin)
       val r = graft.sources.Ingest.readJsonlStream(spark, dir.toString)
       assert(r.docs.isStreaming && r.quarantine.isStreaming)
-      // docs branch composes with a stateless curation op on the stream
-      // (the ingest-side filter shape): token counting + a length gate
-      val curated = r.docs.select(col("doc_id"), col("text"),
-        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-        .filter(col("n_tok") >= 2)
+      // docs branch feeds the REAL curation stages on the stream —
+      // Gopher document gate, then bloom n-gram decontamination (both
+      // stateless map-only, the streaming-curation chain's front half)
+      val bench = Seq((90L, "the eval set secret answer sheet rows"))
+        .toDF("id", "text")
+      val bloomBytes = graft.ops.Contamination.benchNgramBloom(
+        bench, "text", k = 3)
+      val curated = graft.ops.RuleFilters.gopherFilter(r.docs, "text",
+          minWords = 8, maxWords = 100, minMwl = 2.0, maxMwl = 9.0,
+          minAlphaFrac = 0.5, minStopHits = 1)
+        .filter(!graft.ops.Contamination.mightBeContaminated(
+          col("text"), bloomBytes, 3))
+        .select("doc_id", "lang")
       val qd = curated.writeStream.outputMode("append")
         .format("memory").queryName("jsonl_docs_out").start()
       val qq = r.quarantine.writeStream.outputMode("append")
         .format("memory").queryName("jsonl_quar_out").start()
       try {
         qd.processAllAvailable(); qq.processAllAvailable()
-        // second micro-batch arrives as a new file
+        // second micro-batch arrives as a new file: one contaminated
+        // doc (embeds a bench 3-gram), one clean survivor, one
+        // truncated JSON line
         writeShard("b.jsonl",
-          """{"doc_id": 3, "text": "epsilon zeta", "lang": "fr", "source": "b"}
+          """{"doc_id": 3, "text": "leaked copy of the eval set secret answer sheet found here", "lang": "en", "source": "b"}
+            |{"doc_id": 4, "text": "the council will examine the quarterly outcomes with rigor soon", "lang": "fr", "source": "b"}
             |{"bad": [unterminated
             |""".stripMargin)
         qd.processAllAvailable(); qq.processAllAvailable()
         val docsGot = spark.table("jsonl_docs_out")
-          .select("doc_id", "n_tok").collect()
-          .map(x => x.getLong(0) -> x.getLong(1)).toMap
-        // doc 2 ("delta") fails the >= 2 token curation gate
-        assert(docsGot === Map(1L -> 3L, 3L -> 2L))
+          .select("doc_id", "lang").collect()
+          .map(x => x.getLong(0) -> x.getString(1)).toMap
+        // doc 2 fails the gopher word floor; doc 3 is decontaminated
+        assert(docsGot === Map(1L -> "en", 4L -> "fr"))
         val quarGot = spark.table("jsonl_quar_out")
           .as[String].collect().sorted
         assert(quarGot.length === 2)
@@ -1183,7 +1194,7 @@ class StreamingSpec extends SparkTestBase {
         // conservation vs the BATCH reader over the same files: every
         // line lands exactly once on each side of the split
         val batch = graft.sources.Ingest.readJsonl(spark, dir.toString)
-        assert(batch.docs.count() === 3)  // pre-curation docs
+        assert(batch.docs.count() === 4)  // pre-curation docs
         assert(batch.quarantine.count() === quarGot.length)
         // stateless plumbing: no state operators in either stream
         assert(qd.lastProgress.stateOperators.isEmpty)
