@@ -15,15 +15,9 @@ import org.apache.spark.sql.functions._
 object CoreQueries {
 
   private def li(s: SparkSession, dir: String) = Tables(s, dir, "lineitem")
-  /** Bench parquet is one row group -> stage-1 runs on ONE task; an
-    * explicit-count repartition on the GROUP KEY recreates production
-    * scan parallelism AND satisfies the window/agg required
-    * distribution, so no further exchange is added (the
-    * PipelineQueries.spread convention; REPARTITION_BY_NUM is exempt
-    * from AQE's coalesce-to-1 at bench row counts). Applied only on
-    * measured wins. */
+  /** Single-split-scan parallelism fix — see [[Tables.spread]]. */
   private def spreadBy(s: SparkSession, df: DataFrame, key: String): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism, col(key))
+    Tables.spread(s, df, key)
   private def ev(s: SparkSession, dir: String) = Tables(s, dir, "events")
   private def ord(s: SparkSession, dir: String) = Tables(s, dir, "orders")
 

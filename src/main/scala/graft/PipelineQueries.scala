@@ -13,15 +13,10 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
-  /** Bench inputs are single-split parquet (one row group), so a
-    * query's stage-1 per-row kernels would run on ONE task; production
-    * inputs arrive in many splits and get stage-1 parallelism from the
-    * scan. An explicit-count hash repartition recreates that
-    * parallelism — explicit because REPARTITION_BY_NUM is exempt from
-    * AQE coalescing, which would fold these small bench rows straight
-    * back to one task. Applied only where stage-1 kernel cost
-    * dominates (tokenize/shingle/minhash/segment over documents;
-    * encode/score over embeddings).
+  /** Single-split-scan parallelism fix — see [[Tables.spread]].
+    * Applied only where stage-1 kernel cost dominates (tokenize/
+    * shingle/minhash/segment over documents; encode/score over
+    * embeddings).
     *
     * Output-order note (r13 floor work): queries whose trailing
     * `.orderBy` was purely cosmetic (doc-keyed map outputs, top-k
@@ -33,7 +28,7 @@ object PipelineQueries {
     * inside GroupByReduce) is retained. */
   private def spread(s: SparkSession, df: DataFrame,
                      key: String = "doc_id"): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism, col(key))
+    Tables.spread(s, df, key)
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
   private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
   // events with event time normalized to micros-since-epoch BIGINT

@@ -128,10 +128,12 @@ object SkewProbe {
         val j = graft.ops.Events.asofJoin(clicks, errors, Seq("user_id"),
           "tsu", "etsu", Seq("etsu", "eval"), prefix = "err_")
         // modular sum: a raw sum of epoch-micros over 2M rows
-        // overflows int64 under ANSI mode
-        j.agg(count(col("err_eval")), sum(col("err_etsu") % 1000000L))
-          .collect()
-        j.count()
+        // overflows int64 under ANSI mode. ONE execution: the row
+        // count comes off the same aggregate (a second j.count()
+        // would re-run the join and double the timed wall)
+        j.agg(count(lit(1)), count(col("err_eval")),
+          sum(col("err_etsu") % 1000000L))
+          .collect()(0).getLong(0)
       }
     }
     }

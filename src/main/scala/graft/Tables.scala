@@ -17,27 +17,41 @@ object Tables {
     * DataFrame (an immutable logical plan holding its FileIndex) pays
     * that once per (session, path). This mirrors what a production
     * deployment gets from a real catalog (metastore-cached schema +
-    * file index) — it does NOT cache any data. Weak session keys: a
-    * stopped, GC'd session drops its entry. Correctness caveat
-    * (documented, acceptable for read-only test tables): files
-    * rewritten under a cached path in the SAME session would serve a
-    * stale file list. */
+    * file index) — it does NOT cache any data.
+    *
+    * Reference discipline (r13 review): a DataFrame strongly
+    * references its SparkSession, so holding frames strongly inside a
+    * WeakHashMap keyed by the session would pin the KEY via its own
+    * values and never reclaim anything (the WeakHashMap javadoc's
+    * value→key warning). Frames are therefore held via SoftReference —
+    * a stopped session's frames become collectable once nothing else
+    * reaches them, and memory pressure can always evict the cache
+    * (a miss just re-resolves). The parquet read itself runs OUTSIDE
+    * the lock (it is the expensive part); a racing duplicate read is
+    * harmless — last-put wins, both frames are equivalent plans.
+    * Correctness caveat (documented, acceptable for read-only test
+    * tables): files rewritten under a cached path in the SAME session
+    * would serve a stale file list. */
   private val frames =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.HashMap[String, DataFrame]]()
+      scala.collection.mutable.HashMap[String,
+        java.lang.ref.SoftReference[DataFrame]]]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    frames.synchronized {
-      val per = {
-        val existing = frames.get(spark)
-        if (existing != null) existing
-        else {
-          val m = scala.collection.mutable.HashMap.empty[String, DataFrame]
-          frames.put(spark, m)
-          m
-        }
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val per = frames.synchronized {
+      val existing = frames.get(spark)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.mutable.HashMap
+          .empty[String, java.lang.ref.SoftReference[DataFrame]]
+        frames.put(spark, m)
+        m
       }
-      per.getOrElseUpdate(s"$sfDir/$name.parquet", {
+    }
+    per.synchronized(per.get(path).flatMap(r => Option(r.get))) match {
+      case Some(df) => df
+      case None =>
         // Early testdata generations wrote events.ts as TIMESTAMP(NANOS),
         // which Spark rejects unless read as long (nanoseconds since
         // epoch); later generations write TIMESTAMP(MICROS). nanosAsLong
@@ -45,9 +59,27 @@ object Tables {
         // readable. Consumers that need wall time go through tsMicros,
         // which dispatches on whatever dtype actually loaded.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/$name.parquet")
-      })
+        val df = spark.read.parquet(path)
+        per.synchronized {
+          per.put(path, new java.lang.ref.SoftReference(df)); ()
+        }
+        df
     }
+  }
+
+  /** Bench parquet arrives as ONE row group, so a query's stage-1
+    * per-row kernels / windows / partial aggregates would run on ONE
+    * task; production inputs get stage-1 parallelism from their scan
+    * splits. An explicit-count hash repartition on the operator's OWN
+    * key recreates that parallelism — explicit because
+    * REPARTITION_BY_NUM is exempt from AQE coalescing (which would
+    * fold small bench row counts straight back to one task) — and,
+    * being on the downstream group/window key, satisfies the
+    * operator's required distribution so no further exchange is
+    * added. Shared by both query catalogs; applied only where
+    * measured to win. */
+  def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism, col(key))
 
   /** Event-time micros-since-epoch as BIGINT, robust to every physical
     * encoding the driver has generated events.ts with: nanos-as-long

@@ -138,7 +138,11 @@ object Pii {
     * per-pattern; custom categories need their own prefilter). */
   def scrubSparse(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val pf = mayContainPii(t)
+    // coalesce(pf, true): NULL text makes the prefilter NULL; routing
+    // it through the kernel path (which null-propagates) keeps the
+    // scrubSparse ≡ scrub law exact on null rows too — otherwise(0L)
+    // would turn scrub's NULL counts into zeros (r13 review)
+    val pf = coalesce(mayContainPii(t), lit(true))
     val cats = defaults
     val v = countsVec(t, cats)
     val total = cats.indices.map(i => element_at(v, i + 1)).reduce(_ + _)

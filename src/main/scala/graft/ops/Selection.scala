@@ -236,12 +236,18 @@ object Selection {
       .map { case (sh, n, tok, h) =>
         s"""{"shard":$sh,"rows":$n,"tokens":$tok,"hash":$h}"""
       }.mkString("[\n  ", ",\n  ", "\n]\n")
-    val tmp = java.nio.file.Paths.get(path, "._MANIFEST.json.tmp")
-    java.nio.file.Files.write(tmp, manifest.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp,
-      java.nio.file.Paths.get(path, "_MANIFEST.json"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // Hadoop FS, not java.nio: the data write above goes through the
+    // path's FileSystem (hdfs://, s3a://, file:), and the manifest
+    // must land on the SAME filesystem (r13 review) — local-only NIO
+    // would throw after the data committed on any remote store.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, "._MANIFEST.json.tmp")
+    val dst = new org.apache.hadoop.fs.Path(root, "_MANIFEST.json")
+    val out = fs.create(tmp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"manifest rename failed: $tmp -> $dst")
   }
 
   /** Per-shard (shard, rows, tokens, contentHash) read from the files
@@ -274,10 +280,18 @@ object Selection {
     * rerun the whole writeShards (idempotent). */
   def verifyShards(spark: org.apache.spark.sql.SparkSession,
                    path: String): Unit = {
-    val mPath = java.nio.file.Paths.get(path, "_MANIFEST.json")
-    require(java.nio.file.Files.exists(mPath),
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(root, "_MANIFEST.json")
+    require(fs.exists(mPath),
       s"no _MANIFEST.json under $path — output was never committed")
-    val txt = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    val in = fs.open(mPath)
+    val txt =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
     val entry =
       """\{"shard":(-?\d+),"rows":(\d+),"tokens":(\d+),"hash":(-?\d+)\}""".r
     val want = entry.findAllMatchIn(txt)

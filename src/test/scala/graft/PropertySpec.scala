@@ -626,10 +626,10 @@ class PropertySpec extends SparkTestBase {
       "4111 1111 1111 1111", "206.555.0100", "1:2:3:4:5:6:7:8",
       "plain words only", "no pii", "x", "", "  ", "colon: but clean",
       "digit 7 alone", "7 and 9 two digits but no pattern", "at @ alone")
-    val texts = (0 until 120).map { i =>
+    val texts: Seq[(Long, String)] = (0 until 120).map { i =>
       (i.toLong, Seq.fill(rnd.nextInt(5))(pieces(rnd.nextInt(pieces.size)))
         .mkString(" "))
-    }
+    } :+ (120L, null.asInstanceOf[String]) // NULL text must null-propagate
     val df = texts.toDF("doc_id", "text")
     val full = ops.Pii.scrub(df, "text").collect()
       .map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
@@ -639,5 +639,7 @@ class PropertySpec extends SparkTestBase {
     full.foreach { case (id, row) =>
       assert(sparse(id) === row, s"doc $id: ${texts(id.toInt)._2}")
     }
+    // and the null row really is the null-count shape, on both paths
+    assert(full(120L).forall(_ == null), full(120L).toString)
   }
 }
