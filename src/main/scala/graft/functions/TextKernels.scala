@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, Generic
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass text-feature kernels. The quality-score query needed five
@@ -36,6 +36,34 @@ object TextKernels {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Necessary-condition PII prefilter as ONE raw byte scan — no
+    * String conversion, no regex: true iff the text contains '@' or
+    * ':' or at least two digit bytes. Exactly equivalent to
+    * `contains('@') || contains(':') || rlike("(?s)[0-9].*[0-9]")`
+    * (two digit positions in order == any two digit occurrences), and
+    * safe on raw UTF-8 bytes: 0x30-0x39/0x3A/0x40 never appear inside
+    * multibyte sequences (continuation bytes are >= 0x80). The r13
+    * measurement that motivated it: the rlike formulation cost about
+    * as much as the kernels it gated (String conversion + regex scan),
+    * making the sparse gate cost-neutral; this scan is ~free. */
+  def mayContainPii(text: UTF8String): Boolean = {
+    val n = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var digits = 0
+    var i = 0L
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b == '@' || b == ':') return true
+      if (b >= '0' && b <= '9') {
+        digits += 1
+        if (digits >= 2) return true
+      }
+      i += 1
+    }
+    false
   }
 
   /** Ordered multi-category redaction in ONE String conversion:
@@ -482,6 +510,26 @@ case class PiiCountsExpr(child: Expression, regexes: Seq[String])
   }
 
   override protected def withNewChildInternal(c: Expression): PiiCountsExpr =
+    copy(child = c)
+}
+
+/** Byte-scan necessary-condition PII prefilter
+  * ([[TextKernels.mayContainPii]]) — the `Pii.scrubSparse` gate. */
+case class PiiMayContain(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.mayContainPii(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.mayContainPii($c)")
+
+  override protected def withNewChildInternal(c: Expression): PiiMayContain =
     copy(child = c)
 }
 

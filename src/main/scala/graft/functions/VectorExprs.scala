@@ -799,6 +799,7 @@ object VectorExprs {
       "graft_pii_counts" -> (exprs => PiiCountsExpr(exprs(0), strSeq(exprs(1)))),
       "graft_pii_redact" -> (exprs =>
         PiiRedactExpr(exprs(0), strSeq(exprs(1)), strSeq(exprs(2)))),
+      "graft_pii_maybe" -> (exprs => PiiMayContain(exprs(0))),
       "graft_bloom_any_shingle" -> (exprs =>
         BloomContainsAnyShingle(exprs(0),
           exprs(1).eval().asInstanceOf[Array[Byte]], int(exprs(2)))),
@@ -979,6 +980,15 @@ object VectorExprs {
       .foreach(ensureRegistered)
     call_function("graft_pii_counts", text,
       org.apache.spark.sql.functions.typedLit(regexes))
+  }
+
+  /** Byte-scan necessary-condition PII prefilter — see
+    * [[graft.functions.PiiMayContain]]. */
+  def piiMayContain(text: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_pii_maybe", text)
   }
 
   /** Ordered multi-category PII redaction in one pass — see

@@ -641,5 +641,16 @@ class PropertySpec extends SparkTestBase {
     }
     // and the null row really is the null-count shape, on both paths
     assert(full(120L).forall(_ == null), full(120L).toString)
+    // the byte-scan prefilter kernel equals its Column reference
+    // formulation (contains/rlike) on the same corpus + unicode edges
+    val uni = texts.filter(_._2 != null) ++ Seq(
+      (200L, "héllo wörld"), (201L, "ümlauts ünd"), (202L, "数字七 8 and 9"),
+      (203L, "@"), (204L, ":"), (205L, "7"), (206L, "77"))
+    val udf2 = uni.toDF("doc_id", "text")
+    val kb = udf2.select(col("doc_id"),
+        ops.Pii.mayContainPii(col("text")).as("k"),
+        ops.Pii.mayContainPiiRef(col("text")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    kb.foreach { case (id, k, r) => assert(k === r, s"doc $id") }
   }
 }
