@@ -730,7 +730,12 @@ case class PqAdcExpr(left: Expression, right: Expression, k: Int)
   * of GroupByReduce.weighted's wquantile/wmedian: runs once per GROUP
   * on the sorted collect_list buffer. */
 case class WeightedQuantileExpr(child: Expression, q: Double)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", DoubleType),
+      org.apache.spark.sql.types.StructField("w", LongType)))))
 
   override def dataType: DataType = DoubleType
 
