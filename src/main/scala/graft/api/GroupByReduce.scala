@@ -27,6 +27,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object GroupByReduce {
 
+  /** Drop rows whose group label tuple contains a null — the flox
+    * null-label-drop semantics (flox/factorize.py:201-210), shared by
+    * every entry point so a future policy change lands in ONE place
+    * (r13 review: this expression had five hand-maintained copies). */
+  private def dropNullKeyRows(df: DataFrame, by: Seq[String]): DataFrame =
+    if (by.isEmpty) df
+    else df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
+
   def apply(df: DataFrame, by: Seq[String], value: String, func: String,
             as: String = "result",
             opts: ReduceOptions = ReduceOptions()): DataFrame = {
@@ -41,9 +49,7 @@ object GroupByReduce {
 
     // NaN/null group labels are dropped (flox/factorize.py:201-210).
     val cleaned =
-      if (opts.dropNullKeys && by.nonEmpty)
-        df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
-      else df
+      if (opts.dropNullKeys) dropNullKeyRows(df, by) else df
 
     // min_count x fill_value decision table (flox/core.py:1026-1038):
     // an unset min_count becomes 1 when BOTH fill_value and
@@ -144,9 +150,7 @@ object GroupByReduce {
                reductions: Seq[(String, String)], // (func, as)
                opts: ReduceOptions = ReduceOptions()): DataFrame = {
     val cleaned =
-      if (opts.dropNullKeys && by.nonEmpty)
-        df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
-      else df
+      if (opts.dropNullKeys) dropNullKeyRows(df, by) else df
     def fpValid(c: Column, dt: org.apache.spark.sql.types.DataType) =
       dt match {
         case DoubleType | FloatType => c.isNotNull && !isnan(c)
@@ -242,10 +246,7 @@ object GroupByReduce {
     // flox null-label-drop parity (same default as the buffered path's
     // ReduceOptions.dropNullKeys); with it off, the NULL-keyed group is
     // a real group and the null-safe joins below carry it correctly.
-    val df =
-      if (dropNullKeys)
-        df0.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
-      else df0
+    val df = if (dropNullKeys) dropNullKeyRows(df0, by) else df0
     val v = col(value)
     // Null-safe key joins (<=>): a NULL-keyed group is a real group for
     // groupBy, so a plain equi-join here would drop its ranked/picked
@@ -302,9 +303,7 @@ object GroupByReduce {
     val fp = isFp(df, value)
     val v0 = if (fp && skipNaN) ReduceExprs.nanToNull(col(value)) else col(value)
     val cleaned =
-      if (opts.dropNullKeys && by.nonEmpty)
-        df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
-      else df
+      if (opts.dropNullKeys) dropNullKeyRows(df, by) else df
     val counts = cleaned
       .withColumn("__v", v0)
       .filter(col("__v").isNotNull)
@@ -337,7 +336,7 @@ object GroupByReduce {
     require(by.nonEmpty, "perGroupDouble needs at least one key column")
     val sep = "\u0001" // non-printing separator: collision-free composite keys
     def packed = concat_ws(sep, by.map(c => col(c).cast("string")): _*)
-    val cleaned = df.filter(by.map(c => col(c).isNotNull).reduce(_ && _))
+    val cleaned = dropNullKeyRows(df, by)
     // null = missing, skipped (the framework-wide convention, see
     // ReduceExprs): the callable only ever sees valid values — a null
     // would otherwise NPE inside the non-nullable Double encoder. NaN is

@@ -332,7 +332,14 @@ object VectorKernels {
     val m = arr.numElements()
     var n = 0L
     var i = 0
-    while (i < m) { n += arr.getStruct(i, 2).getLong(1); i += 1 }
+    // null struct elements are SKIPPED (collect_list parity): the
+    // internal GroupByReduce path never produces them, but the
+    // graft_wquantile SQL registration is user-reachable (r13 review)
+    while (i < m) {
+      val row = arr.getStruct(i, 2)
+      if (row != null) n += row.getLong(1)
+      i += 1
+    }
     if (n <= 0) return null
     val target = (n - 1).toDouble * q
     val lo = math.floor(target).toLong
@@ -344,10 +351,12 @@ object VectorKernels {
     i = 0
     while (i < m && !(foundLo && foundHi)) {
       val row = arr.getStruct(i, 2)
-      val w = row.getLong(1)
-      if (!foundLo && lo < cum + w) { lov = row.getDouble(0); foundLo = true }
-      if (!foundHi && hiPos < cum + w) { hiv = row.getDouble(0); foundHi = true }
-      cum += w
+      if (row != null) {
+        val w = row.getLong(1)
+        if (!foundLo && lo < cum + w) { lov = row.getDouble(0); foundLo = true }
+        if (!foundHi && hiPos < cum + w) { hiv = row.getDouble(0); foundHi = true }
+        cum += w
+      }
       i += 1
     }
     java.lang.Double.valueOf(lov * (1.0 - frac) + hiv * frac)

@@ -146,6 +146,13 @@ object Pii {
     * Defined for the default category set only (the necessity proof is
     * per-pattern; custom categories need their own prefilter). */
   def scrubSparse(df: DataFrame, textCol: String): DataFrame = {
+    // the GlobalScan.prefixSum convention: fail loudly on staging-name
+    // collisions instead of an ambiguous-reference AnalysisException
+    // deep in the second projection (r13 review)
+    Seq("__pf", "__v", "__red").foreach { c =>
+      require(!df.columns.contains(c),
+        s"scrubSparse stages a column named '$c'; rename the input's")
+    }
     val t = col(textCol)
     // coalesce(pf, true): NULL text makes the prefilter NULL; routing
     // it through the kernel path (which null-propagates) keeps the

@@ -103,7 +103,7 @@ object QualityClassifier {
     * hence order- and engine-independent — so the only cross-engine
     * drift left is libm exp() ulps inside the sigmoid, ~1e-13 against
     * a 9.5e-7 grid. A clearance guard REQUIRES every pre-round value
-    * to sit > 1e-9 from a rounding boundary, so a corpus that could
+    * to sit > 1e-6 (scaled) from a rounding boundary, so a corpus that could
     * make the two engines round apart fails loudly instead of
     * producing a silent oracle mismatch. q_quality_train_infer
     * certifies train→infer end-to-end against the same GD unrolled in
@@ -156,7 +156,13 @@ object QualityClassifier {
         while (i < w.length) {
           val x = w(i) * 1048576.0 + 0.5
           val clearance = math.abs(x - math.rint(x))
-          require(clearance > 1e-9,
+          // threshold 1e-6 (in the SCALED domain, where the grid step
+          // is 1.0): cross-engine accumulation jitter is ~1e-15 in w
+          // units = ~1e-9 scaled, so the guard must sit well ABOVE
+          // that or the divergence it exists to catch slips under it
+          // (r13 review); 1e-6 gives 3 decades of margin while firing
+          // spuriously with probability ~2e-6 per rounding
+          require(clearance > 1e-6,
             s"trainCertified: weight $i pre-round value sits $clearance " +
               "from a 2^-20 rounding boundary — cross-engine rounding " +
               "could diverge; change dim/iters/lr or corpus")

@@ -181,7 +181,11 @@ object Selection {
                          numShards: Int): DataFrame = {
     require(numShards >= 1, "numShards must be >= 1")
     val keyed = df
-      .withColumn("n_tok", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      // coalesce: a null text yields a null token count, which would
+      // slip through least() to shard numShards-1 and null the
+      // manifest's token sum (r13 review) — count it as zero tokens
+      .withColumn("n_tok",
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)))
       .withColumn("__sh_k", md5(col(idCol).cast("string").cast("binary")))
     val cum = graft.api.GlobalScan.prefixSum(
       keyed, Seq(col("__sh_k"), col(idCol)), col("n_tok"), "__sh_cum")
@@ -214,7 +218,7 @@ object Selection {
     * after the (atomic-by-Spark-committer) overwrite completes, the
     * written files are RE-READ and summarized into `_MANIFEST.json`
     * at the root — per shard: row count, token sum, and an
-    * order-independent content hash (sum of per-row xxhash64 over
+    * order-independent content hash (bit_xor of per-row xxhash64 over
     * every column, via to_json of the name-sorted struct). Because
     * the manifest derives from the files on disk (not the input
     * plan), [[verifyShards]] re-deriving the same stats certifies the
@@ -255,6 +259,14 @@ object Selection {
     * bounded by the shard count, not the data). */
   private def shardStats(spark: org.apache.spark.sql.SparkSession,
                          path: String): Seq[(Int, Long, Long, Long)] = {
+    // an empty (fully filtered) corpus writes no shard directories —
+    // schema inference over just _SUCCESS would throw; stats are the
+    // empty set, and the manifest records zero shards (r13 review)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasShards = fs.exists(root) && fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+    if (!hasShards) return Seq.empty
     val back = spark.read.parquet(path)
     val cols = back.columns.sorted.map(col).toSeq
     back
@@ -297,7 +309,10 @@ object Selection {
     val want = entry.findAllMatchIn(txt)
       .map(m => (m.group(1).toInt, m.group(2).toLong,
         m.group(3).toLong, m.group(4).toLong)).toSeq.sortBy(_._1)
-    require(want.nonEmpty, s"empty/unparseable manifest at $mPath")
+    // a zero-entry manifest is the legitimate commit of an EMPTY
+    // (fully filtered) corpus — it must verify against zero shard dirs
+    require(want.nonEmpty || txt.contains("["),
+      s"unparseable manifest at $mPath")
     val got = shardStats(spark, path)
     require(got.map(_._1) == want.map(_._1),
       s"shard set mismatch: files=${got.map(_._1)} manifest=${want.map(_._1)}")

@@ -336,6 +336,39 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  test("writeShards degenerate inputs: an EMPTY corpus commits a " +
+    "zero-entry manifest that verifies; null-text docs shard " +
+    "deterministically as zero tokens (r13 review)") {
+    import org.apache.spark.sql.functions.col
+    // empty corpus: commit succeeds, manifest verifies, no crash
+    val dir = java.nio.file.Files.createTempDirectory("graft_mt").toString
+    try {
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      ops.Selection.writeShards(empty, "text", "doc_id", 3, dir)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_MANIFEST.json")))
+      ops.Selection.verifyShards(spark, dir)
+      // null-text docs: n_tok coalesces to 0, shard assignment follows
+      // the canonical permutation (never the numShards-1 null artifact)
+      val d = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]),
+        (3L, "d"), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val rows = ops.Selection.shardByTokenBudget(d, "text", "doc_id", 2)
+        .select("doc_id", "n_tok", "shard").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+      assert(rows(2L)._1 === 0L)
+      assert(rows(4L)._1 === 0L)
+      assert(rows.values.map(_._2).toSet.subsetOf(Set(0, 1)))
+      // and the manifest survives null-text rows (token sum not null)
+      ops.Selection.writeShards(d, "text", "doc_id", 2, dir)
+      ops.Selection.verifyShards(spark, dir)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("writeShards commit protocol: manifest matches files, rerun is " +
     "manifest-identical, a lost shard file is detected (r12 missing #1)") {
     import org.apache.spark.sql.functions.col
