@@ -310,10 +310,18 @@ object ReduceExprs {
         val lo = floor(target).cast("int")
         val frac = target - floor(target)
         val lov = element_at(arr, lo + 1).cast("double")
-        // frac == 0 makes the hi term vanish, so least(...) clamping at
-        // the array end never contributes a wrong element
+        // least(...) clamps the hi index at the array end; the frac==0
+        // short-circuit below keeps it from ever contributing
         val hiv = element_at(arr, least(lo + 2, n)).cast("double")
-        when(n > 0, lov * (lit(1.0) - frac) + hiv * frac)
+        // frac == 0 returns lov DIRECTLY: for finite values the lerp
+        // collapses to lov exactly anyway (hiv·0 = 0), but an INFINITE
+        // bracketing element would turn hiv·0 into NaN and poison the
+        // result where Spark percentile / NumPy / DuckDB all return
+        // the element itself (r13 review; same guard in wquantile and
+        // quantileDistributed so the bit-equality laws hold)
+        when(n > 0,
+          when(frac === 0, lov)
+            .otherwise(lov * (lit(1.0) - frac) + hiv * frac))
       }
       val bound = transform(array(sort_array(collect_list(v))), arr =>
         q match {

@@ -275,8 +275,12 @@ object GroupByReduce {
     def interp(q: Double, i: Int): Column = {
       val target = (col("__qn") - 1).cast("double") * lit(q)
       val frac = target - floor(target)
+      // frac == 0 → the lo element itself (infinite-element guard,
+      // same algebra as the buffered path — bit-equality preserved)
       when(col("__qn") > 0,
-        col(s"__lo$i") * (lit(1.0) - frac) + col(s"__hi$i") * frac)
+        when(frac === 0, col(s"__lo$i"))
+          .otherwise(col(s"__lo$i") * (lit(1.0) - frac) +
+            col(s"__hi$i") * frac))
     }
     val out = nsJoin(sizes, picked, "left")
       .withColumn(as,

@@ -166,10 +166,30 @@ case class JaccardSorted(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
+  /** Element null checks only when the child types admit null elements
+    * — internal callers (array_sort∘array_distinct∘shingles) never
+    * produce them, but the graft_jaccard_sorted SQL registration is
+    * user-reachable (r13 review: an unchecked null element NPE'd on
+    * GenericArrayData and read garbage on UnsafeArrayData). */
+  private lazy val needNullCheck: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _                          => false
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (na, nb) = (x.numElements(), y.numElements())
+    if (needNullCheck) {
+      var k = 0
+      while (k < na) { if (x.isNullAt(k)) return null; k += 1 }
+      k = 0
+      while (k < nb) { if (y.isNullAt(k)) return null; k += 1 }
+    }
     var inter = 0
     var i = 0
     var j = 0
@@ -190,22 +210,35 @@ case class JaccardSorted(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
+      val k = ctx.freshName("k")
       val inter = ctx.freshName("inter")
       val union = ctx.freshName("union")
+      val elemNullCheck =
+        if (needNullCheck)
+          s"""for (int $k = 0; $k < $na && !${ev.isNull}; $k++) {
+             |  if ($a.isNullAt($k)) ${ev.isNull} = true;
+             |}
+             |for (int $k = 0; $k < $nb && !${ev.isNull}; $k++) {
+             |  if ($b.isNullAt($k)) ${ev.isNull} = true;
+             |}""".stripMargin
+        else ""
       s"""
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
-         |int $inter = 0;
-         |int $i = 0;
-         |int $j = 0;
-         |while ($i < $na && $j < $nb) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $inter++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; }
-         |  else { $j++; }
+         |$elemNullCheck
+         |if (!${ev.isNull}) {
+         |  int $inter = 0;
+         |  int $i = 0;
+         |  int $j = 0;
+         |  while ($i < $na && $j < $nb) {
+         |    int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($c == 0) { $inter++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; }
+         |    else { $j++; }
+         |  }
+         |  int $union = $na + $nb - $inter;
+         |  ${ev.value} = $union > 0 ? ((double) $inter) / ((double) $union) : 0.0;
          |}
-         |int $union = $na + $nb - $inter;
-         |${ev.value} = $union > 0 ? ((double) $inter) / ((double) $union) : 0.0;
        """.stripMargin
     })
 
@@ -359,7 +392,10 @@ object VectorKernels {
       }
       i += 1
     }
-    java.lang.Double.valueOf(lov * (1.0 - frac) + hiv * frac)
+    // frac == 0 → the element itself: hiv·0 would be NaN for an
+    // infinite bracketing element (quantiles() has the same guard)
+    java.lang.Double.valueOf(
+      if (frac == 0.0) lov else lov * (1.0 - frac) + hiv * frac)
   }
 
   /** Id of the nearest centroid by rounded cosine, smallest-cid

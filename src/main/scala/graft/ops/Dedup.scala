@@ -63,6 +63,15 @@ object Dedup {
     }.drop("__toks")
   }
 
+  /** The canonical LSH band key: md5 over the '|'-joined (stringified)
+    * minhash lanes of one band. ONE definition (r13 review: three
+    * hand-maintained copies whose bit-identity is the load-bearing
+    * batch≡stream candidate-parity claim) — used by [[lshCandidates]],
+    * [[graft.streaming.StreamingDedup.dropNearDupsWithinWatermark]]
+    * and [[graft.streaming.StreamingContamination]]. */
+  private[graft] def bandHash(lanes: Seq[Column]): Column =
+    md5(concat_ws("|", lanes.map(_.cast("string")): _*))
+
   /** LSH candidate pairs: documents sharing at least one band
     * (bandSize consecutive minhashes hashed together). Returns
     * (id_a, id_b, n_shared_bands) with id_a < id_b.
@@ -88,8 +97,8 @@ object Dedup {
     // a production dedup pipeline does.
     val bands = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => md5(concat_ws("|", (0 until bandSize).map(j =>
-          element_at(col("__sig"), b * bandSize + j + 1)): _*)))))
+        b => bandHash((0 until bandSize).map(j =>
+          element_at(col("__sig"), b * bandSize + j + 1))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
       .localCheckpoint()

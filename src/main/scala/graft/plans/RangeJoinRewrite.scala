@@ -67,8 +67,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _) if j.resolved =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // EqualNullSafe counts too (r13 review): Spark hash-joins on a
+      // <=> key just as well, and rewriting past it would demote the
+      // real key to a residual filter — a strictly worse plan
       val hasEqui = conjuncts.exists {
         case EqualTo(a, b) =>
+          (for (sa <- sideOf(a, left, right); sb <- sideOf(b, left, right))
+            yield sa != sb).getOrElse(false)
+        case EqualNullSafe(a, b) =>
           (for (sa <- sideOf(a, left, right); sb <- sideOf(b, left, right))
             yield sa != sb).getOrElse(false)
         case _ => false

@@ -53,28 +53,36 @@ object StreamingAsof {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types._
     import left.sparkSession.implicits._
-    // the long casts below are lossless ONLY for integral/time dtypes; a
-    // string/decimal key would cast to null per row, silently collapsing
-    // every row into one state group — fail at plan time instead
-    def checkLossless(df: org.apache.spark.sql.DataFrame, c: String, what: String): Unit = {
-      val dt = df.schema(c).dataType
-      val ok = dt match {
-        case ByteType | ShortType | IntegerType | LongType |
-             DateType | TimestampType | TimestampNTZType => true
-        case _ => false
+    // Lossless long mapping PER DTYPE (r13 review — a plain
+    // cast("long") is wrong for three of the admitted types: Date/NTZ
+    // don't cast to long at all, and TimestampType casts to whole
+    // SECONDS, silently collapsing sub-second-distinct timestamps):
+    // integral → cast; TimestampType → unix_micros; NTZ → interpreted
+    // in the session zone then unix_micros (the Tables.tsMicros
+    // convention); DateType → unix_date (days). Each is monotone and
+    // injective, which is all the as-of ordering/state need.
+    def toLong(df: org.apache.spark.sql.DataFrame, c: String,
+               what: String): org.apache.spark.sql.Column = {
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(c).cast("long")
+        case TimestampType => org.apache.spark.sql.functions.unix_micros(col(c))
+        case TimestampNTZType =>
+          org.apache.spark.sql.functions.unix_micros(
+            col(c).cast(TimestampType))
+        case DateType =>
+          org.apache.spark.sql.functions.unix_date(col(c)).cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"$what column '$c' has dtype $dt; the streaming as-of union " +
+            "needs a lossless long mapping (non-matches would become " +
+            "null and collapse into one state group). Pre-map " +
+            "non-integral keys to long (e.g. hash or dictionary-encode " +
+            "string ids) before taggedUnion.")
       }
-      require(ok, s"$what column '$c' has dtype $dt; the streaming as-of " +
-        "union casts it to long, which is lossy (non-matches become null and " +
-        "collapse into one state group). Pre-map non-integral keys to long " +
-        "(e.g. hash or dictionary-encode string ids) before taggedUnion.")
-    }
-    for (df <- Seq(left, right)) {
-      checkLossless(df, keyCol, "key")
-      checkLossless(df, tsCol, "ts")
     }
     def side(df: org.apache.spark.sql.DataFrame, tag: Int) =
-      df.select(col(keyCol).cast("long").as("key"),
-        col(tsCol).cast("long").as("ts"),
+      df.select(toLong(df, keyCol, "key").as("key"),
+        toLong(df, tsCol, "ts").as("ts"),
         lit(tag).as("tag"), col(valueCol).cast("double").as("value"))
     side(right, 0).unionByName(side(left, 1)).as[AsofEvent]
   }

@@ -61,19 +61,23 @@ object StreamingContamination {
     * [[Dedup.crossNearDupPairs]] explode to, so streaming and batch
     * candidate sets coincide exactly. */
   private def bandCol(b: Int, bandSize: Int): Column =
-    md5(concat_ws("|", (0 until bandSize).map(j =>
-      col(s"mh${b * bandSize + j}").cast("string")): _*))
+    Dedup.bandHash((0 until bandSize).map(j => col(s"mh${b * bandSize + j}")))
 
-  /** Static benchmark band table for band `b`: one row per benchmark
-    * doc carrying the band-b hash and the doc's sorted shingle set for
-    * the residual verify. Built once per band on the static side. */
-  private def benchBand(benchmark: DataFrame, textCol: String, b: Int,
-                        numHashes: Int, bandSize: Int, k: Int,
-                        useMd5: Boolean): DataFrame =
+  /** Static benchmark band table with EVERY band's hash + the sorted
+    * shingle set, materialized ONCE (localCheckpoint — the static side
+    * is a bounded benchmark by contract). r13 review: building this
+    * per band re-ran the full numHashes-lane minhash once per band,
+    * and the un-materialized plan re-executed on the static side of
+    * the join every micro-batch. */
+  private def benchSlab(benchmark: DataFrame, textCol: String,
+                        nBands: Int, numHashes: Int, bandSize: Int,
+                        k: Int, useMd5: Boolean): DataFrame =
     Dedup.withMinhashSignature(benchmark, textCol, numHashes, k, useMd5)
-      .select(bandCol(b, bandSize).as(s"__bh$b"),
+      .select((0 until nBands).map(b =>
+        bandCol(b, bandSize).as(s"__bh$b")) :+
         array_sort(array_distinct(TextAnalysis.shingles(col(textCol), k)))
-          .as(s"__bsh$b"))
+          .as("__bsh"): _*)
+      .localCheckpoint()
 
   /** Drop every stream row within shingle-Jaccard >= `threshold` of
     * any benchmark row — fuzzy streaming decontamination with ZERO
@@ -92,9 +96,11 @@ object StreamingContamination {
     val withSig = Dedup.withMinhashSignature(stream, textCol, numHashes, k, useMd5)
       .withColumn("__sh",
         array_sort(array_distinct(TextAnalysis.shingles(col(textCol), k))))
+    val slab = benchSlab(benchmark, textCol, nBands, numHashes,
+      bandSize, k, useMd5)
     val probed = (0 until nBands).foldLeft(withSig) { (cur, b) =>
       cur.join(
-        broadcast(benchBand(benchmark, textCol, b, numHashes, bandSize, k, useMd5)),
+        broadcast(slab.select(col(s"__bh$b"), col("__bsh").as(s"__bsh$b"))),
         bandCol(b, bandSize) === col(s"__bh$b") &&
           graft.functions.VectorExprs.jaccardSorted(
             col("__sh"), col(s"__bsh$b")) >= threshold,

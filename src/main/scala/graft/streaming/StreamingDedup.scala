@@ -89,8 +89,8 @@ object StreamingDedup {
     val bands = sig.select(
       col(idCol), col(tsCol), col(textCol),
       posexplode(array((0 until nBands).map(b =>
-        md5(concat_ws("|", (0 until bandSize).map(j =>
-          col(s"mh${b * bandSize + j}").cast("string")): _*))): _*))
+        graft.ops.Dedup.bandHash((0 until bandSize).map(j =>
+          col(s"mh${b * bandSize + j}")))): _*))
         .as(Seq("band_idx", "band_hash")))
     bands
       .withWatermark(tsCol, delay)

@@ -60,11 +60,25 @@ object StreamingGroupBy {
       case None        => window(col(tsCol), windowDuration)
     }
     val aggCols = reductions.map { case (value, func, as) =>
-      val fp = df.schema(value).dataType match {
-        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
+      import org.apache.spark.sql.types._
+      val dt = df.schema(value).dataType
+      val fp = dt match {
+        case DoubleType | FloatType => true
+        case _                      => false
+      }
+      // same mv/integral dispatch as the batch GroupByReduce path (r13
+      // review): without `integral`, a LongType nansum/prod silently
+      // widened to double on the stream (coalesce fill lit(0.0), and
+      // product() instead of the exact longProduct), so the streaming
+      // face of the same reduction had a different result schema and
+      // lost >2^53 exactness
+      val mv = org.apache.spark.sql.catalyst.expressions.UnsafeRow
+        .isMutable(dt)
+      val integral = dt match {
+        case ByteType | ShortType | IntegerType | LongType | BooleanType => true
         case _ => false
       }
-      ReduceExprs(func, col(value), lit(0L), fp, opts).as(as)
+      ReduceExprs(func, col(value), lit(0L), fp, opts, mv, integral).as(as)
     }
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy((win +: by.map(col)): _*)

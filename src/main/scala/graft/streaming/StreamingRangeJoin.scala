@@ -54,11 +54,15 @@ object StreamingRangeJoin {
     val rB = right.withWatermark(rightTs, watermarkDelay)
       .select(fdiv(rSec).as("__bucket") +: col(rightTs).as("__rts") +:
         payload.map(col): _*)
+    // Every left-side reference is QUALIFIED through lExp: a payload
+    // name shared with the left stream (two event streams with similar
+    // schemas is the common case) would otherwise make bare col()
+    // ambiguous at plan time (r13 review).
     val cond = lExp("__bucket") === rB("__bucket") &&
-      rB("__rts") >= col(leftTs) + expr(s"INTERVAL $lowerSec seconds") &&
-      rB("__rts") <= col(leftTs) + expr(s"INTERVAL $upperSec seconds")
+      rB("__rts") >= lExp(leftTs) + expr(s"INTERVAL $lowerSec seconds") &&
+      rB("__rts") <= lExp(leftTs) + expr(s"INTERVAL $upperSec seconds")
     lExp.join(rB, cond, "inner")
-      .select(left.columns.map(col) ++
+      .select(left.columns.map(c => lExp(c)) ++
         payload.map(p => rB(p).as(prefix + p)): _*)
   }
 }

@@ -143,7 +143,12 @@ class ExtensionsSpec extends SparkTestBase {
           case _ => Nil
         }
         val equis: Seq[Column] =
-          if (c.equi) Seq(col("lid") % lit(7) === col("rid") % lit(7)) else Nil
+          if (c.equi) {
+            // alternate plain and null-safe equality: the rule must
+            // step aside for BOTH (a <=> key hash-joins just as well)
+            if (k % 2 == 0) Seq(col("lid") % lit(7) === col("rid") % lit(7))
+            else Seq(col("lid") % lit(7) <=> col("rid") % lit(7))
+          } else Nil
         val conjuncts =
           new scala.util.Random(c.shuffleSeed)
             .shuffle(Seq(lower, upper) ++ extras ++ equis)
