@@ -73,12 +73,20 @@ object TextKernels {
   def piiRedact(text: UTF8String, patterns: Array[java.util.regex.Pattern],
                 tokens: Array[String]): UTF8String = {
     var s = text.toString
+    var changed = false
     var i = 0
     while (i < patterns.length) {
-      s = patterns(i).matcher(s).replaceAll(tokens(i))
+      val m = patterns(i).matcher(s)
+      // match-gated: a no-match row returns its INPUT UTF8String
+      // bytes, never the String round-trip — on malformed UTF-8 the
+      // round-trip substitutes U+FFFD, which broke the
+      // scrubSparse ≡ scrub law bit-for-bit (Pii.scala's gated-off
+      // path passes raw bytes through; r14 review). replaceAll
+      // resets the matcher, so find-then-replaceAll is sound.
+      if (m.find()) { s = m.replaceAll(tokens(i)); changed = true }
       i += 1
     }
-    UTF8String.fromString(s)
+    if (changed) UTF8String.fromString(s) else text
   }
 
   // Java regex \s — exactly [ \t\n\x0B\f\r], NOT Character.isWhitespace

@@ -365,12 +365,17 @@ object VectorKernels {
     val m = arr.numElements()
     var n = 0L
     var i = 0
-    // null struct elements are SKIPPED (collect_list parity): the
-    // internal GroupByReduce path never produces them, but the
-    // graft_wquantile SQL registration is user-reachable (r13 review)
+    // null struct ELEMENTS and null FIELDS are both SKIPPED
+    // (collect_list parity): the internal GroupByReduce path never
+    // produces either, but the graft_wquantile SQL registration is
+    // user-reachable, and a non-null (v,w) struct with a null field
+    // would otherwise read undefined bits via getDouble/getLong on an
+    // UnsafeRow (r13/r14 review)
+    @inline def validPair(row: org.apache.spark.sql.catalyst.InternalRow)
+      : Boolean = row != null && !row.isNullAt(0) && !row.isNullAt(1)
     while (i < m) {
       val row = arr.getStruct(i, 2)
-      if (row != null) n += row.getLong(1)
+      if (validPair(row)) n += row.getLong(1)
       i += 1
     }
     if (n <= 0) return null
@@ -384,7 +389,7 @@ object VectorKernels {
     i = 0
     while (i < m && !(foundLo && foundHi)) {
       val row = arr.getStruct(i, 2)
-      if (row != null) {
+      if (validPair(row)) {
         val w = row.getLong(1)
         if (!foundLo && lo < cum + w) { lov = row.getDouble(0); foundLo = true }
         if (!foundHi && hiPos < cum + w) { hiv = row.getDouble(0); foundHi = true }

@@ -57,10 +57,10 @@ object StreamingAsof {
     // cast("long") is wrong for three of the admitted types: Date/NTZ
     // don't cast to long at all, and TimestampType casts to whole
     // SECONDS, silently collapsing sub-second-distinct timestamps):
-    // integral → cast; TimestampType → unix_micros; NTZ → interpreted
-    // in the session zone then unix_micros (the Tables.tsMicros
-    // convention); DateType → unix_date (days). Each is monotone and
-    // injective, which is all the as-of ordering/state need.
+    // integral → cast; TimestampType → unix_micros; NTZ → zone-free
+    // wall-clock micros (days·86.4e9 + time-of-day); DateType →
+    // unix_date (days). Each is monotone and injective, which is all
+    // the as-of ordering/state need.
     def toLong(df: org.apache.spark.sql.DataFrame, c: String,
                what: String): org.apache.spark.sql.Column = {
       df.schema(c).dataType match {
@@ -68,8 +68,27 @@ object StreamingAsof {
           col(c).cast("long")
         case TimestampType => org.apache.spark.sql.functions.unix_micros(col(c))
         case TimestampNTZType =>
-          org.apache.spark.sql.functions.unix_micros(
-            col(c).cast(TimestampType))
+          // Zone-FREE field arithmetic, not cast(TimestampType) →
+          // unix_micros: that round-trip interprets the wall clock in
+          // the SESSION zone and is not injective in a DST zone —
+          // distinct NTZ values inside a spring-forward gap collapse
+          // to one instant and would merge state groups (r14 review).
+          // days·86.4e9 + wall time-of-day micros is monotone and
+          // injective for every session timezone. date_part on NTZ
+          // reads wall-clock fields directly; SECOND is a decimal
+          // carrying the fractional micros exactly (·1e6 is exact in
+          // decimal arithmetic before the long cast).
+          {
+            import org.apache.spark.sql.functions.{date_part, unix_date, lit}
+            unix_date(col(c).cast(DateType)).cast("long") *
+              lit(86400000000L) +
+              date_part(lit("HOUR"), col(c)).cast("long") *
+                lit(3600000000L) +
+              date_part(lit("MINUTE"), col(c)).cast("long") *
+                lit(60000000L) +
+              (date_part(lit("SECOND"), col(c)) * lit(1000000L))
+                .cast("long")
+          }
         case DateType =>
           org.apache.spark.sql.functions.unix_date(col(c)).cast("long")
         case dt => throw new IllegalArgumentException(

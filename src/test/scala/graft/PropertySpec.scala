@@ -652,5 +652,27 @@ class PropertySpec extends SparkTestBase {
         ops.Pii.mayContainPiiRef(col("text")).as("r"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
     kb.foreach { case (id, k, r) => assert(k === r, s"doc $id") }
+    // malformed UTF-8 (r14): piiRedact is match-gated, so a no-match
+    // row returns its raw input bytes on BOTH paths — the law holds
+    // bit-for-bit on invalid sequences too (the String round-trip
+    // would substitute U+FFFD). string↔binary casts reinterpret bytes
+    // without validation, so the comparison sees the actual bytes.
+    val bad = Seq(
+      300L -> Array[Byte]('n', 'o', 0xFF.toByte, 0xFE.toByte, 'p'),
+      301L -> Array[Byte](0xC3.toByte, ' ', 'c', 'l', 'e', 'a', 'n'),
+      302L -> Array[Byte]('a', '@', 0x80.toByte, 'b', '.', 'c'))
+    val bdf = bad.toDF("doc_id", "b")
+      .select(col("doc_id"), col("b").cast("string").as("text"))
+    def redBytes(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), col("redacted").cast("binary").as("rb"),
+        col("n_pii"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1)).toSeq, r.getLong(2))).toMap
+    val sb = redBytes(ops.Pii.scrubSparse(bdf, "text"))
+    assert(sb === redBytes(ops.Pii.scrub(bdf, "text")))
+    // and the no-signal malformed rows really kept their raw bytes
+    assert(sb(300L)._1 === bad(0)._2.toSeq)
+    assert(sb(301L)._1 === bad(1)._2.toSeq)
   }
 }

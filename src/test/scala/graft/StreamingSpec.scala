@@ -1207,4 +1207,32 @@ class StreamingSpec extends SparkTestBase {
       rm(dir.toFile)
     }
   }
+  test("taggedUnion NTZ key mapping is zone-free: injective across a " +
+    "DST spring-forward gap (r14 review)") {
+    import graft.streaming.StreamingAsof
+    // In America/Los_Angeles the wall hour 02:00-02:59 of 2026-03-08
+    // does not exist; the old cast(TimestampType)->unix_micros mapping
+    // resolved NTZ 02:15 and 03:15 to the SAME instant, merging two
+    // distinct keys' state. The zone-free field-arithmetic mapping
+    // must keep them exactly one wall hour apart.
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      import java.time.LocalDateTime
+      val a = LocalDateTime.of(2026, 3, 8, 2, 15, 0)
+      val b = LocalDateTime.of(2026, 3, 8, 3, 15, 0)
+      val left = Seq((1L, a, 1.0), (1L, b, 2.0)).toDF("key", "ts", "v")
+      assert(left.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampNTZType)
+      val ev = StreamingAsof.taggedUnion(left, left.limit(0),
+          "key", "ts", "v")
+        .collect().sortBy(_.ts)
+      assert(ev.length === 2)
+      assert(ev(1).ts - ev(0).ts === 3600L * 1000000L)
+      // and the absolute value is the wall-clock convention:
+      // days-since-epoch * 86.4e9 + time-of-day micros
+      val days = java.time.LocalDate.of(2026, 3, 8).toEpochDay
+      assert(ev(0).ts === days * 86400000000L + (2L * 3600 + 15 * 60) * 1000000L)
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
 }
