@@ -67,8 +67,8 @@ object PipelineQueries {
   // make every margin a 6-dp decimal, so round(margin, 6) is
   // bit-stable across engines (probe: max distance to the 6-dp grid
   // 9e-14, min |margin| 0.030 — sign clearance >> cross-engine ulps).
-  private val qcDim = 128
-  private val qcWeights: Seq[Double] = Seq(
+  private[graft] val qcDim = 128
+  private[graft] val qcWeights: Seq[Double] = Seq(
     0.0, 0.0, 0.0, 0.0, 0.86429, 0.0, 0.0, 1.98785, 0.0, -1.719233,
     0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.697211, 0.0, 0.0,
     0.0, 0.0, 0.0, -0.413231, 0.722986, 0.0, 0.0, 0.0, 0.0, 0.0,
