@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput probe for the r14 sketch-bracket quantileDistributed at
+  * the DESIGN r12 reference point: 60M rows / 3 mega-groups,
+  * local[32]. Compares the three exact/approx tiers on identical
+  * data and asserts the distributed tier's values still bit-match
+  * the buffered exact path.
+  *
+  * Usage: runMain graft.QdistProbe [rows]
+  */
+object QdistProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 60000000L
+    val tiers = if (args.length > 1) args(1).split(",").toSet
+      else Set("buf", "dist", "gk")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "48g").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+          val si = sc.stageInfo
+          val secs = (for {
+            a <- si.completionTime; b <- si.submissionTime
+          } yield (a - b) / 1e3).getOrElse(-1.0)
+          val m = si.taskMetrics
+          println(f"[stage] ${si.stageId}%4d ${secs}%7.1f s " +
+            f"tasks=${si.numTasks}%4d " +
+            f"in=${m.inputMetrics.recordsRead}%11d " +
+            f"sr=${m.shuffleReadMetrics.recordsRead}%11d " +
+            f"sw=${m.shuffleWriteMetrics.recordsWritten}%11d " +
+            si.name.take(60))
+          println("    details: " + si.details.linesIterator
+            .filter(l => l.contains("graft") || l.contains("GlobalScan"))
+            .take(2).mkString(" <- "))
+        }
+      })
+    import spark.implicits._
+    // 3 mega-groups, deterministic mixed-distribution values
+    val df = spark.range(n).select(
+      (col("id") % 3).as("k"),
+      (pmod(hash(col("id")), lit(1000000)).cast("double") / 1000.0 +
+        when(col("id") % 1000 === 0, 500.0).otherwise(0.0)).as("value"))
+      .localCheckpoint() // pin input out of the timed region
+    val qs = Seq(0.25, 0.5, 0.9)
+    def timed(label: String)(body: => Array[org.apache.spark.sql.Row])
+      : Array[org.apache.spark.sql.Row] = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[qdist] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val buf = if (!tiers("buf")) Array.empty[org.apache.spark.sql.Row]
+    else timed("buffered in-task sort (bounded-group tier)") {
+      api.GroupByReduce(df, Seq("k"), "value", "quantile", "qs",
+        graft.aggs.ReduceOptions(q = qs)).collect()
+    }
+    val dist = if (!tiers("dist")) Array.empty[org.apache.spark.sql.Row]
+    else timed("sketch-bracket distributed (unbounded tier, r14)") {
+      api.GroupByReduce.quantileDistributed(df, Seq("k"), "value", qs,
+        "qs").collect()
+    }
+    if (tiers("gk")) timed("GK sketch approx (approximate tier)") {
+      api.GroupByReduce(df, Seq("k"), "value", "quantile", "qs",
+        graft.aggs.ReduceOptions(q = qs, approxQuantile = true)).collect()
+    }
+    if (tiers("buf") && tiers("dist")) {
+      val bm = buf.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val dm = dist.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      require(bm.keySet == dm.keySet)
+      bm.foreach { case (k, vs) =>
+        vs.zip(dm(k)).foreach { case (b, d) =>
+          require(java.lang.Double.doubleToRawLongBits(b) ==
+            java.lang.Double.doubleToRawLongBits(d), s"group $k: $b vs $d")
+        }
+      }
+      println("[qdist] distributed tier bit-matches buffered at 60M rows")
+    }
+    spark.stop()
+  }
+}

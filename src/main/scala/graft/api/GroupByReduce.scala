@@ -218,31 +218,57 @@ object GroupByReduce {
     * single aggregation buffer — correct and fastest when groups are
     * modest, but one corpus-spanning group then sorts on one task
     * (100× probe: 3 groups × 20M values → 11s single-buffer sorts).
-    * This two-stage plan keeps everything distributed: a
-    * range-partitioned grouped row-number over (group, value) — the
-    * [[GlobalScan]] machinery, never a single window task — then one
-    * hash aggregation picking the two bracketing ranks per quantile,
-    * interpolated with the IDENTICAL lo·(1−frac) + hi·frac algebra, so
-    * results are bit-equal to the buffered path (spec-pinned law).
-    * Memory: O(1) per row at every stage — NO group-size bound.
     *
-    * When to use which (measured, 60M rows / 3 mega-groups at
-    * local[32]): the buffered sort wins on THROUGHPUT whenever groups
-    * fit one task's memory (10.5s vs this path's 50s — in-buffer
-    * sorts parallelize across groups and shuffle nothing), and the GK
-    * sketch wins when approximation is acceptable (3.3s). This path
-    * exists for the regime the other two cannot enter at all: an
-    * EXACT quantile of a group too large for any single task's buffer
-    * (tens of billions of values at 100 TB) — correctness at
-    * unbounded group size, at a known shuffle cost. Nulls are skipped
-    * (collect_list parity); all-null groups yield null. Scalar q →
-    * double column, vector q → array column. */
+    * r14 plan: SKETCH-GUIDED BRACKET SEARCH (r13 verdict #2),
+    * replacing the r12 global grouped row-number over the full data
+    * (which re-sorted every row and lost 5× to the buffered path).
+    * Three stages, none of which sorts more than a sliver:
+    *
+    *   1. one hash aggregation per group: exact counts `n` (non-null)
+    *      and `nFin` (non-NaN), plus a 201-point GK percentile grid
+    *      (`percentile_approx`, mergeable, map-side combinable);
+    *   2. from the grid, a per-(group, q) VALUE BRACKET [a, b]
+    *      GUARANTEED to contain the two target order statistics: with
+    *      rank slack S = nFin/accuracy + 2 covering the GK error
+    *      bound (ε = 1/accuracy) plus query discretization, grid
+    *      index floor((r−S)/nFin/h) has rank ≤ r−1 and
+    *      ceil((r+S)/nFin/h) has rank ≥ r+1. One map-side-combinable
+    *      pass then counts EXACTLY: #v<a, #v=a, #a<v<b, #v=b — the
+    *      duplicate-run compression that keeps the ranked sliver
+    *      small even when the bracket endpoints carry huge ties;
+    *   3. only the strict interior a<v<b — ≤ (2h + 2ε)·nFin + 4
+    *      ranks ≈ 1% of the data — goes through the distributed
+    *      [[GlobalScan.groupedRowNumber]]; bracket-endpoint hits are
+    *      answered from the exact counts alone. A `raise_error`
+    *      branch guards every impossible rank case, so a violated
+    *      sketch guarantee can never return a silently wrong number.
+    *
+    * Interpolation uses the IDENTICAL lo·(1−frac) + hi·frac algebra
+    * (with the frac==0 infinite-element guard), and every picked
+    * value is an actual data value (GK stores sampled inputs), so
+    * results stay BIT-equal to the buffered path (spec-pinned law,
+    * fuzzed over duplicates/NaN/±Inf/tiny groups). NaN ordering
+    * follows Spark (greatest, as in the buffered sort); a rank
+    * landing in the NaN tail returns NaN without touching the
+    * bracket. Nulls are skipped (collect_list parity); all-null
+    * groups yield null. Scalar q → double column, vector q → array.
+    *
+    * Memory: O(grid + sketch) per group in stage 1, O(1) per row
+    * after — NO group-size bound; the only sorted data is the ~1%
+    * interior sliver. This is the declared 100 TB tier for exact
+    * quantiles of groups too large for any single task's buffer
+    * (the reference is blockwise-only here, flox/aggregations.py:
+    * 670-685); the GK sketch alone remains the approximate tier. */
   def quantileDistributed(df0: DataFrame, by: Seq[String], value: String,
                           qs: Seq[Double],
                           as: String = "result",
-                          dropNullKeys: Boolean = true): DataFrame = {
+                          dropNullKeys: Boolean = true,
+                          accuracy: Int = 10000): DataFrame = {
     require(by.nonEmpty, "quantileDistributed needs group keys")
     require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1]: $qs")
+    require(accuracy >= 100, s"accuracy $accuracy too coarse (min 100)")
     // flox null-label-drop parity (same default as the buffered path's
     // ReduceOptions.dropNullKeys); with it off, the NULL-keyed group is
     // a real group and the null-safe joins below carry it correctly.
@@ -256,33 +282,135 @@ object GroupByReduce {
       val cond = by.map(k => col(k) <=> col(s"__qr_$k")).reduce(_ && _)
       l.join(rr, cond, how).drop(by.map(k => s"__qr_$k"): _*)
     }
-    val sizes = df.groupBy(by.map(col): _*).agg(count(v).as("__qn"))
-    val ranked = GlobalScan.groupedRowNumber(
-      df.filter(v.isNotNull)
-        .select(by.map(col) :+ v.cast("double").as("__qv"): _*),
-      by, Seq(col("__qv")), "__qrn")
-    val withN = nsJoin(ranked, sizes, "inner")
-    val picks = qs.zipWithIndex.flatMap { case (q, i) =>
-      val target = (col("__qn") - 1).cast("double") * lit(q)
-      val lo = floor(target).cast("long")
-      Seq(
-        max(when(col("__qrn") === lo + 1, col("__qv"))).as(s"__lo$i"),
-        max(when(col("__qrn") === least(lo + 2, col("__qn")), col("__qv")))
-          .as(s"__hi$i"))
+    val m = 200 // grid points (spacing h); interior ≈ (2h + 2ε)·nFin
+    val h = 1.0 / m
+    val vd = v.cast("double")
+    // stage 1: per-group exact counts + the GK percentile grid over
+    // the FINITE (non-NaN) values — NaNs sort greatest in Spark, so
+    // ranks 1..nFin are the finite order statistics and the NaN tail
+    // is answered by rank > nFin alone, no sketch involvement
+    val fin = when(vd.isNotNull && !isnan(vd), lit(1))
+    val g0 = df.groupBy(by.map(col): _*).agg(
+      count(vd).as("__qn"),
+      count(fin).as("__qnf"),
+      percentile_approx(when(!isnan(vd), vd),
+          lit((0 to m).map(_.toDouble / m).toArray), lit(accuracy))
+        .cast("array<double>").as("__qg"))
+    // per-q target ranks (1-based, over the full n incl. the NaN
+    // tail) and the guaranteed value bracket read off the grid
+    val gCols = qs.indices.flatMap { i =>
+      val r1 = floor((col("__qn") - 1).cast("double") * lit(qs(i)))
+        .cast("long") + 1
+      val r2 = least(r1 + 1, col("__qn"))
+      val nf = col("__qnf").cast("double")
+      val slack = nf / accuracy + lit(2.0) // GK ε·n + query discretization
+      val rB = least(r2, col("__qnf")).cast("double")
+      val ja = least(lit(m.toLong), greatest(lit(0L),
+        floor(((r1.cast("double") - slack) / nf) / h).cast("long")))
+      val jb = least(lit(m.toLong), greatest(lit(0L),
+        ceil(((rB + slack) / nf) / h).cast("long")))
+      Seq(r1.as(s"__r1_$i"), r2.as(s"__r2_$i"),
+        element_at(col("__qg"), (ja + 1).cast("int")).as(s"__qa$i"),
+        element_at(col("__qg"), (jb + 1).cast("int")).as(s"__qb$i"))
     }
-    val picked = withN.groupBy(by.map(col): _*)
-      .agg(picks.head, picks.tail: _*)
+    // PINNED (localCheckpoint, the GlobalScan convention — EAGER, one
+    // job): g is one tiny row per group but its parent is the full
+    // sketch pass; unpinned, every consumer branch below re-ran that
+    // pass and re-sorted the corpus through sort-merge joins (measured
+    // 142s vs 12s at the 60M probe). Pinned, the sketch pass runs
+    // ONCE and AQE broadcasts the materialized tiny exchange.
+    val g = g0.select((by.map(col) ++
+      Seq(col("__qn"), col("__qnf")) ++ gCols): _*).localCheckpoint()
+    // EXPLICIT broadcast decision on the known group count: AQE does
+    // not re-plan a join whose small side is a checkpointed leaf (no
+    // shuffle stage to re-measure), so without the hint the full data
+    // was exchanged once and SORT-MERGE-READ three times — 66 of the
+    // 83 s at the 60M probe. One driver-side count on the pinned
+    // per-group table is the whole cost of deciding.
+    val nGroups = g.count()
+    val bcast = nGroups <= 100000
+    def side(t: DataFrame) = if (bcast) broadcast(t) else t
+    // rows × per-group brackets: one row per non-null value
+    val rowsJ = nsJoin(
+      df.filter(v.isNotNull)
+        .select(by.map(col) :+ vd.as("__qv"): _*), side(g), "inner")
+    // stage 2: EXACT counts around each bracket — v<a / v=a / a<v<b /
+    // v=b. NaN rows fall in none of them (NaN compares greatest and
+    // a, b are finite), which is exactly the rank arithmetic's model.
+    val vv = col("__qv")
+    val cAggs = qs.indices.flatMap { i =>
+      val a = col(s"__qa$i"); val b = col(s"__qb$i")
+      Seq(count(when(vv < a, 1)).as(s"__cl$i"),
+        count(when(vv === a, 1)).as(s"__ca$i"),
+        count(when(vv > a && vv < b, 1)).as(s"__ci$i"),
+        count(when(b > a && vv === b, 1)).as(s"__cb$i"))
+    }
+    val counts = rowsJ.groupBy(by.map(col): _*).agg(cAggs.head, cAggs.tail: _*)
+    // stage 3: rank ONLY the strict interior, tagged by quantile
+    // index — a cheap comparison-only prefilter drops the ~99%
+    // non-interior rows BEFORE any array/struct allocation, then a
+    // compacted when()-array explode tags the survivors per q
+    val inAny = qs.indices.map { i =>
+      vv > col(s"__qa$i") && vv < col(s"__qb$i") }.reduce(_ || _)
+    val taggedArr = array(qs.indices.map { i =>
+      when(vv > col(s"__qa$i") && vv < col(s"__qb$i"),
+        struct(lit(i).as("qi"), vv.as("iv")))
+    }: _*)
+    // pinned: groupedRowNumber's range partitioner SAMPLES its input
+    // before shuffling it, which re-ran the full scan+explode;
+    // checkpointed, both passes read the ~1% sliver
+    val interior = rowsJ.filter(inAny)
+      .select(by.map(col) :+
+        explode(filter(taggedArr, x => x.isNotNull)).as("__qe"): _*)
+      .select(by.map(col) :+ col("__qe.qi").as("__qi") :+
+        col("__qe.iv").as("__iv"): _*)
+      .localCheckpoint()
+    val ranked = GlobalScan.groupedRowNumber(
+      interior, by :+ "__qi", Seq(col("__iv")), "__qrn")
+    // LEFT join: an all-null group has no rowsJ rows and thus no
+    // counts row, but must still appear (with a null result).
+    // Pinned for the same reason as g: targets is per-group tiny but
+    // its parent is the full exact-counts pass, and it has two
+    // consumers (the sliver picks and the final assembly).
+    val targets = nsJoin(g, counts, "left").localCheckpoint()
+    val pAggs = qs.indices.flatMap { i =>
+      val t1 = col(s"__r1_$i") - col(s"__cl$i") - col(s"__ca$i")
+      val t2 = col(s"__r2_$i") - col(s"__cl$i") - col(s"__ca$i")
+      val here = col("__qi") === i
+      Seq(max(when(here && col("__qrn") === t1, col("__iv"))).as(s"__s1$i"),
+        max(when(here && col("__qrn") === t2, col("__iv"))).as(s"__s2$i"))
+    }
+    val picks = nsJoin(ranked, side(targets), "inner")
+      .groupBy(by.map(col): _*).agg(pAggs.head, pAggs.tail: _*)
+    val assembled = nsJoin(targets, side(picks), "left")
+    // the order statistic at rank rr, answered from the exact counts
+    // (bracket-endpoint runs) or the ranked sliver; every impossible
+    // case raises — a violated sketch guarantee can never return a
+    // silently wrong number
+    val fail = raise_error(
+      lit("quantileDistributed: sketch bracket violated (internal)"))
+      .cast("double")
+    def xAt(i: Int, rr: Column, sel: Column): Column = {
+      val cl = col(s"__cl$i"); val ca = col(s"__ca$i")
+      val ci = col(s"__ci$i"); val cb = col(s"__cb$i")
+      when(rr > col("__qnf"), lit(Double.NaN))
+        .when(rr <= cl, fail)
+        .when(rr <= cl + ca, col(s"__qa$i"))
+        .when(rr <= cl + ca + ci, coalesce(sel, fail))
+        .when(rr <= cl + ca + ci + cb, col(s"__qb$i"))
+        .otherwise(fail)
+    }
     def interp(q: Double, i: Int): Column = {
       val target = (col("__qn") - 1).cast("double") * lit(q)
       val frac = target - floor(target)
+      val x1 = xAt(i, col(s"__r1_$i"), col(s"__s1$i"))
+      val x2 = xAt(i, col(s"__r2_$i"), col(s"__s2$i"))
       // frac == 0 → the lo element itself (infinite-element guard,
       // same algebra as the buffered path — bit-equality preserved)
       when(col("__qn") > 0,
-        when(frac === 0, col(s"__lo$i"))
-          .otherwise(col(s"__lo$i") * (lit(1.0) - frac) +
-            col(s"__hi$i") * frac))
+        when(frac === 0, x1).otherwise(x1 * (lit(1.0) - frac) + x2 * frac))
     }
-    val out = nsJoin(sizes, picked, "left")
+    val out = assembled
       .withColumn(as,
         if (qs.length == 1) interp(qs.head, 0)
         else array(qs.zipWithIndex.map { case (q, i) => interp(q, i) }: _*))

@@ -376,6 +376,83 @@ class ReduceSpec extends SparkTestBase {
     assert(distN(None) === Some(20.0))
   }
 
+  test("quantileDistributed fuzz (r14 sketch-bracket plan): duplicates, " +
+    "NaN/±Inf, constants, nulls, tiny and mega groups — bit-equal to " +
+    "the sorted-buffer reference; the raise_error net never fires") {
+    import spark.implicits._
+    // local reference: Spark/NumPy total order (NaN greatest, -0<0),
+    // the identical lo*(1-frac)+hi*frac algebra with the frac==0 guard
+    def ref(values: Seq[Double], q: Double): Option[Double] = {
+      if (values.isEmpty) None
+      else {
+        val arr = values.sortWith(java.lang.Double.compare(_, _) < 0)
+        val n = arr.length
+        val target = (n - 1).toDouble * q
+        val lo = math.floor(target).toInt
+        val frac = target - math.floor(target)
+        val lov = arr(lo)
+        val hiv = arr(math.min(lo + 1, n - 1))
+        Some(if (frac == 0.0) lov else lov * (1.0 - frac) + hiv * frac)
+      }
+    }
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.77, 0.9, 1.0)
+    val rnd = new scala.util.Random(42)
+    // trial 0: one mega group (stresses the bracket + interior rank);
+    // later trials: many small groups incl. sizes straddling the GK
+    // exact/compressed boundary (~1/(2eps)) via accuracy=500
+    val trials = Seq((1, 60000, 10000), (5, 4000, 500),
+      (23, 900, 500), (40, 40, 10000))
+    for (((nGroups, maxSize, acc), trial) <- trials.zipWithIndex) {
+      val rows = scala.collection.mutable.ArrayBuffer[(Int, Option[Double])]()
+      for (gid <- 0 until nGroups) {
+        val size = if (gid == 0 && trial == 3) 0 else 1 + rnd.nextInt(maxSize)
+        val style = (gid + trial) % 5
+        var j = 0
+        while (j < size) {
+          val x = style match {
+            case 0 => rnd.nextInt(5).toDouble // heavy duplicate runs
+            case 1 => rnd.nextDouble() * 1000.0 // continuous
+            case 2 => 7.25 // constant group
+            case 3 => if (rnd.nextInt(7) == 0) Double.NaN
+              else rnd.nextGaussian()
+            case 4 => rnd.nextInt(20) match {
+              case 0 => Double.PositiveInfinity
+              case 1 => Double.NegativeInfinity
+              case _ => rnd.nextInt(9).toDouble
+            }
+          }
+          rows += ((gid, if (rnd.nextInt(15) == 0) None else Some(x)))
+          j += 1
+        }
+        if (size == 0) { rows += ((gid, None)); rows += ((gid, None)) }
+      }
+      val df = rows.toSeq.toDF("k", "value").repartition(7)
+      val got = api.GroupByReduce.quantileDistributed(df, Seq("k"),
+          "value", qs, "qs", accuracy = acc)
+        .collect()
+        .map(r => r.getInt(0) -> Option(r.get(1))
+          .map(_.asInstanceOf[scala.collection.Seq[Any]])).toMap
+      val byGroup = rows.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.flatMap(_._2).toSeq }
+      assert(got.keySet === byGroup.keySet, s"trial $trial group set")
+      byGroup.foreach { case (k, vs) =>
+        qs.zipWithIndex.foreach { case (q, i) =>
+          val want = ref(vs, q)
+          val have = got(k).map(_(i))
+          (want, have) match {
+            case (None, None) => () // whole array null
+            case (None, Some(null)) => () // vector q: null ELEMENTS
+            case (Some(w), Some(g: java.lang.Double)) =>
+              assert(bits(w) === bits(g),
+                s"trial $trial group $k q=$q: want $w got $g")
+            case other => fail(s"trial $trial group $k q=$q: $other")
+          }
+        }
+      }
+    }
+  }
+
   test("expected_groups left join + fill") {
     val domain = keys.ExpectedGroups.of(spark, "by", Seq(0, 1, 2, 3))
     val r = GroupByReduce(fixture, Seq("by"), "v", "count", "n",
