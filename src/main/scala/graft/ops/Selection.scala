@@ -323,6 +323,74 @@ object Selection {
     }
   }
 
+  /** One micro-batch (epoch) of the STREAMING shard sink: the batch
+    * [[writeShards]] commit protocol applied under
+    * `path/epoch=<batchId>`, made IDEMPOTENT on the epoch id.
+    * Structured Streaming replays a failed micro-batch with the SAME
+    * batchId (the offset WAL is the source of truth), so exactly-once
+    * output needs exactly this: if the epoch directory already holds
+    * a manifest that VERIFIES (re-derived from the files, not
+    * trusted), the replay is a no-op; any partial state — missing
+    * manifest, truncated file, lost shard — fails verification and
+    * the epoch is rewritten whole (writeShards' overwrite semantics
+    * make that safe at any interruption point). Returns true iff the
+    * epoch was (re)written. */
+  def writeShardsEpoch(df: DataFrame, batchId: Long, textCol: String,
+                       idCol: String, numShards: Int,
+                       path: String): Boolean = {
+    val spark = df.sparkSession
+    val epoch = new org.apache.hadoop.fs.Path(path, s"epoch=$batchId")
+    val fs = epoch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      fs.exists(new org.apache.hadoop.fs.Path(epoch, "_MANIFEST.json")) &&
+        (try { verifyShards(spark, epoch.toString); true }
+        catch { case _: Throwable => false })
+    if (committed) false
+    else { writeShards(df, textCol, idCol, numShards, epoch.toString); true }
+  }
+
+  /** Durable STREAMING shard sink (r13 missing #2): every micro-batch
+    * commits one token-balanced, manifested epoch directory via
+    * [[writeShardsEpoch]] under foreachBatch — the Spark-first idiom
+    * for a custom exactly-once sink (checkpointed source offsets +
+    * idempotent epoch writes). At 100 TB ingest rates the per-epoch
+    * cost profile is exactly the batch sink's: one write of the
+    * epoch's rows plus one read-back for the manifest; nothing is
+    * retained across epochs and the driver holds only shard stats. */
+  def writeShardsStream(docs: DataFrame, textCol: String, idCol: String,
+                        numShards: Int, path: String,
+                        checkpointDir: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sink: (DataFrame, Long) => Unit = (batch, id) => {
+      writeShardsEpoch(batch, id, textCol, idCol, numShards, path)
+      ()
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(sink)
+      .start()
+  }
+
+  /** Verify every epoch under a [[writeShardsStream]] output
+    * directory against its manifest ([[verifyShards]] per epoch) and
+    * return the sorted committed epoch ids. Driver traffic is
+    * bounded by the epoch count (one listing + per-epoch shard
+    * stats). Throws on the first epoch whose files do not match its
+    * manifest. */
+  def verifyShardsStream(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val epochs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .sorted
+    epochs.foreach(e => verifyShards(spark, s"$path/epoch=$e"))
+    epochs
+  }
+
   /** `corpus` minus exact benchmark contamination (left_anti mirror of
     * [[contaminated]]) — the decontamination end product a pipeline
     * actually ships. */

@@ -1235,4 +1235,65 @@ class StreamingSpec extends SparkTestBase {
       assert(ev(0).ts === days * 86400000000L + (2L * 3600 + 15 * 60) * 1000000L)
     } finally spark.conf.set("spark.sql.session.timeZone", old)
   }
+  test("streaming shard sink: per-epoch manifest commit, exactly-once " +
+    "replay skip, kill-recovery rewrite (r13 missing #2)") {
+    import graft.ops.Selection
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("shardstream")
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val docs = input.toDS().toDF("doc_id", "text")
+    val q = Selection.writeShardsStream(docs, "text", "doc_id", 2, out, ckpt)
+    try {
+      input.addData((1L, "alpha beta"), (2L, "gamma delta epsilon"),
+        (3L, "zeta eta theta iota"))
+      q.processAllAvailable()
+      input.addData((4L, "kappa lambda"), (5L, "mu nu xi"))
+      q.processAllAvailable()
+      // both epochs committed and file-verified
+      assert(Selection.verifyShardsStream(spark, out) === Seq(0L, 1L))
+      // conservation: the union of epochs is exactly the input
+      val ids = Seq(0L, 1L)
+        .flatMap(e => spark.read.parquet(s"$out/epoch=$e")
+          .select("doc_id").collect().map(_.getLong(0)))
+      assert(ids.sorted === Seq(1L, 2L, 3L, 4L, 5L))
+      // exactly-once: replaying a COMMITTED epoch is a no-op (same
+      // batch data, same id) — file names (task UUIDs) prove no write
+      def files(e: Long): Set[String] = {
+        val b = scala.collection.mutable.Set[String]()
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out, s"epoch=$e"))
+          .forEach(p => if (p.getFileName.toString.startsWith("part-"))
+            b += p.toString)
+        b.toSet
+      }
+      val before = files(1L)
+      val batch1 = Seq((4L, "kappa lambda"), (5L, "mu nu xi"))
+        .toDF("doc_id", "text")
+      assert(!Selection.writeShardsEpoch(batch1, 1L, "text", "doc_id", 2, out))
+      assert(files(1L) === before, "replay of a committed epoch rewrote it")
+      // kill-recovery: a lost manifest (the kill-between-write-and-
+      // commit state) makes the replay rewrite the epoch whole, and
+      // the recovered manifest is byte-identical (deterministic
+      // content-keyed sharding)
+      val mPath = java.nio.file.Paths.get(out, "epoch=1", "_MANIFEST.json")
+      val golden = java.nio.file.Files.readString(mPath)
+      java.nio.file.Files.delete(mPath)
+      assert(Selection.writeShardsEpoch(batch1, 1L, "text", "doc_id", 2, out))
+      assert(java.nio.file.Files.readString(mPath) === golden)
+      assert(Selection.verifyShardsStream(spark, out) === Seq(0L, 1L))
+      // and a corrupted-but-manifested epoch is also rewritten (the
+      // verify inside the epoch gate, not mere manifest existence)
+      val victim = files(1L).head
+      java.nio.file.Files.delete(java.nio.file.Paths.get(victim))
+      assert(Selection.writeShardsEpoch(batch1, 1L, "text", "doc_id", 2, out))
+      assert(java.nio.file.Files.readString(mPath) === golden)
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
 }
