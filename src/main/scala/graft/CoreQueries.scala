@@ -345,6 +345,23 @@ object CoreQueries {
         .withColumn("nmed", r("nmed", 4))
         .withColumn("np90", r("np90", 4))),
 
+    // ReduceOptions.nanQuantileAllNaN (r13 missing #4): NumPy parity
+    // for all-NaN groups — group 0 is ALL NaN (→ NaN, where the
+    // default returns NULL), group 1 is all NULL (→ NULL on both
+    // settings: masked elements are invisible to NumPy), groups 2-4
+    // are ordinary. Certifies the flag end-to-end cross-engine.
+    "q_nanquantile_allnan" -> ((s, d) => {
+      val base = ev(s, d)
+        .withColumn("g", col("user_id") % 5)
+        .withColumn("v2",
+          when(col("g") === 0, lit(Double.NaN))
+            .when(col("g") === 1, lit(null).cast("double"))
+            .otherwise(col("value")))
+      GroupByReduce(base, Seq("g"), "v2", "nanquantile", "nq",
+        ReduceOptions(q = Seq(0.5), nanQuantileAllNaN = true))
+        .withColumn("nq", r("nq", 4))
+    }),
+
     // nanmode: NaN-skipping grouped mode over a discretized value
     // (floor(v/50) gives ~10 buckets per group so ties are real);
     // smallest-value tie-break as in scipy.stats.mode
@@ -910,6 +927,19 @@ object CoreQueries {
          round(quantile_cont(CASE WHEN NOT isnan(v) THEN v END, 0.5), 4) AS nmed,
          round(quantile_cont(CASE WHEN NOT isnan(v) THEN v END, 0.9), 4) AS np90
          FROM ($sqlNan) GROUP BY user_id ORDER BY user_id""",
+
+    "q_nanquantile_allnan" ->
+      """SELECT g,
+         round(CASE WHEN count(CASE WHEN v2 IS NOT NULL AND NOT isnan(v2)
+                                    THEN 1 END) = 0
+                     AND count(v2) > 0 THEN 'NaN'::DOUBLE
+               ELSE quantile_cont(CASE WHEN NOT isnan(v2) THEN v2 END, 0.5)
+               END, 4) AS nq
+         FROM (SELECT user_id % 5 AS g,
+                      CASE WHEN user_id % 5 = 0 THEN 'NaN'::DOUBLE
+                           WHEN user_id % 5 = 1 THEN NULL
+                           ELSE value END AS v2
+               FROM events) GROUP BY g ORDER BY g""",
 
     "q_nanmode" ->
       s"""SELECT user_id, min(fv) AS nmode FROM (

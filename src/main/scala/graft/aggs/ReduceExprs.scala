@@ -38,7 +38,18 @@ case class ReduceOptions(
     /** percentile_approx accuracy (higher = tighter, more memory). */
     approxAccuracy: Int = 10000,
     /** k for the `topk` reduction (bounded per-group top-k values). */
-    topK: Int = 5
+    topK: Int = 5,
+    /** NumPy parity for nanmedian/nanquantile over a group whose
+      * values are ALL NaN: NumPy returns NaN, the repo's default
+      * returns SQL NULL (the NA-sentinel convention shared with
+      * min_count masking and fill_value — DESIGN r13's documented
+      * asymmetry vs nanmean, which coalesces to NaN). With this flag
+      * a group holding at least one non-null value but no valid
+      * (non-NaN) one yields NaN; a group with NO non-null values at
+      * all still yields NULL on both settings (nulls are masked
+      * elements, invisible to NumPy). Default preserves the
+      * hash-certified behavior. */
+    nanQuantileAllNaN: Boolean = false
 )
 
 /** Aggregation-expression registry: flox reduction name → a single Spark
@@ -127,6 +138,19 @@ object ReduceExprs {
     import graft.functions.VectorExprs.{extremumBy, longProduct}
     def vn = if (fp) nanToNull(v) else v
     def valid = if (fp) v.isNotNull && !isnan(v) else v.isNotNull
+    // ReduceOptions.nanQuantileAllNaN: NumPy parity for the all-NaN
+    // group — some non-null value present (count(v) > 0) but none
+    // valid (count(vn) = 0) → NaN instead of the default NULL; a
+    // truly empty/all-null group stays NULL either way. No lambda
+    // needed: the whole-result when() covers both shapes (incl. the
+    // approx path, whose empty vector result is a null ARRAY, not an
+    // array of nulls).
+    def allNaNAware(e: Column, vector: Boolean): Column =
+      if (!o.nanQuantileAllNaN) e
+      else {
+        val fb = if (vector) array(o.q.map(_ => NaN): _*) else NaN
+        when(count(vn) > 0, e).otherwise(when(count(v) > 0, fb))
+      }
     func match {
       // ---- counting (flox/aggregations.py:304-313): # of valid values
       case "count" => count(vn)
@@ -252,7 +276,8 @@ object ReduceExprs {
       // opts.approxQuantile swaps in the mergeable percentile_approx
       // sketch (skew-safe at scale, approximate values).
       case "median"      => guardNaN(v, fp)(quantiles(v, Seq(0.5), o))
-      case "nanmedian"   => quantiles(vn, Seq(0.5), o)
+      case "nanmedian"   =>
+        allNaNAware(quantiles(vn, Seq(0.5), o), vector = false)
       case "quantile" =>
         val e = quantiles(v, o.q, o)
         if (!fp) e
@@ -261,7 +286,8 @@ object ReduceExprs {
           // vector q: the NaN-propagated result is an array of NaN
           case many => when(anyNaN(v), array(many.map(_ => NaN): _*)).otherwise(e)
         }
-      case "nanquantile" => quantiles(vn, o.q, o)
+      case "nanquantile" =>
+        allNaNAware(quantiles(vn, o.q, o), vector = o.q.length > 1)
 
       // ---- user-registered custom aggregations (§2.5 extensibility)
       case other => CustomAggregations.lookup(other) match {

@@ -376,6 +376,58 @@ class ReduceSpec extends SparkTestBase {
     assert(distN(None) === Some(20.0))
   }
 
+  test("nanQuantileAllNaN flag (r13 missing #4): all-NaN group yields " +
+    "NaN (NumPy), all-null stays NULL, mixed NaN+null yields NaN; " +
+    "scalar/vector/approx shapes; default unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (0, Some(Double.NaN)), (0, Some(Double.NaN)), // all NaN
+      (1, None), (1, None), // all null
+      (2, Some(Double.NaN)), (2, None), // NaN + null mix
+      (3, Some(2.0)), (3, Some(4.0)), (3, Some(Double.NaN)) // ordinary
+    ).toDF("k", "value")
+    def run(func: String, o: graft.aggs.ReduceOptions) =
+      GroupByReduce(d, Seq("k"), "value", func, "r", o).collect()
+        .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    def isNaN(x: Option[Any]) =
+      x.exists(v => v.asInstanceOf[Double].isNaN)
+    // default: NULL for every no-valid-value group (today's certified
+    // behavior)
+    val off = run("nanquantile", ReduceOptions(q = Seq(0.5)))
+    assert(off(0) === None && off(1) === None && off(2) === None)
+    assert(off(3) === Some(3.0))
+    // flag on: NaN where a non-null value existed, NULL where none did
+    val on = run("nanquantile",
+      ReduceOptions(q = Seq(0.5), nanQuantileAllNaN = true))
+    assert(isNaN(on(0)), on(0).toString)
+    assert(on(1) === None)
+    assert(isNaN(on(2)), on(2).toString)
+    assert(on(3) === Some(3.0))
+    // nanmedian mirrors nanquantile
+    val med = run("nanmedian", ReduceOptions(nanQuantileAllNaN = true))
+    assert(isNaN(med(0)) && med(1).isEmpty && isNaN(med(2)))
+    assert(med(3) === Some(3.0))
+    // vector q: whole-array NaN fill vs the default array-of-nulls
+    def runV(o: graft.aggs.ReduceOptions) =
+      GroupByReduce(d, Seq("k"), "value", "nanquantile", "r", o).collect()
+        .map(r => r.getInt(0) ->
+          Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Any]]))
+        .toMap
+    val vOn = runV(ReduceOptions(q = Seq(0.25, 0.75),
+      nanQuantileAllNaN = true))
+    assert(vOn(0).exists(_.forall(x => x.asInstanceOf[Double].isNaN)))
+    assert(vOn(1).forall(_.forall(_ == null)) || vOn(1).isEmpty)
+    assert(vOn(3).exists(_.forall(x => !x.asInstanceOf[Double].isNaN)))
+    // approx path: same flag semantics (empty sketch → NaN/NULL split)
+    val aOn = run("nanquantile", ReduceOptions(q = Seq(0.5),
+      approxQuantile = true, nanQuantileAllNaN = true))
+    assert(isNaN(aOn(0)) && aOn(1).isEmpty && isNaN(aOn(2)))
+    val aVOn = runV(ReduceOptions(q = Seq(0.25, 0.75),
+      approxQuantile = true, nanQuantileAllNaN = true))
+    assert(aVOn(0).exists(_.forall(x => x.asInstanceOf[Double].isNaN)))
+  }
+
   test("quantileDistributed fuzz (r14 sketch-bracket plan): duplicates, " +
     "NaN/±Inf, constants, nulls, tiny and mega groups — bit-equal to " +
     "the sorted-buffer reference; the raise_error net never fires") {
