@@ -36,7 +36,7 @@ object RestartProbe {
     * is too short and must fail the minWords gate; even docs lean
     * "slow", odd docs lean "fast" so the classifier splits the
     * corpus nontrivially. */
-  private def docText(id: Long): String = {
+  private[graft] def docText(id: Long): String = {
     val sb = new StringBuilder(360)
     val n = if (id % 7 == 3) 12 else 48
     var i = 0
@@ -51,7 +51,7 @@ object RestartProbe {
     sb.toString
   }
 
-  private def genCorpus(dir: java.nio.file.Path, files: Int,
+  private[graft] def genCorpus(dir: java.nio.file.Path, files: Int,
                         linesPerFile: Int): Long = {
     java.nio.file.Files.createDirectories(dir)
     var planted = 0L

@@ -47,7 +47,7 @@ object Ingest {
     * quarantined when from_json reports a corrupt record OR returns a
     * null struct (e.g. a blank line), so conservation — every line
     * lands in exactly one output — holds unconditionally. */
-  private[sources] def splitJsonLines(lines: DataFrame,
+  private[graft] def splitJsonLines(lines: DataFrame,
                                       schema: StructType): JsonlResult = {
     val withCorrupt = StructType(
       schema.fields :+ StructField("_corrupt_record", StringType))
