@@ -19,8 +19,12 @@ object QdistProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g").getOrCreate()
+      // NOTE: local-mode driver heap is the launching JVM's -Xmx —
+      // spark.driver.memory set here after JVM start is a no-op (r14
+      // review). Launch with e.g. `sbt -J-Xmx48g "runMain ..."` for
+      // the 60M-row point; the buffered tier's single-task sorts are
+      // the binding constraint.
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {

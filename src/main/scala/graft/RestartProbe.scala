@@ -173,10 +173,14 @@ object RestartProbe {
     println("[restart] rerun manifest is byte-identical to golden")
 
     // ---- 4. post-commit loss: a shard file vanishes ---------------
-    val victim = java.nio.file.Files.walk(scratch.resolve("shards"))
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.toString.contains("shard="))
-      .findFirst().orElseThrow()
+    val victim = {
+      val walk = java.nio.file.Files.walk(scratch.resolve("shards"))
+      try walk
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.toString.contains("shard="))
+        .findFirst().orElseThrow()
+      finally walk.close()
+    }
     java.nio.file.Files.delete(victim)
     val lostCaught =
       try { graft.ops.Selection.verifyShards(spark, out); None }

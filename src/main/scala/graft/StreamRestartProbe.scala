@@ -41,10 +41,9 @@ object StreamRestartProbe {
     val ckpt = scratch.resolve("ckpt").toString
 
     def startQuery() = {
-      val lines = spark.readStream
-        .option("maxFilesPerTrigger", 2).text(jsonlDir.toString)
-      val r = graft.sources.Ingest.splitJsonLines(lines,
-        graft.sources.Ingest.documentsSchema)
+      val r = graft.sources.Ingest.readJsonlStream(spark,
+        jsonlDir.toString, graft.sources.Ingest.documentsSchema,
+        Map("maxFilesPerTrigger" -> "2"))
       val gated = graft.ops.RuleFilters.gopherFilter(r.docs, "text",
         minWords = 50, maxWords = 100000, minMwl = 3.0, maxMwl = 4.5,
         minAlphaFrac = 0.8, minStopHits = 1)
@@ -62,9 +61,11 @@ object StreamRestartProbe {
     }
     def epochFiles(e: Long): Set[String] = {
       val b = scala.collection.mutable.Set[String]()
-      java.nio.file.Files.walk(java.nio.file.Paths.get(out, s"epoch=$e"))
-        .forEach(p => if (p.getFileName.toString.startsWith("part-"))
-          b += p.toString)
+      val walk =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(out, s"epoch=$e"))
+      try walk.forEach(p =>
+        if (p.getFileName.toString.startsWith("part-")) b += p.toString)
+      finally walk.close()
       b.toSet
     }
     def manifest(e: Long): String = java.nio.file.Files.readString(

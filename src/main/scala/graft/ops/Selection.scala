@@ -343,8 +343,13 @@ object Selection {
     val fs = epoch.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed =
       fs.exists(new org.apache.hadoop.fs.Path(epoch, "_MANIFEST.json")) &&
+        // Any NON-fatal verify failure (require mismatch, truncated
+        // parquet, missing shard) means "partial state" → rewrite.
+        // Fatal errors and interrupts (query.stop() mid-verify) must
+        // propagate, not trigger a spurious destructive overwrite
+        // (r14 review).
         (try { verifyShards(spark, epoch.toString); true }
-        catch { case _: Throwable => false })
+        catch { case scala.util.control.NonFatal(_) => false })
     if (committed) false
     else { writeShards(df, textCol, idCol, numShards, epoch.toString); true }
   }

@@ -47,7 +47,7 @@ object Ingest {
     * quarantined when from_json reports a corrupt record OR returns a
     * null struct (e.g. a blank line), so conservation — every line
     * lands in exactly one output — holds unconditionally. */
-  private[graft] def splitJsonLines(lines: DataFrame,
+  private[sources] def splitJsonLines(lines: DataFrame,
                                       schema: StructType): JsonlResult = {
     val withCorrupt = StructType(
       schema.fields :+ StructField("_corrupt_record", StringType))
@@ -76,8 +76,11 @@ object Ingest {
     * output is an independent streaming frame; start one sink per
     * branch. */
   def readJsonlStream(spark: SparkSession, path: String,
-                      schema: StructType = documentsSchema): JsonlResult =
-    splitJsonLines(spark.readStream.text(path), schema)
+                      schema: StructType = documentsSchema,
+                      readerOptions: Map[String, String] = Map.empty)
+    : JsonlResult =
+    splitJsonLines(
+      spark.readStream.options(readerOptions).text(path), schema)
 
   /** One document per text file under `path` (recursive): (doc_path,
     * text, n_chars — CHARACTER count, `length(text)`, not bytes).

@@ -99,6 +99,19 @@ object StreamingAsof {
             "string ids) before taggedUnion.")
       }
     }
+    // Each mapping is monotone+injective WITHIN its dtype, but the
+    // dtypes land on mutually incomparable scales (epoch micros vs
+    // zone-free wall-clock micros vs days) — mixed-dtype sides would
+    // compare those scales directly and silently mis-join (r14
+    // review). Require identical dtypes across the two sides.
+    for ((c, what) <- Seq((keyCol, "key"), (tsCol, "ts"))) {
+      val (lt, rt) = (left.schema(c).dataType, right.schema(c).dataType)
+      require(lt == rt,
+        s"$what column '$c' dtype differs across sides: left=$lt " +
+          s"right=$rt; the long mappings are per-dtype and mutually " +
+          "incomparable — cast both sides to one dtype before " +
+          "taggedUnion.")
+    }
     def side(df: org.apache.spark.sql.DataFrame, tag: Int) =
       df.select(toLong(df, keyCol, "key").as("key"),
         toLong(df, tsCol, "ts").as("ts"),
