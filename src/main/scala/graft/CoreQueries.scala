@@ -44,7 +44,14 @@ object CoreQueries {
       GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "count", "n_vals")),
 
     // exact distinct-cardinality reduction (the HLL sketch twin
-    // `approx_nunique` is the 100 TB path; exact is the certified one)
+    // `approx_nunique` is the 100 TB path; exact is the certified one).
+    // The two-distinct-agg Expand plan was A/B'd (r14) against a
+    // split two-agg + broadcast-join and a manual two-level
+    // distinct-then-count: all three converge at ~0.60s warm at sf0.1
+    // (expand 0.61-0.67, split 0.58-0.65, twolevel 0.59-0.62 over 4
+    // warm reps) — the r13-verdict floor adjudication holds: the cost
+    // is job/stage floor, not the Expand row duplication, so the
+    // single-pass Expand shape (one scan, no join) stays.
     "q_nunique" -> ((s, d) =>
       GroupByReduce.multi(li(s, d), Seq("l_returnflag"), Seq(
         ("l_orderkey", "nunique", "n_orders"),
