@@ -1235,6 +1235,28 @@ class StreamingSpec extends SparkTestBase {
       assert(ev(0).ts === days * 86400000000L + (2L * 3600 + 15 * 60) * 1000000L)
     } finally spark.conf.set("spark.sql.session.timeZone", old)
   }
+  test("taggedUnion rejects mixed ts/key dtypes across sides — the " +
+    "per-dtype long mappings are mutually incomparable scales (r14 " +
+    "review)") {
+    import graft.streaming.StreamingAsof
+    import org.apache.spark.sql.functions.col
+    val tsSide = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"),
+      1.0)).toDF("key", "ts", "v")
+    val ntzSide = tsSide.withColumn("ts",
+      col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    val e = intercept[IllegalArgumentException] {
+      StreamingAsof.taggedUnion(tsSide, ntzSide, "key", "ts", "v")
+    }
+    assert(e.getMessage.contains("dtype differs across sides"))
+    val intKeySide = tsSide.withColumn("key", col("key").cast("int"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingAsof.taggedUnion(tsSide, intKeySide, "key", "ts", "v")
+    }
+    assert(e2.getMessage.contains("dtype differs across sides"))
+    // same-dtype sides still union fine
+    assert(StreamingAsof.taggedUnion(tsSide, tsSide, "key", "ts", "v")
+      .collect().length === 2)
+  }
   test("streaming shard sink: per-epoch manifest commit, exactly-once " +
     "replay skip, kill-recovery rewrite (r13 missing #2)") {
     import graft.ops.Selection
