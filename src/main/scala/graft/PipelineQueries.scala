@@ -718,6 +718,19 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // the double-digit-hot-key escalation tier: same trailing-range
+    // semantics through the time-block decomposition (no partition is
+    // ever keyed by user_id alone) — certified against the SAME
+    // window-SQL oracle as q_rolling
+    "q_rolling_skewed" -> ((s, d) => {
+      val e = evu(s, d).select(col("user_id"), col("event_id"),
+        col("tsu"), floor(col("value")).cast("long").as("v"))
+      graft.ops.Events.rollingAggSkewed(e, "user_id", "tsu", "v",
+        span = 86400000000L)
+        .select("user_id", "event_id", "tsu", "roll_n", "roll_sum", "roll_mean")
+        .orderBy("event_id")
+    }),
+
     // gap sessionization (4h inactivity cut) + per-session rollup
     "q_sessions" -> ((s, d) => {
       val e = evu(s, d).select(col("user_id"), col("event_id"),
@@ -1900,6 +1913,19 @@ object PipelineQueries {
          ORDER BY l.event_id""",
 
     "q_rolling" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu,
+           FLOOR(value)::BIGINT AS v FROM events)
+         SELECT user_id, event_id, tsu,
+           (COUNT(v) OVER w)::BIGINT AS roll_n,
+           (SUM(v) OVER w)::BIGINT AS roll_sum,
+           CAST(SUM(v) OVER w AS DOUBLE) / (COUNT(v) OVER w) AS roll_mean
+         FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    // same semantics, different physical decomposition on the Spark
+    // side — the oracle is identical by design
+    "q_rolling_skewed" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu,
            FLOOR(value)::BIGINT AS v FROM events)
          SELECT user_id, event_id, tsu,

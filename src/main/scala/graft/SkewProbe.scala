@@ -137,6 +137,45 @@ object SkewProbe {
       }
     }
     }
+
+    // ---- rolling: the DOUBLE-DIGIT regime (r14) — 30% of all rows on
+    // one user, the concentration where per-key windows DO cliff and
+    // rollingAggSkewed is the declared answer. Same data volume both
+    // labels; both operators timed on both sets.
+    if (section == "all" || section == "rolling") {
+    val ev0 = Tables(spark, srcDir, "events")
+    val evu = ev0.withColumn("tsu", Tables.tsMicros(ev0))
+      .select("event_id", "user_id", "tsu", "value")
+    def evCopy(df: DataFrame, i: Int) =
+      df.withColumn("event_id", col("event_id") + lit(i * off))
+        .withColumn("user_id", col("user_id") + lit(i * off))
+    for ((label, plant) <- Seq(("plain", false), ("hot30pct", true))) {
+      val base = stack(evu)(evCopy)
+        .withColumn("v", floor(col("value")).cast("long"))
+      val out =
+        if (plant) base.withColumn("user_id",
+          when(col("event_id") % 10 < 3, lit(42L))
+            .otherwise(col("user_id")))
+        else base
+      out.write.mode("overwrite").parquet(s"$scratch/roll_$label.parquet")
+    }
+    for (label <- Seq("plain", "hot30pct");
+         (op, f) <- Seq[(String, DataFrame => DataFrame)](
+           ("rollingAgg", d => graft.ops.Events.rollingAgg(
+             d, "user_id", "tsu", "v", span = 86400000000L)),
+           ("rollingAggSkewed", d => graft.ops.Events.rollingAggSkewed(
+             d, "user_id", "tsu", "v", span = 86400000000L)))) {
+      val e = spark.read.parquet(s"$scratch/roll_$label.parquet")
+      val n = e.count()
+      timed(s"$op[$label] events=$n") {
+        // aggregate over the produced columns (anti-pruning, and the
+        // modular sum keeps ANSI int64 safe); one execution
+        f(e).agg(sum(col("roll_n")), sum(col("roll_sum") % 1000000L))
+          .collect()
+        n
+      }
+    }
+    }
     spark.stop()
   }
 }

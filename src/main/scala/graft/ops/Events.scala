@@ -123,6 +123,78 @@ object Events {
         col("roll_sum").cast("double") / col("roll_n"))
   }
 
+  /** [[rollingAgg]] for the DOUBLE-DIGIT-fraction hot-key regime — the
+    * escalation path the r13 skew probe left documented. The plain
+    * operator's one Exchange partitions by key alone, so a key holding
+    * 30% of a 100 TB corpus sorts 30 TB on one task. This variant
+    * decomposes the trailing range frame by span-width TIME BLOCKS
+    * (`b = floor(ts/span)`): a row's window `[ts-span, ts]` provably
+    * spans at most its own block and the previous one (the cut
+    * `ts-span` always lands in block b-1), so
+    *
+    *   result = prefix-in-own-block ⊕ suffix-of-previous-block-at-cut
+    *
+    * Term 1 is a RANGE window over partition (key, block). Term 2
+    * plants one tagged cut row per DISTINCT (key, ts) into partition
+    * (key, block(ts-span)) and reads "aggregate of data rows with
+    * ts >= cut" off ONE descending RANGE window (cut rows carry null
+    * values, so they never contaminate the aggregate; RANGE peers make
+    * ties at the cut inclusive, matching the plain frame's closed
+    * lower bound). The terms recombine with a null-safe add keyed on
+    * (key, ts). Every partition is bounded by the hot key's rows per
+    * span of TIME, not its corpus share — a key must concentrate its
+    * entire volume inside one span window before any task sees it all,
+    * and then the plain frame would buffer the same rows. Cost: ~5
+    * exchanges vs the plain operator's 1, all keyed by (key, block) or
+    * (key, ts) — the price of skew immunity; use [[rollingAgg]] below
+    * double-digit key concentration. Output is bit-identical
+    * (EventsSpec law) for integral `tsCol`/`valueCol`; null `tsCol`
+    * rows are undefined in both variants (the range frame itself has
+    * no null-ts contract). */
+  def rollingAggSkewed(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, span: Long): DataFrame = {
+    require(span >= 1, "span must be >= 1 (rollingAgg covers span=0)")
+    def idiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+    def floorDiv(x: Column): Column = {
+      val xl = x.cast("long")
+      when(xl >= 0, idiv(xl, span)).otherwise(-idiv(-xl + (span - 1), span))
+    }
+    val vType = df.schema(valueCol).dataType
+    val tType = df.schema(tsCol).dataType
+    // term 1: same-block prefix, partition (key, block)
+    val w1 = Window.partitionBy(col(keyCol), floorDiv(col(tsCol)))
+      .orderBy(col(tsCol).asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val t1 = df.withColumn("__n1", count(col(valueCol)).over(w1))
+      .withColumn("__s1", sum(col(valueCol)).over(w1))
+    // term 2: previous-block suffix at the cut, one row per distinct
+    // (key, ts); data rows tag 0 under their own block, cut rows tag 1
+    // under block(ts-span) carrying the original ts for the join back
+    val data = df.select(col(keyCol).as("__k"),
+      floorDiv(col(tsCol)).as("__b"), col(tsCol).as("__t"),
+      col(valueCol).as("__v"), lit(null).cast(tType).as("__qts"))
+    val cuts = df.select(col(keyCol), col(tsCol)).distinct()
+      .select(col(keyCol).as("__k"),
+        floorDiv(col(tsCol) - span).as("__b"),
+        (col(tsCol) - span).as("__t"),
+        lit(null).cast(vType).as("__v"), col(tsCol).as("__qts"))
+    val w2 = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val t2 = data.unionByName(cuts)
+      .withColumn("__n2", count(col("__v")).over(w2))
+      .withColumn("__s2", sum(col("__v")).over(w2))
+      .filter(col("__qts").isNotNull)
+      .select(col("__k"), col("__qts"), col("__n2"), col("__s2"))
+    t1.join(t2, t1(keyCol) <=> t2("__k") && t1(tsCol) === t2("__qts"))
+      .withColumn("roll_n", col("__n1") + col("__n2"))
+      .withColumn("roll_sum",
+        coalesce(col("__s1") + col("__s2"), col("__s1"), col("__s2")))
+      .withColumn("roll_mean",
+        col("roll_sum").cast("double") / col("roll_n"))
+      .drop("__n1", "__s1", "__k", "__qts", "__n2", "__s2")
+  }
+
   /** Interval (range) join WITHOUT an equi-key requirement: every left
     * row is paired with the right rows whose `rightTs` falls in
     * `[leftTs + lower, leftTs + upper]` (inclusive ends, same integer

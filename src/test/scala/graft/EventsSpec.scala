@@ -94,6 +94,41 @@ class EventsSpec extends SparkTestBase {
       (4L, 1L, 5L, 5.0)))
   }
 
+  test("rollingAggSkewed ≡ rollingAgg: bit-equal on random data with " +
+    "ties, null values, negative ts, across span widths (r14 skew " +
+    "escalation)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      val ts = rnd.nextInt(400).toLong - 200L   // negatives + many ties
+      val v: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else rnd.nextInt(100).toLong
+      (rnd.nextInt(3).toLong, i.toLong, ts, v)
+    }
+    val df = rows.toDF("k", "id", "ts", "v")
+    for (span <- Seq(1L, 7L, 100L, 1000L)) {
+      val want = Events.rollingAgg(df, "k", "ts", "v", span)
+        .select("k", "id", "ts", "v", "roll_n", "roll_sum", "roll_mean")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val got = Events.rollingAggSkewed(df, "k", "ts", "v", span)
+        .select("k", "id", "ts", "v", "roll_n", "roll_sum", "roll_mean")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got === want, s"span=$span")
+    }
+  }
+
+  test("rollingAggSkewed: no partition keyed by the bare key — every " +
+    "Exchange carries the time block or the ts (the skew-immunity " +
+    "contract)") {
+    val df = (0 until 100).map(i => (i % 3L, i.toLong, i.toLong * 5, 1L))
+      .toDF("k", "id", "ts", "v")
+    val plan = Events.rollingAggSkewed(df, "k", "ts", "v", span = 50L)
+      .queryExecution.executedPlan.toString
+    // plain rollingAgg partitions hashpartitioning(k#..., n); the
+    // skewed variant must never plan a single-column key partition
+    val bareKey = "hashpartitioning\\(k#\\d+, \\d+\\)".r
+    assert(bareKey.findFirstIn(plan).isEmpty, plan)
+  }
+
   test("plan pinning: event operators run exactly one hash Exchange") {
     val left = (0 until 200).map(i => (i % 5L, i.toLong, i.toLong * 3))
       .toDF("k", "id", "ts")
