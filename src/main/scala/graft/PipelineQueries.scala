@@ -674,6 +674,22 @@ object PipelineQueries {
         .orderBy("event_id")
     }),
 
+    // the double-digit-hot-key escalation tier (time-block carry
+    // decomposition, span = 1 day) — same oracle as q_asof by design
+    "q_asof_skewed" -> ((s, d) => {
+      val e = evu(s, d).select(col("user_id"), col("event_id"),
+        col("tsu"), col("event_type"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "tsu")
+      val errors = e.filter(col("event_type") === "error")
+        .groupBy("user_id", "tsu").agg(max("value").as("eval"))
+        .withColumnRenamed("tsu", "etsu")
+      graft.ops.Events.asofJoinSkewed(clicks, errors, Seq("user_id"),
+        "tsu", "etsu", Seq("etsu", "eval"), span = 86400000000L,
+        prefix = "err_")
+        .orderBy("event_id")
+    }),
+
     // as-of with pandas merge_asof `tolerance`: a backward match only
     // counts within 10 minutes (6e8 us) — stale matches null out
     "q_asof_tol" -> ((s, d) => {
@@ -737,6 +753,19 @@ object PipelineQueries {
         col("tsu"))
       graft.ops.Events.sessionize(e, "user_id", "tsu", "event_id",
         gap = 14400000000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("tsu").as("start_us"), max("tsu").as("end_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // the double-digit-hot-key escalation tier (per-block break sums +
+    // boundary-break offsets, span = 1 day) — same oracle as q_sessions
+    "q_sessions_skewed" -> ((s, d) => {
+      val e = evu(s, d).select(col("user_id"), col("event_id"),
+        col("tsu"))
+      graft.ops.Events.sessionizeSkewed(e, "user_id", "tsu", "event_id",
+        gap = 14400000000L, span = 86400000000L)
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           min("tsu").as("start_us"), max("tsu").as("end_us"))
@@ -1886,6 +1915,20 @@ object PipelineQueries {
            ON l.user_id = r.user_id AND l.tsu >= r.etsu
          ORDER BY l.event_id""",
 
+    // identical semantics; the Spark side differs only in physical
+    // decomposition
+    "q_asof_skewed" ->
+      """WITH l AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch_us(ts)::BIGINT AS etsu,
+             MAX(value) AS eval
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+         SELECT l.user_id, l.event_id, l.tsu,
+           r.etsu AS err_etsu, r.eval AS err_eval
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.tsu >= r.etsu
+         ORDER BY l.event_id""",
+
     "q_asof_tol" ->
       """WITH l AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu
            FROM events WHERE event_type = 'click'),
@@ -1937,6 +1980,24 @@ object PipelineQueries {
          ORDER BY event_id""",
 
     "q_sessions" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu
+           FROM events),
+         s AS (SELECT user_id, event_id, tsu,
+           CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id) > 14400000000
+             THEN 1 ELSE 0 END AS brk FROM o),
+         t AS (SELECT user_id, tsu,
+           1 + SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM s)
+         SELECT user_id, session_id::BIGINT AS session_id,
+           COUNT(*)::BIGINT AS n_events,
+           MIN(tsu)::BIGINT AS start_us, MAX(tsu)::BIGINT AS end_us
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical semantics; the Spark side differs only in physical
+    // decomposition
+    "q_sessions_skewed" ->
       """WITH o AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS tsu
            FROM events),
          s AS (SELECT user_id, event_id, tsu,

@@ -138,14 +138,14 @@ object SkewProbe {
     }
     }
 
-    // ---- rolling: the DOUBLE-DIGIT regime (r14) — 30% of all rows on
-    // one user, the concentration where per-key windows DO cliff and
-    // rollingAggSkewed is the declared answer. Same data volume both
-    // labels; both operators timed on both sets.
+    // ---- the DOUBLE-DIGIT regime (r14) — 30% of all rows on one
+    // user, the concentration where per-key windows DO cliff and the
+    // *Skewed time-block decompositions are the declared answer. Same
+    // data volume both labels; each operator pair timed on both sets.
     if (section == "all" || section == "rolling") {
     val ev0 = Tables(spark, srcDir, "events")
     val evu = ev0.withColumn("tsu", Tables.tsMicros(ev0))
-      .select("event_id", "user_id", "tsu", "value")
+      .select("event_id", "user_id", "tsu", "event_type", "value")
     def evCopy(df: DataFrame, i: Int) =
       df.withColumn("event_id", col("event_id") + lit(i * off))
         .withColumn("user_id", col("user_id") + lit(i * off))
@@ -159,19 +159,44 @@ object SkewProbe {
         else base
       out.write.mode("overwrite").parquet(s"$scratch/roll_$label.parquet")
     }
+    val day = 86400000000L
+    def asofOf(variant: String)(e: DataFrame): DataFrame = {
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "tsu")
+      val errors = e.filter(col("event_type") === "error")
+        .groupBy("user_id", "tsu").agg(max("value").as("eval"))
+        .withColumnRenamed("tsu", "etsu")
+      if (variant == "plain")
+        graft.ops.Events.asofJoin(clicks, errors, Seq("user_id"),
+          "tsu", "etsu", Seq("etsu", "eval"), prefix = "err_")
+      else
+        graft.ops.Events.asofJoinSkewed(clicks, errors, Seq("user_id"),
+          "tsu", "etsu", Seq("etsu", "eval"), span = day, prefix = "err_")
+    }
     for (label <- Seq("plain", "hot30pct");
          (op, f) <- Seq[(String, DataFrame => DataFrame)](
            ("rollingAgg", d => graft.ops.Events.rollingAgg(
-             d, "user_id", "tsu", "v", span = 86400000000L)),
+             d, "user_id", "tsu", "v", span = day)
+             .agg(sum(col("roll_n")), sum(col("roll_sum") % 1000000L))),
            ("rollingAggSkewed", d => graft.ops.Events.rollingAggSkewed(
-             d, "user_id", "tsu", "v", span = 86400000000L)))) {
+             d, "user_id", "tsu", "v", span = day)
+             .agg(sum(col("roll_n")), sum(col("roll_sum") % 1000000L))),
+           ("sessionize", d => graft.ops.Events.sessionize(
+             d, "user_id", "tsu", "event_id", gap = 600L * 1000000L)
+             .agg(sum(col("session_id")))),
+           ("sessionizeSkewed", d => graft.ops.Events.sessionizeSkewed(
+             d, "user_id", "tsu", "event_id", gap = 600L * 1000000L,
+             span = day).agg(sum(col("session_id")))),
+           ("asofJoin", asofOf("plain")(_)
+             .agg(count(col("err_eval")), sum(col("err_etsu") % 1000000L))),
+           ("asofJoinSkewed", asofOf("skewed")(_)
+             .agg(count(col("err_eval")), sum(col("err_etsu") % 1000000L))))) {
       val e = spark.read.parquet(s"$scratch/roll_$label.parquet")
       val n = e.count()
       timed(s"$op[$label] events=$n") {
-        // aggregate over the produced columns (anti-pruning, and the
-        // modular sum keeps ANSI int64 safe); one execution
-        f(e).agg(sum(col("roll_n")), sum(col("roll_sum") % 1000000L))
-          .collect()
+        // each f aggregates over the produced columns (anti-pruning;
+        // modular sums stay ANSI int64 safe); one execution
+        f(e).collect()
         n
       }
     }

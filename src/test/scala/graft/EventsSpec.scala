@@ -94,6 +94,59 @@ class EventsSpec extends SparkTestBase {
       (4L, 1L, 5L, 5.0)))
   }
 
+  test("asofJoinSkewed ≡ asofJoin: bit-equal on random data across " +
+    "directions × tolerance × span widths (r14 skew escalation)") {
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 300).map { i =>
+      (rnd.nextInt(3).toLong, i.toLong, rnd.nextInt(500).toLong - 250L)
+    }.toDF("k", "id", "ts")
+    // right unique per (key, ts) — the shared as-of contract
+    val right = (0 until 200).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong - 250L, rnd.nextDouble())
+    }.distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "rts", "v")
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(40L));
+         span <- Seq(1L, 13L, 100L, 5000L)) {
+      val want = Events.asofJoin(left, right, Seq("k"), "ts", "rts",
+          Seq("rts", "v"), prefix = "m_", direction = dir, tolerance = tol)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val got = Events.asofJoinSkewed(left, right, Seq("k"), "ts", "rts",
+          Seq("rts", "v"), span = span, prefix = "m_", direction = dir,
+          tolerance = tol)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got === want, s"direction=$dir tolerance=$tol span=$span")
+    }
+  }
+
+  test("asofJoinSkewed: left blocks with no in-block right rows reach " +
+    "across empty blocks to the nearest non-empty one") {
+    val left = Seq((1L, 1L, 1000L), (1L, 2L, 5000L)).toDF("k", "id", "ts")
+    val right = Seq((1L, 10L, 9.0)).toDF("k", "rts", "v")
+    val got = Events.asofJoinSkewed(left, right, Seq("k"), "ts", "rts",
+        Seq("v"), span = 100L)   // right in block 0; lefts in 10 and 50
+      .orderBy("id").select("id", "asof_v")
+      .as[(Long, Double)].collect()
+    assert(got === Array((1L, 9.0), (2L, 9.0)))
+  }
+
+  test("sessionizeSkewed ≡ sessionize: bit-equal on random data with " +
+    "ties, negative ts, across gap × span (r14 skew escalation)") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 400).map { i =>
+      (rnd.nextInt(3).toLong, i.toLong, rnd.nextInt(600).toLong - 300L)
+    }.toDF("k", "id", "ts")
+    for (gap <- Seq(0L, 5L, 50L); span <- Seq(1L, 17L, 200L, 10000L)) {
+      val want = Events.sessionize(df, "k", "ts", "id", gap)
+        .select("k", "id", "ts", "session_id")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val got = Events.sessionizeSkewed(df, "k", "ts", "id", gap, span)
+        .select("k", "id", "ts", "session_id")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got === want, s"gap=$gap span=$span")
+    }
+  }
+
   test("rollingAggSkewed ≡ rollingAgg: bit-equal on random data with " +
     "ties, null values, negative ts, across span widths (r14 skew " +
     "escalation)") {
