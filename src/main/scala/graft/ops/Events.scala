@@ -205,9 +205,14 @@ object Events {
       .distinct()
       .unionByName(rPerBlock.select((keys.map(col) :+ col("__b")): _*))
       .distinct()
-    val joinCols = keys :+ "__b"
     val wK = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
-    val carry = domain.join(rPerBlock, joinCols, "left")
+    // null-SAFE domain join: a null group key forms a window partition
+    // in the plain operator, so its blocks must keep their carries too
+    val rpb = rPerBlock.select((keys.map(k => col(k).as(s"__rk_$k")) ++
+      Seq(col("__b").as("__rb"), col("__lastP"), col("__firstP"))): _*)
+    val carry = domain.join(rpb,
+        (keys.map(k => col(k) <=> col(s"__rk_$k")) :+
+          (col("__b") <=> col("__rb"))).reduce(_ && _), "left")
       .select((keys.map(k => col(k).as(s"__ck_$k")) ++ Seq(
         col("__b").as("__cb"),
         last(col("__lastP"), ignoreNulls = true)

@@ -119,6 +119,21 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("asofJoinSkewed: null group keys keep their carries across " +
+    "blocks, matching the plain window's null-partition semantics") {
+    val left = Seq((Option.empty[Long], 1L, 1000L), (Some(7L), 2L, 1000L))
+      .toDF("k", "id", "ts")
+    val right = Seq((Option.empty[Long], 10L, 1.0), (Some(7L), 10L, 2.0))
+      .toDF("k", "rts", "v")
+    for (span <- Seq(100L, 5000L)) {
+      val want = Events.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("v")).collect().map(_.toSeq).sortBy(_.toString)
+      val got = Events.asofJoinSkewed(left, right, Seq("k"), "ts", "rts",
+        Seq("v"), span = span).collect().map(_.toSeq).sortBy(_.toString)
+      assert(got === want, s"span=$span")
+    }
+  }
+
   test("asofJoinSkewed: left blocks with no in-block right rows reach " +
     "across empty blocks to the nearest non-empty one") {
     val left = Seq((1L, 1L, 1000L), (1L, 2L, 5000L)).toDF("k", "id", "ts")
