@@ -177,4 +177,136 @@ class ExtensionsSpec extends SparkTestBase {
       }
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("RangeJoinRewrite temporal fuzz: timestamp/NTZ/date domains, " +
+    "BETWEEN and conjunct-pair surface forms, interval and date_add " +
+    "offsets, sub-second widths — rewritten equals naive; equi-keyed " +
+    "never rewritten; calendar day/month intervals never rewritten " +
+    "(r13 #6)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.{Column, DataFrame}
+
+    // dom: 0 ts, 1 ntz, 2 date. loS/hiS: offsets in seconds (ts/ntz,
+    // fractional via milli part) or days (date). between: Column
+    // .between vs shuffled conjunct pair. calDay: wrap the upper
+    // offset in a make_interval day component — the DST-variable
+    // shape the rule must refuse.
+    case class C(loS: Int, hiS: Int, dom: Int, between: Boolean,
+                 equi: Boolean, calDay: Boolean, milli: Boolean,
+                 shuffleSeed: Int)
+    val gen = for {
+      lo <- Gen.choose(-30, 30)
+      hi <- Gen.choose(-30, 30)
+      dm <- Gen.choose(0, 2)
+      bw <- Gen.oneOf(true, false)
+      eq <- Gen.frequency(4 -> false, 1 -> true)
+      cd <- Gen.frequency(6 -> false, 1 -> true)
+      ms <- Gen.oneOf(true, false)
+      sh <- Gen.choose(0, 1000)
+    } yield C(lo, hi, dm, bw, eq, cd, ms, sh)
+
+    def tsDf(ids: Range, step: Long, idName: String, tsName: String,
+             ntz: Boolean): DataFrame = {
+      val df = ids.map(i => (i.toLong,
+        new java.sql.Timestamp(1700000000000L + i * step)))
+        .toDF(idName, tsName)
+      if (ntz) df.select(col(idName),
+        col(tsName).cast("timestamp_ntz").as(tsName))
+      else df
+    }
+    def dateDf(ids: Range, step: Int, idName: String,
+               dName: String): DataFrame =
+      ids.map(i => (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong * step))))
+        .toDF(idName, dName)
+
+    val prev = spark.experimental.extraOptimizations
+    try {
+      (0 until 36).foreach { k =>
+        val c = gen.pureApply(Gen.Parameters.default, Seed(k.toLong * 6007 + 11))
+        val (l, r) = c.dom match {
+          case 2 => (dateDf(0 until 80, 3, "lid", "lts"),
+                     dateDf(0 until 80, 5, "rid", "rts"))
+          case d => (tsDf(0 until 150, 777, "lid", "lts", d == 1),
+                     tsDf(0 until 150, 991, "rid", "rts", d == 1))
+        }
+        // offset column: seconds(+millis) via interval for ts/ntz,
+        // days via date_add/date_sub (alternating) for dates
+        def bnd(v: Int): Column = c.dom match {
+          case 2 =>
+            if (k % 2 == 0) date_add(col("rts"), v)
+            else date_sub(col("rts"), -v)
+          case _ =>
+            val frac = if (c.milli) ".25" else ""
+            if (c.calDay)
+              col("rts") + expr(s"make_interval(0, 0, 0, 1, 0, 0, $v)")
+            else if (k % 2 == 0)
+              col("rts") + expr(s"INTERVAL '$v$frac' SECOND")
+            else col("rts") - expr(s"INTERVAL '${-v}$frac' SECOND")
+        }
+        val lower: Column =
+          if (k % 3 == 0) col("lts") >= bnd(c.loS) else bnd(c.loS) <= col("lts")
+        val upper: Column =
+          if (k % 3 == 1) col("lts") <= bnd(c.hiS) else bnd(c.hiS) >= col("lts")
+        val equis: Seq[Column] =
+          if (c.equi) Seq(col("lid") % lit(5L) === col("rid") % lit(5L))
+          else Nil
+        val cond: Column =
+          if (c.between && !c.equi)
+            col("lts").between(bnd(c.loS), bnd(c.hiS))
+          else new scala.util.Random(c.shuffleSeed)
+            .shuffle(Seq(lower, upper) ++ equis).reduce(_ && _)
+        def q = l.join(r, cond).select(col("lid"), col("rid"))
+
+        spark.experimental.extraOptimizations = prev
+        val expected = q.collect().map(x => (x.getLong(0), x.getLong(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        spark.experimental.extraOptimizations =
+          prev :+ graft.plans.RangeJoinRewrite
+        val plan = q.queryExecution.executedPlan.toString
+        val got = q.collect().map(x => (x.getLong(0), x.getLong(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        assert(got === expected, s"case $k: $c")
+        if (c.equi || c.calDay) {
+          // equi key ⇒ the rule steps aside; calendar-day interval ⇒
+          // variable-width offset is out of the rule's proof, no bucket
+          assert(!plan.contains("__graft_bucket"), s"case $k: $c\n$plan")
+        } else if (c.hiS >= c.loS) {
+          assert(!plan.contains("BroadcastNestedLoopJoin") &&
+            !plan.contains("CartesianProduct"), s"case $k: $c\n$plan")
+        }
+      }
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("RangeJoinRewrite fires on SQL-text BETWEEN over timestamps — " +
+    "the surface form production interval joins are written in") {
+    val l = (0 until 150).map(i => (i.toLong,
+      new java.sql.Timestamp(1700000000000L + i * 777L))).toDF("lid", "lts")
+    val r = (0 until 150).map(i => (i.toLong,
+      new java.sql.Timestamp(1700000000000L + i * 991L))).toDF("rid", "rts")
+    l.createOrReplaceTempView("rjf_l")
+    r.createOrReplaceTempView("rjf_r")
+    def q = spark.sql(
+      "SELECT lid, rid FROM rjf_l JOIN rjf_r ON " +
+        "lts BETWEEN rts - INTERVAL '2' SECOND AND rts + INTERVAL '3' SECOND")
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev
+      val expected = q.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      spark.experimental.extraOptimizations =
+        prev :+ graft.plans.RangeJoinRewrite
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bucket"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      val got = q.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got === expected && got.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.catalog.dropTempView("rjf_l")
+      spark.catalog.dropTempView("rjf_r")
+    }
+  }
 }
