@@ -675,4 +675,138 @@ class PropertySpec extends SparkTestBase {
     assert(sb(300L)._1 === bad(0)._2.toSeq)
     assert(sb(301L)._1 === bad(1)._2.toSeq)
   }
+
+  // numeric-tolerant compare across the type coercions the option
+  // grid induces (count LongType promoted to double by a double fill)
+  private def numClose(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: Number, y: Number) =>
+      val (dx, dy) = (x.doubleValue(), y.doubleValue())
+      (dx.isNaN && dy.isNaN) || dx == dy ||
+        math.abs(dx - dy) <= 1e-9 * math.max(1.0, math.max(math.abs(dx), math.abs(dy)))
+    case (x, y) => x == y
+  }
+
+  test("GroupByReduce option grid: func x min_count x fill_value x " +
+    "expected_groups x binned keys equal the decision-table oracle " +
+    "(flox/core.py:1026-1038; r13 #7)") {
+    import org.apache.spark.sql.functions.{col, lit}
+
+    val funcs = Seq("count", "sum", "nansum", "mean", "nanmean",
+      "nanmin", "max", "nanvar")
+    val breaks = Seq(0.0, 2.0, 4.0, 6.0, 8.0)
+    // JVM replica of Binning.binIndex(closedRight): (lo, hi] buckets,
+    // out-of-range -> None (the dropped null label)
+    def binOf(v: Double): Option[Int] =
+      breaks.sliding(2).zipWithIndex
+        .collectFirst { case (Seq(lo, hi), i) if v > lo && v <= hi => i }
+
+    val genRow: Gen[(Double, Option[Double])] =
+      Gen.zip(Gen.chooseNum(-1.0, 9.0).map(v => math.rint(v * 8) / 8), genValue)
+    val genRows: Gen[List[(Double, Option[Double])]] =
+      Gen.listOfN(40, genRow).suchThat(_.nonEmpty)
+
+    // decision-table oracle: base result, min_count mask (effective
+    // min_count = 1 when fill + expected are both declared), fill on
+    // masked groups, domain reindex with coalesce-to-fill
+    def gridOracle(func: String, groups: Map[Int, Seq[Option[Double]]],
+                   mc: Int, fill: Option[Double],
+                   domain: Option[Seq[Int]]): Map[Int, Any] = {
+      val eff = if (mc == 0 && fill.isDefined && domain.isDefined) 1 else mc
+      def resultFor(xs: Seq[Option[Double]]): Any = {
+        val base = oracles(func)(xs)
+        val vc = valid(xs).size
+        if (eff > 0 && vc < eff) fill.map(Double.box).orNull else base
+      }
+      domain match {
+        case Some(d) => d.map { k =>
+          val r = groups.get(k).map(resultFor).orNull
+          k -> (if (r == null) fill.map(Double.box).orNull else r)
+        }.toMap
+        case None => groups.view.mapValues(resultFor).toMap
+      }
+    }
+
+    // the grid must actually EXERCISE the decision table: count cells
+    // where the mask/fill/reindex branches fire and assert non-zero
+    var maskedCells = 0
+    var reindexFilled = 0
+    samples(genRows, 2).foreach { rows =>
+      // key mode A: a plain int label; key mode B: Binning.binIndex
+      // over the double key (out-of-range -> dropped null label)
+      val labeled = rows.map { case (rk, v) =>
+        (rk, ((rk * 7).toInt % 4 + 4) % 4, v)
+      }
+      val df = labeled.toDF("rawk", "label", "v").repartition(3)
+      val modes: Seq[(String, org.apache.spark.sql.DataFrame,
+        Map[Int, Seq[Option[Double]]])] = Seq(
+        ("label", df,
+          labeled.groupBy(_._2).view.mapValues(_.map(_._3)).toMap),
+        ("binned", df.withColumn("bin",
+          graft.keys.Binning.binIndex(col("rawk"), breaks)),
+          labeled.flatMap { case (rk, _, v) => binOf(rk).map(_ -> v) }
+            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap))
+      for {
+        (keyName, data, groups) <- modes
+        mc <- Seq(0, 2, 7)
+        fill <- Seq(None, Some(-999.25))
+        domSeq <- Seq(None, Some(Seq(0, 1, 2, 3)), Some(Seq(0, 2, 5)))
+      } {
+        val effMc = if (mc == 0 && fill.isDefined && domSeq.isDefined) 1 else mc
+        maskedCells += groups.values.count(xs =>
+          effMc > 0 && valid(xs).size < effMc)
+        reindexFilled += domSeq.map(_.count(k => !groups.contains(k)))
+          .getOrElse(0)
+        val by = if (keyName == "binned") "bin" else "label"
+        val opts = ReduceOptions(minCount = mc,
+          fillValue = fill.map(lit(_)),
+          expectedGroups = domSeq.map(_.toDF(by)))
+        val out = GroupByReduce.multi(data, Seq(by),
+          funcs.map(f => ("v", f, s"r_$f")), opts)
+          .collect().map(r => r.getInt(0) ->
+            funcs.indices.map(i => r.get(i + 1))).toMap
+        funcs.zipWithIndex.foreach { case (func, fi) =>
+          val want = gridOracle(func, groups, mc, fill, domSeq)
+          assert(out.keySet === want.keySet,
+            s"group set: $keyName mc=$mc fill=$fill dom=$domSeq $func")
+          want.foreach { case (k, w) =>
+            assert(numClose(out(k)(fi), w),
+              s"$func($keyName) mc=$mc fill=$fill dom=$domSeq group $k: " +
+                s"got ${out(k)(fi)}, oracle $w, values ${groups.get(k)}")
+          }
+        }
+      }
+    }
+    assert(maskedCells > 0, "grid never hit the min_count mask branch")
+    assert(reindexFilled > 0, "grid never hit the empty-domain-group branch")
+  }
+
+  test("single-group reduction equals the global (keyless) reduction " +
+    "(tests/test_properties.py:93-130)") {
+    import org.apache.spark.sql.functions.lit
+    samples(genData, 4).foreach { data =>
+      val df = data.zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }
+        .toDF("idx", "v")
+        .withColumn("k", lit(7))
+        .repartition(3)
+      val funcs = oracles.keys.toSeq.filterNot(_ == "topk") :+ "topk"
+      val opts = ReduceOptions(idxCol = Some("idx"))
+      val one = GroupByReduce.multi(df, Seq("k"),
+        funcs.map(f => ("v", f, s"r_$f")), opts).collect()
+      assert(one.length === 1)
+      val global = GroupByReduce.multi(df, Seq.empty,
+        funcs.map(f => ("v", f, s"r_$f")), opts).collect()
+      assert(global.length === 1)
+      funcs.zipWithIndex.foreach { case (f, i) =>
+        val (a, b) = (one.head.get(i + 1), global.head.get(i))
+        (a, b) match {
+          case (x: Seq[_], y: Seq[_]) => assert(x === y, s"$f")
+          case _ => assert(numClose(a, b),
+            s"$f: single-group $a vs global $b")
+        }
+      }
+    }
+  }
 }
