@@ -1295,6 +1295,28 @@ object PipelineQueries {
           col("bitsPerSample").as("bits"), col("nSamples").as("n_samples"),
           lit(0L).as("feature"))
       img.unionByName(aud).orderBy("id")
+    }),
+
+    // video plug-in certification (r13 #8): REAL multi-frame decode
+    // through the FrameDecoder contract's in-JDK proof (animated GIF).
+    // GIF's palette encoder is lossless on the <=256-color fixture
+    // frames, so canvas dims, GCE delays, and per-frame dHashes are
+    // codec-version-stable literals; row 9 is the declared
+    // undecodable-payload fallback (frame_idx = -1).
+    "q_video_frames" -> ((s, d) => {
+      import graft.ops.Multimodal
+      import graft.ops.Multimodal.{GifFrameDecoder, MediaRow}
+      val rows = Seq(
+        MediaRow(1L, Multimodal.fixtureAnimatedGif(64, 64, 3, seed = 5L)),
+        MediaRow(2L, Multimodal.fixtureAnimatedGif(48, 32, 2, seed = 9L)),
+        MediaRow(9L, "not a gif at all".getBytes("UTF-8")))
+      val ds = s.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[MediaRow]).repartition(3)
+      Multimodal.decodeVideoFrames(ds, GifFrameDecoder).toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          col("width"), col("height"),
+          col("durationMs").as("duration_ms"), col("dhash"))
+        .orderBy("id", "frame_idx")
     })
   )
 
@@ -1660,6 +1682,25 @@ object PipelineQueries {
          ) AS t(id, kind, width, height, channels,
                 sample_rate, bits, n_samples, feature)
          ORDER BY id""",
+
+    // literals dumped once via a probe run of the GIF plug-in decode
+    // over the deterministic fixtures (q_decode convention)
+    "q_video_frames" ->
+      """SELECT * FROM (VALUES
+         (1::BIGINT, 0::INT, 64::INT, 64::INT, 50::INT,
+          -7439145777522892108::BIGINT),
+         (1::BIGINT, 1::INT, 64::INT, 64::INT, 100::INT,
+          3049617382892513868::BIGINT),
+         (1::BIGINT, 2::INT, 64::INT, 64::INT, 150::INT,
+          6100361180458536090::BIGINT),
+         (2::BIGINT, 0::INT, 48::INT, 32::INT, 50::INT,
+          3221365232690800806::BIGINT),
+         (2::BIGINT, 1::INT, 48::INT, 32::INT, 100::INT,
+          -3411924937218676140::BIGINT),
+         (9::BIGINT, -1::INT, 0::INT, 0::INT, 0::INT,
+          -4748848604330705087::BIGINT)
+         ) AS t(id, frame_idx, width, height, duration_ms, dhash)
+         ORDER BY id, frame_idx""",
 
     "q_vocab" ->
       s"""WITH tok AS (SELECT unnest($W) AS token FROM documents),

@@ -194,30 +194,37 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) dHashFallback(bytes)
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val g = new Array[Int](9 * 8)
-        var gy = 0
-        while (gy < 8) {
-          var gx = 0
-          while (gx < 9) {
-            val rgb = img.getRGB(gx * (w - 1) / 8, gy * (h - 1) / 7)
-            g(gy * 9 + gx) = ((rgb >> 16 & 0xff) * 299 +
-              (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            gx += 1
-          }
-          gy += 1
-        }
-        var bits = 0L
-        var i = 0
-        while (i < 64) {
-          val gy2 = i / 8; val gx2 = i % 8
-          if (g(gy2 * 9 + gx2) < g(gy2 * 9 + gx2 + 1)) bits |= 1L << i
-          i += 1
-        }
-        bits
-      }
+      else dHashOf(img)
     } catch { case _: Exception => dHashFallback(bytes) }
+
+  /** The 9×8-grid difference hash of an already-decoded raster — the
+    * shared kernel of [[imageDHash]] and the per-frame hashes of
+    * [[FrameDecoder]] plug-ins (identical grid, so a video frame and a
+    * still of the same content land on the SAME fingerprint and the
+    * hamming band joiner pairs them cross-modality). */
+  def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = new Array[Int](9 * 8)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val rgb = img.getRGB(gx * (w - 1) / 8, gy * (h - 1) / 7)
+        g(gy * 9 + gx) = ((rgb >> 16 & 0xff) * 299 +
+          (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val gy2 = i / 8; val gx2 = i % 8
+      if (g(gy2 * 9 + gx2) < g(gy2 * 9 + gx2 + 1)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
 
   private def dHashFallback(bytes: Array[Byte]): Long = {
     var h = 1125899906842597L
@@ -444,6 +451,252 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id").as("id"),
       encode(col("text"), "UTF-8").as("media")).as[MediaRow]
+  }
+
+  // ---- video/extended-codec plug-in contract (r13 verdict #8) ------
+
+  /** One decoded, fully-composited video frame: dims of the logical
+    * canvas, the frame's display duration, and its [[dHashOf]]
+    * fingerprint — bytes never leave the decode task. `frameIdx = -1`
+    * marks the fallback row an undecodable payload yields (the
+    * [[decodeFallback]] posture: the stage stays total; quarantine is
+    * a filter on `frameIdx >= 0`). */
+  case class VideoFrame(id: Long, frameIdx: Int, width: Int, height: Int,
+                        durationMs: Int, dhash: Long)
+
+  /** The codec plug-in contract: bytes in, composited frames out.
+    * Implementations MUST be (a) serializable — instances ship to
+    * executors inside the mapPartitions closure; (b) deterministic —
+    * the same payload must yield the same frames on every executor
+    * (near-dup certification and restart idempotence both rely on it);
+    * (c) total — undecodable bytes return None rather than throw.
+    * Codecs outside the JDK (H.264, VP9, webp/avif) implement this
+    * same trait over their native library; [[GifFrameDecoder]] is the
+    * in-JDK proof the contract is implementable. */
+  trait FrameDecoder extends Serializable {
+    def formatName: String
+    /** All frames of one payload, composited to full canvas frames;
+      * None when the payload is not this codec's format. */
+    def decodeFrames(id: Long, bytes: Array[Byte]): Option[Seq[VideoFrame]]
+  }
+
+  /** Animated-GIF frame decoder — a REAL multi-frame (video-shaped)
+    * codec implemented purely on the JDK's ImageIO GIF reader. Frames
+    * are composited onto the logical-screen canvas honoring per-frame
+    * left/top offsets; disposal methods `none`/`doNotDispose`
+    * accumulate (the common case) and `restoreToBackgroundColor`
+    * clears the frame's rectangle; `restoreToPrevious` is approximated
+    * as accumulate (vanishingly rare, and a fingerprint consumer
+    * degrades gracefully). Per-frame delay comes from the
+    * GraphicControlExtension (centiseconds → ms). GIF is palette-based
+    * and lossless, so fixture frames with ≤256 colors round-trip
+    * byte-exact and pinned dHash literals are codec-version stable. */
+  object GifFrameDecoder extends FrameDecoder {
+    override def formatName: String = "gif"
+
+    override def decodeFrames(id: Long,
+                              bytes: Array[Byte]): Option[Seq[VideoFrame]] = {
+      if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' ||
+        bytes(2) != 'F') return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        // logical screen size from the stream metadata; frame-extent
+        // max as the fallback for streams that omit it
+        val (cw, ch) = {
+          val sm = Option(reader.getStreamMetadata).map(_
+            .getAsTree("javax_imageio_gif_stream_1.0")
+            .asInstanceOf[org.w3c.dom.Node])
+          val lsd = sm.flatMap(t => childNode(t, "LogicalScreenDescriptor"))
+          (lsd.flatMap(attr(_, "logicalScreenWidth")),
+            lsd.flatMap(attr(_, "logicalScreenHeight"))) match {
+            case (Some(w), Some(h)) if w > 0 && h > 0 => (w, h)
+            case _ =>
+              val exts = (0 until n).map { i =>
+                val d = frameDescriptor(reader, i)
+                (d._1 + reader.getWidth(i), d._2 + reader.getHeight(i))
+              }
+              (exts.map(_._1).max, exts.map(_._2).max)
+          }
+        }
+        val canvas = new java.awt.image.BufferedImage(cw, ch,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          val out = (0 until n).map { i =>
+            val frame = reader.read(i)
+            val (left, top, delayCs, disposal) = {
+              val d = frameDescriptor(reader, i)
+              (d._1, d._2, d._3, d._4)
+            }
+            g.drawImage(frame, left, top, null)
+            val vf = VideoFrame(id, i, cw, ch, delayCs * 10, dHashOf(canvas))
+            if (disposal == "restoreToBackgroundColor") {
+              g.setColor(java.awt.Color.BLACK)
+              g.fillRect(left, top, frame.getWidth, frame.getHeight)
+            }
+            vf
+          }
+          Some(out)
+        } finally g.dispose()
+      } catch { case _: Exception => None }
+      finally { reader.dispose(); iis.close() }
+    }
+
+    /** (left, top, delayCs, disposalMethod) for frame i from the GIF
+      * image metadata tree. */
+    private def frameDescriptor(reader: javax.imageio.ImageReader,
+                                i: Int): (Int, Int, Int, String) = {
+      val tree = reader.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Node]
+      val desc = childNode(tree, "ImageDescriptor")
+      val gce = childNode(tree, "GraphicControlExtension")
+      (desc.flatMap(attr(_, "imageLeftPosition")).getOrElse(0),
+        desc.flatMap(attr(_, "imageTopPosition")).getOrElse(0),
+        gce.flatMap(attr(_, "delayTime")).getOrElse(0),
+        gce.map(_.getAttributes.getNamedItem("disposalMethod"))
+          .filter(_ != null).map(_.getNodeValue).getOrElse("none"))
+    }
+
+    private def childNode(parent: org.w3c.dom.Node,
+                          name: String): Option[org.w3c.dom.Node] = {
+      var c = parent.getFirstChild
+      while (c != null) {
+        if (c.getNodeName == name) return Some(c)
+        c = c.getNextSibling
+      }
+      None
+    }
+
+    private def attr(node: org.w3c.dom.Node, name: String): Option[Int] = {
+      val a = node.getAttributes.getNamedItem(name)
+      if (a == null) None
+      else try Some(a.getNodeValue.toInt)
+      catch { case _: NumberFormatException => None }
+    }
+  }
+
+  /** Partition-parallel plug-in frame decode: one payload in flight
+    * per task, frames streamed out — the video analog of
+    * [[decodeImages]]. Undecodable payloads yield one `frameIdx = -1`
+    * fallback row carrying the deterministic byte pseudo-hash (total
+    * stage; quarantine = `filter(frameIdx >= 0)`), so conservation
+    * laws (#payloads in == #distinct ids out) hold by construction. */
+  def decodeVideoFrames(ds: Dataset[MediaRow],
+                        decoder: FrameDecoder): Dataset[VideoFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      decoder.decodeFrames(r.id, r.media).getOrElse(
+        Seq(VideoFrame(r.id, -1, 0, 0, 0, dHashFallback(r.media))))
+    })
+  }
+
+  /** Near-duplicate VIDEO pairs: ids whose frame dHash SETS overlap
+    * within hamming `maxHamming` on at least `minSharedFrames` frames —
+    * frame-level banding through the shared hamming joiner, then a
+    * per-(id_a, id_b) count. Candidate generation stays banded
+    * equi-joins; no all-pairs stage at any level. */
+  def videoNearDupPairs(ds: Dataset[MediaRow], decoder: FrameDecoder,
+                        maxHamming: Int = 6, minSharedFrames: Int = 1,
+                        maxBucket: Int = 100000): DataFrame = {
+    import ds.sparkSession.implicits._
+    val frames = decodeVideoFrames(ds, decoder)
+      .filter(_.frameIdx >= 0)
+      .toDF("id", "frame_idx", "w", "h", "dur", "dhash")
+    // frame-instance key (id, frame_idx) so repeated identical frames
+    // within one video can't inflate the shared-frame count
+    val sigs = frames.select(
+      (col("id") * lit(1000000L) + col("frame_idx")).as("__id"),
+      col("dhash").as("__sig"))
+    Dedup.hammingNearDupPairs(sigs, sigBits = 64, maxHamming = maxHamming,
+        maxBucket = maxBucket)
+      .select((col("id_a") / 1000000L).cast("long").as("vid_a"),
+        (col("id_b") / 1000000L).cast("long").as("vid_b"))
+      .filter(col("vid_a") =!= col("vid_b"))
+      // canonical orientation before counting (frame pairs of the same
+      // video pair can band in either order)
+      .select(least(col("vid_a"), col("vid_b")).as("id_a"),
+        greatest(col("vid_a"), col("vid_b")).as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
+  /** Deterministic animated-GIF fixture: `frames` full-size frames of
+    * the [[fixtureImage]] tile pattern (grayscale ⇒ ≤256 colors ⇒ the
+    * palette encoder is lossless and decode recovers exact pixels),
+    * per-frame delay (i+1)·5 centiseconds, written with the JDK GIF
+    * writer. `tweak` nudges one tile in every frame — the planted
+    * near-duplicate knob, mirroring [[fixtureImage]]. */
+  def fixtureAnimatedGif(w: Int, h: Int, frames: Int, seed: Long,
+                         tweak: Int = 0): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val tx = x * 8 / w; val ty = y * 8 / h
+            var m = tx * 73856093L ^ ty * 19349663L ^
+              (seed + f * 7919L) * 83492791L
+            m = (m ^ (m >>> 33)) * 0xff51afd7ed558ccdL
+            m = (m ^ (m >>> 33)) * 0xc4ceb9fe1a85ec53L
+            val v = ((m ^ (m >>> 33)) & 0xff).toInt
+            var rgb = (v << 16) | (v << 8) | v
+            if (tweak > 0 && tx == 0 && ty == 0)
+              rgb = rgb ^ (tweak & 0x0f0f0f)
+            img.setRGB(x, y, rgb)
+            x += 1
+          }
+          y += 1
+        }
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), null)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = {
+          var c = root.getFirstChild
+          var found: IIOMetadataNode = null
+          while (c != null && found == null) {
+            if (c.getNodeName == "GraphicControlExtension")
+              found = c.asInstanceOf[IIOMetadataNode]
+            c = c.getNextSibling
+          }
+          if (found == null) {
+            val n = new IIOMetadataNode("GraphicControlExtension")
+            root.appendChild(n); n
+          } else found
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", ((f + 1) * 5).toString)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
   }
 
   /** Frame-sampling shape for video-like payloads: split a binary blob

@@ -727,6 +727,129 @@ class OpsSpec extends SparkTestBase {
     assert(metas.toSeq === again.toSeq)
   }
 
+  test("animated-GIF frame-decoder plug-in: frames composite to the " +
+    "canvas, delays round-trip, dHashes match the still-image kernel, " +
+    "undecodable payloads quarantine (r13 #8)") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.{MediaRow, GifFrameDecoder}
+    val gif = Multimodal.fixtureAnimatedGif(64, 64, frames = 3, seed = 5L)
+    val frames = GifFrameDecoder.decodeFrames(1L, gif).get
+    assert(frames.map(_.frameIdx) === Seq(0, 1, 2))
+    assert(frames.forall(f => f.width === 64 && f.height === 64))
+    // per-frame delay (i+1)*5 cs -> ms, read back from the GCE
+    assert(frames.map(_.durationMs) === Seq(50, 100, 150))
+    // GIF's palette encoder is lossless on <=256-color frames, and each
+    // fixture frame is full-size (composited canvas == the frame), so
+    // frame f's dHash equals the STILL image kernel on the same tile
+    // pattern: fixtureAnimatedGif frame f == fixtureImage(seed + f*7919)
+    frames.foreach { f =>
+      val still = Multimodal.fixtureImage(64, 64, seed = 5L + f.frameIdx * 7919L)
+      assert(f.dhash === Multimodal.imageDHash(still), s"frame ${f.frameIdx}")
+    }
+    // distributed path: conservation + determinism across partitioning,
+    // fallback row for the undecodable payload
+    val rows = Seq(MediaRow(1L, gif),
+      MediaRow(2L, Multimodal.fixtureAnimatedGif(64, 64, 2, seed = 9L)),
+      MediaRow(3L, "not a gif at all".getBytes("UTF-8")))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val out = Multimodal.decodeVideoFrames(ds, GifFrameDecoder)
+      .collect().sortBy(f => (f.id, f.frameIdx))
+    assert(out.map(_.id).distinct.toSeq === Seq(1L, 2L, 3L))
+    assert(out.count(_.id == 1L) === 3 && out.count(_.id == 2L) === 2)
+    val fb = out.filter(_.id == 3L)
+    assert(fb.length === 1 && fb.head.frameIdx === -1 &&
+      fb.head.width === 0)
+    val again = Multimodal.decodeVideoFrames(ds.repartition(5), GifFrameDecoder)
+      .collect().sortBy(f => (f.id, f.frameIdx))
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("animated-GIF plug-in composites offset partial frames onto the " +
+    "logical screen before hashing") {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    import graft.ops.Multimodal
+    // frame 0: full 64x64 tile pattern; frame 1: a 16x16 patch at
+    // (24, 8) — the decoder must report 64x64 canvas dims for BOTH
+    // frames and hash frame 1 as (frame 0 with the patch drawn on top)
+    val base = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach(y => (0 until 64).foreach { x =>
+      val v = ((x / 8) * 37 + (y / 8) * 101) % 256
+      base.setRGB(x, y, (v << 16) | (v << 8) | v)
+    })
+    val patch = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach { x =>
+      patch.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0)
+    })
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def writeFrame(img: java.awt.image.BufferedImage, left: Int,
+                   top: Int): Unit = {
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), null)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      var c = root.getFirstChild
+      var desc: IIOMetadataNode = null
+      while (c != null) {
+        if (c.getNodeName == "ImageDescriptor")
+          desc = c.asInstanceOf[IIOMetadataNode]
+        c = c.getNextSibling
+      }
+      if (desc == null) {
+        desc = new IIOMetadataNode("ImageDescriptor")
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        root.appendChild(desc)
+      }
+      desc.setAttribute("imageLeftPosition", left.toString)
+      desc.setAttribute("imageTopPosition", top.toString)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writeFrame(base, 0, 0)
+    writeFrame(patch, 24, 8)
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+
+    val frames = Multimodal.GifFrameDecoder.decodeFrames(7L, bos.toByteArray).get
+    assert(frames.length === 2)
+    assert(frames.forall(f => f.width === 64 && f.height === 64))
+    assert(frames(0).dhash === Multimodal.dHashOf(base))
+    val composed = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = composed.createGraphics()
+    g.drawImage(base, 0, 0, null)
+    g.drawImage(patch, 24, 8, null)
+    g.dispose()
+    assert(frames(1).dhash === Multimodal.dHashOf(composed))
+    assert(frames(0).dhash !== frames(1).dhash)
+  }
+
+  test("video near-dup: tweaked animated copy pairs with its original " +
+    "on every frame; distinct videos don't pair") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.{MediaRow, GifFrameDecoder}
+    val rows = (0 until 6).map(i => MediaRow(i.toLong,
+      Multimodal.fixtureAnimatedGif(64, 64, 3, seed = i * 31 + 2))) :+
+      MediaRow(100L,
+        Multimodal.fixtureAnimatedGif(64, 64, 3, seed = 2L, tweak = 0x070707))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val pairs = Multimodal.videoNearDupPairs(ds, GifFrameDecoder,
+        maxHamming = 6, minSharedFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((0L, 100L)))
+    assert(pairs.head._3 >= 3L)
+  }
+
   test("frame sampling shape") {
     val d = Seq((1L, Array.fill[Byte](100)(7))).toDF("doc_id", "media")
     val f = Multimodal.sampleFrames(d, "media", "doc_id", frameBytes = 32, everyNth = 1)
