@@ -550,6 +550,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // tokenizer round-trip certification: decodeSubwords ∘ encodeDocs
+    // == whitespace-normalized identity for ANY merge table (merges
+    // only concatenate within a word; markers restore boundaries).
+    // The oracle never runs BPE — it tokenizes the raw text directly,
+    // which is exactly what makes the law cross-engine: a decode OR
+    // encode defect on ANY document breaks the hash. Fixed arbitrary
+    // table (incl. marker merges), map-only at any scale.
+    "q_bpe_roundtrip" -> ((s, d) => {
+      val merges = Seq(("e", "</w>"), ("t", "h"), ("th", "e</w>"),
+        ("a", "n"), ("an", "d</w>"), ("o", "f"))
+      graft.ops.Bpe.encodeDocs(docs(s, d), "text", merges)
+        .select(col("doc_id"),
+          graft.ops.Bpe.decodeSubwords(col("subwords")).as("decoded"))
+        .orderBy("doc_id")
+    }),
+
     // SentencePiece-style production tokenization (Kudo 2018 §3.2
     // inference): Viterbi segmentation of every document under the
     // FIXED pinned piece table below — the deploy shape of a trained
@@ -1734,6 +1750,12 @@ object PipelineQueries {
     // per-doc subword counts = doc tokens joined to the chain's w8
     // segmentation (min-rank and replay agree on learned tables —
     // the kernel's min-rank contract is separately spec-pinned)
+    // the oracle tokenizes the RAW text — no BPE anywhere — so the
+    // hash compare certifies decode ∘ encode == normalized identity
+    "q_bpe_roundtrip" ->
+      s"""SELECT doc_id, array_to_string($W, ' ') AS decoded
+         FROM documents ORDER BY doc_id""",
+
     "q_bpe_tokenize" ->
       s"""WITH $bpeLearnCtes,
          seg AS (SELECT t, len(string_split(w, ' '))::BIGINT AS ns FROM w8),

@@ -124,6 +124,19 @@ object Bpe {
     }
   }
 
+  /** Inverse of [[encodeDocs]]/[[segment]]: a subword array back to
+    * the whitespace-NORMALIZED text (tokens joined by single spaces).
+    * Exact for ANY merge table — learned, truncated, or pruned —
+    * because merges only ever concatenate adjacent symbols of one
+    * word, so concatenating the subwords restores each word and the
+    * end-of-word markers restore the boundaries. Map-only codegen'd
+    * string builtins; the one caveat is inherited from Sennrich's
+    * marker scheme itself: a corpus whose raw tokens contain the
+    * literal marker string "&lt;/w&gt;" would alias it (the reference
+    * implementation shares this ambiguity). */
+  def decodeSubwords(subwords: Column): Column =
+    trim(replace(array_join(subwords, ""), lit(EndOfWord), lit(" ")))
+
   /** Corpus subword frequency under an already-learned merge list —
     * the "what does the corpus look like to this tokenizer" view
     * (vocabulary coverage, compression ratio inputs). */

@@ -201,6 +201,37 @@ class BpeSpec extends SparkTestBase {
     assert(replay === Vector("x", "ab", "</w>")) // replay stops short
   }
 
+  test("decodeSubwords inverts encodeDocs for ANY merge table " +
+    "(round-trip law: decode(encode(text)) == normalized tokens)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.functions.{array_join, col}
+    val word = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "中", "😀"))
+    } yield cs.mkString
+    val doc = for { n <- Gen.choose(0, 8); ws <- Gen.listOfN(n, word) } yield ws.mkString("  ")
+    val corpusGen = for { n <- Gen.choose(1, 20); ds <- Gen.listOfN(n, doc) } yield ds
+    val corpus = corpusGen(Gen.Parameters.default, Seed(777L)).get
+    val docs = corpus.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+    val learned = refLearn(corpus, 6, minCount = 1L).map(m => (m._2, m._3))
+    // learned, truncated, UNLEARNABLE, and empty tables — decode is
+    // table-independent (merges only concatenate within a word)
+    val tables = Seq(learned, learned.take(2),
+      Seq(("x", "ab"), ("a", "b")), Nil)
+    tables.foreach { merges =>
+      val out = Bpe.encodeDocs(docs.toDF("doc_id", "text"), "text", merges)
+        .select(col("doc_id"),
+          Bpe.decodeSubwords(col("subwords")).as("decoded"),
+          array_join(graft.ops.TextAnalysis.tokens(col("text")), " ").as("want"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getString(1) === r.getString(2),
+          s"doc ${r.getLong(0)} table=${merges.take(3)}")
+      }
+    }
+  }
+
   test("property law: learnBpe equals local Sennrich reference on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -226,6 +226,109 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming rolling agg: in-span buffer carries across batches, " +
+    "evicts behind the frame, RANGE peers within a batch see each " +
+    "other — equals batch rollingAgg") {
+    import graft.streaming.StreamingRolling
+    import graft.streaming.StreamingRolling.RollEvent
+    // events per key: in-order ts with ties INSIDE a batch, a missing
+    // value, and a jump that empties the frame; split mid-span across
+    // micro-batches so eviction and the carry both exercise
+    val batch1 = Seq(
+      RollEvent(1L, 0L, Some(2.0)), RollEvent(1L, 40L, Some(4.0)),
+      RollEvent(1L, 40L, Some(6.0)), // tie run: both must see both
+      RollEvent(2L, 10L, None))
+    val batch2 = Seq(
+      RollEvent(1L, 90L, Some(10.0)), // carries batch-1 state into frame
+      RollEvent(1L, 300L, Some(1.0)), // frame [200, 300]: all evicted
+      RollEvent(2L, 60L, Some(8.0)))
+    for (span <- Seq(100L, 45L)) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[RollEvent]
+      val out = StreamingRolling.rollingAgg(input.toDS(), span)
+      val name = s"roll_out_$span"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Double]),
+            Option(r.get(5)).map(_.asInstanceOf[Double])))
+          .sortBy(t => (t._1, t._2, t._3.getOrElse(-1.0))).toSeq
+        // the batch twin on the same rows
+        val rows = (batch1 ++ batch2).map(e => (e.key, e.ts, e.value))
+        val want = graft.ops.Events.rollingAgg(
+          rows.toDF("key", "ts", "v"), "key", "ts", "v", span)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Double]),
+            Option(r.get(5)).map(_.asInstanceOf[Double])))
+          .sortBy(t => (t._1, t._2, t._3.getOrElse(-1.0))).toSeq
+        assert(got === want, s"span=$span")
+        // the tie run really saw itself: each ts=40 peer counts the
+        // other (plus ts=0, in frame at both spans tested)
+        val peers = got.filter(t => t._1 == 1L && t._2 == 40L)
+        assert(peers.length === 2 && peers.map(_._4).forall(_ === 3L),
+          s"span=$span peers=$peers")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming rolling agg random fuzz equals batch across spans " +
+    "and batch splits") {
+    import graft.streaming.StreamingRolling
+    import graft.streaming.StreamingRolling.RollEvent
+    val rnd = new scala.util.Random(4242)
+    // per-key sorted ts with duplicates and nulls; 3 keys x 30 events
+    val events = (0 until 3).flatMap { k =>
+      var t = 0L
+      (0 until 30).map { _ =>
+        t += rnd.nextInt(40) // 0 advances: in-batch ties happen
+        RollEvent(k.toLong, t,
+          if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(20).toDouble))
+      }
+    }
+    // split per key mid-span at a ts BOUNDARY (equal-ts peers must
+    // share a micro-batch per the operator's documented contract)
+    val (b1, b2) = events.groupBy(_.key).values.map { g =>
+      var cut = 17
+      while (cut < g.length && g(cut).ts == g(cut - 1).ts) cut += 1
+      g.splitAt(cut)
+    }.unzip match {
+      case (a, b) => (a.flatten.toSeq, b.flatten.toSeq)
+    }
+    for (span <- Seq(0L, 35L, 80L)) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[RollEvent]
+      val out = StreamingRolling.rollingAgg(input.toDS(), span)
+      val name = s"roll_fuzz_$span"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(b1: _*)
+        q.processAllAvailable()
+        input.addData(b2: _*)
+        q.processAllAvailable()
+        def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))
+          .sortBy(t => (t._1, t._2, t._3.getOrElse(-1.0), t._4)).toSeq
+        val got = norm(spark.table(name).collect())
+        val want = norm(graft.ops.Events.rollingAgg(
+          events.map(e => (e.key, e.ts, e.value)).toDF("key", "ts", "v"),
+          "key", "ts", "v", span)
+          .select("key", "ts", "v", "roll_n", "roll_sum").collect())
+        assert(got === want, s"span=$span")
+      } finally q.stop()
+    }
+  }
+
   test("streaming approx_nunique (HLL sketch) merges across batches; exact nunique rejected") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
