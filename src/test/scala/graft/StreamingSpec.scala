@@ -755,6 +755,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("multimodal frame decode runs unchanged on a stream: stateless " +
+    "mapPartitions, batch-equal (incl. the quarantine fallback row)") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.{GifFrameDecoder, MediaRow}
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      MediaRow(1L, Multimodal.fixtureAnimatedGif(64, 64, 3, seed = 5L)),
+      MediaRow(2L, Multimodal.fixtureAnimatedGif(48, 32, 2, seed = 9L)),
+      MediaRow(9L, "not a gif".getBytes("UTF-8")))
+    val input = MemoryStream[MediaRow]
+    val out = Multimodal.decodeVideoFrames(input.toDS(), GifFrameDecoder)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("vid_out").start()
+    try {
+      input.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("vid_out").orderBy("id", "frameIdx")
+        .as[Multimodal.VideoFrame].collect().toSeq
+      val want = Multimodal.decodeVideoFrames(
+        spark.createDataset(rows)(
+          org.apache.spark.sql.Encoders.product[MediaRow]), GifFrameDecoder)
+        .collect().sortBy(f => (f.id, f.frameIdx)).toSeq
+      assert(got === want && got.count(_.frameIdx == -1) === 1)
+    } finally q.stop()
+  }
+
   test("exact quantile stays rejected in streaming even with other opts") {
     val df = Seq((ts(0), "a", 1.0)).toDF("ts", "k", "v")
     val e = intercept[IllegalArgumentException] {
