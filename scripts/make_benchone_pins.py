@@ -27,7 +27,12 @@ def main(paths):
     for p in paths:
         with open(p) as f:
             run = json.load(f)
-        for q, t in run.get("queries", {}).items():
+        items = dict(run.get("queries", {}))
+        # the abbreviated sweep format itemizes slow queries in ms
+        # (fast ones fold into the "fast" bucket and keep their pins)
+        for q, ms in run.get("queries_ms", {}).items():
+            items[q] = ms / 1000.0
+        for q, t in items.items():
             if t is None or t < 0:
                 continue  # failure sentinel
             if q not in pins or t < pins[q]:

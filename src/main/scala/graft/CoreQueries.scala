@@ -302,6 +302,16 @@ object CoreQueries {
         .withColumn("wmed", r("wmed", 4))
         .withColumn("wq25", r("wq25", 4))),
 
+    // the unbounded-group-size weighted tier: duplicate-run
+    // compression + distributed weight prefix sum, no per-group
+    // buffer anywhere (ReduceSpec pins BIT-equality with the
+    // buffered CDF walk; this row certifies it cross-engine)
+    "q_weighted_quantile_dist" -> ((s, d) =>
+      GroupByReduce.weightedQuantileDistributed(
+        withNan(ev(s, d)).withColumn("w", col("event_id") % 7 + 1),
+        Seq("user_id"), "v", "w", 0.25, "wq25")
+        .withColumn("wq25", r("wq25", 4))),
+
     "q_nanvar_std" -> ((s, d) => {
       val e = withNan(ev(s, d))
       GroupByReduce.multi(e, Seq("user_id"), Seq(
@@ -893,6 +903,20 @@ object CoreQueries {
          u AS (SELECT DISTINCT user_id FROM ($sqlNan))
          SELECT u.user_id,
            round(quantile_cont(e.v, 0.5), 4) AS wmed,
+           round(quantile_cont(e.v, 0.25), 4) AS wq25
+         FROM u LEFT JOIN e USING (user_id)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_weighted_quantile_dist" ->
+      s"""WITH e AS (SELECT user_id, v FROM
+           (SELECT user_id, v, unnest(generate_series(1, w))
+            FROM (SELECT user_id,
+                    CASE WHEN NOT isnan(v) THEN v END AS v,
+                    CASE WHEN NOT isnan(v) THEN event_id % 7 + 1 END AS w
+                  FROM ($sqlNan))
+            WHERE v IS NOT NULL AND w >= 1)),
+         u AS (SELECT DISTINCT user_id FROM ($sqlNan))
+         SELECT u.user_id,
            round(quantile_cont(e.v, 0.25), 4) AS wq25
          FROM u LEFT JOIN e USING (user_id)
          GROUP BY 1 ORDER BY 1""",

@@ -418,6 +418,108 @@ object GroupByReduce {
     out.orderBy(by.map(col): _*)
   }
 
+  /** EXACT weighted quantile for MEGA-GROUP regimes — the weighted
+    * mirror of [[quantileDistributed]], closing the last group-size
+    * asymmetry in the quantile family: [[weighted]]'s
+    * wquantile/wmedian sorts one group's (v, w) pairs in a single
+    * aggregation buffer (`WeightedQuantileExpr`'s CDF walk), so a
+    * corpus-spanning group buffers on one task. This tier never
+    * buffers a group:
+    *
+    *   1. DUPLICATE-RUN COMPRESSION — groupBy (keys, v) summing the
+    *      long weights: the CDF walk only ever consults one row per
+    *      DISTINCT value, so massive ties collapse in a map-side
+    *      combinable aggregation before anything sorts;
+    *   2. a distributed inclusive weight prefix sum over the runs in
+    *      value order ([[GlobalScan.groupedPrefixSum]]: range
+    *      partition on (keys, v) spreads corpus-spanning groups over
+    *      the cluster, boundary-only driver bookkeeping);
+    *   3. per-group targets lo = ⌊(n−1)·q⌋ and hiPos = min(lo+1, n−1)
+    *      (n = total weight) are answered by the two runs whose
+    *      [cum−w, cum) rank windows cover them — a filtered pick, not
+    *      a sort — and the identical lov·(1−frac)+hiv·frac
+    *      interpolation (frac = 0 ⇒ the element itself, the
+    *      infinite-element guard).
+    *
+    * Semantics are bit-equal to the buffered walk by construction —
+    * same valid-pair mask (null/NaN value or weight skipped, long-cast
+    * weight ≥ 1), same rank algebra over the same run decomposition
+    * (ReduceSpec law + fuzz). Worst case (all-distinct values) the
+    * runs table is the data, and the cost is one DISTRIBUTED range
+    * sort of it — the price of unbounded groups; below that regime
+    * [[weighted]] stays the faster tier, the same split as the
+    * unweighted pair. */
+  def weightedQuantileDistributed(df0: DataFrame, by: Seq[String],
+                                  value: String, weight: String, qq: Double,
+                                  as: String = "result",
+                                  dropNullKeys: Boolean = true): DataFrame = {
+    require(by.nonEmpty, "weightedQuantileDistributed needs group keys")
+    require(qq >= 0.0 && qq <= 1.0, s"quantile must lie in [0, 1]: $qq")
+    Seq("__wv", "__ww", "__wcw", "__wn").foreach { c =>
+      require(!df0.columns.contains(c),
+        s"weightedQuantileDistributed stages a column named '$c'")
+    }
+    val df = if (dropNullKeys) dropNullKeyRows(df0, by) else df0
+    def nsJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+      val rr = by.foldLeft(r)((d, k) => d.withColumnRenamed(k, s"__wr_$k"))
+      val cond = by.map(k => col(k) <=> col(s"__wr_$k")).reduce(_ && _)
+      l.join(rr, cond, how).drop(by.map(k => s"__wr_$k"): _*)
+    }
+    def fpValid(c: Column, dt: org.apache.spark.sql.types.DataType) =
+      dt match {
+        case DoubleType | FloatType => c.isNotNull && !isnan(c)
+        case _                      => c.isNotNull
+      }
+    // the buffered path's exact pair mask: both sides present, and the
+    // LONG-cast weight (frequency semantics truncate) at least 1
+    val pairQ = fpValid(col(value), df.schema(value).dataType) &&
+      fpValid(col(weight), df.schema(weight).dataType) &&
+      col(weight).cast("long") >= 1
+    val runs = df.filter(pairQ)
+      .select((by.map(col) :+ col(value).cast("double").as("__wv") :+
+        col(weight).cast("long").as("__ww")): _*)
+      .groupBy((by.map(col) :+ col("__wv")): _*)
+      .agg(sum("__ww").as("__ww"))
+    val cum = GlobalScan.groupedPrefixSum(
+      runs, by, Seq(col("__wv")), col("__ww"), "__wcw")
+    // per-group total weight + targets: one tiny row per group, pinned
+    // (the quantileDistributed convention — its parent is a full
+    // aggregation pass and it feeds two consumers)
+    val t = (col("__wn") - 1).cast("double") * lit(qq)
+    val targets = runs.groupBy(by.map(col): _*).agg(sum("__ww").as("__wn"))
+      .select((by.map(col) ++ Seq(
+        col("__wn"),
+        floor(t).cast("long").as("__wlo"),
+        (t - floor(t)).as("__wfrac"),
+        least(floor(t).cast("long") + 1, col("__wn") - 1).as("__whi"))): _*)
+      .localCheckpoint()
+    // explicit broadcast decision on the known group count (AQE does
+    // not re-plan around a checkpointed leaf — see quantileDistributed)
+    val bcast = targets.count() <= 100000
+    def side(d: DataFrame) = if (bcast) broadcast(d) else d
+    // a run covers ranks [cum − w, cum); q ≤ 1 ⇒ lo ≤ n−1 < last cum,
+    // so both targets always hit exactly one run
+    def covers(rank: Column): Column =
+      col("__wcw") - col("__ww") <= rank && rank < col("__wcw")
+    val picked = nsJoin(cum, side(targets), "inner")
+      .filter(covers(col("__wlo")) || covers(col("__whi")))
+      .groupBy(by.map(col): _*).agg(
+        max(when(covers(col("__wlo")), col("__wv"))).as("__lov"),
+        max(when(covers(col("__whi")), col("__wv"))).as("__hiv"))
+    // groups whose rows are ALL invalid pairs still appear, with null
+    // (the buffered path's empty-buffer answer)
+    val allGroups = df.select(by.map(col): _*).distinct()
+    val res = nsJoin(nsJoin(allGroups, side(targets), "left"),
+      side(picked), "left")
+      .withColumn(as,
+        when(col("__lov").isNull, lit(null).cast("double"))
+          .when(col("__wfrac") === 0, col("__lov"))
+          .otherwise(col("__lov") * (lit(1.0) - col("__wfrac")) +
+            col("__hiv") * col("__wfrac")))
+      .select(by.map(col) :+ col(as): _*)
+    res.orderBy(by.map(col): _*)
+  }
+
   /** Grouped mode with the reference's smallest-value tie-break
     * (scipy.stats.mode semantics, flox/aggregate_npg.py:185-215).
     * Two-stage plan: per-(key,value) counts (map-side combinable), then

@@ -323,6 +323,59 @@ class ReduceSpec extends SparkTestBase {
     }
   }
 
+  test("weightedQuantileDistributed is BIT-equal to the buffered " +
+    "weighted CDF walk: ties, fractional/zero weights, NaN/null pairs, " +
+    "+-Inf values, all-invalid group yields null") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 200).map { i =>
+      val w: Option[Double] =
+        if (i % 19 == 0) None
+        else if (i % 29 == 0) Some(Double.NaN)
+        else Some((i * 7 % 5) + (if (i % 4 == 0) 0.7 else 0.0)) // 0.7 truncates to 0
+      val v: Option[Double] =
+        if (i % 17 == 0) None
+        else if (i % 23 == 0) Some(Double.NaN)
+        else if (i % 31 == 0) Some(Double.PositiveInfinity)
+        else Some(((i * 2654435761L) % 40).toDouble)
+      (i % 4, v, w)
+    } :+ ((9, Option.empty[Double], Option(2.0))) // all-invalid group 9
+    val df = rows.toDF("k", "v", "w").repartition(5)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val buf = GroupByReduce.weighted(df, Seq("k"), "v", "w",
+        Seq(("wquantile", "r")), ReduceOptions(q = Seq(q)))
+        .collect().map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+      val dist = GroupByReduce.weightedQuantileDistributed(
+        df, Seq("k"), "v", "w", q, "r")
+        .collect().map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+      assert(dist.keySet === buf.keySet, s"q=$q")
+      buf.foreach { case (k, want) =>
+        val got = dist(k)
+        val ok = (want == null && got == null) ||
+          (want != null && got != null &&
+            java.lang.Double.doubleToRawLongBits(want.doubleValue()) ===
+              java.lang.Double.doubleToRawLongBits(got.doubleValue()))
+        assert(ok, s"q=$q group $k: dist=$got buf=$want")
+      }
+      assert(buf(9) == null) // the all-invalid group answered null
+    }
+    // null group keys: both drop them by default, both keep them when off
+    val nk = Seq((Option.empty[Int], Some(3.0), Some(2.0)),
+      (Some(1), Some(5.0), Some(1.0)), (Option.empty[Int], Some(7.0), Some(1.0)))
+      .toDF("k", "v", "w")
+    val keepBuf = GroupByReduce.weighted(nk, Seq("k"), "v", "w",
+      Seq(("wquantile", "r")),
+      ReduceOptions(q = Seq(0.5), dropNullKeys = false))
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getDouble(1)).toMap
+    val keepDist = GroupByReduce.weightedQuantileDistributed(
+      nk, Seq("k"), "v", "w", 0.5, "r", dropNullKeys = false)
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getDouble(1)).toMap
+    assert(keepDist === keepBuf && keepDist.keySet === Set(-1, 1))
+    assert(GroupByReduce.weightedQuantileDistributed(
+      nk, Seq("k"), "v", "w", 0.5, "r").collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
   test("quantileDistributed is BIT-equal to the buffered exact path: " +
     "many groups, vector q, nulls skipped, all-null group yields null") {
     import spark.implicits._
