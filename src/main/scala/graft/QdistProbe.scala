@@ -76,6 +76,31 @@ object QdistProbe {
       api.GroupByReduce(df, Seq("k"), "value", "quantile", "qs",
         graft.aggs.ReduceOptions(q = qs, approxQuantile = true)).collect()
     }
+    // weighted tiers (r14 cont.): same data with frequency weights
+    // 1..7 — buffered collect_list CDF walk vs the run-compressed
+    // distributed prefix-sum pick
+    val wdf = df.withColumn("w", pmod(hash(col("value")), lit(7)) + 1)
+    val wbuf = if (!tiers("wbuf")) Array.empty[org.apache.spark.sql.Row]
+    else timed("weighted buffered CDF walk (bounded-group tier)") {
+      api.GroupByReduce.weighted(wdf, Seq("k"), "value", "w",
+        Seq(("wquantile", "r")),
+        graft.aggs.ReduceOptions(q = Seq(0.9))).collect()
+    }
+    val wdist = if (!tiers("wdist")) Array.empty[org.apache.spark.sql.Row]
+    else timed("weighted distributed prefix-sum pick (unbounded tier)") {
+      api.GroupByReduce.weightedQuantileDistributed(
+        wdf, Seq("k"), "value", "w", 0.9, "r").collect()
+    }
+    if (tiers("wbuf") && tiers("wdist")) {
+      val bm = wbuf.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dm = wdist.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      require(bm.keySet == dm.keySet)
+      bm.foreach { case (k, b) =>
+        require(java.lang.Double.doubleToRawLongBits(b) ==
+          java.lang.Double.doubleToRawLongBits(dm(k)), s"group $k: $b vs ${dm(k)}")
+      }
+      println(s"[qdist] weighted distributed tier bit-matches buffered at $n rows")
+    }
     if (tiers("buf") && tiers("dist")) {
       val bm = buf.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       val dm = dist.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
