@@ -19,11 +19,13 @@ object QdistProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // NOTE: local-mode driver heap is the launching JVM's -Xmx —
-      // spark.driver.memory set here after JVM start is a no-op (r14
-      // review). Launch with e.g. `sbt -J-Xmx48g "runMain ..."` for
-      // the 60M-row point; the buffered tier's single-task sorts are
-      // the binding constraint.
+      // NOTE: local-mode driver heap is the forked run JVM's -Xmx,
+      // which build.sbt sets from SPARK_DRIVER_MEM (sbt -J flags only
+      // raise sbt's own JVM — r14 cont., found when the weighted 60M
+      // point OOM'd under a misdirected -J-Xmx48g). Launch with
+      // `SPARK_DRIVER_MEM=48g sbt "runMain ..."` for the 60M point;
+      // the buffered tiers' single-task buffers are the binding
+      // constraint (weighted buffered needs all 48g there).
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(
