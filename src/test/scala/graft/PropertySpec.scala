@@ -782,6 +782,58 @@ class PropertySpec extends SparkTestBase {
     assert(reindexFilled > 0, "grid never hit the empty-domain-group branch")
   }
 
+  test("approx-quantile tier honors the GK rank guarantee: returned " +
+    "value is a data value whose rank is within eps*n of the target, " +
+    "and at accuracy >= n the sketch is rank-exact") {
+    import org.apache.spark.sql.functions.lit
+    val rnd = new scala.util.Random(90210)
+    // 3 groups x 4000 values with heavy ties and outliers
+    val rows = (0 until 3).flatMap { k =>
+      (0 until 4000).map { _ =>
+        val v = rnd.nextInt(12) match {
+          case 0 => rnd.nextInt(5).toDouble        // hot ties
+          case 11 => 1e6 + rnd.nextInt(1000)       // outlier tail
+          case _ => rnd.nextDouble() * 100
+        }
+        (k, v)
+      }
+    }
+    val df = rows.toDF("k", "v").repartition(5)
+    val sorted = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toVector).toMap
+    for {
+      acc <- Seq(100, 1000, 10000)
+      q <- Seq(0.1, 0.5, 0.95)
+    } {
+      val got = GroupByReduce(df, Seq("k"), "v", "quantile", "r",
+        ReduceOptions(q = Seq(q), approxQuantile = true,
+          approxAccuracy = acc))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      sorted.foreach { case (k, s) =>
+        val n = s.size
+        val v = got(k)
+        // GK returns an actual input value...
+        assert(s.contains(v), s"acc=$acc q=$q group $k: $v not a data value")
+        // ...whose rank window is within eps*n (+1 discretization) of
+        // the target rank: compare against the value's full tie run
+        val target = q * n
+        val loRank = s.indexWhere(_ == v) + 1
+        val hiRank = s.lastIndexWhere(_ == v) + 1
+        val slack = n.toDouble / acc + 1
+        assert(target >= loRank - slack && target <= hiRank + slack,
+          s"acc=$acc q=$q group $k: value $v ranks [$loRank,$hiRank], " +
+            s"target $target, slack $slack")
+        // accuracy >= n: the sketch holds every value -> rank-exact
+        if (acc >= n) {
+          val exactRank = math.ceil(q * n).toLong.max(1)
+          assert(loRank <= exactRank && exactRank <= hiRank + 1,
+            s"acc=$acc q=$q group $k: exact-regime rank $exactRank " +
+              s"outside [$loRank,${hiRank + 1}]")
+        }
+      }
+    }
+  }
+
   test("single-group reduction equals the global (keyless) reduction " +
     "(tests/test_properties.py:93-130)") {
     import org.apache.spark.sql.functions.lit
