@@ -29,9 +29,10 @@ def main(paths):
             run = json.load(f)
         items = dict(run.get("queries", {}))
         # the abbreviated sweep format itemizes slow queries in ms
-        # (fast ones fold into the "fast" bucket and keep their pins)
+        # (fast ones fold into the "fast" bucket and keep their pins);
+        # null = the same failure sentinel as "queries"
         for q, ms in run.get("queries_ms", {}).items():
-            items[q] = ms / 1000.0
+            items[q] = ms / 1000.0 if ms is not None else None
         for q, t in items.items():
             if t is None or t < 0:
                 continue  # failure sentinel

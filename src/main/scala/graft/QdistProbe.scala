@@ -3,13 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throughput probe for the r14 sketch-bracket quantileDistributed at
-  * the DESIGN r12 reference point: 60M rows / 3 mega-groups,
-  * local[32]. Compares the three exact/approx tiers on identical
-  * data and asserts the distributed tier's values still bit-match
-  * the buffered exact path.
+/** Throughput probe for the quantile tiers at the DESIGN r12
+  * reference point: 60M rows / 3 mega-groups, local[32]. Compares
+  * the unweighted tiers (buffered / sketch-bracket distributed / GK
+  * approx) and, when selected, the weighted tiers (buffered CDF walk
+  * vs run-compressed distributed prefix sum) on identical data, and
+  * asserts the distributed tiers' values bit-match their buffered
+  * paths.
   *
-  * Usage: runMain graft.QdistProbe [rows]
+  * Usage: runMain graft.QdistProbe [rows] [tiers]
+  *   tiers: comma list of buf,dist,gk,wbuf,wdist
+  *          (default buf,dist,gk; the DESIGN r14 weighted numbers
+  *          come from `SPARK_DRIVER_MEM=48g ... 60000000 wbuf,wdist`
+  *          — wbuf at that scale needs the whole 48 GB heap)
   */
 object QdistProbe {
   def main(args: Array[String]): Unit = {

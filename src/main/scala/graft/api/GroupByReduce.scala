@@ -455,9 +455,11 @@ object GroupByReduce {
                                   dropNullKeys: Boolean = true): DataFrame = {
     require(by.nonEmpty, "weightedQuantileDistributed needs group keys")
     require(qq >= 0.0 && qq <= 1.0, s"quantile must lie in [0, 1]: $qq")
-    Seq("__wv", "__ww", "__wcw", "__wn").foreach { c =>
+    (Seq("__wv", "__ww", "__wcw", "__wn", "__wlo", "__wfrac", "__whi",
+      "__lov", "__hiv") ++ by.map(k => s"__wr_$k")).foreach { c =>
       require(!df0.columns.contains(c),
-        s"weightedQuantileDistributed stages a column named '$c'")
+        s"weightedQuantileDistributed stages a column named '$c'; " +
+          "rename the input's")
     }
     val df = if (dropNullKeys) dropNullKeyRows(df0, by) else df0
     def nsJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
@@ -483,10 +485,15 @@ object GroupByReduce {
     val cum = GlobalScan.groupedPrefixSum(
       runs, by, Seq(col("__wv")), col("__ww"), "__wcw")
     // per-group total weight + targets: one tiny row per group, pinned
-    // (the quantileDistributed convention — its parent is a full
-    // aggregation pass and it feeds two consumers)
+    // (the quantileDistributed convention — it feeds two consumers).
+    // n is read off CUM's last inclusive prefix (max over the group),
+    // NOT a second aggregation of `runs`: groupedPrefixSum already
+    // checkpointed its range-partitioned input, so this aggregates the
+    // pinned data, where runs.groupBy would re-run the corpus-scale
+    // run-compression pass from source (r14 review — the same
+    // two-consumer trap quantileDistributed documents)
     val t = (col("__wn") - 1).cast("double") * lit(qq)
-    val targets = runs.groupBy(by.map(col): _*).agg(sum("__ww").as("__wn"))
+    val targets = cum.groupBy(by.map(col): _*).agg(max("__wcw").as("__wn"))
       .select((by.map(col) ++ Seq(
         col("__wn"),
         floor(t).cast("long").as("__wlo"),

@@ -593,16 +593,27 @@ object Multimodal {
                         decoder: FrameDecoder): Dataset[VideoFrame] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap { r =>
-      decoder.decodeFrames(r.id, r.media).getOrElse(
+      // Some(empty) — a valid container with zero decodable frames,
+      // which the trait contract does not forbid — must quarantine
+      // like None, or the id vanishes and the conservation law breaks
+      // (r14 review)
+      decoder.decodeFrames(r.id, r.media).filter(_.nonEmpty).getOrElse(
         Seq(VideoFrame(r.id, -1, 0, 0, 0, dHashFallback(r.media))))
     })
   }
 
   /** Near-duplicate VIDEO pairs: ids whose frame dHash SETS overlap
-    * within hamming `maxHamming` on at least `minSharedFrames` frames —
-    * frame-level banding through the shared hamming joiner, then a
-    * per-(id_a, id_b) count. Candidate generation stays banded
-    * equi-joins; no all-pairs stage at any level. */
+    * within hamming `maxHamming` on at least `minSharedFrames` DISTINCT
+    * frames on BOTH sides — frame-level banding through the shared
+    * hamming joiner, then a per-(id_a, id_b) matched-frame count.
+    * The frame key is a (video id, frame idx) STRUCT, not arithmetic
+    * packing: arbitrary Long ids (negative, hash-derived) and
+    * million-frame videos stay unambiguous (r14 review). The count is
+    * least(#distinct frames matched of a, of b): a static-scene video
+    * whose near-identical frames all match ONE frame of another video
+    * counts 1 shared frame, not the cross product (r14 review).
+    * Candidate generation stays banded equi-joins; no all-pairs stage
+    * at any level. */
   def videoNearDupPairs(ds: Dataset[MediaRow], decoder: FrameDecoder,
                         maxHamming: Int = 6, minSharedFrames: Int = 1,
                         maxBucket: Int = 100000): DataFrame = {
@@ -610,22 +621,27 @@ object Multimodal {
     val frames = decodeVideoFrames(ds, decoder)
       .filter(_.frameIdx >= 0)
       .toDF("id", "frame_idx", "w", "h", "dur", "dhash")
-    // frame-instance key (id, frame_idx) so repeated identical frames
-    // within one video can't inflate the shared-frame count
+    // struct ids order lexicographically, so the joiner's id_a < id_b
+    // canonicalization and distinct() work unchanged
     val sigs = frames.select(
-      (col("id") * lit(1000000L) + col("frame_idx")).as("__id"),
+      struct(col("id").as("vid"), col("frame_idx").as("fi")).as("__id"),
       col("dhash").as("__sig"))
-    Dedup.hammingNearDupPairs(sigs, sigBits = 64, maxHamming = maxHamming,
-        maxBucket = maxBucket)
-      .select((col("id_a") / 1000000L).cast("long").as("vid_a"),
-        (col("id_b") / 1000000L).cast("long").as("vid_b"))
+    val pairs = Dedup.hammingNearDupPairs(sigs, sigBits = 64,
+        maxHamming = maxHamming, maxBucket = maxBucket)
+      .select(col("id_a.vid").as("vid_a"), col("id_a.fi").as("fi_a"),
+        col("id_b.vid").as("vid_b"), col("id_b.fi").as("fi_b"))
       .filter(col("vid_a") =!= col("vid_b"))
-      // canonical orientation before counting (frame pairs of the same
-      // video pair can band in either order)
-      .select(least(col("vid_a"), col("vid_b")).as("id_a"),
-        greatest(col("vid_a"), col("vid_b")).as("id_b"))
+    // canonical orientation before counting (frame pairs of the same
+    // video pair can band in either order), frame indices swapped along
+    val swap = col("vid_a") > col("vid_b")
+    pairs.select(
+        when(swap, col("vid_b")).otherwise(col("vid_a")).as("id_a"),
+        when(swap, col("fi_b")).otherwise(col("fi_a")).as("fi_a"),
+        when(swap, col("vid_a")).otherwise(col("vid_b")).as("id_b"),
+        when(swap, col("fi_a")).otherwise(col("fi_b")).as("fi_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared_frames"))
+      .agg(least(count_distinct(col("fi_a")), count_distinct(col("fi_b")))
+        .as("shared_frames"))
       .filter(col("shared_frames") >= minSharedFrames)
   }
 

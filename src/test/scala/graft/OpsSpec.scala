@@ -834,20 +834,57 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("video near-dup: tweaked animated copy pairs with its original " +
-    "on every frame; distinct videos don't pair") {
+    "on every frame; distinct videos don't pair; NEGATIVE ids stay " +
+    "unambiguous; a static-scene video counts distinct frames, not " +
+    "the match cross product") {
     import graft.ops.Multimodal
     import graft.ops.Multimodal.{MediaRow, GifFrameDecoder}
+    // same-content frames repeated: the static-scene shape whose
+    // matches must NOT inflate shared_frames (r14 review)
+    def staticGif(nFrames: Int): Array[Byte] = {
+      import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(y => (0 until 64).foreach { x =>
+        val v = ((x / 8) * 53 + (y / 8) * 19) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { _ =>
+        writer.writeToSequence(new IIOImage(img, null,
+          writer.getDefaultImageMetadata(
+            new ImageTypeSpecifier(img), null)), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
     val rows = (0 until 6).map(i => MediaRow(i.toLong,
-      Multimodal.fixtureAnimatedGif(64, 64, 3, seed = i * 31 + 2))) :+
+      Multimodal.fixtureAnimatedGif(64, 64, 3, seed = i * 31 + 2))) ++ Seq(
       MediaRow(100L,
-        Multimodal.fixtureAnimatedGif(64, 64, 3, seed = 2L, tweak = 0x070707))
+        Multimodal.fixtureAnimatedGif(64, 64, 3, seed = 2L, tweak = 0x070707)),
+      // negative-id copy of video 4's content: must pair as (-7, 4),
+      // not alias into some other id (r14 review — the packed-long
+      // frame key truncated negative ids toward zero)
+      MediaRow(-7L,
+        Multimodal.fixtureAnimatedGif(64, 64, 3, seed = 4 * 31 + 2,
+          tweak = 0x070707)),
+      MediaRow(200L, staticGif(3)), // 3 identical frames
+      MediaRow(201L, staticGif(1))) // 1 frame of the same content
     val ds = spark.createDataset(rows)(
       org.apache.spark.sql.Encoders.product[MediaRow])
     val pairs = Multimodal.videoNearDupPairs(ds, GifFrameDecoder,
-        maxHamming = 6, minSharedFrames = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(pairs.map(p => (p._1, p._2)) === Set((0L, 100L)))
-    assert(pairs.head._3 >= 3L)
+        maxHamming = 6, minSharedFrames = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.keySet === Set((0L, 100L), (-7L, 4L), (200L, 201L)))
+    assert(pairs((0L, 100L)) === 3L) // all 3 frames match, both sides
+    assert(pairs((-7L, 4L)) === 3L)
+    // 3 identical frames x 1 matching frame: ONE distinct shared
+    // frame on the single-frame side, never the 3-pair cross product
+    assert(pairs((200L, 201L)) === 1L)
   }
 
   test("frame sampling shape") {
