@@ -685,6 +685,17 @@ object CoreQueries {
     "q_bfill" -> ((s, d) =>
       GroupByScan(withNull(ev(s, d)), Seq("user_id"), "v", "bfill", "event_id", "filled")
         .select(col("event_id"), col("user_id"), col("filled"))
+        .orderBy("event_id")),
+
+    // the unbounded-group-size scan tier (GlobalScan.groupedFfill:
+    // range partition + boundary-carry stitching — a corpus-spanning
+    // group spreads over the cluster instead of one window task);
+    // same oracle SQL as q_ffill, certifying tier equivalence
+    // cross-engine
+    "q_ffill_dist" -> ((s, d) =>
+      graft.api.GlobalScan.groupedFfill(withNull(ev(s, d)),
+        Seq("user_id"), Seq(col("event_id")), "v", "filled")
+        .select(col("event_id"), col("user_id"), col("filled"))
         .orderBy("event_id"))
   )
 
@@ -1138,6 +1149,12 @@ object CoreQueries {
          WHERE rk <= 3 GROUP BY 1 ORDER BY 1""",
 
     "q_ffill" ->
+      s"""SELECT event_id, user_id,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM ($sqlNull) ORDER BY event_id""",
+
+    "q_ffill_dist" ->
       s"""SELECT event_id, user_id,
          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled

@@ -133,6 +133,96 @@ object GlobalScan {
                        outCol: String): DataFrame =
     groupedRunning(df, groupCols, order, Some(valueCol), outCol)
 
+  /** Per-GROUP forward fill at UNBOUNDED group size — the §2.2 scan
+    * escalation tier, completing the pattern: [[groupedPrefixSum]] is
+    * the distributed cumsum, this is the distributed ffill.
+    * [[graft.api.GroupByScan]]'s window formulation puts each group on
+    * one task (right below double-digit key concentration, the same
+    * boundary as the events trio); here rows range-partition on
+    * (group, order) and the carry is stitched with boundary-only
+    * bookkeeping: within a partition the fill is a running
+    * last-non-null; only the group CROSSING a partition boundary needs
+    * a carried-in value, and pass 1 ships per partition just the
+    * first/last group keys and each boundary segment's last non-null
+    * value — O(#partitions) driver traffic, never per-group state.
+    * Unlike a distributed double cumsum (whose float summation order
+    * would diverge from the window tier), ffill CARRIES EXACT VALUES,
+    * so this tier is bit-identical to GroupByScan's ffill (spec law).
+    * Null = missing (filled); NaN is a value and fills forward, the
+    * window tier's `last(ignoreNulls)` semantics. Output column takes
+    * the value column's dtype, nullable (a group's leading rows before
+    * any value stay null). `order` must totally order rows within each
+    * group. */
+  def groupedFfill(df: DataFrame, groupCols: Seq[String],
+                   order: Seq[Column], valueCol: String,
+                   outCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val spark = df.sparkSession
+    val gIdx = groupCols.map(df.schema.fieldIndex)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val sortCols = groupCols.map(col) ++ order
+    val parted = df
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint() // pin sampled range boundaries between passes
+    def gkey(r: Row): Seq[Any] = gIdx.map(i => r.get(i))
+    // pass 1: per partition — first/last group keys and each boundary
+    // segment's last NON-NULL value (None = segment holds no value)
+    val bounds = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val first = it.next()
+        val fk = gkey(first)
+        var fLast: Option[Any] = Option(first.get(vIdx))
+        var lk = fk
+        var lLast: Option[Any] = Option(first.get(vIdx))
+        var sawOther = false
+        it.foreach { r =>
+          val k = gkey(r)
+          val v = r.get(vIdx)
+          if (k == lk) {
+            if (v != null) { lLast = Some(v); if (!sawOther) fLast = Some(v) }
+          } else { sawOther = true; lk = k; lLast = Option(v) }
+        }
+        Iterator((pid, fk, fLast, lk, lLast))
+      }
+    }.collect().sortBy(_._1)
+    // chain carries: group g entering partition p from the left carries
+    // g's last non-null value over partitions < p
+    val carries = scala.collection.mutable.Map.empty[(Int, Seq[Any]), Any]
+    var carryKey: Seq[Any] = null
+    var carryVal: Option[Any] = None
+    bounds.foreach { case (pid, fk, fLast, lk, lLast) =>
+      if (carryKey != null && carryKey == fk && carryVal.isDefined)
+        carries((pid, fk)) = carryVal.get
+      val out: Option[Any] = // g = lk's value leaving this partition
+        if (fk == lk)
+          lLast.orElse(if (carryKey != null && carryKey == fk) carryVal else None)
+        else lLast
+      carryKey = lk
+      carryVal = out
+    }
+    val bc = spark.sparkContext.broadcast(carries.toMap)
+    val outRdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var state: Any = null
+      it.map { r =>
+        val k = gkey(r)
+        if (k != cur) {
+          cur = k
+          state = bc.value.getOrElse((pid, k), null)
+        }
+        val v = r.get(vIdx)
+        if (v != null) state = v
+        Row.fromSeq(r.toSeq :+ state)
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        StructField(outCol, df.schema(valueCol).dataType, nullable = true))
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   private def groupedRunning(df: DataFrame, groupCols: Seq[String],
                              order: Seq[Column], valueCol: Option[Column],
                              outCol: String): DataFrame = {

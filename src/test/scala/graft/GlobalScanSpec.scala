@@ -138,6 +138,79 @@ class GlobalScanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("groupedFfill property law: random null patterns x partition " +
+    "counts equal the window ffill oracle (incl. NaN-as-value, " +
+    "all-null groups, leading nulls)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase: Gen[(List[List[Option[Double]]], Int)] = for {
+      nGroups <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nGroups, Gen.frequency(
+        3 -> Gen.choose(0, 4),
+        2 -> Gen.choose(5, 40),
+        1 -> Gen.choose(60, 120)))
+      values <- Gen.sequence[List[List[Option[Double]]], List[Option[Double]]](
+        sizes.map(s => Gen.listOfN(s, Gen.frequency(
+          4 -> Gen.choose(-50, 50).map(v => Some(v.toDouble)),
+          1 -> Gen.const(Some(Double.NaN)),
+          3 -> Gen.const(None)))))
+      parts <- Gen.oneOf(1, 2, 3, 5, 8)
+    } yield (values, parts)
+    val cases = (0 until 10).flatMap(i =>
+      genCase.apply(Gen.Parameters.default, Seed(6161L + i)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def norm(d: Any): Any = d match {
+      case x: Double if x.isNaN => "NaN"
+      case x => x
+    }
+    try cases.foreach { case (values, parts) =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val data = values.zipWithIndex.flatMap { case (vs, g) =>
+        vs.zipWithIndex.map { case (v, i) => (s"g$g", i, v) }
+      }.sortBy { case (g, i, _) => (i * 7919 + g.hashCode) % 1009 }
+      if (data.nonEmpty) {
+        val df = data.toDF("g", "id", "v").repartition(4)
+        val got = GlobalScan.groupedFfill(df, Seq("g"), Seq(col("id")),
+            "v", "f")
+          .orderBy("g", "id").select("g", "id", "f")
+          .collect().map(r => (r.getString(0), r.getInt(1), norm(r.get(2))))
+        val want = df.withColumn("f",
+            last(col("v"), ignoreNulls = true)
+              .over(Window.partitionBy("g").orderBy("id")))
+          .orderBy("g", "id").select("g", "id", "f")
+          .collect().map(r => (r.getString(0), r.getInt(1), norm(r.get(2))))
+        assert(got === want, s"shufflePartitions=$parts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  test("groupedFfill carries across many partitions for a giant group " +
+    "and keeps other columns and dtypes") {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // one giant group with sparse values + a small group riding along
+      val data = (0 until 5000).map { i =>
+        ("big", i, if (i % 997 == 0) Some(s"v$i") else None, i * 2)
+      } ++ Seq(("tiny", 0, Some("t0"), 0), ("tiny", 1, None, 2))
+      val df = data.toDF("g", "id", "v", "other").repartition(7)
+      val out = GlobalScan.groupedFfill(df, Seq("g"), Seq(col("id")),
+        "v", "f")
+      assert(out.schema("f").dataType ===
+        org.apache.spark.sql.types.StringType)
+      val got = out.orderBy("g", "id")
+        .select("g", "id", "f", "other").collect()
+      got.filter(_.getString(0) == "big").foreach { r =>
+        val i = r.getInt(1)
+        val want = if (i < 0) null else s"v${(i / 997) * 997}"
+        assert(r.getString(2) === want, s"row $i")
+        assert(r.getInt(3) === i * 2) // other columns intact
+      }
+      val tiny = got.filter(_.getString(0) == "tiny").map(_.getString(2))
+      assert(tiny.toSeq === Seq("t0", "t0"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("packSequences: budget arithmetic, spans, empty docs") {
     val df = Seq((1L, 10L), (2L, 0L), (3L, 70L), (4L, 54L), (5L, 1L))
       .toDF("doc_id", "toks")
