@@ -640,6 +640,20 @@ object CoreQueries {
           col("cmax"), col("cmin"), col("ncmax"), col("ncmin"))
     }),
 
+    // the unbounded-group-size cum-extrema tier (boundary-carry fold —
+    // exact values, bit-identical to the window path by GlobalScanSpec
+    // law); raw window max/min semantics on both engines (NaN sorts
+    // greatest in Spark AND DuckDB, nulls skip)
+    "q_cum_extrema_dist" -> ((s, d) => {
+      val e = withNan(ev(s, d))
+      val c1 = graft.api.GlobalScan.groupedCumMax(e, Seq("user_id"),
+        Seq(col("event_id")), "v", "cmax")
+      graft.api.GlobalScan.groupedCumMin(c1, Seq("user_id"),
+          Seq(col("event_id")), "v", "cmin")
+        .select(col("event_id"), col("user_id"), col("cmax"), col("cmin"))
+        .orderBy("event_id")
+    }),
+
     // Bounded top-k values per group (beyond-reference): O(k) heap per
     // group at every stage — the scale-safe form of
     // slice(sort_array(collect_list(v))), whose buffer is the group
@@ -1120,6 +1134,15 @@ object CoreQueries {
               ELSE min(v) OVER w END AS cmin,
          max(CASE WHEN NOT isnan(v) THEN v END) OVER w AS ncmax,
          min(CASE WHEN NOT isnan(v) THEN v END) OVER w AS ncmin
+         FROM ($sqlNan)
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_cum_extrema_dist" ->
+      s"""SELECT event_id, user_id,
+         max(v) OVER w AS cmax,
+         min(v) OVER w AS cmin
          FROM ($sqlNan)
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

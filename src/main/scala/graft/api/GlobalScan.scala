@@ -155,7 +155,50 @@ object GlobalScan {
     * group. */
   def groupedFfill(df: DataFrame, groupCols: Seq[String],
                    order: Seq[Column], valueCol: String,
-                   outCol: String): DataFrame = {
+                   outCol: String): DataFrame =
+    groupedCarryScan(df, groupCols, order, valueCol, outCol,
+      (st, v) => if (v != null) v else st)
+
+  /** Per-GROUP running maximum / minimum at unbounded group size — the
+    * cum_extrema mates of [[groupedFfill]], same boundary-carry
+    * machinery with the fold swapped to Spark's double comparison
+    * (NaN greatest, so a NaN poisons the running max exactly as the
+    * window tier's `max().over(...)` does; nulls are skipped). Exact
+    * values carry, so the tier is bit-identical to the window path. */
+  def groupedCumMax(df: DataFrame, groupCols: Seq[String],
+                    order: Seq[Column], valueCol: String,
+                    outCol: String): DataFrame =
+    groupedCarryScan(df, groupCols, order, valueCol, outCol, maxFold(1))
+
+  def groupedCumMin(df: DataFrame, groupCols: Seq[String],
+                    order: Seq[Column], valueCol: String,
+                    outCol: String): DataFrame =
+    groupedCarryScan(df, groupCols, order, valueCol, outCol, maxFold(-1))
+
+  /** Spark double-ordering fold (java.lang.Double.compare: NaN
+    * greatest, −0.0 < 0.0 — Spark's own total order); `sign` +1 keeps
+    * the larger, −1 the smaller. Nulls skip (window max/min
+    * semantics). */
+  private def maxFold(sign: Int): (Any, Any) => Any = (st, v) =>
+    if (v == null) st
+    else if (st == null) v
+    else {
+      val c = java.lang.Double.compare(
+        v.asInstanceOf[Double], st.asInstanceOf[Double])
+      if (c * sign > 0) v else st
+    }
+
+  /** The shared unbounded-group carry scan: `fold` is a null-identity
+    * monoid step (state := fold(state, value), null state = empty).
+    * Associativity of the induced segment combine — fold(carryIn,
+    * segmentState) — is what lets partition boundaries stitch with
+    * O(#partitions) driver traffic: pass 1 folds each boundary
+    * segment locally, the driver chains carries, pass 2 replays the
+    * fold per row starting from the carried-in state. */
+  private def groupedCarryScan(df: DataFrame, groupCols: Seq[String],
+                               order: Seq[Column], valueCol: String,
+                               outCol: String,
+                               fold: (Any, Any) => Any): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     val spark = df.sparkSession
     val gIdx = groupCols.map(df.schema.fieldIndex)
@@ -167,38 +210,45 @@ object GlobalScan {
       .localCheckpoint() // pin sampled range boundaries between passes
     def gkey(r: Row): Seq[Any] = gIdx.map(i => r.get(i))
     // pass 1: per partition — first/last group keys and each boundary
-    // segment's last NON-NULL value (None = segment holds no value)
+    // segment's folded state (null = segment holds no value)
     val bounds = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val first = it.next()
         val fk = gkey(first)
-        var fLast: Option[Any] = Option(first.get(vIdx))
+        var fState: Any = fold(null, first.get(vIdx))
         var lk = fk
-        var lLast: Option[Any] = Option(first.get(vIdx))
+        var lState: Any = fState
         var sawOther = false
         it.foreach { r =>
           val k = gkey(r)
           val v = r.get(vIdx)
           if (k == lk) {
-            if (v != null) { lLast = Some(v); if (!sawOther) fLast = Some(v) }
-          } else { sawOther = true; lk = k; lLast = Option(v) }
+            lState = fold(lState, v)
+            if (!sawOther) fState = lState
+          } else { sawOther = true; lk = k; lState = fold(null, v) }
         }
-        Iterator((pid, fk, fLast, lk, lLast))
+        Iterator((pid, fk, fState, lk, lState))
       }
     }.collect().sortBy(_._1)
     // chain carries: group g entering partition p from the left carries
-    // g's last non-null value over partitions < p
+    // g's folded state over partitions < p
     val carries = scala.collection.mutable.Map.empty[(Int, Seq[Any]), Any]
     var carryKey: Seq[Any] = null
-    var carryVal: Option[Any] = None
-    bounds.foreach { case (pid, fk, fLast, lk, lLast) =>
-      if (carryKey != null && carryKey == fk && carryVal.isDefined)
-        carries((pid, fk)) = carryVal.get
-      val out: Option[Any] = // g = lk's value leaving this partition
-        if (fk == lk)
-          lLast.orElse(if (carryKey != null && carryKey == fk) carryVal else None)
-        else lLast
+    var carryVal: Any = null
+    bounds.foreach { case (pid, fk, fState, lk, lState) =>
+      if (carryKey != null && carryKey == fk && carryVal != null)
+        carries((pid, fk)) = carryVal
+      // g = lk's state leaving this partition: when the whole
+      // partition is one group, combine the carried-in state with the
+      // segment fold (fold doubles as the segment combine — the
+      // monoid property the scaladoc names); otherwise the segment
+      // started fresh inside this partition
+      val carryIn: Any =
+        if (carryKey != null && carryKey == fk) carryVal else null
+      val out: Any =
+        if (fk == lk) { if (lState != null) fold(carryIn, lState) else carryIn }
+        else lState
       carryKey = lk
       carryVal = out
     }
@@ -212,8 +262,7 @@ object GlobalScan {
           cur = k
           state = bc.value.getOrElse((pid, k), null)
         }
-        val v = r.get(vIdx)
-        if (v != null) state = v
+        state = fold(state, r.get(vIdx))
         Row.fromSeq(r.toSeq :+ state)
       }
     }

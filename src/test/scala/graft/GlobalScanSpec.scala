@@ -184,6 +184,56 @@ class GlobalScanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("groupedCumMax/groupedCumMin property law: random values x " +
+    "partition counts equal the window max/min oracle (NaN poisons, " +
+    "nulls skip, leading nulls stay null)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase: Gen[(List[List[Option[Double]]], Int)] = for {
+      nGroups <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nGroups, Gen.frequency(
+        3 -> Gen.choose(0, 4), 2 -> Gen.choose(5, 40),
+        1 -> Gen.choose(60, 120)))
+      values <- Gen.sequence[List[List[Option[Double]]], List[Option[Double]]](
+        sizes.map(s => Gen.listOfN(s, Gen.frequency(
+          5 -> Gen.choose(-50, 50).map(v => Some(v.toDouble)),
+          1 -> Gen.const(Some(Double.NaN)),
+          1 -> Gen.const(Some(-0.0)),
+          2 -> Gen.const(None)))))
+      parts <- Gen.oneOf(1, 2, 3, 5, 8)
+    } yield (values, parts)
+    val cases = (0 until 8).flatMap(i =>
+      genCase.apply(Gen.Parameters.default, Seed(5151L + i)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def bits(d: Any): Any = d match {
+      case x: Double => java.lang.Double.doubleToRawLongBits(x)
+      case x => x
+    }
+    try cases.foreach { case (values, parts) =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val data = values.zipWithIndex.flatMap { case (vs, g) =>
+        vs.zipWithIndex.map { case (v, i) => (s"g$g", i, v) }
+      }.sortBy { case (g, i, _) => (i * 7919 + g.hashCode) % 1009 }
+      if (data.nonEmpty) {
+        val df = data.toDF("g", "id", "v").repartition(4)
+        for ((dist, win) <- Seq[(
+            (org.apache.spark.sql.DataFrame, Seq[String], Seq[org.apache.spark.sql.Column], String, String) => org.apache.spark.sql.DataFrame,
+            org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+          (GlobalScan.groupedCumMax, (c: org.apache.spark.sql.Column) => max(c)),
+          (GlobalScan.groupedCumMin, (c: org.apache.spark.sql.Column) => min(c)))) {
+          val got = dist(df, Seq("g"), Seq(col("id")), "v", "m")
+            .orderBy("g", "id").select("g", "id", "m")
+            .collect().map(r => (r.getString(0), r.getInt(1), bits(r.get(2))))
+          val want = df.withColumn("m", win(col("v"))
+              .over(Window.partitionBy("g").orderBy("id")))
+            .orderBy("g", "id").select("g", "id", "m")
+            .collect().map(r => (r.getString(0), r.getInt(1), bits(r.get(2))))
+          assert(got === want, s"shufflePartitions=$parts")
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("groupedFfill carries across many partitions for a giant group " +
     "and keeps other columns and dtypes") {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
