@@ -710,6 +710,15 @@ object CoreQueries {
       graft.api.GlobalScan.groupedFfill(withNull(ev(s, d)),
         Seq("user_id"), Seq(col("event_id")), "v", "filled")
         .select(col("event_id"), col("user_id"), col("filled"))
+        .orderBy("event_id")),
+
+    // bfill mate of q_ffill_dist: the same boundary-carry machinery
+    // over the reversed order (the reversal duality PropertySpec pins
+    // for the window tier, applied at the partitioning level)
+    "q_bfill_dist" -> ((s, d) =>
+      graft.api.GlobalScan.groupedBfill(withNull(ev(s, d)),
+        Seq("user_id"), Seq(col("event_id")), "v", "filled")
+        .select(col("event_id"), col("user_id"), col("filled"))
         .orderBy("event_id"))
   )
 
@@ -1184,6 +1193,12 @@ object CoreQueries {
          FROM ($sqlNull) ORDER BY event_id""",
 
     "q_bfill" ->
+      s"""SELECT event_id, user_id,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled
+         FROM ($sqlNull) ORDER BY event_id""",
+
+    "q_bfill_dist" ->
       s"""SELECT event_id, user_id,
          first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled

@@ -159,6 +159,19 @@ object GlobalScan {
     groupedCarryScan(df, groupCols, order, valueCol, outCol,
       (st, v) => if (v != null) v else st)
 
+  /** Per-GROUP backward fill at unbounded group size — [[groupedFfill]]
+    * run over the REVERSED order (the ffill/bfill reversal duality the
+    * window tier's PropertySpec law pins, applied at the partitioning
+    * level: range-partition on (group asc, order desc) and the forward
+    * carry IS the backward fill). Same exact-value carry, so the tier
+    * is bit-identical to GroupByScan's bfill. `order` columns must be
+    * bare (no .asc/.desc) — the reversal is applied here. */
+  def groupedBfill(df: DataFrame, groupCols: Seq[String],
+                   order: Seq[Column], valueCol: String,
+                   outCol: String): DataFrame =
+    groupedCarryScan(df, groupCols, order.map(_.desc), valueCol, outCol,
+      (st, v) => if (v != null) v else st)
+
   /** Per-GROUP running maximum / minimum at unbounded group size — the
     * cum_extrema mates of [[groupedFfill]], same boundary-carry
     * machinery with the fold swapped to Spark's double comparison

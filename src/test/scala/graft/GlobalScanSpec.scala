@@ -184,6 +184,61 @@ class GlobalScanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("groupedBfill property law: random null patterns x partition " +
+    "counts equal the window bfill oracle and the reverse-ffill " +
+    "duality (incl. NaN-as-value, all-null groups, trailing nulls)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase: Gen[(List[List[Option[Double]]], Int)] = for {
+      nGroups <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nGroups, Gen.frequency(
+        3 -> Gen.choose(0, 4),
+        2 -> Gen.choose(5, 40),
+        1 -> Gen.choose(60, 120)))
+      values <- Gen.sequence[List[List[Option[Double]]], List[Option[Double]]](
+        sizes.map(s => Gen.listOfN(s, Gen.frequency(
+          4 -> Gen.choose(-50, 50).map(v => Some(v.toDouble)),
+          1 -> Gen.const(Some(Double.NaN)),
+          3 -> Gen.const(None)))))
+      parts <- Gen.oneOf(1, 2, 3, 5, 8)
+    } yield (values, parts)
+    val cases = (0 until 10).flatMap(i =>
+      genCase.apply(Gen.Parameters.default, Seed(7171L + i)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def norm(d: Any): Any = d match {
+      case x: Double if x.isNaN => "NaN"
+      case x => x
+    }
+    try cases.foreach { case (values, parts) =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val data = values.zipWithIndex.flatMap { case (vs, g) =>
+        vs.zipWithIndex.map { case (v, i) => (s"g$g", i, v) }
+      }.sortBy { case (g, i, _) => (i * 7919 + g.hashCode) % 1009 }
+      if (data.nonEmpty) {
+        val df = data.toDF("g", "id", "v").repartition(4)
+        val got = GlobalScan.groupedBfill(df, Seq("g"), Seq(col("id")),
+            "v", "f")
+          .orderBy("g", "id").select("g", "id", "f")
+          .collect().map(r => (r.getString(0), r.getInt(1), norm(r.get(2))))
+        val want = df.withColumn("f",
+            first(col("v"), ignoreNulls = true)
+              .over(Window.partitionBy("g").orderBy("id")
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+          .orderBy("g", "id").select("g", "id", "f")
+          .collect().map(r => (r.getString(0), r.getInt(1), norm(r.get(2))))
+        assert(got === want, s"shufflePartitions=$parts")
+        // reversal duality at the tier level: bfill == ffill over the
+        // negated order key
+        val dual = GlobalScan.groupedFfill(
+            df.withColumn("nid", -col("id")), Seq("g"), Seq(col("nid")),
+            "v", "f")
+          .orderBy("g", "id").select("g", "id", "f")
+          .collect().map(r => (r.getString(0), r.getInt(1), norm(r.get(2))))
+        assert(dual === want, s"duality shufflePartitions=$parts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("groupedCumMax/groupedCumMin property law: random values x " +
     "partition counts equal the window max/min oracle (NaN poisons, " +
     "nulls skip, leading nulls stay null)") {
