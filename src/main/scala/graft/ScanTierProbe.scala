@@ -30,7 +30,7 @@ object ScanTierProbe {
         (col("id") % 3).cast("string").as("g"),
         col("id").as("ord"),
         when(pmod(col("id"), lit(5)) =!= 0,
-          (pmod(col("id") * 2654435761L, lit(100000)) / lit(100.0)))
+          (pmod(xxhash64(col("id")), lit(100000)) / lit(100.0)))
           .as("v"))
       .localCheckpoint()
 
@@ -41,10 +41,12 @@ object ScanTierProbe {
       r
     }
     // order-insensitive checksum over (g, ord, result): bit-level
-    // cross-tier equality without a 60M-row join
-    def checksum(d: org.apache.spark.sql.DataFrame, out: String): Long =
-      d.select(xxhash64(col("g"), col("ord"), col(out)).as("h"))
-        .agg(sum(col("h"))).head().getLong(0)
+    // cross-tier equality without a 60M-row join (decimal sum — a
+    // long sum of 60M hashes overflows under ANSI)
+    def checksum(d: org.apache.spark.sql.DataFrame, out: String): String =
+      d.select(xxhash64(col("g"), col("ord"), col(out))
+          .cast("decimal(38,0)").as("h"))
+        .agg(sum(col("h"))).head().get(0).toString
 
     if (ops("ffill")) {
       val w = time("ffill window tier") {
