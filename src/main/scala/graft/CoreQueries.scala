@@ -719,7 +719,22 @@ object CoreQueries {
       graft.api.GlobalScan.groupedBfill(withNull(ev(s, d)),
         Seq("user_id"), Seq(col("event_id")), "v", "filled")
         .select(col("event_id"), col("user_id"), col("filled"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // distributed cumsum (GlobalScan.groupedPrefixSum) certified
+    // cross-engine on a LONG value — integer addition is associative
+    // bit-for-bit, so the boundary-carry tier is exact where a float
+    // cumsum's summation order would diverge; null = 0 (leading-null
+    // runs emit 0, hence the coalesce on the oracle side)
+    "q_cumsum_dist" -> ((s, d) => {
+      val e = ev(s, d).withColumn("iv",
+        when(pmod(col("event_id"), lit(7)) =!= 0,
+          pmod(col("event_id"), lit(1000))))
+      graft.api.GlobalScan.groupedPrefixSum(e, Seq("user_id"),
+        Seq(col("event_id")), col("iv"), "csum")
+        .select(col("event_id"), col("user_id"), col("csum"))
+        .orderBy("event_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1202,5 +1217,12 @@ object CoreQueries {
       s"""SELECT event_id, user_id,
          first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled
-         FROM ($sqlNull) ORDER BY event_id""")
+         FROM ($sqlNull) ORDER BY event_id""",
+
+    "q_cumsum_dist" ->
+      """SELECT event_id, user_id,
+         coalesce(CAST(sum(CASE WHEN event_id % 7 <> 0 THEN event_id % 1000 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS csum
+         FROM events ORDER BY event_id""")
 }
