@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
   * xxhash64 checksum (bit-equality at full scale, not a sample).
   *
   * Usage: runMain graft.ScanTierProbe [rows] [ops]
-  *   ops: comma list of ffill,cummax (default both)
+  *   ops: comma list of ffill,cummax,cumsum (default all)
   */
 object ScanTierProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 60000000L
     val ops = if (args.length > 1) args(1).split(",").toSet
-      else Set("ffill", "cummax")
+      else Set("ffill", "cummax", "cumsum")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,6 +59,26 @@ object ScanTierProbe {
       println(s"[probe] ffill checksums window=$w carry=$t " +
         (if (w == t) "MATCH" else "MISMATCH"))
       require(w == t, "ffill tier mismatch")
+    }
+    if (ops("cumsum")) {
+      // integer cumsum — the regime where the carry tier is exact
+      // (long addition is associative bit-for-bit; null = 0 matches
+      // the window sum's ignore-nulls with a coalesce)
+      val di = df.withColumn("iv", (col("v") * 100).cast("long"))
+      val w = time("cumsum window tier") {
+        checksum(di.withColumn("c",
+          coalesce(
+            sum(col("iv")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("g").orderBy("ord")
+              .rowsBetween(Long.MinValue, 0)), lit(0L))), "c")
+      }
+      val t = time("cumsum carry tier") {
+        checksum(api.GlobalScan.groupedPrefixSum(
+          di, Seq("g"), Seq(col("ord")), col("iv"), "c"), "c")
+      }
+      println(s"[probe] cumsum checksums window=$w carry=$t " +
+        (if (w == t) "MATCH" else "MISMATCH"))
+      require(w == t, "cumsum tier mismatch")
     }
     if (ops("cummax")) {
       val w = time("cummax window tier") {
