@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Persistent bucketed layout — the storage-level mate of
+  * [[Partitioning.byGroups]] (which holds only for one session's plan
+  * batch). flox amortizes its rechunk across the reductions of one
+  * graph (flox/rechunk.py:158-223); a 100 TB corpus wants the same
+  * economics across JOBS: pay the layout shuffle once at write time,
+  * then every later join or aggregation on the bucket keys reads the
+  * files already co-partitioned (Catalyst's EnsureRequirements sees
+  * the scan's HashPartitioning satisfies the operator's distribution
+  * and plans no Exchange — a join of two 100 TB bucketed fact tables
+  * moves zero rows).
+  *
+  * Two layout rules this writer enforces, both invisible correctness-
+  * wise but decisive at scale:
+  *
+  *  - '''one file per bucket''': a naive `bucketBy` write emits one
+  *    file per (writing task x bucket) — at 1000 tasks x 1024 buckets
+  *    that is a million files, and multi-file buckets also lose the
+  *    scan's `outputOrdering`, putting the sort back under every
+  *    sort-merge join. Pre-repartitioning by the bucket expression
+  *    (Spark's own bucket hash: murmur3 pmod buckets, the same
+  *    function `repartition(n, cols)` plans) routes each bucket to
+  *    exactly one task, so each bucket is exactly one file.
+  *  - '''sorted buckets''': with `sortCols` the per-bucket files carry
+  *    a sort order the scan re-exposes (only valid because of the one
+  *    file per bucket above), so a sort-merge join on the keys plans
+  *    neither Exchange NOR Sort — the 100 TB join degenerates to a
+  *    streamed zipper over co-located files.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (optionally bucket-sorted) parquet table.
+    * `path` makes it external (the data lives there; the catalog entry
+    * is metadata only). Keys must be a prefix-compatible superset of
+    * later join/agg keys for the exchange elision to apply. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(keys.nonEmpty, "bucket keys must be non-empty")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // one file per bucket: repartition by the bucket hash before the
+    // bucketed write (same murmur3-pmod mapping on both sides)
+    val laid = df.repartition(buckets, keys.map(col): _*)
+    var w = laid.write.format("parquet").mode(mode)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(table)
+  }
+
+  /** The bucketed table as a DataFrame (scan exposes the bucket
+    * partitioning + per-bucket sort order to the planner). */
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+
+  /** Number of shuffle exchanges in `df`'s physical plan — the
+    * diagnostic for "did the layout actually elide the shuffle"
+    * (broadcast exchanges excluded: they move a dimension table, not
+    * the corpus). */
+  def shuffleExchanges(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan.toString
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+  }
+}
