@@ -72,6 +72,38 @@ object CoreQueries {
         .withColumn("sum_qty", r("sum_qty", 2))
         .withColumn("avg_qty", r("avg_qty", 4))),
 
+    // reductions + join over the PERSISTENT bucketed layout
+    // (api.Layout — the cross-JOB blockwise analog,
+    // flox/rechunk.py:158-223): both fact tables are written bucketed
+    // on the join key, read back through the catalog, joined and
+    // aggregated. Results must equal the plain join+agg over the raw
+    // parquet (the oracle) — the layout is a physical property only.
+    // The plan laws (one file per bucket on disk; zero
+    // ShuffleExchangeExec AND zero SortExec on the join+agg tree) are
+    // pinned in LayoutSpec where broadcast is disabled; here the query
+    // certifies values under default confs. The write runs eagerly at
+    // plan-build time (the connected-components convention).
+    "q_bucketed_agg" -> ((s, d) => {
+      import graft.api.Layout
+      val tag = java.lang.Integer.toHexString(d.hashCode).replace("-", "m")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_layout_$tag"
+      val liT = s"graft_bl_li_$tag"; val ordT = s"graft_bl_ord_$tag"
+      Layout.writeBucketed(
+        li(s, d).select("l_orderkey", "l_quantity", "l_extendedprice"),
+        liT, Seq("l_orderkey"), 8, Seq("l_orderkey"), Some(s"$root/li"))
+      Layout.writeBucketed(
+        ord(s, d).select("o_orderkey", "o_orderpriority"),
+        ordT, Seq("o_orderkey"), 8, Seq("o_orderkey"), Some(s"$root/ord"))
+      Layout.table(s, ordT)
+        .join(Layout.table(s, liT),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_sum" -> ((s, d) =>
       GroupByReduce(li(s, d), Seq("l_returnflag"), "l_quantity", "sum", "sum_qty")
         .withColumn("sum_qty", r("sum_qty", 2))),
@@ -673,15 +705,25 @@ object CoreQueries {
     // exercising the finalize(run, whole) hook — both in one window pass
     "q_custom_scan" -> ((s, d) => {
       import graft.aggs.CustomScans
-      CustomScans.register("cummax", CustomScans.ScanSpec(v => max(v)))
       CustomScans.register("cumfrac", CustomScans.ScanSpec(
-        v => sum(v), finish = (run, whole) => run / whole))
+        v => sum(v), finish = Some((run, whole) => run / whole)))
       val base = GroupByScan(spreadBy(s, ev(s, d), "user_id"),
         Seq("user_id"), "value", "cummax", "event_id", "cmax")
       GroupByScan(base, Seq("user_id"), "value", "cumfrac", "event_id", "cfrac")
         .select(col("event_id"), col("user_id"), col("cmax"),
           r("cfrac", 6).as("cfrac"))
     }),
+
+    // the same REGISTRY route at unbounded group size (r14 verdict #4):
+    // the registered cummax's declared associative fold runs through
+    // GlobalScan's boundary-carry tier — flox's generic scan_binary_op
+    // (flox/aggregations.py:792-846) — instead of one task per group.
+    // Same window SQL as the cummax half of q_custom_scan by design.
+    "q_custom_scan_dist" -> ((s, d) =>
+      graft.api.GlobalScan.groupedCustomScan(
+        ev(s, d).select("event_id", "user_id", "value"),
+        Seq("user_id"), Seq(col("event_id")), "value", "cmax", "cummax")
+        .orderBy("event_id")),
 
     // §2.5 callable-per-group escape hatch (flox/core.py:363-366):
     // an arbitrary Scala function per group — here sum of the top-3
@@ -751,6 +793,12 @@ object CoreQueries {
          round(avg(l_quantity), 4) AS avg_qty,
          count(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_bucketed_agg" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,
+         count(*)::BIGINT AS n_items, max(l_extendedprice) AS max_price
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q_sum" ->
       "SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1 ORDER BY 1",
@@ -1187,6 +1235,12 @@ object CoreQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    "q_custom_scan_dist" ->
+      """SELECT event_id, user_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax
+         FROM events ORDER BY event_id""",
 
     "q_per_group" ->
       """SELECT user_id, round(sum(value), 2) AS top3_sum FROM (

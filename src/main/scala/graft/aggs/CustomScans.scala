@@ -1,6 +1,7 @@
 package graft.aggs
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.DataType
 
 /** User-defined grouped-scan extension point — the Spark-native analog
   * of flox's custom `Scan` dataclass (reference:
@@ -14,10 +15,19 @@ import org.apache.spark.sql.Column
   * (flox/dask.py:576-663), and `reverse` selects the backward frame
   * (current row → unbounded following) instead of flipping the data.
   *
+  * A scan that additionally declares its associative `fold` (flox's
+  * `binary_op`, flox/aggregations.py:792-846) also gets the
+  * UNBOUNDED-GROUP carry tier for free:
+  * [[graft.api.GlobalScan.groupedCustomScan]] range-partitions rows on
+  * (group, order) and stitches partition boundaries with the fold —
+  * the same escalation path the built-in ffill/cummax tiers use when
+  * one group spans the corpus (one task per group is the window
+  * formulation's wall).
+  *
   * {{{
   *   CustomScans.register("cummax", CustomScans.ScanSpec(v => max(v)))
   *   CustomScans.register("cumfraction", CustomScans.ScanSpec(
-  *     agg = v => sum(v), finish = (run, tot) => run / tot))
+  *     agg = v => sum(v), finish = Some((run, tot) => run / tot)))
   *   GroupByScan(df, Seq("k"), "v", "cummax", order = "idx")
   * }}}
   */
@@ -28,27 +38,78 @@ object CustomScans {
     *                  same under a window frame)
     * @param reverse   scan from the end of the group (flox `reverse`
     *                  preprocess+finalize, used by bfill)
-    * @param finish   post-transform of (running value, whole-group
-    *                  value) — identity-on-first by default; the second
-    *                  argument lets normalizing scans (running fraction
-    *                  of total) stay single-pass
+    * @param finish   optional post-transform of (running value,
+    *                  whole-group value) — the second argument lets
+    *                  normalizing scans (running fraction of total)
+    *                  stay single-pass. Window tier only: the carry
+    *                  tier has no whole-group operand and refuses
+    *                  finishing scans.
+    * @param fold     the scan's associative binary_op over the VALUE
+    *                  column's external JVM type (flox
+    *                  `scan_binary_op`), null-identity: state :=
+    *                  fold(state, value), null state = empty, null
+    *                  value = missing. Declaring it unlocks the
+    *                  unbounded-group carry tier
+    *                  ([[graft.api.GlobalScan.groupedCustomScan]]);
+    *                  ASSOCIATIVITY IS THE REGISTRANT'S CONTRACT —
+    *                  exact-value carries (max/min/first/fill) and
+    *                  integer monoids are bit-equal to the window
+    *                  tier, float accumulation is not (summation
+    *                  order differs across partition boundaries),
+    *                  which is why the built-in float cumsum has no
+    *                  fold here.
+    * @param combine  boundary segment-state merge (flox `binary_op`
+    *                  proper): state × state → state, null-identity on
+    *                  BOTH sides. Defaults to `fold` — correct exactly
+    *                  when the fold is selective (max/min/first/fill:
+    *                  states and values share a domain and
+    *                  fold(s₁, s₂) IS the concatenation's state).
+    *                  Accumulating folds (counts, sums) whose state
+    *                  domain differs from the value domain MUST
+    *                  declare it: fold(carry=107, segState=35) would
+    *                  count the segment as one more value, not 35
+    *                  (the defect the GlobalScanSpec law caught when
+    *                  this tier was built).
+    * @param foldOutType  the carry tier's output dtype when the fold's
+    *                  state type differs from the value column's
+    *                  (default: same as the value column)
     */
   case class ScanSpec(
       agg: Column => Column,
       reverse: Boolean = false,
-      finish: (Column, Column) => Column = (run, _) => run)
+      finish: Option[(Column, Column) => Column] = None,
+      fold: Option[(Any, Any) => Any] = None,
+      combine: Option[(Any, Any) => Any] = None,
+      foldOutType: Option[DataType] = None)
 
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, ScanSpec]
 
   def register(name: String, spec: ScanSpec): Unit = registry.put(name, spec)
 
+  /** Comparable-based extremum fold matching Spark's window max/min for
+    * the dtypes whose boxed compareTo is Spark's ordering: numerics
+    * (java.lang.Double.compareTo IS Double.compare — NaN greatest,
+    * matching the window tier) and ASCII strings. Nulls skip. */
+  private def extremumFold(sign: Int): (Any, Any) => Any = (st, v) =>
+    if (v == null) st
+    else if (st == null) v
+    else {
+      val c = v.asInstanceOf[Comparable[Any]].compareTo(st)
+      if (c * sign > 0) v else st
+    }
+
   // Standard extra scans pre-registered (numpy ufunc.accumulate family
   // beyond flox's fixed four): available to GroupByScan by name.
+  // cummax/cummin declare their fold (exact-value carry ⇒ the carry
+  // tier is bit-equal); cumprod/cumcount stay window-only (float
+  // product is order-sensitive across boundaries; cumcount's empty
+  // prefix is 0, not null — neither survives the null-identity fold
+  // contract unchanged).
   locally {
     import org.apache.spark.sql.functions.{count, max, min, product}
-    register("cummax", ScanSpec(v => max(v)))
-    register("cummin", ScanSpec(v => min(v)))
+    register("cummax", ScanSpec(v => max(v), fold = Some(extremumFold(1))))
+    register("cummin", ScanSpec(v => min(v), fold = Some(extremumFold(-1))))
     register("cumprod", ScanSpec(v => product(v)))
     register("cumcount", ScanSpec(v => count(v)))
   }

@@ -1,0 +1,230 @@
+package graft.api
+
+import graft.aggs.ReduceOptions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Automatic tier selection — the `_choose_method` parity gap (r14
+  * verdict #3; reference heuristics: `flox/core.py:685-709`,
+  * `flox/cohorts.py:109-301`). flox picks
+  * map-reduce/blockwise/cohorts for the user from how labels
+  * distribute over chunks; graft's equivalent forks are its
+  * ESCALATION TIERS, whose boundaries previously lived only in
+  * scaladoc constants: a user who picked wrong either OOM'd (buffered
+  * quantile of a corpus-spanning group) or paid 3–11× (plain
+  * rollingAgg at a 30% hot key).
+  *
+  * One cheap sampled-stats pass drives every fork:
+  *
+  *   - `keyStats` — total rows (often metadata-only on parquet) plus
+  *     ONE aggregation over a deterministic sample: estimated group
+  *     count, estimated max group size, max group share. Cost is two
+  *     small jobs, independent of group cardinality.
+  *   - decision functions (pure, spec-testable) map stats to a tier;
+  *     the auto entry points log the decision and delegate to exactly
+  *     the code the certified queries run, so `auto` can never change
+  *     a result — only a plan.
+  *
+  * Thresholds are the measured crossover points from the r12–r14
+  * probes, overridable per call:
+  *
+  *   - [[MegaGroupRows]] (default 8M): above this estimated max group
+  *     size, buffered exact quantiles (one sorted buffer per group)
+  *     and window scans (one task per group) escalate to the
+  *     distributed bracket-search / boundary-carry tiers. QdistProbe:
+  *     buffered wins at 5M pairs/group, loses (or OOMs) at 20M;
+  *     ScanTierProbe: carry ffill 2.5× at 20M rows/group.
+  *   - [[HotKeyShare]] (default 0.10): at double-digit key
+  *     concentration the events operators escalate to the time-block
+  *     decompositions (SkewProbe: 11× for rolling at 30% hot key;
+  *     as-of/sessionize escalate for the single-task memory wall, not
+  *     wall-clock — the probes measured plain parity at 10M).
+  */
+object Dispatch {
+
+  /** Measured crossover: max group rows above which one-buffer/"one
+    * task per group" formulations escalate. */
+  val MegaGroupRows: Long = 8000000L
+
+  /** Measured boundary: hottest-key row share at which the events
+    * operators escalate to the block decompositions. */
+  val HotKeyShare: Double = 0.10
+
+  /** Sampled per-key statistics.
+    *
+    * @param rows            exact total row count
+    * @param sampledRows     rows in the sample the estimates came from
+    * @param groupsEst       distinct keys IN THE SAMPLE (a lower bound
+    *                        on true group count — rare keys are
+    *                        invisible, which is fine: dispatch only
+    *                        cares about BIG groups, which a 1% sample
+    *                        cannot miss)
+    * @param maxGroupRowsEst sample max group size scaled by 1/fraction
+    * @param maxGroupShare   hottest sampled key's share of sampled rows
+    */
+  case class KeyStats(rows: Long, sampledRows: Long, groupsEst: Long,
+                      maxGroupRowsEst: Long, maxGroupShare: Double)
+
+  /** One cheap stats pass: exact count + one aggregation over a
+    * deterministic `fraction` sample (fixed seed — same data, same
+    * decision). Inputs smaller than ~100k rows are measured exactly
+    * (a 1% sample of small data estimates nothing). Null keys count
+    * like any other key — both tiers of every fork drop or carry them
+    * identically, so they cannot flip a decision wrongly. */
+  def keyStats(df: DataFrame, keys: Seq[String],
+               fraction: Double = 0.01, seed: Long = 42L): KeyStats = {
+    require(keys.nonEmpty, "keyStats needs key columns")
+    require(fraction > 0 && fraction <= 1.0, s"bad fraction $fraction")
+    val total = df.count()
+    val frac = if (total * fraction < 100000L) 1.0 else fraction
+    val s = if (frac >= 1.0) df else df.sample(withReplacement = false, frac, seed)
+    val r = s.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__dc"))
+      .agg(count(lit(1)).as("g"), max("__dc").as("m"), sum("__dc").as("n"))
+      .head()
+    val g = r.getLong(0)
+    val (m, n) = if (g == 0L) (0L, 0L) else (r.getLong(1), r.getLong(2))
+    KeyStats(
+      rows = total,
+      sampledRows = n,
+      groupsEst = g,
+      maxGroupRowsEst = if (frac >= 1.0) m else (m / frac).toLong,
+      maxGroupShare = if (n == 0L) 0.0 else m.toDouble / n)
+  }
+
+  sealed trait Tier { def name: String }
+  case object Buffered extends Tier { val name = "buffered" }
+  case object DistributedTier extends Tier { val name = "distributed" }
+  case object WindowTier extends Tier { val name = "window" }
+  case object CarryTier extends Tier { val name = "carry" }
+  case object Plain extends Tier { val name = "plain" }
+  case object Skewed extends Tier { val name = "skewed" }
+
+  /** Pure decision functions — the spec asserts these on planted
+    * stats; the auto entry points below only log + delegate. */
+  def chooseQuantileTier(st: KeyStats,
+                         megaGroupRows: Long = MegaGroupRows): Tier =
+    if (st.maxGroupRowsEst > megaGroupRows) DistributedTier else Buffered
+
+  def chooseScanTier(st: KeyStats,
+                     megaGroupRows: Long = MegaGroupRows): Tier =
+    if (st.maxGroupRowsEst > megaGroupRows) CarryTier else WindowTier
+
+  def chooseEventsTier(st: KeyStats,
+                       hotKeyShare: Double = HotKeyShare): Tier =
+    if (st.maxGroupShare >= hotKeyShare) Skewed else Plain
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private def logDecision(op: String, tier: Tier, st: KeyStats): Unit =
+    log.info(s"graft.Dispatch: $op -> ${tier.name} " +
+      s"(rows=${st.rows}, sampled=${st.sampledRows}, " +
+      s"groups>=${st.groupsEst}, maxGroup~${st.maxGroupRowsEst}, " +
+      s"maxShare=${"%.3f".format(st.maxGroupShare)})")
+
+  /** Exact grouped quantile, tier chosen from the data: buffered
+    * per-group sort below [[MegaGroupRows]], the sketch-guided
+    * bracket search ([[GroupByReduce.quantileDistributed]]) above.
+    * Both tiers are bit-equal by the shared interpolation algebra
+    * (spec-pinned), so `auto` affects only the plan. */
+  def quantileAuto(df: DataFrame, by: Seq[String], value: String,
+                   qs: Seq[Double], as: String = "result",
+                   opts: ReduceOptions = ReduceOptions(),
+                   megaGroupRows: Long = MegaGroupRows): DataFrame = {
+    val st = keyStats(df, by)
+    val tier = chooseQuantileTier(st, megaGroupRows)
+    logDecision("quantile", tier, st)
+    tier match {
+      case DistributedTier =>
+        GroupByReduce.quantileDistributed(df, by, value, qs, as,
+          dropNullKeys = opts.dropNullKeys)
+      case _ =>
+        GroupByReduce(df, by, value, "quantile", as, opts.copy(q = qs))
+    }
+  }
+
+  /** Grouped scan, tier chosen from the data: the window formulation
+    * below [[MegaGroupRows]] max group size, the boundary-carry tier
+    * above. Supported funcs in the carry tier: ffill, bfill, cummax,
+    * cummin (exact-value carries — bit-equal to the window tier,
+    * spec-pinned) and any registered custom scan with a declared
+    * fold; other funcs stay on the window tier at any size (their
+    * float accumulation order would diverge across partitions). */
+  def scanAuto(df: DataFrame, by: Seq[String], value: String,
+               func: String, order: String, as: String = "result",
+               megaGroupRows: Long = MegaGroupRows): DataFrame = {
+    val st = keyStats(df, by)
+    val tier = chooseScanTier(st, megaGroupRows)
+    val carry: Option[DataFrame => DataFrame] =
+      if (tier != CarryTier) None
+      else func match {
+        case "ffill" =>
+          Some(d => GlobalScan.groupedFfill(d, by, Seq(col(order)), value, as))
+        case "bfill" =>
+          Some(d => GlobalScan.groupedBfill(d, by, Seq(col(order)), value, as))
+        case "cummax" if isDouble(df, value) =>
+          Some(d => GlobalScan.groupedCumMax(d, by, Seq(col(order)), value, as))
+        case "cummin" if isDouble(df, value) =>
+          Some(d => GlobalScan.groupedCumMin(d, by, Seq(col(order)), value, as))
+        case other =>
+          graft.aggs.CustomScans.lookup(other) match {
+            case Some(spec) if spec.fold.isDefined && spec.finish.isEmpty =>
+              Some(d => GlobalScan.groupedCustomScan(
+                d, by, Seq(col(order)), value, as, other))
+            case _ => None
+          }
+      }
+    logDecision(s"scan:$func", if (carry.isDefined) CarryTier else WindowTier, st)
+    carry.map(_(df)).getOrElse(
+      GroupByScan(df, by, value, func, order, as))
+  }
+
+  /** Trailing-range rolling aggregate, tier chosen from the data:
+    * plain keyed window below [[HotKeyShare]] concentration, the
+    * span-block decomposition above (bit-equal, spec-pinned). */
+  def rollingAggAuto(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, span: Long,
+                     hotKeyShare: Double = HotKeyShare): DataFrame = {
+    val st = keyStats(df, Seq(keyCol))
+    val tier = chooseEventsTier(st, hotKeyShare)
+    logDecision("rollingAgg", tier, st)
+    if (tier == Skewed && span >= 1)
+      graft.ops.Events.rollingAggSkewed(df, keyCol, tsCol, valueCol, span)
+    else graft.ops.Events.rollingAgg(df, keyCol, tsCol, valueCol, span)
+  }
+
+  /** As-of join, tier chosen from the RIGHT side's key concentration
+    * (the side whose rows a hot key funnels through one task's sort;
+    * both sides shuffle on the same keys, so either estimates the
+    * skew — the right side is usually the bigger history table).
+    * `span` is only consulted by the skewed tier (block width). */
+  def asofJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, payload: Seq[String],
+                   span: Long, prefix: String = "asof_",
+                   direction: String = "backward",
+                   tolerance: Option[Long] = None,
+                   hotKeyShare: Double = HotKeyShare): DataFrame = {
+    val st = keyStats(right, keys)
+    val tier = chooseEventsTier(st, hotKeyShare)
+    logDecision("asofJoin", tier, st)
+    if (tier == Skewed)
+      graft.ops.Events.asofJoinSkewed(left, right, keys, leftTs, rightTs,
+        payload, span, prefix, direction, tolerance)
+    else
+      graft.ops.Events.asofJoin(left, right, keys, leftTs, rightTs,
+        payload, prefix, direction, tolerance)
+  }
+
+  /** Gap sessionization, tier chosen from the data (same boundary). */
+  def sessionizeAuto(df: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, gap: Long, span: Long,
+                     hotKeyShare: Double = HotKeyShare): DataFrame = {
+    val st = keyStats(df, Seq(keyCol))
+    val tier = chooseEventsTier(st, hotKeyShare)
+    logDecision("sessionize", tier, st)
+    if (tier == Skewed)
+      graft.ops.Events.sessionizeSkewed(df, keyCol, tsCol, tieCol, gap, span)
+    else graft.ops.Events.sessionize(df, keyCol, tsCol, tieCol, gap)
+  }
+
+  private def isDouble(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType == org.apache.spark.sql.types.DoubleType
+}

@@ -60,11 +60,15 @@ object GlobalScan {
       .repartitionByRange(spark.sessionState.conf.numShufflePartitions, order: _*)
       .sortWithinPartitions(order: _*)
       .localCheckpoint() // pin sampled range boundaries between passes
-    // pass 1: per-partition totals — #partitions longs to the driver
+    // pass 1: per-partition totals — #partitions longs to the driver.
+    // addExact everywhere a running long accumulates: a sum crossing
+    // 2^63 must RAISE (ArithmeticException → loud task failure), never
+    // wrap into a silently wrong prefix (r14 verdict #5 — the
+    // weightedQuantileDistributed weight CDF rides this sum).
     val totals = parted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => s += r.getLong(vIdx))
+        it.foreach(r => s = Math.addExact(s, r.getLong(vIdx)))
         Iterator((pid, s))
       }
       .collect()
@@ -74,13 +78,15 @@ object GlobalScan {
       if (pid + 1 < nPart) offsets(pid + 1) = s
     }
     var i = 1
-    while (i < nPart) { offsets(i) += offsets(i - 1); i += 1 }
+    while (i < nPart) {
+      offsets(i) = Math.addExact(offsets(i), offsets(i - 1)); i += 1
+    }
     val bc = spark.sparkContext.broadcast(offsets)
     // pass 2: map-only — running local sum + broadcast exclusive offset
     val outRdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bc.value(pid)
       it.map { r =>
-        run += r.getLong(vIdx)
+        run = Math.addExact(run, r.getLong(vIdx))
         Row.fromSeq(r.toSeq.updated(vIdx, run))
       }
     }
@@ -180,13 +186,62 @@ object GlobalScan {
     * values carry, so the tier is bit-identical to the window path. */
   def groupedCumMax(df: DataFrame, groupCols: Seq[String],
                     order: Seq[Column], valueCol: String,
-                    outCol: String): DataFrame =
+                    outCol: String): DataFrame = {
+    requireDoubleValue(df, valueCol, "groupedCumMax")
     groupedCarryScan(df, groupCols, order, valueCol, outCol, maxFold(1))
+  }
 
   def groupedCumMin(df: DataFrame, groupCols: Seq[String],
                     order: Seq[Column], valueCol: String,
-                    outCol: String): DataFrame =
+                    outCol: String): DataFrame = {
+    requireDoubleValue(df, valueCol, "groupedCumMin")
     groupedCarryScan(df, groupCols, order, valueCol, outCol, maxFold(-1))
+  }
+
+  /** The extrema folds compare via java.lang.Double.compare on the raw
+    * row value, so a non-double value column would ClassCastException
+    * mid-task — fail fast at plan time instead (groupedFfill/Bfill
+    * accept any dtype; the asymmetry is easy to miss). Callers with
+    * int/float columns cast to double first, same contract as the
+    * scaladoc's double comparison. */
+  private def requireDoubleValue(df: DataFrame, valueCol: String,
+                                 op: String): Unit =
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      s"$op needs a DOUBLE value column (the carry fold compares via " +
+        s"Double.compare); '$valueCol' is " +
+        s"${df.schema(valueCol).dataType.simpleString} — cast it first")
+
+  /** UNBOUNDED-GROUP tier for a registered custom scan
+    * ([[graft.aggs.CustomScans]]) — flox's generic `scan_binary_op`
+    * machinery (flox/aggregations.py:792-846) exposed through the
+    * registry, closing the asymmetry where only the BUILT-IN scans had
+    * a distributed escalation path (r14 verdict #4). The scan must
+    * declare its associative `fold` (ScanSpec.fold); `reverse` scans
+    * run over the negated order (the bfill duality — `order` columns
+    * must be bare). Scans with a `finish` post-transform are refused:
+    * finishing needs the whole-group operand, which the carry tier
+    * does not materialize — normalize downstream instead.
+    * Associativity and window-tier equivalence of the fold are the
+    * registrant's contract (see ScanSpec.fold — exact-value carries
+    * are bit-equal; float accumulation is not). */
+  def groupedCustomScan(df: DataFrame, groupCols: Seq[String],
+                        order: Seq[Column], valueCol: String,
+                        outCol: String, scanName: String): DataFrame = {
+    val spec = graft.aggs.CustomScans.lookup(scanName).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown custom scan '$scanName' (no CustomScans registration)"))
+    val fold = spec.fold.getOrElse(throw new IllegalArgumentException(
+      s"custom scan '$scanName' declares no associative binary_op " +
+        "(ScanSpec.fold); only the window tier (GroupByScan) can run it"))
+    require(spec.finish.isEmpty,
+      s"custom scan '$scanName' has a finish post-transform, which needs " +
+        "the whole-group operand — the carry tier cannot apply it; " +
+        "run the raw scan and normalize downstream")
+    val ord = if (spec.reverse) order.map(_.desc) else order
+    groupedCarryScan(df, groupCols, ord, valueCol, outCol, fold,
+      spec.foldOutType, spec.combine.getOrElse(fold))
+  }
 
   /** Spark double-ordering fold (java.lang.Double.compare: NaN
     * greatest, −0.0 < 0.0 — Spark's own total order); `sign` +1 keeps
@@ -202,16 +257,24 @@ object GlobalScan {
     }
 
   /** The shared unbounded-group carry scan: `fold` is a null-identity
-    * monoid step (state := fold(state, value), null state = empty).
-    * Associativity of the induced segment combine — fold(carryIn,
-    * segmentState) — is what lets partition boundaries stitch with
-    * O(#partitions) driver traffic: pass 1 folds each boundary
-    * segment locally, the driver chains carries, pass 2 replays the
-    * fold per row starting from the carried-in state. */
+    * per-row step (state := fold(state, value), null state = empty);
+    * `combine` merges two segment STATES (null-identity both sides)
+    * and is what lets partition boundaries stitch with O(#partitions)
+    * driver traffic: pass 1 folds each boundary segment locally, the
+    * driver chains carries with `combine`, pass 2 replays the fold
+    * per row starting from the carried-in state. `combine` defaults
+    * to `fold`, which is correct exactly for SELECTIVE folds
+    * (max/min/first/fill — state and value share a domain and the
+    * fold of two states is the concatenation's state); accumulating
+    * folds must pass their own (see ScanSpec.combine). */
   private def groupedCarryScan(df: DataFrame, groupCols: Seq[String],
                                order: Seq[Column], valueCol: String,
                                outCol: String,
-                               fold: (Any, Any) => Any): DataFrame = {
+                               fold: (Any, Any) => Any,
+                               outType: Option[org.apache.spark.sql.types.DataType] = None,
+                               combine0: (Any, Any) => Any = null): DataFrame = {
+    val combine: (Any, Any) => Any =
+      if (combine0 != null) combine0 else fold
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     val spark = df.sparkSession
     val gIdx = groupCols.map(df.schema.fieldIndex)
@@ -260,8 +323,11 @@ object GlobalScan {
       val carryIn: Any =
         if (carryKey != null && carryKey == fk) carryVal else null
       val out: Any =
-        if (fk == lk) { if (lState != null) fold(carryIn, lState) else carryIn }
-        else lState
+        if (fk == lk) {
+          if (lState == null) carryIn
+          else if (carryIn == null) lState
+          else combine(carryIn, lState)
+        } else lState
       carryKey = lk
       carryVal = out
     }
@@ -281,7 +347,8 @@ object GlobalScan {
     }
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+
-        StructField(outCol, df.schema(valueCol).dataType, nullable = true))
+        StructField(outCol, outType.getOrElse(df.schema(valueCol).dataType),
+          nullable = true))
     spark.createDataFrame(outRdd, outSchema)
   }
 
@@ -318,8 +385,10 @@ object GlobalScan {
         var sawOther = false
         it.foreach { r =>
           val k = gkey(r)
-          if (k == lk) { lCount += gval(r); if (!sawOther) fCount += gval(r) }
-          else { sawOther = true; lk = k; lCount = gval(r) }
+          if (k == lk) {
+            lCount = Math.addExact(lCount, gval(r))
+            if (!sawOther) fCount = Math.addExact(fCount, gval(r))
+          } else { sawOther = true; lk = k; lCount = gval(r) }
         }
         Iterator((pid, fk, fCount, lk, lCount))
       }
@@ -332,7 +401,8 @@ object GlobalScan {
     bounds.foreach { case (pid, fk, fCount, lk, lCount) =>
       if (carryKey != null && carryKey == fk) offsets((pid, fk)) = carryCount
       val into = // count of lk so far, including any carried-in prefix
-        if (fk == lk) fCount + (if (carryKey != null && carryKey == fk) carryCount else 0L)
+        if (fk == lk) Math.addExact(fCount,
+          if (carryKey != null && carryKey == fk) carryCount else 0L)
         else lCount
       carryKey = lk
       carryCount = into
@@ -347,7 +417,7 @@ object GlobalScan {
           cur = k
           run = bc.value.getOrElse((pid, k), 0L)
         }
-        run += gval(r)
+        run = Math.addExact(run, gval(r))
         // drop the trailing __grn_v temp, append the running sum
         Row.fromSeq(r.toSeq.dropRight(1) :+ run)
       }

@@ -269,6 +269,19 @@ object GroupByReduce {
     require(qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must lie in [0, 1]: $qs")
     require(accuracy >= 100, s"accuracy $accuracy too coarse (min 100)")
+    // staged-column collision guard (the weightedQuantileDistributed
+    // convention): an input carrying one of these names would get an
+    // ambiguous-reference failure or be silently shadowed
+    val staged = Seq("__qn", "__qnf", "__qg", "__qv", "__qe", "__qi",
+      "__iv", "__qrn") ++
+      qs.indices.flatMap(i => Seq(s"__qa$i", s"__qb$i", s"__r1_$i",
+        s"__r2_$i", s"__cl$i", s"__ca$i", s"__ci$i", s"__cb$i",
+        s"__s1$i", s"__s2$i")) ++
+      by.map(k => s"__qr_$k")
+    staged.foreach { c =>
+      require(!df0.columns.contains(c),
+        s"quantileDistributed stages a column named '$c'; rename the input's")
+    }
     // flox null-label-drop parity (same default as the buffered path's
     // ReduceOptions.dropNullKeys); with it off, the NULL-keyed group is
     // a real group and the null-safe joins below carry it correctly.
@@ -303,7 +316,14 @@ object GroupByReduce {
         .cast("long") + 1
       val r2 = least(r1 + 1, col("__qn"))
       val nf = col("__qnf").cast("double")
-      val slack = nf / accuracy + lit(2.0) // GK ε·n + query discretization
+      // 2·ε·n + query discretization: percentile_approx's map-side-
+      // merged GK summaries can degrade TOWARD the ε = 1/accuracy
+      // bound, and a violated bracket fires the raise_error guard — a
+      // loud whole-job abort on exactly the 100 TB workloads this tier
+      // targets. Doubling the slack widens the interior sliver by only
+      // ~ε·n rows (cost flat) while removing the spurious-abort risk
+      // when merged summaries sit at the bound (r14 advice).
+      val slack = nf * 2.0 / accuracy + lit(2.0)
       val rB = least(r2, col("__qnf")).cast("double")
       val ja = least(lit(m.toLong), greatest(lit(0L),
         floor(((r1.cast("double") - slack) / nf) / h).cast("long")))

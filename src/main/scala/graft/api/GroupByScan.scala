@@ -61,10 +61,16 @@ object GroupByScan {
       case other => CustomScans.lookup(other) match {
         case Some(spec) =>
           val frame = if (spec.reverse) bwd else fwd
-          val whole = Window.partitionBy(keys: _*)
-            .orderBy(col(order).asc)
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-          spec.finish(spec.agg(v).over(frame), spec.agg(v).over(whole))
+          val run = spec.agg(v).over(frame)
+          spec.finish match {
+            case Some(fin) =>
+              val whole = Window.partitionBy(keys: _*)
+                .orderBy(col(order).asc)
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.unboundedFollowing)
+              fin(run, spec.agg(v).over(whole))
+            case None => run
+          }
         case None => throw new IllegalArgumentException(
           s"unknown scan '$other' (cumsum|nancumsum|ffill|bfill|" +
             "cummax|cummin|nancummax|nancummin or " +

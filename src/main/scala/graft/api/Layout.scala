@@ -1,6 +1,9 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 import org.apache.spark.sql.functions.col
 
 /** Persistent bucketed layout — the storage-level mate of
@@ -29,7 +32,12 @@ import org.apache.spark.sql.functions.col
   *    a sort order the scan re-exposes (only valid because of the one
   *    file per bucket above), so a sort-merge join on the keys plans
   *    neither Exchange NOR Sort — the 100 TB join degenerates to a
-  *    streamed zipper over co-located files.
+  *    streamed zipper over co-located files. Since Spark 3.1 the scan
+  *    only LISTS-AND-EXPOSES that order under
+  *    `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (the
+  *    listing cost was moved behind a flag); with the flag off the
+  *    join stays exchange-free but re-sorts inside each bucket. Both
+  *    shapes are law-pinned in LayoutSpec.
   */
 object Layout {
 
@@ -58,12 +66,39 @@ object Layout {
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
 
+  /** Every node of `df`'s physical plan TREE, unwrapping the adaptive /
+    * query-stage / subquery shells — the robust alternative to regexing
+    * `executedPlan.toString` (which drifts with plan formatting and
+    * miscounts ReusedExchange nodes, r14 advice). ReusedExchangeExec is
+    * kept as itself and NOT descended into: its child is a pointer to an
+    * exchange already counted elsewhere in the tree. */
+  def planNodes(df: DataFrame): Seq[SparkPlan] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec        => p +: walk(q.plan)
+      case _: ReusedExchangeExec    => Seq(p)
+      case _ => p +: (p.children.flatMap(walk) ++
+        p.subqueries.flatMap(walk))
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Number of shuffle exchanges in `df`'s physical plan — the
     * diagnostic for "did the layout actually elide the shuffle"
     * (broadcast exchanges excluded: they move a dimension table, not
-    * the corpus). */
-  def shuffleExchanges(df: DataFrame): Int = {
-    val plan = df.queryExecution.executedPlan.toString
-    "(?<!Broadcast)Exchange".r.findAllIn(plan).length
-  }
+    * the corpus; reused exchanges excluded: the data moved once). */
+  def shuffleExchanges(df: DataFrame): Int =
+    planNodes(df).count {
+      case _: ShuffleExchangeLike => true
+      case _                      => false
+    }
+
+  /** Number of SortExec nodes — the second half of the sorted-bucket
+    * claim: a sort-merge join over bucket-sorted single-file buckets
+    * plans neither Exchange NOR Sort. */
+  def sortExecs(df: DataFrame): Int =
+    planNodes(df).count {
+      case _: SortExec => true
+      case _           => false
+    }
 }

@@ -388,9 +388,16 @@ object Selection {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    // only well-formed epoch=<digits> directories parse; a foreign or
+    // temp dir (epoch=tmp, _spark_metadata) must not crash verification
+    // with a NumberFormatException (r14 advice)
+    val epochPat = "epoch=(\\d+)".r
     val epochs = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
-      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case epochPat(n) => Some(n.toLong)
+        case _           => None
+      })
       .sorted
     epochs.foreach(e => verifyShards(spark, s"$path/epoch=$e"))
     epochs

@@ -258,4 +258,27 @@ class EventsSpec extends SparkTestBase {
       .as[(Long, Long)].collect()
     assert(got === Array((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)))
   }
+
+  test("skewed tier argument rejection: non-positive spans and negative " +
+    "gaps fail fast at plan time, never inside a task") {
+    val df = Seq((1L, 1L, 0L, 1.0)).toDF("k", "id", "ts", "v")
+    for (span <- Seq(0L, -5L)) {
+      intercept[IllegalArgumentException] {
+        Events.rollingAggSkewed(df, "k", "ts", "v", span)
+      }
+      intercept[IllegalArgumentException] {
+        Events.sessionizeSkewed(df, "k", "ts", "id", gap = 10L, span = span)
+      }
+      intercept[IllegalArgumentException] {
+        Events.asofJoinSkewed(df, df, Seq("k"), "ts", "ts", Seq("v"),
+          span = span)
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Events.rollingAgg(df, "k", "ts", "v", span = -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Events.sessionizeSkewed(df, "k", "ts", "id", gap = -1L, span = 10L)
+    }
+  }
 }

@@ -316,6 +316,181 @@ class GlobalScanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  test("groupedCustomScan: registry cummax bit-equals the window tier " +
+    "across partition counts (incl. NaN, nulls, giant group)") {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // giant group with NaN/null sprinkled + two small groups
+      val data = (0 until 3000).map { i =>
+        val v: Option[Double] =
+          if (i % 31 == 0) None
+          else if (i % 97 == 0) Some(Double.NaN)
+          else Some(((i * 7919) % 200 - 100).toDouble)
+        ("big", i, v)
+      } ++ Seq(("a", 0, Some(5.0)), ("a", 1, None), ("b", 0, None))
+      def norm(d: Any): Any = d match {
+        case x: Double if x.isNaN => "NaN"
+        case x => x
+      }
+      for (parts <- Seq(1, 3, 8)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val df = data.toDF("g", "id", "v").repartition(5)
+        val got = GlobalScan.groupedCustomScan(df, Seq("g"),
+            Seq(col("id")), "v", "r", "cummax")
+          .orderBy("g", "id").select("g", "id", "r")
+          .collect().map(r => (r.getString(0), r.getInt(1), norm(r.get(2))))
+        val want = graft.api.GroupByScan(df, Seq("g"), "v", "cummax", "id", "r")
+          .orderBy("g", "id").select("g", "id", "r")
+          .collect().map(r => (r.getString(0), r.getInt(1), norm(r.get(2))))
+        assert(got === want, s"shufflePartitions=$parts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  test("groupedCustomScan: user-registered fold (first non-null), " +
+    "reversed scan, and foldOutType all match their window oracles") {
+    import graft.aggs.CustomScans
+    CustomScans.register("cumfirst_d", CustomScans.ScanSpec(
+      agg = v => first(v, ignoreNulls = true),
+      fold = Some((st, v) => if (st != null) st else v)))
+    CustomScans.register("revmax_d", CustomScans.ScanSpec(
+      v => max(v), reverse = true,
+      fold = Some((st, v) =>
+        if (v == null) st
+        else if (st == null) v
+        else if (v.asInstanceOf[Comparable[Any]].compareTo(st) > 0) v
+        else st)))
+    // an ACCUMULATING fold: state domain (count) differs from the
+    // value domain, so the boundary merge needs its own combine —
+    // fold(carry, segState) would count the segment as ONE value
+    CustomScans.register("cumnn_d", CustomScans.ScanSpec(
+      agg = v => count(v),
+      fold = Some((st, v) =>
+        if (v == null) st
+        else if (st == null) 1L
+        else st.asInstanceOf[Long] + 1L),
+      combine = Some((a, b) => a.asInstanceOf[Long] + b.asInstanceOf[Long]),
+      foldOutType = Some(org.apache.spark.sql.types.LongType)))
+    val data = (0 until 500).map { i =>
+      (s"g${i % 3}", i,
+        if (i % 7 == 0) None else Some(((i * 131) % 50).toDouble))
+    }
+    val df = data.toDF("g", "id", "v").repartition(4)
+    val fwd = Window.partitionBy("g").orderBy(col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy("g").orderBy(col("id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g", "id").select("g", "id", "r").collect().map(_.toSeq)
+
+    assert(rows(GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
+        "v", "r", "cumfirst_d")) ===
+      rows(df.withColumn("r", first(col("v"), ignoreNulls = true).over(fwd))))
+    assert(rows(GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
+        "v", "r", "revmax_d")) ===
+      rows(df.withColumn("r", max(col("v")).over(bwd))))
+    // count's empty prefix is 0 under the window; the null-identity
+    // fold leaves it null — the oracle maps 0 → null to compare
+    assert(rows(GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
+        "v", "r", "cumnn_d")) ===
+      rows(df.withColumn("r", when(count(col("v")).over(fwd) === 0,
+        lit(null)).otherwise(count(col("v")).over(fwd)))))
+  }
+
+  test("carry/running scans on degenerate shapes: 1-row input, " +
+    "all-one-group smaller than the partition count, empty input") {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      // 1 row, 16 partitions: 15 empty partitions in both passes
+      val one = Seq(("g", 1, Some(2.0))).toDF("g", "id", "v")
+      assert(GlobalScan.groupedFfill(one, Seq("g"), Seq(col("id")), "v", "f")
+        .select("f").collect().map(_.get(0)).toSeq === Seq(2.0))
+      assert(GlobalScan.groupedPrefixSum(one, Seq("g"), Seq(col("id")),
+          lit(5L), "s").select("s").collect().map(_.get(0)).toSeq === Seq(5L))
+      // 10 rows, ONE group, 16 partitions: every non-empty partition
+      // boundary is a same-group crossing
+      val ten = (0 until 10).map(i =>
+        ("g", i, if (i % 3 == 0) Some(i.toDouble) else None))
+        .toDF("g", "id", "v")
+      val f = GlobalScan.groupedFfill(ten, Seq("g"), Seq(col("id")), "v", "f")
+        .orderBy("id").select("f").collect().map(_.get(0))
+      assert(f.toSeq === Seq(0.0, 0.0, 0.0, 3.0, 3.0, 3.0, 6.0, 6.0, 6.0, 9.0))
+      val s = GlobalScan.groupedPrefixSum(ten, Seq("g"), Seq(col("id")),
+          lit(1L), "s").orderBy("id").select("s").collect().map(_.getLong(0))
+      assert(s.toSeq === (1L to 10L))
+      // empty input: empty output, schema intact
+      val empty = spark.emptyDataset[(String, Int, Option[Double])]
+        .toDF("g", "id", "v")
+      val e = GlobalScan.groupedFfill(empty, Seq("g"), Seq(col("id")), "v", "f")
+      assert(e.count() === 0L)
+      assert(e.schema.fieldNames.last === "f")
+      assert(GlobalScan.groupedRowNumber(empty, Seq("g"), Seq(col("id")),
+        "rn").count() === 0L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  test("prefix sums RAISE on long overflow instead of wrapping " +
+    "(within a partition, across the boundary chain, and through " +
+    "weightedQuantileDistributed's weight CDF)") {
+    val big = Long.MaxValue / 2 + 10L
+    // two rows in one group whose sum crosses 2^63 — whichever side of
+    // a partition boundary they land on, some accumulation must raise
+    val df = Seq(("g", 0, big), ("g", 1, big)).toDF("g", "id", "w")
+    val e1 = intercept[Throwable] {
+      GlobalScan.groupedPrefixSum(df, Seq("g"), Seq(col("id")),
+        col("w"), "s").collect()
+    }
+    assert(exceptionChain(e1).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in: $e1")
+    val e2 = intercept[Throwable] {
+      GlobalScan.prefixSum(df, Seq(col("id")), col("w"), "s").collect()
+    }
+    assert(exceptionChain(e2).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in: $e2")
+    // the weighted-quantile tier rides the same prefix sum: two huge
+    // frequency weights must abort loudly, never return a quantile of
+    // a silently wrapped CDF
+    val wq = Seq(("g", 1.0, big), ("g", 2.0, big)).toDF("g", "v", "w")
+    val e3 = intercept[Throwable] {
+      graft.api.GroupByReduce.weightedQuantileDistributed(
+        wq, Seq("g"), "v", "w", 0.5).collect()
+    }
+    assert(exceptionChain(e3).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in: $e3")
+  }
+
+  private def exceptionChain(t: Throwable): Seq[Throwable] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[Throwable]
+    var cur = t
+    while (cur != null && !buf.contains(cur)) { buf += cur; cur = cur.getCause }
+    buf.toSeq
+  }
+
+  test("groupedCustomScan: refuses scans without a fold and scans " +
+    "with a finish post-transform") {
+    import graft.aggs.CustomScans
+    val df = Seq(("g", 0, 1.0)).toDF("g", "id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
+        "v", "r", "cumprod") // pre-registered, window-only
+    }
+    assert(e1.getMessage.contains("binary_op"))
+    CustomScans.register("finfrac_d", CustomScans.ScanSpec(
+      v => sum(v), finish = Some((run, whole) => run / whole),
+      fold = Some((st, v) => v)))
+    val e2 = intercept[IllegalArgumentException] {
+      GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
+        "v", "r", "finfrac_d")
+    }
+    assert(e2.getMessage.contains("finish"))
+    val e3 = intercept[IllegalArgumentException] {
+      GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
+        "v", "r", "no_such_scan")
+    }
+    assert(e3.getMessage.contains("unknown"))
+  }
+
   test("packSequences: budget arithmetic, spans, empty docs") {
     val df = Seq((1L, 10L), (2L, 0L), (3L, 70L), (4L, 54L), (5L, 1L))
       .toDF("doc_id", "toks")

@@ -506,8 +506,11 @@ class ReduceSpec extends SparkTestBase {
     // trial 0: one mega group (stresses the bracket + interior rank);
     // later trials: many small groups incl. sizes straddling the GK
     // exact/compressed boundary (~1/(2eps)) via accuracy=500
+    // (..., 100) = the accuracy FLOOR: widest brackets, fattest
+    // interior sliver — the regime where a too-tight rank slack would
+    // fire the raise_error net (r14 advice: slack widened to 2εn+2)
     val trials = Seq((1, 60000, 10000), (5, 4000, 500),
-      (23, 900, 500), (40, 40, 10000))
+      (23, 900, 500), (40, 40, 10000), (7, 3000, 100))
     for (((nGroups, maxSize, acc), trial) <- trials.zipWithIndex) {
       val rows = scala.collection.mutable.ArrayBuffer[(Int, Option[Double])]()
       for (gid <- 0 until nGroups) {

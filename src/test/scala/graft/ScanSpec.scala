@@ -56,7 +56,7 @@ class ScanSpec extends SparkTestBase {
     CustomScans.register("cummax_t", CustomScans.ScanSpec(v => max(v)))
     CustomScans.register("revmax_t", CustomScans.ScanSpec(v => max(v), reverse = true))
     CustomScans.register("cumfrac_t", CustomScans.ScanSpec(
-      v => sum(v), finish = (run, whole) => run / whole))
+      v => sum(v), finish = Some((run, whole) => run / whole)))
     val d = Seq((0L, 0, 3.0), (1L, 0, 1.0), (2L, 0, 4.0), (3L, 0, 2.0))
       .toDF("idx", "by", "v")
     val cm = vals(GroupByScan(d, Seq("by"), "v", "cummax_t", "idx", "r"), "r")
