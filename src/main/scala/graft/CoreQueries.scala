@@ -725,6 +725,34 @@ object CoreQueries {
         Seq("user_id"), Seq(col("event_id")), "value", "cmax", "cummax")
         .orderBy("event_id")),
 
+    // complex-dtype reductions over the struct(re, im) convention
+    // (reference surface: NumPy complex reduce, tests/strategies.py:
+    // 83-99; r14 verdict missing #4). re takes a deterministic NaN
+    // sprinkle so plain-vs-nan* variants split: csum_re propagates
+    // NaN, the nan* family skips the whole complex value. re is
+    // DYADIC (floor(v·128)/128): exact in double, so cross-engine
+    // sums are bit-identical and round() can't land on a boundary
+    // (raw doubles hit one at sf0.01 — mean_re 50.6787 vs 50.6788).
+    "q_complex_aggs" -> ((s, d) => {
+      import graft.aggs.ComplexAggs._
+      val z = ev(s, d).withColumn("z", struct(
+        when(col("event_id") % 97 === 0, lit(Double.NaN))
+          .otherwise(floor(col("value") * 128) / 128).as("re"),
+        ((col("event_id") % 7) - 3).cast("double").as("im")))
+      z.groupBy("user_id").agg(
+          ccount(col("z")).as("n"),
+          round(csum(col("z")).getField("re"), 2).as("csum_re"),
+          round(nancsum(col("z")).getField("re"), 2).as("sum_re"),
+          round(nancsum(col("z")).getField("im"), 2).as("sum_im"),
+          round(nancmean(col("z")).getField("re"), 4).as("mean_re"),
+          round(nancmean(col("z")).getField("im"), 4).as("mean_im"),
+          round(nancvar(col("z"), 1), 4).as("cvar"),
+          round(nancstd(col("z"), 2), 4).as("cstd2"),
+          cfirst(col("z"), col("event_id")).getField("im").as("first_im"),
+          nanclast(col("z"), col("event_id")).getField("re").as("last_re"))
+        .orderBy("user_id")
+    }),
+
     // §2.5 callable-per-group escape hatch (flox/core.py:363-366):
     // an arbitrary Scala function per group — here sum of the top-3
     // values (order-insensitive, so deterministic under shuffle)
@@ -1241,6 +1269,40 @@ object CoreQueries {
          max(value) OVER (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax
          FROM events ORDER BY event_id""",
+
+    "q_complex_aggs" ->
+      """WITH z AS (
+           SELECT user_id, event_id,
+             CASE WHEN event_id % 97 = 0 THEN 'NaN'::DOUBLE
+                  ELSE floor(value * 128) / 128 END AS re,
+             ((event_id % 7) - 3)::DOUBLE AS im
+           FROM events),
+         a AS (
+           SELECT user_id,
+             count(*) FILTER (WHERE NOT (isnan(re) OR isnan(im)))::BIGINT AS n,
+             sum(re) AS sraw,
+             sum(re) FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS sre,
+             sum(im) FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS sim,
+             sum(re*re + im*im)
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS s2,
+             min_by(im, event_id) AS first_im,
+             max_by(re, event_id)
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS last_re
+           FROM z GROUP BY 1)
+         SELECT user_id, n,
+           round(sraw, 2) AS csum_re,
+           round(coalesce(sre, 0), 2) AS sum_re,
+           round(coalesce(sim, 0), 2) AS sum_im,
+           CASE WHEN n > 0 THEN round(sre / n, 4) END AS mean_re,
+           CASE WHEN n > 0 THEN round(sim / n, 4) END AS mean_im,
+           CASE WHEN n > 1 THEN
+             round(greatest(s2 - (sre*sre + sim*sim) / n, 0) / (n - 1), 4)
+           END AS cvar,
+           CASE WHEN n > 2 THEN
+             round(sqrt(greatest(s2 - (sre*sre + sim*sim) / n, 0) / (n - 2)), 4)
+           END AS cstd2,
+           first_im, last_re
+         FROM a ORDER BY 1""",
 
     "q_per_group" ->
       """SELECT user_id, round(sum(value), 2) AS top3_sum FROM (

@@ -1,0 +1,114 @@
+package graft.aggs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Complex-valued grouped reductions over the `struct(re, im)` column
+  * convention — the last reference dtype with no graft answer (r14
+  * verdict missing #4: NumPy reduces complex arrays natively and the
+  * reference's hypothesis strategies include complex dtypes,
+  * `tests/strategies.py:83-99`; Spark has no complex type, so a
+  * two-double struct carries one).
+  *
+  * Semantics follow NumPy componentwise:
+  *  - a value is MISSING when the struct is null (the long-form NA
+  *    convention); it is NaN when EITHER part is NaN
+  *    (`numpy.isnan(z) = isnan(re) | isnan(im)`);
+  *  - plain variants propagate NaN (a double sum does this natively),
+  *    `nan*` variants skip NaN values as a whole — never one part;
+  *  - `count` is flox's nanlen: # values with neither part NaN;
+  *  - var/std are REAL-valued: E|x − x̄|² with arbitrary ddof, computed
+  *    in the one-pass moment form Σ|x|² − |Σx|²/n over the group (the
+  *    same Chan-style algebra the scalar var uses), clamped at zero
+  *    against cancellation;
+  *  - first/last take an explicit order column (min_by/max_by — the
+  *    idx-deterministic convention every order-dependent reduction in
+  *    graft follows).
+  *
+  * Everything is plain column expressions over the struct's fields:
+  * one hash aggregation, map-side combinable, whole-stage codegen —
+  * the complex dtype adds zero plan complexity.
+  */
+object ComplexAggs {
+
+  private def re(v: Column): Column = v.getField("re")
+  private def im(v: Column): Column = v.getField("im")
+
+  /** Neither part NaN (and the struct present). */
+  def valid(v: Column): Column =
+    v.isNotNull && !isnan(re(v)) && !isnan(im(v))
+
+  private def c(reC: Column, imC: Column): Column =
+    struct(reC.as("re"), imC.as("im"))
+
+  /** # non-NaN complex values (flox `count` = nanlen). */
+  def ccount(v: Column): Column = count(when(valid(v), 1))
+
+  /** NaN-propagating sum: componentwise double sums (NaN sticks
+    * natively); null structs are missing and skip. All-missing group
+    * is null (both parts null → struct of nulls normalized to null). */
+  def csum(v: Column): Column = {
+    val s = c(sum(re(v)), sum(im(v)))
+    when(count(v) > 0, s)
+  }
+
+  /** NaN-skipping sum; all-skipped group sums to 0+0i (NumPy
+    * nansum([]) = 0). */
+  def nancsum(v: Column): Column =
+    c(coalesce(sum(when(valid(v), re(v))), lit(0.0)),
+      coalesce(sum(when(valid(v), im(v))), lit(0.0)))
+
+  def cmean(v: Column): Column =
+    c(sum(re(v)) / count(v), sum(im(v)) / count(v))
+
+  def nancmean(v: Column): Column = {
+    val n = ccount(v)
+    when(n > 0, c(sum(when(valid(v), re(v))) / n,
+      sum(when(valid(v), im(v))) / n))
+  }
+
+  /** Real variance E|x − x̄|², denominator n − ddof; NaN values
+    * propagate (any NaN part NaNs the moment sums). */
+  def cvar(v: Column, ddof: Int = 1): Column =
+    varFrom(re(v), im(v), count(v), ddof)
+
+  def nancvar(v: Column, ddof: Int = 1): Column =
+    varFrom(when(valid(v), re(v)), when(valid(v), im(v)), ccount(v), ddof)
+
+  def cstd(v: Column, ddof: Int = 1): Column = sqrt(cvar(v, ddof))
+  def nancstd(v: Column, ddof: Int = 1): Column = sqrt(nancvar(v, ddof))
+
+  private def varFrom(reC: Column, imC: Column, n: Column,
+                      ddof: Int): Column = {
+    val s2 = sum(reC * reC + imC * imC)
+    val sre = sum(reC)
+    val sim = sum(imC)
+    val ssd = s2 - (sre * sre + sim * sim) / n
+    // one-pass cancellation can dip a hair negative; CASE (not
+    // greatest) so an all-missing group's null stays null
+    val clamped = when(ssd < 0, lit(0.0)).otherwise(ssd)
+    when(n > ddof, clamped / (n - ddof))
+  }
+
+  /** First/last complex value in `order` — includes NaN values (plain
+    * first/last); rows with a null struct are missing and skip (their
+    * ordering value is nulled alongside — ExtremumBy skips null
+    * orderings). ExtremumBy, NOT the built-in min_by/max_by: their
+    * struct-typed aggregation buffer sinks the whole Aggregate into a
+    * SortAggregate (the r8 lesson, re-caught by PlanAuditSpec on this
+    * very query's first draft); ExtremumBy keeps ObjectHashAggregate. */
+  def cfirst(v: Column, order: Column): Column =
+    graft.functions.VectorExprs.extremumBy(
+      v, when(v.isNotNull, order), isMax = false)
+  def clast(v: Column, order: Column): Column =
+    graft.functions.VectorExprs.extremumBy(
+      v, when(v.isNotNull, order), isMax = true)
+
+  /** First/last non-NaN value in `order` (nanfirst/nanlast). */
+  def nancfirst(v: Column, order: Column): Column =
+    graft.functions.VectorExprs.extremumBy(
+      v, when(valid(v), order), isMax = false)
+  def nanclast(v: Column, order: Column): Column =
+    graft.functions.VectorExprs.extremumBy(
+      v, when(valid(v), order), isMax = true)
+}

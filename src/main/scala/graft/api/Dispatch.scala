@@ -70,7 +70,16 @@ object Dispatch {
     * decision). Inputs smaller than ~100k rows are measured exactly
     * (a 1% sample of small data estimates nothing). Null keys count
     * like any other key — both tiers of every fork drop or carry them
-    * identically, so they cannot flip a decision wrongly. */
+    * identically, so they cannot flip a decision wrongly.
+    *
+    * Cost honesty: the count is usually metadata-only on parquet, but
+    * the sampled aggregation SCANS the input once (Spark pushes no
+    * sampling into the scan) — flox's heuristics read only chunk
+    * metadata, which Spark does not keep per key. One extra map-side-
+    * combined scan is the price of choosing right; a caller running
+    * many operators over the same keys should compute [[keyStats]]
+    * once and drive the pure choosers (or the explicit tiers)
+    * directly. */
   def keyStats(df: DataFrame, keys: Seq[String],
                fraction: Double = 0.01, seed: Long = 42L): KeyStats = {
     require(keys.nonEmpty, "keyStats needs key columns")
@@ -134,10 +143,46 @@ object Dispatch {
     logDecision("quantile", tier, st)
     tier match {
       case DistributedTier =>
+        // escalation must never SILENTLY drop semantics: the
+        // distributed tier has no expected-groups/fill/min_count
+        // machinery, so an auto-escalated call carrying them fails
+        // loudly with the alternatives instead of returning a frame
+        // missing its declared groups
+        require(opts.expectedGroups.isEmpty && opts.fillValue.isEmpty &&
+          opts.minCount == 0,
+          "quantileAuto escalated to the distributed tier (max group ~" +
+            s"${st.maxGroupRowsEst} rows > $megaGroupRows) but " +
+            "expectedGroups/fillValue/minCount are set, which that tier " +
+            "does not implement — left-join the expected domain over the " +
+            "result yourself, or force the buffered tier via GroupByReduce " +
+            "if every group genuinely fits one task")
         GroupByReduce.quantileDistributed(df, by, value, qs, as,
           dropNullKeys = opts.dropNullKeys)
       case _ =>
         GroupByReduce(df, by, value, "quantile", as, opts.copy(q = qs))
+    }
+  }
+
+  /** Weighted exact quantile, tier chosen from the data — the fourth
+    * manual fork ([[GroupByReduce.weighted]]'s buffered CDF walk vs
+    * [[GroupByReduce.weightedQuantileDistributed]]'s run-compressed
+    * prefix sum; the buffered path needed a 48 GB heap at the 60M/3-
+    * group probe, the regime this exists to catch). Bit-equal tiers
+    * (spec-pinned), so `auto` affects only the plan. */
+  def weightedQuantileAuto(df: DataFrame, by: Seq[String], value: String,
+                           weight: String, q: Double, as: String = "result",
+                           opts: ReduceOptions = ReduceOptions(),
+                           megaGroupRows: Long = MegaGroupRows): DataFrame = {
+    val st = keyStats(df, by)
+    val tier = chooseQuantileTier(st, megaGroupRows)
+    logDecision("weightedQuantile", tier, st)
+    tier match {
+      case DistributedTier =>
+        GroupByReduce.weightedQuantileDistributed(df, by, value, weight, q,
+          as, dropNullKeys = opts.dropNullKeys)
+      case _ =>
+        GroupByReduce.weighted(df, by, value, weight,
+          Seq(("wquantile", as)), opts.copy(q = Seq(q)))
     }
   }
 

@@ -484,10 +484,12 @@ object Multimodal {
     * codec implemented purely on the JDK's ImageIO GIF reader. Frames
     * are composited onto the logical-screen canvas honoring per-frame
     * left/top offsets; disposal methods `none`/`doNotDispose`
-    * accumulate (the common case) and `restoreToBackgroundColor`
-    * clears the frame's rectangle; `restoreToPrevious` is approximated
-    * as accumulate (vanishingly rare, and a fingerprint consumer
-    * degrades gracefully). Per-frame delay comes from the
+    * accumulate (the common case), `restoreToBackgroundColor` clears
+    * the frame's rectangle, and `restoreToPrevious` restores the
+    * pre-frame canvas exactly (r15 — snapshot before draw, restore
+    * after emit; the background fill stays the black approximation of
+    * the palette background color, the browsers' behavior for GIFs
+    * without a transparent background). Per-frame delay comes from the
     * GraphicControlExtension (centiseconds → ms). GIF is palette-based
     * and lossless, so fixture frames with ≤256 colors round-trip
     * byte-exact and pinned dHash literals are codec-version stable. */
@@ -535,11 +537,28 @@ object Multimodal {
               val d = frameDescriptor(reader, i)
               (d._1, d._2, d._3, d._4)
             }
+            // EXACT restoreToPrevious (r15, closing the r13-carried
+            // approximation): snapshot the canvas before this frame
+            // draws, emit the composited frame, then restore. Only the
+            // frame's rectangle can differ, so restoring the whole
+            // snapshot equals the spec's restore-the-area.
+            val prev: java.awt.image.BufferedImage =
+              if (disposal == "restoreToPrevious") {
+                val p = new java.awt.image.BufferedImage(cw, ch,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val pg = p.createGraphics()
+                try pg.drawImage(canvas, 0, 0, null) finally pg.dispose()
+                p
+              } else null
             g.drawImage(frame, left, top, null)
             val vf = VideoFrame(id, i, cw, ch, delayCs * 10, dHashOf(canvas))
-            if (disposal == "restoreToBackgroundColor") {
-              g.setColor(java.awt.Color.BLACK)
-              g.fillRect(left, top, frame.getWidth, frame.getHeight)
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                g.setColor(java.awt.Color.BLACK)
+                g.fillRect(left, top, frame.getWidth, frame.getHeight)
+              case "restoreToPrevious" =>
+                g.drawImage(prev, 0, 0, null)
+              case _ => ()
             }
             vf
           }
@@ -581,6 +600,90 @@ object Multimodal {
       else try Some(a.getNodeValue.toInt)
       catch { case _: NumberFormatException => None }
     }
+  }
+
+  /** Multi-page TIFF frame decoder — the SECOND in-JDK [[FrameDecoder]]
+    * proof (r15; javax.imageio ships a TIFF plugin since Java 9),
+    * demonstrating the contract generalizes past the GIF specifics:
+    * TIFF pages are independent full images, so there is no
+    * compositing, no offsets, no disposal, and no timing (durationMs
+    * = 0 — a page stack, not an animation); per-page dims are the
+    * page's own. Default TIFF compression is lossless, so pinned
+    * dHashes are codec-version stable, and pages hash through the
+    * SAME still kernel — TIFF pages band with GIF frames and still
+    * images in one joiner. */
+  object TiffFrameDecoder extends FrameDecoder {
+    override def formatName: String = "tiff"
+
+    override def decodeFrames(id: Long,
+                              bytes: Array[Byte]): Option[Seq[VideoFrame]] = {
+      // magic: "II*\0" (little-endian) or "MM\0*" (big-endian)
+      if (bytes.length < 8) return None
+      val le = bytes(0) == 'I' && bytes(1) == 'I' &&
+        bytes(2) == 42 && bytes(3) == 0
+      val be = bytes(0) == 'M' && bytes(1) == 'M' &&
+        bytes(2) == 0 && bytes(3) == 42
+      if (!le && !be) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        Some((0 until n).map { i =>
+          val page = reader.read(i)
+          VideoFrame(id, i, page.getWidth, page.getHeight, 0,
+            dHashOf(page))
+        })
+      } catch { case _: Exception => None }
+      finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  /** Magic-byte codec dispatch over several [[FrameDecoder]]s — the
+    * mixed-container corpus shape (each decoder's contract already
+    * includes "return None when the payload is not your format", so
+    * chaining is first-Some). Serializable/deterministic/total when
+    * its members are. */
+  case class ChainedFrameDecoder(decoders: Seq[FrameDecoder])
+    extends FrameDecoder {
+    require(decoders.nonEmpty, "need at least one decoder")
+    override def formatName: String =
+      decoders.map(_.formatName).mkString("+")
+    override def decodeFrames(id: Long,
+                              bytes: Array[Byte]): Option[Seq[VideoFrame]] =
+      decoders.iterator.map(_.decodeFrames(id, bytes))
+        .collectFirst { case Some(frames) => frames }
+  }
+
+  /** Deterministic multi-page TIFF fixture mirroring
+    * [[fixtureAnimatedGif]]: page f is the [[fixtureImage]] tile
+    * pattern at seed + f·7919 (the same content contract, so a GIF
+    * and a TIFF of one logical clip band frame-for-frame). */
+  def fixtureMultipageTiff(w: Int, h: Int, pages: Int,
+                           seed: Long): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO}
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until pages).foreach { f =>
+        // fixtureImage emits lossless PNG bytes; round-trip to pixels
+        val img = ImageIO.read(new java.io.ByteArrayInputStream(
+          fixtureImage(w, h, seed + f * 7919L)))
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
   }
 
   /** Partition-parallel plug-in frame decode: one payload in flight

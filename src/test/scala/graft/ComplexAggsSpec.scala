@@ -1,0 +1,108 @@
+package graft
+
+import graft.aggs.ComplexAggs._
+import org.apache.spark.sql.functions._
+
+/** Complex struct(re, im) reductions — NumPy componentwise semantics
+  * hand-checked on planted groups: NaN propagation vs nan*-skipping
+  * (a NaN in EITHER part marks the whole value), null structs as
+  * missing, all-NaN groups, n ≤ ddof guards, order-deterministic
+  * first/last. Cross-engine certification is q_complex_aggs. */
+class ComplexAggsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // groups: g ok (no NaN), h has one NaN-im value, x all-NaN, m has a
+  // null struct row
+  private def df = Seq(
+    ("g", 1, Some((1.0, 2.0))),
+    ("g", 2, Some((3.0, -1.0))),
+    ("g", 3, Some((5.0, 0.0))),
+    ("h", 1, Some((1.0, Double.NaN))),
+    ("h", 2, Some((2.0, 1.0))),
+    ("h", 3, Some((4.0, 3.0))),
+    ("x", 1, Some((Double.NaN, 0.0))),
+    ("m", 1, None),
+    ("m", 2, Some((7.0, 8.0))))
+    .map { case (k, i, z) => (k, i, z.map(p => (p._1, p._2))) }
+    .toDF("k", "idx", "zz")
+    .withColumn("z", when(col("zz").isNotNull,
+      struct(col("zz._1").as("re"), col("zz._2").as("im"))))
+    .drop("zz")
+
+  private def agg(cols: (String, org.apache.spark.sql.Column)*) =
+    df.groupBy("k").agg(cols.head._2.as(cols.head._1),
+        cols.tail.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("k").collect()
+      .map(r => r.getString(0) -> r).toMap
+
+  test("count / sums: NaN propagation vs whole-value skipping, " +
+    "null structs missing, all-NaN group") {
+    val z = col("z")
+    val m = agg(
+      "n" -> ccount(z),
+      "praw_re" -> csum(z).getField("re"),
+      "praw_im" -> csum(z).getField("im"),
+      "sre" -> nancsum(z).getField("re"),
+      "sim" -> nancsum(z).getField("im"))
+    // g: clean
+    assert(m("g").getLong(1) === 3L)
+    assert(m("g").getDouble(2) === 9.0 && m("g").getDouble(3) === 1.0)
+    assert(m("g").getDouble(4) === 9.0 && m("g").getDouble(5) === 1.0)
+    // h: plain im sum propagates the NaN; plain re sum is finite
+    // (NaN is only in im); nan* skips the WHOLE value from both parts
+    assert(m("h").getLong(1) === 2L)
+    assert(m("h").getDouble(2) === 7.0)
+    assert(m("h").getDouble(3).isNaN)
+    assert(m("h").getDouble(4) === 6.0 && m("h").getDouble(5) === 4.0)
+    // x: all-NaN — nansum = 0+0i (NumPy), plain sum NaN in re
+    assert(m("x").getLong(1) === 0L)
+    assert(m("x").getDouble(2).isNaN)
+    assert(m("x").getDouble(4) === 0.0 && m("x").getDouble(5) === 0.0)
+    // m: null struct skipped as missing by both
+    assert(m("m").getLong(1) === 1L)
+    assert(m("m").getDouble(2) === 7.0 && m("m").getDouble(4) === 7.0)
+  }
+
+  test("mean / var / std: real-valued E|x-mean|^2, ddof guards, " +
+    "all-NaN group is null") {
+    val z = col("z")
+    val m = agg(
+      "mre" -> nancmean(z).getField("re"),
+      "mim" -> nancmean(z).getField("im"),
+      "v1" -> nancvar(z, 1),
+      "v0" -> nancvar(z, 0),
+      "s2" -> nancstd(z, 2))
+    // g: re (1,3,5) im (2,-1,0): mean (3, 1/3)
+    assert(m("g").getDouble(1) === 3.0)
+    assert(math.abs(m("g").getDouble(2) - 1.0 / 3.0) < 1e-12)
+    // |x - mean|^2: (4+(5/3)^2) + (0+(4/3)^2) + (4+(1/3)^2) = 8 + 42/9
+    val ssd = 8.0 + 42.0 / 9.0
+    assert(math.abs(m("g").getDouble(3) - ssd / 2) < 1e-9)
+    assert(math.abs(m("g").getDouble(4) - ssd / 3) < 1e-9)
+    assert(math.abs(m("g").getDouble(5) - math.sqrt(ssd)) < 1e-9)
+    // h: n=2 <= ddof=2 -> null std; x: all-NaN -> nulls
+    assert(m("h").isNullAt(5))
+    assert(m("x").isNullAt(1) && m("x").isNullAt(3))
+    // m: single valid value: var ddof=0 is 0, ddof=1 null
+    assert(m("m").getDouble(4) === 0.0)
+    assert(m("m").isNullAt(3))
+  }
+
+  test("first/last: order-deterministic, nan* variants skip NaN values, " +
+    "null structs skip") {
+    val z = col("z")
+    val m = agg(
+      "f_im" -> cfirst(z, col("idx")).getField("im"),
+      "l_re" -> clast(z, col("idx")).getField("re"),
+      "nf_re" -> nancfirst(z, col("idx")).getField("re"),
+      "nl_re" -> nanclast(z, col("idx")).getField("re"))
+    assert(m("g").getDouble(1) === 2.0 && m("g").getDouble(2) === 5.0)
+    // h: plain first INCLUDES the NaN-im value; nanfirst skips to idx 2
+    assert(m("h").getDouble(1).isNaN)
+    assert(m("h").getDouble(3) === 2.0 && m("h").getDouble(4) === 4.0)
+    // m: null struct at idx 1 skips — first is the idx-2 value
+    assert(m("m").getDouble(1) === 8.0)
+    // x: nanfirst over all-NaN -> null struct -> null field
+    assert(m("x").isNullAt(3))
+  }
+}

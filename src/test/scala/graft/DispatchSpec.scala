@@ -97,6 +97,34 @@ class DispatchSpec extends SparkTestBase {
     assert(autoCumsum.toSeq === windowCumsum.toSeq)
   }
 
+  test("weightedQuantileAuto: distributed tier on mega-group input " +
+    "equals the buffered CDF walk; escalation refuses options the " +
+    "distributed tier does not implement") {
+    val df = (0 until 30000).map { i =>
+      (s"g${i % 3}", ((i * 7919) % 1000).toDouble, 1L + (i % 5))
+    }.toDF("g", "v", "w")
+    val auto = Dispatch.weightedQuantileAuto(df, Seq("g"), "v", "w", 0.3,
+        as = "wq", megaGroupRows = 5000)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val buffered = api.GroupByReduce.weighted(df, Seq("g"), "v", "w",
+        Seq(("wquantile", "wq")), graft.aggs.ReduceOptions(q = Seq(0.3)))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(auto.toSeq === buffered.toSeq)
+
+    // silent-semantics-drop guard: escalation with expectedGroups /
+    // fillValue / minCount set must fail loudly, not return a frame
+    // missing its declared machinery
+    val dom = Seq("g0", "g1", "g2", "g9").toDF("g")
+    val e = intercept[IllegalArgumentException] {
+      Dispatch.quantileAuto(df.withColumnRenamed("v", "value"),
+        Seq("g"), "value", Seq(0.5), megaGroupRows = 5000,
+        opts = graft.aggs.ReduceOptions(
+          expectedGroups = Some(dom),
+          fillValue = Some(org.apache.spark.sql.functions.lit(0.0))))
+    }
+    assert(e.getMessage.contains("does not implement"))
+  }
+
   test("events auto on a planted hot-key input: skewed tier picked, " +
     "values identical to plain; uniform input stays plain") {
     val events = (0 until 20000).map { i =>

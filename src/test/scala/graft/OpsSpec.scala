@@ -833,6 +833,145 @@ class OpsSpec extends SparkTestBase {
     assert(frames(0).dhash !== frames(1).dhash)
   }
 
+  test("multi-page TIFF frame-decoder plug-in (second in-JDK codec): " +
+    "pages decode through the still kernel, a GIF and a TIFF of the " +
+    "same clip band frame-for-frame, magic-byte chaining dispatches") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.{ChainedFrameDecoder, GifFrameDecoder,
+      MediaRow, TiffFrameDecoder}
+    val tiff = Multimodal.fixtureMultipageTiff(64, 64, pages = 3, seed = 5L)
+    val frames = TiffFrameDecoder.decodeFrames(1L, tiff).get
+    assert(frames.map(_.frameIdx) === Seq(0, 1, 2))
+    assert(frames.forall(f => f.width === 64 && f.height === 64 &&
+      f.durationMs === 0))
+    // lossless pages hash through the SAME still kernel
+    frames.foreach { f =>
+      val still = Multimodal.fixtureImage(64, 64, seed = 5L + f.frameIdx * 7919L)
+      assert(f.dhash === Multimodal.imageDHash(still), s"page ${f.frameIdx}")
+    }
+    // cross-codec: a GIF of the same logical clip yields the SAME
+    // per-frame dHashes — the shared-kernel contract that lets mixed
+    // containers band in one joiner
+    val gif = Multimodal.fixtureAnimatedGif(64, 64, frames = 3, seed = 5L)
+    val gifFrames = GifFrameDecoder.decodeFrames(2L, gif).get
+    assert(frames.map(_.dhash) === gifFrames.map(_.dhash))
+
+    // magic dispatch: the chained decoder routes each container to its
+    // codec; foreign bytes quarantine
+    val chained = ChainedFrameDecoder(Seq(GifFrameDecoder, TiffFrameDecoder))
+    assert(chained.decodeFrames(1L, tiff).get.map(_.dhash) ===
+      frames.map(_.dhash))
+    assert(chained.decodeFrames(2L, gif).get.map(_.dhash) ===
+      gifFrames.map(_.dhash))
+    assert(chained.decodeFrames(3L, "neither".getBytes("UTF-8")).isEmpty)
+
+    // distributed: a MIXED corpus — same clip as GIF and as TIFF —
+    // pairs across codecs on every frame
+    val rows = Seq(MediaRow(10L, gif), MediaRow(20L, tiff),
+      MediaRow(30L, Multimodal.fixtureMultipageTiff(64, 64, 3, seed = 99L)))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val pairs = Multimodal.videoNearDupPairs(ds, chained,
+        maxHamming = 0, minSharedFrames = 3)
+      .select("id_a", "id_b", "shared_frames")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((10L, 20L, 3L)))
+  }
+
+  test("animated-GIF disposal: restoreToPrevious restores the exact " +
+    "pre-frame canvas; restoreToBackgroundColor clears the rectangle " +
+    "(r15, closing the r13-carried approximation)") {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    import graft.ops.Multimodal
+    def tile(w: Int, h: Int, f: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, f(x, y))))
+      img
+    }
+    val base = tile(64, 64, (x, y) => {
+      val v = ((x / 8) * 37 + (y / 8) * 101) % 256
+      (v << 16) | (v << 8) | v
+    })
+    val patch1 = tile(16, 16, (x, y) => if ((x + y) % 2 == 0) 0xFFFFFF else 0)
+    val patch2 = tile(16, 16, (x, y) => if (x % 3 == 0) 0xFF0000 else 0x00FF00)
+
+    def makeGif(disposals: Seq[String]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val specs = Seq((base, 0, 0), (patch1, 24, 8), (patch2, 0, 40))
+      specs.zip(disposals).foreach { case ((img, left, top), disp) =>
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), null)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def child(name: String): IIOMetadataNode = {
+          var c = root.getFirstChild
+          while (c != null) {
+            if (c.getNodeName == name) return c.asInstanceOf[IIOMetadataNode]
+            c = c.getNextSibling
+          }
+          val n = new IIOMetadataNode(name); root.appendChild(n); n
+        }
+        val desc = child("ImageDescriptor")
+        desc.setAttribute("imageWidth", img.getWidth.toString)
+        desc.setAttribute("imageHeight", img.getHeight.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        val gce = child("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disp)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", "5")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+
+    def composed(imgs: (java.awt.image.BufferedImage, Int, Int)*) = {
+      val c = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = c.createGraphics()
+      imgs.foreach { case (im, l, t) => g.drawImage(im, l, t, null) }
+      g.dispose()
+      c
+    }
+
+    // restoreToPrevious on frame 1: frame 2 must composite onto the
+    // PRE-patch1 canvas — patch1 gone exactly
+    val rp = Multimodal.GifFrameDecoder.decodeFrames(1L,
+      makeGif(Seq("none", "restoreToPrevious", "none"))).get
+    assert(rp(0).dhash === Multimodal.dHashOf(composed((base, 0, 0))))
+    assert(rp(1).dhash === Multimodal.dHashOf(
+      composed((base, 0, 0), (patch1, 24, 8))))
+    assert(rp(2).dhash === Multimodal.dHashOf(
+      composed((base, 0, 0), (patch2, 0, 40))))
+
+    // control: disposal none accumulates — frame 2 keeps patch1
+    val acc = Multimodal.GifFrameDecoder.decodeFrames(2L,
+      makeGif(Seq("none", "none", "none"))).get
+    assert(acc(2).dhash === Multimodal.dHashOf(
+      composed((base, 0, 0), (patch1, 24, 8), (patch2, 0, 40))))
+
+    // restoreToBackgroundColor on frame 1: its 16x16 rect is black
+    // under frame 2
+    val rb = Multimodal.GifFrameDecoder.decodeFrames(3L,
+      makeGif(Seq("none", "restoreToBackgroundColor", "none"))).get
+    val blackPatch = tile(16, 16, (_, _) => 0)
+    assert(rb(2).dhash === Multimodal.dHashOf(
+      composed((base, 0, 0), (blackPatch, 24, 8), (patch2, 0, 40))))
+  }
+
   test("video near-dup: tweaked animated copy pairs with its original " +
     "on every frame; distinct videos don't pair; NEGATIVE ids stay " +
     "unambiguous; a static-scene video counts distinct frames, not " +
