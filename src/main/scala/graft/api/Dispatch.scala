@@ -138,6 +138,12 @@ object Dispatch {
                    qs: Seq[Double], as: String = "result",
                    opts: ReduceOptions = ReduceOptions(),
                    megaGroupRows: Long = MegaGroupRows): DataFrame = {
+    // an approx request never needs escalation: the GK sketch is
+    // mergeable map-side and group-size-unbounded already — the
+    // buffered branch IS the scale tier for approxQuantile (and
+    // skipping keyStats saves the stats scan)
+    if (opts.approxQuantile)
+      return GroupByReduce(df, by, value, "quantile", as, opts.copy(q = qs))
     val st = keyStats(df, by)
     val tier = chooseQuantileTier(st, megaGroupRows)
     logDecision("quantile", tier, st)
@@ -209,6 +215,10 @@ object Dispatch {
           Some(d => GlobalScan.groupedCumMax(d, by, Seq(col(order)), value, as))
         case "cummin" if isDouble(df, value) =>
           Some(d => GlobalScan.groupedCumMin(d, by, Seq(col(order)), value, as))
+        case "nancummax" if isDouble(df, value) =>
+          Some(d => GlobalScan.groupedNanCumMax(d, by, Seq(col(order)), value, as))
+        case "nancummin" if isDouble(df, value) =>
+          Some(d => GlobalScan.groupedNanCumMin(d, by, Seq(col(order)), value, as))
         case other =>
           graft.aggs.CustomScans.lookup(other) match {
             case Some(spec) if spec.fold.isDefined && spec.finish.isEmpty =>
@@ -236,14 +246,29 @@ object Dispatch {
     else graft.ops.Events.rollingAgg(df, keyCol, tsCol, valueCol, span)
   }
 
+  /** Block width for the skewed tiers when the caller does not pick
+    * one: ts-range / 1024 (floored at `atLeast`). ANY positive span is
+    * CORRECT (the skewed tiers are span-fuzzed bit-equal); the value
+    * only trades carry-table size against in-block partition width,
+    * and ~1024 blocks keeps both comfortable at any probe scale. One
+    * tiny min/max aggregation. */
+  def deriveSpan(df: DataFrame, tsCol: String, atLeast: Long = 1L): Long = {
+    val r = df.agg(min(col(tsCol).cast("long")),
+      max(col(tsCol).cast("long"))).head()
+    if (r.isNullAt(0)) math.max(atLeast, 1L)
+    else math.max(math.max(atLeast, 1L), (r.getLong(1) - r.getLong(0)) / 1024L)
+  }
+
   /** As-of join, tier chosen from the RIGHT side's key concentration
     * (the side whose rows a hot key funnels through one task's sort;
     * both sides shuffle on the same keys, so either estimates the
     * skew — the right side is usually the bigger history table).
-    * `span` is only consulted by the skewed tier (block width). */
+    * `span` is only consulted by the skewed tier (block width);
+    * omitted, it derives from the right side's ts range
+    * ([[deriveSpan]]). */
   def asofJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, payload: Seq[String],
-                   span: Long, prefix: String = "asof_",
+                   span: Option[Long] = None, prefix: String = "asof_",
                    direction: String = "backward",
                    tolerance: Option[Long] = None,
                    hotKeyShare: Double = HotKeyShare): DataFrame = {
@@ -252,21 +277,26 @@ object Dispatch {
     logDecision("asofJoin", tier, st)
     if (tier == Skewed)
       graft.ops.Events.asofJoinSkewed(left, right, keys, leftTs, rightTs,
-        payload, span, prefix, direction, tolerance)
+        payload, span.getOrElse(deriveSpan(right, rightTs)), prefix,
+        direction, tolerance)
     else
       graft.ops.Events.asofJoin(left, right, keys, leftTs, rightTs,
         payload, prefix, direction, tolerance)
   }
 
-  /** Gap sessionization, tier chosen from the data (same boundary). */
+  /** Gap sessionization, tier chosen from the data (same boundary);
+    * an omitted `span` derives from the ts range, floored at `gap`
+    * (blocks narrower than the gap would make every block boundary a
+    * potential break — correct but carry-heavy). */
   def sessionizeAuto(df: DataFrame, keyCol: String, tsCol: String,
-                     tieCol: String, gap: Long, span: Long,
+                     tieCol: String, gap: Long, span: Option[Long] = None,
                      hotKeyShare: Double = HotKeyShare): DataFrame = {
     val st = keyStats(df, Seq(keyCol))
     val tier = chooseEventsTier(st, hotKeyShare)
     logDecision("sessionize", tier, st)
     if (tier == Skewed)
-      graft.ops.Events.sessionizeSkewed(df, keyCol, tsCol, tieCol, gap, span)
+      graft.ops.Events.sessionizeSkewed(df, keyCol, tsCol, tieCol, gap,
+        span.getOrElse(deriveSpan(df, tsCol, atLeast = gap)))
     else graft.ops.Events.sessionize(df, keyCol, tsCol, tieCol, gap)
   }
 

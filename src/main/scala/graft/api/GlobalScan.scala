@@ -243,12 +243,46 @@ object GlobalScan {
       spec.foldOutType, spec.combine.getOrElse(fold))
   }
 
+  /** NaN-SKIPPING running extrema at unbounded group size — the
+    * nancummax/nancummin mates (np.fmax/fmin.accumulate semantics:
+    * null until the first valid value, NaN values skipped like
+    * nulls), completing the carry tier's §2.2 scan family (r15: the
+    * plain extrema had the tier, the nan* mates ran window-only).
+    * Exact values carry, so bit-identical to the window tier's
+    * `max(when(!isnan(v), v))` formulation (spec law). */
+  def groupedNanCumMax(df: DataFrame, groupCols: Seq[String],
+                       order: Seq[Column], valueCol: String,
+                       outCol: String): DataFrame = {
+    requireDoubleValue(df, valueCol, "groupedNanCumMax")
+    groupedCarryScan(df, groupCols, order, valueCol, outCol,
+      nanSkipFold(1))
+  }
+
+  def groupedNanCumMin(df: DataFrame, groupCols: Seq[String],
+                       order: Seq[Column], valueCol: String,
+                       outCol: String): DataFrame = {
+    requireDoubleValue(df, valueCol, "groupedNanCumMin")
+    groupedCarryScan(df, groupCols, order, valueCol, outCol,
+      nanSkipFold(-1))
+  }
+
   /** Spark double-ordering fold (java.lang.Double.compare: NaN
     * greatest, −0.0 < 0.0 — Spark's own total order); `sign` +1 keeps
     * the larger, −1 the smaller. Nulls skip (window max/min
     * semantics). */
   private def maxFold(sign: Int): (Any, Any) => Any = (st, v) =>
     if (v == null) st
+    else if (st == null) v
+    else {
+      val c = java.lang.Double.compare(
+        v.asInstanceOf[Double], st.asInstanceOf[Double])
+      if (c * sign > 0) v else st
+    }
+
+  /** [[maxFold]] with NaN values skipped like nulls (np.fmax/fmin
+    * accumulate); state is always finite, so plain compare suffices. */
+  private def nanSkipFold(sign: Int): (Any, Any) => Any = (st, v) =>
+    if (v == null || v.asInstanceOf[Double].isNaN) st
     else if (st == null) v
     else {
       val c = java.lang.Double.compare(

@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions.col
   *    listing cost was moved behind a flag); with the flag off the
   *    join stays exchange-free but re-sorts inside each bucket. Both
   *    shapes are law-pinned in LayoutSpec.
+  *
+  * Operational lore for cross-team tables: two layouts bucketed at
+  * DIFFERENT counts still join exchange-free when the counts divide
+  * (16 ⋈ 8 coalesces the bigger side) under
+  * `spark.sql.bucketing.coalesceBucketsInJoin.enabled=true` —
+  * law-pinned in LayoutSpec. Pick bucket counts as powers of two so
+  * any two layouts are divisible.
   */
 object Layout {
 

@@ -146,8 +146,13 @@ class DispatchSpec extends SparkTestBase {
       d.orderBy("k", "ts", "tie").select("k", "ts", "tie", "session_id")
         .collect().map(_.toSeq)
     assert(canonS(Dispatch.sessionizeAuto(events, "k", "ts", "tie",
-        gap = 50, span = 600))
+        gap = 50, span = Some(600)))
       === canonS(graft.ops.Events.sessionize(events, "k", "ts", "tie", 50)))
+    // derived span (ts-range/1024, floored at gap): same values
+    assert(canonS(Dispatch.sessionizeAuto(events, "k", "ts", "tie",
+        gap = 50))
+      === canonS(graft.ops.Events.sessionize(events, "k", "ts", "tie", 50)))
+    assert(Dispatch.deriveSpan(events, "ts", atLeast = 50) >= 50)
 
     val uniform = (0 until 20000).map { i =>
       (s"u${i % 2000}", i.toLong, i.toLong, 1.0)
@@ -168,7 +173,12 @@ class DispatchSpec extends SparkTestBase {
     assert(Dispatch.chooseEventsTier(
       Dispatch.keyStats(hist, Seq("k"))) === Dispatch.Skewed)
     assert(canonA(Dispatch.asofJoinAuto(clicks, hist, Seq("k"),
-        "lts", "rts", Seq("rv"), span = 500, prefix = "a_"))
+        "lts", "rts", Seq("rv"), span = Some(500), prefix = "a_"))
+      === canonA(graft.ops.Events.asofJoin(clicks, hist, Seq("k"),
+        "lts", "rts", Seq("rv"), prefix = "a_")))
+    // derived span: same values
+    assert(canonA(Dispatch.asofJoinAuto(clicks, hist, Seq("k"),
+        "lts", "rts", Seq("rv"), prefix = "a_"))
       === canonA(graft.ops.Events.asofJoin(clicks, hist, Seq("k"),
         "lts", "rts", Seq("rv"), prefix = "a_")))
   }

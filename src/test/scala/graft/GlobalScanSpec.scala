@@ -275,7 +275,13 @@ class GlobalScanSpec extends SparkTestBase {
             (org.apache.spark.sql.DataFrame, Seq[String], Seq[org.apache.spark.sql.Column], String, String) => org.apache.spark.sql.DataFrame,
             org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
           (GlobalScan.groupedCumMax, (c: org.apache.spark.sql.Column) => max(c)),
-          (GlobalScan.groupedCumMin, (c: org.apache.spark.sql.Column) => min(c)))) {
+          (GlobalScan.groupedCumMin, (c: org.apache.spark.sql.Column) => min(c)),
+          // nan* mates (r15): NaN values skip like nulls — the window
+          // tier's max/min over the NaN-masked column
+          (GlobalScan.groupedNanCumMax,
+            (c: org.apache.spark.sql.Column) => max(when(!isnan(c), c))),
+          (GlobalScan.groupedNanCumMin,
+            (c: org.apache.spark.sql.Column) => min(when(!isnan(c), c))))) {
           val got = dist(df, Seq("g"), Seq(col("id")), "v", "m")
             .orderBy("g", "id").select("g", "id", "m")
             .collect().map(r => (r.getString(0), r.getInt(1), bits(r.get(2))))

@@ -111,6 +111,48 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("mismatched bucket counts (16 vs 8) stay exchange-free under " +
+    "bucket coalescing — the cross-team-table join shape") {
+    writeBoth()
+    Layout.writeBucketed(
+      sf("lineitem").select(col("l_orderkey").as("k16"), col("l_quantity")),
+      "layoutspec_li16", Seq("k16"), 16, Seq("k16"), Some(s"$root/li16"))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val coal = spark.conf
+      .get("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled",
+        "true")
+      // 16-bucket fact vs 8-bucket fact: the bigger side coalesces to
+      // 8 (divisible), so neither side exchanges
+      val j = Layout.table(spark, "layoutspec_li16")
+        .join(Layout.table(spark, "layoutspec_ord"),
+          col("k16") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("s"))
+      // the final small agg on a non-bucket key still shuffles its
+      // grouped rows — the law is about the two fact SCANS: with
+      // coalescing ONE exchange (the post-join agg), without it THREE
+      assert(Layout.shuffleExchanges(j) == 1,
+        "coalesced mismatched-bucket join should leave only the " +
+          "post-join agg exchange:\n" + j.queryExecution.executedPlan)
+      spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled",
+        "false")
+      val j2 = Layout.table(spark, "layoutspec_li16")
+        .join(Layout.table(spark, "layoutspec_ord"),
+          col("k16") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("s"))
+      assert(Layout.shuffleExchanges(j2) >= 2,
+        "without coalescing, at least one fact side must re-shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled",
+        coal)
+    }
+  }
+
   test("single-table agg on the bucket key is exchange-free") {
     writeBoth()
     val agg = Layout.table(spark, "layoutspec_li")
