@@ -749,7 +749,11 @@ object CoreQueries {
           round(nancvar(col("z"), 1), 4).as("cvar"),
           round(nancstd(col("z"), 2), 4).as("cstd2"),
           cfirst(col("z"), col("event_id")).getField("im").as("first_im"),
-          nanclast(col("z"), col("event_id")).getField("re").as("last_re"))
+          nanclast(col("z"), col("event_id")).getField("re").as("last_re"),
+          nancmin(col("z")).getField("re").as("min_re"),
+          nancmin(col("z")).getField("im").as("min_im"),
+          nancmax(col("z")).getField("re").as("max_re"),
+          nancmax(col("z")).getField("im").as("max_im"))
         .orderBy("user_id")
     }),
 
@@ -1287,7 +1291,11 @@ object CoreQueries {
                FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS s2,
              min_by(im, event_id) AS first_im,
              max_by(re, event_id)
-               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS last_re
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS last_re,
+             min({'re': re, 'im': im})
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS mn,
+             max({'re': re, 'im': im})
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS mx
            FROM z GROUP BY 1)
          SELECT user_id, n,
            round(sraw, 2) AS csum_re,
@@ -1301,7 +1309,9 @@ object CoreQueries {
            CASE WHEN n > 2 THEN
              round(sqrt(greatest(s2 - (sre*sre + sim*sim) / n, 0) / (n - 2)), 4)
            END AS cstd2,
-           first_im, last_re
+           first_im, last_re,
+           (mn).re AS min_re, (mn).im AS min_im,
+           (mx).re AS max_re, (mx).im AS max_im
          FROM a ORDER BY 1""",
 
     "q_per_group" ->

@@ -50,8 +50,17 @@ object PinAttackProbe {
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", (col("tf") * col("__n")) / col("df"))
 
-    // v0: production (window row_number)
+    // v0: the r14 window row_number form, kept INLINE so the A/B stays
+    // reproducible after production moved to the agg-heap (r15)
     time("tfidf v0 window") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      scored(dfreq)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 3)
+    }
+    // prod: whatever tfidfTopTerms currently ships (r15: agg-heap)
+    time("tfidf prod") {
       ops.TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 3)
     }
     // v1: per-doc heap via sort_array+slice (no window sort)

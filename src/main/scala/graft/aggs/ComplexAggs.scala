@@ -90,6 +90,27 @@ object ComplexAggs {
     when(n > ddof, clamped / (n - ddof))
   }
 
+  /** Lexicographic complex min/max — NumPy's amin/amax over complex
+    * compares (re, im) lexicographically. nan* variants skip NaN
+    * values; the plain variants propagate: any NaN value in the group
+    * makes the extremum NaN+NaNi (the scalar plain-min NaN-guard
+    * convention, componentwise). ExtremumBy on the (re, im) struct
+    * ordering — ObjectHashAggregate, no SortAggregate fallback. */
+  def nancmin(v: Column): Column =
+    graft.functions.VectorExprs.extremumBy(
+      v, when(valid(v), struct(re(v).as("re"), im(v).as("im"))),
+      isMax = false)
+  def nancmax(v: Column): Column =
+    graft.functions.VectorExprs.extremumBy(
+      v, when(valid(v), struct(re(v).as("re"), im(v).as("im"))),
+      isMax = true)
+  def cmin(v: Column): Column = nanPoison(v, nancmin(v))
+  def cmax(v: Column): Column = nanPoison(v, nancmax(v))
+
+  private def nanPoison(v: Column, base: Column): Column =
+    when(count(when(v.isNotNull && !valid(v), 1)) > 0,
+      c(lit(Double.NaN), lit(Double.NaN))).otherwise(base)
+
   /** First/last complex value in `order` — includes NaN values (plain
     * first/last); rows with a null struct are missing and skip (their
     * ordering value is nulled alongside — ExtremumBy skips null

@@ -58,6 +58,13 @@ object Layout {
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(keys.nonEmpty, "bucket keys must be non-empty")
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // appending writes a SECOND file into every touched bucket, which
+    // silently costs the scan's sort-order exposure (and with it the
+    // sort-free join) — refuse; rewrite the layout or verifyLayout
+    // will flag it
+    require(mode != SaveMode.Append,
+      "Append breaks the one-file-per-bucket layout guarantee; " +
+        "rewrite the table (Overwrite) instead")
     // one file per bucket: repartition by the bucket hash before the
     // bucketed write (same murmur3-pmod mapping on both sides)
     val laid = df.repartition(buckets, keys.map(col): _*)
@@ -72,6 +79,45 @@ object Layout {
     * partitioning + per-bucket sort order to the planner). */
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** Integrity check for a layout written by [[writeBucketed]]:
+    * every bucket id maps to AT MOST one data file (an EMPTY bucket
+    * legitimately writes none — the scan's sort-order rule is
+    * files-per-bucket ≤ 1). A stray append (another writer, a partial
+    * job) leaves multiple files in a bucket — still CORRECT to read
+    * (bucket pruning and hash partitioning hold per file), but the
+    * scan stops exposing the per-bucket sort order and sort-merge
+    * joins silently regrow their Sorts; this makes the degradation
+    * loud (the verifyShards convention applied to layouts). Also
+    * rejects bucket ids outside the declared range. Returns
+    * bucketId → file count on success; throws naming the offending
+    * buckets otherwise. Driver traffic is one file listing. */
+  def verifyLayout(spark: SparkSession, name: String): Map[Int, Int] = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"table '$name' has no bucket spec — not a Layout table"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketId = "_(\\d{5})[._]".r
+    val counts = fs.listStatus(loc).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap(st => bucketId.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toInt))
+      .groupBy(identity).map { case (b, fs0) => b -> fs0.size }
+    val multi = counts.filter(_._2 > 1)
+    val outOfRange = counts.keys.filter(b => b < 0 || b >= spec.numBuckets)
+    if (multi.nonEmpty || outOfRange.nonEmpty)
+      throw new IllegalStateException(
+        s"layout '$name' violated: " +
+          (if (multi.nonEmpty) s"buckets with multiple files: $multi " else "") +
+          (if (outOfRange.nonEmpty)
+            s"bucket ids outside 0..${spec.numBuckets - 1}: ${outOfRange.toSeq.sorted}"
+          else ""))
+    counts
+  }
 
   /** Every node of `df`'s physical plan TREE, unwrapping the adaptive /
     * query-stage / subquery shells — the robust alternative to regexing

@@ -88,6 +88,38 @@ class ComplexAggsSpec extends SparkTestBase {
     assert(m("m").isNullAt(3))
   }
 
+  test("min/max: lexicographic (re, im), nan* skip, plain variants " +
+    "poison to NaN+NaNi on any NaN value") {
+    val z = col("z")
+    val m = agg(
+      "mn_re" -> nancmin(z).getField("re"),
+      "mn_im" -> nancmin(z).getField("im"),
+      "mx_re" -> nancmax(z).getField("re"),
+      "mx_im" -> nancmax(z).getField("im"),
+      "pmn_re" -> cmin(z).getField("re"),
+      "pmx_re" -> cmax(z).getField("re"))
+    // g: values (1,2) (3,-1) (5,0) — lexicographic min (1,2), max (5,0)
+    assert(m("g").getDouble(1) === 1.0 && m("g").getDouble(2) === 2.0)
+    assert(m("g").getDouble(3) === 5.0 && m("g").getDouble(4) === 0.0)
+    assert(m("g").getDouble(5) === 1.0 && m("g").getDouble(6) === 5.0)
+    // h: nan* skips (1, NaN) -> min (2,1), max (4,3); plain poisons
+    assert(m("h").getDouble(1) === 2.0 && m("h").getDouble(3) === 4.0)
+    assert(m("h").getDouble(5).isNaN && m("h").getDouble(6).isNaN)
+    // x: all-NaN -> nan* null, plain NaN
+    assert(m("x").isNullAt(1))
+    assert(m("x").getDouble(5).isNaN)
+    // m: null struct skipped by both -> (7,8)
+    assert(m("m").getDouble(1) === 7.0 && m("m").getDouble(5) === 7.0)
+    // lexicographic tie on re decided by im: add a targeted frame
+    val t = Seq(("t", 1, 2.0, 5.0), ("t", 2, 2.0, -1.0))
+      .toDF("k", "idx", "r", "i")
+      .withColumn("z", struct(col("r").as("re"), col("i").as("im")))
+    val got = t.groupBy("k").agg(
+      nancmin(col("z")).getField("im").as("mn_im"),
+      nancmax(col("z")).getField("im").as("mx_im")).head()
+    assert(got.getDouble(1) === -1.0 && got.getDouble(2) === 5.0)
+  }
+
   test("first/last: order-deterministic, nan* variants skip NaN values, " +
     "null structs skip") {
     val z = col("z")

@@ -153,6 +153,31 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("verifyLayout: clean layout passes; a stray second file in a " +
+    "bucket fails loudly; Append mode is refused at write time") {
+    writeBoth()
+    val counts = Layout.verifyLayout(spark, "layoutspec_li")
+    assert(counts.values.forall(_ == 1) && counts.size == 8)
+    // simulate a stray append: copy one bucket file alongside itself
+    val dir = new java.io.File(s"$root/li")
+    val f = dir.listFiles().filter(_.getName.startsWith("part-")).head
+    val stray = new java.io.File(dir,
+      f.getName.replace("part-", "part-zzz-"))
+    java.nio.file.Files.copy(f.toPath, stray.toPath)
+    try {
+      val e = intercept[IllegalStateException] {
+        Layout.verifyLayout(spark, "layoutspec_li")
+      }
+      assert(e.getMessage.contains("multiple files"))
+    } finally stray.delete()
+    // and the writer refuses the mode that would cause it
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.writeBucketed(sf("region"), "layoutspec_r", Seq("r_regionkey"),
+        2, mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e2.getMessage.contains("one-file-per-bucket"))
+  }
+
   test("single-table agg on the bucket key is exchange-free") {
     writeBoth()
     val agg = Layout.table(spark, "layoutspec_li")
