@@ -62,6 +62,31 @@ object DispatchProbe {
       api.Dispatch.quantileAuto(uniform, Seq("g"), "v", Seq(0.5))
         .write.format("noop").mode("overwrite").save()
     }
+
+    // events: the SkewProbe regime (30% of rows on one key) at n/6 —
+    // the dispatcher must route rolling to the span-block tier (the
+    // 11x winner at this shape) and a uniform stream to the plain
+    // window, with the derived span
+    val nEv = n / 6
+    val skewed = spark.range(nEv).select(
+      when(pmod(col("id"), lit(10)) < 3, lit("hot"))
+        .otherwise(pmod(xxhash64(col("id")), lit(200000)).cast("string"))
+        .as("k"),
+      pmod(xxhash64(col("id"), lit(7)), lit(nEv / 4)).as("ts"),
+      (pmod(xxhash64(col("id"), lit(9)), lit(1000)) / lit(10.0)).as("v"))
+      .localCheckpoint()
+    val stEv = time("keyStats skewed events") {
+      api.Dispatch.keyStats(skewed, Seq("k"))
+    }
+    println(s"[probe] skewed-events stats: $stEv -> " +
+      api.Dispatch.chooseEventsTier(stEv).name)
+    require(api.Dispatch.chooseEventsTier(stEv) == api.Dispatch.Skewed,
+      "30%-hot-key events must escalate")
+    time("rollingAggAuto skewed (block tier)") {
+      api.Dispatch.rollingAggAuto(skewed, "k", "ts", "v",
+          span = api.Dispatch.deriveSpan(skewed, "ts"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
