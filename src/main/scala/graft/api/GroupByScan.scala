@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   *
   * Missing-value convention: both null and NaN count as "missing" for
   * ffill/bfill (flox fills NaN; our long-form NA is null — SURVEY.md §7.4.2).
+  *
+  * Scale boundary: the window puts each group on ONE task — right for
+  * flox-style many-modest-groups data, a wall when a group spans the
+  * corpus. The escalation tiers live in [[GlobalScan]] (groupedFfill/
+  * Bfill/CumMax/CumMin/NanCumMax/NanCumMin/PrefixSum/CustomScan,
+  * boundary-carry, bit-equal laws); [[Dispatch.scanAuto]] picks per
+  * data.
   */
 object GroupByScan {
 
