@@ -265,7 +265,10 @@ object Dispatch {
     * skew — the right side is usually the bigger history table).
     * `span` is only consulted by the skewed tier (block width);
     * omitted, it derives from the right side's ts range
-    * ([[deriveSpan]]). */
+    * ([[deriveSpan]]). Ts columns should be non-null when escalation
+    * is possible — the skewed tier's documented contract (null-ts
+    * carry semantics don't decompose into time blocks); with null-free
+    * ts the tiers are bit-equal (EventsSpec fuzz). */
   def asofJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, payload: Seq[String],
                    span: Option[Long] = None, prefix: String = "asof_",
