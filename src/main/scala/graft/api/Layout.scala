@@ -48,16 +48,29 @@ import org.apache.spark.sql.functions.col
   */
 object Layout {
 
-  /** Write `df` as a bucketed (optionally bucket-sorted) parquet table.
-    * `path` makes it external (the data lives there; the catalog entry
-    * is metadata only). Keys must be a prefix-compatible superset of
-    * later join/agg keys for the exchange elision to apply. */
+  /** Write `df` as a bucketed (optionally bucket-sorted, optionally
+    * directory-partitioned) parquet table. `path` makes it external
+    * (the data lives there; the catalog entry is metadata only). Keys
+    * must be a prefix-compatible superset of later join/agg keys for
+    * the exchange elision to apply.
+    *
+    * `partitionCols` layers Hive-style directory partitioning (the
+    * usual production combination: `date=.../bucket files` — partition
+    * PRUNING cuts the time range, bucketing co-locates the join keys
+    * within what survives). The one-file-per-bucket guarantee then
+    * holds PER PARTITION DIRECTORY: rows are still routed by the
+    * bucket hash alone, so each task carries exactly one bucket id
+    * and writes at most one file for it into each partition directory
+    * it has rows for. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int, sortCols: Seq[String] = Nil,
                     path: Option[String] = None,
-                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+                    mode: SaveMode = SaveMode.Overwrite,
+                    partitionCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "bucket keys must be non-empty")
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(partitionCols.intersect(keys).isEmpty,
+      "partition columns and bucket keys must be disjoint")
     // appending writes a SECOND file into every touched bucket, which
     // silently costs the scan's sort-order exposure (and with it the
     // sort-free join) — refuse; rewrite the layout or verifyLayout
@@ -71,6 +84,8 @@ object Layout {
     var w = laid.write.format("parquet").mode(mode)
       .bucketBy(buckets, keys.head, keys.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    if (partitionCols.nonEmpty)
+      w = w.partitionBy(partitionCols: _*)
     path.foreach(p => w = w.option("path", p))
     w.saveAsTable(table)
   }
@@ -101,22 +116,32 @@ object Layout {
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketId = "_(\\d{5})[._]".r
-    val counts = fs.listStatus(loc).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .flatMap(st => bucketId.findFirstMatchIn(st.getPath.getName)
-        .map(_.group(1).toInt))
-      .groupBy(identity).map { case (b, fs0) => b -> fs0.size }
+    // recurse through partition directories: the ≤1-file rule holds
+    // PER DIRECTORY (each partition dir is its own bucketed file set)
+    def walk(dir: org.apache.hadoop.fs.Path): Seq[(String, Int)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else bucketId.findFirstMatchIn(n)
+          .map(m => (dir.toString, m.group(1).toInt)).toSeq
+      }
+    val perDir = walk(loc)
+    val counts = perDir.groupBy(identity).map { case (k, v) => k -> v.size }
     val multi = counts.filter(_._2 > 1)
-    val outOfRange = counts.keys.filter(b => b < 0 || b >= spec.numBuckets)
+    val outOfRange = perDir.map(_._2)
+      .filter(b => b < 0 || b >= spec.numBuckets).distinct
     if (multi.nonEmpty || outOfRange.nonEmpty)
       throw new IllegalStateException(
         s"layout '$name' violated: " +
-          (if (multi.nonEmpty) s"buckets with multiple files: $multi " else "") +
+          (if (multi.nonEmpty)
+            s"(dir, bucket) with multiple files: ${multi.keys.toSeq.sorted} "
+          else "") +
           (if (outOfRange.nonEmpty)
-            s"bucket ids outside 0..${spec.numBuckets - 1}: ${outOfRange.toSeq.sorted}"
+            s"bucket ids outside 0..${spec.numBuckets - 1}: ${outOfRange.sorted}"
           else ""))
-    counts
+    // collapse to bucketId -> total files (the pre-partitioning shape)
+    perDir.groupBy(_._2).map { case (b, v) => b -> v.size }
   }
 
   /** Every node of `df`'s physical plan TREE, unwrapping the adaptive /

@@ -82,6 +82,64 @@ object Ingest {
     splitJsonLines(
       spark.readStream.options(readerOptions).text(path), schema)
 
+  /** CSV corpus reader with the SAME quarantine discipline as
+    * [[readJsonl]] (text source + `from_csv` per branch — lazy
+    * map-only plans, no cache; a corrupt line can never silently null
+    * into the corpus). A line is quarantined when from_csv reports a
+    * corrupt record, returns a null struct, or is blank. With
+    * `header = true`, lines EQUAL to the canonical header
+    * (`fieldNames mkString sep`) are dropped as metadata — they are
+    * neither docs nor corruption, and in a multi-file corpus the
+    * header repeats per shard; the conservation law becomes
+    * docs + quarantine + headers == lines (IngestSpec). Quoted fields
+    * containing the separator or escaped quotes follow from_csv's
+    * standard quoting. */
+  final case class CsvResult(docs: DataFrame, quarantine: DataFrame)
+
+  private[sources] def splitCsvLines(lines: DataFrame, schema: StructType,
+                                     options: Map[String, String],
+                                     header: Boolean): CsvResult = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType))
+    // RFC-4180 by default: doubled quotes escape a quote inside a
+    // quoted field (Spark's own default escape is backslash, which
+    // almost no CSV corpus uses); callers can override via `options`
+    val opts = Map("escape" -> "\"") ++ options ++ Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    val sep = options.getOrElse("sep", ",")
+    val hdr = schema.fieldNames.mkString(sep)
+    val base = if (header) lines.filter(col("value") =!= hdr) else lines
+    val parsed = base.select(
+      col("value"),
+      from_csv(col("value"), withCorrupt, opts).as("__c"))
+    val bad = col("__c").isNull || col("__c._corrupt_record").isNotNull ||
+      trim(col("value")) === ""
+    val docs = parsed.filter(!bad)
+      .select(schema.fieldNames.map(f => col(s"__c.$f").as(f)).toSeq: _*)
+    val quarantine = parsed.filter(bad)
+      .select(coalesce(col("__c._corrupt_record"), col("value"))
+        .as("raw_line"))
+    CsvResult(docs, quarantine)
+  }
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType = documentsSchema,
+              options: Map[String, String] = Map.empty,
+              header: Boolean = true): CsvResult =
+    splitCsvLines(spark.read.text(path), schema, options, header)
+
+  /** Streaming mirror of [[readCsv]] (the readJsonlStream pattern):
+    * the same split over `readStream.text` micro-batches. */
+  def readCsvStream(spark: SparkSession, path: String,
+                    schema: StructType = documentsSchema,
+                    options: Map[String, String] = Map.empty,
+                    header: Boolean = true,
+                    readerOptions: Map[String, String] = Map.empty)
+    : CsvResult =
+    splitCsvLines(spark.readStream.options(readerOptions).text(path),
+      schema, options, header)
+
   /** One document per text file under `path` (recursive): (doc_path,
     * text, n_chars — CHARACTER count, `length(text)`, not bytes).
     * `wholetext` keeps each file a single row — the per-file

@@ -120,6 +120,71 @@ class ComplexAggsSpec extends SparkTestBase {
     assert(got.getDouble(1) === -1.0 && got.getDouble(2) === 5.0)
   }
 
+  test("property law: nan* reductions equal a local reference on " +
+    "random complex groups (NaN parts, nulls, constant and tiny groups)") {
+    val rnd = new scala.util.Random(4242)
+    val data = (0 until 12).flatMap { g =>
+      val size = g % 4 match {
+        case 0 => 1 + rnd.nextInt(3)
+        case 1 => 20 + rnd.nextInt(50)
+        case _ => 5 + rnd.nextInt(10)
+      }
+      (0 until size).map { i =>
+        val z: Option[(Double, Double)] =
+          if (rnd.nextInt(10) == 0) None
+          else Some((
+            if (rnd.nextInt(12) == 0) Double.NaN
+            else (rnd.nextInt(200) - 100) / 4.0,
+            if (rnd.nextInt(12) == 0) Double.NaN
+            else (rnd.nextInt(200) - 100) / 4.0))
+        (s"g$g", i, z)
+      }
+    }
+    val df = data.toDF("k", "idx", "zz")
+      .withColumn("z", when(col("zz").isNotNull,
+        struct(col("zz._1").as("re"), col("zz._2").as("im"))))
+      .drop("zz").repartition(5)
+    val z = col("z")
+    val got = df.groupBy("k").agg(
+        ccount(z).as("n"), nancsum(z).getField("re").as("sre"),
+        nancsum(z).getField("im").as("sim"),
+        nancmean(z).getField("re").as("mre"),
+        nancvar(z, 1).as("v1"),
+        nancmin(z).getField("re").as("mnre"),
+        nancmin(z).getField("im").as("mnim"),
+        nancmax(z).getField("re").as("mxre"),
+        nancfirst(z, col("idx")).getField("re").as("fre"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val byG = data.groupBy(_._1)
+    byG.foreach { case (k, rows) =>
+      val valid = rows.sortBy(_._2).flatMap(_._3)
+        .filter(p => !p._1.isNaN && !p._2.isNaN)
+      val r = got(k)
+      assert(r.getLong(1) === valid.size.toLong, s"$k n")
+      assert(math.abs(r.getDouble(2) - valid.map(_._1).sum) < 1e-9, s"$k sre")
+      assert(math.abs(r.getDouble(3) - valid.map(_._2).sum) < 1e-9, s"$k sim")
+      if (valid.nonEmpty) {
+        val mre = valid.map(_._1).sum / valid.size
+        val mim = valid.map(_._2).sum / valid.size
+        assert(math.abs(r.getDouble(4) - mre) < 1e-9, s"$k mre")
+        if (valid.size > 1) {
+          val ssd = valid.map(p =>
+            (p._1 - mre) * (p._1 - mre) + (p._2 - mim) * (p._2 - mim)).sum
+          assert(math.abs(r.getDouble(5) - ssd / (valid.size - 1)) < 1e-6,
+            s"$k v1")
+        } else assert(r.isNullAt(5), s"$k v1 null")
+        val mn = valid.min // Scala tuple ordering = lexicographic
+        val mx = valid.max
+        assert(r.getDouble(6) === mn._1 && r.getDouble(7) === mn._2, s"$k min")
+        assert(r.getDouble(8) === mx._1, s"$k max")
+        assert(r.getDouble(9) === valid.head._1, s"$k first")
+      } else {
+        (2 to 3).foreach(i => assert(r.getDouble(i) === 0.0)) // nansum=0
+        Seq(4, 5, 6, 7, 8, 9).foreach(i => assert(r.isNullAt(i), s"$k col$i"))
+      }
+    }
+  }
+
   test("first/last: order-deterministic, nan* variants skip NaN values, " +
     "null structs skip") {
     val z = col("z")

@@ -63,6 +63,43 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("readCsv: typed rows load, malformed/blank lines quarantine, " +
+    "per-shard headers drop, quoting respected — conservation law " +
+    "docs + quarantine + headers == lines") {
+    val dir = Files.createTempDirectory("graft_csv")
+    try {
+      val hdr = "doc_id,text,lang,source"
+      // two shards, each with its own header; one quoted text field
+      // carrying a comma and an escaped quote; a malformed doc_id; a
+      // blank line
+      Files.writeString(dir.resolve("shard0.csv"),
+        hdr + "\n" +
+          "1,\"hello, \"\"world\"\"\",en,web\n" +
+          "2,bonjour,fr,web\n" +
+          "notanumber,oops,en,web\n")
+      Files.writeString(dir.resolve("shard1.csv"),
+        hdr + "\n3,ok,en,books\n\n")
+      val r = graft.sources.Ingest.readCsv(spark, dir.toString)
+      val docs = r.docs.orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+      assert(docs.toSeq === Seq((1L, "hello, \"world\"", "en"),
+        (2L, "bonjour", "fr"), (3L, "ok", "en")))
+      val bad = r.quarantine.as[String].collect().sorted
+      assert(bad.exists(_.contains("notanumber")))
+      // conservation: 7 non-empty physical lines + 1 blank read as a
+      // line = docs(3) + quarantine(2: malformed + blank) + headers(2)
+      val lines = spark.read.text(dir.toString).count()
+      assert(r.docs.count() + r.quarantine.count() + 2 === lines)
+      // no-cache posture, same as readJsonl
+      Seq(r.docs, r.quarantine).foreach { d =>
+        val plan = d.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("InMemoryRelation"))
+      }
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
   test("readTextDir: one row per file, recursive, glob-filtered") {
     val dir = Files.createTempDirectory("graft_txt")
     try {

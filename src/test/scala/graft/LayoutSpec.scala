@@ -178,6 +178,54 @@ class LayoutSpec extends SparkTestBase {
     assert(e2.getMessage.contains("one-file-per-bucket"))
   }
 
+  test("partitioned + bucketed layout: one file per bucket PER " +
+    "partition dir, pruning reaches the scan, join on bucket keys " +
+    "still exchange-free after pruning") {
+    Layout.writeBucketed(
+      sf("lineitem").select(col("l_orderkey"), col("l_quantity"),
+        (col("l_orderkey") % 3).cast("int").as("pday")),
+      "layoutspec_li_p", Seq("l_orderkey"), 4, Seq("l_orderkey"),
+      Some(s"$root/li_p"), partitionCols = Seq("pday"))
+    // per-partition-dir uniqueness law (verifyLayout recurses)
+    val counts = Layout.verifyLayout(spark, "layoutspec_li_p")
+    assert(counts.values.sum > 4, "expected files across partition dirs")
+    // partition pruning reaches the scan
+    val pruned = Layout.table(spark, "layoutspec_li_p")
+      .filter(col("pday") === 1)
+    val scans = Layout.planNodes(pruned).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty &&
+      scans.head.metadata.get("PartitionFilters").exists(_.contains("pday")),
+      "partition filter should reach the bucketed scan:\n" +
+        pruned.queryExecution.executedPlan)
+    // values: partitioned layout reads back the same data
+    val a = Layout.table(spark, "layoutspec_li_p")
+      .agg(sum("l_quantity")).head().getDouble(0)
+    val b = sf("lineitem").agg(sum("l_quantity")).head().getDouble(0)
+    assert(a === b)
+    // the pruned slice still joins exchange-free on the bucket key
+    writeBoth()
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = pruned.join(Layout.table(spark, "layoutspec_li")
+          .withColumnRenamed("l_orderkey", "k8")
+          .withColumnRenamed("l_quantity", "q8"),
+          col("l_orderkey") === col("k8"))
+        .groupBy("l_orderkey").agg(sum("q8").as("s"))
+      // 4-bucket pruned side vs 8-bucket side: divisible counts under
+      // coalescing would elide both; without relying on that conf here,
+      // assert at most ONE side exchanges (the planner may re-shuffle
+      // the smaller side to match)
+      assert(Layout.shuffleExchanges(j) <= 1,
+        "pruned bucketed join should shuffle at most one side:\n" +
+          j.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
+
   test("single-table agg on the bucket key is exchange-free") {
     writeBoth()
     val agg = Layout.table(spark, "layoutspec_li")

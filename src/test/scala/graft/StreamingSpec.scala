@@ -1267,6 +1267,46 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming CSV ingest: quarantine conservation across " +
+    "micro-batches, per-shard headers drop (the readJsonlStream mirror)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_stream")
+    def writeShard(name: String, lines: String): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.writeString(tmp, lines)
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    try {
+      val hdr = "doc_id,text,lang,source"
+      writeShard("a.csv",
+        hdr + "\n1,first doc,en,w\nnotanumber,bad,en,w\n")
+      val r = graft.sources.Ingest.readCsvStream(spark, dir.toString)
+      assert(r.docs.isStreaming && r.quarantine.isStreaming)
+      val qd = r.docs.writeStream.outputMode("append")
+        .format("memory").queryName("csv_docs_out").start()
+      val qq = r.quarantine.writeStream.outputMode("append")
+        .format("memory").queryName("csv_quar_out").start()
+      try {
+        qd.processAllAvailable(); qq.processAllAvailable()
+        writeShard("b.csv", hdr + "\n2,second doc,fr,b\n\n")
+        qd.processAllAvailable(); qq.processAllAvailable()
+        val docs = spark.table("csv_docs_out")
+          .orderBy("doc_id").collect()
+          .map(x => (x.getLong(0), x.getString(1)))
+        assert(docs.toSeq === Seq((1L, "first doc"), (2L, "second doc")))
+        val quar = spark.table("csv_quar_out").collect().map(_.getString(0))
+        assert(quar.length === 2) // malformed + blank; headers dropped
+        assert(quar.exists(_.contains("notanumber")))
+        // stateless ingest: no state operators on either branch
+        assert(qd.lastProgress.stateOperators.isEmpty)
+        assert(qq.lastProgress.stateOperators.isEmpty)
+      } finally { qd.stop(); qq.stop() }
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("streaming JSONL ingest: quarantine conservation across " +
     "micro-batches, docs feed a stateless curation op, batch-equal (r12 #8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream")
