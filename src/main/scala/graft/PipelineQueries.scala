@@ -592,6 +592,33 @@ object PipelineQueries {
         md5(graft.ops.Cleaning.normalize(col("text"))).as("h"),
         length(graft.ops.Cleaning.normalize(col("text"))).cast("long").as("len"))),
 
+    // CSV ingest round trip, cross-engine certified: documents →
+    // Spark CSV writer (RFC doubled-quote escaping, per-partition
+    // headers) → Ingest.readCsv (quarantine MUST stay empty — a
+    // quoting/escape defect lands lines there and breaks the row
+    // count) → per-row md5+length certificate, which must equal the
+    // same certificate computed directly off the parquet (the oracle
+    // never sees the CSV — identity of the round trip IS the check).
+    // Newlines are sanitized first (the line-based quarantine reader's
+    // documented single-line contract) and empty-text docs filtered
+    // (CSV cannot distinguish empty from null).
+    "q_csv_roundtrip" -> ((s, d) => {
+      val tag = java.lang.Integer.toHexString(d.hashCode).replace("-", "m")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_$tag"
+      val clean = docs(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          translate(col("text"), "\n\r", "  ").as("text"),
+          col("lang"), col("source"))
+      clean.coalesce(2).write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(out)
+      graft.sources.Ingest.readCsv(s, out).docs
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).cast("long").as("len"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // PMI collocation mining: top bigram phrases by pointwise mutual
     // information at a min-count floor (ordering on the ROUNDED score
     // so both engines cut the same top-100)
@@ -1826,6 +1853,13 @@ object PipelineQueries {
       s"""SELECT doc_id, md5($norm) AS h, length($norm)::BIGINT AS len
          FROM documents ORDER BY doc_id"""
     },
+
+    "q_csv_roundtrip" ->
+      """SELECT doc_id,
+           md5(replace(replace(text, chr(10), ' '), chr(13), ' ')) AS h,
+           length(replace(replace(text, chr(10), ' '), chr(13), ' '))::BIGINT AS len,
+           lang, source
+         FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
 
     "q_collocations" ->
       s"""WITH bg AS (SELECT doc_id, unnest(list_transform(

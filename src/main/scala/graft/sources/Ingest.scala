@@ -93,7 +93,11 @@ object Ingest {
     * header repeats per shard; the conservation law becomes
     * docs + quarantine + headers == lines (IngestSpec). Quoted fields
     * containing the separator or escaped quotes follow from_csv's
-    * standard quoting. */
+    * standard quoting. CONTRACT: one record per physical line — the
+    * line-grain quarantine is exactly what multiline quoted records
+    * (embedded newlines) cannot have; sanitize newlines at write time
+    * (q_csv_roundtrip does) or use the csv datasource's multiLine
+    * mode and give up per-line quarantine. */
   final case class CsvResult(docs: DataFrame, quarantine: DataFrame)
 
   private[sources] def splitCsvLines(lines: DataFrame, schema: StructType,
