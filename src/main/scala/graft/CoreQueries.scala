@@ -324,15 +324,20 @@ object CoreQueries {
     // weighted quantiles (frequency-weight semantics: integer weights =
     // repeat counts, type-7 interpolation over the expanded multiset —
     // the oracle literally expands with unnest(generate_series))
+    // vector q (r15): wquantile with q = [0.25, 0.75] returns an
+    // array — the unweighted quantile's vector-q surface symmetry —
+    // flattened here so the oracle stays plain columns
     "q_weighted_quantile" -> ((s, d) =>
       GroupByReduce.weighted(
         spreadBy(s, withNan(ev(s, d)).withColumn("w", col("event_id") % 7 + 1),
           "user_id"),
         Seq("user_id"), "v", "w", Seq(
           ("wmedian", "wmed"),
-          ("wquantile", "wq25")), ReduceOptions(q = Seq(0.25)))
+          ("wquantile", "wqv")), ReduceOptions(q = Seq(0.25, 0.75)))
         .withColumn("wmed", r("wmed", 4))
-        .withColumn("wq25", r("wq25", 4))),
+        .withColumn("wq25", round(element_at(col("wqv"), 1), 4))
+        .withColumn("wq75", round(element_at(col("wqv"), 2), 4))
+        .drop("wqv")),
 
     // the unbounded-group-size weighted tier: duplicate-run
     // compression + distributed weight prefix sum, no per-group
@@ -1032,7 +1037,8 @@ object CoreQueries {
          u AS (SELECT DISTINCT user_id FROM ($sqlNan))
          SELECT u.user_id,
            round(quantile_cont(e.v, 0.5), 4) AS wmed,
-           round(quantile_cont(e.v, 0.25), 4) AS wq25
+           round(quantile_cont(e.v, 0.25), 4) AS wq25,
+           round(quantile_cont(e.v, 0.75), 4) AS wq75
          FROM u LEFT JOIN e USING (user_id)
          GROUP BY 1 ORDER BY 1""",
 

@@ -202,7 +202,11 @@ object GroupByReduce {
         case "wstd"  => sqrt(wvar)
         case "wcount" => wtot // total weight of valid pairs
         case "wmedian"   => wquantileOf(0.5)
-        case "wquantile" => wquantileOf(opts.q.head) // scalar q
+        // scalar q → double; vector q → array (the unweighted
+        // quantile's surface symmetry, flox vector-q parity)
+        case "wquantile" =>
+          if (opts.q.length == 1) wquantileOf(opts.q.head)
+          else array(opts.q.map(wquantileOf): _*)
         case other => throw new IllegalArgumentException(
           s"unknown weighted reduction '$other' (wsum|wmean|wvar|wstd|wcount|wmedian|wquantile)")
       }).as(as)

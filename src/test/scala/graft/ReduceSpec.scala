@@ -286,6 +286,28 @@ class ReduceSpec extends SparkTestBase {
     assert(scanEx === 1, scan.queryExecution.executedPlan.toString)
   }
 
+  test("weighted quantile vector q: array elements bit-equal the " +
+    "scalar calls (the unweighted vector-q surface symmetry)") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 90).map { i =>
+      (i % 3, ((i * 2654435761L) % 40).toDouble, 1 + (i * 7) % 4)
+    }
+    val df = rows.toDF("k", "v", "w").repartition(4)
+    val qs = Seq(0.1, 0.5, 0.9)
+    val vec = GroupByReduce.weighted(df, Seq("k"), "v", "w",
+        Seq(("wquantile", "r")), graft.aggs.ReduceOptions(q = qs))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val scalar = GroupByReduce.weighted(df, Seq("k"), "v", "w",
+          Seq(("wquantile", "r")), graft.aggs.ReduceOptions(q = Seq(q)))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      scalar.foreach { case (k, want) =>
+        assert(java.lang.Double.doubleToRawLongBits(vec(k)(i)) ===
+          java.lang.Double.doubleToRawLongBits(want), s"k=$k q=$q")
+      }
+    }
+  }
+
   test("weighted quantile equals the unweighted quantile of the expanded multiset") {
     import org.apache.spark.sql.functions.col
     // frequency-weight contract: wquantile(v, w) over rows == quantile
