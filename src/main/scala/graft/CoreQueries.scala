@@ -758,7 +758,9 @@ object CoreQueries {
           nancmin(col("z")).getField("re").as("min_re"),
           nancmin(col("z")).getField("im").as("min_im"),
           nancmax(col("z")).getField("re").as("max_re"),
-          nancmax(col("z")).getField("im").as("max_im"))
+          nancmax(col("z")).getField("im").as("max_im"),
+          cargmin(col("z"), col("event_id")).as("argmin_id"),
+          cargmax(col("z"), col("event_id")).as("argmax_id"))
         .orderBy("user_id")
     }),
 
@@ -1301,7 +1303,11 @@ object CoreQueries {
              min({'re': re, 'im': im})
                FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS mn,
              max({'re': re, 'im': im})
-               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS mx
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS mx,
+             min({'re': re, 'im': im, 'o': event_id})
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS amn,
+             max({'re': re, 'im': im, 'no': -event_id})
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS amx
            FROM z GROUP BY 1)
          SELECT user_id, n,
            round(sraw, 2) AS csum_re,
@@ -1317,7 +1323,8 @@ object CoreQueries {
            END AS cstd2,
            first_im, last_re,
            (mn).re AS min_re, (mn).im AS min_im,
-           (mx).re AS max_re, (mx).im AS max_im
+           (mx).re AS max_re, (mx).im AS max_im,
+           (amn).o AS argmin_id, -((amx).no) AS argmax_id
          FROM a ORDER BY 1""",
 
     "q_per_group" ->

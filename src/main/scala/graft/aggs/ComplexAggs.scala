@@ -111,6 +111,27 @@ object ComplexAggs {
     when(count(when(v.isNotNull && !valid(v), 1)) > 0,
       c(lit(Double.NaN), lit(Double.NaN))).otherwise(base)
 
+  /** Complex argmin/argmax — the `order` value (the element index) of
+    * the lexicographic extremum, FIRST index on ties (NumPy's
+    * first-extremum contract): the min side appends `order` ascending
+    * to the (re, im) ordering; the max side appends `-order` so the
+    * greatest ordering still lands on the SMALLEST index among tied
+    * values (the ReduceExprs argmax convention). NaN values are
+    * skipped (nanarg*); flox's plain arg* over all-NaN raises — here
+    * an all-NaN group returns null (the NA-sentinel convention). */
+  def cargmin(v: Column, order: Column): Column =
+    graft.functions.VectorExprs.extremumBy(
+      order,
+      when(valid(v), struct(re(v).as("re"), im(v).as("im"),
+        order.as("o"))),
+      isMax = false)
+  def cargmax(v: Column, order: Column): Column =
+    graft.functions.VectorExprs.extremumBy(
+      order,
+      when(valid(v), struct(re(v).as("re"), im(v).as("im"),
+        (-order).as("no"))),
+      isMax = true)
+
   /** First/last complex value in `order` — includes NaN values (plain
     * first/last); rows with a null struct are missing and skip (their
     * ordering value is nulled alongside — ExtremumBy skips null

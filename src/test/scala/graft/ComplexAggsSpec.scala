@@ -185,6 +185,24 @@ class ComplexAggsSpec extends SparkTestBase {
     }
   }
 
+  test("argmin/argmax: lexicographic extremum's index, FIRST index on " +
+    "ties, NaN values skipped, all-NaN group null") {
+    // planted ties: (2,1) appears at idx 1 and 3; (5,9) at idx 2 and 4
+    val t = Seq(("t", 1, 2.0, 1.0), ("t", 2, 5.0, 9.0), ("t", 3, 2.0, 1.0),
+      ("t", 4, 5.0, 9.0), ("t", 5, Double.NaN, 0.0))
+      .toDF("k", "idx", "r", "i")
+      .withColumn("z", struct(col("r").as("re"), col("i").as("im")))
+    val got = t.groupBy("k").agg(
+      cargmin(col("z"), col("idx")).as("amn"),
+      cargmax(col("z"), col("idx")).as("amx")).head()
+    assert(got.getInt(1) === 1, "argmin: first index of the tied min")
+    assert(got.getInt(2) === 2, "argmax: first index of the tied max")
+    val x = Seq(("x", 1, Double.NaN, 0.0)).toDF("k", "idx", "r", "i")
+      .withColumn("z", struct(col("r").as("re"), col("i").as("im")))
+      .groupBy("k").agg(cargmin(col("z"), col("idx")).as("amn")).head()
+    assert(x.isNullAt(1), "all-NaN group -> null index")
+  }
+
   test("first/last: order-deterministic, nan* variants skip NaN values, " +
     "null structs skip") {
     val z = col("z")
