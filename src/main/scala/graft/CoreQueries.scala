@@ -678,9 +678,12 @@ object CoreQueries {
     }),
 
     // the unbounded-group-size cum-extrema tier (boundary-carry fold —
-    // exact values, bit-identical to the window path by GlobalScanSpec
-    // law); raw window max/min semantics on both engines (NaN sorts
-    // greatest in Spark AND DuckDB, nulls skip)
+    // exact values, bit-identical to the WINDOW TIER by GlobalScanSpec
+    // law): np.maximum/minimum.accumulate semantics, same as
+    // q_cum_extrema — NaN poisons the running min too (the r15
+    // advice-high fix: the old fold let a later finite value replace
+    // NaN, diverging from GroupByScan under scanAuto), hence the same
+    // bool_or(isnan) CASE on the oracle side
     "q_cum_extrema_dist" -> ((s, d) => {
       val e = withNan(ev(s, d))
       val c1 = graft.api.GlobalScan.groupedCumMax(e, Seq("user_id"),
@@ -729,6 +732,48 @@ object CoreQueries {
         ev(s, d).select("event_id", "user_id", "value"),
         Seq("user_id"), Seq(col("event_id")), "value", "cmax", "cummax")
         .orderBy("event_id")),
+
+    // cumcount at unbounded group size (r16, closing the r15 refusal):
+    // a null-identity count fold + DECLARED segment combine (its state
+    // domain is a count, not a value) + the null→0 output finalize
+    // matching `count` over an empty frame — flox's generic binary_op
+    // covers counting scans (flox/aggregations.py:792-846); the
+    // integer monoid makes the carry tier exactly the window tier.
+    "q_cumcount_dist" -> ((s, d) =>
+      graft.api.GlobalScan.groupedCustomScan(withNull(ev(s, d)),
+        Seq("user_id"), Seq(col("event_id")), "v", "cnt", "cumcount")
+        .select(col("event_id"), col("user_id"), col("cnt"))
+        .orderBy("event_id")),
+
+    // finish scans on the carry tier (r16, closing the r15 refusal):
+    // running-fraction-of-total needs the whole-group operand, which
+    // the carry tier now computes as a mergeable hash aggregation of
+    // the same agg, null-safe-equi-joined back (one row per group —
+    // AQE broadcasts it). The fold is an EXACT integer sum (addExact),
+    // so run and whole are bit-identical to the window tier and the
+    // finishing division is deterministic cross-engine.
+    "q_cumfrac_dist" -> ((s, d) => {
+      import graft.aggs.CustomScans
+      CustomScans.register("cumfrac_i", CustomScans.ScanSpec(
+        agg = v => sum(v),
+        finish = Some((run, whole) => run.cast("double") / whole),
+        fold = Some((st, v) =>
+          if (v == null) st
+          else if (st == null) v
+          else java.lang.Long.valueOf(Math.addExact(
+            st.asInstanceOf[Long], v.asInstanceOf[Long]))),
+        combine = Some((a, b) =>
+          if (a == null) b else if (b == null) a
+          else java.lang.Long.valueOf(Math.addExact(
+            a.asInstanceOf[Long], b.asInstanceOf[Long])))))
+      val e = ev(s, d).withColumn("iv",
+        pmod(col("event_id"), lit(997)).cast("long"))
+      graft.api.GlobalScan.groupedCustomScan(e, Seq("user_id"),
+          Seq(col("event_id")), "iv", "cfrac", "cumfrac_i")
+        .select(col("event_id"), col("user_id"),
+          r("cfrac", 6).as("cfrac"))
+        .orderBy("event_id")
+    }),
 
     // complex-dtype reductions over the struct(re, im) convention
     // (reference surface: NumPy complex reduce, tests/strategies.py:
@@ -1254,7 +1299,8 @@ object CoreQueries {
     "q_cum_extrema_dist" ->
       s"""SELECT event_id, user_id,
          max(v) OVER w AS cmax,
-         min(v) OVER w AS cmin
+         CASE WHEN bool_or(isnan(v)) OVER w THEN 'NaN'::DOUBLE
+              ELSE min(v) OVER w END AS cmin
          FROM ($sqlNan)
          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1282,6 +1328,21 @@ object CoreQueries {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax
          FROM events ORDER BY event_id""",
 
+    "q_cumcount_dist" ->
+      s"""SELECT event_id, user_id,
+         count(v) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+         FROM ($sqlNull) ORDER BY event_id""",
+
+    "q_cumfrac_dist" ->
+      """SELECT event_id, user_id,
+         round(((sum(iv) OVER w)::DOUBLE) /
+               ((sum(iv) OVER (PARTITION BY user_id))::DOUBLE), 6) AS cfrac
+         FROM (SELECT *, (event_id % 997)::BIGINT AS iv FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
     "q_complex_aggs" ->
       """WITH z AS (
            SELECT user_id, event_id,
@@ -1295,8 +1356,10 @@ object CoreQueries {
              sum(re) AS sraw,
              sum(re) FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS sre,
              sum(im) FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS sim,
-             sum(re*re + im*im)
-               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS s2,
+             var_pop(re)
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS vpr,
+             var_pop(im)
+               FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS vpi,
              min_by(im, event_id) AS first_im,
              max_by(re, event_id)
                FILTER (WHERE NOT (isnan(re) OR isnan(im))) AS last_re,
@@ -1316,10 +1379,10 @@ object CoreQueries {
            CASE WHEN n > 0 THEN round(sre / n, 4) END AS mean_re,
            CASE WHEN n > 0 THEN round(sim / n, 4) END AS mean_im,
            CASE WHEN n > 1 THEN
-             round(greatest(s2 - (sre*sre + sim*sim) / n, 0) / (n - 1), 4)
+             round(n * (vpr + vpi) / (n - 1), 4)
            END AS cvar,
            CASE WHEN n > 2 THEN
-             round(sqrt(greatest(s2 - (sre*sre + sim*sim) / n, 0) / (n - 2)), 4)
+             round(sqrt(n * (vpr + vpi) / (n - 2)), 4)
            END AS cstd2,
            first_im, last_re,
            (mn).re AS min_re, (mn).im AS min_im,

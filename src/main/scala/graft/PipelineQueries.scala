@@ -619,6 +619,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // MULTILINE CSV round trip (r16, closing the r15 missing #3):
+    // every 7th doc gets an injected quoted newline + separator +
+    // quote tail so multiline records provably exist, then documents →
+    // Spark CSV writer (fields with \n/,/" are quoted, " doubled) →
+    // Ingest.readCsvMultiline (record-grain quarantine must stay
+    // empty — any quoting defect breaks the row count) → per-row
+    // md5+length certificate equal to the parquet-direct oracle.
+    // Carriage returns are sanitized on BOTH sides: the quote parser
+    // normalizes line endings inside quoted fields, so \r is the one
+    // byte the round trip cannot preserve (documented format cost).
+    "q_csv_multiline" -> ((s, d) => {
+      val tag = java.lang.Integer.toHexString(d.hashCode).replace("-", "m")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_ml_$tag"
+      val withNl = docs(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(translate(col("text"), "\r", " "), lit("\nln2,\"x")))
+            .otherwise(translate(col("text"), "\r", " ")).as("text"),
+          col("lang"), col("source"))
+      withNl.coalesce(2).write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(out)
+      graft.sources.Ingest.readCsvMultiline(s, out).docs
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).cast("long").as("len"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // PMI collocation mining: top bigram phrases by pointwise mutual
     // information at a min-count floor (ordering on the ROUNDED score
     // so both engines cut the same top-100)
@@ -1858,6 +1887,17 @@ object PipelineQueries {
       """SELECT doc_id,
            md5(replace(replace(text, chr(10), ' '), chr(13), ' ')) AS h,
            length(replace(replace(text, chr(10), ' '), chr(13), ' '))::BIGINT AS len,
+           lang, source
+         FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
+
+    "q_csv_multiline" ->
+      """SELECT doc_id,
+           md5(CASE WHEN doc_id % 7 = 0
+               THEN replace(text, chr(13), ' ') || chr(10) || 'ln2,"x'
+               ELSE replace(text, chr(13), ' ') END) AS h,
+           length(CASE WHEN doc_id % 7 = 0
+               THEN replace(text, chr(13), ' ') || chr(10) || 'ln2,"x'
+               ELSE replace(text, chr(13), ' ') END)::BIGINT AS len,
            lang, source
          FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
 

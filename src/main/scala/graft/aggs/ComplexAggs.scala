@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *  - plain variants propagate NaN (a double sum does this natively),
   *    `nan*` variants skip NaN values as a whole — never one part;
   *  - `count` is flox's nanlen: # values with neither part NaN;
-  *  - var/std are REAL-valued: E|x − x̄|² with arbitrary ddof, computed
-  *    in the one-pass moment form Σ|x|² − |Σx|²/n over the group (the
-  *    same Chan-style algebra the scalar var uses), clamped at zero
-  *    against cancellation;
+  *  - var/std are REAL-valued: E|x − x̄|² with arbitrary ddof,
+  *    reconstructed componentwise from Spark's STABLE central-moment
+  *    aggregate (M2 = n·(var_pop(re) + var_pop(im)) — the same algebra
+  *    the scalar var uses; never the cancellation-prone raw-moment
+  *    form);
   *  - first/last take an explicit order column (min_by/max_by — the
   *    idx-deterministic convention every order-dependent reduction in
   *    graft follows).
@@ -80,14 +81,20 @@ object ComplexAggs {
 
   private def varFrom(reC: Column, imC: Column, n: Column,
                       ddof: Int): Column = {
-    val s2 = sum(reC * reC + imC * imC)
-    val sre = sum(reC)
-    val sim = sum(imC)
-    val ssd = s2 - (sre * sre + sim * sim) / n
-    // one-pass cancellation can dip a hair negative; CASE (not
-    // greatest) so an all-missing group's null stays null
-    val clamped = when(ssd < 0, lit(0.0)).otherwise(ssd)
-    when(n > ddof, clamped / (n - ddof))
+    // stable componentwise reconstruction: Σ|x − x̄|² decomposes as
+    // n·(var_pop(re) + var_pop(im)), and Spark's CentralMomentAgg
+    // accumulates var_pop with the numerically stable pairwise update —
+    // the same M2-from-var_pop algebra the scalar varDdof uses
+    // (ReduceExprs.scala:99-109). The raw-moment form
+    // Σ|x|² − |Σx|²/n cancels catastrophically when |mean| ≫ sd
+    // (ComplexAggsSpec pins a mean~1e8/sd~1 group against a
+    // mean-shifted local reference); flox mean-shifts for the same
+    // reason (flox/aggregate_npg.py:112-120). NaN inputs propagate
+    // through var_pop natively; an all-missing group's var_pop is null
+    // and the CASE keeps the result null. Same plan shape: one hash
+    // aggregation.
+    val m2 = n * (var_pop(reC) + var_pop(imC))
+    when(n > ddof, m2 / (n - ddof))
   }
 
   /** Lexicographic complex min/max — NumPy's amin/amax over complex

@@ -73,6 +73,13 @@ object CustomScans {
     * @param foldOutType  the carry tier's output dtype when the fold's
     *                  state type differs from the value column's
     *                  (default: same as the value column)
+    * @param outFinalize  carry-tier-only per-row adapter applied to the
+    *                  folded output column so its EMPTY-state encoding
+    *                  matches the window aggregate's (the fold contract
+    *                  is null = empty, but e.g. `count` over an empty
+    *                  frame is 0, not null — cumcount declares
+    *                  `coalesce(out, 0)`). Map-only, applied after the
+    *                  carry scan and before any `finish`.
     */
   case class ScanSpec(
       agg: Column => Column,
@@ -80,7 +87,8 @@ object CustomScans {
       finish: Option[(Column, Column) => Column] = None,
       fold: Option[(Any, Any) => Any] = None,
       combine: Option[(Any, Any) => Any] = None,
-      foldOutType: Option[DataType] = None)
+      foldOutType: Option[DataType] = None,
+      outFinalize: Option[Column => Column] = None)
 
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, ScanSpec]
@@ -90,28 +98,66 @@ object CustomScans {
   /** Comparable-based extremum fold matching Spark's window max/min for
     * the dtypes whose boxed compareTo is Spark's ordering: numerics
     * (java.lang.Double.compareTo IS Double.compare — NaN greatest,
-    * matching the window tier) and ASCII strings. Nulls skip. */
+    * matching the window tier) and ASCII strings. Nulls skip.
+    *
+    * For the MIN side, fp NaN poisons: GroupByScan's built-in 'cummin'
+    * (the window formulation these folds must mirror) implements
+    * np.minimum.accumulate, where a seen NaN sticks forever; a bare
+    * compareTo orders NaN greatest and would let a later finite value
+    * replace it (the r15 advice-high divergence, same defect as
+    * GlobalScan's old maxFold(-1)). The max side needs no guard: NaN-
+    * greatest IS the window max semantics. Non-fp dtypes are
+    * unaffected by the guard. */
   private def extremumFold(sign: Int): (Any, Any) => Any = (st, v) =>
     if (v == null) st
     else if (st == null) v
+    else if (sign < 0 && isNaNBoxed(st)) st
+    else if (sign < 0 && isNaNBoxed(v)) v
     else {
       val c = v.asInstanceOf[Comparable[Any]].compareTo(st)
       if (c * sign > 0) v else st
     }
 
+  private def isNaNBoxed(a: Any): Boolean = a match {
+    case d: java.lang.Double => d.isNaN
+    case f: java.lang.Float  => f.isNaN
+    case _                   => false
+  }
+
+  /** Null-identity count fold: counts non-null values. State domain
+    * (a running Long) differs from the value domain, so the segment
+    * combine MUST be declared (fold would count a merged segment as
+    * one value — the accumulating-fold defect class the GlobalScanSpec
+    * law caught when the carry tier was built). */
+  private val countFold: (Any, Any) => Any = (st, v) =>
+    if (v == null) st
+    else if (st == null) java.lang.Long.valueOf(1L)
+    else java.lang.Long.valueOf(Math.addExact(st.asInstanceOf[Long], 1L))
+
+  private val countCombine: (Any, Any) => Any = (a, b) =>
+    if (a == null) b
+    else if (b == null) a
+    else java.lang.Long.valueOf(
+      Math.addExact(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+
   // Standard extra scans pre-registered (numpy ufunc.accumulate family
   // beyond flox's fixed four): available to GroupByScan by name.
-  // cummax/cummin declare their fold (exact-value carry ⇒ the carry
-  // tier is bit-equal); cumprod/cumcount stay window-only (float
-  // product is order-sensitive across boundaries; cumcount's empty
-  // prefix is 0, not null — neither survives the null-identity fold
-  // contract unchanged).
+  // cummax/cummin/cumcount declare their fold (exact-value /
+  // integer-monoid carries ⇒ the carry tier is bit-equal; cumcount
+  // additionally declares the segment combine — its state domain is a
+  // count, not a value — and the null→0 output finalize matching
+  // `count` over an empty frame). cumprod stays window-only: float
+  // product is order-sensitive across partition boundaries.
   locally {
-    import org.apache.spark.sql.functions.{count, max, min, product}
+    import org.apache.spark.sql.functions.{coalesce, count, lit, max, min, product}
     register("cummax", ScanSpec(v => max(v), fold = Some(extremumFold(1))))
     register("cummin", ScanSpec(v => min(v), fold = Some(extremumFold(-1))))
     register("cumprod", ScanSpec(v => product(v)))
-    register("cumcount", ScanSpec(v => count(v)))
+    register("cumcount", ScanSpec(v => count(v),
+      fold = Some(countFold),
+      combine = Some(countCombine),
+      foldOutType = Some(org.apache.spark.sql.types.LongType),
+      outFinalize = Some(c => coalesce(c, lit(0L)))))
   }
 
   def lookup(name: String): Option[ScanSpec] = registry.get(name)

@@ -67,8 +67,9 @@ object Dispatch {
 
   /** One cheap stats pass: exact count + one aggregation over a
     * deterministic `fraction` sample (fixed seed — same data, same
-    * decision). Inputs smaller than ~100k rows are measured exactly
-    * (a 1% sample of small data estimates nothing). Null keys count
+    * decision). Inputs whose SAMPLE would be smaller than ~100k rows
+    * (i.e. under 10M rows at the default 1%) are measured exactly —
+    * a 1% sample of small data estimates nothing. Null keys count
     * like any other key — both tiers of every fork drop or carry them
     * identically, so they cannot flip a decision wrongly.
     *
@@ -77,9 +78,11 @@ object Dispatch {
     * sampling into the scan) — flox's heuristics read only chunk
     * metadata, which Spark does not keep per key. One extra map-side-
     * combined scan is the price of choosing right; a caller running
-    * many operators over the same keys should compute [[keyStats]]
-    * once and drive the pure choosers (or the explicit tiers)
-    * directly. */
+    * many operators over the same keying should compute [[keyStats]]
+    * ONCE and pass it to each auto entry point via their
+    * `stats = Some(...)` parameter (zero extra jobs — DispatchSpec
+    * law), the flox analog of its memoized per-array chunk metadata
+    * (flox/cache.py:1-12). */
   def keyStats(df: DataFrame, keys: Seq[String],
                fraction: Double = 0.01, seed: Long = 42L): KeyStats = {
     require(keys.nonEmpty, "keyStats needs key columns")
@@ -137,14 +140,15 @@ object Dispatch {
   def quantileAuto(df: DataFrame, by: Seq[String], value: String,
                    qs: Seq[Double], as: String = "result",
                    opts: ReduceOptions = ReduceOptions(),
-                   megaGroupRows: Long = MegaGroupRows): DataFrame = {
+                   megaGroupRows: Long = MegaGroupRows,
+                   stats: Option[KeyStats] = None): DataFrame = {
     // an approx request never needs escalation: the GK sketch is
     // mergeable map-side and group-size-unbounded already — the
     // buffered branch IS the scale tier for approxQuantile (and
     // skipping keyStats saves the stats scan)
     if (opts.approxQuantile)
       return GroupByReduce(df, by, value, "quantile", as, opts.copy(q = qs))
-    val st = keyStats(df, by)
+    val st = stats.getOrElse(keyStats(df, by))
     val tier = chooseQuantileTier(st, megaGroupRows)
     logDecision("quantile", tier, st)
     tier match {
@@ -169,6 +173,73 @@ object Dispatch {
     }
   }
 
+  /** Umbrella reduction dispatch — ONE entry point that routes any
+    * [[GroupByReduce]] func through the right tier, so users stop
+    * needing to know which auto entry points exist (r15 verdict
+    * stretch #8). The routing fact that makes this cheap: hash-
+    * aggregated reductions (count/sum/mean/var/min/max/corr/skew/
+    * nunique/topk/custom registrations/...) are mergeable map-side
+    * and GROUP-SIZE-UNBOUNDED under Tungsten already — they dispatch
+    * straight to GroupByReduce with NO stats pass (zero added cost),
+    * as do approx quantiles (mergeable GK sketches). The EXACT
+    * quantile family (quantile/nanquantile/median/nanmedian) is the
+    * one buffered-per-group class and gets the tier choice: buffered
+    * below [[MegaGroupRows]], [[GroupByReduce.quantileDistributed]]
+    * above (median = quantile 0.5, the same interpolation algebra;
+    * nan* variants NaN-mask the value column before escalating —
+    * nanquantile(v) == quantile(nan→null(v)) since null is skipped on
+    * both tiers). Escalation refuses loudly what the distributed tier
+    * does not implement (expectedGroups/fill/minCount — the
+    * quantileAuto guard — and the nanQuantileAllNaN sentinel, whose
+    * all-NaN→NaN encoding the masked column erases). `mode` keeps its
+    * own two-stage entry (GroupByReduce.mode). */
+  def reduceAuto(df: DataFrame, by: Seq[String], value: String,
+                 func: String, as: String = "result",
+                 opts: ReduceOptions = ReduceOptions(),
+                 megaGroupRows: Long = MegaGroupRows,
+                 stats: Option[KeyStats] = None): DataFrame = {
+    val exactQuantile = Set("quantile", "nanquantile", "median", "nanmedian")
+    if (!exactQuantile(func) || opts.approxQuantile)
+      return GroupByReduce(df, by, value, func, as, opts)
+    val qs = func match {
+      case "median" | "nanmedian" => Seq(0.5)
+      case _ => if (opts.q.nonEmpty) opts.q else Seq(0.5)
+    }
+    val st = stats.getOrElse(keyStats(df, by))
+    val tier = chooseQuantileTier(st, megaGroupRows)
+    logDecision(s"reduce:$func", tier, st)
+    tier match {
+      case DistributedTier =>
+        require(opts.expectedGroups.isEmpty && opts.fillValue.isEmpty &&
+          opts.minCount == 0,
+          s"reduceAuto($func) escalated to the distributed tier (max " +
+            s"group ~${st.maxGroupRowsEst} rows > $megaGroupRows) but " +
+            "expectedGroups/fillValue/minCount are set, which that tier " +
+            "does not implement — left-join the expected domain over the " +
+            "result yourself, or force the buffered tier via GroupByReduce")
+        val isNan = func.startsWith("nan")
+        require(!(isNan && opts.nanQuantileAllNaN),
+          s"reduceAuto($func) escalated, but nanQuantileAllNaN is set: " +
+            "the distributed tier's NaN-masked column cannot distinguish " +
+            "an all-NaN group (NaN sentinel) from an all-null one — force " +
+            "the buffered tier via GroupByReduce if every group fits one " +
+            "task, or drop the flag")
+        val fp = df.schema(value).dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+        val masked =
+          if (isNan && fp)
+            df.withColumn(value, when(!isnan(col(value)), col(value)))
+          else df
+        GroupByReduce.quantileDistributed(masked, by, value, qs, as,
+          dropNullKeys = opts.dropNullKeys)
+      case _ =>
+        GroupByReduce(df, by, value, func, as, opts.copy(q = qs))
+    }
+  }
+
   /** Weighted exact quantile, tier chosen from the data — the fourth
     * manual fork ([[GroupByReduce.weighted]]'s buffered CDF walk vs
     * [[GroupByReduce.weightedQuantileDistributed]]'s run-compressed
@@ -178,8 +249,9 @@ object Dispatch {
   def weightedQuantileAuto(df: DataFrame, by: Seq[String], value: String,
                            weight: String, q: Double, as: String = "result",
                            opts: ReduceOptions = ReduceOptions(),
-                           megaGroupRows: Long = MegaGroupRows): DataFrame = {
-    val st = keyStats(df, by)
+                           megaGroupRows: Long = MegaGroupRows,
+                           stats: Option[KeyStats] = None): DataFrame = {
+    val st = stats.getOrElse(keyStats(df, by))
     val tier = chooseQuantileTier(st, megaGroupRows)
     logDecision("weightedQuantile", tier, st)
     tier match {
@@ -194,16 +266,32 @@ object Dispatch {
 
   /** Grouped scan, tier chosen from the data: the window formulation
     * below [[MegaGroupRows]] max group size, the boundary-carry tier
-    * above. Supported funcs in the carry tier: ffill, bfill, cummax,
-    * cummin (exact-value carries — bit-equal to the window tier,
-    * spec-pinned) and any registered custom scan with a declared
-    * fold; other funcs stay on the window tier at any size (their
-    * float accumulation order would diverge across partitions). */
+    * above. Supported funcs in the carry tier: ffill, bfill (any
+    * dtype); cummax/cummin/nancummax/nancummin (double natively;
+    * plain cummax/cummin also escalate for other NUMERIC dtypes via
+    * the registry's Comparable fold — boxed numeric compareTo IS
+    * Spark's ordering, and the registered cummin fold NaN-poisons to
+    * match the window tier); and any registered custom scan with a
+    * declared fold (finish scans included — the carry tier joins the
+    * whole-group aggregate back). Declined escalations stay on the
+    * window tier at any size and the decision log names WHY (e.g.
+    * "cast to double" for a non-double nancummin, or the non-ASCII
+    * string-ordering divergence for string extrema — boxed UTF-16
+    * compareTo is not Spark's UTF-8 binary order, so auto refuses
+    * what an explicit GlobalScan.groupedCustomScan call may still
+    * opt into). */
   def scanAuto(df: DataFrame, by: Seq[String], value: String,
                func: String, order: String, as: String = "result",
-               megaGroupRows: Long = MegaGroupRows): DataFrame = {
-    val st = keyStats(df, by)
+               megaGroupRows: Long = MegaGroupRows,
+               stats: Option[KeyStats] = None): DataFrame = {
+    val st = stats.getOrElse(keyStats(df, by))
     val tier = chooseScanTier(st, megaGroupRows)
+    var decline: String = ""
+    def declined(msg: String): Option[DataFrame => DataFrame] = {
+      decline = s" ($msg)"; None
+    }
+    val numeric = df.schema(value).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val carry: Option[DataFrame => DataFrame] =
       if (tier != CarryTier) None
       else func match {
@@ -219,15 +307,35 @@ object Dispatch {
           Some(d => GlobalScan.groupedNanCumMax(d, by, Seq(col(order)), value, as))
         case "nancummin" if isDouble(df, value) =>
           Some(d => GlobalScan.groupedNanCumMin(d, by, Seq(col(order)), value, as))
+        case f @ ("nancummax" | "nancummin") =>
+          declined(s"$f carry fold compares doubles; '$value' is " +
+            s"${df.schema(value).dataType.simpleString} — cast to double " +
+            "to unlock the carry tier")
+        case f @ ("cummax" | "cummin") if numeric =>
+          // registry Comparable fold: boxed numeric compareTo is
+          // Spark's ordering (cummin's fold NaN-poisons for fp,
+          // matching the window tier)
+          Some(d => GlobalScan.groupedCustomScan(
+            d, by, Seq(col(order)), value, as, f))
+        case f @ ("cummax" | "cummin") =>
+          declined(s"$f on ${df.schema(value).dataType.simpleString} " +
+            "stays windowed: the carry fold's boxed compareTo is not " +
+            "Spark's ordering for non-ASCII strings; opt in explicitly " +
+            "via GlobalScan.groupedCustomScan if the domain is safe")
         case other =>
           graft.aggs.CustomScans.lookup(other) match {
-            case Some(spec) if spec.fold.isDefined && spec.finish.isEmpty =>
+            case Some(spec) if spec.fold.isDefined =>
               Some(d => GlobalScan.groupedCustomScan(
                 d, by, Seq(col(order)), value, as, other))
-            case _ => None
+            case Some(_) =>
+              declined(s"registered scan '$other' declares no " +
+                "associative fold (ScanSpec.fold), so only the window " +
+                "tier can run it")
+            case None => None
           }
       }
-    logDecision(s"scan:$func", if (carry.isDefined) CarryTier else WindowTier, st)
+    logDecision(s"scan:$func$decline",
+      if (carry.isDefined) CarryTier else WindowTier, st)
     carry.map(_(df)).getOrElse(
       GroupByScan(df, by, value, func, order, as))
   }
@@ -237,8 +345,9 @@ object Dispatch {
     * span-block decomposition above (bit-equal, spec-pinned). */
   def rollingAggAuto(df: DataFrame, keyCol: String, tsCol: String,
                      valueCol: String, span: Long,
-                     hotKeyShare: Double = HotKeyShare): DataFrame = {
-    val st = keyStats(df, Seq(keyCol))
+                     hotKeyShare: Double = HotKeyShare,
+                     stats: Option[KeyStats] = None): DataFrame = {
+    val st = stats.getOrElse(keyStats(df, Seq(keyCol)))
     val tier = chooseEventsTier(st, hotKeyShare)
     logDecision("rollingAgg", tier, st)
     if (tier == Skewed && span >= 1)
@@ -274,8 +383,9 @@ object Dispatch {
                    span: Option[Long] = None, prefix: String = "asof_",
                    direction: String = "backward",
                    tolerance: Option[Long] = None,
-                   hotKeyShare: Double = HotKeyShare): DataFrame = {
-    val st = keyStats(right, keys)
+                   hotKeyShare: Double = HotKeyShare,
+                   stats: Option[KeyStats] = None): DataFrame = {
+    val st = stats.getOrElse(keyStats(right, keys))
     val tier = chooseEventsTier(st, hotKeyShare)
     logDecision("asofJoin", tier, st)
     if (tier == Skewed)
@@ -293,8 +403,9 @@ object Dispatch {
     * potential break — correct but carry-heavy). */
   def sessionizeAuto(df: DataFrame, keyCol: String, tsCol: String,
                      tieCol: String, gap: Long, span: Option[Long] = None,
-                     hotKeyShare: Double = HotKeyShare): DataFrame = {
-    val st = keyStats(df, Seq(keyCol))
+                     hotKeyShare: Double = HotKeyShare,
+                     stats: Option[KeyStats] = None): DataFrame = {
+    val st = stats.getOrElse(keyStats(df, Seq(keyCol)))
     val tier = chooseEventsTier(st, hotKeyShare)
     logDecision("sessionize", tier, st)
     if (tier == Skewed)

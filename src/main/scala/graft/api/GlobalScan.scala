@@ -195,7 +195,7 @@ object GlobalScan {
                     order: Seq[Column], valueCol: String,
                     outCol: String): DataFrame = {
     requireDoubleValue(df, valueCol, "groupedCumMin")
-    groupedCarryScan(df, groupCols, order, valueCol, outCol, maxFold(-1))
+    groupedCarryScan(df, groupCols, order, valueCol, outCol, minPoisonFold)
   }
 
   /** The extrema folds compare via java.lang.Double.compare on the raw
@@ -219,12 +219,18 @@ object GlobalScan {
     * a distributed escalation path (r14 verdict #4). The scan must
     * declare its associative `fold` (ScanSpec.fold); `reverse` scans
     * run over the negated order (the bfill duality — `order` columns
-    * must be bare). Scans with a `finish` post-transform are refused:
-    * finishing needs the whole-group operand, which the carry tier
-    * does not materialize — normalize downstream instead.
-    * Associativity and window-tier equivalence of the fold are the
-    * registrant's contract (see ScanSpec.fold — exact-value carries
-    * are bit-equal; float accumulation is not). */
+    * must be bare). An `outFinalize` (empty-state encoding adapter,
+    * e.g. cumcount's null→0) is applied map-only after the carry.
+    *
+    * Scans with a `finish` post-transform (running fraction of total)
+    * are supported too (r15 verdict missing #2 closed): finish needs
+    * the whole-group operand, which here is a plain hash aggregation
+    * of the SAME agg (partial-agg map-side, safe at any group size)
+    * null-safe-equi-joined back over the carried scan — the group
+    * table has one row per group, so AQE broadcasts it; no group is
+    * ever materialized in one task. Window-tier equivalence holds when
+    * the fold/agg pair is exact (integer monoids, selective carries) —
+    * the registrant's contract, same as the fold itself. */
   def groupedCustomScan(df: DataFrame, groupCols: Seq[String],
                         order: Seq[Column], valueCol: String,
                         outCol: String, scanName: String): DataFrame = {
@@ -234,13 +240,34 @@ object GlobalScan {
     val fold = spec.fold.getOrElse(throw new IllegalArgumentException(
       s"custom scan '$scanName' declares no associative binary_op " +
         "(ScanSpec.fold); only the window tier (GroupByScan) can run it"))
-    require(spec.finish.isEmpty,
-      s"custom scan '$scanName' has a finish post-transform, which needs " +
-        "the whole-group operand — the carry tier cannot apply it; " +
-        "run the raw scan and normalize downstream")
     val ord = if (spec.reverse) order.map(_.desc) else order
-    groupedCarryScan(df, groupCols, ord, valueCol, outCol, fold,
-      spec.foldOutType, spec.combine.getOrElse(fold))
+    def runTo(out: String): DataFrame = {
+      val raw = groupedCarryScan(df, groupCols, ord, valueCol, out, fold,
+        spec.foldOutType, spec.combine.getOrElse(fold))
+      spec.outFinalize.map(f => raw.withColumn(out, f(col(out))))
+        .getOrElse(raw)
+    }
+    spec.finish match {
+      case None => runTo(outCol)
+      case Some(fin) =>
+        require(!df.columns.contains("__run") && !df.columns.exists(
+          c => c.startsWith("__w_") || c == "__whole"),
+          "input already has __run/__whole/__w_* columns")
+        val raw = runTo("__run")
+        // whole-group operand: the same agg as the window tier's
+        // unbounded frame, via groupBy (mergeable partial aggregation)
+        val wkeys = groupCols.map(c => s"__w_$c")
+        val whole = df.groupBy(groupCols.map(col): _*)
+          .agg(spec.agg(col(valueCol)).as("__whole"))
+          .toDF(wkeys :+ "__whole": _*)
+        // null-safe equality: null group keys are a group in both the
+        // window tier and groupBy; a plain equi-join would drop them
+        val cond = groupCols.zip(wkeys)
+          .map { case (a, b) => raw(a) <=> col(b) }.reduce(_ && _)
+        raw.join(whole, cond, "left")
+          .withColumn(outCol, fin(col("__run"), col("__whole")))
+          .drop(("__run" +: "__whole" +: wkeys): _*)
+    }
   }
 
   /** NaN-SKIPPING running extrema at unbounded group size — the
@@ -269,7 +296,8 @@ object GlobalScan {
   /** Spark double-ordering fold (java.lang.Double.compare: NaN
     * greatest, −0.0 < 0.0 — Spark's own total order); `sign` +1 keeps
     * the larger, −1 the smaller. Nulls skip (window max/min
-    * semantics). */
+    * semantics). For cumMAX this is exactly the window tier: NaN is
+    * greatest, so once seen it sticks, matching `max(v).over(fwd)`. */
   private def maxFold(sign: Int): (Any, Any) => Any = (st, v) =>
     if (v == null) st
     else if (st == null) v
@@ -277,6 +305,30 @@ object GlobalScan {
       val c = java.lang.Double.compare(
         v.asInstanceOf[Double], st.asInstanceOf[Double])
       if (c * sign > 0) v else st
+    }
+
+  /** NaN-POISONING running-min fold — the cumMIN mate. The window tier
+    * (GroupByScan 'cummin') implements np.minimum.accumulate: once any
+    * NaN is seen the running min is NaN forever
+    * (`when(bool_or(isnan(v)).over(fwd), NaN)`). A plain
+    * Double.compare fold orders NaN GREATEST, so a later finite value
+    * would replace it — [5.0, NaN, 3.0] gave [5.0, 5.0, 3.0] carried
+    * vs [5.0, NaN, NaN] windowed, flipping results with estimated
+    * group size under scanAuto (the r15 advice-high defect). Nulls
+    * skip; NaN state or value sticks. Selective fold: doubling as the
+    * segment combine is correct (a segment whose state is NaN came
+    * from a segment containing NaN). */
+  private def minPoisonFold: (Any, Any) => Any = (st, v) =>
+    if (v == null) st
+    else if (st == null) v
+    else {
+      val sd = st.asInstanceOf[Double]
+      val vd = v.asInstanceOf[Double]
+      if (sd.isNaN) st
+      else if (vd.isNaN) v
+      // Double.compare, not primitive <: −0.0 sorts below 0.0 in
+      // Spark's ordering (the bit-level spec law exercises it)
+      else if (java.lang.Double.compare(vd, sd) < 0) v else st
     }
 
   /** [[maxFold]] with NaN values skipped like nulls (np.fmax/fmin

@@ -251,10 +251,13 @@ object GroupByReduce {
     * (with the frac==0 infinite-element guard), and every picked
     * value is an actual data value (GK stores sampled inputs), so
     * results stay BIT-equal to the buffered path (spec-pinned law,
-    * fuzzed over duplicates/NaN/±Inf/tiny groups). NaN ordering
-    * follows Spark (greatest, as in the buffered sort); a rank
-    * landing in the NaN tail returns NaN without touching the
-    * bracket. Nulls are skipped (collect_list parity); all-null
+    * fuzzed over duplicates/NaN/±Inf/tiny groups). NaN PROPAGATES:
+    * any NaN value in a group makes its quantile NaN — np.quantile /
+    * flox parity and the buffered path's guardNaN exactly, so
+    * [[graft.api.Dispatch.quantileAuto]] can never flip a result with
+    * estimated group size (r16 fix; the pre-r16 sort-order semantics
+    * returned NaN only when the rank landed in the NaN tail).
+    * Nulls are skipped (collect_list parity); all-null
     * groups yield null. Scalar q → double column, vector q → array.
     *
     * Memory: O(grid + sketch) per group in stage 1, O(1) per row
@@ -429,10 +432,20 @@ object GroupByReduce {
       val frac = target - floor(target)
       val x1 = xAt(i, col(s"__r1_$i"), col(s"__s1$i"))
       val x2 = xAt(i, col(s"__r2_$i"), col(s"__s2$i"))
+      // NaN PROPAGATION first (r16): any NaN in the group (__qn counts
+      // non-null incl. NaN, __qnf finite only) makes the quantile NaN —
+      // np.quantile/flox parity and EXACTLY the buffered path's
+      // guardNaN, so quantileAuto can never flip a result with
+      // estimated group size (the cummin advice-high class, found here
+      // by the r16 adversarial sweep). The old sort-order semantics
+      // (NaN only when the rank lands in the NaN tail) answered a
+      // question NumPy never asks; xAt's NaN-tail arm stays as an
+      // unreachable internal safety net.
       // frac == 0 → the lo element itself (infinite-element guard,
       // same algebra as the buffered path — bit-equality preserved)
-      when(col("__qn") > 0,
-        when(frac === 0, x1).otherwise(x1 * (lit(1.0) - frac) + x2 * frac))
+      when(col("__qn") > col("__qnf"), lit(Double.NaN))
+        .when(col("__qn") > 0,
+          when(frac === 0, x1).otherwise(x1 * (lit(1.0) - frac) + x2 * frac))
     }
     val out = assembled
       .withColumn(as,

@@ -96,8 +96,8 @@ object Ingest {
     * standard quoting. CONTRACT: one record per physical line — the
     * line-grain quarantine is exactly what multiline quoted records
     * (embedded newlines) cannot have; sanitize newlines at write time
-    * (q_csv_roundtrip does) or use the csv datasource's multiLine
-    * mode and give up per-line quarantine. */
+    * (q_csv_roundtrip does) or use [[readCsvMultiline]], which keeps
+    * the quarantine discipline at record grain (q_csv_multiline). */
   final case class CsvResult(docs: DataFrame, quarantine: DataFrame)
 
   private[sources] def splitCsvLines(lines: DataFrame, schema: StructType,
@@ -112,8 +112,16 @@ object Ingest {
       "mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> "_corrupt_record")
     val sep = options.getOrElse("sep", ",")
+    // both the canonical and the writer-QUOTED header form are metadata
+    // (some writers quote every field); documented contract: a data row
+    // byte-equal to either header form is unrepresentable under the
+    // line-grain reader — use readCsvMultiline (datasource header
+    // handling) when that matters
     val hdr = schema.fieldNames.mkString(sep)
-    val base = if (header) lines.filter(col("value") =!= hdr) else lines
+    val hdrQ = schema.fieldNames.map(f => "\"" + f + "\"").mkString(sep)
+    val base =
+      if (header) lines.filter(col("value") =!= hdr && col("value") =!= hdrQ)
+      else lines
     val parsed = base.select(
       col("value"),
       from_csv(col("value"), withCorrupt, opts).as("__c"))
@@ -132,6 +140,65 @@ object Ingest {
               options: Map[String, String] = Map.empty,
               header: Boolean = true): CsvResult =
     splitCsvLines(spark.read.text(path), schema, options, header)
+
+  /** CSV reader for corpora whose quoted fields contain EMBEDDED
+    * NEWLINES (multiline records) — the one shape [[readCsv]]'s
+    * one-record-per-line contract excludes, and the norm in exported
+    * CSVs. Uses the csv DATASOURCE with `multiLine = true` and the
+    * same quarantine discipline at RECORD grain: PERMISSIVE mode +
+    * corrupt-record column; malformed records land in `quarantine`
+    * with the raw record text and the source file path, nothing is
+    * silently nulled. Header handling is the datasource's own
+    * per-file first-record drop, which also fixes both line-reader
+    * header caveats: a writer-quoted header is recognized, and a data
+    * row byte-equal to the header text is NOT swallowed (only the
+    * first record per file is). Conservation (IngestSpec law):
+    * docs + quarantine == records.
+    *
+    * Scale cost, declared: multiLine makes a file NON-SPLITTABLE
+    * (record boundaries need the quote parser, so one file = one
+    * task) — that is the format's cost, not the reader's; keep shards
+    * modest at write time. Both outputs stay lazy map-only plans.
+    *
+    * Plan note: quarantine's raw_record coalesces over the schema
+    * fields deliberately — Spark refuses a scan whose required schema
+    * is ONLY the internal corrupt-record column (SPARK-21610), and
+    * the coalesce keeps real columns referenced without caching
+    * (corrupt records short-circuit to the raw text, so the fallback
+    * arm never shows in output). */
+  def readCsvMultiline(spark: SparkSession, path: String,
+                       schema: StructType = documentsSchema,
+                       options: Map[String, String] = Map.empty,
+                       header: Boolean = true): CsvResult = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType))
+    val opts = Map("escape" -> "\"") ++ options ++ Map(
+      "mode" -> "PERMISSIVE",
+      "multiLine" -> "true",
+      "header" -> header.toString,
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    val parsed = spark.read.options(opts).schema(withCorrupt).csv(path)
+    // SPARK-21610 guard: Spark refuses any query whose required schema
+    // is ONLY the internal corrupt-record column — and `count()` over
+    // either branch prunes to exactly that. Referencing a real field
+    // inside the predicate in an always-true form the optimizer cannot
+    // fold (no range analysis on coalesce(length(x), 0)) keeps one
+    // data column in the scan without caching. Cost: one length() per
+    // record, map-side.
+    val touch =
+      coalesce(length(col(schema.fieldNames.head).cast("string")),
+        lit(0)) >= -1
+    val bad = col("_corrupt_record").isNotNull && touch
+    val docs = parsed.filter(col("_corrupt_record").isNull && touch)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val quarantine = parsed.filter(bad)
+      .select(
+        coalesce(col("_corrupt_record"),
+          concat_ws(",", schema.fieldNames.map(col).toSeq: _*))
+          .as("raw_record"),
+        input_file_name().as("file"))
+    CsvResult(docs, quarantine)
+  }
 
   /** Streaming mirror of [[readCsv]] (the readJsonlStream pattern):
     * the same split over `readStream.text` micro-batches. */

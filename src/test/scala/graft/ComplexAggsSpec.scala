@@ -185,6 +185,42 @@ class ComplexAggsSpec extends SparkTestBase {
     }
   }
 
+  test("numerical stability law: var/std at |mean| >> sd matches the " +
+    "mean-shifted local reference (the raw-moment form loses every digit)") {
+    // mean ~1e8, sd ~1: Σ|x|² ~ n·1e16 has ulp ~2, so the raw-moment
+    // form Σ|x|² − |Σx|²/n retains ZERO significant digits of a ~1
+    // variance — the r15-verdict lead defect, certified-only-against-
+    // itself until this law. The local reference mean-shifts first.
+    val rnd = new scala.util.Random(99)
+    val vals = (0 until 400).map { i =>
+      (1.0e8 + (rnd.nextInt(2000) - 1000) / 500.0, // sd ~ 1.15
+        -1.0e8 + (rnd.nextInt(2000) - 1000) / 500.0)
+    }
+    val df = vals.zipWithIndex
+      .map { case ((r, im), i) => ("big", i, r, im) }
+      .toDF("k", "idx", "r", "i")
+      .withColumn("z", struct(col("r").as("re"), col("i").as("im")))
+      .repartition(7)
+    val got = df.groupBy("k").agg(
+      nancvar(col("z"), 1).as("v1"),
+      cvar(col("z"), 0).as("v0"),
+      nancstd(col("z"), 2).as("s2")).head()
+    val n = vals.size
+    val mre = vals.map(_._1).sum / n
+    val mim = vals.map(_._2).sum / n
+    val ssd = vals.map { case (r, im) =>
+      (r - mre) * (r - mre) + (im - mim) * (im - mim)
+    }.sum
+    // relative tolerance 1e-9: the stable form keeps ~15 digits here;
+    // the raw-moment form is off by a factor of its own magnitude
+    def rel(a: Double, b: Double) = math.abs(a - b) / math.abs(b)
+    assert(rel(got.getDouble(1), ssd / (n - 1)) < 1e-9, "v1 stable")
+    assert(rel(got.getDouble(2), ssd / n) < 1e-9, "v0 stable")
+    assert(rel(got.getDouble(3), math.sqrt(ssd / (n - 2))) < 1e-9, "std stable")
+    assert(got.getDouble(1) > 1.0 && got.getDouble(1) < 4.0,
+      "sanity: the true variance is O(1), not O(ulp(1e16))")
+  }
+
   test("argmin/argmax: lexicographic extremum's index, FIRST index on " +
     "ties, NaN values skipped, all-NaN group null") {
     // planted ties: (2,1) appears at idx 1 and 3; (5,9) at idx 2 and 4

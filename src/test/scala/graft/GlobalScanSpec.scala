@@ -240,8 +240,9 @@ class GlobalScanSpec extends SparkTestBase {
   }
 
   test("groupedCumMax/groupedCumMin property law: random values x " +
-    "partition counts equal the window max/min oracle (NaN poisons, " +
-    "nulls skip, leading nulls stay null)") {
+    "partition counts equal GroupByScan's WINDOW TIER (NaN poisons " +
+    "the running min — np.minimum.accumulate — nulls skip, leading " +
+    "nulls stay null)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val genCase: Gen[(List[List[Option[Double]]], Int)] = for {
@@ -271,25 +272,34 @@ class GlobalScanSpec extends SparkTestBase {
       }.sortBy { case (g, i, _) => (i * 7919 + g.hashCode) % 1009 }
       if (data.nonEmpty) {
         val df = data.toDF("g", "id", "v").repartition(4)
-        for ((dist, win) <- Seq[(
+        // oracle = GroupByScan itself, NOT a raw window max/min: the
+        // raw min oracle masked the r15 advice-high divergence (the
+        // window tier NaN-POISONS the running min — a bare
+        // Double.compare fold let a later finite value replace NaN)
+        for ((dist, func) <- Seq[(
             (org.apache.spark.sql.DataFrame, Seq[String], Seq[org.apache.spark.sql.Column], String, String) => org.apache.spark.sql.DataFrame,
-            org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
-          (GlobalScan.groupedCumMax, (c: org.apache.spark.sql.Column) => max(c)),
-          (GlobalScan.groupedCumMin, (c: org.apache.spark.sql.Column) => min(c)),
-          // nan* mates (r15): NaN values skip like nulls — the window
-          // tier's max/min over the NaN-masked column
-          (GlobalScan.groupedNanCumMax,
-            (c: org.apache.spark.sql.Column) => max(when(!isnan(c), c))),
-          (GlobalScan.groupedNanCumMin,
-            (c: org.apache.spark.sql.Column) => min(when(!isnan(c), c))))) {
+            String)](
+          (GlobalScan.groupedCumMax, "cummax"),
+          (GlobalScan.groupedCumMin, "cummin"),
+          (GlobalScan.groupedNanCumMax, "nancummax"),
+          (GlobalScan.groupedNanCumMin, "nancummin"))) {
           val got = dist(df, Seq("g"), Seq(col("id")), "v", "m")
             .orderBy("g", "id").select("g", "id", "m")
             .collect().map(r => (r.getString(0), r.getInt(1), bits(r.get(2))))
-          val want = df.withColumn("m", win(col("v"))
-              .over(Window.partitionBy("g").orderBy("id")))
+          val want = graft.api.GroupByScan(df, Seq("g"), "v", func, "id", "m")
             .orderBy("g", "id").select("g", "id", "m")
             .collect().map(r => (r.getString(0), r.getInt(1), bits(r.get(2))))
-          assert(got === want, s"shufflePartitions=$parts")
+          assert(got === want, s"func=$func shufflePartitions=$parts")
+          // the REGISTRY route must agree too for the plain extrema
+          // (scanAuto sends non-double numerics through it; the
+          // Comparable fold NaN-poisons the min side to match)
+          if (func == "cummax" || func == "cummin") {
+            val reg = GlobalScan.groupedCustomScan(df, Seq("g"),
+                Seq(col("id")), "v", "m", func)
+              .orderBy("g", "id").select("g", "id", "m")
+              .collect().map(r => (r.getString(0), r.getInt(1), bits(r.get(2))))
+            assert(reg === want, s"registry func=$func parts=$parts")
+          }
         }
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -473,28 +483,123 @@ class GlobalScanSpec extends SparkTestBase {
     buf.toSeq
   }
 
-  test("groupedCustomScan: refuses scans without a fold and scans " +
-    "with a finish post-transform") {
-    import graft.aggs.CustomScans
+  test("groupedCustomScan: refuses scans without a fold; unknown " +
+    "names fail loudly") {
     val df = Seq(("g", 0, 1.0)).toDF("g", "id", "v")
     val e1 = intercept[IllegalArgumentException] {
       GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
         "v", "r", "cumprod") // pre-registered, window-only
     }
     assert(e1.getMessage.contains("binary_op"))
-    CustomScans.register("finfrac_d", CustomScans.ScanSpec(
-      v => sum(v), finish = Some((run, whole) => run / whole),
-      fold = Some((st, v) => v)))
-    val e2 = intercept[IllegalArgumentException] {
-      GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
-        "v", "r", "finfrac_d")
-    }
-    assert(e2.getMessage.contains("finish"))
     val e3 = intercept[IllegalArgumentException] {
       GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
         "v", "r", "no_such_scan")
     }
     assert(e3.getMessage.contains("unknown"))
+  }
+
+  test("carry-tier cummin NaN poisoning: the exact r15 advice case " +
+    "[5.0, NaN, 3.0] matches the window tier on BOTH escalation routes") {
+    // windowed: [5.0, NaN, NaN] (np.minimum.accumulate); the old
+    // Double.compare fold gave [5.0, 5.0, 3.0] carried — results
+    // flipped with estimated group size under scanAuto
+    val df = Seq(("g", 0, 5.0), ("g", 1, Double.NaN), ("g", 2, 3.0))
+      .toDF("g", "id", "v")
+    def vals(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.orderBy("id").select("m").collect()
+        .map(r => if (r.isNullAt(0)) "null" else r.getDouble(0).toString).toSeq
+    val want = Seq("5.0", "NaN", "NaN")
+    assert(vals(graft.api.GroupByScan(df, Seq("g"), "v", "cummin", "id", "m"))
+      === want, "window tier")
+    assert(vals(GlobalScan.groupedCumMin(df, Seq("g"), Seq(col("id")),
+      "v", "m")) === want, "native double carry tier")
+    assert(vals(GlobalScan.groupedCustomScan(df, Seq("g"), Seq(col("id")),
+      "v", "m", "cummin")) === want, "registry carry tier")
+    // the float route (registry fold on boxed Float) poisons too
+    val ff = Seq(("g", 0, 5.0f), ("g", 1, Float.NaN), ("g", 2, 3.0f))
+      .toDF("g", "id", "v")
+    val fGot = GlobalScan.groupedCustomScan(ff, Seq("g"), Seq(col("id")),
+        "v", "m", "cummin")
+      .orderBy("id").select("m").collect().map(_.getFloat(0))
+    assert(fGot(0) === 5.0f && fGot(1).isNaN && fGot(2).isNaN, "float registry")
+  }
+
+  test("cumcount carry tier: bit-equal to the window tier across " +
+    "partition counts (null values skipped, empty prefix is 0)") {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // giant group (boundary crossings combine counts, the
+      // accumulating-fold class) + leading-null group + all-null group
+      val data = (0 until 3000).map { i =>
+        ("big", i, if (i % 3 == 0) None else Some(((i * 131) % 50).toDouble))
+      } ++ Seq(("lead", 0, None), ("lead", 1, Some(1.0)),
+        ("nul", 0, None), ("nul", 1, None))
+      for (parts <- Seq(1, 3, 8)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val df = data.toDF("g", "id", "v").repartition(5)
+        val got = GlobalScan.groupedCustomScan(df, Seq("g"),
+            Seq(col("id")), "v", "r", "cumcount")
+          .orderBy("g", "id").select("g", "id", "r")
+          .as[(String, Int, Long)].collect()
+        val want = graft.api.GroupByScan(df, Seq("g"), "v", "cumcount",
+            "id", "r")
+          .orderBy("g", "id").select("g", "id", "r")
+          .as[(String, Int, Long)].collect()
+        assert(got === want, s"shufflePartitions=$parts")
+        // the empty-prefix encoding: leading rows before any value are
+        // 0 (count semantics), not null (the fold's internal empty)
+        assert(got.filter(_._1 == "lead").map(_._3).toSeq === Seq(0L, 1L))
+        assert(got.filter(_._1 == "nul").map(_._3).toSeq === Seq(0L, 0L))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  test("finish scans on the carry tier: running-fraction-of-total " +
+    "(integer-exact fold) bit-equals the window tier, incl. null " +
+    "group keys and a giant group") {
+    import graft.aggs.CustomScans
+    // integer running sum (exact across boundaries) finished by the
+    // whole-group total — the running-fraction shape the r15 refusal
+    // excluded; fold domain == value domain but ACCUMULATING, so the
+    // combine must be declared
+    CustomScans.register("cumfrac_l", CustomScans.ScanSpec(
+      agg = v => sum(v),
+      finish = Some((run, whole) => run.cast("double") / whole),
+      fold = Some((st, v) =>
+        if (v == null) st
+        else if (st == null) v
+        else java.lang.Long.valueOf(Math.addExact(
+          st.asInstanceOf[Long], v.asInstanceOf[Long]))),
+      combine = Some((a, b) =>
+        if (a == null) b else if (b == null) a
+        else java.lang.Long.valueOf(Math.addExact(
+          a.asInstanceOf[Long], b.asInstanceOf[Long])))))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val data: Seq[(Option[String], Int, Option[Long])] =
+        (0 until 2000).map { i =>
+          (Some("big"): Option[String], i,
+            if (i % 11 == 0) None else Some(((i * 131) % 50 + 1).toLong))
+        } ++ Seq((Some("a"), 0, Some(3L)), (Some("a"), 1, Some(5L)),
+          // null group key: groupBy and the window both treat it as a
+          // group; the finish join must be null-safe to keep it
+          (None, 0, Some(2L)), (None, 1, Some(6L)))
+      for (parts <- Seq(1, 3, 8)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val df = data.toDF("g", "id", "v").repartition(5)
+        def key(r: org.apache.spark.sql.Row) =
+          (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getInt(1),
+            if (r.isNullAt(2)) -1.0 else r.getDouble(2))
+        val got = GlobalScan.groupedCustomScan(df, Seq("g"),
+            Seq(col("id")), "v", "r", "cumfrac_l")
+          .orderBy("g", "id").select("g", "id", "r").collect().map(key)
+        val want = graft.api.GroupByScan(df, Seq("g"), "v", "cumfrac_l",
+            "id", "r")
+          .orderBy("g", "id").select("g", "id", "r").collect().map(key)
+        assert(got === want, s"shufflePartitions=$parts")
+        assert(got.count(_._1 == "<null>") === 2, "null group survived")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   test("packSequences: budget arithmetic, spans, empty docs") {

@@ -100,6 +100,71 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("readCsv header forms: the writer-QUOTED header also drops as " +
+    "metadata (r15 advice: an all-string schema would silently parse " +
+    "it as data)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv_qh")
+    try {
+      val schema = StructType(Seq(
+        StructField("a", StringType), StructField("b", StringType)))
+      Files.writeString(dir.resolve("s0.csv"),
+        "\"a\",\"b\"\n" + // quoted header variant
+          "x,y\n" +
+          "a,b\n") // data row byte-equal to the CANONICAL header:
+      // documented as unrepresentable under the line-grain contract —
+      // it drops as metadata (readCsvMultiline handles it correctly)
+      val r = graft.sources.Ingest.readCsv(spark, dir.toString, schema)
+      val docs = r.docs.collect().map(x => (x.getString(0), x.getString(1)))
+      assert(docs.toSeq === Seq(("x", "y")))
+      assert(r.quarantine.count() === 0)
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
+  test("readCsvMultiline: quoted embedded newlines parse as ONE record, " +
+    "malformed records quarantine at record grain with the file path, " +
+    "per-file header handled, header-equal data row NOT swallowed — " +
+    "conservation docs + quarantine == records") {
+    val dir = Files.createTempDirectory("graft_csv_ml")
+    try {
+      val hdr = "doc_id,text,lang,source"
+      // shard0: a two-line quoted text field with comma + doubled
+      // quote; a record whose text is byte-equal to the header (the
+      // line reader's unrepresentable row — must survive here); a
+      // malformed doc_id
+      Files.writeString(dir.resolve("s0.csv"),
+        hdr + "\n" +
+          "1,\"line one\nline two, \"\"quoted\"\"\",en,web\n" +
+          "2,\"" + hdr + "\",en,web\n" +
+          "notanumber,oops,en,web\n")
+      Files.writeString(dir.resolve("s1.csv"),
+        hdr + "\n3,plain,fr,books\n")
+      val r = graft.sources.Ingest.readCsvMultiline(spark, dir.toString)
+      val docs = r.docs.orderBy("doc_id").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+      assert(docs.toSeq === Seq(
+        (1L, "line one\nline two, \"quoted\"", "en"),
+        (2L, hdr, "en"),
+        (3L, "plain", "fr")))
+      val bad = r.quarantine.collect()
+        .map(x => (x.getString(0), x.getString(1)))
+      assert(bad.length === 1)
+      assert(bad.head._1.contains("notanumber"))
+      assert(bad.head._2.endsWith("s0.csv"))
+      // conservation at record grain: 4 data records across both files
+      assert(r.docs.count() + r.quarantine.count() === 4)
+      // no-cache posture, same as the line-grain readers
+      Seq(r.docs, r.quarantine).foreach { d =>
+        val plan = d.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("InMemoryRelation"))
+      }
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
   test("readTextDir: one row per file, recursive, glob-filtered") {
     val dir = Files.createTempDirectory("graft_txt")
     try {

@@ -431,6 +431,22 @@ class ReduceSpec extends SparkTestBase {
       .map(r => r.getInt(0) -> Option(r.get(1))).toMap
     assert(rows(1) === Some(3.0))
     assert(rows(2) === None)
+    // NaN propagation parity (r16): a group with ANY NaN is NaN on
+    // BOTH tiers (buffered guardNaN == distributed __qn > __qnf), at
+    // every q — the quantileAuto auto-contract on NaN data
+    val nanD = Seq((1, 1.0), (1, 2.0), (1, Double.NaN), (1, 3.0),
+      (2, 5.0), (2, 6.0)).toDF("k", "value")
+    for (q <- Seq(0.0, 0.5, 1.0)) {
+      val b = GroupByReduce(nanD, Seq("k"), "value", "quantile", "m",
+        ReduceOptions(q = Seq(q))).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val dd = GroupByReduce.quantileDistributed(nanD, Seq("k"),
+        "value", Seq(q), "m").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(b(1).isNaN && dd(1).isNaN, s"q=$q NaN group")
+      assert(java.lang.Double.doubleToRawLongBits(b(2)) ===
+        java.lang.Double.doubleToRawLongBits(dd(2)), s"q=$q clean group")
+    }
     // NULL-keyed group (r12 ADVICE): with dropNullKeys=true (default,
     // flox null-label-drop parity) both paths exclude it; with it off
     // the internal joins must be null-safe (<=>) or the group's ranked
@@ -507,10 +523,15 @@ class ReduceSpec extends SparkTestBase {
     "NaN/±Inf, constants, nulls, tiny and mega groups — bit-equal to " +
     "the sorted-buffer reference; the raise_error net never fires") {
     import spark.implicits._
-    // local reference: Spark/NumPy total order (NaN greatest, -0<0),
-    // the identical lo*(1-frac)+hi*frac algebra with the frac==0 guard
+    // local reference: np.quantile semantics — any NaN in the group
+    // PROPAGATES (the r16 fix aligning the distributed tier with the
+    // buffered guardNaN; the old sort-order reference returned finite
+    // values below the NaN tail, masking the quantileAuto divergence);
+    // otherwise Spark/NumPy total order (-0<0), the identical
+    // lo*(1-frac)+hi*frac algebra with the frac==0 guard
     def ref(values: Seq[Double], q: Double): Option[Double] = {
       if (values.isEmpty) None
+      else if (values.exists(_.isNaN)) Some(Double.NaN)
       else {
         val arr = values.sortWith(java.lang.Double.compare(_, _) < 0)
         val n = arr.length
