@@ -197,10 +197,25 @@ object Bench {
       val absTrigger = math.max(3.0, 3 * pin)
       if (t > 0 && ((b >= 0.1 && t > 2 * b) || t > absTrigger)) {
         val t2 = timeOne(name, SparkEntry.queries(name))
-        System.err.println(f"[bench] retry $name: $t%.2f -> $t2%.2f " +
-          f"(baseline $b%.2f, pin $pin%.2f)")
+        // bounded best-of-3 (r16): when the retry ITSELF still exceeds
+        // the absolute trigger, take one more sample. The r15 sweep ran
+        // on a box contended enough (cpu_util 5.4/32, 39 retries) that
+        // BOTH of a best-of-2 pair landed slow and q_duration_aggs
+        // published 6.46s against a 0.94s pin — indistinguishable from
+        // a real 8x regression. Three serialized attempts are rarely
+        // all spikes, so a third slow reading is evidence of a real
+        // regression and min-of-3 still reports it honestly; a quiet
+        // box never reaches the third run.
+        val t3 =
+          if (t2 > 0 && t2 > absTrigger)
+            timeOne(name, SparkEntry.queries(name))
+          else -1.0
+        System.err.println(f"[bench] retry $name: $t%.2f -> $t2%.2f" +
+          (if (t3 > 0) f" -> $t3%.2f" else "") +
+          f" (baseline $b%.2f, pin $pin%.2f)")
         retried ::= name
-        name -> (if (t2 > 0) math.min(t, t2) else t)
+        val best = Seq(t, t2, t3).filter(_ > 0).min
+        name -> best
       } else name -> t
     }
     val gcDelta = gcMs() - gc0

@@ -745,6 +745,27 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"), col("cnt"))
         .orderBy("event_id")),
 
+    // the AUTO-DISPATCH surface certified end-to-end cross-engine
+    // (r16; previously spec-only): ONE sampled KeyStats pass over the
+    // keying drives reduceAuto (exact median — the buffered tier at
+    // this scale) and scanAuto (ffill — the window tier), the flox
+    // compute-chunk-metadata-once amortization (flox/cache.py:1-12)
+    // through the public stats parameter. The oracle is tier-blind by
+    // the auto contract: whatever tier dispatch picks, values equal
+    // the plain formulations.
+    "q_auto_dispatch" -> ((s, d) => {
+      val e = withNull(ev(s, d))
+      val st = graft.api.Dispatch.keyStats(e, Seq("user_id"))
+      val med = graft.api.Dispatch.reduceAuto(e, Seq("user_id"), "value",
+        "median", "med", stats = Some(st))
+      val filled = graft.api.Dispatch.scanAuto(e, Seq("user_id"), "v",
+        "ffill", "event_id", "filled", stats = Some(st))
+      filled.join(med, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("filled"),
+          r("med", 4).as("med"))
+        .orderBy("event_id")
+    }),
+
     // finish scans on the carry tier (r16, closing the r15 refusal):
     // running-fraction-of-total needs the whole-group operand, which
     // the carry tier now computes as a mergeable hash aggregation of
@@ -1327,6 +1348,15 @@ object CoreQueries {
          max(value) OVER (PARTITION BY user_id ORDER BY event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax
          FROM events ORDER BY event_id""",
+
+    "q_auto_dispatch" ->
+      s"""SELECT event_id, user_id,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+         round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id), 4)
+           AS med
+         FROM ($sqlNull) ORDER BY event_id""",
 
     "q_cumcount_dist" ->
       s"""SELECT event_id, user_id,

@@ -51,6 +51,20 @@ object DispatchProbe {
     require(api.Dispatch.chooseQuantileTier(stUni) ==
       api.Dispatch.Buffered, "uniform input must stay buffered")
 
+    // r16 stats reuse: with a precomputed KeyStats the auto entry
+    // point's own cost is pure plan construction — a pipeline running
+    // N operators over one keying pays keyStats ONCE and saves
+    // (N−1) × the stats pass measured above (the flox memoized
+    // chunk-metadata amortization, flox/cache.py:1-12)
+    time("reduceAuto uniform, stats supplied (steer only)") {
+      api.Dispatch.reduceAuto(uniform, Seq("g"), "v", "median",
+        stats = Some(stUni))
+    }
+    time("quantileAuto uniform, stats supplied (steer only)") {
+      api.Dispatch.quantileAuto(uniform, Seq("g"), "v", Seq(0.5),
+        stats = Some(stUni))
+    }
+
     // the operator the pass steers, for scale: one auto quantile run
     // on each regime (mega routes to the bracket search, uniform to
     // the buffered sort)

@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * xxhash64 checksum (bit-equality at full scale, not a sample).
   *
   * Usage: runMain graft.ScanTierProbe [rows] [ops]
-  *   ops: comma list of ffill,cummax,cumsum (default all)
+  *   ops: comma list of ffill,cummax,cumsum,cummin,cumcount,cumfrac
+  *   (default all; the r16 trio covers the NaN-poisoning min fix and
+  *   the newly closed cumcount / finish-scan carry refusals)
   */
 object ScanTierProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 60000000L
     val ops = if (args.length > 1) args(1).split(",").toSet
-      else Set("ffill", "cummax", "cumsum")
+      else Set("ffill", "cummax", "cumsum", "cummin", "cumcount", "cumfrac")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -91,6 +93,69 @@ object ScanTierProbe {
       println(s"[probe] cummax checksums window=$w carry=$t " +
         (if (w == t) "MATCH" else "MISMATCH"))
       require(w == t, "cummax tier mismatch")
+    }
+    if (ops("cummin")) {
+      // NaN-POISONING running min at full scale (the r15 advice-high
+      // fix): sparse NaNs (1 per ~10k rows) poison each group's tail in
+      // np.minimum.accumulate semantics; the old Double.compare fold
+      // let finite values replace them, so this checksum is exactly the
+      // cross-tier law the r15 spec oracle missed, at 60M.
+      val dn = df.withColumn("vn",
+        when(pmod(col("ord"), lit(9999)) === 0, lit(Double.NaN))
+          .otherwise(col("v")))
+      val w = time("cummin(NaN) window tier") {
+        checksum(api.GroupByScan(dn, Seq("g"), "vn", "cummin", "ord", "m"), "m")
+      }
+      val t = time("cummin(NaN) carry tier") {
+        checksum(api.GlobalScan.groupedCumMin(
+          dn, Seq("g"), Seq(col("ord")), "vn", "m"), "m")
+      }
+      println(s"[probe] cummin checksums window=$w carry=$t " +
+        (if (w == t) "MATCH" else "MISMATCH"))
+      require(w == t, "cummin tier mismatch")
+    }
+    if (ops("cumcount")) {
+      // r16: the closed cumcount refusal — count fold + declared
+      // combine + null→0 finalize through the registry carry tier
+      val w = time("cumcount window tier") {
+        checksum(api.GroupByScan(df, Seq("g"), "v", "cumcount", "ord", "c"), "c")
+      }
+      val t = time("cumcount carry tier") {
+        checksum(api.GlobalScan.groupedCustomScan(
+          df, Seq("g"), Seq(col("ord")), "v", "c", "cumcount"), "c")
+      }
+      println(s"[probe] cumcount checksums window=$w carry=$t " +
+        (if (w == t) "MATCH" else "MISMATCH"))
+      require(w == t, "cumcount tier mismatch")
+    }
+    if (ops("cumfrac")) {
+      // r16: the closed FINISH-scan refusal — running fraction of the
+      // group total; exact integer fold carried, whole-group operand
+      // hash-aggregated and joined back null-safely
+      aggs.CustomScans.register("cumfrac_probe", aggs.CustomScans.ScanSpec(
+        agg = c => sum(c),
+        finish = Some((run, whole) => run.cast("double") / whole),
+        fold = Some((st, v) =>
+          if (v == null) st
+          else if (st == null) v
+          else java.lang.Long.valueOf(Math.addExact(
+            st.asInstanceOf[Long], v.asInstanceOf[Long]))),
+        combine = Some((a, b) =>
+          if (a == null) b else if (b == null) a
+          else java.lang.Long.valueOf(Math.addExact(
+            a.asInstanceOf[Long], b.asInstanceOf[Long])))))
+      val di = df.withColumn("iv", (col("v") * 100).cast("long"))
+      val w = time("cumfrac window tier") {
+        checksum(api.GroupByScan(di, Seq("g"), "iv", "cumfrac_probe",
+          "ord", "c"), "c")
+      }
+      val t = time("cumfrac carry tier") {
+        checksum(api.GlobalScan.groupedCustomScan(
+          di, Seq("g"), Seq(col("ord")), "iv", "c", "cumfrac_probe"), "c")
+      }
+      println(s"[probe] cumfrac checksums window=$w carry=$t " +
+        (if (w == t) "MATCH" else "MISMATCH"))
+      require(w == t, "cumfrac tier mismatch")
     }
     spark.stop()
   }

@@ -66,8 +66,12 @@ object Dispatch {
                       maxGroupRowsEst: Long, maxGroupShare: Double)
 
   /** One cheap stats pass: exact count + one aggregation over a
-    * deterministic `fraction` sample (fixed seed — same data, same
-    * decision). Inputs whose SAMPLE would be smaller than ~100k rows
+    * deterministic `fraction` sample (fixed seed — same data AND same
+    * partitioning, same decision: Bernoulli sampling seeds per
+    * partition, so a repartitioned input may sample differently; both
+    * tiers of every fork return identical results either way, so a
+    * flipped decision only changes the plan). Inputs whose SAMPLE
+    * would be smaller than ~100k rows
     * (i.e. under 10M rows at the default 1%) are measured exactly —
     * a 1% sample of small data estimates nothing. Null keys count
     * like any other key — both tiers of every fork drop or carry them

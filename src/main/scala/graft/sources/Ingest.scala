@@ -170,6 +170,31 @@ object Ingest {
                        schema: StructType = documentsSchema,
                        options: Map[String, String] = Map.empty,
                        header: Boolean = true): CsvResult = {
+    val (withCorrupt, opts) = multilineReadSpec(schema, options, header)
+    splitCsvRecords(
+      spark.read.options(opts).schema(withCorrupt).csv(path), schema)
+  }
+
+  /** Streaming mirror of [[readCsvMultiline]] (the readCsvStream
+    * pattern): the same record-grain split over the streaming csv
+    * source's micro-batches — map-only per batch, conservation law
+    * carries over (StreamingSpec). */
+  def readCsvMultilineStream(spark: SparkSession, path: String,
+                             schema: StructType = documentsSchema,
+                             options: Map[String, String] = Map.empty,
+                             header: Boolean = true,
+                             readerOptions: Map[String, String] = Map.empty)
+    : CsvResult = {
+    val (withCorrupt, opts) = multilineReadSpec(schema, options, header)
+    splitCsvRecords(
+      spark.readStream.options(opts ++ readerOptions)
+        .schema(withCorrupt).csv(path), schema)
+  }
+
+  private def multilineReadSpec(schema: StructType,
+                                options: Map[String, String],
+                                header: Boolean)
+    : (StructType, Map[String, String]) = {
     val withCorrupt = StructType(
       schema.fields :+ StructField("_corrupt_record", StringType))
     val opts = Map("escape" -> "\"") ++ options ++ Map(
@@ -177,7 +202,11 @@ object Ingest {
       "multiLine" -> "true",
       "header" -> header.toString,
       "columnNameOfCorruptRecord" -> "_corrupt_record")
-    val parsed = spark.read.options(opts).schema(withCorrupt).csv(path)
+    (withCorrupt, opts)
+  }
+
+  private def splitCsvRecords(parsed: DataFrame,
+                              schema: StructType): CsvResult = {
     // SPARK-21610 guard: Spark refuses any query whose required schema
     // is ONLY the internal corrupt-record column — and `count()` over
     // either branch prunes to exactly that. Referencing a real field

@@ -414,27 +414,36 @@ class GlobalScanSpec extends SparkTestBase {
   }
 
   test("carry/running scans on degenerate shapes: 1-row input, " +
-    "all-one-group smaller than the partition count, empty input") {
+    "all-one-group smaller than the partition count, empty input — " +
+    "at 16 AND 64 partitions (r15 #7: high-partition-count fuzz)") {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "16")
-      // 1 row, 16 partitions: 15 empty partitions in both passes
+    try for (parts <- Seq("16", "64")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      // 1 row, N partitions: N-1 empty partitions in both passes
       val one = Seq(("g", 1, Some(2.0))).toDF("g", "id", "v")
       assert(GlobalScan.groupedFfill(one, Seq("g"), Seq(col("id")), "v", "f")
-        .select("f").collect().map(_.get(0)).toSeq === Seq(2.0))
+        .select("f").collect().map(_.get(0)).toSeq === Seq(2.0), parts)
       assert(GlobalScan.groupedPrefixSum(one, Seq("g"), Seq(col("id")),
-          lit(5L), "s").select("s").collect().map(_.get(0)).toSeq === Seq(5L))
-      // 10 rows, ONE group, 16 partitions: every non-empty partition
+          lit(5L), "s").select("s").collect().map(_.get(0)).toSeq === Seq(5L),
+        parts)
+      // 10 rows, ONE group, N>10 partitions: every non-empty partition
       // boundary is a same-group crossing
       val ten = (0 until 10).map(i =>
         ("g", i, if (i % 3 == 0) Some(i.toDouble) else None))
         .toDF("g", "id", "v")
       val f = GlobalScan.groupedFfill(ten, Seq("g"), Seq(col("id")), "v", "f")
         .orderBy("id").select("f").collect().map(_.get(0))
-      assert(f.toSeq === Seq(0.0, 0.0, 0.0, 3.0, 3.0, 3.0, 6.0, 6.0, 6.0, 9.0))
+      assert(f.toSeq === Seq(0.0, 0.0, 0.0, 3.0, 3.0, 3.0, 6.0, 6.0, 6.0, 9.0),
+        parts)
       val s = GlobalScan.groupedPrefixSum(ten, Seq("g"), Seq(col("id")),
           lit(1L), "s").orderBy("id").select("s").collect().map(_.getLong(0))
-      assert(s.toSeq === (1L to 10L))
+      assert(s.toSeq === (1L to 10L), parts)
+      // the accumulating-fold carry (cumcount) across the same
+      // degenerate boundaries: every crossing merges counts
+      val c = GlobalScan.groupedCustomScan(ten, Seq("g"), Seq(col("id")),
+          "v", "c", "cumcount")
+        .orderBy("id").select("c").collect().map(_.getLong(0))
+      assert(c.toSeq === Seq(1L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 3L, 4L), parts)
       // empty input: empty output, schema intact
       val empty = spark.emptyDataset[(String, Int, Option[Double])]
         .toDF("g", "id", "v")
@@ -443,6 +452,8 @@ class GlobalScanSpec extends SparkTestBase {
       assert(e.schema.fieldNames.last === "f")
       assert(GlobalScan.groupedRowNumber(empty, Seq("g"), Seq(col("id")),
         "rn").count() === 0L)
+      assert(GlobalScan.groupedCustomScan(empty, Seq("g"), Seq(col("id")),
+        "v", "c", "cumcount").count() === 0L)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 

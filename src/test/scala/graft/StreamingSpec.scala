@@ -1307,6 +1307,50 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming MULTILINE CSV ingest: quoted embedded newlines parse " +
+    "as one record per micro-batch, record-grain quarantine, " +
+    "conservation (the readCsvMultiline mirror)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvml_stream")
+    def writeShard(name: String, lines: String): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.writeString(tmp, lines)
+      java.nio.file.Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    try {
+      val hdr = "doc_id,text,lang,source"
+      writeShard("a.csv",
+        hdr + "\n1,\"line one\nline two, \"\"q\"\"\",en,w\nnotanumber,bad,en,w\n")
+      val r = graft.sources.Ingest.readCsvMultilineStream(spark, dir.toString)
+      assert(r.docs.isStreaming && r.quarantine.isStreaming)
+      val qd = r.docs.writeStream.outputMode("append")
+        .format("memory").queryName("csvml_docs_out").start()
+      val qq = r.quarantine.writeStream.outputMode("append")
+        .format("memory").queryName("csvml_quar_out").start()
+      try {
+        qd.processAllAvailable(); qq.processAllAvailable()
+        writeShard("b.csv", hdr + "\n2,\"second\ndoc\",fr,b\n")
+        qd.processAllAvailable(); qq.processAllAvailable()
+        val docs = spark.table("csvml_docs_out")
+          .orderBy("doc_id").collect()
+          .map(x => (x.getLong(0), x.getString(1)))
+        assert(docs.toSeq === Seq(
+          (1L, "line one\nline two, \"q\""), (2L, "second\ndoc")))
+        val quar = spark.table("csvml_quar_out").collect()
+          .map(x => (x.getString(0), x.getString(1)))
+        assert(quar.length === 1)
+        assert(quar.head._1.contains("notanumber"))
+        assert(quar.head._2.endsWith("a.csv"))
+        // stateless ingest: no state operators on either branch
+        assert(qd.lastProgress.stateOperators.isEmpty)
+        assert(qq.lastProgress.stateOperators.isEmpty)
+      } finally { qd.stop(); qq.stop() }
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("streaming JSONL ingest: quarantine conservation across " +
     "micro-batches, docs feed a stateless curation op, batch-equal (r12 #8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream")
