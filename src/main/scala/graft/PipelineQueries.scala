@@ -1174,6 +1174,41 @@ object PipelineQueries {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // INCREMENTAL dedup (r16): a new batch deduped AGAINST an indexed
+    // corpus — the production daily-crawl shape where re-pairing the
+    // corpus is unaffordable. The corpus's band index (band_key, id)
+    // is built once (bandIndex; persisted+bucketed via writeBandIndex
+    // at scale — LayoutSpec pins the exchange-free index side); the
+    // batch pays its own map-only signature pass + one band_key
+    // equi-join; verify touches candidate rows only. Split: every 5th
+    // doc is "today's batch", the rest are the corpus.
+    "q_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      val batch = all.filter(col("doc_id") % 5 === 0)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val idx = Dedup.bandIndex(corpus, "text", "doc_id",
+        numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      Dedup.nearDupsAgainstIndex(batch, corpus, idx, "text",
+        "doc_id", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_batch", "id_corpus")
+    }),
+
+    // the incremental END PRODUCT: batch survivors (the corpus always
+    // wins — it is the published data)
+    "q_incremental_drop" -> ((s, d) => {
+      val all = docs(s, d)
+      val batch = all.filter(col("doc_id") % 5 === 0)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val idx = Dedup.bandIndex(corpus, "text", "doc_id",
+        numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      Dedup.dropNearDupsAgainstIndex(batch, corpus, idx, "text",
+        "doc_id", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // passage-granularity fuzzy dedup: fixed token windows (the chunk
     // level context-window pipelines dedup at; blank-line paragraphs via
     // Dedup.paragraphs when the corpus has them), then the SAME fused
@@ -2572,6 +2607,36 @@ object PipelineQueries {
          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
          ORDER BY 1, 2""",
+
+    "q_incremental_dedup" ->
+      s"""WITH s AS (
+           SELECT doc_id, list_distinct($SH) AS sh,
+             ${mhSql(0)} AS m0, ${mhSql(1)} AS m1, ${mhSql(2)} AS m2, ${mhSql(3)} AS m3
+           FROM documents),
+         b AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+         c AS (SELECT * FROM s WHERE doc_id % 5 <> 0)
+         SELECT b.doc_id AS id_batch, c.doc_id AS id_corpus,
+           round(len(list_intersect(b.sh, c.sh))::DOUBLE /
+             (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))), 4) AS jaccard
+         FROM b JOIN c ON (b.m0 = c.m0 OR b.m1 = c.m1 OR b.m2 = c.m2 OR b.m3 = c.m3)
+         WHERE len(list_intersect(b.sh, c.sh))::DOUBLE /
+             (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.8
+         ORDER BY 1, 2""",
+
+    "q_incremental_drop" ->
+      s"""WITH s AS (
+           SELECT doc_id, list_distinct($SH) AS sh,
+             ${mhSql(0)} AS m0, ${mhSql(1)} AS m1, ${mhSql(2)} AS m2, ${mhSql(3)} AS m3
+           FROM documents),
+         b AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+         c AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+         dup AS (
+           SELECT DISTINCT b.doc_id
+           FROM b JOIN c ON (b.m0 = c.m0 OR b.m1 = c.m1 OR b.m2 = c.m2 OR b.m3 = c.m3)
+           WHERE len(list_intersect(b.sh, c.sh))::DOUBLE /
+               (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.8)
+         SELECT doc_id FROM b WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         ORDER BY doc_id""",
 
     // connected components in SQL: recursive reachability closure over
     // the symmetric pair graph, then min reachable id per node — small

@@ -215,6 +215,131 @@ object Dedup {
       .select("id_l", "id_r", "jaccard")
   }
 
+  /** Positional band keys for ONE side of an incremental-dedup join:
+    * (band_key, id) with band_key = md5(band_idx | lanes...) — the
+    * band index folded INTO the key so the index join is a single-
+    * column equi-join (bucketable by [[graft.api.Layout]]); equality
+    * implies same band position AND same lane values, i.e. exactly
+    * the (band_idx, band_hash) pair key the within-corpus LSH uses. */
+  private def bandKeysOf(df: DataFrame, textCol: String, idCol: String,
+                         outId: String, numHashes: Int, bandSize: Int,
+                         k: Int, useMd5: Boolean): DataFrame = {
+    val nBands = numHashes / bandSize
+    val sig = withMinhashSignature(df, textCol, numHashes, k, useMd5)
+      .select(col(idCol).as(outId),
+        array((0 until numHashes).map(h => col(s"mh$h").cast("string")): _*)
+          .as("__sig"))
+    sig.select(col(outId),
+      explode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => md5(concat_ws("|",
+          (b.cast("string") +: (0 until bandSize).map(j =>
+            element_at(col("__sig"), b * bandSize + j + 1))): _*))))
+        .as("band_key"))
+  }
+
+  /** MinHash band-index table for INCREMENTAL near-dup detection —
+    * the production shape where a daily batch (crawl snapshot) is
+    * deduped AGAINST an existing corpus without re-pairing the corpus:
+    * build this once per corpus version, persist it bucketed on
+    * `band_key` ([[writeBandIndex]]), and every later batch pays only
+    * its own map-only signature pass plus one equi-join that never
+    * shuffles the index. Columns: (band_key, id). Degenerate buckets
+    * (> maxBucket members, e.g. empty docs) are pruned AT BUILD TIME
+    * with the same broadcast anti-join as [[lshCandidates]] — they
+    * would fan out against every matching batch row on every batch.
+    *
+    * CONTRACT: numHashes/bandSize/k/useMd5 must match between the
+    * index build and every [[nearDupsAgainstIndex]] call — band keys
+    * are positional hashes, so mismatched parameters silently produce
+    * zero candidates. */
+  def bandIndex(df: DataFrame, textCol: String, idCol: String,
+                numHashes: Int = 6, bandSize: Int = 1, k: Int = 3,
+                useMd5: Boolean = false, maxBucket: Int = 1000): DataFrame = {
+    val bands = bandKeysOf(df, textCol, idCol, "id",
+      numHashes, bandSize, k, useMd5)
+    val oversized = bands.groupBy("band_key")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("band_key")
+    bands.join(broadcast(oversized), Seq("band_key"), "left_anti")
+  }
+
+  /** Persist [[bandIndex]] as a bucketed Layout table: the batch-side
+    * join shuffles ONLY the batch's band keys into the index's
+    * bucketing; the index (the corpus-sized side) never moves.
+    * Rewrite on corpus version bumps (Layout refuses Append — a
+    * second file per bucket would cost the layout guarantee). */
+  def writeBandIndex(df: DataFrame, textCol: String, idCol: String,
+                     table: String, buckets: Int,
+                     numHashes: Int = 6, bandSize: Int = 1, k: Int = 3,
+                     useMd5: Boolean = false, maxBucket: Int = 1000,
+                     path: Option[String] = None): Unit =
+    graft.api.Layout.writeBucketed(
+      bandIndex(df, textCol, idCol, numHashes, bandSize, k, useMd5,
+        maxBucket),
+      table, Seq("band_key"), buckets, path = path)
+
+  /** Near-duplicate pairs of a NEW BATCH against an indexed corpus:
+    * (id_batch, id_corpus, jaccard). Candidates come from the
+    * `band_key` equi-join against `index` (built by [[bandIndex]] /
+    * read back via [[graft.api.Layout.table]]); the exact
+    * sorted-merge Jaccard verify then touches only candidate rows —
+    * the corpus TEXT is scanned once, semi-join-pruned to candidate
+    * ids (broadcast: candidates are batch-bounded), so neither the
+    * corpus nor its index is ever shuffled. The within-batch pairs
+    * are NOT reported — run [[nearDupPairs]] on the batch for those
+    * (an incremental pipeline does both: batch-vs-corpus here,
+    * batch-vs-itself at batch scale). */
+  def nearDupsAgainstIndex(batch: DataFrame, corpus: DataFrame,
+                           index: DataFrame, textCol: String,
+                           batchIdCol: String, corpusIdCol: String,
+                           threshold: Double = 0.8, numHashes: Int = 6,
+                           bandSize: Int = 1, k: Int = 3,
+                           useMd5: Boolean = false): DataFrame = {
+    val bBands = bandKeysOf(batch, textCol, batchIdCol, "id_batch",
+      numHashes, bandSize, k, useMd5)
+    val cand = index.withColumnRenamed("id", "id_corpus")
+      .join(bBands, Seq("band_key"))
+      .select("id_batch", "id_corpus").distinct()
+      .localCheckpoint() // two consumers: the id prune + the verify join
+    def shinglesOf(df: DataFrame, idCol: String, outId: String,
+                   sh: String) =
+      df.select(col(idCol).as(outId),
+        array_sort(array_distinct(TextAnalysis.shingles(col(textCol), k)))
+          .as(sh))
+    // corpus text pruned to candidate ids BEFORE shingling: the
+    // candidate id set is batch-bounded, so it broadcasts and the
+    // corpus scan streams past non-candidates without shuffling
+    val corpusCand = corpus.join(
+      broadcast(cand.select(col("id_corpus").as(corpusIdCol)).distinct()),
+      Seq(corpusIdCol), "left_semi")
+    cand
+      .join(broadcast(shinglesOf(batch, batchIdCol, "id_batch", "sh_b")),
+        Seq("id_batch"))
+      .join(shinglesOf(corpusCand, corpusIdCol, "id_corpus", "sh_c"),
+        Seq("id_corpus"))
+      .withColumn("jaccard",
+        graft.functions.VectorExprs.jaccardSorted(col("sh_b"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_batch", "id_corpus", "jaccard")
+  }
+
+  /** Survivor selection for the incremental path: batch rows with NO
+    * near-duplicate already in the indexed corpus (the corpus always
+    * wins — it is the published data). Anti-join on the verified
+    * pairs' batch ids. */
+  def dropNearDupsAgainstIndex(batch: DataFrame, corpus: DataFrame,
+                               index: DataFrame, textCol: String,
+                               batchIdCol: String, corpusIdCol: String,
+                               threshold: Double = 0.8, numHashes: Int = 6,
+                               bandSize: Int = 1, k: Int = 3,
+                               useMd5: Boolean = false): DataFrame = {
+    val dup = nearDupsAgainstIndex(batch, corpus, index, textCol,
+      batchIdCol, corpusIdCol, threshold, numHashes, bandSize, k, useMd5)
+      .select(col("id_batch").as(batchIdCol)).distinct()
+    batch.join(broadcast(dup), Seq(batchIdCol), "left_anti")
+  }
+
   /** Connected components by iterative min-label propagation WITH
     * pointer jumping: label(node) starts as min(id, neighbor ids); each
     * round every node takes the min label among itself and its

@@ -153,6 +153,47 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("persisted MinHash band index (Dedup.writeBandIndex): the " +
+    "incremental-dedup candidate join shuffles ONLY the batch side; " +
+    "raw-parquet control shuffles both; candidates identical") {
+    import graft.ops.Dedup
+    val all = sf("documents")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    Dedup.writeBandIndex(corpus, "text", "doc_id", "layoutspec_bandidx",
+      8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true,
+      path = Some(s"$root/bandidx"))
+    // the batch band table as a LEAF (checkpoint) so its own build
+    // exchanges don't confound the measured join plan — at scale this
+    // is the persisted-or-cached daily band table anyway
+    val bBands = Dedup.bandIndex(batch, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .withColumnRenamed("id", "id_batch").localCheckpoint()
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaIndex = Layout.table(spark, "layoutspec_bandidx")
+        .withColumnRenamed("id", "id_corpus")
+        .join(bBands, Seq("band_key"))
+        .select("id_batch", "id_corpus")
+      assert(Layout.shuffleExchanges(viaIndex) == 1,
+        "bucketed band index: only the batch side should exchange:\n" +
+          viaIndex.queryExecution.executedPlan)
+      // negative control: the same files read as plain parquet lose
+      // the bucket metadata, so BOTH sides must shuffle
+      val viaRaw = spark.read.parquet(s"$root/bandidx")
+        .withColumnRenamed("id", "id_corpus")
+        .join(bBands, Seq("band_key"))
+        .select("id_batch", "id_corpus")
+      assert(Layout.shuffleExchanges(viaRaw) >= 2,
+        "control: unbucketed index join should shuffle both sides")
+      val a = viaIndex.collect().map(_.toSeq).toSet
+      val b = viaRaw.collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty, "candidate sets diverge")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("verifyLayout: clean layout passes; a stray second file in a " +
     "bucket fails loudly; Append mode is refused at write time") {
     writeBoth()

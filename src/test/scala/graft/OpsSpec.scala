@@ -34,6 +34,48 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental dedup: batch-vs-index pairs equal the cross " +
+    "restriction of the within-corpus pair graph; survivors are the " +
+    "complement; corpus always wins") {
+    // hand-checked small case: batch {2,4,5} against corpus {1,3} —
+    // 2 is a near-dup of 1 (jaccard 6/8), 4 an exact dup of 1, 5 clean
+    val batch = docs.filter(col("doc_id").isin(2L, 4L, 5L))
+    val corpus = docs.filter(col("doc_id").isin(1L, 3L))
+    val idx = Dedup.bandIndex(corpus, "text", "doc_id",
+      numHashes = 8, bandSize = 1, k = 3, useMd5 = true)
+    val pairs = Dedup.nearDupsAgainstIndex(batch, corpus, idx, "text",
+      "doc_id", "doc_id", threshold = 0.5,
+      numHashes = 8, bandSize = 1, k = 3, useMd5 = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((2L, 1L), (4L, 1L)))
+    val kept = Dedup.dropNearDupsAgainstIndex(batch, corpus, idx, "text",
+      "doc_id", "doc_id", threshold = 0.5,
+      numHashes = 8, bandSize = 1, k = 3, useMd5 = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(5L))
+    // equivalence law on the real fixture: the incremental path must
+    // find EXACTLY the cross pairs the certified within-corpus
+    // nearDupPairs finds (restricted to one batch / one corpus side) —
+    // the index join is a factoring of the same band machinery, so
+    // any drift here is a real defect, not a tuning difference
+    val all = sf("documents")
+    val isBatch = col("doc_id") % 5 === 0
+    val b5 = all.filter(isBatch)
+    val c5 = all.filter(!isBatch)
+    val idx5 = Dedup.bandIndex(c5, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+    val inc = Dedup.nearDupsAgainstIndex(b5, c5, idx5, "text",
+      "doc_id", "doc_id", threshold = 0.8,
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = Dedup.nearDupPairs(all, "text", "doc_id",
+      threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }.toSet
+    assert(inc === whole)
+  }
+
   test("simhash: identical texts equal, near-dups close, distinct far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
