@@ -221,6 +221,15 @@ object Dedup {
     * column equi-join (bucketable by [[graft.api.Layout]]); equality
     * implies same band position AND same lane values, i.e. exactly
     * the (band_idx, band_hash) pair key the within-corpus LSH uses. */
+  /** THE single-column band key: md5 over band index + '|'-joined
+    * lanes. One definition shared by [[bandIndex]] and the streaming
+    * mirror ([[graft.streaming.StreamingDedup]]) — key bit-identity
+    * across the batch build and the per-row streaming lookup is the
+    * load-bearing claim. */
+  private[graft] def bandKeyExpr(bandIdx: Column, lanes: Seq[Column]): Column =
+    md5(concat_ws("|",
+      (bandIdx.cast("string") +: lanes.map(_.cast("string"))): _*))
+
   private def bandKeysOf(df: DataFrame, textCol: String, idCol: String,
                          outId: String, numHashes: Int, bandSize: Int,
                          k: Int, useMd5: Boolean): DataFrame = {
@@ -231,9 +240,8 @@ object Dedup {
           .as("__sig"))
     sig.select(col(outId),
       explode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => md5(concat_ws("|",
-          (b.cast("string") +: (0 until bandSize).map(j =>
-            element_at(col("__sig"), b * bandSize + j + 1))): _*))))
+        b => bandKeyExpr(b, (0 until bandSize).map(j =>
+          element_at(col("__sig"), b * bandSize + j + 1)))))
         .as("band_key"))
   }
 

@@ -100,4 +100,56 @@ object StreamingDedup {
       .filter(col("__n_won") === nBands)
       .drop("__n_won")
   }
+
+  /** Streaming INCREMENTAL dedup against a persisted corpus band index
+    * — the streaming mirror of
+    * [[graft.ops.Dedup.dropNearDupsAgainstIndex]] at LSH-CANDIDATE
+    * granularity: a stream document is dropped iff ANY of its band
+    * keys already exists in the corpus index (built by
+    * [[graft.ops.Dedup.bandIndex]] / read back via
+    * [[graft.api.Layout.table]] — bucketed, so each lookup join reads
+    * co-located index files). Same over-drop posture as
+    * [[dropNearDupsWithinWatermark]]: candidates are dropped without
+    * a Jaccard verify (verifying would need the corpus text joined
+    * per candidate — run the batch path for audit-grade pairs) but a
+    * candidate duplicate can NEVER leak.
+    *
+    * Plan shape: the nBands band keys are computed as COLUMNS (no
+    * explode), and each is one stream-static LEFT join against the
+    * index's distinct key set — the per-row verdict needs no
+    * aggregation, so the operator is fully STATELESS (no watermark,
+    * no state store; within-stream duplicates are
+    * [[dropNearDupsWithinWatermark]]'s job, chained upstream).
+    * Parameter contract as [[graft.ops.Dedup.bandIndex]]: numHashes/
+    * bandSize/k/useMd5 must match the index build. Texts shorter than
+    * k tokens have null signatures and share one degenerate key per
+    * band — prefilter them (Gopher/C4 gates do) or accept that they
+    * match a corpus that also contains such texts. */
+  def dropNearDupsAgainstIndex(stream: DataFrame, index: DataFrame,
+                               textCol: String,
+                               numHashes: Int = 4, bandSize: Int = 1,
+                               k: Int = 3,
+                               useMd5: Boolean = false): DataFrame = {
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val nBands = numHashes / bandSize
+    val sig = graft.ops.Dedup.withMinhashSignature(
+      stream, textCol, numHashes, k, useMd5)
+    val keyed = (0 until nBands).foldLeft(sig) { (d, b) =>
+      d.withColumn(s"__bk$b",
+        graft.ops.Dedup.bandKeyExpr(lit(b), (0 until bandSize).map(j =>
+          col(s"mh${b * bandSize + j}"))))
+    }
+    val joined = (0 until nBands).foldLeft(keyed) { (d, b) =>
+      d.join(
+        index.select(col("band_key").as(s"__bk$b")).distinct()
+          .withColumn(s"__hit$b", lit(1)),
+        Seq(s"__bk$b"), "left_outer")
+    }
+    val survives = (0 until nBands)
+      .map(b => col(s"__hit$b").isNull).reduce(_ && _)
+    joined.filter(survives)
+      .drop((0 until nBands).flatMap(b =>
+        Seq(s"__bk$b", s"__hit$b")) ++
+        (0 until numHashes).map(h => s"mh$h"): _*)
+  }
 }

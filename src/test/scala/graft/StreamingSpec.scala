@@ -153,6 +153,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup against a static band index: " +
+    "survivors equal the batch candidate-grain computation, fully " +
+    "stateless (zero state operators)") {
+    import graft.streaming.StreamingDedup
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val all = sf("documents")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val batchDocs = all.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val idx = Dedup.bandIndex(corpus, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .localCheckpoint() // static side, computed once
+    // batch oracle at the same candidate grain: a doc is dropped iff
+    // ANY of its band keys exists in the index
+    val idxKeys = idx.select("band_key").distinct()
+      .collect().map(_.getString(0)).toSet
+    val batchKeys = Dedup.bandIndex(
+        all.filter(col("doc_id") % 5 === 0), "text", "doc_id",
+        numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hitIds = batchKeys.collect {
+      case (bk, id) if idxKeys(bk) => id
+    }.toSet
+    val expected = batchDocs.map(_._1).toSet -- hitIds
+    assert(hitIds.nonEmpty && expected.nonEmpty,
+      "fixture must exercise both drop and survive")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup.dropNearDupsAgainstIndex(
+      input.toDF().toDF("doc_id", "text"), idx, "text",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("inc_dedup_out").start()
+    try {
+      val (first, rest) = batchDocs.splitAt(batchDocs.length / 2)
+      input.addData(first: _*); q.processAllAvailable()
+      input.addData(rest: _*); q.processAllAvailable()
+      val got = spark.table("inc_dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"got $got expected $expected")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "index lookup must be stateless (stream-static joins only)")
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup drops same-PQ-code embeddings across " +
     "batches; distinct embeddings survive; one state op") {
     import graft.streaming.StreamingDedup
