@@ -323,9 +323,11 @@ object Dispatch {
             d, by, Seq(col(order)), value, as, f))
         case f @ ("cummax" | "cummin") =>
           declined(s"$f on ${df.schema(value).dataType.simpleString} " +
-            "stays windowed: the carry fold's boxed compareTo is not " +
-            "Spark's ordering for non-ASCII strings; opt in explicitly " +
-            "via GlobalScan.groupedCustomScan if the domain is safe")
+            "stays windowed: the carry fold's boxed compareTo is only " +
+            "certified as Spark's ordering for numeric dtypes (strings " +
+            "diverge on non-ASCII: UTF-16 vs UTF-8 binary order); opt " +
+            "in explicitly via GlobalScan.groupedCustomScan if the " +
+            "domain is safe")
         case other =>
           graft.aggs.CustomScans.lookup(other) match {
             case Some(spec) if spec.fold.isDefined =>
