@@ -132,6 +132,17 @@ object StreamingDedup {
                                useMd5: Boolean = false): DataFrame = {
     require(numHashes % bandSize == 0, "bandSize must divide numHashes")
     val nBands = numHashes / bandSize
+    // the distinct key set is pinned ONCE at operator construction
+    // (localCheckpoint): a bare static frame re-evaluates per
+    // micro-batch, which would re-scan + re-shuffle the corpus-sized
+    // index on every trigger × nBands joins. The distinct itself is
+    // also load-bearing: a multi-member bucket would fan a matching
+    // stream row out per member INTO the next band join
+    // (multiplicative across bands) — with unique keys each lookup
+    // yields at most one row per stream row. Key blocks are compact
+    // (one 32-byte hash per distinct band key) and release with the
+    // frame ([[graft.api.Caches.release]]).
+    val keys = index.select("band_key").distinct().localCheckpoint()
     val sig = graft.ops.Dedup.withMinhashSignature(
       stream, textCol, numHashes, k, useMd5)
     val keyed = (0 until nBands).foldLeft(sig) { (d, b) =>
@@ -141,7 +152,7 @@ object StreamingDedup {
     }
     val joined = (0 until nBands).foldLeft(keyed) { (d, b) =>
       d.join(
-        index.select(col("band_key").as(s"__bk$b")).distinct()
+        keys.select(col("band_key").as(s"__bk$b"))
           .withColumn(s"__hit$b", lit(1)),
         Seq(s"__bk$b"), "left_outer")
     }
