@@ -1011,6 +1011,20 @@ object PipelineQueries {
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")),
 
+    // cluster-BALANCED sampling (r16): stratifiedSample quotas per IVF
+    // cell instead of per language — the embedding-space selection
+    // shape diverse-data pipelines run so big semantic clusters don't
+    // dominate the mixture. Pure composition of two certified
+    // operators (ivfAssign × stratifiedSample), certified composed.
+    "q_cluster_sample" -> ((s, d) => {
+      val e = spread(s, emb(s, d), "vec_id")
+      val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+      val cells = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      Selection.stratifiedSample(cells, "cid", "vec_id", pct = 20)
+        .select(col("cid"), col("vec_id"))
+        .orderBy("cid", "vec_id")
+    }),
+
     // END-TO-END pipeline: quality filter → exact dedup → near-dup drop
     // → decontaminate → stratified sample, each stage feeding the next —
     // certifies that the certified pieces COMPOSE (the "switch your
@@ -2878,6 +2892,31 @@ object PipelineQueries {
          SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     },
+
+    "q_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+         cent AS (SELECT label::BIGINT AS cid,
+           list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS cv
+           FROM (SELECT label, pos, avg(x) AS m FROM (
+             SELECT label, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+               unnest(embedding)::DOUBLE AS x FROM embeddings)
+             GROUP BY 1, 2) GROUP BY 1),
+         centn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+         assign AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(CASE WHEN e.n * c.cn > 0
+               THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+               c.cid) AS rk
+           FROM e CROSS JOIN centn c) WHERE rk = 1),
+         r AS (SELECT cid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY cid
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+           COUNT(*) OVER (PARTITION BY cid) AS n
+         FROM assign)
+         SELECT cid, vec_id FROM r WHERE rn * 100 <= n * 20
+         ORDER BY cid, vec_id""",
 
     "q_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

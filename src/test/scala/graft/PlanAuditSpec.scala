@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ivf_refined_topk",
     "q_embed_centroids",
     "q_semantic_neardup",    // broadcast centroid assignment (SemDeDup)
+    "q_cluster_sample",      // broadcast centroid assignment (ivfAssign)
     "q_dense_grid",          // crossJoin of two declared expected-domain DFs
     "q_partial_axis",
     "q_source_shift",        // scalar total joined onto per-source rows
