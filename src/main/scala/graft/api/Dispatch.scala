@@ -152,6 +152,18 @@ object Dispatch {
     // skipping keyStats saves the stats scan)
     if (opts.approxQuantile)
       return GroupByReduce(df, by, value, "quantile", as, opts.copy(q = qs))
+    // VIEWED dtypes (datetime/duration/bool) never escalate: the
+    // buffered path views them to int64 and RESTORES the dtype
+    // (DtypeView), while the distributed tier computes on a raw double
+    // cast — escalation would change the result's type and units, the
+    // one thing auto must never do. Buffered stays correct at any
+    // size; the decision log names the wall.
+    if (!isNumeric(df, value)) {
+      log.info("graft.Dispatch: quantile -> buffered (value dtype " +
+        s"${df.schema(value).dataType.simpleString} is viewed+restored, " +
+        "which only the buffered tier implements; no stats pass run)")
+      return GroupByReduce(df, by, value, "quantile", as, opts.copy(q = qs))
+    }
     val st = stats.getOrElse(keyStats(df, by))
     val tier = chooseQuantileTier(st, megaGroupRows)
     logDecision("quantile", tier, st)
@@ -203,7 +215,12 @@ object Dispatch {
                  megaGroupRows: Long = MegaGroupRows,
                  stats: Option[KeyStats] = None): DataFrame = {
     val exactQuantile = Set("quantile", "nanquantile", "median", "nanmedian")
-    if (!exactQuantile(func) || opts.approxQuantile)
+    // non-quantile funcs, approx sketches, and VIEWED dtypes (datetime/
+    // duration/bool: the buffered tier views+restores the dtype, the
+    // distributed tier computes on a raw double cast — escalation would
+    // change the result's type/units) all stay on GroupByReduce, which
+    // is correct at any group size for them
+    if (!exactQuantile(func) || opts.approxQuantile || !isNumeric(df, value))
       return GroupByReduce(df, by, value, func, as, opts)
     val qs = func match {
       case "median" | "nanmedian" => Seq(0.5)
@@ -422,4 +439,8 @@ object Dispatch {
 
   private def isDouble(df: DataFrame, c: String): Boolean =
     df.schema(c).dataType == org.apache.spark.sql.types.DoubleType
+
+  private def isNumeric(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
 }

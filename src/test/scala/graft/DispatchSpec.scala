@@ -249,6 +249,23 @@ class DispatchSpec extends SparkTestBase {
         megaGroupRows = 4000)
     }
     assert(e.getMessage.contains("nanQuantileAllNaN"))
+    // VIEWED dtypes never escalate: a timestamp median at mega-group
+    // threshold stays on the buffered tier (DtypeView restore), so the
+    // result keeps its TYPE — escalating to the raw-double distributed
+    // tier would silently return seconds-as-double (the r16
+    // self-review find)
+    val ts = df.withColumn("t",
+      org.apache.spark.sql.functions.timestamp_seconds(col("id") % 100000))
+    val viaAuto = Dispatch.reduceAuto(ts, Seq("g"), "t", "median",
+      as = "m", megaGroupRows = 4000)
+    assert(viaAuto.schema("m").dataType ===
+      org.apache.spark.sql.types.TimestampType, "dtype must survive auto")
+    assert(canon(viaAuto) ===
+      canon(api.GroupByReduce(ts, Seq("g"), "t", "median", "m")))
+    val viaQAuto = Dispatch.quantileAuto(ts, Seq("g"), "t", Seq(0.5),
+      as = "m", megaGroupRows = 4000)
+    assert(viaQAuto.schema("m").dataType ===
+      org.apache.spark.sql.types.TimestampType)
   }
 
   test("events auto on a planted hot-key input: skewed tier picked, " +
