@@ -937,18 +937,28 @@ object CoreQueries {
       """SELECT l_orderkey, round(product(1.0 + l_discount), 6) AS prod_disc
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
+    // wvar/wstd mirror: var_pop over the unnest-EXPANDED multiset
+    // (integer frequency weights), DuckDB's own STABLE central-moment
+    // accumulation — an INDEPENDENT stable implementation, never the
+    // raw-moment Σwv²/Σw − mean² tree the Spark side abandoned in r16
+    // (certifying the unstable tree against itself was the complex-var
+    // lesson); wn/wsum/wmean stay exact sums.
     "q_weighted" ->
-      s"""SELECT user_id, sum(w) AS wn,
-         round(sum(v*w), 2) AS wsum,
-         round(sum(v*w) / sum(w), 4) AS wmean,
-         round(CASE WHEN sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2) < 0 THEN 0.0
-               ELSE sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2) END, 2) AS wvar,
-         round(sqrt(CASE WHEN sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2) < 0 THEN 0.0
-               ELSE sum(v*v*w) / sum(w) - pow(sum(v*w) / sum(w), 2) END), 4) AS wstd
-         FROM (SELECT user_id,
-                 CASE WHEN NOT isnan(v) THEN v END AS v,
-                 CASE WHEN NOT isnan(v) THEN (event_id % 7 + 1)::DOUBLE END AS w
-               FROM ($sqlNan))
+      s"""WITH p AS (SELECT user_id,
+             CASE WHEN NOT isnan(v) THEN v END AS v,
+             CASE WHEN NOT isnan(v) THEN (event_id % 7 + 1)::DOUBLE END AS w
+           FROM ($sqlNan)),
+         x AS (SELECT user_id, v FROM (
+           SELECT user_id, v, unnest(range(1, w::BIGINT + 1)) FROM p
+           WHERE v IS NOT NULL))
+         SELECT p.user_id, sum(p.w) AS wn,
+           round(sum(p.v*p.w), 2) AS wsum,
+           round(sum(p.v*p.w) / sum(p.w), 4) AS wmean,
+           round(any_value(e.wv), 2) AS wvar,
+           round(sqrt(any_value(e.wv)), 4) AS wstd
+         FROM p LEFT JOIN
+           (SELECT user_id, var_pop(v) AS wv FROM x GROUP BY 1) e
+           USING (user_id)
          GROUP BY 1 ORDER BY 1""",
 
     "q_skew_kurt" ->

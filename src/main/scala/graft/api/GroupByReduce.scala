@@ -163,12 +163,14 @@ object GroupByReduce {
     def wsum = sum(v * w)
     def wtot = sum(w)
     def wmean = wsum / wtot
-    // the one-pass moment form can cancel to a tiny NEGATIVE value for
-    // large means / low variance, which would make wstd NaN — clamp at
-    // zero via CASE (not greatest(), which drops nulls and would turn
-    // an all-missing group's null into 0)
-    def wvarRaw = sum(v * v * w) / wtot - wmean * wmean
-    def wvar = when(wvarRaw < 0, lit(0.0)).otherwise(wvarRaw)
+    // STABLE weighted population variance (r16): weighted
+    // Welford/Chan via WeightedVarAgg — the raw-moment form
+    // Σwv²/Σw − (Σwv/Σw)² kept zero significant digits at
+    // |mean| ≫ sd (the same cancellation class the complex var fix
+    // closed; ReduceSpec pins the large-offset law). Same skip mask,
+    // same all-missing-null / zero-weight-NaN / clamp-at-zero
+    // semantics; ObjectHashAggregate plan shape.
+    def wvar = graft.functions.VectorExprs.weightedVarPop(v, w)
     // Weighted quantile with FREQUENCY-weight semantics: integer weights
     // are repeat counts, and the result is the exact type-7 linear
     // quantile of the expanded multiset — computed WITHOUT expanding,

@@ -896,6 +896,7 @@ object VectorExprs {
         PqLutExpr(exprs(0), dblArr(exprs(1)), int(exprs(2)), int(exprs(3)),
           int(exprs(4)))),
       "graft_pq_adc" -> (exprs => PqAdcExpr(exprs(0), exprs(1), int(exprs(2)))),
+      "graft_wvar_pop" -> (exprs => WeightedVarAgg(exprs(0), exprs(1))),
       "graft_wquantile" -> (exprs =>
         WeightedQuantileExpr(exprs(0),
           exprs(1).eval() match {
@@ -942,6 +943,16 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_extremum_by", value, ordering, lit(isMax))
+  }
+
+  /** Numerically stable weighted population variance (see
+    * [[WeightedVarAgg]] — weighted Welford/Chan); null on all-skipped
+    * groups, NaN on zero total weight. */
+  def weightedVarPop(value: Column, weight: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_wvar_pop", value, weight)
   }
 
   /** Exact int64 product with NumPy wraparound semantics (see

@@ -345,6 +345,55 @@ class ReduceSpec extends SparkTestBase {
     }
   }
 
+  test("weighted var/std numerical stability: |mean| >> sd matches the " +
+    "mean-shifted local reference, fractional weights and pair skips " +
+    "included (the raw-moment form kept zero digits here)") {
+    import org.apache.spark.sql.functions.col
+    // mean ~1e8, sd ~1: Σwv² ~ W·1e16 has ulp ~2, so the pre-r16
+    // Σwv²/Σw − mean² expression retained NOTHING of a ~1 variance;
+    // the WeightedVarAgg Welford/Chan path must. Fractional weights +
+    // null/NaN pair skips keep the full mask in play.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 600).map { i =>
+      val v: Option[Double] =
+        if (i % 29 == 0) None
+        else if (i % 31 == 0) Some(Double.NaN)
+        else Some(1.0e8 + (rnd.nextInt(2000) - 1000) / 500.0)
+      (i % 2, v, 0.5 + (i % 4))  // weights 0.5, 1.5, 2.5, 3.5
+    }
+    val df = rows.toDF("k", "v", "w").repartition(7)
+    val got = GroupByReduce.weighted(df, Seq("k"), "v", "w",
+      Seq(("wvar", "wv"), ("wstd", "ws")))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val valid = g.collect { case (_, Some(v), w) if !v.isNaN => (v, w) }
+      val wt = valid.map(_._2).sum
+      val m = valid.map { case (v, w) => v * w }.sum / wt
+      val wv = valid.map { case (v, w) => w * (v - m) * (v - m) }.sum / wt
+      // 1e-6 relative: the local reference's own naive mean at 1e8
+      // scale carries ~1e-9 noise, so demanding 1e-9 compares two
+      // stable algorithms' rounding orders; the defect this law
+      // guards against is ~1e3 RELATIVE (zero digits retained)
+      def rel(a: Double, b: Double) = math.abs(a - b) / math.abs(b)
+      assert(rel(got(k)._1, wv) < 1e-6, s"group $k wvar: ${got(k)._1} vs $wv")
+      assert(rel(got(k)._2, math.sqrt(wv)) < 1e-6, s"group $k wstd")
+      assert(got(k)._1 > 0.3 && got(k)._1 < 4.0,
+        "sanity: true variance is O(1), not O(ulp(1e16))")
+    }
+    // degenerate semantics preserved: all-skipped group null;
+    // zero-total-weight group NaN; single pair 0
+    val edge = Seq((0, Some(Double.NaN), 1.0), (0, None, 2.0),
+      (1, Some(5.0), 0.0), (2, Some(7.0), 3.0))
+      .toDF("k", "v", "w")
+    val e = GroupByReduce.weighted(edge, Seq("k"), "v", "w",
+      Seq(("wvar", "wv")))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(e(0) === None, "all-skipped group")
+    assert(e(1).exists(_.asInstanceOf[Double].isNaN), "zero total weight")
+    assert(e(2) === Some(0.0), "single pair")
+  }
+
   test("weightedQuantileDistributed is BIT-equal to the buffered " +
     "weighted CDF walk: ties, fractional/zero weights, NaN/null pairs, " +
     "+-Inf values, all-invalid group yields null") {
