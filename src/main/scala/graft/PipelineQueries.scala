@@ -1260,6 +1260,26 @@ object PipelineQueries {
         Dedup.simhash32(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    // INCREMENTAL hamming near-dup (r16): the SimHash/multimodal mate
+    // of q_incremental_dedup — one persisted band index (signature
+    // riding along) serves text SimHash, image dHash, audio envelope
+    // and video frame fingerprints; the daily batch job touches ONLY
+    // the index, never corpus content. Oracle = the brute-force
+    // bipartite hamming join (banding is lossless within maxBucket).
+    "q_incremental_simhash" -> ((s, d) => {
+      val all = docs(s, d)
+      def sigOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id").as("__id"),
+          Dedup.simhash32(col("text")).as("__sig"))
+      val idx = Dedup.hammingBandIndex(
+        sigOf(all.filter(col("doc_id") % 5 =!= 0)),
+        sigBits = 32, maxHamming = 3)
+      Dedup.hammingNearDupsAgainstIndex(
+        sigOf(all.filter(col("doc_id") % 5 === 0)), idx,
+        sigBits = 32, maxHamming = 3)
+        .orderBy("id_batch", "id_corpus")
+    }),
+
     // ---------------- similarity search
     // JL ±1 compression 64->8 dims: the map-only shuffle-byte cutter
     // in front of the LSH/IVF family; sign matrix re-derived from the
@@ -2767,6 +2787,15 @@ object PipelineQueries {
            bit_count(xor(a.sig, b.sig))::BIGINT AS hamming_dist
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY 1, 2""",
+
+    "q_incremental_simhash" ->
+      s"""WITH s AS (SELECT doc_id, $simhashSql AS sig FROM documents),
+         b AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+         c AS (SELECT * FROM s WHERE doc_id % 5 <> 0)
+         SELECT b.doc_id AS id_batch, c.doc_id AS id_corpus,
+           bit_count(xor(b.sig, c.sig))::BIGINT AS hamming_dist
+         FROM b JOIN c ON bit_count(xor(b.sig, c.sig)) <= 3
          ORDER BY 1, 2""",
 
     // unrolled left-associative sums so the summation order is

@@ -756,6 +756,84 @@ object Dedup {
       sigBits = 32, maxHamming = maxHamming, maxBucket = maxBucket)
   }
 
+  /** Positional pigeonhole band keys for a ≤64-bit signature frame
+    * (__id, __sig) — the hamming mate of [[bandKeysOf]], same
+    * single-column md5 key convention (band index folded in), shared
+    * by [[hammingBandIndex]] and the batch side of
+    * [[hammingNearDupsAgainstIndex]] so keys stay bit-identical. */
+  private def hammingBandKeys(sig: DataFrame, outId: String,
+                              outSig: String, sigBits: Int,
+                              maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandExprs = (0 until nBands).map { b =>
+      val lo = b * sigBits / nBands
+      val hi = (b + 1) * sigBits / nBands
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
+      bandKeyExpr(lit(b),
+        Seq(shiftright(col("__sig"), lo).bitwiseAND(lit(mask))))
+    }
+    sig.select(col("__id").as(outId), col("__sig").as(outSig),
+      explode(array(bandExprs: _*)).as("band_key"))
+  }
+
+  /** Hamming band index for INCREMENTAL near-dup over any ≤64-bit
+    * signature — SimHash text, image dHash, audio envelope and video
+    * frame fingerprints all ride the same pigeonhole joiner, so ONE
+    * index shape serves the whole multimodal family. Columns:
+    * (band_key, id, sig). Unlike the MinHash index, the 8-byte
+    * signature RIDES ALONG, so the exact hamming verify needs no join
+    * back to corpus content: a daily batch job touches ONLY this
+    * index (persist it bucketed on band_key via
+    * [[writeHammingBandIndex]]). Oversized buckets prune at build
+    * (the [[bandIndex]] rationale). CONTRACT: sigBits/maxHamming must
+    * match between build and query — bands are positional. */
+  def hammingBandIndex(sig: DataFrame, sigBits: Int, maxHamming: Int,
+                       maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming in [0, $sigBits)")
+    require(sigBits >= 1 && sigBits <= 64, "sigBits in [1, 64]")
+    val bands = hammingBandKeys(sig, "id", "sig", sigBits, maxHamming)
+    val oversized = bands.groupBy("band_key")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("band_key")
+    bands.join(broadcast(oversized), Seq("band_key"), "left_anti")
+  }
+
+  /** Persist [[hammingBandIndex]] bucketed on band_key (the
+    * [[writeBandIndex]] economics: batches shuffle into the index's
+    * bucketing; the index never moves). */
+  def writeHammingBandIndex(sig: DataFrame, table: String, buckets: Int,
+                            sigBits: Int, maxHamming: Int,
+                            maxBucket: Int = 100000,
+                            path: Option[String] = None): Unit =
+    graft.api.Layout.writeBucketed(
+      hammingBandIndex(sig, sigBits, maxHamming, maxBucket),
+      table, Seq("band_key"), buckets, path = path)
+
+  /** Near-duplicate pairs of a NEW BATCH of signatures against an
+    * indexed corpus: (id_batch, id_corpus, hamming_dist), hamming ≤
+    * maxHamming, candidates from the band_key equi-join and the exact
+    * verify computed from the signatures the index itself carries —
+    * no corpus content is ever read or shuffled. `batchSig` follows
+    * the [[hammingNearDupPairs]] input convention (__id, __sig).
+    * Lossless within the index's maxBucket guard (pigeonhole: a
+    * within-radius pair agrees exactly on ≥1 band). */
+  def hammingNearDupsAgainstIndex(batchSig: DataFrame, index: DataFrame,
+                                  sigBits: Int,
+                                  maxHamming: Int): DataFrame = {
+    val b = hammingBandKeys(batchSig, "id_batch", "__bsig",
+      sigBits, maxHamming)
+    index
+      .select(col("band_key"), col("id").as("id_corpus"),
+        col("sig").as("__csig"))
+      .join(b, Seq("band_key"))
+      .withColumn("hamming_dist",
+        hamming(col("__bsig"), col("__csig")).cast("long"))
+      .filter(col("hamming_dist") <= maxHamming)
+      .select("id_batch", "id_corpus", "hamming_dist").distinct()
+  }
+
   /** Pigeonhole hamming near-dup join over any ≤64-bit signature
     * column: hashes within hamming ≤ `maxHamming` agree EXACTLY on at
     * least one of maxHamming+1 disjoint bit bands, so candidates come

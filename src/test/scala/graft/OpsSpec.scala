@@ -76,6 +76,29 @@ class OpsSpec extends SparkTestBase {
     assert(inc === whole)
   }
 
+  test("incremental hamming index: batch-vs-index pairs equal the " +
+    "cross restriction of hammingNearDupPairs; the verify reads only " +
+    "index-carried signatures") {
+    val all = sf("documents")
+    def sigOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("__id"),
+        Dedup.simhash32(col("text")).as("__sig"))
+    val isBatch = col("doc_id") % 5 === 0
+    val idx = Dedup.hammingBandIndex(sigOf(all.filter(!isBatch)),
+      sigBits = 32, maxHamming = 3)
+    val inc = Dedup.hammingNearDupsAgainstIndex(
+        sigOf(all.filter(isBatch)), idx, sigBits = 32, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = Dedup.simhashNearDupPairs(all, "text", "doc_id",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, h) => if (a % 5 == 0) (a, b, h) else (b, a, h) }
+      .toSet
+    assert(inc === whole)
+    assert(inc.nonEmpty, "fixture must contain cross near-dups")
+  }
+
   test("simhash: identical texts equal, near-dups close, distinct far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
