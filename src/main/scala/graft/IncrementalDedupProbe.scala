@@ -87,6 +87,60 @@ object IncrementalDedupProbe {
       s"checksums ${if (ci == cf) "MATCH" else s"MISMATCH $ci vs $cf"}")
     require(nInc == nFull && ci == cf, "incremental/full pair sets diverge")
     require(nInc >= nBatch / 100 / 2, s"planted dups not found: $nInc")
+
+    // ---- r17 MAINTENANCE: admit batch1's survivors, dedup batch2 ----
+    // The delta path (survivors' band keys as a day-scale side table,
+    // query = index ∪ delta) vs the only pre-r17 alternative: a
+    // corpus-scale index REBUILD per admission cycle. Both paths must
+    // produce checksum-identical batch2 pairs, including pairs only
+    // the delta can find (near-copies of batch1 survivors).
+    val surv = time("survivors of batch1") {
+      graft.ops.Dedup.dropNearDupsAgainstIndex(batch, corpus, idx, "text",
+        "doc_id", "doc_id", threshold = 0.8,
+        numHashes = 4, bandSize = 1, k = 3).localCheckpoint()
+    }
+    // the grown content store (both paths need it for the verify)
+    val corpus1 = corpus.unionByName(surv).localCheckpoint()
+    // batch2: every 100th a near-copy of a CORPUS doc (index hit),
+    // every (100th+1) a near-copy of a batch1 NEW doc (delta-only hit)
+    val batch2 = spark.range(nBatch)
+      .select((col("id") + 3 * nCorpus).as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 0, copyOf(src))
+          .when(pmod(col("id"), lit(100)) === 1,
+            copyOf(col("id") + lit(2) * nCorpus))
+          .otherwise(textOf(col("id") + lit(4) * nCorpus)).as("text"))
+      .localCheckpoint()
+    val delta = time("delta append (survivor bands)") {
+      graft.ops.Dedup.bandIndexDelta(surv, "text", "doc_id",
+        numHashes = 4, bandSize = 1, k = 3).localCheckpoint()
+    }
+    val viaDelta = time("batch2 vs index UNION delta") {
+      graft.ops.Dedup.nearDupsAgainstIndex(batch2, corpus1, idx, "text",
+        "doc_id", "doc_id", threshold = 0.8,
+        numHashes = 4, bandSize = 1, k = 3,
+        delta = Some(delta)).localCheckpoint()
+    }
+    val nDelta = viaDelta.count()
+    val rebuilt = time("REBUILD index (corpus UNION surv)") {
+      graft.ops.Dedup.bandIndex(corpus1, "text", "doc_id",
+        numHashes = 4, bandSize = 1, k = 3).localCheckpoint()
+    }
+    val viaRebuild = time("batch2 vs rebuilt index") {
+      graft.ops.Dedup.nearDupsAgainstIndex(batch2, corpus1, rebuilt,
+        "text", "doc_id", "doc_id", threshold = 0.8,
+        numHashes = 4, bandSize = 1, k = 3).localCheckpoint()
+    }
+    val nRebuild = viaRebuild.count()
+    val (cd, cr) = (checksum(viaDelta.select("id_batch", "id_corpus")),
+      checksum(viaRebuild.select("id_batch", "id_corpus")))
+    val nDeltaOnly = viaDelta.filter(col("id_corpus") >= nCorpus).count()
+    println(s"[probe] maintenance pairs delta=$nDelta rebuild=$nRebuild " +
+      s"(delta-only hits=$nDeltaOnly) checksums " +
+      s"${if (cd == cr) "MATCH" else s"MISMATCH $cd vs $cr"}")
+    require(nDelta == nRebuild && cd == cr,
+      "delta/rebuild pair sets diverge")
+    require(nDeltaOnly > 0,
+      "fixture must plant pairs only the delta can find")
     spark.stop()
   }
 }

@@ -1223,6 +1223,37 @@ object PipelineQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // INCREMENTAL index MAINTENANCE (r17): after batch1's survivors are
+    // admitted to the corpus, their band keys ride a small DELTA side
+    // table (bandIndexDelta — Layout correctly refuses appending into
+    // the bucketed index) and batch2 queries index ∪ delta: the
+    // corpus-sized index still never shuffles or rebuilds; the delta
+    // equi-join is day-scale. Certified against DuckDB computing
+    // batch2-vs-(corpus ∪ batch1-survivors) from scratch — i.e. the
+    // delta path must equal a full rebuild. compactBandIndex (folding
+    // deltas back into a new bucketed layout, rebuild-equal via the
+    // pruned-keys sidecar) is law-pinned in OpsSpec.
+    "q_incremental_refresh" -> ((s, d) => {
+      val all = docs(s, d)
+      val m5 = col("doc_id") % 5
+      val batch2 = all.filter(m5 === 0)
+      val batch1 = all.filter(m5 === 1)
+      val corpus0 = all.filter(m5 =!= 0 && m5 =!= 1)
+      val idx = Dedup.bandIndex(corpus0, "text", "doc_id",
+        numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      val surv1 = Dedup.dropNearDupsAgainstIndex(batch1, corpus0, idx,
+        "text", "doc_id", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      val delta1 = Dedup.bandIndexDelta(surv1, "text", "doc_id",
+        numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      Dedup.nearDupsAgainstIndex(batch2, corpus0.unionByName(surv1), idx,
+        "text", "doc_id", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true,
+        delta = Some(delta1))
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_batch", "id_corpus")
+    }),
+
     // passage-granularity fuzzy dedup: fixed token windows (the chunk
     // level context-window pipelines dedup at; blank-line paragraphs via
     // Dedup.paragraphs when the corpus has them), then the SAME fused
@@ -2671,6 +2702,34 @@ object PipelineQueries {
                (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.8)
          SELECT doc_id FROM b WHERE doc_id NOT IN (SELECT doc_id FROM dup)
          ORDER BY doc_id""",
+
+    // the delta path must equal a from-scratch rebuild: DuckDB computes
+    // batch1's survivors, admits them, and re-pairs batch2 against the
+    // grown corpus directly — graft answers the same question through
+    // index ∪ delta without touching the persisted index
+    "q_incremental_refresh" ->
+      s"""WITH s AS (
+           SELECT doc_id, list_distinct($SH) AS sh,
+             ${mhSql(0)} AS m0, ${mhSql(1)} AS m1, ${mhSql(2)} AS m2, ${mhSql(3)} AS m3
+           FROM documents),
+         b2 AS (SELECT * FROM s WHERE doc_id % 5 = 0),
+         b1 AS (SELECT * FROM s WHERE doc_id % 5 = 1),
+         c0 AS (SELECT * FROM s WHERE doc_id % 5 NOT IN (0, 1)),
+         dup1 AS (
+           SELECT DISTINCT b1.doc_id
+           FROM b1 JOIN c0 ON (b1.m0 = c0.m0 OR b1.m1 = c0.m1 OR b1.m2 = c0.m2 OR b1.m3 = c0.m3)
+           WHERE len(list_intersect(b1.sh, c0.sh))::DOUBLE /
+               (len(b1.sh) + len(c0.sh) - len(list_intersect(b1.sh, c0.sh))) >= 0.8),
+         c1 AS (SELECT * FROM c0
+                UNION ALL
+                SELECT * FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM dup1))
+         SELECT b2.doc_id AS id_batch, c1.doc_id AS id_corpus,
+           round(len(list_intersect(b2.sh, c1.sh))::DOUBLE /
+             (len(b2.sh) + len(c1.sh) - len(list_intersect(b2.sh, c1.sh))), 4) AS jaccard
+         FROM b2 JOIN c1 ON (b2.m0 = c1.m0 OR b2.m1 = c1.m1 OR b2.m2 = c1.m2 OR b2.m3 = c1.m3)
+         WHERE len(list_intersect(b2.sh, c1.sh))::DOUBLE /
+             (len(b2.sh) + len(c1.sh) - len(list_intersect(b2.sh, c1.sh))) >= 0.8
+         ORDER BY 1, 2""",
 
     // connected components in SQL: recursive reachability closure over
     // the symmetric pair graph, then min reachable id per node — small

@@ -224,7 +224,15 @@ object Dispatch {
       return GroupByReduce(df, by, value, func, as, opts)
     val qs = func match {
       case "median" | "nanmedian" => Seq(0.5)
-      case _ => if (opts.q.nonEmpty) opts.q else Seq(0.5)
+      case _ =>
+        // an empty q here is a caller mistake, not a median request:
+        // the explicit GroupByReduce path validates q values, so
+        // defaulting to 0.5 would mask on the auto path an error the
+        // manual path surfaces (r16 advice)
+        require(opts.q.nonEmpty,
+          s"reduceAuto($func) needs opts.q — pass the quantile(s); " +
+            "only median/nanmedian default to 0.5")
+        opts.q
     }
     val st = stats.getOrElse(keyStats(df, by))
     val tier = chooseQuantileTier(st, megaGroupRows)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed
@@ -215,32 +215,71 @@ object Dedup {
       .select("id_l", "id_r", "jaccard")
   }
 
-  /** Positional band keys for ONE side of an incremental-dedup join:
-    * (band_key, id) with band_key = md5(band_idx | lanes...) — the
-    * band index folded INTO the key so the index join is a single-
-    * column equi-join (bucketable by [[graft.api.Layout]]); equality
-    * implies same band position AND same lane values, i.e. exactly
-    * the (band_idx, band_hash) pair key the within-corpus LSH uses. */
-  /** THE single-column band key: md5 over band index + '|'-joined
-    * lanes. One definition shared by [[bandIndex]] and the streaming
-    * mirror ([[graft.streaming.StreamingDedup]]) — key bit-identity
-    * across the batch build and the per-row streaming lookup is the
-    * load-bearing claim. */
-  private[graft] def bandKeyExpr(bandIdx: Column, lanes: Seq[Column]): Column =
+  /** THE single-column band key: md5 over config stamp + band index +
+    * '|'-joined lanes. One definition shared by [[bandIndex]] and the
+    * streaming mirror ([[graft.streaming.StreamingDedup]]) — key
+    * bit-identity across the batch build and the per-row streaming
+    * lookup is the load-bearing claim. The band index is folded INTO
+    * the key so the index join is a single-column equi-join
+    * (bucketable by [[graft.api.Layout]]); equality implies same band
+    * position AND same lane values, i.e. exactly the (band_idx,
+    * band_hash) pair key the within-corpus LSH uses. The CONFIG stamp
+    * ([[minhashCfg]]/[[hammingCfg]]) is folded in too (r16 review):
+    * two builds with different parameters can never collide on a key,
+    * so a build/query parameter mismatch yields deterministically ZERO
+    * candidates instead of the silent partial recall a positional
+    * prefix overlap used to allow (e.g. a numHashes=4 query against a
+    * numHashes=6 index matching on the shared bands 0-3) — and the
+    * `cfg` column every index now carries upgrades even that to a
+    * LOUD scan-time failure ([[requireCfg]]). */
+  private[graft] def bandKeyExpr(cfg: String, bandIdx: Column,
+                                 lanes: Seq[Column]): Column =
     md5(concat_ws("|",
-      (bandIdx.cast("string") +: lanes.map(_.cast("string"))): _*))
+      (lit(cfg) +: bandIdx.cast("string") +: lanes.map(_.cast("string"))): _*))
+
+  /** Config stamp for MinHash band keys — every parameter that changes
+    * the key derivation, so mismatched build/query configs partition
+    * the key space. */
+  private[graft] def minhashCfg(numHashes: Int, bandSize: Int, k: Int,
+                                useMd5: Boolean): String =
+    s"mh:$numHashes:$bandSize:$k:${if (useMd5) "md5" else "xx"}"
+
+  /** Config stamp for hamming band keys (see [[minhashCfg]]). */
+  private[graft] def hammingCfg(sigBits: Int, maxHamming: Int): String =
+    s"hm:$sigBits:$maxHamming"
+
+  /** Loud build/query config check: if the index carries the `cfg`
+    * column (every [[bandIndex]]/[[hammingBandIndex]] build does), any
+    * index row whose stamp differs from the query's throws AT SCAN
+    * TIME with both stamps in the message. Implemented as a filter the
+    * optimizer cannot prune (`coalesce(assert_true(...), true)` keeps
+    * every row), codegen'd to one dictionary-constant string compare
+    * per scanned row — free next to the join it guards. Indexes
+    * without the column (pre-r17 layouts) fall back to the key-fold
+    * guarantee above: mismatch yields zero candidates, never wrong
+    * pairs. */
+  private[graft] def requireCfg(index: DataFrame, expected: String): DataFrame =
+    if (!index.columns.contains("cfg")) index
+    else index.filter(coalesce(
+      assert_true(col("cfg") <=> lit(expected),
+        concat(lit("band-index config mismatch: index built with '"),
+          col("cfg"), lit(s"' but queried with '$expected' — " +
+            "numHashes/bandSize/k/useMd5 (or sigBits/maxHamming) " +
+            "must match the index build"))),
+      lit(true)))
 
   private def bandKeysOf(df: DataFrame, textCol: String, idCol: String,
                          outId: String, numHashes: Int, bandSize: Int,
                          k: Int, useMd5: Boolean): DataFrame = {
     val nBands = numHashes / bandSize
+    val cfg = minhashCfg(numHashes, bandSize, k, useMd5)
     val sig = withMinhashSignature(df, textCol, numHashes, k, useMd5)
       .select(col(idCol).as(outId),
         array((0 until numHashes).map(h => col(s"mh$h").cast("string")): _*)
           .as("__sig"))
     sig.select(col(outId),
       explode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => bandKeyExpr(b, (0 until bandSize).map(j =>
+        b => bandKeyExpr(cfg, b, (0 until bandSize).map(j =>
           element_at(col("__sig"), b * bandSize + j + 1)))))
         .as("band_key"))
   }
@@ -257,9 +296,20 @@ object Dedup {
     * would fan out against every matching batch row on every batch.
     *
     * CONTRACT: numHashes/bandSize/k/useMd5 must match between the
-    * index build and every [[nearDupsAgainstIndex]] call — band keys
-    * are positional hashes, so mismatched parameters silently produce
-    * zero candidates. */
+    * index build and every [[nearDupsAgainstIndex]] call. Band keys
+    * fold the config stamp in, so mismatched parameters produce
+    * deterministically zero candidates — and the constant `cfg`
+    * column carried by every row (dictionary-encodes to ~nothing in
+    * parquet) makes the mismatch LOUD at query time ([[requireCfg]]).
+    *
+    * maxBucket corollary worth knowing when auditing survivors: a
+    * batch doc ALL of whose bands land in pruned buckets can never
+    * become a candidate, so [[dropNearDupsAgainstIndex]] keeps it
+    * even if a literal dup lives in the corpus. Reaching that state
+    * needs >maxBucket corpus collisions on EVERY band — degenerate
+    * content (empty/boilerplate docs) that quality gates (Gopher/C4)
+    * should have dropped upstream; if they didn't, lower maxBucket is
+    * the wrong knob — fix the prefilter. */
   def bandIndex(df: DataFrame, textCol: String, idCol: String,
                 numHashes: Int = 6, bandSize: Int = 1, k: Int = 3,
                 useMd5: Boolean = false, maxBucket: Int = 1000): DataFrame = {
@@ -270,60 +320,230 @@ object Dedup {
       .filter(col("__bucket_n") > maxBucket)
       .select("band_key")
     bands.join(broadcast(oversized), Seq("band_key"), "left_anti")
+      .withColumn("cfg", lit(minhashCfg(numHashes, bandSize, k, useMd5)))
   }
+
+  /** Band-key DELTA for batch survivors being admitted to the corpus —
+    * the maintenance path [[graft.api.Layout]] correctly refuses
+    * (appending into a bucketed layout breaks its one-file-per-bucket
+    * law): write THIS small side table instead (plain parquet,
+    * append-mode — [[appendBandIndexDelta]]) and pass it as `delta` to
+    * [[nearDupsAgainstIndex]]; fold it back into the bucketed layout
+    * with [[compactBandIndex]] on whatever cadence amortizes (the
+    * batch side shuffles anyway, so the extra delta equi-join per
+    * query is day-scale, not corpus-scale). Same schema as
+    * [[bandIndex]] (band_key, id, cfg) but with NO maxBucket prune —
+    * a day's batch cannot see corpus-wide bucket counts; compaction
+    * re-prunes at the combined grain, and build-time-pruned keys stay
+    * excluded via the pruned-keys sidecar (see [[writeBandIndex]]). */
+  def bandIndexDelta(survivors: DataFrame, textCol: String, idCol: String,
+                     numHashes: Int = 6, bandSize: Int = 1, k: Int = 3,
+                     useMd5: Boolean = false): DataFrame =
+    bandKeysOf(survivors, textCol, idCol, "id",
+      numHashes, bandSize, k, useMd5)
+      .select(col("band_key"), col("id"),
+        lit(minhashCfg(numHashes, bandSize, k, useMd5)).as("cfg"))
 
   /** Persist [[bandIndex]] as a bucketed Layout table: the batch-side
     * join shuffles ONLY the batch's band keys into the index's
     * bucketing; the index (the corpus-sized side) never moves.
-    * Rewrite on corpus version bumps (Layout refuses Append — a
-    * second file per bucket would cost the layout guarantee). */
+    * Version bumps go through [[appendBandIndexDelta]] +
+    * [[compactBandIndex]], never an in-place append (Layout refuses
+    * Append — a second file per bucket would cost the layout
+    * guarantee).
+    *
+    * `prunedPath` writes the PRUNED-KEYS SIDECAR: the band keys the
+    * maxBucket guard dropped (keys only — tiny: ≤ rows·nBands/
+    * maxBucket entries). It is what makes [[compactBandIndex]]
+    * EXACTLY rebuild-equal — without it a compaction cannot tell "this
+    * key's rows were pruned at build" from "this key never occurred",
+    * and delta rows landing in a build-pruned bucket would resurrect a
+    * degenerate bucket a rebuild would re-prune. */
   def writeBandIndex(df: DataFrame, textCol: String, idCol: String,
                      table: String, buckets: Int,
                      numHashes: Int = 6, bandSize: Int = 1, k: Int = 3,
                      useMd5: Boolean = false, maxBucket: Int = 1000,
-                     path: Option[String] = None): Unit =
-    graft.api.Layout.writeBucketed(
-      bandIndex(df, textCol, idCol, numHashes, bandSize, k, useMd5,
-        maxBucket),
-      table, Seq("band_key"), buckets, path = path)
+                     path: Option[String] = None,
+                     prunedPath: Option[String] = None): Unit = {
+    val bands = bandKeysOf(df, textCol, idCol, "id",
+      numHashes, bandSize, k, useMd5)
+    val oversized = bands.groupBy("band_key")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("band_key")
+    // two consumers of the oversized keys (the anti-join + the
+    // sidecar write): pin them once — they are tiny by construction
+    val over = if (prunedPath.isDefined) oversized.localCheckpoint()
+               else oversized
+    val idx = bands.join(broadcast(over), Seq("band_key"), "left_anti")
+      .withColumn("cfg", lit(minhashCfg(numHashes, bandSize, k, useMd5)))
+    graft.api.Layout.writeBucketed(idx, table, Seq("band_key"), buckets,
+      path = path)
+    prunedPath.foreach(p =>
+      over.write.mode(SaveMode.Overwrite).parquet(p))
+  }
+
+  /** Append a day's admitted survivors' band keys to the DELTA side
+    * table (plain parquet — append is safe here precisely because this
+    * table is NOT bucketed; it is day-scale and joined as the small
+    * side). `prunedKeys` (the [[writeBandIndex]] sidecar) keeps
+    * build-pruned degenerate buckets pruned: a survivor band row
+    * landing in one is dropped at append time, matching what a full
+    * rebuild would do to it. */
+  def appendBandIndexDelta(survivors: DataFrame, textCol: String,
+                           idCol: String, deltaPath: String,
+                           numHashes: Int = 6, bandSize: Int = 1,
+                           k: Int = 3, useMd5: Boolean = false,
+                           prunedKeys: Option[DataFrame] = None): Unit = {
+    val d0 = bandIndexDelta(survivors, textCol, idCol,
+      numHashes, bandSize, k, useMd5)
+    val d = prunedKeys.fold(d0)(pk =>
+      d0.join(broadcast(pk.select("band_key")), Seq("band_key"),
+        "left_anti"))
+    d.write.mode(SaveMode.Append).parquet(deltaPath)
+  }
+
+  /** Fold the delta back into a NEW bucketed layout (corpus version
+    * bump). Writes to `outTable` — never in place: Spark refuses to
+    * overwrite a table it is reading, and the versioned table keeps
+    * the old index queryable until cutover (swap the name your jobs
+    * read, then drop the old version).
+    *
+    * REBUILD-EQUAL by construction when the pruned-keys sidecar is
+    * supplied: (1) delta rows in build-pruned buckets are dropped
+    * (counts only ever grow, so a rebuild would prune them too);
+    * (2) every surviving bucket has ALL its rows present in
+    * index ∪ delta, so the combined count is the true count and the
+    * re-prune here is the rebuild's prune. Without the sidecar the
+    * equality holds whenever no bucket was pruned at build time.
+    * The new sidecar (old pruned keys ∪ newly-oversized keys) is
+    * written to `outPrunedPath` for the next cycle. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexTable: String, delta: DataFrame,
+                       outTable: String, buckets: Int,
+                       maxBucket: Int = 1000,
+                       path: Option[String] = None,
+                       prunedKeys: Option[DataFrame] = None,
+                       outPrunedPath: Option[String] = None): Unit = {
+    require(outTable != indexTable,
+      "compactBandIndex writes a NEW table version: Spark cannot " +
+        "overwrite a table it is reading from, and in-place compaction " +
+        "would leave no index during the rewrite — compact to a new " +
+        "name and cut readers over")
+    val index = graft.api.Layout.table(spark, indexTable)
+    val cols = index.columns.toSeq
+    val deltaClean0 = prunedKeys.fold(delta)(pk =>
+      delta.join(broadcast(pk.select("band_key")), Seq("band_key"),
+        "left_anti"))
+    val deltaClean = deltaClean0.select(cols.map(col): _*)
+    val unioned = index.unionByName(deltaClean)
+    val newOversized = unioned.groupBy("band_key")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("band_key")
+      .localCheckpoint() // two consumers: the anti-join + the sidecar
+    val compacted = unioned.join(broadcast(newOversized),
+      Seq("band_key"), "left_anti")
+    graft.api.Layout.writeBucketed(compacted, outTable, Seq("band_key"),
+      buckets, path = path)
+    outPrunedPath.foreach { p =>
+      prunedKeys.fold(newOversized)(pk =>
+        pk.select("band_key").unionByName(newOversized).distinct())
+        .write.mode(SaveMode.Overwrite).parquet(p)
+    }
+  }
+
+  /** Row-count gate for the explicit broadcast hints on the
+    * incremental-dedup join sides (r16 advice: an un-gated hint turns
+    * an oversized daily batch into a driver-memory failure a plain
+    * join would survive). Same adaptive pattern as
+    * [[connectedComponents]]' measured local/distributed fork: the
+    * candidate set is already pinned for its two consumers, so its
+    * count is one cheap action; under the gate the hint stands, over
+    * it the joins run un-hinted and AQE decides. Two thresholds
+    * because the broadcast payloads differ by orders of magnitude:
+    * id-pair rows are ~tens of bytes, shingle rows are KBs. */
+  private def idBroadcastThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.idBroadcastThreshold")
+      .map(_.toLong).getOrElse(1L << 22)
+
+  private def shingleBroadcastThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.shingleBroadcastThreshold")
+      .map(_.toLong).getOrElse(1L << 16)
 
   /** Near-duplicate pairs of a NEW BATCH against an indexed corpus:
     * (id_batch, id_corpus, jaccard). Candidates come from the
     * `band_key` equi-join against `index` (built by [[bandIndex]] /
-    * read back via [[graft.api.Layout.table]]); the exact
-    * sorted-merge Jaccard verify then touches only candidate rows —
-    * the corpus TEXT is scanned once, semi-join-pruned to candidate
-    * ids (broadcast: candidates are batch-bounded), so neither the
-    * corpus nor its index is ever shuffled. The within-batch pairs
-    * are NOT reported — run [[nearDupPairs]] on the batch for those
-    * (an incremental pipeline does both: batch-vs-corpus here,
-    * batch-vs-itself at batch scale). */
+    * read back via [[graft.api.Layout.table]]) plus, when `delta` is
+    * supplied, a second equi-join against the small un-bucketed delta
+    * of survivors admitted since the last [[compactBandIndex]] — the
+    * batch side is shuffled anyway, so the index stays exchange-free
+    * and the delta lookup is day-scale. The exact sorted-merge Jaccard
+    * verify then touches only candidate rows — the corpus TEXT is
+    * scanned once, semi-join-pruned to candidate ids, so neither the
+    * corpus nor its index is ever shuffled. Broadcast hints on the
+    * candidate-bounded sides are SIZE-GATED (measured candidate count
+    * vs `spark.graft.dedup.idBroadcastThreshold` /
+    * `.shingleBroadcastThreshold`); an oversized batch falls back to
+    * plain joins and completes. The within-batch pairs are NOT
+    * reported — run [[nearDupPairs]] on the batch for those (an
+    * incremental pipeline does both: batch-vs-corpus here,
+    * batch-vs-itself at batch scale).
+    *
+    * CONTRACT with `delta`: `corpus` must contain the TEXT of every id
+    * admitted to the delta (survivors were admitted, so the corpus
+    * content store has them) — a candidate id missing from `corpus`
+    * produces no pair, silently. */
   def nearDupsAgainstIndex(batch: DataFrame, corpus: DataFrame,
                            index: DataFrame, textCol: String,
                            batchIdCol: String, corpusIdCol: String,
                            threshold: Double = 0.8, numHashes: Int = 6,
                            bandSize: Int = 1, k: Int = 3,
-                           useMd5: Boolean = false): DataFrame = {
-    val bBands = bandKeysOf(batch, textCol, batchIdCol, "id_batch",
+                           useMd5: Boolean = false,
+                           delta: Option[DataFrame] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val cfg = minhashCfg(numHashes, bandSize, k, useMd5)
+    val bBands0 = bandKeysOf(batch, textCol, batchIdCol, "id_batch",
       numHashes, bandSize, k, useMd5)
-    val cand = index.withColumnRenamed("id", "id_corpus")
+    // with a delta the band table feeds two joins: pin it so the
+    // signature pass over the batch text runs once
+    val bBands = if (delta.isDefined) bBands0.localCheckpoint() else bBands0
+    def candOf(ix: DataFrame) = requireCfg(ix, cfg)
+      .select(col("band_key"), col("id").as("id_corpus"))
       .join(bBands, Seq("band_key"))
-      .select("id_batch", "id_corpus").distinct()
-      .localCheckpoint() // two consumers: the id prune + the verify join
+      .select("id_batch", "id_corpus")
+    val cand = delta.fold(candOf(index))(d =>
+        candOf(index).unionByName(candOf(d)))
+      .distinct()
+      .localCheckpoint() // consumers: the count, the id prunes, the verify join
+    val nCand = cand.count()
+    def idHint(d: DataFrame) =
+      if (nCand <= idBroadcastThreshold(spark)) broadcast(d) else d
     def shinglesOf(df: DataFrame, idCol: String, outId: String,
                    sh: String) =
       df.select(col(idCol).as(outId),
         array_sort(array_distinct(TextAnalysis.shingles(col(textCol), k)))
           .as(sh))
     // corpus text pruned to candidate ids BEFORE shingling: the
-    // candidate id set is batch-bounded, so it broadcasts and the
-    // corpus scan streams past non-candidates without shuffling
+    // candidate id set is batch-bounded, so (under the gate) it
+    // broadcasts and the corpus scan streams past non-candidates
+    // without shuffling
     val corpusCand = corpus.join(
-      broadcast(cand.select(col("id_corpus").as(corpusIdCol)).distinct()),
+      idHint(cand.select(col("id_corpus").as(corpusIdCol)).distinct()),
       Seq(corpusIdCol), "left_semi")
+    // the batch shingle table broadcasts only under the (tighter)
+    // shingle gate, and then only the candidate-pruned slice of it;
+    // over the gate the verify is a plain join AQE plans
+    val batchSh =
+      if (nCand <= shingleBroadcastThreshold(spark))
+        broadcast(shinglesOf(
+          batch.join(
+            broadcast(cand.select(col("id_batch").as(batchIdCol)).distinct()),
+            Seq(batchIdCol), "left_semi"),
+          batchIdCol, "id_batch", "sh_b"))
+      else shinglesOf(batch, batchIdCol, "id_batch", "sh_b")
     cand
-      .join(broadcast(shinglesOf(batch, batchIdCol, "id_batch", "sh_b")),
-        Seq("id_batch"))
+      .join(batchSh, Seq("id_batch"))
       .join(shinglesOf(corpusCand, corpusIdCol, "id_corpus", "sh_c"),
         Seq("id_corpus"))
       .withColumn("jaccard",
@@ -335,17 +555,25 @@ object Dedup {
   /** Survivor selection for the incremental path: batch rows with NO
     * near-duplicate already in the indexed corpus (the corpus always
     * wins — it is the published data). Anti-join on the verified
-    * pairs' batch ids. */
+    * pairs' batch ids — pinned and counted, so the hint obeys the
+    * same size gate as the candidate joins. */
   def dropNearDupsAgainstIndex(batch: DataFrame, corpus: DataFrame,
                                index: DataFrame, textCol: String,
                                batchIdCol: String, corpusIdCol: String,
                                threshold: Double = 0.8, numHashes: Int = 6,
                                bandSize: Int = 1, k: Int = 3,
-                               useMd5: Boolean = false): DataFrame = {
+                               useMd5: Boolean = false,
+                               delta: Option[DataFrame] = None): DataFrame = {
     val dup = nearDupsAgainstIndex(batch, corpus, index, textCol,
-      batchIdCol, corpusIdCol, threshold, numHashes, bandSize, k, useMd5)
+      batchIdCol, corpusIdCol, threshold, numHashes, bandSize, k, useMd5,
+      delta)
       .select(col("id_batch").as(batchIdCol)).distinct()
-    batch.join(broadcast(dup), Seq(batchIdCol), "left_anti")
+      .localCheckpoint()
+    val hinted =
+      if (dup.count() <= idBroadcastThreshold(batch.sparkSession))
+        broadcast(dup)
+      else dup
+    batch.join(hinted, Seq(batchIdCol), "left_anti")
   }
 
   /** Connected components by iterative min-label propagation WITH
@@ -765,11 +993,12 @@ object Dedup {
                               outSig: String, sigBits: Int,
                               maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
+    val cfg = hammingCfg(sigBits, maxHamming)
     val bandExprs = (0 until nBands).map { b =>
       val lo = b * sigBits / nBands
       val hi = (b + 1) * sigBits / nBands
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
-      bandKeyExpr(lit(b),
+      bandKeyExpr(cfg, lit(b),
         Seq(shiftright(col("__sig"), lo).bitwiseAND(lit(mask))))
     }
     sig.select(col("__id").as(outId), col("__sig").as(outSig),
@@ -786,7 +1015,13 @@ object Dedup {
     * index (persist it bucketed on band_key via
     * [[writeHammingBandIndex]]). Oversized buckets prune at build
     * (the [[bandIndex]] rationale). CONTRACT: sigBits/maxHamming must
-    * match between build and query — bands are positional. */
+    * match between build and query — bands are positional, the config
+    * stamp is folded into every key (mismatch ⇒ deterministically zero
+    * candidates) and the `cfg` column makes it loud ([[requireCfg]]).
+    * This matters doubly here because ONE table shape serves the whole
+    * multimodal family (SimHash text, image dHash, audio envelope,
+    * video frames): two configs can no longer share a table
+    * undetected. */
   def hammingBandIndex(sig: DataFrame, sigBits: Int, maxHamming: Int,
                        maxBucket: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < sigBits,
@@ -798,18 +1033,62 @@ object Dedup {
       .filter(col("__bucket_n") > maxBucket)
       .select("band_key")
     bands.join(broadcast(oversized), Seq("band_key"), "left_anti")
+      .withColumn("cfg", lit(hammingCfg(sigBits, maxHamming)))
+  }
+
+  /** Hamming mate of [[bandIndexDelta]]: a day's admitted survivors'
+    * (band_key, id, sig, cfg) rows, NO maxBucket prune (compaction
+    * re-prunes at combined grain). Input convention (__id, __sig). */
+  def hammingBandIndexDelta(sig: DataFrame, sigBits: Int,
+                            maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming in [0, $sigBits)")
+    require(sigBits >= 1 && sigBits <= 64, "sigBits in [1, 64]")
+    hammingBandKeys(sig, "id", "sig", sigBits, maxHamming)
+      .select(col("band_key"), col("id"), col("sig"),
+        lit(hammingCfg(sigBits, maxHamming)).as("cfg"))
+  }
+
+  /** Append a day's survivors to the hamming delta side table (the
+    * [[appendBandIndexDelta]] economics; `prunedKeys` keeps
+    * build-pruned buckets pruned). */
+  def appendHammingBandIndexDelta(sig: DataFrame, deltaPath: String,
+                                  sigBits: Int, maxHamming: Int,
+                                  prunedKeys: Option[DataFrame] = None): Unit = {
+    val d0 = hammingBandIndexDelta(sig, sigBits, maxHamming)
+    val d = prunedKeys.fold(d0)(pk =>
+      d0.join(broadcast(pk.select("band_key")), Seq("band_key"),
+        "left_anti"))
+    d.write.mode(SaveMode.Append).parquet(deltaPath)
   }
 
   /** Persist [[hammingBandIndex]] bucketed on band_key (the
     * [[writeBandIndex]] economics: batches shuffle into the index's
-    * bucketing; the index never moves). */
+    * bucketing; the index never moves). `prunedPath` writes the
+    * pruned-keys sidecar that makes [[compactBandIndex]] (shared with
+    * the MinHash family — same (band_key,…) shape) rebuild-equal. */
   def writeHammingBandIndex(sig: DataFrame, table: String, buckets: Int,
                             sigBits: Int, maxHamming: Int,
                             maxBucket: Int = 100000,
-                            path: Option[String] = None): Unit =
-    graft.api.Layout.writeBucketed(
-      hammingBandIndex(sig, sigBits, maxHamming, maxBucket),
-      table, Seq("band_key"), buckets, path = path)
+                            path: Option[String] = None,
+                            prunedPath: Option[String] = None): Unit = {
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming in [0, $sigBits)")
+    require(sigBits >= 1 && sigBits <= 64, "sigBits in [1, 64]")
+    val bands = hammingBandKeys(sig, "id", "sig", sigBits, maxHamming)
+    val oversized = bands.groupBy("band_key")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select("band_key")
+    val over = if (prunedPath.isDefined) oversized.localCheckpoint()
+               else oversized
+    val idx = bands.join(broadcast(over), Seq("band_key"), "left_anti")
+      .withColumn("cfg", lit(hammingCfg(sigBits, maxHamming)))
+    graft.api.Layout.writeBucketed(idx, table, Seq("band_key"), buckets,
+      path = path)
+    prunedPath.foreach(p =>
+      over.write.mode(SaveMode.Overwrite).parquet(p))
+  }
 
   /** Near-duplicate pairs of a NEW BATCH of signatures against an
     * indexed corpus: (id_batch, id_corpus, hamming_dist), hamming ≤
@@ -818,20 +1097,29 @@ object Dedup {
     * no corpus content is ever read or shuffled. `batchSig` follows
     * the [[hammingNearDupPairs]] input convention (__id, __sig).
     * Lossless within the index's maxBucket guard (pigeonhole: a
-    * within-radius pair agrees exactly on ≥1 band). */
+    * within-radius pair agrees exactly on ≥1 band). `delta` is the
+    * small side table of survivors admitted since the last
+    * [[compactBandIndex]] ([[hammingBandIndexDelta]]) — a second
+    * day-scale equi-join; the bucketed index still never moves. */
   def hammingNearDupsAgainstIndex(batchSig: DataFrame, index: DataFrame,
-                                  sigBits: Int,
-                                  maxHamming: Int): DataFrame = {
-    val b = hammingBandKeys(batchSig, "id_batch", "__bsig",
+                                  sigBits: Int, maxHamming: Int,
+                                  delta: Option[DataFrame] = None): DataFrame = {
+    val cfg = hammingCfg(sigBits, maxHamming)
+    val b0 = hammingBandKeys(batchSig, "id_batch", "__bsig",
       sigBits, maxHamming)
-    index
+    // with a delta the batch band table feeds two joins: pin it so the
+    // signature/banding pass runs once
+    val b = if (delta.isDefined) b0.localCheckpoint() else b0
+    def pairsOf(ix: DataFrame) = requireCfg(ix, cfg)
       .select(col("band_key"), col("id").as("id_corpus"),
         col("sig").as("__csig"))
       .join(b, Seq("band_key"))
       .withColumn("hamming_dist",
         hamming(col("__bsig"), col("__csig")).cast("long"))
       .filter(col("hamming_dist") <= maxHamming)
-      .select("id_batch", "id_corpus", "hamming_dist").distinct()
+      .select("id_batch", "id_corpus", "hamming_dist")
+    delta.fold(pairsOf(index))(d => pairsOf(index).unionByName(pairsOf(d)))
+      .distinct()
   }
 
   /** Pigeonhole hamming near-dup join over any ≤64-bit signature

@@ -121,13 +121,16 @@ object StreamingDedup {
     * no state store; within-stream duplicates are
     * [[dropNearDupsWithinWatermark]]'s job, chained upstream).
     * Parameter contract as [[graft.ops.Dedup.bandIndex]]: numHashes/
-    * bandSize/k/useMd5 must match the index build. Texts shorter than
+    * bandSize/k/useMd5 must match the index build — the defaults here
+    * equal bandIndex's defaults, so default-reliant callers on both
+    * sides stay in contract (a skewed default would silently consult
+    * only a prefix of the index's bands: reduced recall, no error). Texts shorter than
     * k tokens have null signatures and share one degenerate key per
     * band — prefilter them (Gopher/C4 gates do) or accept that they
     * match a corpus that also contains such texts. */
   def dropNearDupsAgainstIndex(stream: DataFrame, index: DataFrame,
                                textCol: String,
-                               numHashes: Int = 4, bandSize: Int = 1,
+                               numHashes: Int = 6, bandSize: Int = 1,
                                k: Int = 3,
                                useMd5: Boolean = false): DataFrame = {
     require(numHashes % bandSize == 0, "bandSize must divide numHashes")
@@ -142,12 +145,14 @@ object StreamingDedup {
     // yields at most one row per stream row. Key blocks are compact
     // (one 32-byte hash per distinct band key) and release with the
     // frame ([[graft.api.Caches.release]]).
-    val keys = index.select("band_key").distinct().localCheckpoint()
+    val cfg = graft.ops.Dedup.minhashCfg(numHashes, bandSize, k, useMd5)
+    val keys = graft.ops.Dedup.requireCfg(index, cfg)
+      .select("band_key").distinct().localCheckpoint()
     val sig = graft.ops.Dedup.withMinhashSignature(
       stream, textCol, numHashes, k, useMd5)
     val keyed = (0 until nBands).foldLeft(sig) { (d, b) =>
       d.withColumn(s"__bk$b",
-        graft.ops.Dedup.bandKeyExpr(lit(b), (0 until bandSize).map(j =>
+        graft.ops.Dedup.bandKeyExpr(cfg, lit(b), (0 until bandSize).map(j =>
           col(s"mh${b * bandSize + j}"))))
     }
     val joined = (0 until nBands).foldLeft(keyed) { (d, b) =>

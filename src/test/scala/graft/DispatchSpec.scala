@@ -249,6 +249,14 @@ class DispatchSpec extends SparkTestBase {
         megaGroupRows = 4000)
     }
     assert(e.getMessage.contains("nanQuantileAllNaN"))
+    // quantile with an EXPLICITLY EMPTY q is a caller mistake, not a
+    // median request — auto used to substitute 0.5 silently (r16
+    // advice); it must surface the error like the manual path does
+    val eq = intercept[IllegalArgumentException] {
+      Dispatch.reduceAuto(df, Seq("g"), "v", "quantile",
+        opts = ReduceOptions(q = Seq()))
+    }
+    assert(eq.getMessage.contains("opts.q"))
     // VIEWED dtypes never escalate: a timestamp median at mega-group
     // threshold stays on the buffered tier (DtypeView restore), so the
     // result keeps its TYPE — escalating to the raw-double distributed

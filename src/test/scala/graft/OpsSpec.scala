@@ -99,6 +99,215 @@ class OpsSpec extends SparkTestBase {
     assert(inc.nonEmpty, "fixture must contain cross near-dups")
   }
 
+  test("incremental dedup broadcast gates: thresholds forced to 0 take " +
+    "the un-hinted shuffle path and pairs + survivors stay identical " +
+    "(r16 advice: an oversized batch must degrade, not fail)") {
+    val all = sf("documents")
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val idx = Dedup.bandIndex(corpus, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+    def pairs() = Dedup.nearDupsAgainstIndex(batch, corpus, idx, "text",
+        "doc_id", "doc_id", threshold = 0.8,
+        numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def kept() = Dedup.dropNearDupsAgainstIndex(batch, corpus, idx, "text",
+        "doc_id", "doc_id", threshold = 0.8,
+        numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val (hintedPairs, hintedKept) = (pairs(), kept())
+    try {
+      spark.conf.set("spark.graft.dedup.idBroadcastThreshold", "0")
+      spark.conf.set("spark.graft.dedup.shingleBroadcastThreshold", "0")
+      assert(pairs() === hintedPairs)
+      assert(kept() === hintedKept)
+      assert(hintedPairs.nonEmpty && hintedKept.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.dedup.idBroadcastThreshold")
+      spark.conf.unset("spark.graft.dedup.shingleBroadcastThreshold")
+    }
+  }
+
+  private def causeMessages(t: Throwable): String = {
+    val sb = new StringBuilder
+    var c: Throwable = t
+    while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+    sb.toString
+  }
+
+  test("band-index config mismatch is LOUD: querying with parameters " +
+    "that differ from the build throws at scan time naming both " +
+    "stamps (MinHash and hamming) — never silent partial recall") {
+    val all = sf("documents")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    val idx = Dedup.bandIndex(corpus, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+    // numHashes=6 query vs numHashes=4 build: before r17 this silently
+    // consulted only the shared band prefix (reduced recall)
+    val e = intercept[Throwable] {
+      Dedup.nearDupsAgainstIndex(batch, corpus, idx, "text",
+        "doc_id", "doc_id", threshold = 0.8,
+        numHashes = 6, bandSize = 1, k = 3, useMd5 = true)
+    }
+    assert(causeMessages(e).contains("config mismatch"), causeMessages(e))
+    def sigOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("__id"),
+        Dedup.simhash32(col("text")).as("__sig"))
+    val hidx = Dedup.hammingBandIndex(sigOf(corpus),
+      sigBits = 32, maxHamming = 3)
+    val eh = intercept[Throwable] {
+      Dedup.hammingNearDupsAgainstIndex(sigOf(batch), hidx,
+        sigBits = 32, maxHamming = 2).collect()
+    }
+    assert(causeMessages(eh).contains("config mismatch"), causeMessages(eh))
+  }
+
+  test("incremental index maintenance (delta path): batch2 vs " +
+    "(index + delta1) equals batch2 vs a full rebuild, including a " +
+    "pair only the delta can find; compaction folds the delta into a " +
+    "layout row-identical to the rebuild") {
+    // corpus0 {1,3}; batch1 {2 near-dup of 1, 6 novel}; batch2
+    // {4 exact dup of 1 (found via the INDEX), 7 near-dup of 6 (found
+    // ONLY via the DELTA — 6 was admitted after the index build), 5}
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text about spark engines here"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (6L, "novel survivor text with enough tokens to shingle cleanly"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "novel survivor text with enough tokens to shingle badly"),
+      (5L, "short text that matches nothing else in this fixture")
+    ).toDF("doc_id", "text")
+    val corpus0 = d.filter(col("doc_id").isin(1L, 3L))
+    val batch1 = d.filter(col("doc_id").isin(2L, 6L))
+    val batch2 = d.filter(col("doc_id").isin(4L, 7L, 5L))
+    val P = (0.5, 8, 1, 3, true) // threshold, numHashes, bandSize, k, md5
+    val idx = Dedup.bandIndex(corpus0, "text", "doc_id", P._2, P._3, P._4, P._5)
+    val surv1 = Dedup.dropNearDupsAgainstIndex(batch1, corpus0, idx, "text",
+      "doc_id", "doc_id", P._1, P._2, P._3, P._4, P._5)
+    assert(surv1.select("doc_id").as[Long].collect().sorted === Array(6L))
+    val delta1 = Dedup.bandIndexDelta(surv1, "text", "doc_id",
+      P._2, P._3, P._4, P._5)
+    val corpus1 = corpus0.unionByName(surv1)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDelta = pairSet(Dedup.nearDupsAgainstIndex(batch2, corpus1, idx,
+      "text", "doc_id", "doc_id", P._1, P._2, P._3, P._4, P._5,
+      delta = Some(delta1)))
+    val rebuilt = Dedup.bandIndex(corpus1, "text", "doc_id",
+      P._2, P._3, P._4, P._5)
+    val viaRebuild = pairSet(Dedup.nearDupsAgainstIndex(batch2, corpus1,
+      rebuilt, "text", "doc_id", "doc_id", P._1, P._2, P._3, P._4, P._5))
+    assert(viaDelta === viaRebuild)
+    assert(viaDelta.contains((4L, 1L)), "index-found pair missing")
+    assert(viaDelta.contains((7L, 6L)), "delta-only pair missing — the " +
+      "maintenance path is not consulting the delta")
+    // survivors via the delta path likewise equal the rebuild's
+    val keptDelta = Dedup.dropNearDupsAgainstIndex(batch2, corpus1, idx,
+        "text", "doc_id", "doc_id", P._1, P._2, P._3, P._4, P._5,
+        delta = Some(delta1))
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptDelta === Array(5L))
+    // COMPACTION: persist index + delta, fold, compare to the rebuild
+    val root = java.nio.file.Files
+      .createTempDirectory("opsspec_incidx").toString
+    Dedup.writeBandIndex(corpus0, "text", "doc_id", "opsspec_inc_idx", 4,
+      P._2, P._3, P._4, P._5, path = Some(s"$root/v1"),
+      prunedPath = Some(s"$root/pruned1"))
+    val pruned1 = spark.read.parquet(s"$root/pruned1")
+    Dedup.appendBandIndexDelta(surv1, "text", "doc_id", s"$root/delta",
+      P._2, P._3, P._4, P._5, prunedKeys = Some(pruned1))
+    Dedup.compactBandIndex(spark, "opsspec_inc_idx",
+      spark.read.parquet(s"$root/delta"), "opsspec_inc_idx_v2", 4,
+      maxBucket = 1000, path = Some(s"$root/v2"),
+      prunedKeys = Some(pruned1), outPrunedPath = Some(s"$root/pruned2"))
+    graft.api.Layout.verifyLayout(spark, "opsspec_inc_idx_v2")
+    def idxSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("band_key", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(idxSet(graft.api.Layout.table(spark, "opsspec_inc_idx_v2")) ===
+      idxSet(rebuilt))
+    // in-place compaction is refused with the hazard named
+    val eIp = intercept[IllegalArgumentException] {
+      Dedup.compactBandIndex(spark, "opsspec_inc_idx_v2",
+        spark.read.parquet(s"$root/delta"), "opsspec_inc_idx_v2", 4)
+    }
+    assert(eIp.getMessage.contains("NEW table"))
+  }
+
+  test("pruned-keys sidecar is load-bearing: a delta row landing in a " +
+    "build-pruned degenerate bucket stays pruned (rebuild-equal); " +
+    "without the sidecar compaction would resurrect it") {
+    // two identical corpus docs + maxBucket=1: every bucket oversized,
+    // index empty, sidecar holds all keys; the 'survivor' repeats the
+    // same text, so ALL its band rows land in build-pruned buckets
+    val corpus = Seq((11L, "aa bb cc dd ee"), (12L, "aa bb cc dd ee"))
+      .toDF("doc_id", "text")
+    val surv = Seq((13L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("opsspec_pruned").toString
+    Dedup.writeBandIndex(corpus, "text", "doc_id", "opsspec_pr_idx", 2,
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true, maxBucket = 1,
+      path = Some(s"$root/v1"), prunedPath = Some(s"$root/pruned"))
+    assert(graft.api.Layout.table(spark, "opsspec_pr_idx").count() === 0)
+    val pruned = spark.read.parquet(s"$root/pruned")
+    assert(pruned.count() > 0, "fixture must prune buckets")
+    // append WITH the sidecar drops every degenerate band row
+    Dedup.appendBandIndexDelta(surv, "text", "doc_id", s"$root/delta",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true,
+      prunedKeys = Some(pruned))
+    assert(spark.read.parquet(s"$root/delta").count() === 0)
+    // compaction WITH the sidecar: empty, exactly the rebuild over
+    // {11,12,13} (bucket size 3 > 1 ⇒ pruned there too)
+    val nakedDelta = Dedup.bandIndexDelta(surv, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+    Dedup.compactBandIndex(spark, "opsspec_pr_idx", nakedDelta,
+      "opsspec_pr_idx_v2", 2, maxBucket = 1, path = Some(s"$root/v2"),
+      prunedKeys = Some(pruned))
+    assert(graft.api.Layout.table(spark, "opsspec_pr_idx_v2").count() === 0)
+    val rebuild = Dedup.bandIndex(
+      corpus.unionByName(surv), "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true, maxBucket = 1)
+    assert(rebuild.count() === 0)
+    // WITHOUT the sidecar the naked delta survives compaction (the
+    // empty index contributes 0 to the combined count, so 0+1 ≤ 1) —
+    // divergence from the rebuild, proving the sidecar is what buys
+    // rebuild-equality
+    Dedup.compactBandIndex(spark, "opsspec_pr_idx", nakedDelta,
+      "opsspec_pr_idx_naked", 2, maxBucket = 1, path = Some(s"$root/naked"))
+    assert(graft.api.Layout.table(spark, "opsspec_pr_idx_naked").count() > 0)
+  }
+
+  test("incremental hamming delta: batch2 vs (index + delta) equals the " +
+    "rebuild and finds the delta-only pair; the verify still reads " +
+    "only index/delta-carried signatures") {
+    import spark.implicits._
+    // sigBits=8, maxHamming=1: corpus {1:0x00, 2:0xFF}; admitted
+    // survivor {3:0x01}; batch2 {4:0x03} — hamming(4,3)=1 (delta-only
+    // hit), hamming(4,1)=2 and hamming(4,2)=6 (no index hit)
+    val corpusSig = Seq((1L, 0x00L), (2L, 0xFFL)).toDF("__id", "__sig")
+    val survSig = Seq((3L, 0x01L)).toDF("__id", "__sig")
+    val batch2 = Seq((4L, 0x03L)).toDF("__id", "__sig")
+    val idx = Dedup.hammingBandIndex(corpusSig, sigBits = 8, maxHamming = 1)
+    val delta = Dedup.hammingBandIndexDelta(survSig, sigBits = 8,
+      maxHamming = 1)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDelta = pairSet(Dedup.hammingNearDupsAgainstIndex(batch2, idx,
+      sigBits = 8, maxHamming = 1, delta = Some(delta)))
+    val rebuilt = Dedup.hammingBandIndex(corpusSig.unionByName(survSig),
+      sigBits = 8, maxHamming = 1)
+    val viaRebuild = pairSet(Dedup.hammingNearDupsAgainstIndex(batch2,
+      rebuilt, sigBits = 8, maxHamming = 1))
+    assert(viaDelta === viaRebuild)
+    assert(viaDelta === Set((4L, 3L, 1L)), "the delta-only pair")
+    // without the delta the index alone finds nothing — the admitted
+    // survivor is invisible until queried via delta or compaction
+    assert(pairSet(Dedup.hammingNearDupsAgainstIndex(batch2, idx,
+      sigBits = 8, maxHamming = 1)).isEmpty)
+  }
+
   test("simhash: identical texts equal, near-dups close, distinct far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
