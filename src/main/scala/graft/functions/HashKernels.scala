@@ -483,6 +483,43 @@ case class BloomContainsAnyShingle(child: Expression, bloomBytes: Array[Byte],
     copy(child = c)
 }
 
+/** Scalar bloom-filter membership over ONE string value — the
+  * [[BloomContainsAnyShingle]] machinery at value grain, for key-set
+  * prefilters (e.g. the streaming band-key lookup: the filter over the
+  * corpus index's distinct band keys ships as a plan constant, so the
+  * per-row membership test is map-only — no stream-static join, no
+  * state). Same no-false-negative guarantee: the probe hash is
+  * bit-identical to `BloomFilter.putString`'s, so `false` PROVES the
+  * key is not in the built set; `true` may be a false positive at the
+  * filter's fpp — callers must be in a posture where that only
+  * over-includes (the streaming dedup over-drop contract). */
+case class BloomContainsString(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    bf.mightContainString(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $bloomRef.mightContainString($a.toString());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomContainsString =
+    copy(child = c)
+}
+
 /** Fused k-shingle MinHash lane, xxhash64 mode (the production-speed
   * hash): bit-identical to `array_min(transform(shingles, s =>
   * xxhash64(lit(seed), s)))` over `ShinglesExpr` output, but one

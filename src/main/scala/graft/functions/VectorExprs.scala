@@ -858,6 +858,9 @@ object VectorExprs {
       "graft_bloom_any_shingle" -> (exprs =>
         BloomContainsAnyShingle(exprs(0),
           exprs(1).eval().asInstanceOf[Array[Byte]], int(exprs(2)))),
+      "graft_bloom_contains" -> (exprs =>
+        BloomContainsString(exprs(0),
+          exprs(1).eval().asInstanceOf[Array[Byte]])),
       "graft_hashed_bag_counts" -> (exprs =>
         HashedBagCountsExpr(exprs(0), int(exprs(1)))),
       "graft_langid" -> (exprs => LangIdBest(exprs(0))),
@@ -1077,6 +1080,16 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_bloom_any_shingle", tokens, lit(bloomBytes), lit(k))
+  }
+
+  /** Scalar bloom membership: true iff `s` might be in the serialized
+    * filter (plan constant) — see
+    * [[graft.functions.BloomContainsString]]. */
+  def bloomContains(s: Column, bloomBytes: Array[Byte]): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_bloom_contains", s, lit(bloomBytes))
   }
 
   /** Per-row hashed-bag count vector (dim doubles) over a token array

@@ -471,6 +471,66 @@ object Dedup {
     spark.conf.getOption("spark.graft.dedup.shingleBroadcastThreshold")
       .map(_.toLong).getOrElse(1L << 16)
 
+  /** A serialized bloom filter over an index's distinct band keys,
+    * carrying the config stamp it was built for — the plan-constant
+    * prefilter the STREAMING index lookup uses instead of per-trigger
+    * stream-static joins ([[graft.streaming.StreamingDedup
+    * .dropNearDupsAgainstIndexBloom]]). The stamp makes the
+    * build/query parameter contract checkable at operator
+    * construction (`require`, loud) — essential here because the
+    * map-only bloom path has no scan-time hook for [[requireCfg]],
+    * and a silent mismatch would UNDER-drop (batch keys never match
+    * ⇒ duplicates leak), the one direction the over-drop posture
+    * cannot absorb. */
+  case class BandKeyBloom(bytes: Array[Byte], cfg: String,
+                          numKeys: Long, fpp: Double)
+
+  private def buildKeyBloom(index: DataFrame, cfg: String,
+                            fpp: Double): BandKeyBloom = {
+    // two jobs over the distinct key set (count sizes the filter, the
+    // aggregate fills it): pin it once, release after. The fill is a
+    // hand-rolled treeAggregate, NOT DataFrameStatFunctions.bloomFilter:
+    // that routes through BloomFilterAggregate, whose
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits cap (2^26 =
+    // 8 MiB) silently UNDERSIZES the filter past ~4M keys — measured
+    // 14% over-drop at 8M keys where the requested fpp=0.001 promises
+    // 0.4% (StreamBloomProbe found it). treeAggregate honors the
+    // requested sizing at any key count; the merge fan-in bounds
+    // per-step traffic to O(log partitions) filter copies.
+    val keys = requireCfg(index, cfg)
+      .select("band_key").distinct().localCheckpoint()
+    val n = math.max(keys.count(), 1L)
+    val bf = keys.select(col("band_key")).rdd
+      .map(_.getString(0))
+      .treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(n, fpp))(
+        (f, s) => { f.putString(s); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    graft.api.Caches.release(keys)
+    BandKeyBloom(baos.toByteArray, cfg, n, fpp)
+  }
+
+  /** Build the [[BandKeyBloom]] for a MinHash [[bandIndex]]. One
+    * corpus-index pass at construction; after that the streaming
+    * lookup is map-only forever. Rebuild (or build over
+    * `index.unionByName(delta.select(index.columns...))`) when
+    * survivors are admitted — a STALE bloom under-drops new-corpus
+    * matches exactly like a stale index would. Size: ~1.2 GB per
+    * 10^9 keys at fpp=0.001 — at larger corpora raise fpp (false
+    * positives only over-drop) or shard the stream by key range. */
+  def bandKeyBloom(index: DataFrame, numHashes: Int = 6,
+                   bandSize: Int = 1, k: Int = 3,
+                   useMd5: Boolean = false,
+                   fpp: Double = 0.001): BandKeyBloom =
+    buildKeyBloom(index, minhashCfg(numHashes, bandSize, k, useMd5), fpp)
+
+  /** [[bandKeyBloom]] for a [[hammingBandIndex]]. */
+  def hammingBandKeyBloom(index: DataFrame, sigBits: Int, maxHamming: Int,
+                          fpp: Double = 0.001): BandKeyBloom =
+    buildKeyBloom(index, hammingCfg(sigBits, maxHamming), fpp)
+
   /** Near-duplicate pairs of a NEW BATCH against an indexed corpus:
     * (id_batch, id_corpus, jaccard). Candidates come from the
     * `band_key` equi-join against `index` (built by [[bandIndex]] /
@@ -989,21 +1049,31 @@ object Dedup {
     * single-column md5 key convention (band index folded in), shared
     * by [[hammingBandIndex]] and the batch side of
     * [[hammingNearDupsAgainstIndex]] so keys stay bit-identical. */
-  private def hammingBandKeys(sig: DataFrame, outId: String,
-                              outSig: String, sigBits: Int,
-                              maxHamming: Int): DataFrame = {
+  /** The maxHamming+1 pigeonhole band-key columns of one signature —
+    * ONE definition shared by the batch index/query sides and the
+    * streaming mirror ([[graft.streaming.StreamingDedup]]); key
+    * bit-identity across them is the load-bearing claim (the
+    * [[bandKeyExpr]] discipline applied to the hamming family). */
+  private[graft] def hammingBandKeyCols(sig: Column, sigBits: Int,
+                                        maxHamming: Int): Seq[Column] = {
     val nBands = maxHamming + 1
     val cfg = hammingCfg(sigBits, maxHamming)
-    val bandExprs = (0 until nBands).map { b =>
+    (0 until nBands).map { b =>
       val lo = b * sigBits / nBands
       val hi = (b + 1) * sigBits / nBands
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
       bandKeyExpr(cfg, lit(b),
-        Seq(shiftright(col("__sig"), lo).bitwiseAND(lit(mask))))
+        Seq(shiftright(sig, lo).bitwiseAND(lit(mask))))
     }
-    sig.select(col("__id").as(outId), col("__sig").as(outSig),
-      explode(array(bandExprs: _*)).as("band_key"))
   }
+
+  private def hammingBandKeys(sig: DataFrame, outId: String,
+                              outSig: String, sigBits: Int,
+                              maxHamming: Int): DataFrame =
+    sig.select(col("__id").as(outId), col("__sig").as(outSig),
+      explode(array(
+        hammingBandKeyCols(col("__sig"), sigBits, maxHamming): _*))
+        .as("band_key"))
 
   /** Hamming band index for INCREMENTAL near-dup over any ≤64-bit
     * signature — SimHash text, image dHash, audio envelope and video

@@ -168,4 +168,110 @@ object StreamingDedup {
         Seq(s"__bk$b", s"__hit$b")) ++
         (0 until numHashes).map(h => s"mh$h"): _*)
   }
+
+  /** [[dropNearDupsAgainstIndex]] at 100 TB corpus scale: the
+    * join formulation above re-joins the corpus-sized distinct key set
+    * on EVERY micro-batch × nBands — at billions of keys each trigger
+    * pays multi-GB static-side shuffles or an impossible broadcast
+    * (r16 advice). This variant replaces all of it with a MAP-ONLY
+    * bloom membership test: the filter over the index's distinct band
+    * keys ships as a plan constant ([[graft.ops.Dedup.bandKeyBloom]],
+    * built ONCE), deserialized once per executor, one probe per band
+    * per row — zero joins, zero state, zero per-trigger static cost.
+    *
+    * Posture delta vs the join formulation, explicitly: the bloom's
+    * false positives (rate `fpp`) OVER-drop documents whose band key
+    * is NOT in the corpus — acceptable under the same candidate-grain
+    * over-drop contract the join path already has (LSH candidates are
+    * dropped unverified there too); there are NO false negatives
+    * (bit-identical build/probe hash), so a candidate duplicate still
+    * can NEVER leak. The exact key join remains the batch-path
+    * verifier ([[graft.ops.Dedup.nearDupsAgainstIndex]] — run it for
+    * audit-grade pairs). Build/query parameter mismatch is refused at
+    * construction via the bloom's config stamp — load-bearing, because
+    * a silent mismatch here would UNDER-drop (keys never match), the
+    * one direction the contract cannot absorb. */
+  def dropNearDupsAgainstIndexBloom(stream: DataFrame,
+                                    bloom: graft.ops.Dedup.BandKeyBloom,
+                                    textCol: String,
+                                    numHashes: Int = 6, bandSize: Int = 1,
+                                    k: Int = 3,
+                                    useMd5: Boolean = false): DataFrame = {
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val cfg = graft.ops.Dedup.minhashCfg(numHashes, bandSize, k, useMd5)
+    require(bloom.cfg == cfg,
+      s"band-key bloom built for '${bloom.cfg}' but queried with '$cfg' " +
+        "— numHashes/bandSize/k/useMd5 must match the index the bloom " +
+        "was built from (a mismatch would silently drop NOTHING)")
+    val nBands = numHashes / bandSize
+    val sig = graft.ops.Dedup.withMinhashSignature(
+      stream, textCol, numHashes, k, useMd5)
+    val hit = (0 until nBands).map { b =>
+      graft.functions.VectorExprs.bloomContains(
+        graft.ops.Dedup.bandKeyExpr(cfg, lit(b),
+          (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))),
+        bloom.bytes)
+    }.reduce(_ || _)
+    sig.filter(!hit)
+      .drop((0 until numHashes).map(h => s"mh$h"): _*)
+  }
+
+  /** Streaming INCREMENTAL near-dup drop for the HAMMING/multimodal
+    * family — the [[dropNearDupsAgainstIndex]] mate over any ≤64-bit
+    * signature column (SimHash text, image dHash, audio envelope,
+    * video frame fingerprints: exactly the ingest shapes that arrive
+    * as streams). A row is dropped iff ANY of its maxHamming+1
+    * pigeonhole band keys exists in the corpus index (built by
+    * [[graft.ops.Dedup.hammingBandIndex]]). Same shape as the MinHash
+    * mirror: band keys as COLUMNS (no explode), one stream-static LEFT
+    * join per band against the index's distinct key set (pinned once
+    * at construction), fully STATELESS. Same over-drop posture at
+    * candidate grain — strictly milder here than for MinHash: a band
+    * hit means EXACT equality on sigBits/(maxHamming+1) signature
+    * bits, and the batch path's verify needs no content join anyway.
+    * CONTRACT: sigBits/maxHamming must match the index build
+    * (key-folded + loud via the index's cfg stamp). */
+  def dropNearDupsAgainstHammingIndex(stream: DataFrame, index: DataFrame,
+                                      sigCol: String, sigBits: Int,
+                                      maxHamming: Int): DataFrame = {
+    val cfg = graft.ops.Dedup.hammingCfg(sigBits, maxHamming)
+    val nBands = maxHamming + 1
+    val keys = graft.ops.Dedup.requireCfg(index, cfg)
+      .select("band_key").distinct().localCheckpoint()
+    val keyCols = graft.ops.Dedup.hammingBandKeyCols(
+      col(sigCol), sigBits, maxHamming)
+    val keyed = keyCols.zipWithIndex.foldLeft(stream) {
+      case (d, (kc, b)) => d.withColumn(s"__bk$b", kc)
+    }
+    val joined = (0 until nBands).foldLeft(keyed) { (d, b) =>
+      d.join(
+        keys.select(col("band_key").as(s"__bk$b"))
+          .withColumn(s"__hit$b", lit(1)),
+        Seq(s"__bk$b"), "left_outer")
+    }
+    val survives = (0 until nBands)
+      .map(b => col(s"__hit$b").isNull).reduce(_ && _)
+    joined.filter(survives)
+      .drop((0 until nBands).flatMap(b => Seq(s"__bk$b", s"__hit$b")): _*)
+  }
+
+  /** [[dropNearDupsAgainstHammingIndex]] via the map-only bloom plan
+    * constant ([[graft.ops.Dedup.hammingBandKeyBloom]]) — the
+    * corpus-scale path; posture and contract as
+    * [[dropNearDupsAgainstIndexBloom]]. */
+  def dropNearDupsAgainstHammingIndexBloom(stream: DataFrame,
+                                           bloom: graft.ops.Dedup.BandKeyBloom,
+                                           sigCol: String, sigBits: Int,
+                                           maxHamming: Int): DataFrame = {
+    val cfg = graft.ops.Dedup.hammingCfg(sigBits, maxHamming)
+    require(bloom.cfg == cfg,
+      s"band-key bloom built for '${bloom.cfg}' but queried with '$cfg' " +
+        "— sigBits/maxHamming must match the index the bloom was built " +
+        "from (a mismatch would silently drop NOTHING)")
+    val hit = graft.ops.Dedup.hammingBandKeyCols(
+        col(sigCol), sigBits, maxHamming)
+      .map(kc => graft.functions.VectorExprs.bloomContains(kc, bloom.bytes))
+      .reduce(_ || _)
+    stream.filter(!hit)
+  }
 }

@@ -199,6 +199,130 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming hamming index lookup (multimodal mirror): survivors " +
+    "equal the batch candidate-grain computation, stateless; the bloom " +
+    "variant never leaks a join-path drop (no false negatives)") {
+    import graft.streaming.StreamingDedup
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic 16-bit-band fixture (sigBits=32, maxHamming=1 ⇒ 2
+    // bands): sf-doc simhashes saturate narrow bands (every doc a
+    // candidate — no survive case), so construct signatures where the
+    // candidate verdict is hand-checkable. Corpus {0x12345678,
+    // 0x0F0F00FF}; batch 10 shares corpus-1's HIGH band (low bit
+    // flipped), batch 12 shares corpus-2's HIGH band, batch 11 shares
+    // nothing ⇒ survivors = {11}
+    val corpusSig = Seq((1L, 0x12345678L), (2L, 0x0F0F00FFL))
+      .toDF("__id", "__sig")
+    val batchSigs = Seq((10L, 0x12345679L), (11L, 0x7777AAAAL),
+      (12L, 0x0F0FFFFFL))
+    val idx = Dedup.hammingBandIndex(corpusSig,
+      sigBits = 32, maxHamming = 1).localCheckpoint()
+    // batch oracle at candidate grain: dropped iff ANY band key hits
+    val idxKeys = idx.select("band_key").distinct()
+      .collect().map(_.getString(0)).toSet
+    val batchKeys = Dedup.hammingBandIndexDelta(
+        batchSigs.toDF("__id", "__sig"), sigBits = 32, maxHamming = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hitIds = batchKeys.collect {
+      case (bk, id) if idxKeys(bk) => id
+    }.toSet
+    val expected = batchSigs.map(_._1).toSet -- hitIds
+    assert(expected === Set(11L), "hand-checked survivor set")
+    assert(hitIds === Set(10L, 12L), "hand-checked candidate drops")
+    val input = MemoryStream[(Long, Long)]
+    val out = StreamingDedup.dropNearDupsAgainstHammingIndex(
+      input.toDF().toDF("doc_id", "sig"), idx, "sig",
+      sigBits = 32, maxHamming = 1)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ham_idx_out").start()
+    try {
+      val (first, rest) = batchSigs.splitAt(batchSigs.length / 2)
+      input.addData(first: _*); q.processAllAvailable()
+      input.addData(rest: _*); q.processAllAvailable()
+      val got = spark.table("ham_idx_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"got $got expected $expected")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "hamming index lookup must be stateless")
+    } finally q.stop()
+    // bloom variant: survivors ⊆ join-path survivors (false positives
+    // only over-drop), and every join-path drop is also bloom-dropped
+    val bloom = Dedup.hammingBandKeyBloom(idx, sigBits = 32,
+      maxHamming = 1, fpp = 0.001)
+    val input2 = MemoryStream[(Long, Long)]
+    val outB = StreamingDedup.dropNearDupsAgainstHammingIndexBloom(
+      input2.toDF().toDF("doc_id", "sig"), bloom, "sig",
+      sigBits = 32, maxHamming = 1)
+    val qB = outB.writeStream.outputMode("append")
+      .format("memory").queryName("ham_bloom_out").start()
+    try {
+      input2.addData(batchSigs: _*); qB.processAllAvailable()
+      val gotB = spark.table("ham_bloom_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(gotB.subsetOf(expected),
+        s"bloom must never keep a join-path drop: ${gotB -- expected}")
+      assert(gotB.nonEmpty, "fixture must leave bloom survivors")
+      assert(qB.lastProgress.stateOperators.isEmpty)
+    } finally qB.stop()
+    // config-stamp contract: a mismatched query is refused LOUDLY at
+    // construction (a silent mismatch would drop nothing)
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.dropNearDupsAgainstHammingIndexBloom(
+        spark.readStream.format("rate").load()
+          .select(col("value").as("sig")),
+        bloom, "sig", sigBits = 32, maxHamming = 2)
+    }
+    assert(e.getMessage.contains("bloom built for"))
+  }
+
+  test("streaming MinHash bloom prefilter: map-only (zero state, zero " +
+    "stream-static joins), survivors ⊆ the join formulation's, every " +
+    "join-path drop caught") {
+    import graft.streaming.StreamingDedup
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val all = sf("documents")
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val idx = Dedup.bandIndex(corpus, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .localCheckpoint()
+    val batchDocs = all.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def run(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            name: String) = {
+      val input = MemoryStream[(Long, String)]
+      val q = mk(input.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(batchDocs: _*); q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.isEmpty)
+        spark.table(name).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    val viaJoin = run(s => StreamingDedup.dropNearDupsAgainstIndex(
+      s, idx, "text",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true), "mh_join_out")
+    val bloom = Dedup.bandKeyBloom(idx,
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true, fpp = 0.001)
+    val viaBloom = run(s => StreamingDedup.dropNearDupsAgainstIndexBloom(
+      s, bloom, "text",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true), "mh_bloom_out")
+    assert(viaBloom.subsetOf(viaJoin),
+      s"bloom kept a join-path drop: ${viaBloom -- viaJoin}")
+    assert(viaBloom.nonEmpty && viaJoin.nonEmpty)
+    val eCfg = intercept[IllegalArgumentException] {
+      StreamingDedup.dropNearDupsAgainstIndexBloom(
+        spark.readStream.format("rate").load()
+          .select(col("value").cast("string").as("text")),
+        bloom, "text", numHashes = 6, bandSize = 1, k = 3, useMd5 = true)
+    }
+    assert(eCfg.getMessage.contains("bloom built for"))
+  }
+
   test("streaming semantic dedup drops same-PQ-code embeddings across " +
     "batches; distinct embeddings survive; one state op") {
     import graft.streaming.StreamingDedup
