@@ -342,12 +342,16 @@ object CoreQueries {
     // the unbounded-group-size weighted tier: duplicate-run
     // compression + distributed weight prefix sum, no per-group
     // buffer anywhere (ReduceSpec pins BIT-equality with the
-    // buffered CDF walk; this row certifies it cross-engine)
+    // buffered CDF walk and per-scalar symmetry of the r17 vector-q
+    // surface; this row certifies both cross-engine: one vector call
+    // answers both quantiles)
     "q_weighted_quantile_dist" -> ((s, d) =>
       GroupByReduce.weightedQuantileDistributed(
         withNan(ev(s, d)).withColumn("w", col("event_id") % 7 + 1),
-        Seq("user_id"), "v", "w", 0.25, "wq25")
-        .withColumn("wq25", r("wq25", 4))),
+        Seq("user_id"), "v", "w", Seq(0.25, 0.75), "wqv")
+        .withColumn("wq25", round(element_at(col("wqv"), 1), 4))
+        .withColumn("wq75", round(element_at(col("wqv"), 2), 4))
+        .drop("wqv")),
 
     "q_nanvar_std" -> ((s, d) => {
       val e = withNan(ev(s, d))
@@ -1130,7 +1134,8 @@ object CoreQueries {
             WHERE v IS NOT NULL AND w >= 1)),
          u AS (SELECT DISTINCT user_id FROM ($sqlNan))
          SELECT u.user_id,
-           round(quantile_cont(e.v, 0.25), 4) AS wq25
+           round(quantile_cont(e.v, 0.25), 4) AS wq25,
+           round(quantile_cont(e.v, 0.75), 4) AS wq75
          FROM u LEFT JOIN e USING (user_id)
          GROUP BY 1 ORDER BY 1""",
 

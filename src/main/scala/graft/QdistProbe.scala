@@ -97,7 +97,7 @@ object QdistProbe {
     val wdist = if (!tiers("wdist")) Array.empty[org.apache.spark.sql.Row]
     else timed("weighted distributed prefix-sum pick (unbounded tier)") {
       api.GroupByReduce.weightedQuantileDistributed(
-        wdf, Seq("k"), "value", "w", 0.9, "r").collect()
+        wdf, Seq("k"), "value", "w", Seq(0.9), "r").collect()
     }
     if (tiers("wbuf") && tiers("wdist")) {
       val bm = wbuf.map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -276,10 +276,12 @@ object Dispatch {
     * group probe, the regime this exists to catch). Bit-equal tiers
     * (spec-pinned), so `auto` affects only the plan. */
   def weightedQuantileAuto(df: DataFrame, by: Seq[String], value: String,
-                           weight: String, q: Double, as: String = "result",
+                           weight: String, q: Seq[Double],
+                           as: String = "result",
                            opts: ReduceOptions = ReduceOptions(),
                            megaGroupRows: Long = MegaGroupRows,
                            stats: Option[KeyStats] = None): DataFrame = {
+    require(q.nonEmpty, "weightedQuantileAuto needs at least one quantile")
     val st = stats.getOrElse(keyStats(df, by))
     val tier = chooseQuantileTier(st, megaGroupRows)
     logDecision("weightedQuantile", tier, st)
@@ -289,7 +291,7 @@ object Dispatch {
           as, dropNullKeys = opts.dropNullKeys)
       case _ =>
         GroupByReduce.weighted(df, by, value, weight,
-          Seq(("wquantile", as)), opts.copy(q = Seq(q)))
+          Seq(("wquantile", as)), opts.copy(q = q))
     }
   }
 

@@ -487,15 +487,28 @@ object GroupByReduce {
     * runs table is the data, and the cost is one DISTRIBUTED range
     * sort of it — the price of unbounded groups; below that regime
     * [[weighted]] stays the faster tier, the same split as the
-    * unweighted pair. */
+    * unweighted pair.
+    *
+    * VECTOR q (r17, closing the last quantile-surface asymmetry):
+    * every q rides the ONE compression + prefix sum — only the
+    * per-q target columns and the covering-run picks multiply, all
+    * inside the same two aggregations. Result shape mirrors the
+    * buffered and unweighted-distributed surfaces: single q → double
+    * column, vector → array in q order, each element bit-equal to the
+    * scalar call (ReduceSpec law). */
   def weightedQuantileDistributed(df0: DataFrame, by: Seq[String],
-                                  value: String, weight: String, qq: Double,
+                                  value: String, weight: String,
+                                  qs: Seq[Double],
                                   as: String = "result",
                                   dropNullKeys: Boolean = true): DataFrame = {
     require(by.nonEmpty, "weightedQuantileDistributed needs group keys")
-    require(qq >= 0.0 && qq <= 1.0, s"quantile must lie in [0, 1]: $qq")
-    (Seq("__wv", "__ww", "__wcw", "__wn", "__wlo", "__wfrac", "__whi",
-      "__lov", "__hiv") ++ by.map(k => s"__wr_$k")).foreach { c =>
+    require(qs.nonEmpty, "pass at least one quantile")
+    qs.foreach(q =>
+      require(q >= 0.0 && q <= 1.0, s"quantile must lie in [0, 1]: $q"))
+    (Seq("__wv", "__ww", "__wcw", "__wn") ++
+      qs.indices.flatMap(i => Seq(s"__wlo$i", s"__wfrac$i", s"__whi$i",
+        s"__lov$i", s"__hiv$i")) ++
+      by.map(k => s"__wr_$k")).foreach { c =>
       require(!df0.columns.contains(c),
         s"weightedQuantileDistributed stages a column named '$c'; " +
           "rename the input's")
@@ -531,13 +544,15 @@ object GroupByReduce {
     // pinned data, where runs.groupBy would re-run the corpus-scale
     // run-compression pass from source (r14 review — the same
     // two-consumer trap quantileDistributed documents)
-    val t = (col("__wn") - 1).cast("double") * lit(qq)
     val targets = cum.groupBy(by.map(col): _*).agg(max("__wcw").as("__wn"))
-      .select((by.map(col) ++ Seq(
-        col("__wn"),
-        floor(t).cast("long").as("__wlo"),
-        (t - floor(t)).as("__wfrac"),
-        least(floor(t).cast("long") + 1, col("__wn") - 1).as("__whi"))): _*)
+      .select((by.map(col) ++ Seq(col("__wn")) ++
+        qs.zipWithIndex.flatMap { case (q, i) =>
+          val t = (col("__wn") - 1).cast("double") * lit(q)
+          Seq(floor(t).cast("long").as(s"__wlo$i"),
+            (t - floor(t)).as(s"__wfrac$i"),
+            least(floor(t).cast("long") + 1, col("__wn") - 1)
+              .as(s"__whi$i"))
+        }): _*)
       .localCheckpoint()
     // explicit broadcast decision on the known group count (AQE does
     // not re-plan around a checkpointed leaf — see quantileDistributed)
@@ -547,21 +562,31 @@ object GroupByReduce {
     // so both targets always hit exactly one run
     def covers(rank: Column): Column =
       col("__wcw") - col("__ww") <= rank && rank < col("__wcw")
+    // one filtered pick serves EVERY q: a run is kept if it covers any
+    // target rank, and the per-q extraction is a null-skipping
+    // conditional max — max over ≤1 non-null value per (group, q, side)
+    val anyCover = qs.indices
+      .map(i => covers(col(s"__wlo$i")) || covers(col(s"__whi$i")))
+      .reduce(_ || _)
+    val pickAggs = qs.indices.flatMap(i => Seq(
+      max(when(covers(col(s"__wlo$i")), col("__wv"))).as(s"__lov$i"),
+      max(when(covers(col(s"__whi$i")), col("__wv"))).as(s"__hiv$i")))
     val picked = nsJoin(cum, side(targets), "inner")
-      .filter(covers(col("__wlo")) || covers(col("__whi")))
-      .groupBy(by.map(col): _*).agg(
-        max(when(covers(col("__wlo")), col("__wv"))).as("__lov"),
-        max(when(covers(col("__whi")), col("__wv"))).as("__hiv"))
+      .filter(anyCover)
+      .groupBy(by.map(col): _*).agg(pickAggs.head, pickAggs.tail: _*)
     // groups whose rows are ALL invalid pairs still appear, with null
     // (the buffered path's empty-buffer answer)
     val allGroups = df.select(by.map(col): _*).distinct()
+    def interp(i: Int): Column =
+      when(col(s"__lov$i").isNull, lit(null).cast("double"))
+        .when(col(s"__wfrac$i") === 0, col(s"__lov$i"))
+        .otherwise(col(s"__lov$i") * (lit(1.0) - col(s"__wfrac$i")) +
+          col(s"__hiv$i") * col(s"__wfrac$i"))
     val res = nsJoin(nsJoin(allGroups, side(targets), "left"),
       side(picked), "left")
       .withColumn(as,
-        when(col("__lov").isNull, lit(null).cast("double"))
-          .when(col("__wfrac") === 0, col("__lov"))
-          .otherwise(col("__lov") * (lit(1.0) - col("__wfrac")) +
-            col("__hiv") * col("__wfrac")))
+        if (qs.length == 1) interp(0)
+        else array(qs.indices.map(interp): _*))
       .select(by.map(col) :+ col(as): _*)
     res.orderBy(by.map(col): _*)
   }

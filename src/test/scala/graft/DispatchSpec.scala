@@ -103,7 +103,7 @@ class DispatchSpec extends SparkTestBase {
     val df = (0 until 30000).map { i =>
       (s"g${i % 3}", ((i * 7919) % 1000).toDouble, 1L + (i % 5))
     }.toDF("g", "v", "w")
-    val auto = Dispatch.weightedQuantileAuto(df, Seq("g"), "v", "w", 0.3,
+    val auto = Dispatch.weightedQuantileAuto(df, Seq("g"), "v", "w", Seq(0.3),
         as = "wq", megaGroupRows = 5000)
       .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1)))
     val buffered = api.GroupByReduce.weighted(df, Seq("g"), "v", "w",
@@ -146,7 +146,7 @@ class DispatchSpec extends SparkTestBase {
     val uni = Dispatch.KeyStats(rows = 100000L, sampledRows = 100000L,
       groupsEst = 5000L, maxGroupRowsEst = 30L, maxGroupShare = 0.001)
     Dispatch.quantileAuto(boom, Seq("g"), "v", Seq(0.5), stats = Some(uni))
-    Dispatch.weightedQuantileAuto(boom, Seq("g"), "v", "w", 0.5,
+    Dispatch.weightedQuantileAuto(boom, Seq("g"), "v", "w", Seq(0.5),
       stats = Some(uni))
     Dispatch.scanAuto(boom, Seq("g"), "v", "ffill", "id", stats = Some(uni))
     Dispatch.rollingAggAuto(boom, "g", "ts", "v", span = 10,

@@ -481,7 +481,7 @@ class GlobalScanSpec extends SparkTestBase {
     val wq = Seq(("g", 1.0, big), ("g", 2.0, big)).toDF("g", "v", "w")
     val e3 = intercept[Throwable] {
       graft.api.GroupByReduce.weightedQuantileDistributed(
-        wq, Seq("g"), "v", "w", 0.5).collect()
+        wq, Seq("g"), "v", "w", Seq(0.5)).collect()
     }
     assert(exceptionChain(e3).exists(_.isInstanceOf[ArithmeticException]),
       s"expected ArithmeticException in: $e3")

@@ -417,7 +417,7 @@ class ReduceSpec extends SparkTestBase {
         .collect().map(r => r.getInt(0) ->
           (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
       val dist = GroupByReduce.weightedQuantileDistributed(
-        df, Seq("k"), "v", "w", q, "r")
+        df, Seq("k"), "v", "w", Seq(q), "r")
         .collect().map(r => r.getInt(0) ->
           (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
       assert(dist.keySet === buf.keySet, s"q=$q")
@@ -431,6 +431,30 @@ class ReduceSpec extends SparkTestBase {
       }
       assert(buf(9) == null) // the all-invalid group answered null
     }
+    // VECTOR q symmetry (r17): one call with every q rides the one
+    // compression + prefix sum and each array element is BIT-equal to
+    // the scalar call — the surface now mirrors the buffered and
+    // unweighted-distributed tiers
+    val vqs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val vec = GroupByReduce.weightedQuantileDistributed(
+        df, Seq("k"), "v", "w", vqs, "r")
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Any](1))).toMap
+    vqs.zipWithIndex.foreach { case (q, i) =>
+      val scalar = GroupByReduce.weightedQuantileDistributed(
+          df, Seq("k"), "v", "w", Seq(q), "r")
+        .collect().map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+      scalar.foreach { case (k, want) =>
+        val got = Option(vec(k)).map(_(i)).orNull
+        val ok = (want == null && got == null) ||
+          (want != null && got != null &&
+            java.lang.Double.doubleToRawLongBits(want.doubleValue()) ===
+              java.lang.Double.doubleToRawLongBits(
+                got.asInstanceOf[Double]))
+        assert(ok, s"vector q=$q group $k: vec=$got scalar=$want")
+      }
+    }
     // null group keys: both drop them by default, both keep them when off
     val nk = Seq((Option.empty[Int], Some(3.0), Some(2.0)),
       (Some(1), Some(5.0), Some(1.0)), (Option.empty[Int], Some(7.0), Some(1.0)))
@@ -440,11 +464,11 @@ class ReduceSpec extends SparkTestBase {
       ReduceOptions(q = Seq(0.5), dropNullKeys = false))
       .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getDouble(1)).toMap
     val keepDist = GroupByReduce.weightedQuantileDistributed(
-      nk, Seq("k"), "v", "w", 0.5, "r", dropNullKeys = false)
+      nk, Seq("k"), "v", "w", Seq(0.5), "r", dropNullKeys = false)
       .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getDouble(1)).toMap
     assert(keepDist === keepBuf && keepDist.keySet === Set(-1, 1))
     assert(GroupByReduce.weightedQuantileDistributed(
-      nk, Seq("k"), "v", "w", 0.5, "r").collect().map(_.getInt(0)).toSeq === Seq(1))
+      nk, Seq("k"), "v", "w", Seq(0.5), "r").collect().map(_.getInt(0)).toSeq === Seq(1))
   }
 
   test("quantileDistributed is BIT-equal to the buffered exact path: " +
