@@ -432,8 +432,21 @@ object Dedup {
         "name and cut readers over")
     val index = graft.api.Layout.table(spark, indexTable)
     val cols = index.columns.toSeq
-    val deltaClean0 = prunedKeys.fold(delta)(pk =>
-      delta.join(broadcast(pk.select("band_key")), Seq("band_key"),
+    // refuse a cross-config delta AT COMPACTION, not at first query
+    // (r17 review): merging it would leave two cfg stamps in one
+    // table, so every later requireCfg scan of the new version throws
+    // on rows the querying job never asked for. One head row prices
+    // the check; the delta scan then fails loudly on any mismatched
+    // row during the write itself.
+    val deltaCfgd =
+      if (cols.contains("cfg") && delta.columns.contains("cfg"))
+        index.select("cfg").limit(1).collect().headOption match {
+          case Some(r) if !r.isNullAt(0) => requireCfg(delta, r.getString(0))
+          case _ => delta // empty index: nothing to contradict
+        }
+      else delta
+    val deltaClean0 = prunedKeys.fold(deltaCfgd)(pk =>
+      deltaCfgd.join(broadcast(pk.select("band_key")), Seq("band_key"),
         "left_anti"))
     val deltaClean = deltaClean0.select(cols.map(col): _*)
     val unioned = index.unionByName(deltaClean)

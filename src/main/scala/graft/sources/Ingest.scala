@@ -160,6 +160,17 @@ object Ingest {
     * task) — that is the format's cost, not the reader's; keep shards
     * modest at write time. Both outputs stay lazy map-only plans.
     *
+    * Content normalization, declared (r17 review): the underlying
+    * univocity parser NORMALIZES embedded CRLF inside quoted fields
+    * to LF — raw bytes `"two\r\nlines"` parse as `two\nlines`. This
+    * is the parser's line-ending auto-detection, not exposed through
+    * Spark's CSV options, so it cannot be turned off here; it only
+    * ever rewrites `\r\n`/`\r` line breaks INSIDE quotes to `\n`
+    * (fingerprint-relevant if the same corpus is also ingested
+    * through a byte-exact path — normalize line endings before
+    * hashing, as the Cleaning ops already do). Pinned in IngestSpec
+    * so a Spark/univocity upgrade changing it is caught.
+    *
     * Plan note: quarantine's raw_record coalesces over the schema
     * fields deliberately — Spark refuses a scan whose required schema
     * is ONLY the internal corrupt-record column (SPARK-21610), and

@@ -165,6 +165,45 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("readCsvMultiline CRLF pin (r17 review): embedded CRLF inside a " +
+    "quoted field normalizes to LF (declared content alteration — " +
+    "univocity's line-ending detection, not switchable via Spark " +
+    "options); CR-only record separators parse identically in both " +
+    "readers") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv_crlf")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    try {
+      Files.write(dir.resolve("crlf.csv"),
+        "doc_id,text\r\n1,plain\r\n2,\"two\r\nlines\"\r\n3,trail\r\n"
+          .getBytes("UTF-8"))
+      val m = graft.sources.Ingest.readCsvMultiline(spark,
+        dir.resolve("crlf.csv").toString, schema)
+      val byId = m.docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // the pin: raw bytes carry \r\n inside the quotes, the parsed
+      // value carries \n — if a Spark upgrade changes this, the
+      // declared contract in the scaladoc must change with it
+      assert(byId(2L) === "two\nlines")
+      assert(byId(1L) === "plain" && byId(3L) === "trail",
+        "CRLF record separators must not leak \\r into field values")
+      assert(m.quarantine.count() === 0)
+      // CR-only (old-Mac) separators: both readers agree (Hadoop's
+      // line reader and univocity both treat lone CR as a terminator)
+      Files.write(dir.resolve("cr.csv"),
+        "doc_id,text\r1,plain\r3,trail\r".getBytes("UTF-8"))
+      val lineDocs = graft.sources.Ingest.readCsv(spark,
+          dir.resolve("cr.csv").toString, schema)
+        .docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val mlDocs = graft.sources.Ingest.readCsvMultiline(spark,
+          dir.resolve("cr.csv").toString, schema)
+        .docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(lineDocs === mlDocs && lineDocs === Set((1L, "plain"), (3L, "trail")))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
   test("readTextDir: one row per file, recursive, glob-filtered") {
     val dir = Files.createTempDirectory("graft_txt")
     try {

@@ -234,6 +234,17 @@ class OpsSpec extends SparkTestBase {
         spark.read.parquet(s"$root/delta"), "opsspec_inc_idx_v2", 4)
     }
     assert(eIp.getMessage.contains("NEW table"))
+    // a cross-config delta is refused AT COMPACTION (r17 review): it
+    // would leave two cfg stamps in one table and poison every later
+    // requireCfg scan of the new version
+    val wrongCfgDelta = Dedup.bandIndexDelta(surv1, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+    val eCfg = intercept[Throwable] {
+      Dedup.compactBandIndex(spark, "opsspec_inc_idx", wrongCfgDelta,
+        "opsspec_inc_idx_poison", 4, path = Some(s"$root/poison"))
+    }
+    assert(causeMessages(eCfg).contains("config mismatch"),
+      causeMessages(eCfg))
   }
 
   test("pruned-keys sidecar is load-bearing: a delta row landing in a " +

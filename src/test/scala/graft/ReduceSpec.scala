@@ -394,6 +394,27 @@ class ReduceSpec extends SparkTestBase {
     assert(e(2) === Some(0.0), "single pair")
   }
 
+  test("WeightedVarAgg merge hardening (r17 review): zero-weight " +
+    "partials merge as identity and zero-total-weight groups stay NaN " +
+    "across every partition layout — the Chan merge's wt==0 branch") {
+    import org.apache.spark.sql.functions.col
+    // group 0: real data + zero-weight rows that can land alone in a
+    // partition (an all-zero-weight PARTIAL whose mean is never
+    // initialized must not poison the merge); group 1: zero total
+    // weight WITH rows -> NaN, whatever the partial split
+    val rows = Seq((0, 1.0, 0.0), (0, 5.0, 2.0), (0, 9.0, 3.0),
+      (0, 7.0, 0.0), (1, 4.0, 0.0), (1, 6.0, 0.0))
+    // wvar(group 0) = (2(5-7.4)^2 + 3(9-7.4)^2)/5 = 3.84
+    for (p <- Seq(1, 2, 3, 6)) {
+      val m = GroupByReduce.weighted(
+          rows.toDF("k", "v", "w").repartition(p, col("k") + col("v")),
+          Seq("k"), "v", "w", Seq(("wvar", "r")))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(math.abs(m(0) - 3.84) < 1e-12, s"p=$p: ${m(0)}")
+      assert(m(1).isNaN, s"p=$p zero-total-weight group")
+    }
+  }
+
   test("weightedQuantileDistributed is BIT-equal to the buffered " +
     "weighted CDF walk: ties, fractional/zero weights, NaN/null pairs, " +
     "+-Inf values, all-invalid group yields null") {
