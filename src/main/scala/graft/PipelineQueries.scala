@@ -1428,6 +1428,25 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // INCREMENTAL semantic dedup (r17): the SemDeDup modality joins
+    // the incremental family — a daily batch of embeddings vs a
+    // persisted CELL index whose rows carry the corpus vectors, so the
+    // exact cosine verify reads only the index (the hamming-index
+    // economics applied to embeddings); bucketed on cid at scale
+    // (writeSemanticCellIndex), delta-maintained like the band indexes
+    "q_incremental_semantic" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+      val idx = Similarity.semanticCellIndex(
+        e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents)
+      Similarity.semanticNearDupsAgainstIndex(
+        e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        idx, cents, threshold = 0.4)
+        .select(col("cid"), col("id_batch"), col("id_corpus"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("id_batch", "id_corpus")
+    }),
+
     // IVF with one Lloyd refinement round end-to-end: label-seeded
     // centroids -> assign -> recompute (rounded-centroid determinism)
     // -> probe-limited search against the REFINED quantizer
@@ -1540,10 +1559,11 @@ object PipelineQueries {
        SELECT id AS vec_id, min(label) AS keep_id
        FROM reach GROUP BY 1 ORDER BY 1"""
 
-  /** DuckDB replica of the SemDeDup pair query: label-seeded rounded
-    * centroids + nearest-centroid assignment (the q_ivf_topk fragments)
-    * + within-cell pairs. */
-  private val semanticAssignSql: String =
+  /** DuckDB label-seeded rounded centroids + nearest-centroid
+    * assignment (the q_ivf_topk fragments) WITHOUT pair generation —
+    * the r17 incremental-semantic oracle builds batch-vs-corpus cross
+    * pairs over the same assignment. */
+  private val semanticAssignCoreSql: String =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
          FROM embeddings),
@@ -1559,7 +1579,13 @@ object PipelineQueries {
            ORDER BY round(CASE WHEN e.n * c.cn > 0
              THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
              c.cid) AS rk
-         FROM e CROSS JOIN centn c) WHERE rk = 1),
+         FROM e CROSS JOIN centn c) WHERE rk = 1)"""
+
+  /** [[semanticAssignCoreSql]] + the within-corpus pair CTE — DuckDB
+    * centroids + nearest-centroid assignment (the q_ivf_topk fragments)
+    * + within-cell pairs. */
+  private val semanticAssignSql: String = semanticAssignCoreSql +
+    """,
        sempairs AS (SELECT cid, a1.vec_id AS id_a, a2.vec_id AS id_b,
            list_dot_product(e1.v, e2.v) / (e1.n * e2.n) AS rawsim
          FROM assign a1 JOIN assign a2 USING (cid)
@@ -1587,6 +1613,18 @@ object PipelineQueries {
            SELECT id FROM (SELECT id, min(label) AS keep FROM reach GROUP BY 1)
            WHERE id != keep)
          ORDER BY vec_id""",
+
+    "q_incremental_semantic" ->
+      s"""WITH $semanticAssignCoreSql,
+         b AS (SELECT * FROM assign WHERE vec_id % 5 = 0),
+         c AS (SELECT * FROM assign WHERE vec_id % 5 <> 0)
+         SELECT b.cid, b.vec_id AS id_batch, c.vec_id AS id_corpus,
+           round(list_dot_product(e1.v, e2.v) / (e1.n * e2.n), 4) AS sim
+         FROM b JOIN c USING (cid)
+         JOIN e e1 ON e1.vec_id = b.vec_id
+         JOIN e e2 ON e2.vec_id = c.vec_id
+         WHERE list_dot_product(e1.v, e2.v) / (e1.n * e2.n) >= 0.4
+         ORDER BY 2, 3""",
 
     "q_embed_neardup" ->
       lshNearDupSql(dims = 64, planes = 16, bandPlanes = 4, threshold = 0.4),

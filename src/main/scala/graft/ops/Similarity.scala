@@ -246,6 +246,217 @@ object Similarity {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Config stamp for the semantic cell index: an md5 fingerprint of
+    * the centroid table (cid → 6-decimal components, cid-sorted). A
+    * query assigned against DIFFERENT centroids lands in different
+    * cells, so the stamp turns a stale-quantizer mistake from silent
+    * wrong-cell candidates into a loud scan-time error
+    * ([[graft.ops.Dedup.requireCfg]]) — the
+    * [[graft.ops.Dedup.minhashCfg]] discipline where the "parameters"
+    * are learned, not literal. Centroids are k-bounded by contract
+    * (they broadcast in every assignment), so the collect here is the
+    * same traffic the assignment already pays. */
+  def centroidCfg(centroids: DataFrame): String = {
+    val canon = centroids.select(col("cid").cast("long"),
+        transform(col("cv"), x => round(x.cast("double"), 6)).as("cv"))
+      .collect()
+      .map(r => s"${r.getLong(0)}:${r.getSeq[Double](1).mkString(",")}")
+      .sorted.mkString(";")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "sem:" + md.digest(canon.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Semantic CELL INDEX for INCREMENTAL dedup — the SemDeDup mate of
+    * [[graft.ops.Dedup.bandIndex]] (MinHash) and
+    * [[graft.ops.Dedup.hammingBandIndex]] (multimodal), completing the
+    * against-index story for the embedding modality: (cid, id, v, n,
+    * cfg) — the corpus's nearest-centroid assignment with the
+    * double-cast vector and its norm RIDING ALONG, so a daily batch's
+    * exact cosine verify reads ONLY the index (the hamming-index
+    * economics; no corpus embedding join). Persist bucketed on `cid`
+    * via [[writeSemanticCellIndex]]; batches shuffle into the index's
+    * bucketing, the index never moves. Same deliberate SemDeDup
+    * cross-cell loss as [[semanticNearDupPairs]]; no maxBucket guard —
+    * cell sizes are governed by the quantizer's k, the knob the
+    * published method already owns. */
+  def semanticCellIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    VectorExprs.ensureRegistered(corpus.sparkSession)
+    val e = corpus.select(col(idCol).as("__id"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    nearestCentroids(e, "__id", centroids, 1)
+      .select(col("cid"), col("__id").as("id"), col("__v").as("v"),
+        col("__n").as("n"))
+      .withColumn("cfg", lit(centroidCfg(centroids)))
+  }
+
+  /** Persist [[semanticCellIndex]] bucketed on cid (the
+    * [[graft.ops.Dedup.writeBandIndex]] economics). */
+  def writeSemanticCellIndex(corpus: DataFrame, idCol: String,
+                             vecCol: String, centroids: DataFrame,
+                             table: String, buckets: Int,
+                             path: Option[String] = None): Unit =
+    graft.api.Layout.writeBucketed(
+      semanticCellIndex(corpus, idCol, vecCol, centroids),
+      table, Seq("cid"), buckets, path = path)
+
+  /** The admitted-survivors DELTA for the semantic index (the
+    * [[graft.ops.Dedup.bandIndexDelta]] maintenance shape: plain
+    * parquet, append-safe, day-scale; fold back with
+    * [[compactSemanticCellIndex]]). Identical derivation to
+    * [[semanticCellIndex]] — there is no build-time prune to mirror. */
+  def semanticCellIndexDelta(survivors: DataFrame, idCol: String,
+                             vecCol: String,
+                             centroids: DataFrame): DataFrame =
+    semanticCellIndex(survivors, idCol, vecCol, centroids)
+
+  /** Fold a delta into a NEW bucketed index version (in-place refused —
+    * the [[graft.ops.Dedup.compactBandIndex]] rationale); a
+    * cross-quantizer delta is refused loudly via the cfg stamp. */
+  def compactSemanticCellIndex(spark: org.apache.spark.sql.SparkSession,
+                               indexTable: String, delta: DataFrame,
+                               outTable: String, buckets: Int,
+                               path: Option[String] = None): Unit = {
+    require(outTable != indexTable,
+      "compactSemanticCellIndex writes a NEW table version: Spark " +
+        "cannot overwrite a table it is reading from — compact to a " +
+        "new name and cut readers over")
+    val index = graft.api.Layout.table(spark, indexTable)
+    val deltaCfgd =
+      index.select("cfg").limit(1).collect().headOption match {
+        case Some(r) if !r.isNullAt(0) =>
+          Dedup.requireCfg(delta, r.getString(0))
+        case _ => delta
+      }
+    graft.api.Layout.writeBucketed(
+      index.unionByName(deltaCfgd.select(index.columns.map(col): _*)),
+      outTable, Seq("cid"), buckets, path = path)
+  }
+
+  /** Near-duplicate pairs of a NEW BATCH of embeddings against the
+    * indexed corpus: (cid, id_batch, id_corpus, sim), cosine ≥
+    * threshold, candidates from the cid equi-join and the exact verify
+    * computed from the index-carried vectors — corpus embeddings are
+    * never re-read or shuffled. `delta` adds the day-scale survivors
+    * side table ([[semanticCellIndexDelta]]); the batch assignment is
+    * pinned so the map-only centroid pass runs once across both
+    * lookups. Build/query quantizer mismatch throws at scan time
+    * (cfg stamp). */
+  def semanticNearDupsAgainstIndex(batch: DataFrame, idCol: String,
+                                   vecCol: String, index: DataFrame,
+                                   centroids: DataFrame, threshold: Double,
+                                   delta: Option[DataFrame] = None): DataFrame = {
+    VectorExprs.ensureRegistered(batch.sparkSession)
+    val cfg = centroidCfg(centroids)
+    val e = batch.select(col(idCol).as("__id"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val b0 = nearestCentroids(e, "__id", centroids, 1)
+      .select(col("cid"), col("__id").as("id_batch"),
+        col("__v").as("__vb"), col("__n").as("__nb"))
+    val b = if (delta.isDefined) b0.localCheckpoint() else b0
+    def pairsOf(ix: DataFrame) = Dedup.requireCfg(ix, cfg)
+      .select(col("cid"), col("id").as("id_corpus"),
+        col("v").as("__vc"), col("n").as("__nc"))
+      .join(b, Seq("cid"))
+      .withColumn("sim",
+        cosinePrenormed(col("__vb"), col("__vc"), col("__nb"), col("__nc")))
+      .filter(col("sim") >= threshold)
+      .select("cid", "id_batch", "id_corpus", "sim")
+    delta.fold(pairsOf(index))(d => pairsOf(index).unionByName(pairsOf(d)))
+      .distinct()
+  }
+
+  /** The centroid table as a literal row-major matrix (cids, matrix,
+    * dims) — the driver pull behind the codegen'd map-only
+    * [[graft.functions.NearestCentroid]] assignment (the
+    * refineCentroids posture; centroids are k-bounded by contract). */
+  private[graft] def centroidMatrix(centroids: DataFrame)
+    : (Array[Long], Array[Double], Int) = {
+    val rows = centroids.select(col("cid").cast("long"),
+      col("cv").cast("array<double>")).collect()
+    require(rows.nonEmpty, "empty centroid table")
+    val cids = rows.map(_.getLong(0))
+    val dims = rows.head.getSeq[Double](1).length
+    val matrix = new Array[Double](cids.length * dims)
+    rows.zipWithIndex.foreach { case (r, ci) =>
+      val cv = r.getSeq[Double](1)
+      require(cv.length == dims, "ragged centroid table")
+      var d = 0
+      while (d < dims) { matrix(ci * dims + d) = cv(d); d += 1 }
+    }
+    (cids, matrix, dims)
+  }
+
+  /** Stateless drop-against-index PLAN, usable on a STREAM (the
+    * [[graft.streaming.StreamingDedup.dropSemanticAgainstCellIndex]]
+    * core; a batch DataFrame works identically): assignment is the
+    * codegen'd map-only NearestCentroid expression (the scalar replica
+    * of the aggregation-based assignment the index build uses — same
+    * rounded cosine, min-cid ties), then ONE LEFT ANTI join whose
+    * condition carries the exact cosine verify: a row is dropped iff a
+    * same-cell index vector has cos ≥ threshold. EXACT semantics — not
+    * the candidate-grain over-drop the MinHash streaming mirror takes —
+    * because the index carries the vectors, so the verify costs no
+    * extra join; and zero aggregations, so zero state operators on a
+    * stream. Per-trigger cost: the anti join re-reads the (pinned)
+    * index per micro-batch — corpus-scale static side, the price of
+    * exactness; the MinHash/hamming families get the bloom shortcut
+    * because their verify is key membership, and cosine is not
+    * bloomable. Null/ragged vectors assign to no cell and SURVIVE
+    * (nothing to verify against) — prefilter upstream if that matters. */
+  private[graft] def semanticDropAgainstIndexPlan(df: DataFrame,
+                                                  vecCol: String,
+                                                  index: DataFrame,
+                                                  centroids: DataFrame,
+                                                  threshold: Double,
+                                                  delta: Option[DataFrame])
+    : DataFrame = {
+    VectorExprs.ensureRegistered(df.sparkSession)
+    val cfg = centroidCfg(centroids)
+    val (cids, matrix, dims) = centroidMatrix(centroids)
+    val staging = Seq("__v", "__n", "__cid")
+    staging.foreach(c => require(!df.columns.contains(c),
+      s"semantic drop stages a column named '$c'; rename the input's"))
+    val assigned = df
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("__cid",
+        VectorExprs.nearestCentroid(col("__v"), cids, matrix, dims))
+    def anti(d: DataFrame, ix: DataFrame) = {
+      val i = Dedup.requireCfg(ix, cfg)
+        .select(col("cid").as("__icid"), col("v").as("__cv"),
+          col("n").as("__cn"))
+      d.join(i,
+        col("__cid") === col("__icid") &&
+          cosinePrenormed(col("__v"), col("__cv"),
+            col("__n"), col("__cn")) >= threshold,
+        "left_anti")
+    }
+    delta.fold(anti(assigned, index))(dl => anti(anti(assigned, index), dl))
+      .drop(staging: _*)
+  }
+
+  /** Survivor selection for the incremental semantic path (corpus
+    * wins); the dup-id anti-join hint follows the measured size gate
+    * ([[graft.ops.Dedup.dropNearDupsAgainstIndex]] discipline). */
+  def dropSemanticAgainstIndex(batch: DataFrame, idCol: String,
+                               vecCol: String, index: DataFrame,
+                               centroids: DataFrame, threshold: Double,
+                               delta: Option[DataFrame] = None): DataFrame = {
+    val dup = semanticNearDupsAgainstIndex(batch, idCol, vecCol, index,
+      centroids, threshold, delta)
+      .select(col("id_batch").as(idCol)).distinct()
+      .localCheckpoint()
+    val thresholdRows = batch.sparkSession.conf
+      .getOption("spark.graft.dedup.idBroadcastThreshold")
+      .map(_.toLong).getOrElse(1L << 22)
+    val hinted = if (dup.count() <= thresholdRows) broadcast(dup) else dup
+    batch.join(hinted, Seq(idCol), "left_anti")
+  }
+
   /** Per-label centroid components (label, pos, mean) — the building
     * block of an IVF coarse quantizer. posexplode + groupBy: one
     * shuffle keyed by (label, dim), fully parallel. */

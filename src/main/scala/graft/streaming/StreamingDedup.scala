@@ -255,6 +255,26 @@ object StreamingDedup {
       .drop((0 until nBands).flatMap(b => Seq(s"__bk$b", s"__hit$b")): _*)
   }
 
+  /** Streaming INCREMENTAL SEMANTIC dedup against a persisted cell
+    * index ([[graft.ops.Similarity.semanticCellIndex]]) — the third
+    * modality's streaming mate, and the only one with EXACT (not
+    * candidate-grain) semantics: the index carries the corpus vectors,
+    * so one stream-static LEFT ANTI join whose condition embeds the
+    * cosine verify drops a document iff a same-cell corpus embedding
+    * has cos ≥ threshold. Assignment is the codegen'd map-only
+    * NearestCentroid expression (bit-compatible with the index build's
+    * assignment — same rounded cosine, min-cid ties), so the plan has
+    * zero aggregations and zero state operators. The index is pinned
+    * once at construction; each trigger re-joins it — corpus-scale
+    * static side, the price of exactness (cosine is not bloomable the
+    * way band-key membership is). Quantizer mismatch throws at scan
+    * time via the cfg stamp. */
+  def dropSemanticAgainstCellIndex(stream: DataFrame, index: DataFrame,
+                                   vecCol: String, centroids: DataFrame,
+                                   threshold: Double): DataFrame =
+    graft.ops.Similarity.semanticDropAgainstIndexPlan(
+      stream, vecCol, index.localCheckpoint(), centroids, threshold, None)
+
   /** [[dropNearDupsAgainstHammingIndex]] via the map-only bloom plan
     * constant ([[graft.ops.Dedup.hammingBandKeyBloom]]) — the
     * corpus-scale path; posture and contract as

@@ -319,6 +319,72 @@ class OpsSpec extends SparkTestBase {
       sigBits = 8, maxHamming = 1)).isEmpty)
   }
 
+  test("incremental semantic cell index: batch-vs-index pairs equal a " +
+    "rebuild (including a delta-only pair); compaction is row-identical " +
+    "to the rebuild; a stale quantizer is refused loudly") {
+    import spark.implicits._
+    // hand-checked 2-cell fixture (threshold 0.95): corpus0 {1→cell0,
+    // 2→cell1}; batch1 {3 near-dup of 1 (dropped), 4→cell1 survivor
+    // (cos(4,2)=0.8)}; batch2 {6 exact dup of 1 (INDEX pair), 5
+    // near-dup of 4 (DELTA-only pair, cos≈0.998), 7 clean}
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val corpus0 = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val batch1 = Seq((3L, Seq(0.995f, 0.1f)), (4L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val batch2 = Seq((6L, Seq(1.0f, 0.0f)), (5L, Seq(0.55f, 0.835f)),
+      (7L, Seq(0.3f, 0.3f))).toDF("vec_id", "embedding")
+    val idx = Similarity.semanticCellIndex(corpus0, "vec_id", "embedding",
+      cents)
+    val surv1 = Similarity.dropSemanticAgainstIndex(batch1, "vec_id",
+      "embedding", idx, cents, threshold = 0.95)
+    assert(surv1.select("vec_id").as[Long].collect().sorted === Array(4L))
+    val delta1 = Similarity.semanticCellIndexDelta(surv1, "vec_id",
+      "embedding", cents)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_batch", "id_corpus").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDelta = pairSet(Similarity.semanticNearDupsAgainstIndex(
+      batch2, "vec_id", "embedding", idx, cents, threshold = 0.95,
+      delta = Some(delta1)))
+    val rebuilt = Similarity.semanticCellIndex(
+      corpus0.unionByName(surv1), "vec_id", "embedding", cents)
+    val viaRebuild = pairSet(Similarity.semanticNearDupsAgainstIndex(
+      batch2, "vec_id", "embedding", rebuilt, cents, threshold = 0.95))
+    assert(viaDelta === viaRebuild)
+    assert(viaDelta === Set((6L, 1L), (5L, 4L)),
+      "index pair + delta-only pair")
+    val kept2 = Similarity.dropSemanticAgainstIndex(batch2, "vec_id",
+        "embedding", idx, cents, threshold = 0.95, delta = Some(delta1))
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept2 === Array(7L))
+    // compaction: persisted index + delta folds into a layout
+    // row-identical to the rebuild
+    val root = java.nio.file.Files
+      .createTempDirectory("opsspec_semidx").toString
+    Similarity.writeSemanticCellIndex(corpus0, "vec_id", "embedding",
+      cents, "opsspec_sem_idx", 2, path = Some(s"$root/v1"))
+    Similarity.compactSemanticCellIndex(spark, "opsspec_sem_idx", delta1,
+      "opsspec_sem_idx_v2", 2, path = Some(s"$root/v2"))
+    graft.api.Layout.verifyLayout(spark, "opsspec_sem_idx_v2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(graft.api.Layout.table(spark, "opsspec_sem_idx_v2")) ===
+      rows(rebuilt))
+    // stale quantizer: querying an index built with cents using a
+    // DIFFERENT centroid table throws at scan time, never silently
+    // consults wrong cells
+    val cents2 = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.1, 1.0)))
+      .toDF("cid", "cv")
+    val eQ = intercept[Throwable] {
+      Similarity.semanticNearDupsAgainstIndex(batch2, "vec_id",
+        "embedding", idx, cents2, threshold = 0.95).collect()
+    }
+    assert(causeMessages(eQ).contains("config mismatch"), causeMessages(eQ))
+  }
+
   test("simhash: identical texts equal, near-dups close, distinct far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

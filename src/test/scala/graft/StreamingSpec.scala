@@ -323,6 +323,68 @@ class StreamingSpec extends SparkTestBase {
     assert(eCfg.getMessage.contains("bloom built for"))
   }
 
+  test("streaming semantic drop against a cell index: EXACT survivors " +
+    "(anti-join carries the cosine verify over index-carried vectors), " +
+    "equal to the batch path, zero state operators; stale quantizer " +
+    "refused loudly") {
+    import graft.streaming.StreamingDedup
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // the OpsSpec incremental-semantic fixture: corpus {1→cell0,
+    // 2→cell1}; stream {6 dup of 1 (dropped), 5 (its only near
+    // neighbor, 4, is NOT indexed → survives exactly — a
+    // candidate-grain mirror would have over-dropped nothing here,
+    // but exactness is the claim), 7 clean}
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.semanticCellIndex(corpus, "vec_id", "embedding",
+      cents)
+    val batch = Seq((6L, Seq(1.0f, 0.0f)), (5L, Seq(0.55f, 0.835f)),
+      (7L, Seq(0.3f, 0.3f)))
+    val expected = Similarity.dropSemanticAgainstIndex(
+        batch.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idx, cents, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(expected === Set(5L, 7L), "hand-checked batch survivors")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingDedup.dropSemanticAgainstCellIndex(
+      input.toDF().toDF("vec_id", "embedding"), idx, "embedding",
+      cents, threshold = 0.95)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sem_idx_out").start()
+    try {
+      input.addData(batch.take(2): _*); q.processAllAvailable()
+      input.addData(batch.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("sem_idx_out").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"got $got expected $expected")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "semantic index drop must be stateless")
+    } finally q.stop()
+    // stale quantizer: the cfg stamp makes the mismatch loud at scan
+    // time (the MemoryStream already holds rows, so the first batch
+    // scans the index and the assert fires inside the query)
+    val cents2 = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.1, 1.0)))
+      .toDF("cid", "cv")
+    val qBad = StreamingDedup.dropSemanticAgainstCellIndex(
+        input.toDF().toDF("vec_id", "embedding"), idx, "embedding",
+        cents2, threshold = 0.95)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_bad").start()
+    val eQ = intercept[Throwable] {
+      try qBad.processAllAvailable() finally qBad.stop()
+    }
+    def msgs(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(eQ).contains("config mismatch"), msgs(eQ))
+  }
+
   test("streaming semantic dedup drops same-PQ-code embeddings across " +
     "batches; distinct embeddings survive; one state op") {
     import graft.streaming.StreamingDedup
