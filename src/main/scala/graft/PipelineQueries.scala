@@ -1239,11 +1239,17 @@ object PipelineQueries {
       val batch2 = all.filter(m5 === 0)
       val batch1 = all.filter(m5 === 1)
       val corpus0 = all.filter(m5 =!= 0 && m5 =!= 1)
+      // the index feeds TWO consumers (batch1's drop and batch2's
+      // query) — pin it, as production would read it back bucketed;
+      // survivors are day-scale and feed the delta AND the content
+      // union, so they pin too
       val idx = Dedup.bandIndex(corpus0, "text", "doc_id",
         numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .localCheckpoint()
       val surv1 = Dedup.dropNearDupsAgainstIndex(batch1, corpus0, idx,
         "text", "doc_id", "doc_id",
         threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .localCheckpoint()
       val delta1 = Dedup.bandIndexDelta(surv1, "text", "doc_id",
         numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
       Dedup.nearDupsAgainstIndex(batch2, corpus0.unionByName(surv1), idx,

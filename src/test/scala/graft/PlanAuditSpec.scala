@@ -28,6 +28,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ivf_refined_topk",
     "q_embed_centroids",
     "q_semantic_neardup",    // broadcast centroid assignment (SemDeDup)
+    "q_incremental_semantic", // the same k-bounded broadcast centroid
+                              // assignment, on both the index build and
+                              // the batch side (r17 incremental family)
     "q_cluster_sample",      // broadcast centroid assignment (ivfAssign)
     "q_dense_grid",          // crossJoin of two declared expected-domain DFs
     "q_partial_axis",
