@@ -389,7 +389,16 @@ object Dedup {
     * side). `prunedKeys` (the [[writeBandIndex]] sidecar) keeps
     * build-pruned degenerate buckets pruned: a survivor band row
     * landing in one is dropped at append time, matching what a full
-    * rebuild would do to it. */
+    * rebuild would do to it.
+    *
+    * NOT idempotent under JOB-level re-runs (task retries are covered
+    * by Spark's file commit protocol, but re-running the whole append
+    * doubles the day's rows — inflating delta-side candidates and,
+    * after compaction, bucket counts). Exactly-once admission is the
+    * caller's commit protocol — the same discipline as the shard
+    * writer's per-epoch manifest ([[graft.ops.Selection]] /
+    * graft.ops.Packing manifest pattern): record the admitted batch id
+    * with the append and skip re-runs. */
   def appendBandIndexDelta(survivors: DataFrame, textCol: String,
                            idCol: String, deltaPath: String,
                            numHashes: Int = 6, bandSize: Int = 1,
@@ -417,7 +426,11 @@ object Dedup {
     * re-prune here is the rebuild's prune. Without the sidecar the
     * equality holds whenever no bucket was pruned at build time.
     * The new sidecar (old pruned keys ∪ newly-oversized keys) is
-    * written to `outPrunedPath` for the next cycle. */
+    * written to `outPrunedPath` for the next cycle. Use the SAME
+    * maxBucket as the build: a smaller one re-prunes consistently
+    * with a rebuild at that value, but a LARGER one cannot resurrect
+    * rows the build already dropped (they are not in the index), so
+    * loosening the guard requires a true rebuild. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        indexTable: String, delta: DataFrame,
                        outTable: String, buckets: Int,

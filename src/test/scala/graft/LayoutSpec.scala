@@ -194,6 +194,47 @@ class LayoutSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("compacted band index (Dedup.compactBandIndex) is a REAL layout: " +
+    "one file per bucket, and the candidate join against the v2 table " +
+    "still shuffles only the batch side (the compaction's whole point)") {
+    import graft.ops.Dedup
+    val all = sf("documents")
+    val m5 = col("doc_id") % 5
+    val corpus0 = all.filter(m5 =!= 0 && m5 =!= 1)
+    val batch1 = all.filter(m5 === 1)
+    Dedup.writeBandIndex(corpus0, "text", "doc_id", "layoutspec_cidx", 8,
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true,
+      path = Some(s"$root/cidx_v1"), prunedPath = Some(s"$root/cidx_pr"))
+    val surv = Dedup.dropNearDupsAgainstIndex(batch1, corpus0,
+      Layout.table(spark, "layoutspec_cidx"), "text", "doc_id", "doc_id",
+      threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+    Dedup.appendBandIndexDelta(surv, "text", "doc_id", s"$root/cidx_delta",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true,
+      prunedKeys = Some(spark.read.parquet(s"$root/cidx_pr")))
+    Dedup.compactBandIndex(spark, "layoutspec_cidx",
+      spark.read.parquet(s"$root/cidx_delta"), "layoutspec_cidx_v2", 8,
+      path = Some(s"$root/cidx_v2"),
+      prunedKeys = Some(spark.read.parquet(s"$root/cidx_pr")),
+      outPrunedPath = Some(s"$root/cidx_pr2"))
+    Layout.verifyLayout(spark, "layoutspec_cidx_v2") // ≤1 file/bucket
+    val bBands = Dedup.bandIndex(all.filter(m5 === 0), "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .withColumnRenamed("id", "id_batch").localCheckpoint()
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaV2 = Layout.table(spark, "layoutspec_cidx_v2")
+        .withColumnRenamed("id", "id_corpus")
+        .join(bBands, Seq("band_key"))
+        .select("id_batch", "id_corpus")
+      assert(Layout.shuffleExchanges(viaV2) == 1,
+        "compacted index must keep the one-exchange candidate join:\n" +
+          viaV2.queryExecution.executedPlan)
+      assert(viaV2.count() > 0, "fixture must produce candidates")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("verifyLayout: clean layout passes; a stray second file in a " +
     "bucket fails loudly; Append mode is refused at write time") {
     writeBoth()
