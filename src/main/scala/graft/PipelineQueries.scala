@@ -1260,6 +1260,28 @@ object PipelineQueries {
         .orderBy("id_batch", "id_corpus")
     }),
 
+    // the DAILY-ADMISSION loop end-to-end (r17 capstone): quality-gate
+    // the raw crawl batch, exact-dedup it within itself (first id per
+    // fingerprint wins), then drop near-dups against the indexed
+    // corpus — the output is the day's ADMITTED ids, exactly what
+    // appendBandIndexDelta persists and compactBandIndex folds in.
+    // Every stage is individually certified (q_doc_tokens,
+    // q_dedup_exact, q_incremental_drop); this row certifies the
+    // COMPOSITION cross-engine.
+    "q_incremental_e2e" -> ((s, d) => {
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") % 5 =!= 0)
+      val gated = all.filter(col("doc_id") % 5 === 0)
+        .filter(TextAnalysis.tokenCount(col("text")) >= 5)
+      val exact = Dedup.dropExact(gated, "text", "doc_id")
+      val idx = Dedup.bandIndex(corpus, "text", "doc_id",
+        numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      Dedup.dropNearDupsAgainstIndex(exact, corpus, idx, "text",
+        "doc_id", "doc_id",
+        threshold = 0.8, numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // passage-granularity fuzzy dedup: fixed token windows (the chunk
     // level context-window pipelines dedup at; blank-line paragraphs via
     // Dedup.paragraphs when the corpus has them), then the SAME fused
@@ -2745,6 +2767,32 @@ object PipelineQueries {
            WHERE len(list_intersect(b.sh, c.sh))::DOUBLE /
                (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.8)
          SELECT doc_id FROM b WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         ORDER BY doc_id""",
+
+    // the daily-admission loop recomputed from scratch: token gate →
+    // first-id-per-fingerprint → banded+verified near-dup drop vs the
+    // corpus — composition parity for q_incremental_e2e
+    "q_incremental_e2e" ->
+      s"""WITH s AS (
+           SELECT doc_id, list_distinct($SH) AS sh,
+             ${mhSql(0)} AS m0, ${mhSql(1)} AS m1, ${mhSql(2)} AS m2, ${mhSql(3)} AS m3
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END AS n_tokens,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+         b0 AS (SELECT doc_id, fp FROM tok
+                WHERE doc_id % 5 = 0 AND n_tokens >= 5),
+         b1 AS (SELECT min(doc_id) AS doc_id FROM b0 GROUP BY fp),
+         c AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+         bb AS (SELECT s.* FROM s JOIN b1 USING (doc_id)),
+         dup AS (
+           SELECT DISTINCT bb.doc_id
+           FROM bb JOIN c ON (bb.m0 = c.m0 OR bb.m1 = c.m1 OR bb.m2 = c.m2 OR bb.m3 = c.m3)
+           WHERE len(list_intersect(bb.sh, c.sh))::DOUBLE /
+               (len(bb.sh) + len(c.sh) - len(list_intersect(bb.sh, c.sh))) >= 0.8)
+         SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM dup)
          ORDER BY doc_id""",
 
     // the delta path must equal a from-scratch rebuild: DuckDB computes

@@ -416,7 +416,11 @@ object Dedup {
     * bump). Writes to `outTable` — never in place: Spark refuses to
     * overwrite a table it is reading, and the versioned table keeps
     * the old index queryable until cutover (swap the name your jobs
-    * read, then drop the old version).
+    * read, then drop the old version). Family-generic (it keys on
+    * `band_key` and carries whatever other columns the index has), so
+    * it serves the MinHash AND hamming indexes — pass the family's
+    * build-time maxBucket (1000 MinHash default, 100000 hamming
+    * default); the shared compactor cannot infer it.
     *
     * REBUILD-EQUAL by construction when the pruned-keys sidecar is
     * supplied: (1) delta rows in build-pruned buckets are dropped

@@ -317,6 +317,22 @@ class OpsSpec extends SparkTestBase {
     // survivor is invisible until queried via delta or compaction
     assert(pairSet(Dedup.hammingNearDupsAgainstIndex(batch2, idx,
       sigBits = 8, maxHamming = 1)).isEmpty)
+    // compaction is family-generic: folding the hamming delta into a
+    // persisted hamming layout is row-identical to a rebuild (pass the
+    // hamming family's maxBucket — the shared compactor cannot know it)
+    val root = java.nio.file.Files
+      .createTempDirectory("opsspec_hamidx").toString
+    Dedup.writeHammingBandIndex(corpusSig, "opsspec_ham_idx", 2,
+      sigBits = 8, maxHamming = 1, path = Some(s"$root/v1"))
+    Dedup.compactBandIndex(spark, "opsspec_ham_idx", delta,
+      "opsspec_ham_idx_v2", 2, maxBucket = 100000,
+      path = Some(s"$root/v2"))
+    graft.api.Layout.verifyLayout(spark, "opsspec_ham_idx_v2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("band_key", "id", "sig").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(graft.api.Layout.table(spark, "opsspec_ham_idx_v2")) ===
+      rows(rebuilt))
   }
 
   test("incremental semantic cell index: batch-vs-index pairs equal a " +
