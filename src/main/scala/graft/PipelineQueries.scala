@@ -491,6 +491,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // temperature-scaled source mixing (r17): budgets COMPUTED from the
+    // observed per-source token mass (n_s^(1/T) normalized — the
+    // Pile/GPT-3 recipe step), then the same certified prefix-sum
+    // selection. T = 0.5 here so 1/T is integral: the power is exact
+    // integer arithmetic in double and both engines floor identical
+    // values (the scaladoc's cross-engine exactness note)
+    "q_mix_temperature" -> ((s, d) => {
+      val budgets = graft.ops.Selection.temperatureBudgets(docs(s, d),
+        "source", "text", totalTokens = 6000L, temperature = 0.5)
+      graft.ops.Selection.mixCorpus(docs(s, d), "source", "text",
+          "doc_id", budgets)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Lee-et-al-style span dedup: token 3-gram spans recurring across
     // documents (boilerplate discovery), and the positional scrub that
     // removes every covered token from every document
@@ -1847,6 +1862,23 @@ object PipelineQueries {
          SELECT c.doc_id, c.source FROM c JOIN b USING (source)
          WHERE c.cum <= b.budget ORDER BY doc_id"""
     },
+
+    // budgets recomputed in SQL from the same token mass: n_s^2 (1/T=2,
+    // exact in double) normalized over sources, floored; then the same
+    // hash-ordered inclusive-cumsum prefix rule as q_mix_corpus
+    "q_mix_temperature" ->
+      s"""WITH t AS (SELECT doc_id, source,
+           (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT AS tok,
+           md5(source || '§' || doc_id::VARCHAR) AS k FROM documents),
+         n AS (SELECT source, sum(tok)::DOUBLE AS n FROM t GROUP BY 1),
+         b AS (SELECT source,
+           floor(6000 * power(n, 2.0) /
+             (SELECT sum(power(n, 2.0)) FROM n)) AS budget FROM n),
+         c AS (SELECT doc_id, source,
+           sum(tok) OVER (PARTITION BY source ORDER BY k, doc_id) AS cum
+           FROM t)
+         SELECT c.doc_id, c.source FROM c JOIN b USING (source)
+         WHERE c.cum <= b.budget ORDER BY doc_id""",
 
     "q_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),

@@ -120,6 +120,37 @@ object Selection {
     * (#sources rows). Sources absent from `budgets` are dropped
     * (inner join), budget 0 sources contribute nothing.
     */
+  /** Temperature-scaled mixing budgets — the data-recipe step that
+    * FEEDS [[mixCorpus]] (the Pile/GPT-3 shape): source s gets
+    * totalTokens · n_s^(1/T) / Σ_r n_r^(1/T) tokens, n_s = the
+    * source's observed token count. T = 1 reproduces natural
+    * proportions, T > 1 flattens toward uniform (upweights small
+    * curated sources against the web crawl), T < 1 sharpens toward
+    * the biggest sources. One map-side-combinable aggregation over the
+    * corpus, #sources rows to the driver (k-bounded by construction —
+    * the same contract as every centroid pull), normalization on the
+    * driver; floor() per source so Σ budgets ≤ totalTokens (a loader
+    * wants never-exceed). Cross-engine exactness note (q_mix_temp
+    * oracle): at 1/T integral the power is exact integer arithmetic in
+    * double, so both engines floor identical values; at irrational
+    * exponents engines may differ in the last ulp — harmless for a
+    * real recipe, but pin the cert to an integral 1/T. */
+  def temperatureBudgets(df: DataFrame, sourceCol: String, textCol: String,
+                         totalTokens: Long,
+                         temperature: Double): Map[String, Long] = {
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    require(totalTokens >= 0, "totalTokens must be non-negative")
+    val counts = df.groupBy(sourceCol)
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val powed = counts.map { case (s, n) =>
+      s -> math.pow(n.toDouble, 1.0 / temperature) }
+    val z = powed.map(_._2).sum
+    if (z == 0.0) counts.map { case (s, _) => s -> 0L }.toMap
+    else powed.map { case (s, p) =>
+      s -> math.floor(totalTokens * p / z).toLong }.toMap
+  }
+
   def mixCorpus(df: DataFrame, sourceCol: String, textCol: String,
                 idCol: String, budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty, "budgets must be non-empty")

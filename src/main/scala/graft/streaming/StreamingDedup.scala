@@ -124,7 +124,12 @@ object StreamingDedup {
     * bandSize/k/useMd5 must match the index build — the defaults here
     * equal bandIndex's defaults, so default-reliant callers on both
     * sides stay in contract (a skewed default would silently consult
-    * only a prefix of the index's bands: reduced recall, no error). Texts shorter than
+    * only a prefix of the index's bands: reduced recall, no error).
+    * DELTA-aware by composition: only `band_key` (and the cfg guard)
+    * is read from `index`, so pass
+    * `index.unionByName(delta.select(index.columns...))` to consult
+    * survivors admitted since the last compaction — same for the
+    * hamming mirror and the bloom builders. Texts shorter than
     * k tokens have null signatures and share one degenerate key per
     * band — prefilter them (Gopher/C4 gates do) or accept that they
     * match a corpus that also contains such texts. */

@@ -76,6 +76,42 @@ class SelectionSpec extends SparkTestBase {
     assert(bySrc("a").map(_._3.split(" ").length).sum <= 12L)
   }
 
+  test("temperatureBudgets: T=1 reproduces natural token proportions, " +
+    "large T flattens toward uniform, T<1 sharpens; never exceeds the " +
+    "total; empty corpus yields zero budgets") {
+    // sources with token masses 100 / 300 / 600 (1-token docs)
+    val rows = (0 until 1000).map { i =>
+      val src = if (i < 100) "s" else if (i < 400) "m" else "l"
+      (i.toLong, src, "w")
+    }
+    val df = rows.toDF("doc_id", "source", "text")
+    def b(t: Double) = Selection.temperatureBudgets(
+      df, "source", "text", totalTokens = 1000L, temperature = t)
+    val nat = b(1.0)
+    assert(nat === Map("s" -> 100L, "m" -> 300L, "l" -> 600L))
+    val flat = b(100.0) // n^(1/100) ~ 1: near-uniform thirds (the big
+    // source keeps a sliver of advantage — 330/333/336 at these masses)
+    assert(flat.values.forall(v => v >= 325L && v <= 340L), flat.toString)
+    assert(flat("l") - flat("s") < 10L, "high T must nearly flatten")
+    val sharp = b(0.5) // n²-proportional: the big source dominates
+    assert(sharp("l") > nat("l") && sharp("s") < nat("s"), sharp.toString)
+    // floor() per source keeps every mixture loadable within the total
+    Seq(0.5, 1.0, 2.0, 100.0).foreach { t =>
+      assert(b(t).values.sum <= 1000L, s"T=$t exceeds total")
+    }
+    assert(Selection.temperatureBudgets(
+        df.withColumn("text", lit("")), "source", "text", 1000L, 1.0)
+      .values.forall(_ == 0L), "zero token mass must budget zero")
+    // and the composition feeds mixCorpus: selected tokens per source
+    // stay within the computed budgets
+    val mixed = Selection.mixCorpus(df, "source", "text", "doc_id", sharp)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixed.foreach { case (srcName, n) =>
+      assert(n <= sharp(srcName), s"$srcName over budget") // 1 token/doc
+    }
+  }
+
   test("contaminated/decontaminate split the corpus on benchmark fingerprints") {
     val bench = docs.filter(col("doc_id") === 1L)
     val hit = Selection.contaminated(docs, bench, "text")
