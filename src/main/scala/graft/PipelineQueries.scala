@@ -506,6 +506,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // epoch-repeated mixing (r17): budgets EXCEEDING a source's token
+    // mass deliver full repeat passes + a canonical remainder prefix
+    // (the Pile-style >1-epoch treatment of small curated sources),
+    // capped at maxEpochs — plain mixCorpus would silently
+    // under-deliver these budgets
+    "q_mix_repeated" -> ((s, d) => {
+      val budgets =
+        (0 until 20).map(i => s"src$i" -> (2500L + 700L * (i % 3))).toMap
+      graft.ops.Selection.mixCorpusRepeated(docs(s, d), "source", "text",
+          "doc_id", budgets, maxEpochs = 3)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // Lee-et-al-style span dedup: token 3-gram spans recurring across
     // documents (boilerplate discovery), and the positional scrub that
     // removes every covered token from every document
@@ -1879,6 +1893,36 @@ object PipelineQueries {
            FROM t)
          SELECT c.doc_id, c.source FROM c JOIN b USING (source)
          WHERE c.cum <= b.budget ORDER BY doc_id""",
+
+    // full passes = budget div mass (capped), remainder = the same
+    // hash-ordered inclusive-cumsum prefix at epoch fe
+    "q_mix_repeated" -> {
+      val budgetVals = (0 until 20)
+        .map(i => s"('src$i', ${2500 + 700 * (i % 3)})").mkString(", ")
+      s"""WITH b(source, budget) AS (VALUES $budgetVals),
+         t AS (SELECT doc_id, source,
+           (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT AS tok,
+           md5(source || '§' || doc_id::VARCHAR) AS k FROM documents),
+         n AS (SELECT source, sum(tok)::BIGINT AS n FROM t GROUP BY 1),
+         e AS (SELECT source,
+           CASE WHEN n > 0 THEN least(budget // n, 3) ELSE 0 END AS fe,
+           CASE WHEN n > 0 AND budget // n < 3
+                  THEN budget - least(budget // n, 3) * n
+                WHEN n > 0 THEN 0 ELSE budget END AS rem
+           FROM n JOIN b USING (source)),
+         c AS (SELECT doc_id, source,
+           sum(tok) OVER (PARTITION BY source ORDER BY k, doc_id) AS cum
+           FROM t),
+         fullp AS (SELECT t.doc_id, t.source,
+             unnest(generate_series(0, fe - 1)) AS epoch
+           FROM t JOIN e USING (source) WHERE fe > 0),
+         remp AS (SELECT c.doc_id, c.source, e.fe AS epoch
+           FROM c JOIN e USING (source) WHERE c.cum <= e.rem)
+         SELECT doc_id, source, epoch::BIGINT AS epoch FROM fullp
+         UNION ALL
+         SELECT doc_id, source, epoch::BIGINT AS epoch FROM remp
+         ORDER BY doc_id, epoch"""
+    },
 
     "q_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $SH AS sh FROM documents),

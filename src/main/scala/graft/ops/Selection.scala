@@ -170,6 +170,69 @@ object Selection {
       .drop("__mix_tok", "__mix_k", "__mix_cum", "__mix_budget")
   }
 
+  /** [[mixCorpus]] with EPOCH REPETITION — the published-recipe
+    * behavior mixCorpus cannot express: when a source's budget exceeds
+    * its token mass (a small curated source under a temperature-
+    * upweighted budget), the plain prefix rule silently under-delivers
+    * (it can take each document at most once); real loaders REPEAT the
+    * source (the Pile runs curated sources at >1 epoch). Each source
+    * delivers `fe = min(budget div mass, maxEpochs)` FULL passes plus
+    * the canonical prefix of one more pass covering the remainder
+    * `budget − fe·mass` (no remainder once the cap binds — the cap
+    * announces itself as under-delivery, never as a surprise extra
+    * pass). Output = input columns + `epoch` (0-based; full passes
+    * 0..fe−1, the remainder pass fe), so a loader can interleave
+    * epochs however it schedules.
+    *
+    * Same determinism contract as [[mixCorpus]] (md5 canonical order,
+    * no rand()); same scale shape (map-only token counting, ONE
+    * grouped prefix sum, #sources broadcast joins) — the epoch
+    * explosion is `explode(sequence(0, fe−1))`, map-side over already-
+    * selected rows. Zero-mass sources take the remainder rule at
+    * epoch 0 (every zero-token doc, once — the mixCorpus degenerate
+    * case, not an infinite loop). Long division is exact here: budgets
+    * and masses are < 2^53, so floor(b/n) is the true quotient. */
+  def mixCorpusRepeated(df: DataFrame, sourceCol: String, textCol: String,
+                        idCol: String, budgets: Map[String, Long],
+                        maxEpochs: Int = 4): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val outCols = df.columns.toSeq
+    val keyed = df
+      .withColumn("__mix_tok",
+        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__mix_k",
+        md5(concat_ws("§", col(sourceCol), col(idCol).cast("string"))))
+    val budgetDf = budgets.toSeq.toDF(sourceCol, "__mix_budget")
+    val plan = keyed.groupBy(sourceCol)
+      .agg(sum("__mix_tok").as("__mix_n"))
+      .join(broadcast(budgetDf), Seq(sourceCol))
+      .withColumn("__mix_fe",
+        when(col("__mix_n") > 0,
+          least(floor(col("__mix_budget") / col("__mix_n")).cast("long"),
+            lit(maxEpochs.toLong)))
+          .otherwise(lit(0L)))
+      .withColumn("__mix_rem",
+        when(col("__mix_n") > 0 && col("__mix_fe") < maxEpochs,
+          col("__mix_budget") - col("__mix_fe") * col("__mix_n"))
+          .when(col("__mix_n") > 0, lit(0L))
+          .otherwise(col("__mix_budget")))
+      .select(sourceCol, "__mix_fe", "__mix_rem")
+    val full = keyed.join(broadcast(plan), Seq(sourceCol))
+      .filter(col("__mix_fe") > 0)
+      .select(outCols.map(col) :+
+        explode(sequence(lit(0L), col("__mix_fe") - 1)).as("epoch"): _*)
+    val cum = graft.api.GlobalScan.groupedPrefixSum(
+      keyed, Seq(sourceCol), Seq(col("__mix_k"), col(idCol)),
+      col("__mix_tok"), "__mix_cum")
+    val remainder = cum.join(broadcast(plan), Seq(sourceCol))
+      .filter(col("__mix_cum") <= col("__mix_rem"))
+      .select(outCols.map(col) :+ col("__mix_fe").as("epoch"): _*)
+    full.unionByName(remainder)
+  }
+
   /** Weighted sampling WITHOUT replacement, inclusion probability ∝
     * `weightCol` (Efraimidis & Spirakis 2006, via the equivalent
     * Gumbel-key formulation: max-k of ln w + Gumbel noise ≡ max-k of

@@ -76,6 +76,42 @@ class SelectionSpec extends SparkTestBase {
     assert(bySrc("a").map(_._3.split(" ").length).sum <= 12L)
   }
 
+  test("mixCorpusRepeated: budget div mass full passes + canonical " +
+    "remainder prefix; the cap binds as under-delivery (no surprise " +
+    "pass); zero-mass source takes the remainder rule once") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a: mass 7 (docs 1:3tok, 2:4tok), budget 17 => fe=2, rem=3;
+    // b: mass 4 (docs 3,4: 2tok each), budget 100, maxEpochs=3 =>
+    //    fe capped at 3, rem=0;
+    // z: mass 0 (doc 5 empty), budget 5 => fe=0, remainder rule keeps
+    //    the zero-token doc once at epoch 0
+    val rows = Seq(
+      (1L, "a", "w w w"), (2L, "a", "w w w w"),
+      (3L, "b", "w w"), (4L, "b", "w w"),
+      (5L, "z", ""))
+    val got = Selection.mixCorpusRepeated(
+        rows.toDF("doc_id", "source", "text"), "source", "text",
+        "doc_id", Map("a" -> 17L, "b" -> 100L, "z" -> 5L), maxEpochs = 3)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a's remainder (3 tokens): the md5-order prefix while cum <= 3
+    val aDocs = Seq((1L, 3L), (2L, 4L))
+      .sortBy { case (id, _) => (md5hex(s"a§$id"), id) }
+    var cum = 0L
+    val aRem = aDocs.takeWhile { case (_, t) => cum += t; cum <= 3 }
+      .map { case (id, _) => (id, 2L) }
+    val want =
+      (for (id <- Seq(1L, 2L); e <- 0L to 1L) yield (id, e)).toSet ++
+        aRem.toSet ++
+        (for (id <- Seq(3L, 4L); e <- 0L to 2L) yield (id, e)).toSet ++
+        Set((5L, 0L))
+    assert(got === want, s"got=$got want=$want")
+    assert(!got.exists { case (id, e) => (id == 3L || id == 4L) && e >= 3 },
+      "the cap must not emit a surprise extra pass")
+  }
+
   test("temperatureBudgets: T=1 reproduces natural token proportions, " +
     "large T flattens toward uniform, T<1 sharpens; never exceeds the " +
     "total; empty corpus yields zero budgets") {
