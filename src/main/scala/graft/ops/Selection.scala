@@ -137,28 +137,86 @@ object Selection {
     * real recipe, but pin the cert to an integral 1/T. */
   def temperatureBudgets(df: DataFrame, sourceCol: String, textCol: String,
                          totalTokens: Long,
+                         temperature: Double): Map[String, Long] =
+    temperatureBudgets(sourceTokenMasses(df, sourceCol, textCol),
+      totalTokens, temperature)
+
+  /** Observed per-source token masses — ONE corpus tokenize pass,
+    * reusable by [[temperatureBudgets]] AND as a sanity input to the
+    * mixing calls, so a composed recipe (masses → budgets → mix)
+    * tokenizes the corpus ONCE when the caller materializes a token
+    * column ([[mixCorpusByTokens]]) instead of three times (r17
+    * review). The source key is cast to string (mixCorpus accepts any
+    * castable source type — this must too) and an all-null-text
+    * source aggregates to mass 0, not a driver NPE. #sources rows to
+    * the driver — k-bounded by construction. */
+  def sourceTokenMasses(df: DataFrame, sourceCol: String,
+                        textCol: String): Map[String, Long] =
+    sourceMassesOf(df, sourceCol,
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+
+  /** [[sourceTokenMasses]] over a PRECOMPUTED token-count column —
+    * zero tokenize passes. */
+  def sourceMasses(df: DataFrame, sourceCol: String,
+                   tokenCol: String): Map[String, Long] =
+    sourceMassesOf(df, sourceCol, col(tokenCol).cast("long"))
+
+  private def sourceMassesOf(df: DataFrame, sourceCol: String,
+                             tok: Column): Map[String, Long] =
+    df.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(coalesce(sum(tok), lit(0L)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** [[temperatureBudgets]] from PRECOMPUTED masses (driver-pure —
+    * no corpus pass): the one-tokenize-pass recipe form. */
+  def temperatureBudgets(masses: Map[String, Long], totalTokens: Long,
                          temperature: Double): Map[String, Long] = {
     require(temperature > 0, s"temperature must be positive: $temperature")
     require(totalTokens >= 0, "totalTokens must be non-negative")
-    val counts = df.groupBy(sourceCol)
-      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val powed = counts.map { case (s, n) =>
+    val powed = masses.toSeq.map { case (s, n) =>
       s -> math.pow(n.toDouble, 1.0 / temperature) }
     val z = powed.map(_._2).sum
-    if (z == 0.0) counts.map { case (s, _) => s -> 0L }.toMap
+    if (z == 0.0) masses.map { case (s, _) => s -> 0L }
     else powed.map { case (s, p) =>
       s -> math.floor(totalTokens * p / z).toLong }.toMap
   }
 
   def mixCorpus(df: DataFrame, sourceCol: String, textCol: String,
-                idCol: String, budgets: Map[String, Long]): DataFrame = {
+                idCol: String, budgets: Map[String, Long]): DataFrame =
+    mixCorpusOf(df, sourceCol,
+      TextAnalysis.tokenCount(col(textCol)).cast("long"), idCol, budgets)
+
+  /** [[mixCorpus]] over a PRECOMPUTED token-count column (e.g. the
+    * `n_tok` a scoring pass already materialized) — the
+    * one-tokenize-pass recipe form (r17 review: the text form re-pays
+    * the corpus tokenize pass [[temperatureBudgets]]' mass observation
+    * already paid; at 100 TB a tokenize map pass is real money).
+    * Identical selection to the text form when the column equals
+    * [[TextAnalysis.tokenCount]] of the text (SelectionSpec law). */
+  def mixCorpusByTokens(df: DataFrame, sourceCol: String, tokenCol: String,
+                        idCol: String, budgets: Map[String, Long]): DataFrame =
+    mixCorpusOf(df, sourceCol, col(tokenCol).cast("long"), idCol, budgets)
+
+  /** Staged mixing columns collide with nothing (r17 advice: the
+    * staging-column discipline of weightedQuantileDistributed — an
+    * input already carrying a `__mix_*` name would silently produce
+    * duplicate/ambiguous columns). */
+  private def requireNoMixCollision(df: DataFrame,
+                                    extra: Seq[String] = Nil): Unit =
+    (Seq("__mix_tok", "__mix_k", "__mix_cum", "__mix_budget", "__mix_n",
+      "__mix_fe", "__mix_rem") ++ extra).foreach(c =>
+      require(!df.columns.contains(c),
+        s"corpus mixing stages a column named '$c'; rename the input's"))
+
+  private def mixCorpusOf(df: DataFrame, sourceCol: String, tok: Column,
+                          idCol: String,
+                          budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty, "budgets must be non-empty")
+    requireNoMixCollision(df)
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df
-      .withColumn("__mix_tok",
-        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__mix_tok", tok)
       .withColumn("__mix_k",
         md5(concat_ws("§", col(sourceCol), col(idCol).cast("string"))))
     val cum = graft.api.GlobalScan.groupedPrefixSum(
@@ -194,15 +252,32 @@ object Selection {
     * and masses are < 2^53, so floor(b/n) is the true quotient. */
   def mixCorpusRepeated(df: DataFrame, sourceCol: String, textCol: String,
                         idCol: String, budgets: Map[String, Long],
-                        maxEpochs: Int = 4): DataFrame = {
+                        maxEpochs: Int = 4): DataFrame =
+    mixCorpusRepeatedOf(df, sourceCol,
+      TextAnalysis.tokenCount(col(textCol)).cast("long"), idCol, budgets,
+      maxEpochs)
+
+  /** [[mixCorpusRepeated]] over a PRECOMPUTED token-count column — the
+    * one-tokenize-pass recipe form (see [[mixCorpusByTokens]]). */
+  def mixCorpusRepeatedByTokens(df: DataFrame, sourceCol: String,
+                                tokenCol: String, idCol: String,
+                                budgets: Map[String, Long],
+                                maxEpochs: Int = 4): DataFrame =
+    mixCorpusRepeatedOf(df, sourceCol, col(tokenCol).cast("long"), idCol,
+      budgets, maxEpochs)
+
+  private def mixCorpusRepeatedOf(df: DataFrame, sourceCol: String,
+                                  tok: Column, idCol: String,
+                                  budgets: Map[String, Long],
+                                  maxEpochs: Int): DataFrame = {
     require(budgets.nonEmpty, "budgets must be non-empty")
     require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    requireNoMixCollision(df, extra = Seq("epoch"))
     val spark = df.sparkSession
     import spark.implicits._
     val outCols = df.columns.toSeq
     val keyed = df
-      .withColumn("__mix_tok",
-        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__mix_tok", tok)
       .withColumn("__mix_k",
         md5(concat_ws("§", col(sourceCol), col(idCol).cast("string"))))
     val budgetDf = budgets.toSeq.toDF(sourceCol, "__mix_budget")
@@ -227,8 +302,14 @@ object Selection {
     val cum = graft.api.GlobalScan.groupedPrefixSum(
       keyed, Seq(sourceCol), Seq(col("__mix_k"), col(idCol)),
       col("__mix_tok"), "__mix_cum")
+    // __mix_rem > 0 guard (r17 advice): with a zero remainder (epoch
+    // cap bound, or budget an exact multiple of mass) zero-token docs
+    // satisfy cum <= 0 and would ride an extra surprise pass at epoch
+    // fe — the scaladoc's "no remainder once the cap binds" must hold
+    // literally. Zero-mass sources keep their documented degenerate
+    // path (rem = budget > 0 emits every zero-token doc once).
     val remainder = cum.join(broadcast(plan), Seq(sourceCol))
-      .filter(col("__mix_cum") <= col("__mix_rem"))
+      .filter(col("__mix_rem") > 0 && col("__mix_cum") <= col("__mix_rem"))
       .select(outCols.map(col) :+ col("__mix_fe").as("epoch"): _*)
     full.unionByName(remainder)
   }
@@ -248,13 +329,16 @@ object Selection {
     * subsample step ("keep 10M docs, preferring high quality") of a
     * scored corpus. */
   def weightedSample(df: DataFrame, weightCol: String, idCol: String,
-                     k: Int, seed: Int = 7): DataFrame =
+                     k: Int, seed: Int = 7): DataFrame = {
+    require(!df.columns.contains("key"),
+      "weightedSample appends a column named 'key'; rename the input's")
     df.filter(col(weightCol) > 0)
       .withColumn("key",
         round(round(log(col(weightCol).cast("double")), 6) +
           Dsir.gumbel(col(idCol), seed), 6))
       .orderBy(desc("key"), col(idCol))
       .limit(k)
+  }
 
   /** Deterministic assignment of documents to `numShards` output
     * shards of near-equal TOKEN mass — the "write the mixture as N
@@ -274,6 +358,13 @@ object Selection {
   def shardByTokenBudget(df: DataFrame, textCol: String, idCol: String,
                          numShards: Int): DataFrame = {
     require(numShards >= 1, "numShards must be >= 1")
+    // output columns n_tok/shard and the staged names must not collide:
+    // withColumn would silently REPLACE an input n_tok (changing the
+    // caller's data), and a staged-name collision breaks the prefix sum
+    Seq("n_tok", "shard", "__sh_k", "__sh_cum", "__sh_total").foreach(c =>
+      require(!df.columns.contains(c),
+        s"shardByTokenBudget appends/stages a column named '$c'; " +
+          "rename the input's"))
     val keyed = df
       // coalesce: a null text yields a null token count, which would
       // slip through least() to shard numShards-1 and null the

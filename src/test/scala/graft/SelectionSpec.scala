@@ -112,6 +112,89 @@ class SelectionSpec extends SparkTestBase {
       "the cap must not emit a surprise extra pass")
   }
 
+  test("mixCorpusRepeated: a ZERO remainder emits nothing — zero-token " +
+    "docs must not ride a surprise extra pass at epoch fe (r17 advice)") {
+    // source q: mass 4 from docs 6,7 plus a ZERO-token doc 8.
+    // budget 8 = exactly 2·mass => fe=2, rem=0: doc 8 appears at epochs
+    // 0 and 1 ONLY (it is part of each full pass), never at epoch 2.
+    // Same shape under a binding cap: budget 100, maxEpochs=2 => rem=0.
+    val rows = Seq((6L, "q", "w w"), (7L, "q", "w w"), (8L, "q", ""))
+    def epochsOf(budget: Long, cap: Int) = Selection.mixCorpusRepeated(
+        rows.toDF("doc_id", "source", "text"), "source", "text",
+        "doc_id", Map("q" -> budget), maxEpochs = cap)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = epochsOf(8L, 4)
+    val want = (for (id <- Seq(6L, 7L, 8L); e <- 0L to 1L)
+      yield (id, e)).toSet
+    assert(exact === want, s"exact-multiple budget: $exact")
+    val capped = epochsOf(100L, 2)
+    assert(capped === want, s"binding cap: $capped")
+  }
+
+  test("selection surface refuses output/staging column collisions " +
+    "loudly (r17 advice): epoch / __mix_* / key / n_tok") {
+    val d = Seq((1L, "a", "w w", 0L)).toDF("doc_id", "source", "text", "epoch")
+    val e1 = intercept[IllegalArgumentException] {
+      Selection.mixCorpusRepeated(d, "source", "text", "doc_id",
+        Map("a" -> 5L))
+    }
+    assert(e1.getMessage.contains("epoch"))
+    val d2 = Seq((1L, "a", "w", "x")).toDF("doc_id", "source", "text", "__mix_k")
+    val e2 = intercept[IllegalArgumentException] {
+      Selection.mixCorpus(d2, "source", "text", "doc_id", Map("a" -> 5L))
+    }
+    assert(e2.getMessage.contains("__mix_k"))
+    val d3 = Seq((1L, 2.0, "z")).toDF("doc_id", "w", "key")
+    val e3 = intercept[IllegalArgumentException] {
+      Selection.weightedSample(d3, "w", "doc_id", k = 1)
+    }
+    assert(e3.getMessage.contains("key"))
+    val d4 = Seq((1L, "w w", 9L)).toDF("doc_id", "text", "n_tok")
+    val e4 = intercept[IllegalArgumentException] {
+      Selection.shardByTokenBudget(d4, "text", "doc_id", 2)
+    }
+    assert(e4.getMessage.contains("n_tok"))
+  }
+
+  test("temperatureBudgets: non-string source keys cast (not CCE) and " +
+    "an all-null-text source masses to 0 (not NPE) — r17 advice") {
+    val d = Seq((1L, 10, Some("w w w")), (2L, 20, None), (3L, 20, None))
+      .toDF("doc_id", "source", "text")
+    val b = Selection.temperatureBudgets(d, "source", "text", 100L, 1.0)
+    assert(b === Map("10" -> 100L, "20" -> 0L), b.toString)
+  }
+
+  test("one-tokenize-pass recipe: masses -> budgets -> ByTokens mixing " +
+    "runs on a frame with NO text column at all (type-level proof the " +
+    "composed recipe never re-tokenizes) and equals the text path") {
+    val rows = Seq(
+      (1L, "a", "w w w"), (2L, "a", "w w w w"),
+      (3L, "b", "w w"), (4L, "b", "w w"))
+    val withText = rows.toDF("doc_id", "source", "text")
+    // one tokenize pass, materialized; the text column is then DROPPED
+    val counted = withText
+      .withColumn("n_tok", ops.TextAnalysis.tokenCount(col("text")))
+      .drop("text")
+    val masses = Selection.sourceMasses(counted, "source", "n_tok")
+    assert(masses === Map("a" -> 7L, "b" -> 4L))
+    assert(masses === Selection.sourceTokenMasses(withText, "source", "text"))
+    val budgets = Selection.temperatureBudgets(masses, 11L, 1.0)
+    assert(budgets === Selection.temperatureBudgets(
+      withText, "source", "text", 11L, 1.0))
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "epoch").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sel(Selection.mixCorpusRepeatedByTokens(counted, "source",
+        "n_tok", "doc_id", budgets)) ===
+      sel(Selection.mixCorpusRepeated(withText, "source", "text",
+        "doc_id", budgets)))
+    assert(Selection.mixCorpusByTokens(counted, "source", "n_tok",
+        "doc_id", budgets).select("doc_id").as[Long].collect().toSet ===
+      Selection.mixCorpus(withText, "source", "text", "doc_id", budgets)
+        .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("temperatureBudgets: T=1 reproduces natural token proportions, " +
     "large T flattens toward uniform, T<1 sharpens; never exceeds the " +
     "total; empty corpus yields zero budgets") {
