@@ -323,6 +323,85 @@ class StreamingSpec extends SparkTestBase {
     assert(eCfg.getMessage.contains("bloom built for"))
   }
 
+  test("mergeable delta blooms (r17 missing #3): merge(bloom(index), " +
+    "bloomDelta(delta)) is BYTE-identical to a fresh build over " +
+    "index ∪ delta at the same geometry; the merged bloom's streaming " +
+    "drops cover both the stale bloom's and the exact join path's; " +
+    "geometry and cfg mismatches refuse loudly") {
+    import graft.streaming.StreamingDedup
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val all = sf("documents")
+    val corpus = all.filter(col("doc_id") % 10 >= 2)
+    val survivors = all.filter(col("doc_id") % 10 === 1)
+    val idx = Dedup.bandIndex(corpus, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .localCheckpoint()
+    val delta = Dedup.bandIndexDelta(survivors, "text", "doc_id",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
+      .localCheckpoint()
+    val bloom0 = Dedup.bandKeyBloom(idx,
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true, fpp = 0.001)
+    val dBloom = Dedup.bandKeyBloomDelta(delta, sizedLike = bloom0)
+    val merged = Dedup.mergeKeyBlooms(bloom0, dBloom)
+    // the strong law: inserting a key set is order- and
+    // partition-independent (idempotent bit-OR), so the merged filter
+    // is bit-for-bit the fresh build over the union at this geometry
+    val rebuilt = Dedup.bandKeyBloomDelta(
+      idx.unionByName(delta.select(idx.columns.map(col): _*)),
+      sizedLike = bloom0)
+    assert(java.util.Arrays.equals(merged.bytes, rebuilt.bytes),
+      "merged bloom bits diverge from a same-geometry rebuild")
+    assert(merged.cfg === bloom0.cfg &&
+      merged.sizedForKeys === bloom0.sizedForKeys)
+    // streaming: the merged bloom drops everything the STALE bloom
+    // drops (bits only get added) AND everything the exact join path
+    // drops against the FRESH corpus (no under-drop — the unabsorbable
+    // direction)
+    val batchDocs = all.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def run(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            name: String) = {
+      val input = MemoryStream[(Long, String)]
+      val q = mk(input.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(batchDocs: _*); q.processAllAvailable()
+        spark.table(name).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    val survStale = run(s => StreamingDedup.dropNearDupsAgainstIndexBloom(
+      s, bloom0, "text", numHashes = 4, bandSize = 1, k = 3,
+      useMd5 = true), "mrg_stale_out")
+    val survMerged = run(s => StreamingDedup.dropNearDupsAgainstIndexBloom(
+      s, merged, "text", numHashes = 4, bandSize = 1, k = 3,
+      useMd5 = true), "mrg_merged_out")
+    val survJoinFresh = run(s => StreamingDedup.dropNearDupsAgainstIndex(
+      s, idx.unionByName(delta.select(idx.columns.map(col): _*)), "text",
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true), "mrg_join_out")
+    assert(survMerged.subsetOf(survStale),
+      s"merged bloom un-dropped a stale-bloom drop: ${survMerged -- survStale}")
+    assert(survMerged.subsetOf(survJoinFresh),
+      s"merged bloom kept an exact fresh-path drop: ${survMerged -- survJoinFresh}")
+    assert(survMerged.nonEmpty)
+    // geometry mismatch (a delta bloom sized on its own key count)
+    // refuses with the fix spelled out; cfg mismatch refuses too
+    val wrongGeom = Dedup.bandKeyBloom(delta,
+      numHashes = 4, bandSize = 1, k = 3, useMd5 = true, fpp = 0.001)
+    val eG = intercept[IllegalArgumentException] {
+      Dedup.mergeKeyBlooms(bloom0, wrongGeom)
+    }
+    assert(eG.getMessage.contains("bandKeyBloomDelta"), eG.getMessage)
+    val eC = intercept[IllegalArgumentException] {
+      Dedup.mergeKeyBlooms(bloom0,
+        merged.copy(cfg = "mh:6:1:3:xx"))
+    }
+    assert(eC.getMessage.contains("different configs"), eC.getMessage)
+  }
+
   test("streaming semantic drop against a cell index: EXACT survivors " +
     "(anti-join carries the cosine verify over index-carried vectors), " +
     "equal to the batch path, zero state operators; stale quantizer " +
