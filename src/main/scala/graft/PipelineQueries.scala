@@ -1504,6 +1504,32 @@ object PipelineQueries {
         .orderBy("id_batch", "id_corpus")
     }),
 
+    // PQ-CODED incremental semantic dedup (r18): the same daily-batch
+    // query through the two-phase tier — ADC screen against the m-byte
+    // code index at threshold − margin, exact cosine re-verify on the
+    // candidate sliver only (raw vectors fetched by size-gated
+    // broadcast semi-join). margin is the CALIBRATED sound bound
+    // (Similarity.calibratePqMargin: max relative reconstruction
+    // error, Cauchy–Schwarz query-independent), so the screen's recall
+    // is provably 1 and the result is bit-EXACTLY the vector tier's —
+    // same oracle SQL as q_incremental_semantic certifies it.
+    "q_incremental_semantic_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val idx = Similarity.semanticCellIndexPq(corpus, "vec_id",
+        "embedding", cents, pqCb.toArray, pqM, pqK)
+      val margin = Similarity.calibratePqMargin(corpus, "embedding",
+        pqCb.toArray, pqM, pqK)
+      Similarity.semanticNearDupsAgainstIndexPq(
+        e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        idx, corpus, "vec_id", "embedding", cents,
+        pqCb.toArray, pqM, pqK, threshold = 0.4, margin = margin)
+        .select(col("cid"), col("id_batch"), col("id_corpus"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("id_batch", "id_corpus")
+    }),
+
     // IVF with one Lloyd refinement round end-to-end: label-seeded
     // centroids -> assign -> recompute (rounded-centroid determinism)
     // -> probe-limited search against the REFINED quantizer
@@ -1670,6 +1696,22 @@ object PipelineQueries {
            SELECT id FROM (SELECT id, min(label) AS keep FROM reach GROUP BY 1)
            WHERE id != keep)
          ORDER BY vec_id""",
+
+    // the PQ tier's final semantics are EXACTLY the vector tier's
+    // (calibrated-margin screen + exact re-verify), so the same SQL
+    // certifies it — the screen is internal query machinery, like the
+    // bloom phase of q_bloom_decontam
+    "q_incremental_semantic_pq" ->
+      s"""WITH $semanticAssignCoreSql,
+         b AS (SELECT * FROM assign WHERE vec_id % 5 = 0),
+         c AS (SELECT * FROM assign WHERE vec_id % 5 <> 0)
+         SELECT b.cid, b.vec_id AS id_batch, c.vec_id AS id_corpus,
+           round(list_dot_product(e1.v, e2.v) / (e1.n * e2.n), 4) AS sim
+         FROM b JOIN c USING (cid)
+         JOIN e e1 ON e1.vec_id = b.vec_id
+         JOIN e e2 ON e2.vec_id = c.vec_id
+         WHERE list_dot_product(e1.v, e2.v) / (e1.n * e2.n) >= 0.4
+         ORDER BY 2, 3""",
 
     "q_incremental_semantic" ->
       s"""WITH $semanticAssignCoreSql,

@@ -292,15 +292,48 @@ object Similarity {
       .withColumn("cfg", lit(centroidCfg(centroids)))
   }
 
+  /** Degenerate-cell audit for the semantic index (r17 verdict
+    * "What's missing #2"): the band indexes prune >maxBucket buckets
+    * at build because a degenerate key fans out against every batch;
+    * the cell index has no prune (cell sizes are the quantizer's k
+    * knob), so a collapsed or badly-sized quantizer silently
+    * concentrates a corpus fraction in one cid and the cid equi-join
+    * goes QUADRATIC in that cell — the cfg fingerprint catches a
+    * STALE quantizer, not a BAD one. One map-side-combinable count
+    * aggregation over rows already in hand (k result rows); REFUSES
+    * loudly above `maxCell` with the offending cells and counts in
+    * the message — the fix is a better quantizer (raise k /
+    * [[refineCentroids]]), not admission of a quadratic index. */
+  private def auditCells(index: DataFrame, maxCell: Long,
+                         what: String): Unit = {
+    require(maxCell > 0, s"maxCell must be positive: $maxCell")
+    val over = index.groupBy("cid").agg(count(lit(1)).as("__cell_n"))
+      .filter(col("__cell_n") > maxCell)
+      .orderBy(desc("__cell_n")).limit(10).collect()
+    require(over.isEmpty,
+      s"$what: degenerate cells exceed maxCell=$maxCell: " +
+        over.map(r => s"cid=${r.get(0)} rows=${r.getLong(1)}")
+          .mkString(", ") +
+        " — the quantizer is collapsed or undersized for this corpus " +
+        "(the cid equi-join would go quadratic in these cells); raise " +
+        "the quantizer's k or refine the centroids, then rebuild")
+  }
+
   /** Persist [[semanticCellIndex]] bucketed on cid (the
-    * [[graft.ops.Dedup.writeBandIndex]] economics). */
+    * [[graft.ops.Dedup.writeBandIndex]] economics). `maxCell` audits
+    * cell sizes before the write ([[auditCells]]) — one extra count
+    * pass over the assignment, the price of refusing a quadratic
+    * index at build instead of discovering it per-batch forever. */
   def writeSemanticCellIndex(corpus: DataFrame, idCol: String,
                              vecCol: String, centroids: DataFrame,
                              table: String, buckets: Int,
-                             path: Option[String] = None): Unit =
-    graft.api.Layout.writeBucketed(
-      semanticCellIndex(corpus, idCol, vecCol, centroids),
-      table, Seq("cid"), buckets, path = path)
+                             path: Option[String] = None,
+                             maxCell: Long = 4000000L): Unit = {
+    val idx = semanticCellIndex(corpus, idCol, vecCol, centroids)
+    auditCells(idx, maxCell, "writeSemanticCellIndex")
+    graft.api.Layout.writeBucketed(idx, table, Seq("cid"), buckets,
+      path = path)
+  }
 
   /** The admitted-survivors DELTA for the semantic index (the
     * [[graft.ops.Dedup.bandIndexDelta]] maintenance shape: plain
@@ -314,11 +347,20 @@ object Similarity {
 
   /** Fold a delta into a NEW bucketed index version (in-place refused —
     * the [[graft.ops.Dedup.compactBandIndex]] rationale); a
-    * cross-quantizer delta is refused loudly via the cfg stamp. */
+    * cross-quantizer delta is refused loudly via the cfg stamp, and
+    * the combined cell histogram is re-audited ([[auditCells]]) —
+    * deltas grow cells, so compaction is where a slowly-collapsing
+    * quantizer gets caught. Column-generic on everything but `cid` and
+    * `cfg`, so it also compacts the PQ-coded index
+    * ([[semanticCellIndexPq]]). Duplicate rows from a double-appended
+    * delta (job rerun — the commit protocol is the caller's) are
+    * dropped at the delta grain, matching what a true rebuild from
+    * admitted survivors would hold. */
   def compactSemanticCellIndex(spark: org.apache.spark.sql.SparkSession,
                                indexTable: String, delta: DataFrame,
                                outTable: String, buckets: Int,
-                               path: Option[String] = None): Unit = {
+                               path: Option[String] = None,
+                               maxCell: Long = 4000000L): Unit = {
     require(outTable != indexTable,
       "compactSemanticCellIndex writes a NEW table version: Spark " +
         "cannot overwrite a table it is reading from — compact to a " +
@@ -330,9 +372,12 @@ object Similarity {
           Dedup.requireCfg(delta, r.getString(0))
         case _ => delta
       }
-    graft.api.Layout.writeBucketed(
-      index.unionByName(deltaCfgd.select(index.columns.map(col): _*)),
-      outTable, Seq("cid"), buckets, path = path)
+    val unioned = index.unionByName(
+      deltaCfgd.select(index.columns.map(col): _*)
+        .dropDuplicates("cid", "id"))
+    auditCells(unioned, maxCell, "compactSemanticCellIndex")
+    graft.api.Layout.writeBucketed(unioned, outTable, Seq("cid"),
+      buckets, path = path)
   }
 
   /** Near-duplicate pairs of a NEW BATCH of embeddings against the
@@ -439,6 +484,63 @@ object Similarity {
       .drop(staging: _*)
   }
 
+  /** Stateless PQ drop-against-index PLAN — the streaming mirror's
+    * core ([[graft.streaming.StreamingDedup.dropSemanticAgainstCellIndexPq]];
+    * works identically on a batch frame). One LEFT ANTI join whose
+    * condition carries the ADC screen: a row is dropped iff a
+    * same-cell index CODE scores ≥ threshold − margin against the
+    * row's LUT. Candidate-grain OVER-drop posture (the MinHash
+    * streaming mirror's): with `margin` from [[calibratePqMargin]]
+    * every true duplicate is dropped (never under-drops — the
+    * unabsorbable direction), and near-threshold non-duplicates may be
+    * over-dropped; there is no exact re-verify on a stream because
+    * that would re-join the raw-vector payload this tier exists to
+    * retire. The per-trigger static side is m ints + one double per
+    * corpus row — the ~dims×8/(4m) shrink over the exact mirror.
+    * Null/ragged/zero-norm stream vectors assign to no cell or null
+    * the condition and SURVIVE (exact-path parity: their cosine is 0).
+    * Zero aggregations ⇒ zero state operators. */
+  private[graft] def semanticDropAgainstIndexPqPlan(df: DataFrame,
+                                                    vecCol: String,
+                                                    indexPq: DataFrame,
+                                                    centroids: DataFrame,
+                                                    cb: Array[Double],
+                                                    m: Int,
+                                                    codesPerSub: Int,
+                                                    threshold: Double,
+                                                    margin: Double,
+                                                    delta: Option[DataFrame])
+    : DataFrame = {
+    VectorExprs.ensureRegistered(df.sparkSession)
+    require(margin >= 0, s"margin must be non-negative: $margin")
+    val cfg = pqCellCfg(centroids, cb, m, codesPerSub)
+    val subDim = cb.length / (m * codesPerSub)
+    val (cids, matrix, dims) = centroidMatrix(centroids)
+    val staging = Seq("__v", "__n", "__cid", "__lut")
+    staging.foreach(c => require(!df.columns.contains(c),
+      s"semantic PQ drop stages a column named '$c'; rename the input's"))
+    val assigned = df
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("__cid",
+        VectorExprs.nearestCentroid(col("__v"), cids, matrix, dims))
+      .withColumn("__lut",
+        VectorExprs.pqLut(col("__v"), cb, m, codesPerSub, subDim))
+    def anti(d: DataFrame, ix: DataFrame) = {
+      val i = graft.ops.Dedup.requireCfg(ix, cfg)
+        .select(col("cid").as("__icid"), col("codes").as("__codes"),
+          col("n").as("__cn"))
+      d.join(i,
+        col("__cid") === col("__icid") && col("__n") > 0 &&
+          VectorExprs.pqAdc(col("__codes"), col("__lut"), codesPerSub) /
+            (col("__n") * col("__cn")) >= threshold - margin,
+        "left_anti")
+    }
+    delta.fold(anti(assigned, indexPq))(dl =>
+      anti(anti(assigned, indexPq), dl))
+      .drop(staging: _*)
+  }
+
   /** Survivor selection for the incremental semantic path (corpus
     * wins); the dup-id anti-join hint follows the measured size gate
     * ([[graft.ops.Dedup.dropNearDupsAgainstIndex]] discipline). */
@@ -448,6 +550,248 @@ object Similarity {
                                delta: Option[DataFrame] = None): DataFrame = {
     val dup = semanticNearDupsAgainstIndex(batch, idCol, vecCol, index,
       centroids, threshold, delta)
+      .select(col("id_batch").as(idCol)).distinct()
+      .localCheckpoint()
+    val thresholdRows = batch.sparkSession.conf
+      .getOption("spark.graft.dedup.idBroadcastThreshold")
+      .map(_.toLong).getOrElse(1L << 22)
+    val hinted = if (dup.count() <= thresholdRows) broadcast(dup) else dup
+    batch.join(hinted, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------------
+  // PQ-CODED semantic cell index (r17 verdict lead item): the
+  // vector-carrying index stores dims×8 bytes/row — ~6 TB at 10⁹ docs
+  // × 768 dims — and the streaming mirror re-joins that payload EVERY
+  // trigger. This tier stores m int codes + one norm instead (the
+  // ~50× shrink), scores candidates with the codegen'd ADC lookup sum,
+  // and confines the exact cosine re-verify to the near-threshold
+  // sliver (raw vectors fetched for candidate ids only — the
+  // q_bloom_decontam two-phase posture). With the CALIBRATED margin
+  // ([[calibratePqMargin]]: max per-vector relative reconstruction
+  // error, a query-independent Cauchy–Schwarz bound) the candidate set
+  // provably covers every true pair, so the final result is
+  // bit-EXACT — certified against the same oracle as the exact tier.
+  // -------------------------------------------------------------------
+
+  /** Per-(sub, code) squared sub-centroid norms as a flat LUT:
+    * sq(s·k+c) = Σ_d cb[(s·k+c)·subDim+d]². Shaped exactly like a
+    * query LUT, so ‖recon(x)‖² = Σ_s sq[s·k+codes(s)] evaluates with
+    * the SAME codegen'd [[graft.functions.VectorExprs.pqAdc]] lookup
+    * sum — no new kernel. m·k doubles, a driver-side literal. */
+  private def cbSqNorms(cb: Array[Double], m: Int, k: Int,
+                        subDim: Int): Array[Double] = {
+    val out = new Array[Double](m * k)
+    var sc = 0
+    while (sc < m * k) {
+      var acc = 0.0
+      val base = sc * subDim
+      var d = 0
+      while (d < subDim) { acc += cb(base + d) * cb(base + d); d += 1 }
+      out(sc) = acc
+      sc += 1
+    }
+    out
+  }
+
+  /** Config stamp for the PQ-coded cell index: the centroid-table
+    * fingerprint ([[centroidCfg]]) folded with an md5 of the flat
+    * codebook and its geometry — a stale CODEBOOK mis-scores every
+    * candidate just as silently as a stale quantizer mis-cells it, so
+    * both throw at scan time via [[graft.ops.Dedup.requireCfg]]. */
+  def pqCellCfg(centroids: DataFrame, cb: Array[Double], m: Int,
+                codesPerSub: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val canon = centroidCfg(centroids) + "|" +
+      cb.map(_.toString).mkString(",") + s"|$m|$codesPerSub"
+    "sempq:" + md.digest(canon.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** PQ-coded semantic cell index: (cid, id, codes array<int> of m,
+    * n — the TRUE vector norm, cfg). Same nearest-centroid assignment
+    * as [[semanticCellIndex]]; the payload is m codes + 8 norm bytes
+    * per row instead of dims doubles. Rows whose vector is null/ragged
+    * (null codes) or zero-norm are EXCLUDED: the exact tier can never
+    * verify them as duplicates (cosine is 0 by the `nn > 0` guard), so
+    * exclusion preserves exact-tier semantics while keeping the index
+    * dense. The true norm rides along because ADC approximates
+    * dot(q, recon(x)) — dividing by (‖q‖·‖x‖) with the TRUE ‖x‖ keeps
+    * the score error bounded by ‖x − recon(x)‖/‖x‖ (the
+    * [[calibratePqMargin]] bound). */
+  def semanticCellIndexPq(corpus: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame, cb: Array[Double], m: Int,
+                          codesPerSub: Int): DataFrame = {
+    VectorExprs.ensureRegistered(corpus.sparkSession)
+    val subDim = cb.length / (m * codesPerSub)
+    val e = corpus.select(col(idCol).as("__id"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    nearestCentroids(e, "__id", centroids, 1)
+      .select(col("cid"), col("__id").as("id"),
+        VectorExprs.pqEncode(col("__v"), cb, m, codesPerSub, subDim)
+          .as("codes"),
+        col("__n").as("n"))
+      .filter(col("codes").isNotNull && col("n") > 0)
+      .withColumn("cfg", lit(pqCellCfg(centroids, cb, m, codesPerSub)))
+  }
+
+  /** Persist [[semanticCellIndexPq]] bucketed on cid, with the same
+    * degenerate-cell audit as the vector-carrying write. */
+  def writeSemanticCellIndexPq(corpus: DataFrame, idCol: String,
+                               vecCol: String, centroids: DataFrame,
+                               cb: Array[Double], m: Int, codesPerSub: Int,
+                               table: String, buckets: Int,
+                               path: Option[String] = None,
+                               maxCell: Long = 4000000L): Unit = {
+    val idx = semanticCellIndexPq(corpus, idCol, vecCol, centroids, cb,
+      m, codesPerSub)
+    auditCells(idx, maxCell, "writeSemanticCellIndexPq")
+    graft.api.Layout.writeBucketed(idx, table, Seq("cid"), buckets,
+      path = path)
+  }
+
+  /** Admitted-survivors DELTA for the PQ index (fold back with
+    * [[compactSemanticCellIndex]] — it is column-generic, so the same
+    * compactor serves both tiers). */
+  def semanticCellIndexPqDelta(survivors: DataFrame, idCol: String,
+                               vecCol: String, centroids: DataFrame,
+                               cb: Array[Double], m: Int,
+                               codesPerSub: Int): DataFrame =
+    semanticCellIndexPq(survivors, idCol, vecCol, centroids, cb, m,
+      codesPerSub)
+
+  /** The SOUND ADC margin for a corpus under a codebook: the maximum
+    * relative reconstruction error max_x ‖x − recon(x)‖ / ‖x‖. For any
+    * query q, |cos(q,x) − adc(q,x)/(‖q‖‖x‖)| = |q·(x − recon(x))| /
+    * (‖q‖‖x‖) ≤ ‖x − recon(x)‖/‖x‖ (Cauchy–Schwarz) — so screening at
+    * threshold − margin can never lose a true pair, for ANY batch,
+    * making the two-phase PQ query EXACT-equal to the vector tier (not
+    * just empirically close). One map pass + one max aggregation; the
+    * error norm assembles from existing kernels via ‖x − recon‖² =
+    * ‖x‖² − 2·x·recon + ‖recon‖², where x·recon is the ADC of x's own
+    * LUT and ‖recon‖² is the ADC of the [[cbSqNorms]] literal — no new
+    * expression. Returns 0 for an empty/degenerate corpus. Run once at
+    * index build; persist next to the index (it is a property of
+    * (corpus, codebook), frozen with them).
+    *
+    * DELTA contract: the bound must cover every vector the screen can
+    * meet — when survivors are admitted ([[semanticCellIndexPqDelta]]),
+    * take `max(margin, calibratePqMargin(survivors, ...))` at admission
+    * (a day-scale pass over the delta only) and persist the raised
+    * value; a margin calibrated on the pre-delta corpus alone is NOT
+    * sound for delta candidates. Compaction is where the combined
+    * value re-freezes. */
+  def calibratePqMargin(corpus: DataFrame, vecCol: String,
+                        cb: Array[Double], m: Int,
+                        codesPerSub: Int): Double = {
+    VectorExprs.ensureRegistered(corpus.sparkSession)
+    val subDim = cb.length / (m * codesPerSub)
+    val sq = cbSqNorms(cb, m, codesPerSub, subDim)
+    val v = asDouble(col(vecCol))
+    val codes = VectorExprs.pqEncode(v, cb, m, codesPerSub, subDim)
+    val lutOwn = VectorExprs.pqLut(v, cb, m, codesPerSub, subDim)
+    val n2 = VectorExprs.dot(v, v)
+    val err2 = n2 - lit(2.0) * VectorExprs.pqAdc(codes, lutOwn, codesPerSub) +
+      VectorExprs.pqAdc(codes, lit(sq), codesPerSub)
+    val rel = when(codes.isNotNull && n2 > 0,
+      sqrt(greatest(err2, lit(0.0))) / sqrt(n2)).otherwise(lit(0.0))
+    val r = corpus.agg(max(rel)).head()
+    // 1e-9 absorbs the float round-off the algebraic identity permits
+    (if (r.isNullAt(0)) 0.0 else r.getDouble(0)) + 1e-9
+  }
+
+  /** Two-phase near-dup pairs of a batch against the PQ-coded index:
+    * (1) SCREEN — cid equi-join against the m-byte codes, candidate iff
+    * ADC sim ≥ threshold − margin (codegen'd lookup sum; the join
+    * payload is codes + norm, never vectors); (2) VERIFY — raw vectors
+    * fetched from `vectors` (vIdCol, vVecCol — typically the corpus
+    * parquet itself) for the candidate id SLIVER only, via a size-gated
+    * broadcast semi-join, then exact cosine ≥ threshold. With `margin`
+    * from [[calibratePqMargin]] the result is EXACTLY
+    * [[semanticNearDupsAgainstIndex]]'s (screen recall is provably 1);
+    * an under-calibrated margin degrades recall, an over-sized one
+    * only grows the verify sliver. `delta` is the PQ delta
+    * ([[semanticCellIndexPqDelta]]).
+    *
+    * CONTRACT with `delta` (the [[graft.ops.Dedup.nearDupsAgainstIndex]]
+    * one): `vectors` must contain the raw vector of every id admitted
+    * to the delta — survivors were admitted, so the content store has
+    * them; a candidate id missing from `vectors` produces no pair,
+    * silently. */
+  def semanticNearDupsAgainstIndexPq(batch: DataFrame, idCol: String,
+                                     vecCol: String, indexPq: DataFrame,
+                                     vectors: DataFrame, vIdCol: String,
+                                     vVecCol: String,
+                                     centroids: DataFrame,
+                                     cb: Array[Double], m: Int,
+                                     codesPerSub: Int,
+                                     threshold: Double, margin: Double,
+                                     delta: Option[DataFrame] = None)
+    : DataFrame = {
+    VectorExprs.ensureRegistered(batch.sparkSession)
+    require(margin >= 0, s"margin must be non-negative: $margin")
+    val cfg = pqCellCfg(centroids, cb, m, codesPerSub)
+    val subDim = cb.length / (m * codesPerSub)
+    val e = batch.select(col(idCol).as("__id"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val b0 = nearestCentroids(e, "__id", centroids, 1)
+      .select(col("cid"), col("__id").as("id_batch"),
+        col("__v").as("__vb"), col("__n").as("__nb"),
+        VectorExprs.pqLut(col("__v"), cb, m, codesPerSub, subDim)
+          .as("__lut"))
+    val b = if (delta.isDefined) b0.localCheckpoint() else b0
+    def screen(ix: DataFrame) = graft.ops.Dedup.requireCfg(ix, cfg)
+      .select(col("cid"), col("id").as("id_corpus"),
+        col("codes").as("__codes"), col("n").as("__nc0"))
+      .join(b, Seq("cid"))
+      .filter(col("__nb") > 0 &&
+        VectorExprs.pqAdc(col("__codes"), col("__lut"), codesPerSub) /
+          (col("__nb") * col("__nc0")) >= threshold - margin)
+      .select(col("cid"), col("id_batch"), col("id_corpus"),
+        col("__vb"), col("__nb"))
+    val cand = delta.fold(screen(indexPq))(d =>
+      screen(indexPq).unionByName(screen(d)))
+      .distinct()
+      .localCheckpoint() // two consumers: the id pull + the pair join
+    val candIds = cand.select("id_corpus").distinct()
+    val thresholdRows = batch.sparkSession.conf
+      .getOption("spark.graft.dedup.idBroadcastThreshold")
+      .map(_.toLong).getOrElse(1L << 22)
+    val pinnedIds = candIds.localCheckpoint()
+    val hinted =
+      if (pinnedIds.count() <= thresholdRows) broadcast(pinnedIds)
+      else pinnedIds
+    val sliver = vectors
+      .select(col(vIdCol).as("id_corpus"), asDouble(col(vVecCol)).as("__vc"))
+      .join(hinted, Seq("id_corpus"))
+      .withColumn("__nc", norm(col("__vc")))
+    // cand/pinnedIds checkpoints stay pinned while the result is
+    // consumed (they are sliver-sized); release with
+    // [[graft.api.Caches.release]] once done, the semanticNearDupPairs
+    // contract
+    cand.join(sliver, Seq("id_corpus"))
+      .withColumn("sim",
+        cosinePrenormed(col("__vb"), col("__vc"), col("__nb"), col("__nc")))
+      .filter(col("sim") >= threshold)
+      .select("cid", "id_batch", "id_corpus", "sim")
+  }
+
+  /** Survivor selection over the PQ two-phase pairs (corpus wins) —
+    * the [[dropSemanticAgainstIndex]] mirror for the PQ tier. */
+  def dropSemanticAgainstIndexPq(batch: DataFrame, idCol: String,
+                                 vecCol: String, indexPq: DataFrame,
+                                 vectors: DataFrame, vIdCol: String,
+                                 vVecCol: String, centroids: DataFrame,
+                                 cb: Array[Double], m: Int,
+                                 codesPerSub: Int, threshold: Double,
+                                 margin: Double,
+                                 delta: Option[DataFrame] = None)
+    : DataFrame = {
+    val dup = semanticNearDupsAgainstIndexPq(batch, idCol, vecCol,
+      indexPq, vectors, vIdCol, vVecCol, centroids, cb, m, codesPerSub,
+      threshold, margin, delta)
       .select(col("id_batch").as(idCol)).distinct()
       .localCheckpoint()
     val thresholdRows = batch.sparkSession.conf

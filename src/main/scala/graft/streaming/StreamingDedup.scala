@@ -280,6 +280,28 @@ object StreamingDedup {
     graft.ops.Similarity.semanticDropAgainstIndexPlan(
       stream, vecCol, index.localCheckpoint(), centroids, threshold, None)
 
+  /** Streaming semantic dedup against the PQ-CODED cell index
+    * ([[graft.ops.Similarity.semanticCellIndexPq]]) — the corpus-scale
+    * tier of [[dropSemanticAgainstCellIndex]]: the per-trigger static
+    * side carries m int codes + one norm per corpus row instead of the
+    * raw vector payload (~50× smaller at 768 dims, m=16), scored by
+    * the codegen'd ADC lookup sum inside the anti-join condition.
+    * Candidate-grain OVER-drop posture (the MinHash mirror's): with
+    * `margin` from [[graft.ops.Similarity.calibratePqMargin]] every
+    * true duplicate is dropped — the screen's recall is provably 1 —
+    * and near-threshold non-duplicates may over-drop; the batch tier
+    * ([[graft.ops.Similarity.dropSemanticAgainstIndexPq]]) adds the
+    * exact re-verify a stream cannot afford. Zero state operators;
+    * codebook/quantizer mismatch throws at scan time (cfg stamp). */
+  def dropSemanticAgainstCellIndexPq(stream: DataFrame, indexPq: DataFrame,
+                                     vecCol: String, centroids: DataFrame,
+                                     cb: Array[Double], m: Int,
+                                     codesPerSub: Int, threshold: Double,
+                                     margin: Double): DataFrame =
+    graft.ops.Similarity.semanticDropAgainstIndexPqPlan(
+      stream, vecCol, indexPq.localCheckpoint(), centroids, cb, m,
+      codesPerSub, threshold, margin, None)
+
   /** [[dropNearDupsAgainstHammingIndex]] via the map-only bloom plan
     * constant ([[graft.ops.Dedup.hammingBandKeyBloom]]) — the
     * corpus-scale path; posture and contract as

