@@ -104,6 +104,81 @@ object StreamBloomProbe {
       s"bloom kept join-path drops: ${(bloomSurv -- joinSurv).take(5)}")
     println(s"[probe] survivors join=${joinSurv.size} bloom=${bloomSurv.size} " +
       s"(over-dropped by bloom FPs: ${(joinSurv -- bloomSurv).size})")
+
+    // ---- DELTA MERGE (r17 missing #3): refresh the streaming bloom at
+    // day-scale cost — delta bloom at the original geometry + bit-OR
+    // merge — vs the corpus-scale rebuild it replaces. Byte-identity
+    // proves the merged filter IS the rebuild.
+    val survivors = spark.range(nBatch / 10)
+      .select((col("id") + nCorpus * 100).as("doc_id"),
+        textOf(col("id") + nCorpus * 101).as("text"))
+    val (deltaIdx, _) = time("delta index build (day-scale)") {
+      graft.ops.Dedup.bandIndexDelta(survivors, "text", "doc_id",
+        numHashes = 4, bandSize = 1, k = 3).localCheckpoint()
+    }
+    val (merged, mergeS) = time("delta bloom + merge (day-scale)") {
+      graft.ops.Dedup.mergeKeyBlooms(bloom,
+        graft.ops.Dedup.bandKeyBloomDelta(deltaIdx, sizedLike = bloom))
+    }
+    val (rebuiltU, rebuildS) = time("full rebuild over index UNION delta") {
+      graft.ops.Dedup.bandKeyBloomDelta(
+        idx.unionByName(deltaIdx.select(idx.columns.map(col): _*)),
+        sizedLike = bloom)
+    }
+    require(java.util.Arrays.equals(merged.bytes, rebuiltU.bytes),
+      "merged bloom != same-geometry rebuild")
+    println(f"[probe] bloom refresh: merge=$mergeS%.2f s vs " +
+      f"rebuild=$rebuildS%.2f s per admission cycle (bytes identical)")
+
+    // ---- DELIVERY COST at corpus-scale filter size (r17 review #3).
+    // Plan-constant delivery re-serializes the filter into every
+    // trigger's task binary — nBands deserialized copies in one plan:
+    // MEASURED at a 171 MiB (100M-key) sizing × 4 bands the task
+    // serialization OOM'd an 8g driver outright (executor threads died
+    // in ObjectInputStream.readArray before any row moved), which is
+    // why bloomKeyFilter dispatches to the torrent-broadcast handle
+    // above spark.graft.dedup.bloomBroadcastBytes (16 MiB default) and
+    // shares ONE broadcast across the operator's bands. Here: both
+    // deliveries priced at a survivable 34 MiB sizing, then the
+    // broadcast path alone at the 171 MiB sizing the literal could not
+    // carry.
+    val (mid, _) = time("mid bloom build (sized for 20M keys)") {
+      graft.ops.Dedup.bandKeyBloom(idx, numHashes = 4, bandSize = 1,
+        k = 3, fpp = 0.001, sizeForKeys = Some(20000000L))
+    }
+    println(f"[probe] mid bloom bytes = ${mid.bytes.length / 1048576.0}%.1f MiB")
+    spark.conf.set("spark.graft.dedup.bloomBroadcastBytes",
+      Long.MaxValue.toString) // force plan-constant delivery
+    val (litSurv, litTimes) = drive("mid_literal", s =>
+      graft.streaming.StreamingDedup.dropNearDupsAgainstIndexBloom(
+        s, mid, "text", numHashes = 4, bandSize = 1, k = 3))
+    spark.conf.set("spark.graft.dedup.bloomBroadcastBytes", "0") // force broadcast
+    val (bcSurv, bcTimes) = drive("mid_broadcast", s =>
+      graft.streaming.StreamingDedup.dropNearDupsAgainstIndexBloom(
+        s, mid, "text", numHashes = 4, bandSize = 1, k = 3))
+    require(litSurv == bcSurv,
+      "plan-constant and broadcast deliveries diverged")
+    println(f"[probe] 34MiB-filter per-trigger steady state: " +
+      f"plan-constant=${steady(litTimes)}%.2f s " +
+      f"broadcast-handle=${steady(bcTimes)}%.2f s " +
+      f"(first trigger: lit=${litTimes.head}%.2f s bc=${bcTimes.head}%.2f s)")
+    val (big, _) = time("oversized bloom build (sized for 100M keys)") {
+      graft.ops.Dedup.bandKeyBloom(idx, numHashes = 4, bandSize = 1,
+        k = 3, fpp = 0.001, sizeForKeys = Some(100000000L))
+    }
+    println(f"[probe] oversized bloom bytes = ${big.bytes.length / 1048576.0}%.1f MiB")
+    val (bigSurv, bigTimes) = drive("big_broadcast", s =>
+      graft.streaming.StreamingDedup.dropNearDupsAgainstIndexBloom(
+        s, big, "text", numHashes = 4, bandSize = 1, k = 3))
+    spark.conf.unset("spark.graft.dedup.bloomBroadcastBytes")
+    // same keys, more bits ⇒ fewer false positives ⇒ the big filter
+    // can only keep MORE (never lose a true drop)
+    require(bcSurv.subsetOf(bigSurv),
+      "the bigger-geometry filter dropped a row the smaller kept")
+    println(f"[probe] 171MiB-filter broadcast-handle per-trigger " +
+      f"steady state: ${steady(bigTimes)}%.2f s " +
+      f"(plan-constant at this size: OOM at task serialization — see " +
+      "comment above)")
     spark.stop()
   }
 }

@@ -520,6 +520,48 @@ case class BloomContainsString(child: Expression, bloomBytes: Array[Byte])
     copy(child = c)
 }
 
+/** [[BloomContainsString]] with TORRENT-BROADCAST delivery: the
+  * expression carries a `Broadcast[BloomFilter]` HANDLE (bytes-small)
+  * instead of the filter bytes, so the filter crosses the cluster once
+  * at operator construction and every later stage — and, decisively,
+  * every later STREAMING TRIGGER, each of which re-plans and
+  * re-serializes its task binary — ships only the handle. The
+  * plan-constant variant re-serializes the full filter into each
+  * trigger's task binary: measured (StreamBloomProbe) that is the real
+  * per-trigger cost at 100 MB+ filters, before driver memory hurts.
+  * Size-gated dispatch lives in [[graft.ops.Dedup.bloomKeyFilterCol]];
+  * semantics (no false negatives, fpp false positives) are identical
+  * to the literal variant — same probe hash, same filter bits. */
+case class BloomContainsStringBc(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    bc.value.mightContainString(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bfCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bc, bcCls)
+    // resolve the broadcast value once per task, not per row
+    val bfVar = ctx.addMutableState(bfCls, "bloomBcVal",
+      v => s"$v = ($bfCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $bfVar.mightContainString($a.toString());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomContainsStringBc =
+    copy(child = c)
+}
+
 /** Fused k-shingle MinHash lane, xxhash64 mode (the production-speed
   * hash): bit-identical to `array_min(transform(shingles, s =>
   * xxhash64(lit(seed), s)))` over `ShinglesExpr` output, but one

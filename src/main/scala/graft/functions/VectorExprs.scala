@@ -861,6 +861,15 @@ object VectorExprs {
       "graft_bloom_contains" -> (exprs =>
         BloomContainsString(exprs(0),
           exprs(1).eval().asInstanceOf[Array[Byte]])),
+      "graft_bloom_contains_bc" -> (exprs => {
+        val id = exprs(1).eval().toString
+        val bc = bloomBroadcasts.get(id)
+        require(bc != null,
+          s"no broadcast bloom registered under '$id' — construct the " +
+            "column via VectorExprs.bloomContainsBc (the id literal is " +
+            "an internal handle, not a user-supplied value)")
+        BloomContainsStringBc(exprs(0), bc)
+      }),
       "graft_hashed_bag_counts" -> (exprs =>
         HashedBagCountsExpr(exprs(0), int(exprs(1)))),
       "graft_langid" -> (exprs => LangIdBest(exprs(0))),
@@ -1090,6 +1099,50 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_bloom_contains", s, lit(bloomBytes))
+  }
+
+  /** Driver-side handle registry for [[bloomContainsBc]]: the SQL
+    * function builder can only receive literals, so the Column wrapper
+    * registers the `Broadcast[BloomFilter]` here and passes its id.
+    * The handle stays registered (and the broadcast blocks pinned) for
+    * the session's lifetime — exactly what a long-running streaming
+    * query needs; call [[releaseBloomBroadcast]] when an operator
+    * built over it is permanently retired. */
+  private val bloomBroadcasts = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]]()
+
+  /** Broadcast a serialized filter once and return the registry handle
+    * — share it across every [[bloomContainsBc]] column of one
+    * operator (per-column broadcasting would pin one filter copy per
+    * band in the block manager). */
+  def registerBloomBroadcast(spark: SparkSession,
+                             bloomBytes: Array[Byte]): String = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+    val bc = spark.sparkContext.broadcast(bf)
+    val id = java.util.UUID.randomUUID().toString
+    bloomBroadcasts.put(id, bc)
+    id
+  }
+
+  /** [[bloomContains]] with torrent-broadcast delivery — see
+    * [[graft.functions.BloomContainsStringBc]]. The filter crossed the
+    * cluster once at [[registerBloomBroadcast]]; the plan carries the
+    * handle. Size-gated dispatch between this and the plan-constant
+    * variant lives in the dedup operators. */
+  def bloomContainsBc(s: Column, spark: SparkSession,
+                      handle: String): Column = {
+    ensureRegistered(spark)
+    call_function("graft_bloom_contains_bc", s, lit(handle))
+  }
+
+  /** Destroy every broadcast bloom registered by [[bloomContainsBc]]
+    * (test/retirement hook — plans built over them must not run
+    * afterwards). */
+  def releaseBloomBroadcasts(): Unit = {
+    val it = bloomBroadcasts.values().iterator()
+    while (it.hasNext) { it.next().destroy(); it.remove() }
   }
 
   /** Per-row hashed-bag count vector (dim doubles) over a token array

@@ -571,8 +571,26 @@ object Dedup {
     // EXISTING filter's so the results are mergeable (delta blooms);
     // the returned numKeys still reports the true occupancy added here
     val sizing = sizeForKeys.getOrElse(n)
-    val bf = keys.select(col("band_key")).rdd
-      .map(_.getString(0))
+    // every fill task materializes a FULL-geometry filter (the
+    // treeAggregate zero value deserializes per task), so at big
+    // geometries #tasks × filterBytes explodes the heap — measured:
+    // 16 tasks × 171 MiB (a 100M-key sizing) OOM'd an 8g driver
+    // before any key was inserted. Bound concurrent fills by a byte
+    // budget (filters estimate as optimal-bits/8 from (n, fpp)):
+    // fewer, bigger fill tasks — insertion is embarrassingly
+    // commutative, so parallelism here only buys hash throughput,
+    // which one pass over day-scale keys does not need.
+    val estBytes = math.max(1L, math.ceil(-sizing.toDouble *
+      math.log(fpp) / (math.log(2) * math.log(2)) / 8.0).toLong)
+    val budget = index.sparkSession.conf
+      .getOption("spark.graft.dedup.bloomBuildBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    val maxTasks = math.max(1L, budget / estBytes).toInt
+    val rdd0 = keys.select(col("band_key")).rdd.map(_.getString(0))
+    val rdd =
+      if (rdd0.getNumPartitions > maxTasks) rdd0.coalesce(maxTasks)
+      else rdd0
+    val bf = rdd
       .treeAggregate(
         org.apache.spark.util.sketch.BloomFilter.create(sizing, fpp))(
         (f, s) => { f.putString(s); f },
@@ -628,6 +646,38 @@ object Dedup {
       a.sizedForKeys)
   }
 
+  /** Membership column of `keyCol` in a [[BandKeyBloom]], with
+    * SIZE-GATED delivery (r17 review #3): under
+    * `spark.graft.dedup.bloomBroadcastBytes` (default 16 MiB) the
+    * filter ships as a plan constant
+    * ([[graft.functions.BloomContainsString]] — simplest, and the task
+    * binary it rides is itself torrent-broadcast once per stage);
+    * above it, as a TORRENT-BROADCAST handle
+    * ([[graft.functions.BloomContainsStringBc]]) broadcast once at
+    * operator construction — decisive for STREAMING lookups, where
+    * each trigger re-plans and would re-serialize a plan-constant
+    * filter into its task binary (~1.2 GB per 10⁹ keys at fpp=0.001,
+    * per trigger). Semantics identical either way: same filter bits,
+    * same probe hash, no false negatives. */
+  private[graft] def bloomKeyFilter(spark: org.apache.spark.sql.SparkSession,
+                                    bloom: BandKeyBloom): Column => Column = {
+    val gate = spark.conf
+      .getOption("spark.graft.dedup.bloomBroadcastBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+    if (bloom.bytes.length <= gate)
+      keyCol => graft.functions.VectorExprs.bloomContains(keyCol, bloom.bytes)
+    else {
+      // ONE broadcast shared by every band column of the operator —
+      // per-band registration would pin nBands copies of the filter in
+      // the block manager (measured the dual mistake on the literal
+      // path: nBands deserialized filters in one plan OOM'd task
+      // serialization at 171 MiB × 4 bands on an 8g driver)
+      val handle = graft.functions.VectorExprs
+        .registerBloomBroadcast(spark, bloom.bytes)
+      keyCol => graft.functions.VectorExprs.bloomContainsBc(keyCol, spark, handle)
+    }
+  }
+
   /** Build the [[BandKeyBloom]] for a MinHash [[bandIndex]]. One
     * corpus-index pass at construction; after that the streaming
     * lookup is map-only forever. When survivors are admitted, refresh
@@ -638,16 +688,23 @@ object Dedup {
     * approaches `sizedForKeys`. Size: ~1.2 GB per
     * 10^9 keys at fpp=0.001 — at larger corpora raise fpp (false
     * positives only over-drop) or shard the stream by key range. */
+  /** `sizeForKeys` pre-sizes the bit geometry for expected GROWTH
+    * (e.g. the year's projected key count), so later
+    * [[bandKeyBloomDelta]]s merge into it without a rebuild until
+    * occupancy approaches the sizing. */
   def bandKeyBloom(index: DataFrame, numHashes: Int = 6,
                    bandSize: Int = 1, k: Int = 3,
                    useMd5: Boolean = false,
-                   fpp: Double = 0.001): BandKeyBloom =
-    buildKeyBloom(index, minhashCfg(numHashes, bandSize, k, useMd5), fpp)
+                   fpp: Double = 0.001,
+                   sizeForKeys: Option[Long] = None): BandKeyBloom =
+    buildKeyBloom(index, minhashCfg(numHashes, bandSize, k, useMd5), fpp,
+      sizeForKeys)
 
   /** [[bandKeyBloom]] for a [[hammingBandIndex]]. */
   def hammingBandKeyBloom(index: DataFrame, sigBits: Int, maxHamming: Int,
-                          fpp: Double = 0.001): BandKeyBloom =
-    buildKeyBloom(index, hammingCfg(sigBits, maxHamming), fpp)
+                          fpp: Double = 0.001,
+                          sizeForKeys: Option[Long] = None): BandKeyBloom =
+    buildKeyBloom(index, hammingCfg(sigBits, maxHamming), fpp, sizeForKeys)
 
   /** Near-duplicate pairs of a NEW BATCH against an indexed corpus:
     * (id_batch, id_corpus, jaccard). Candidates come from the

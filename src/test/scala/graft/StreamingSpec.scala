@@ -387,6 +387,19 @@ class StreamingSpec extends SparkTestBase {
     assert(survMerged.subsetOf(survJoinFresh),
       s"merged bloom kept an exact fresh-path drop: ${survMerged -- survJoinFresh}")
     assert(survMerged.nonEmpty)
+    // torrent-broadcast delivery (gate forced to 0 bytes so this small
+    // fixture takes the big-filter path) is survivor-IDENTICAL to the
+    // plan-constant delivery: same bits, same probe hash, only the
+    // shipping changes (r17 review #3)
+    spark.conf.set("spark.graft.dedup.bloomBroadcastBytes", "0")
+    try {
+      val survMergedBc = run(s =>
+        StreamingDedup.dropNearDupsAgainstIndexBloom(
+          s, merged, "text", numHashes = 4, bandSize = 1, k = 3,
+          useMd5 = true), "mrg_merged_bc_out")
+      assert(survMergedBc === survMerged,
+        "broadcast-handle delivery diverged from the plan constant")
+    } finally spark.conf.unset("spark.graft.dedup.bloomBroadcastBytes")
     // geometry mismatch (a delta bloom sized on its own key count)
     // refuses with the fix spelled out; cfg mismatch refuses too
     val wrongGeom = Dedup.bandKeyBloom(delta,
