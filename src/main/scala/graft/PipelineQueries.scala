@@ -1506,25 +1506,41 @@ object PipelineQueries {
 
     // PQ-CODED incremental semantic dedup (r18): the same daily-batch
     // query through the two-phase tier — ADC screen against the m-byte
-    // code index at threshold − margin, exact cosine re-verify on the
-    // candidate sliver only (raw vectors fetched by size-gated
-    // broadcast semi-join). margin is the CALIBRATED sound bound
-    // (Similarity.calibratePqMargin: max relative reconstruction
-    // error, Cauchy–Schwarz query-independent), so the screen's recall
-    // is provably 1 and the result is bit-EXACTLY the vector tier's —
-    // same oracle SQL as q_incremental_semantic certifies it.
+    // code index at threshold − err(row) (each index row carries its
+    // own sound Cauchy–Schwarz score-error bound, so screen recall is
+    // provably 1 with no calibration pass), exact cosine re-verify on
+    // the candidate sliver only (raw vectors fetched by size-gated
+    // broadcast semi-join). The result is bit-EXACTLY the vector
+    // tier's — same oracle SQL as q_incremental_semantic certifies it.
     "q_incremental_semantic_pq" -> ((s, d) => {
       val e = emb(s, d)
       val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
       val corpus = e.filter(col("vec_id") % 5 =!= 0)
       val idx = Similarity.semanticCellIndexPq(corpus, "vec_id",
         "embedding", cents, pqCb.toArray, pqM, pqK)
-      val margin = Similarity.calibratePqMargin(corpus, "embedding",
-        pqCb.toArray, pqM, pqK)
       Similarity.semanticNearDupsAgainstIndexPq(
         e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
         idx, corpus, "vec_id", "embedding", cents,
-        pqCb.toArray, pqM, pqK, threshold = 0.4, margin = margin)
+        pqCb.toArray, pqM, pqK, threshold = 0.4)
+        .select(col("cid"), col("id_batch"), col("id_corpus"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("id_batch", "id_corpus")
+    }),
+
+    // multi-probe recall dial (r18): the batch side queries its TOP-2
+    // nearest cells, recovering duplicates whose batch vector sits
+    // near a cell boundary — SemDeDup's documented cross-cell loss,
+    // dialed down at candidate-scope (×2) cost; the corpus index stays
+    // nearest-1, the exact verify is untouched, found pairs grow
+    // monotonically (OpsSpec law)
+    "q_incremental_semantic_probe2" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+      val idx = Similarity.semanticCellIndex(
+        e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents)
+      Similarity.semanticNearDupsAgainstIndex(
+        e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        idx, cents, threshold = 0.4, queryProbes = 2)
         .select(col("cid"), col("id_batch"), col("id_corpus"),
           round(col("sim"), 4).as("sim"))
         .orderBy("id_batch", "id_corpus")
@@ -1709,6 +1725,26 @@ object PipelineQueries {
            round(list_dot_product(e1.v, e2.v) / (e1.n * e2.n), 4) AS sim
          FROM b JOIN c USING (cid)
          JOIN e e1 ON e1.vec_id = b.vec_id
+         JOIN e e2 ON e2.vec_id = c.vec_id
+         WHERE list_dot_product(e1.v, e2.v) / (e1.n * e2.n) >= 0.4
+         ORDER BY 2, 3""",
+
+    // batch side re-ranked at rk <= 2 (top-2 nearest cells); corpus
+    // side stays the index's nearest-1 assignment
+    "q_incremental_semantic_probe2" ->
+      s"""WITH $semanticAssignCoreSql,
+         b2 AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(CASE WHEN e.n * c.cn > 0
+               THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+               c.cid) AS rk
+           FROM e CROSS JOIN centn c WHERE e.vec_id % 5 = 0)
+           WHERE rk <= 2),
+         c AS (SELECT * FROM assign WHERE vec_id % 5 <> 0)
+         SELECT c.cid, b2.vec_id AS id_batch, c.vec_id AS id_corpus,
+           round(list_dot_product(e1.v, e2.v) / (e1.n * e2.n), 4) AS sim
+         FROM b2 JOIN c ON b2.cid = c.cid
+         JOIN e e1 ON e1.vec_id = b2.vec_id
          JOIN e e2 ON e2.vec_id = c.vec_id
          WHERE list_dot_product(e1.v, e2.v) / (e1.n * e2.n) >= 0.4
          ORDER BY 2, 3""",

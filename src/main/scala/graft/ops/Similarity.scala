@@ -388,17 +388,28 @@ object Similarity {
     * side table ([[semanticCellIndexDelta]]); the batch assignment is
     * pinned so the map-only centroid pass runs once across both
     * lookups. Build/query quantizer mismatch throws at scan time
-    * (cfg stamp). */
+    * (cfg stamp).
+    *
+    * `queryProbes` is the RECALL dial over SemDeDup's documented
+    * cross-cell loss: the batch side queries its top-n nearest cells
+    * (the index's assignment stays nearest-1), so a duplicate whose
+    * batch vector sits near a cell boundary is found when the corpus
+    * mate's cell is among the probes — candidate scope grows ×n,
+    * found pairs grow MONOTONICALLY (each corpus row lives in exactly
+    * one cell, so no pair duplicates), and the exact verify is
+    * untouched. n = 1 is today's semantics; the IVF nProbe trade. */
   def semanticNearDupsAgainstIndex(batch: DataFrame, idCol: String,
                                    vecCol: String, index: DataFrame,
                                    centroids: DataFrame, threshold: Double,
-                                   delta: Option[DataFrame] = None): DataFrame = {
+                                   delta: Option[DataFrame] = None,
+                                   queryProbes: Int = 1): DataFrame = {
     VectorExprs.ensureRegistered(batch.sparkSession)
+    require(queryProbes >= 1, s"queryProbes must be >= 1: $queryProbes")
     val cfg = centroidCfg(centroids)
     val e = batch.select(col(idCol).as("__id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
-    val b0 = nearestCentroids(e, "__id", centroids, 1)
+    val b0 = nearestCentroids(e, "__id", centroids, queryProbes)
       .select(col("cid"), col("__id").as("id_batch"),
         col("__v").as("__vb"), col("__n").as("__nb"))
     val b = if (delta.isDefined) b0.localCheckpoint() else b0
@@ -488,18 +499,21 @@ object Similarity {
     * core ([[graft.streaming.StreamingDedup.dropSemanticAgainstCellIndexPq]];
     * works identically on a batch frame). One LEFT ANTI join whose
     * condition carries the ADC screen: a row is dropped iff a
-    * same-cell index CODE scores ≥ threshold − margin against the
-    * row's LUT. Candidate-grain OVER-drop posture (the MinHash
-    * streaming mirror's): with `margin` from [[calibratePqMargin]]
-    * every true duplicate is dropped (never under-drops — the
-    * unabsorbable direction), and near-threshold non-duplicates may be
-    * over-dropped; there is no exact re-verify on a stream because
-    * that would re-join the raw-vector payload this tier exists to
-    * retire. The per-trigger static side is m ints + one double per
-    * corpus row — the ~dims×8/(4m) shrink over the exact mirror.
-    * Null/ragged/zero-norm stream vectors assign to no cell or null
-    * the condition and SURVIVE (exact-path parity: their cosine is 0).
-    * Zero aggregations ⇒ zero state operators. */
+    * same-cell index CODE scores ≥ threshold − err(row) − margin
+    * against the row's LUT, where err is the index row's own sound
+    * score-error bound ([[semanticCellIndexPq]]). Candidate-grain
+    * OVER-drop posture (the MinHash streaming mirror's): every true
+    * duplicate is dropped — the per-row bound makes the screen's
+    * recall provably 1, deltas included — and near-threshold non-
+    * duplicates may be over-dropped; there is no exact re-verify on a
+    * stream because that would re-join the raw-vector payload this
+    * tier exists to retire. `margin` is optional EXTRA slack (default
+    * 0; raising it only over-drops more). The per-trigger static side
+    * is m ints + two doubles per corpus row — the ~dims×8/(4m+16)
+    * shrink over the exact mirror. Null/ragged/zero-norm stream
+    * vectors assign to no cell or null the condition and SURVIVE
+    * (exact-path parity: their cosine is 0). Zero aggregations ⇒ zero
+    * state operators. */
   private[graft] def semanticDropAgainstIndexPqPlan(df: DataFrame,
                                                     vecCol: String,
                                                     indexPq: DataFrame,
@@ -529,11 +543,12 @@ object Similarity {
     def anti(d: DataFrame, ix: DataFrame) = {
       val i = graft.ops.Dedup.requireCfg(ix, cfg)
         .select(col("cid").as("__icid"), col("codes").as("__codes"),
-          col("n").as("__cn"))
+          col("n").as("__cn"), col("err").as("__cerr"))
       d.join(i,
         col("__cid") === col("__icid") && col("__n") > 0 &&
           VectorExprs.pqAdc(col("__codes"), col("__lut"), codesPerSub) /
-            (col("__n") * col("__cn")) >= threshold - margin,
+            (col("__n") * col("__cn")) >=
+            lit(threshold) - col("__cerr") - lit(margin),
         "left_anti")
     }
     delta.fold(anti(assigned, indexPq))(dl =>
@@ -547,9 +562,10 @@ object Similarity {
   def dropSemanticAgainstIndex(batch: DataFrame, idCol: String,
                                vecCol: String, index: DataFrame,
                                centroids: DataFrame, threshold: Double,
-                               delta: Option[DataFrame] = None): DataFrame = {
+                               delta: Option[DataFrame] = None,
+                               queryProbes: Int = 1): DataFrame = {
     val dup = semanticNearDupsAgainstIndex(batch, idCol, vecCol, index,
-      centroids, threshold, delta)
+      centroids, threshold, delta, queryProbes)
       .select(col("id_batch").as(idCol)).distinct()
       .localCheckpoint()
     val thresholdRows = batch.sparkSession.conf
@@ -609,30 +625,51 @@ object Similarity {
   }
 
   /** PQ-coded semantic cell index: (cid, id, codes array<int> of m,
-    * n — the TRUE vector norm, cfg). Same nearest-centroid assignment
-    * as [[semanticCellIndex]]; the payload is m codes + 8 norm bytes
-    * per row instead of dims doubles. Rows whose vector is null/ragged
-    * (null codes) or zero-norm are EXCLUDED: the exact tier can never
-    * verify them as duplicates (cosine is 0 by the `nn > 0` guard), so
-    * exclusion preserves exact-tier semantics while keeping the index
-    * dense. The true norm rides along because ADC approximates
+    * n — the TRUE vector norm, err — the row's OWN score-error bound,
+    * cfg). Same nearest-centroid assignment as [[semanticCellIndex]];
+    * the payload is m codes + 16 bytes per row instead of dims
+    * doubles. Rows whose vector is null/ragged (null codes) or
+    * zero-norm are EXCLUDED: the exact tier can never verify them as
+    * duplicates (cosine is 0 by the `nn > 0` guard), so exclusion
+    * preserves exact-tier semantics while keeping the index dense.
+    *
+    * The true norm rides along because ADC approximates
     * dot(q, recon(x)) — dividing by (‖q‖·‖x‖) with the TRUE ‖x‖ keeps
-    * the score error bounded by ‖x − recon(x)‖/‖x‖ (the
-    * [[calibratePqMargin]] bound). */
+    * the score error bounded. `err` = ‖x − recon(x)‖/‖x‖ is that
+    * bound, PER ROW: for any query q, |cos(q,x) − adc/(‖q‖‖x‖)| =
+    * |q·(x − recon(x))|/(‖q‖‖x‖) ≤ err(x) (Cauchy–Schwarz) — entirely
+    * a property of the corpus row (the query's LUT is exact for q), so
+    * screening each row at threshold − err(x) is sound per row and far
+    * tighter than a global corpus-max margin, which one worst vector
+    * pessimizes for everyone (measured: the global bound admitted 81%
+    * of cell pairs on the probe fixture where typical rows' own
+    * bounds prune most). It also makes DELTAS sound by construction:
+    * every admitted row carries its own bound, no margin re-calibration
+    * at admission. Assembled from existing kernels via ‖x − recon‖² =
+    * ‖x‖² − 2·x·recon + ‖recon‖² ([[cbSqNorms]] lookup-sum). */
   def semanticCellIndexPq(corpus: DataFrame, idCol: String, vecCol: String,
                           centroids: DataFrame, cb: Array[Double], m: Int,
                           codesPerSub: Int): DataFrame = {
     VectorExprs.ensureRegistered(corpus.sparkSession)
     val subDim = cb.length / (m * codesPerSub)
+    val sq = cbSqNorms(cb, m, codesPerSub, subDim)
     val e = corpus.select(col(idCol).as("__id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
+    val codes = VectorExprs.pqEncode(col("__v"), cb, m, codesPerSub, subDim)
+    val err2 = col("n") * col("n") -
+      lit(2.0) * VectorExprs.pqAdc(col("codes"),
+        VectorExprs.pqLut(col("__v"), cb, m, codesPerSub, subDim),
+        codesPerSub) +
+      VectorExprs.pqAdc(col("codes"), lit(sq), codesPerSub)
     nearestCentroids(e, "__id", centroids, 1)
-      .select(col("cid"), col("__id").as("id"),
-        VectorExprs.pqEncode(col("__v"), cb, m, codesPerSub, subDim)
-          .as("codes"),
-        col("__n").as("n"))
+      .select(col("cid"), col("__id").as("id"), codes.as("codes"),
+        col("__n").as("n"), col("__v"))
       .filter(col("codes").isNotNull && col("n") > 0)
+      // 1e-9 absorbs the float round-off the algebraic identity permits
+      .withColumn("err",
+        sqrt(greatest(err2, lit(0.0))) / col("n") + lit(1e-9))
+      .drop("__v")
       .withColumn("cfg", lit(pqCellCfg(centroids, cb, m, codesPerSub)))
   }
 
@@ -661,27 +698,17 @@ object Similarity {
     semanticCellIndexPq(survivors, idCol, vecCol, centroids, cb, m,
       codesPerSub)
 
-  /** The SOUND ADC margin for a corpus under a codebook: the maximum
-    * relative reconstruction error max_x ‖x − recon(x)‖ / ‖x‖. For any
-    * query q, |cos(q,x) − adc(q,x)/(‖q‖‖x‖)| = |q·(x − recon(x))| /
-    * (‖q‖‖x‖) ≤ ‖x − recon(x)‖/‖x‖ (Cauchy–Schwarz) — so screening at
-    * threshold − margin can never lose a true pair, for ANY batch,
-    * making the two-phase PQ query EXACT-equal to the vector tier (not
-    * just empirically close). One map pass + one max aggregation; the
-    * error norm assembles from existing kernels via ‖x − recon‖² =
-    * ‖x‖² − 2·x·recon + ‖recon‖², where x·recon is the ADC of x's own
-    * LUT and ‖recon‖² is the ADC of the [[cbSqNorms]] literal — no new
-    * expression. Returns 0 for an empty/degenerate corpus. Run once at
-    * index build; persist next to the index (it is a property of
-    * (corpus, codebook), frozen with them).
-    *
-    * DELTA contract: the bound must cover every vector the screen can
-    * meet — when survivors are admitted ([[semanticCellIndexPqDelta]]),
-    * take `max(margin, calibratePqMargin(survivors, ...))` at admission
-    * (a day-scale pass over the delta only) and persist the raised
-    * value; a margin calibrated on the pre-delta corpus alone is NOT
-    * sound for delta candidates. Compaction is where the combined
-    * value re-freezes. */
+  /** DIAGNOSTIC: the corpus-max of the per-row score-error bound
+    * [[semanticCellIndexPq]] stores (max_x ‖x − recon(x)‖/‖x‖ — the
+    * Cauchy–Schwarz derivation lives there). The screens use the
+    * per-row bound, which is strictly tighter (one worst vector
+    * pessimizes a global margin for everyone — measured 81% of cell
+    * pairs admitted under the global bound on the probe fixture vs
+    * per-row pruning); this function remains as the codebook-quality
+    * gauge: a max near 1 says the codebook barely reconstructs the
+    * worst corpus rows (raise m/codesPerSub or retrain). One map pass
+    * + one max aggregation; returns 0 for an empty/degenerate
+    * corpus. */
   def calibratePqMargin(corpus: DataFrame, vecCol: String,
                         cb: Array[Double], m: Int,
                         codesPerSub: Int): Double = {
@@ -703,16 +730,17 @@ object Similarity {
 
   /** Two-phase near-dup pairs of a batch against the PQ-coded index:
     * (1) SCREEN — cid equi-join against the m-byte codes, candidate iff
-    * ADC sim ≥ threshold − margin (codegen'd lookup sum; the join
-    * payload is codes + norm, never vectors); (2) VERIFY — raw vectors
-    * fetched from `vectors` (vIdCol, vVecCol — typically the corpus
-    * parquet itself) for the candidate id SLIVER only, via a size-gated
-    * broadcast semi-join, then exact cosine ≥ threshold. With `margin`
-    * from [[calibratePqMargin]] the result is EXACTLY
-    * [[semanticNearDupsAgainstIndex]]'s (screen recall is provably 1);
-    * an under-calibrated margin degrades recall, an over-sized one
-    * only grows the verify sliver. `delta` is the PQ delta
-    * ([[semanticCellIndexPqDelta]]).
+    * ADC sim ≥ threshold − err(row) − margin (codegen'd lookup sum; the
+    * join payload is codes + norm + bound, never vectors); (2) VERIFY —
+    * raw vectors fetched from `vectors` (vIdCol, vVecCol — typically
+    * the corpus parquet itself) for the candidate id SLIVER only, via
+    * a size-gated broadcast semi-join, then exact cosine ≥ threshold.
+    * The screen's recall is provably 1 — each index row carries its
+    * own sound score-error bound (see [[semanticCellIndexPq]]), so the
+    * result is EXACTLY [[semanticNearDupsAgainstIndex]]'s for ANY
+    * batch, deltas included, with no calibration step. `margin` is
+    * optional EXTRA slack (default 0 — correctness never needs it);
+    * `delta` is the PQ delta ([[semanticCellIndexPqDelta]]).
     *
     * CONTRACT with `delta` (the [[graft.ops.Dedup.nearDupsAgainstIndex]]
     * one): `vectors` must contain the raw vector of every id admitted
@@ -726,17 +754,20 @@ object Similarity {
                                      centroids: DataFrame,
                                      cb: Array[Double], m: Int,
                                      codesPerSub: Int,
-                                     threshold: Double, margin: Double,
-                                     delta: Option[DataFrame] = None)
+                                     threshold: Double,
+                                     margin: Double = 0.0,
+                                     delta: Option[DataFrame] = None,
+                                     queryProbes: Int = 1)
     : DataFrame = {
     VectorExprs.ensureRegistered(batch.sparkSession)
     require(margin >= 0, s"margin must be non-negative: $margin")
+    require(queryProbes >= 1, s"queryProbes must be >= 1: $queryProbes")
     val cfg = pqCellCfg(centroids, cb, m, codesPerSub)
     val subDim = cb.length / (m * codesPerSub)
     val e = batch.select(col(idCol).as("__id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
-    val b0 = nearestCentroids(e, "__id", centroids, 1)
+    val b0 = nearestCentroids(e, "__id", centroids, queryProbes)
       .select(col("cid"), col("__id").as("id_batch"),
         col("__v").as("__vb"), col("__n").as("__nb"),
         VectorExprs.pqLut(col("__v"), cb, m, codesPerSub, subDim)
@@ -744,11 +775,13 @@ object Similarity {
     val b = if (delta.isDefined) b0.localCheckpoint() else b0
     def screen(ix: DataFrame) = graft.ops.Dedup.requireCfg(ix, cfg)
       .select(col("cid"), col("id").as("id_corpus"),
-        col("codes").as("__codes"), col("n").as("__nc0"))
+        col("codes").as("__codes"), col("n").as("__nc0"),
+        col("err").as("__errc"))
       .join(b, Seq("cid"))
       .filter(col("__nb") > 0 &&
         VectorExprs.pqAdc(col("__codes"), col("__lut"), codesPerSub) /
-          (col("__nb") * col("__nc0")) >= threshold - margin)
+          (col("__nb") * col("__nc0")) >=
+          lit(threshold) - col("__errc") - lit(margin))
       .select(col("cid"), col("id_batch"), col("id_corpus"),
         col("__vb"), col("__nb"))
     val cand = delta.fold(screen(indexPq))(d =>
@@ -786,12 +819,13 @@ object Similarity {
                                  vVecCol: String, centroids: DataFrame,
                                  cb: Array[Double], m: Int,
                                  codesPerSub: Int, threshold: Double,
-                                 margin: Double,
-                                 delta: Option[DataFrame] = None)
+                                 margin: Double = 0.0,
+                                 delta: Option[DataFrame] = None,
+                                 queryProbes: Int = 1)
     : DataFrame = {
     val dup = semanticNearDupsAgainstIndexPq(batch, idCol, vecCol,
       indexPq, vectors, vIdCol, vVecCol, centroids, cb, m, codesPerSub,
-      threshold, margin, delta)
+      threshold, margin, delta, queryProbes)
       .select(col("id_batch").as(idCol)).distinct()
       .localCheckpoint()
     val thresholdRows = batch.sparkSession.conf

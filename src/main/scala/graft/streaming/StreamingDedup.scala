@@ -211,11 +211,10 @@ object StreamingDedup {
     val nBands = numHashes / bandSize
     val sig = graft.ops.Dedup.withMinhashSignature(
       stream, textCol, numHashes, k, useMd5)
+    val contains = graft.ops.Dedup.bloomKeyFilter(stream.sparkSession, bloom)
     val hit = (0 until nBands).map { b =>
-      graft.functions.VectorExprs.bloomContains(
-        graft.ops.Dedup.bandKeyExpr(cfg, lit(b),
-          (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))),
-        bloom.bytes)
+      contains(graft.ops.Dedup.bandKeyExpr(cfg, lit(b),
+        (0 until bandSize).map(j => col(s"mh${b * bandSize + j}"))))
     }.reduce(_ || _)
     sig.filter(!hit)
       .drop((0 until numHashes).map(h => s"mh$h"): _*)
@@ -286,18 +285,21 @@ object StreamingDedup {
     * side carries m int codes + one norm per corpus row instead of the
     * raw vector payload (~50× smaller at 768 dims, m=16), scored by
     * the codegen'd ADC lookup sum inside the anti-join condition.
-    * Candidate-grain OVER-drop posture (the MinHash mirror's): with
-    * `margin` from [[graft.ops.Similarity.calibratePqMargin]] every
-    * true duplicate is dropped — the screen's recall is provably 1 —
+    * Candidate-grain OVER-drop posture (the MinHash mirror's): every
+    * index row carries its own sound score-error bound
+    * ([[graft.ops.Similarity.semanticCellIndexPq]]), so every true
+    * duplicate is dropped — screen recall provably 1, deltas included —
     * and near-threshold non-duplicates may over-drop; the batch tier
     * ([[graft.ops.Similarity.dropSemanticAgainstIndexPq]]) adds the
-    * exact re-verify a stream cannot afford. Zero state operators;
-    * codebook/quantizer mismatch throws at scan time (cfg stamp). */
+    * exact re-verify a stream cannot afford. `margin` is optional
+    * extra slack (raising it only over-drops more). Zero state
+    * operators; codebook/quantizer mismatch throws at scan time (cfg
+    * stamp). */
   def dropSemanticAgainstCellIndexPq(stream: DataFrame, indexPq: DataFrame,
                                      vecCol: String, centroids: DataFrame,
                                      cb: Array[Double], m: Int,
                                      codesPerSub: Int, threshold: Double,
-                                     margin: Double): DataFrame =
+                                     margin: Double = 0.0): DataFrame =
     graft.ops.Similarity.semanticDropAgainstIndexPqPlan(
       stream, vecCol, indexPq.localCheckpoint(), centroids, cb, m,
       codesPerSub, threshold, margin, None)
@@ -315,9 +317,10 @@ object StreamingDedup {
       s"band-key bloom built for '${bloom.cfg}' but queried with '$cfg' " +
         "— sigBits/maxHamming must match the index the bloom was built " +
         "from (a mismatch would silently drop NOTHING)")
+    val contains = graft.ops.Dedup.bloomKeyFilter(stream.sparkSession, bloom)
     val hit = graft.ops.Dedup.hammingBandKeyCols(
         col(sigCol), sigBits, maxHamming)
-      .map(kc => graft.functions.VectorExprs.bloomContains(kc, bloom.bytes))
+      .map(contains)
       .reduce(_ || _)
     stream.filter(!hit)
   }

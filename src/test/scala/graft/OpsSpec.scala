@@ -401,16 +401,16 @@ class OpsSpec extends SparkTestBase {
     assert(causeMessages(eQ).contains("config mismatch"), causeMessages(eQ))
   }
 
-  test("PQ-coded semantic cell index: calibrated-margin two-phase " +
+  test("PQ-coded semantic cell index: per-row-bound two-phase " +
     "pairs/drop are EXACTLY the vector tier's (screen recall provably " +
-    "1), delta parity holds, an uninformative margin stays exact " +
-    "(structural), and a stale codebook is refused loudly") {
+    "1, zero calibration), delta parity holds where a corpus-global " +
+    "margin would NOT have, extra slack stays exact, and a stale " +
+    "codebook is refused loudly") {
     import spark.implicits._
     // the 2-cell fixture of the vector-tier test; dims=2 codebook with
-    // m=2 one-dim subspaces, 2 codes each {0, 1} — reconstruction
-    // snaps each component to the nearer of 0/1 (corpus0's axis
-    // vectors reconstruct exactly; admitted survivors do not, which is
-    // precisely what the delta-margin contract below exercises)
+    // m=2 one-dim subspaces, 2 codes each {0, 1} — corpus0's axis
+    // vectors reconstruct exactly (err ≈ 0) while admitted survivors
+    // do not, which is precisely what the per-row bound must absorb
     val cb = Array(0.0, 1.0, 0.0, 1.0)
     val (m, k2) = (2, 2)
     val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
@@ -425,9 +425,6 @@ class OpsSpec extends SparkTestBase {
       "embedding", cents)
     val idxPq = Similarity.semanticCellIndexPq(corpus0, "vec_id",
       "embedding", cents, cb, m, k2)
-    val margin = Similarity.calibratePqMargin(corpus0, "embedding",
-      cb, m, k2)
-    assert(margin > 0 && margin < 1, s"fixture margin: $margin")
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("id_batch", "id_corpus", "sim").collect()
         .map(r => (r.getLong(0), r.getLong(1),
@@ -437,26 +434,27 @@ class OpsSpec extends SparkTestBase {
       "vec_id", "embedding", idxVec, cents, threshold = 0.95))
     val viaPq = pairSet(Similarity.semanticNearDupsAgainstIndexPq(batch2,
       "vec_id", "embedding", idxPq, corpus0, "vec_id", "embedding",
-      cents, cb, m, k2, threshold = 0.95, margin = margin))
+      cents, cb, m, k2, threshold = 0.95))
     assert(viaPq === exact, s"pq=$viaPq exact=$exact")
-    // delta parity: survivors admitted through the PQ delta; the
-    // vectors frame covers corpus ∪ admitted survivors (the contract)
+    // delta parity WITHOUT any calibration step: survivor (0.6, 0.8)
+    // reconstructs to (1, 1) — a large error (diagnostic max > 0.1)
+    // that a margin calibrated on corpus0 alone (max err ≈ 1e-9, the
+    // axis vectors are exactly representable) would NOT have covered;
+    // the delta row's own stored bound covers it by construction
     val surv1 = Similarity.dropSemanticAgainstIndex(batch1, "vec_id",
       "embedding", idxVec, cents, threshold = 0.95)
     val content = corpus0.unionByName(surv1)
-    // the DELTA-margin contract: survivor (0.6, 0.8) reconstructs to
-    // (1, 1) — a real error the corpus-only margin does not cover, so
-    // admission raises the persisted margin by the delta's own bound
-    val marginD = math.max(margin,
-      Similarity.calibratePqMargin(surv1, "embedding", cb, m, k2))
-    assert(marginD > 0.1, s"delta must raise the margin: $marginD")
+    assert(Similarity.calibratePqMargin(corpus0, "embedding", cb, m, k2)
+      < 0.01, "corpus0 must reconstruct exactly for this law to bite")
+    assert(Similarity.calibratePqMargin(surv1, "embedding", cb, m, k2)
+      > 0.1, "the survivor must carry a real reconstruction error")
     val exactD = pairSet(Similarity.semanticNearDupsAgainstIndex(batch2,
       "vec_id", "embedding", idxVec, cents, threshold = 0.95,
       delta = Some(Similarity.semanticCellIndexDelta(surv1, "vec_id",
         "embedding", cents))))
     val pqD = pairSet(Similarity.semanticNearDupsAgainstIndexPq(batch2,
       "vec_id", "embedding", idxPq, content, "vec_id", "embedding",
-      cents, cb, m, k2, threshold = 0.95, margin = marginD,
+      cents, cb, m, k2, threshold = 0.95,
       delta = Some(Similarity.semanticCellIndexPqDelta(surv1, "vec_id",
         "embedding", cents, cb, m, k2))))
     assert(pqD === exactD && pqD.map(p => (p._1, p._2)) ===
@@ -464,14 +462,14 @@ class OpsSpec extends SparkTestBase {
     // drop mirror equality
     val keptPq = Similarity.dropSemanticAgainstIndexPq(batch2, "vec_id",
         "embedding", idxPq, content, "vec_id", "embedding", cents, cb,
-        m, k2, threshold = 0.95, margin = marginD,
+        m, k2, threshold = 0.95,
         delta = Some(Similarity.semanticCellIndexPqDelta(surv1, "vec_id",
           "embedding", cents, cb, m, k2)))
       .select("vec_id").as[Long].collect().sorted
     assert(keptPq === Array(7L))
-    // an uninformative margin (screen passes every same-cell pair)
-    // still yields the exact result — the verify phase owns correctness,
-    // margin only tunes how much of the index the sliver re-reads
+    // extra slack (screen passes every same-cell pair) still yields
+    // the exact result — the verify phase owns correctness, slack only
+    // grows how much of the index the sliver re-reads
     assert(pairSet(Similarity.semanticNearDupsAgainstIndexPq(batch2,
       "vec_id", "embedding", idxPq, corpus0, "vec_id", "embedding",
       cents, cb, m, k2, threshold = 0.95, margin = 2.0)) === exact)
@@ -479,14 +477,13 @@ class OpsSpec extends SparkTestBase {
     val e1 = intercept[Throwable] {
       Similarity.semanticNearDupsAgainstIndexPq(batch2, "vec_id",
         "embedding", idxPq, corpus0, "vec_id", "embedding", cents,
-        Array(0.5, 1.5, 0.5, 1.5), m, k2, threshold = 0.95,
-        margin = margin).collect()
+        Array(0.5, 1.5, 0.5, 1.5), m, k2, threshold = 0.95).collect()
     }
     assert(causeMessages(e1).contains("config mismatch"), causeMessages(e1))
   }
 
   test("PQ streaming ADC plan: candidate-grain over-drop only — every " +
-    "exact-mirror drop is PQ-dropped (calibrated margin ⇒ screen " +
+    "exact-mirror drop is PQ-dropped (per-row bound ⇒ screen " +
     "recall 1), survivors are a subset of the exact mirror's, and the " +
     "batch/streaming null-vector posture agrees") {
     import spark.implicits._
@@ -500,8 +497,6 @@ class OpsSpec extends SparkTestBase {
       "embedding", cents)
     val idxPq = Similarity.semanticCellIndexPq(corpus0, "vec_id",
       "embedding", cents, cb, m, k2)
-    val margin = Similarity.calibratePqMargin(corpus0, "embedding",
-      cb, m, k2)
     // batch2 + null / ragged / zero-norm rows (the r17 sweep's parity
     // question): all three must SURVIVE both paths — their cosine
     // against anything is 0/undefined, so there is nothing to verify
@@ -519,7 +514,7 @@ class OpsSpec extends SparkTestBase {
       "embedding", idxVec, cents, threshold = 0.95, None))
     val pqSurv = ids(graft.streaming.StreamingDedup
       .dropSemanticAgainstCellIndexPq(batch, idxPq, "embedding", cents,
-        cb, m, k2, threshold = 0.95, margin = margin))
+        cb, m, k2, threshold = 0.95))
     assert(exactSurv === Seq(5L, 7L, 10L, 11L, 12L))
     assert(pqSurv.toSet.subsetOf(exactSurv.toSet),
       s"PQ mirror under-dropped: pq=$pqSurv exact=$exactSurv")
@@ -528,9 +523,46 @@ class OpsSpec extends SparkTestBase {
     // batch two-phase drop agrees with the exact plan on the odd rows
     val batchSurv = ids(Similarity.dropSemanticAgainstIndexPq(batch,
       "vec_id", "embedding", idxPq, corpus0, "vec_id", "embedding",
-      cents, cb, m, k2, threshold = 0.95, margin = margin))
+      cents, cb, m, k2, threshold = 0.95))
     assert(batchSurv === exactSurv,
       s"batch PQ drop diverges: $batchSurv vs $exactSurv")
+  }
+
+  test("multi-probe recall dial: queryProbes=2 recovers the boundary-" +
+    "straddling pair nearest-1 misses, found pairs grow monotonically, " +
+    "and the PQ tier agrees exactly") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // batch vector near the diagonal: assigned to cell 0 (cos 0.717 vs
+    // 0.697), but its ≥0.6 duplicate 2L lives in cell 1 — found only
+    // when the batch probes its top-2 cells
+    val batch = Seq((8L, Seq(0.72f, 0.7f))).toDF("vec_id", "embedding")
+    val idx = Similarity.semanticCellIndex(corpus, "vec_id", "embedding",
+      cents)
+    def pairs(probes: Int) = Similarity.semanticNearDupsAgainstIndex(
+        batch, "vec_id", "embedding", idx, cents, threshold = 0.6,
+        queryProbes = probes)
+      .select("id_batch", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    assert(p1 === Set((8L, 1L)), s"nearest-1: $p1")
+    assert(p2 === Set((8L, 1L), (8L, 2L)),
+      s"top-2 must add the cross-boundary pair: $p2")
+    assert(p1.subsetOf(p2), "probes must be recall-monotone")
+    // PQ tier under the same dial: exact equality (two-phase verify)
+    val cb = Array(0.0, 1.0, 0.0, 1.0)
+    val idxPq = Similarity.semanticCellIndexPq(corpus, "vec_id",
+      "embedding", cents, cb, 2, 2)
+    val p2Pq = Similarity.semanticNearDupsAgainstIndexPq(batch, "vec_id",
+        "embedding", idxPq, corpus, "vec_id", "embedding", cents, cb,
+        2, 2, threshold = 0.6, queryProbes = 2)
+      .select("id_batch", "id_corpus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2Pq === p2, s"PQ multi-probe diverged: $p2Pq")
   }
 
   test("semantic index degenerate-cell audit: a collapsed quantizer is " +

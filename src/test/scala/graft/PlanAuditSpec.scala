@@ -31,6 +31,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_incremental_semantic", // the same k-bounded broadcast centroid
                               // assignment, on both the index build and
                               // the batch side (r17 incremental family)
+    "q_incremental_semantic_probe2", // ditto, top-2 window branch (r18
+                                     // multi-probe recall dial)
     "q_cluster_sample",      // broadcast centroid assignment (ivfAssign)
     "q_dense_grid",          // crossJoin of two declared expected-domain DFs
     "q_partial_axis",
@@ -74,7 +76,13 @@ class PlanAuditSpec extends SparkTestBase {
     "q_dsir",         // hashed-bag model totals -> 1 scalar
     "q_collocations", // corpus token total T -> 1 scalar
     "q_shard",        // corpus token total -> 1 scalar (shard width)
-    "q_curation_e2e"  // DSIR model totals + shard total -> 1-row scalars
+    "q_curation_e2e", // DSIR model totals + shard total -> 1-row scalars
+    // Catalyst's OWN InjectRuntimeFilter on the sliver re-verify join:
+    // partial_bloom_filter_agg sketches (map-side) -> one merged bloom
+    // row pushed into the probe-side scan — the allowed shape (the
+    // exchange carries #partitions sketch blobs, never data rows), and
+    // an optimization FOR the join this audit exists to protect
+    "q_incremental_semantic_pq"
   )
 
   test("no certified query plans a CartesianProduct; BNL only where declared; " +
