@@ -1527,6 +1527,28 @@ object PipelineQueries {
         .orderBy("id_batch", "id_corpus")
     }),
 
+    // the EMBEDDING-modality daily-admission loop end-to-end (r18):
+    // within-batch SemDeDup drop (shared quantizer), then drop vs the
+    // persisted cell index — the q_incremental_e2e composition
+    // capstone for the semantic family; output = the day's admitted
+    // vec_ids, exactly what semanticCellIndexDelta persists and
+    // compactSemanticCellIndex folds in. Stages individually
+    // certified (q_semantic_drop, q_incremental_semantic); this row
+    // certifies the COMPOSITION cross-engine.
+    "q_semantic_e2e" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+      val batch = e.filter(col("vec_id") % 5 === 0)
+      val idx = Similarity.semanticCellIndex(
+        e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents)
+      val within = Similarity.semanticDrop(batch, "vec_id", "embedding",
+        cents, threshold = 0.4)
+      Similarity.dropSemanticAgainstIndex(within, "vec_id", "embedding",
+        idx, cents, threshold = 0.4)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // multi-probe recall dial (r18): the batch side queries its TOP-2
     // nearest cells, recovering duplicates whose batch vector sits
     // near a cell boundary — SemDeDup's documented cross-cell loss,
@@ -1728,6 +1750,37 @@ object PipelineQueries {
          JOIN e e2 ON e2.vec_id = c.vec_id
          WHERE list_dot_product(e1.v, e2.v) / (e1.n * e2.n) >= 0.4
          ORDER BY 2, 3""",
+
+    // within-batch SemDeDup CC survivors, then the vs-index drop —
+    // the embedding-modality admission composition
+    "q_semantic_e2e" ->
+      s"""WITH RECURSIVE $semanticAssignCoreSql,
+         b AS (SELECT * FROM assign WHERE vec_id % 5 = 0),
+         bpairs AS (SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+           FROM b a1 JOIN b a2 USING (cid)
+           JOIN e e1 ON e1.vec_id = a1.vec_id
+           JOIN e e2 ON e2.vec_id = a2.vec_id
+           WHERE a1.vec_id < a2.vec_id
+             AND list_dot_product(e1.v, e2.v) / (e1.n * e2.n) >= 0.4),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM bpairs
+                   UNION SELECT id_b, id_a FROM bpairs),
+         reach AS (
+           SELECT src AS id, src AS label FROM edges
+           UNION
+           SELECT e2.src AS id, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id),
+         surv AS (SELECT vec_id FROM b WHERE vec_id NOT IN (
+           SELECT id FROM (SELECT id, min(label) AS keep FROM reach GROUP BY 1)
+           WHERE id != keep)),
+         c AS (SELECT * FROM assign WHERE vec_id % 5 <> 0),
+         dropped AS (SELECT DISTINCT s.vec_id
+           FROM surv s JOIN b ON b.vec_id = s.vec_id
+           JOIN c ON b.cid = c.cid
+           JOIN e e1 ON e1.vec_id = s.vec_id
+           JOIN e e2 ON e2.vec_id = c.vec_id
+           WHERE list_dot_product(e1.v, e2.v) / (e1.n * e2.n) >= 0.4)
+         SELECT vec_id FROM surv
+         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY vec_id""",
 
     // batch side re-ranked at rk <= 2 (top-2 nearest cells); corpus
     // side stays the index's nearest-1 assignment

@@ -1106,8 +1106,12 @@ object VectorExprs {
     * registers the `Broadcast[BloomFilter]` here and passes its id.
     * The handle stays registered (and the broadcast blocks pinned) for
     * the session's lifetime — exactly what a long-running streaming
-    * query needs; call [[releaseBloomBroadcast]] when an operator
-    * built over it is permanently retired. */
+    * query needs; call [[releaseBloomBroadcasts]] when an operator
+    * built over it is permanently retired. Driver RESTART is safe by
+    * construction: streaming checkpoints persist offsets/state, never
+    * the physical plan — on restart user code re-invokes the operator
+    * constructor, which registers a FRESH broadcast in the new
+    * session; a stale id can never be read back from a checkpoint. */
   private val bloomBroadcasts = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.broadcast.Broadcast[
       org.apache.spark.util.sketch.BloomFilter]]()

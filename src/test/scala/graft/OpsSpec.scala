@@ -480,6 +480,27 @@ class OpsSpec extends SparkTestBase {
         Array(0.5, 1.5, 0.5, 1.5), m, k2, threshold = 0.95).collect()
     }
     assert(causeMessages(e1).contains("config mismatch"), causeMessages(e1))
+    // the shared compactor IS column-generic (its contract): folding a
+    // PQ delta into a persisted PQ layout is row-identical to a
+    // rebuild over corpus ∪ survivors — codes, norm, AND the per-row
+    // bound all ride through
+    val root = java.nio.file.Files
+      .createTempDirectory("opsspec_pqidx").toString
+    Similarity.writeSemanticCellIndexPq(corpus0, "vec_id", "embedding",
+      cents, cb, m, k2, "opsspec_pq_idx", 2, path = Some(s"$root/v1"))
+    Similarity.compactSemanticCellIndex(spark, "opsspec_pq_idx",
+      Similarity.semanticCellIndexPqDelta(surv1, "vec_id", "embedding",
+        cents, cb, m, k2),
+      "opsspec_pq_idx_v2", 2, path = Some(s"$root/v2"))
+    graft.api.Layout.verifyLayout(spark, "opsspec_pq_idx_v2")
+    def pqRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "id", "codes", "n", "err", "cfg").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Int](2).toList, math.round(r.getDouble(3) * 1e9),
+          math.round(r.getDouble(4) * 1e9), r.getString(5))).toSet
+    assert(pqRows(graft.api.Layout.table(spark, "opsspec_pq_idx_v2")) ===
+      pqRows(Similarity.semanticCellIndexPq(corpus0.unionByName(surv1),
+        "vec_id", "embedding", cents, cb, m, k2)))
   }
 
   test("PQ streaming ADC plan: candidate-grain over-drop only — every " +
