@@ -1527,6 +1527,24 @@ object PipelineQueries {
         .orderBy("id_batch", "id_corpus")
     }),
 
+    // ANN SERVING against the persisted PQ index (r18): the ivfPqTopK
+    // semantics with the corpus side read from semanticCellIndexPq —
+    // codes never re-derived per query batch, index never shuffled
+    // (bucketed on cid at scale), per-request work = the broadcast
+    // probe table only
+    "q_ann_serve" -> ((s, d) => {
+      val e = spread(s, emb(s, d), "vec_id")
+      val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+      val idx = Similarity.semanticCellIndexPq(
+        e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents,
+        pqCb.toArray, pqM, pqK)
+      Similarity.pqTopKAgainstIndex(e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", idx, cents, pqCb.toArray, pqM, pqK,
+        topK = 4, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
     // the EMBEDDING-modality daily-admission loop end-to-end (r18):
     // within-batch SemDeDup drop (shared quantizer), then drop vs the
     // persisted cell index — the q_incremental_e2e composition
@@ -3232,6 +3250,61 @@ object PipelineQueries {
            FROM e CROSS JOIN centn c WHERE e.vec_id < 8) WHERE rk <= 2),
          pd AS (SELECT em.vec_id, cb.s, cb.c, $d2 AS d2
            FROM embeddings em CROSS JOIN cb),
+         best AS (SELECT vec_id, s, c FROM (
+           SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, c) AS rn FROM pd) WHERE rn = 1),
+         ips AS (SELECT p.query_id, a.vec_id AS neighbor_id, b.s, $ip AS ip
+           FROM probes p JOIN assign a USING (cid)
+           JOIN best b ON b.vec_id = a.vec_id
+           JOIN cb ON cb.s = b.s AND cb.c = b.c
+           WHERE a.vec_id != p.query_id),
+         adc AS (SELECT query_id, neighbor_id,
+           round(list_sum(list(ip ORDER BY s)), 6) AS sim
+           FROM ips GROUP BY 1, 2)
+         SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rank FROM adc)
+         WHERE rank <= 4 ORDER BY query_id, rank"""
+    },
+
+    // the ivf_pq oracle with the corpus restricted to the indexed
+    // 4/5ths, queries vec_id < 10, rk <= 2 probes, top-4 — the
+    // serving-against-persisted-index replica (codes/assignment
+    // re-derived from the same pinned literals)
+    "q_ann_serve" -> {
+      val d2 = (0 until pqSubDim).map(i =>
+        s"(em.embedding[cb.s*8+${i + 1}]::DOUBLE - cb.cv[${i + 1}]) * " +
+          s"(em.embedding[cb.s*8+${i + 1}]::DOUBLE - cb.cv[${i + 1}])")
+        .mkString(" + ")
+      val ip = (0 until pqSubDim).map(i =>
+        s"p.qv[b.s*8+${i + 1}] * cb.cv[${i + 1}]").mkString(" + ")
+      s"""WITH cb(s, c, cv) AS (VALUES
+         $pqCbValuesSql),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+         cent AS (SELECT label::BIGINT AS cid,
+           list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS cv
+           FROM (SELECT label, pos, avg(x) AS m FROM (
+             SELECT label, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+               unnest(embedding)::DOUBLE AS x FROM embeddings)
+             GROUP BY 1, 2) GROUP BY 1),
+         centn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+         assign AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(CASE WHEN e.n * c.cn > 0
+               THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+               c.cid) AS rk
+           FROM e CROSS JOIN centn c WHERE e.vec_id % 5 <> 0) WHERE rk = 1),
+         probes AS (SELECT query_id, cid, qv FROM (
+           SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(CASE WHEN e.n * c.cn > 0
+                 THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+                 c.cid) AS rk
+           FROM e CROSS JOIN centn c WHERE e.vec_id < 10) WHERE rk <= 2),
+         pd AS (SELECT em.vec_id, cb.s, cb.c, $d2 AS d2
+           FROM embeddings em CROSS JOIN cb WHERE em.vec_id % 5 <> 0),
          best AS (SELECT vec_id, s, c FROM (
            SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
              ORDER BY d2, c) AS rn FROM pd) WHERE rn = 1),

@@ -803,12 +803,17 @@ object Similarity {
     // cand/pinnedIds checkpoints stay pinned while the result is
     // consumed (they are sliver-sized); release with
     // [[graft.api.Caches.release]] once done, the semanticNearDupPairs
-    // contract
+    // contract. Final distinct = exact-tier parity even if `vectors`
+    // carries duplicate ids (the content store SHOULD be unique per
+    // id; the exact tier verifies against index rows, which are unique
+    // by construction, so this path must not be the one that
+    // duplicates) — sliver-sized, cheap.
     cand.join(sliver, Seq("id_corpus"))
       .withColumn("sim",
         cosinePrenormed(col("__vb"), col("__vc"), col("__nb"), col("__nc")))
       .filter(col("sim") >= threshold)
       .select("cid", "id_batch", "id_corpus", "sim")
+      .distinct()
   }
 
   /** Survivor selection over the PQ two-phase pairs (corpus wins) —
@@ -833,6 +838,49 @@ object Similarity {
       .map(_.toLong).getOrElse(1L << 22)
     val hinted = if (dup.count() <= thresholdRows) broadcast(dup) else dup
     batch.join(hinted, Seq(idCol), "left_anti")
+  }
+
+  /** ANN SERVING against the PERSISTED PQ cell index — [[ivfPqTopK]]'s
+    * semantics (probe the nProbe nearest cells, score candidates with
+    * the codegen'd ADC lookup sum = the inner product with the
+    * reconstructed vector, per-query top-k window) with the corpus
+    * side read from [[semanticCellIndexPq]] instead of re-assigned and
+    * re-encoded per query batch: the index is bucketed on cid, so the
+    * candidate join never shuffles it, and the only per-request work
+    * is the (tiny, broadcast) probe table — the serving economics the
+    * dedup family already has. Identical results to [[ivfPqTopK]] over
+    * the same corpus/centroids/codebook (same assignment aggregation,
+    * same encode kernel — PqSpec-style law); codebook/quantizer
+    * mismatch throws at scan time via the cfg stamp. */
+  def pqTopKAgainstIndex(queries: DataFrame, idCol: String,
+                         vecCol: String, indexPq: DataFrame,
+                         centroids: DataFrame, cb: Array[Double],
+                         m: Int, codesPerSub: Int, topK: Int,
+                         nProbe: Int = 2): DataFrame = {
+    VectorExprs.ensureRegistered(queries.sparkSession)
+    val cfg = pqCellCfg(centroids, cb, m, codesPerSub)
+    val subDim = cb.length / (m * codesPerSub)
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val probes = nearestCentroids(q, "query_id", centroids, nProbe)
+      .select(col("query_id"), col("cid"),
+        VectorExprs.pqLut(col("__v"), cb, m, codesPerSub, subDim)
+          .as("__lut"))
+      .filter(col("__lut").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    graft.ops.Dedup.requireCfg(indexPq, cfg)
+      .select(col("cid"), col("id").as("neighbor_id"),
+        col("codes").as("__codes"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(VectorExprs.pqAdc(col("__codes"), col("__lut"), codesPerSub), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "sim")
   }
 
   /** Per-label centroid components (label, pos, mean) — the building

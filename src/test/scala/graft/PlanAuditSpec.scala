@@ -33,6 +33,8 @@ class PlanAuditSpec extends SparkTestBase {
                               // the batch side (r17 incremental family)
     "q_incremental_semantic_probe2", // ditto, top-2 window branch (r18
                                      // multi-probe recall dial)
+    "q_ann_serve",           // ditto on the index build + probe sides
+                             // (r18 serving vs the persisted PQ index)
     "q_cluster_sample",      // broadcast centroid assignment (ivfAssign)
     "q_dense_grid",          // crossJoin of two declared expected-domain DFs
     "q_partial_axis",

@@ -118,6 +118,32 @@ class PqSpec extends SparkTestBase {
     assert(ivfpq.toSet === expected, s"\nivfpq=${ivfpq.toSeq.sorted}\nexp=${expected.toSeq.sorted}")
   }
 
+  test("pqTopKAgainstIndex (serving vs the PERSISTED PQ cell index) is " +
+    "row-identical to ivfPqTopK over the same corpus/centroids/" +
+    "codebook, and a stale codebook refuses at scan time") {
+    val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 2)
+    val cents = Similarity.centroidsFromLabels(emb, "label", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val live = rows(Similarity.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", cents, cb, m, k, topK = 4, nProbe = 2))
+    val idx = Similarity.semanticCellIndexPq(emb, "vec_id", "embedding",
+      cents, cb, m, k)
+    val served = rows(Similarity.pqTopKAgainstIndex(queries, "vec_id",
+      "embedding", idx, cents, cb, m, k, topK = 4, nProbe = 2))
+    assert(served === live,
+      s"\nserved=${served.toSeq.sorted}\nlive=${live.toSeq.sorted}")
+    val eC = intercept[Throwable] {
+      Similarity.pqTopKAgainstIndex(queries, "vec_id", "embedding", idx,
+        cents, cb.map(_ + 0.25), m, k, topK = 4, nProbe = 2).collect()
+    }
+    val msgs = Iterator.iterate(eC)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("config mismatch"), msgs)
+  }
+
   test("pqTopK ranks a planted exact-duplicate vector at the top") {
     val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 2)
     // plant an exact copy of vec 0 with id 9999
