@@ -746,7 +746,17 @@ object Similarity {
     * one): `vectors` must contain the raw vector of every id admitted
     * to the delta — survivors were admitted, so the content store has
     * them; a candidate id missing from `vectors` produces no pair,
-    * silently. */
+    * silently.
+    *
+    * Phase-2 cost, honestly: the sliver fetch is one (id, vec)-column
+    * SCAN of `vectors` filtered by the broadcast candidate-id
+    * semi-join — Catalyst additionally injects a runtime bloom filter
+    * into that scan (observed in the audited plan), so non-candidate
+    * rows die at the filter, but the columns are still read. That
+    * scan replaces the exact tier's per-batch JOIN of the full
+    * dims×8-byte index payload: a two-column scan is the strictly
+    * cheaper side of the trade at every scale, and only the
+    * near-threshold sliver crosses the wire. */
   def semanticNearDupsAgainstIndexPq(batch: DataFrame, idCol: String,
                                      vecCol: String, indexPq: DataFrame,
                                      vectors: DataFrame, vIdCol: String,

@@ -549,6 +549,63 @@ class OpsSpec extends SparkTestBase {
       s"batch PQ drop diverges: $batchSurv vs $exactSurv")
   }
 
+  test("property: PQ two-phase ≡ exact tier on random corpora, batches, " +
+    "quantizers AND codebooks — the per-row bound delivers exactness " +
+    "unconditionally, even under an arbitrarily BAD codebook (it only " +
+    "moves the screen/verify split, never the result)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val dims = 4
+    def vec() = Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)
+    for (trial <- 1 to 4) {
+      val nCells = 2 + rnd.nextInt(3)
+      val cents = (0 until nCells)
+        .map(c => (c.toLong, Seq.fill(dims)(rnd.nextDouble() * 2 - 1)))
+        .toDF("cid", "cv")
+      val corpusRows = (0L until 30L).map(i => (i, vec()))
+      val corpus = corpusRows.toDF("vec_id", "embedding")
+      // batch: 5 near-copies of corpus vectors (tiny noise) + 10 fresh
+      val batch = ((0 until 5).map { j =>
+        val (src, v) = corpusRows(rnd.nextInt(corpusRows.length))
+        (100L + j, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+      } ++ (0 until 10).map(j => (200L + j, vec()))).toDF("vec_id", "embedding")
+      // ADVERSARIAL codebook: random values, possibly far from any
+      // vector — reconstruction error is large and NON-uniform
+      val (m, cps) = (2, 3)
+      val cb = Array.fill(m * cps * (dims / m))(rnd.nextDouble() * 4 - 2)
+      val threshold = 0.7 + rnd.nextDouble() * 0.25
+      val probes = 1 + rnd.nextInt(2)
+      val idxVec = Similarity.semanticCellIndex(corpus, "vec_id",
+        "embedding", cents)
+      val idxPq = Similarity.semanticCellIndexPq(corpus, "vec_id",
+        "embedding", cents, cb, m, cps)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_batch", "id_corpus", "sim").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            math.round(r.getDouble(2) * 1e6))).toSet
+      val exact = pairs(Similarity.semanticNearDupsAgainstIndex(batch,
+        "vec_id", "embedding", idxVec, cents, threshold,
+        queryProbes = probes))
+      val viaPq = pairs(Similarity.semanticNearDupsAgainstIndexPq(batch,
+        "vec_id", "embedding", idxPq, corpus, "vec_id", "embedding",
+        cents, cb, m, cps, threshold, queryProbes = probes))
+      assert(viaPq === exact,
+        s"trial $trial (threshold=$threshold probes=$probes): " +
+          s"pq=$viaPq exact=$exact")
+      // the streaming ADC plan may only OVER-drop (never keep a row
+      // the exact mirror drops)
+      val exactSurv = Similarity.semanticDropAgainstIndexPlan(batch,
+          "embedding", idxVec, cents, threshold, None)
+        .select("vec_id").as[Long].collect().toSet
+      val pqSurv = graft.streaming.StreamingDedup
+        .dropSemanticAgainstCellIndexPq(batch, idxPq, "embedding",
+          cents, cb, m, cps, threshold)
+        .select("vec_id").as[Long].collect().toSet
+      assert(pqSurv.subsetOf(exactSurv),
+        s"trial $trial: PQ mirror under-dropped ${pqSurv -- exactSurv}")
+    }
+  }
+
   test("multi-probe recall dial: queryProbes=2 recovers the boundary-" +
     "straddling pair nearest-1 misses, found pairs grow monotonically, " +
     "and the PQ tier agrees exactly") {
