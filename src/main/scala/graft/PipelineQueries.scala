@@ -520,6 +520,29 @@ object PipelineQueries {
         .orderBy("doc_id", "epoch")
     }),
 
+    // the ONE-TOKENIZE-PASS recipe composed end-to-end (r18): tokenize
+    // once into a count column, DROP the text (type-level proof no
+    // later stage can re-tokenize), observe per-source masses, derive
+    // temperature budgets (T=0.5: the Pile/GPT-3 n^(1/T) step, 1/T
+    // integral so both engines floor identical doubles), then
+    // epoch-repeated mixing from the SAME counts — the r17-review fix
+    // (three tokenize passes for one mixture) certified as a
+    // composition, with budgets large enough that some sources repeat
+    "q_recipe_e2e" -> ((s, d) => {
+      val counted = docs(s, d)
+        .withColumn("n_tok",
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .drop("text")
+      val masses = graft.ops.Selection.sourceMasses(counted, "source",
+        "n_tok")
+      val budgets = graft.ops.Selection.temperatureBudgets(masses,
+        totalTokens = 50000L, temperature = 0.5)
+      graft.ops.Selection.mixCorpusRepeatedByTokens(counted, "source",
+          "n_tok", "doc_id", budgets, maxEpochs = 3)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // Lee-et-al-style span dedup: token 3-gram spans recurring across
     // documents (boilerplate discovery), and the positional scrub that
     // removes every covered token from every document
@@ -2043,6 +2066,38 @@ object PipelineQueries {
          SELECT c.doc_id, c.source FROM c JOIN b USING (source)
          WHERE c.cum <= b.budget ORDER BY doc_id""",
 
+    // the composed recipe: temperature budgets (n^2 at T=0.5) feeding
+    // the full-pass + remainder rule — both derived from ONE token
+    // column, like the Spark side's single tokenize pass
+    "q_recipe_e2e" ->
+      s"""WITH t AS (SELECT doc_id, source,
+           (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($W) END)::BIGINT AS tok,
+           md5(source || '§' || doc_id::VARCHAR) AS k FROM documents),
+         n AS (SELECT source, sum(tok)::BIGINT AS n FROM t GROUP BY 1),
+         b AS (SELECT source, n,
+           floor(50000 * power(n::DOUBLE, 2.0) /
+             (SELECT sum(power(n::DOUBLE, 2.0)) FROM n))::BIGINT AS budget
+           FROM n),
+         e AS (SELECT source,
+           CASE WHEN n > 0 THEN least(budget // n, 3) ELSE 0 END AS fe,
+           CASE WHEN n > 0 AND budget // n < 3
+                  THEN budget - least(budget // n, 3) * n
+                WHEN n > 0 THEN 0 ELSE budget END AS rem
+           FROM b),
+         c AS (SELECT doc_id, source,
+           sum(tok) OVER (PARTITION BY source ORDER BY k, doc_id) AS cum
+           FROM t),
+         fullp AS (SELECT t.doc_id, t.source,
+             unnest(generate_series(0, fe - 1)) AS epoch
+           FROM t JOIN e USING (source) WHERE fe > 0),
+         remp AS (SELECT c.doc_id, c.source, e.fe AS epoch
+           FROM c JOIN e USING (source)
+           WHERE e.rem > 0 AND c.cum <= e.rem)
+         SELECT doc_id, source, epoch::BIGINT AS epoch FROM fullp
+         UNION ALL
+         SELECT doc_id, source, epoch::BIGINT AS epoch FROM remp
+         ORDER BY doc_id, epoch""",
+
     // full passes = budget div mass (capped), remainder = the same
     // hash-ordered inclusive-cumsum prefix at epoch fe
     "q_mix_repeated" -> {
@@ -2065,8 +2120,12 @@ object PipelineQueries {
          fullp AS (SELECT t.doc_id, t.source,
              unnest(generate_series(0, fe - 1)) AS epoch
            FROM t JOIN e USING (source) WHERE fe > 0),
+         -- rem > 0 (r18): a ZERO remainder emits nothing, so zero-token
+         -- docs (cum = 0) cannot ride a surprise extra pass at epoch fe
+         -- — matches the Spark-side fix exactly
          remp AS (SELECT c.doc_id, c.source, e.fe AS epoch
-           FROM c JOIN e USING (source) WHERE c.cum <= e.rem)
+           FROM c JOIN e USING (source)
+           WHERE e.rem > 0 AND c.cum <= e.rem)
          SELECT doc_id, source, epoch::BIGINT AS epoch FROM fullp
          UNION ALL
          SELECT doc_id, source, epoch::BIGINT AS epoch FROM remp
