@@ -1119,14 +1119,23 @@ object VectorExprs {
   /** Broadcast a serialized filter once and return the registry handle
     * — share it across every [[bloomContainsBc]] column of one
     * operator (per-column broadcasting would pin one filter copy per
-    * band in the block manager). */
+    * band in the block manager). The handle is keyed by
+    * (applicationId, md5 of the filter bytes), so REPEATED operator
+    * construction over the same filter — a daily batch job re-invoking
+    * the drop, a restarted streaming query — reuses the ONE existing
+    * broadcast instead of pinning a fresh GB-scale copy per call (the
+    * leak a UUID key would have). The applicationId component stops a
+    * restarted test/driver from reusing a handle whose blocks died
+    * with the previous SparkContext. */
   def registerBloomBroadcast(spark: SparkSession,
                              bloomBytes: Array[Byte]): String = {
-    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bloomBytes))
-    val bc = spark.sparkContext.broadcast(bf)
-    val id = java.util.UUID.randomUUID().toString
-    bloomBroadcasts.put(id, bc)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val id = spark.sparkContext.applicationId + ":" +
+      md.digest(bloomBytes).map("%02x".format(_)).mkString
+    bloomBroadcasts.computeIfAbsent(id, _ =>
+      spark.sparkContext.broadcast(
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bloomBytes))))
     id
   }
 
@@ -1141,12 +1150,17 @@ object VectorExprs {
     call_function("graft_bloom_contains_bc", s, lit(handle))
   }
 
-  /** Destroy every broadcast bloom registered by [[bloomContainsBc]]
-    * (test/retirement hook — plans built over them must not run
-    * afterwards). */
+  /** Destroy every broadcast bloom registered via
+    * [[registerBloomBroadcast]] (test/retirement hook — plans built
+    * over them must not run afterwards). Entries whose SparkContext
+    * already died are just dropped (their blocks died with it). */
   def releaseBloomBroadcasts(): Unit = {
     val it = bloomBroadcasts.values().iterator()
-    while (it.hasNext) { it.next().destroy(); it.remove() }
+    while (it.hasNext) {
+      try it.next().destroy()
+      catch { case _: Throwable => () }
+      it.remove()
+    }
   }
 
   /** Per-row hashed-bag count vector (dim doubles) over a token array

@@ -194,6 +194,43 @@ class LayoutSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("persisted PQ cell index: ANN serving never shuffles the index — " +
+    "the plan's only exchanges are query-side-sized (probe window + " +
+    "candidate top-k window), independent of corpus scale; results " +
+    "equal the in-memory index") {
+    import graft.ops.Similarity
+    val e = sf("embeddings")
+    // centroid table as a LEAF (checkpoint): k-bounded and persisted
+    // with the index version in production, so its own build exchanges
+    // must not confound the measured serving plan (the band-index
+    // law's bBands treatment)
+    val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+      .localCheckpoint()
+    val cb = Similarity.trainPq(e, "vec_id", "embedding", 64, 8, 16,
+      iters = 1)
+    Similarity.writeSemanticCellIndexPq(e, "vec_id", "embedding", cents,
+      cb, 8, 16, "layoutspec_pqidx", 4, path = Some(s"$root/pqidx"))
+    val queries = e.filter(col("vec_id") < 6)
+    val served = Similarity.pqTopKAgainstIndex(queries, "vec_id",
+      "embedding", Layout.table(spark, "layoutspec_pqidx"), cents, cb,
+      8, 16, topK = 3, nProbe = 2)
+    // exchange 1: the nProbe window over the (tiny) query side;
+    // exchange 2: the per-query top-k window over the candidate
+    // sliver. The corpus-scale index side contributes ZERO — it is
+    // scanned in place under the broadcast probe join, codes never
+    // re-derived. Both exchanges carry query-bounded rows, so the
+    // count is the scale claim.
+    assert(Layout.shuffleExchanges(served) == 2,
+      "serving must not shuffle the index:\n" +
+        served.queryExecution.executedPlan)
+    val live = Similarity.pqTopKAgainstIndex(queries, "vec_id",
+      "embedding", Similarity.semanticCellIndexPq(e, "vec_id",
+        "embedding", cents, cb, 8, 16), cents, cb, 8, 16,
+      topK = 3, nProbe = 2)
+    assert(served.collect().map(_.toSeq).toSet ===
+      live.collect().map(_.toSeq).toSet)
+  }
+
   test("compacted band index (Dedup.compactBandIndex) is a REAL layout: " +
     "one file per bucket, and the candidate join against the v2 table " +
     "still shuffles only the batch side (the compaction's whole point)") {

@@ -399,6 +399,18 @@ class StreamingSpec extends SparkTestBase {
           useMd5 = true), "mrg_merged_bc_out")
       assert(survMergedBc === survMerged,
         "broadcast-handle delivery diverged from the plan constant")
+      // repeated construction over the SAME filter reuses the ONE
+      // registered broadcast (content-hash key) — a daily batch job
+      // re-invoking the drop must not pin a fresh GB-scale copy per
+      // call
+      val h1 = graft.functions.VectorExprs
+        .registerBloomBroadcast(spark, merged.bytes)
+      val h2 = graft.functions.VectorExprs
+        .registerBloomBroadcast(spark, merged.bytes)
+      assert(h1 === h2, "same filter bytes must reuse one broadcast")
+      assert(h1 !== graft.functions.VectorExprs
+        .registerBloomBroadcast(spark, bloom0.bytes),
+        "different filters must not collide")
     } finally spark.conf.unset("spark.graft.dedup.bloomBroadcastBytes")
     // geometry mismatch (a delta bloom sized on its own key count)
     // refuses with the fix spelled out; cfg mismatch refuses too
