@@ -1568,6 +1568,24 @@ object PipelineQueries {
           col("neighbor_id"), col("sim"))
     }),
 
+    // serving with the FAISS-style refine stage (r18): ADC shortlist
+    // of topK×refineFactor from the persisted codes, exact COSINE
+    // re-rank after fetching raw vectors for the shortlist only —
+    // the exactness knob over q_ann_serve
+    "q_ann_serve_refined" -> ((s, d) => {
+      val e = spread(s, emb(s, d), "vec_id")
+      val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val idx = Similarity.semanticCellIndexPq(corpus, "vec_id",
+        "embedding", cents, pqCb.toArray, pqM, pqK)
+      Similarity.pqTopKRefinedAgainstIndex(e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", idx, corpus, "vec_id", "embedding",
+        cents, pqCb.toArray, pqM, pqK, topK = 4, refineFactor = 2,
+        nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    }),
+
     // the EMBEDDING-modality daily-admission loop end-to-end (r18):
     // within-batch SemDeDup drop (shared quantizer), then drop vs the
     // persisted cell index — the q_incremental_e2e composition
@@ -3378,6 +3396,72 @@ object PipelineQueries {
          SELECT query_id, rank::BIGINT AS rank, neighbor_id, sim FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY sim DESC, neighbor_id) AS rank FROM adc)
+         WHERE rank <= 4 ORDER BY query_id, rank"""
+    },
+
+    // the q_ann_serve machinery + the refine stage: ADC rank <= 8
+    // (topK=4 x refineFactor=2) shortlists, exact cosine re-ranks
+    "q_ann_serve_refined" -> {
+      val d2 = (0 until pqSubDim).map(i =>
+        s"(em.embedding[cb.s*8+${i + 1}]::DOUBLE - cb.cv[${i + 1}]) * " +
+          s"(em.embedding[cb.s*8+${i + 1}]::DOUBLE - cb.cv[${i + 1}])")
+        .mkString(" + ")
+      val ip = (0 until pqSubDim).map(i =>
+        s"p.qv[b.s*8+${i + 1}] * cb.cv[${i + 1}]").mkString(" + ")
+      s"""WITH cb(s, c, cv) AS (VALUES
+         $pqCbValuesSql),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+           FROM embeddings),
+         cent AS (SELECT label::BIGINT AS cid,
+           list_transform(list(m ORDER BY pos), x -> round(x, 6)) AS cv
+           FROM (SELECT label, pos, avg(x) AS m FROM (
+             SELECT label, (generate_subscripts(embedding, 1) - 1)::BIGINT AS pos,
+               unnest(embedding)::DOUBLE AS x FROM embeddings)
+             GROUP BY 1, 2) GROUP BY 1),
+         centn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+         assign AS (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(CASE WHEN e.n * c.cn > 0
+               THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+               c.cid) AS rk
+           FROM e CROSS JOIN centn c WHERE e.vec_id % 5 <> 0) WHERE rk = 1),
+         probes AS (SELECT query_id, cid, qv FROM (
+           SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(CASE WHEN e.n * c.cn > 0
+                 THEN list_dot_product(e.v, c.cv) / (e.n * c.cn) ELSE 0 END, 6) DESC,
+                 c.cid) AS rk
+           FROM e CROSS JOIN centn c WHERE e.vec_id < 10) WHERE rk <= 2),
+         pd AS (SELECT em.vec_id, cb.s, cb.c, $d2 AS d2
+           FROM embeddings em CROSS JOIN cb WHERE em.vec_id % 5 <> 0),
+         best AS (SELECT vec_id, s, c FROM (
+           SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY d2, c) AS rn FROM pd) WHERE rn = 1),
+         ips AS (SELECT p.query_id, a.vec_id AS neighbor_id, b.s, $ip AS ip
+           FROM probes p JOIN assign a USING (cid)
+           JOIN best b ON b.vec_id = a.vec_id
+           JOIN cb ON cb.s = b.s AND cb.c = b.c
+           WHERE a.vec_id != p.query_id),
+         adc AS (SELECT query_id, neighbor_id,
+           round(list_sum(list(ip ORDER BY s)), 6) AS sim
+           FROM ips GROUP BY 1, 2),
+         short AS (SELECT query_id, neighbor_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rank FROM adc)
+           WHERE rank <= 8),
+         refined AS (SELECT s.query_id, s.neighbor_id,
+             CASE WHEN eq.n * ec.n > 0
+               THEN list_dot_product(eq.v, ec.v) / (eq.n * ec.n)
+               ELSE 0 END AS sim
+           FROM short s
+           JOIN e eq ON eq.vec_id = s.query_id
+           JOIN e ec ON ec.vec_id = s.neighbor_id)
+         SELECT query_id, rank::BIGINT AS rank, neighbor_id,
+           round(sim, 4) AS sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(sim, 6) DESC, neighbor_id) AS rank
+           FROM refined)
          WHERE rank <= 4 ORDER BY query_id, rank"""
     },
 

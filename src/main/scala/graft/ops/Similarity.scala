@@ -893,6 +893,56 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** [[pqTopKAgainstIndex]] + the FAISS-style REFINE stage: ADC ranks
+    * a per-query shortlist of topK × refineFactor candidates from the
+    * persisted codes, then the raw vectors of the SHORTLIST only are
+    * fetched from `vectors` (the content store; size-gated broadcast
+    * semi-join — |queries| × topK × refineFactor rows, never the
+    * corpus) and exact COSINE re-ranks the final top-k. The exactness
+    * knob the pure-ADC serve lacks: quantization error can only
+    * reorder WITHIN the shortlist, and a large-enough refineFactor
+    * recovers exact-cosine top-k over the probed cells (the
+    * [[ivfTopK]] result — PqSpec law). Per-request cost stays
+    * query-bounded: the index is scanned in place (broadcast probes),
+    * the refine join touches shortlist rows only. */
+  def pqTopKRefinedAgainstIndex(queries: DataFrame, idCol: String,
+                                vecCol: String, indexPq: DataFrame,
+                                vectors: DataFrame, vIdCol: String,
+                                vVecCol: String, centroids: DataFrame,
+                                cb: Array[Double], m: Int,
+                                codesPerSub: Int, topK: Int,
+                                refineFactor: Int = 4,
+                                nProbe: Int = 2): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
+    val shortlist = pqTopKAgainstIndex(queries, idCol, vecCol, indexPq,
+      centroids, cb, m, codesPerSub, topK * refineFactor, nProbe)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint() // two consumers: the id pull + the refine join
+    val thresholdRows = queries.sparkSession.conf
+      .getOption("spark.graft.dedup.idBroadcastThreshold")
+      .map(_.toLong).getOrElse(1L << 22)
+    val ids = shortlist.select("neighbor_id").distinct().localCheckpoint()
+    val hinted = if (ids.count() <= thresholdRows) broadcast(ids) else ids
+    val sliver = vectors
+      .select(col(vIdCol).as("neighbor_id"),
+        asDouble(col(vVecCol)).as("__cv"))
+      .join(hinted, Seq("neighbor_id"))
+      .withColumn("__cn", norm(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("sim"), 6).desc, col("neighbor_id").asc)
+    shortlist.join(sliver, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim",
+        cosinePrenormed(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Per-label centroid components (label, pos, mean) — the building
     * block of an IVF coarse quantizer. posexplode + groupBy: one
     * shuffle keyed by (label, dim), fully parallel. */

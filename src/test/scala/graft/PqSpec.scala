@@ -144,6 +144,40 @@ class PqSpec extends SparkTestBase {
     assert(msgs.contains("config mismatch"), msgs)
   }
 
+  test("pqTopKRefinedAgainstIndex: a shortlist covering every probed " +
+    "candidate recovers EXACT-cosine top-k over the probed cells " +
+    "(= ivfTopK) — quantization error can only reorder within the " +
+    "shortlist") {
+    val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 1)
+    val cents = Similarity.centroidsFromLabels(emb, "label", "embedding")
+    val queries = emb.filter(col("vec_id") < 6)
+    val idx = Similarity.semanticCellIndexPq(emb, "vec_id", "embedding",
+      cents, cb, m, k)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e4))).toSet
+    // refineFactor large enough that the ADC shortlist IS the probed
+    // candidate set -> exact re-rank = ivfTopK's exact-cosine top-k
+    val refined = rows(Similarity.pqTopKRefinedAgainstIndex(queries,
+      "vec_id", "embedding", idx, emb, "vec_id", "embedding", cents,
+      cb, m, k, topK = 3, refineFactor = 100000, nProbe = 2))
+    val exact = rows(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", cents, k = 3, nProbe = 2))
+    assert(refined === exact,
+      s"\nrefined=${refined.toSeq.sorted}\nexact=${exact.toSeq.sorted}")
+    // at any refineFactor the returned ids come from the ADC shortlist
+    val short = Similarity.pqTopKAgainstIndex(queries, "vec_id",
+      "embedding", idx, cents, cb, m, k, topK = 6, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = Similarity.pqTopKRefinedAgainstIndex(queries, "vec_id",
+      "embedding", idx, emb, "vec_id", "embedding", cents, cb, m, k,
+      topK = 3, refineFactor = 2, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r2.subsetOf(short), s"refined ids escaped the shortlist: ${r2 -- short}")
+  }
+
   test("pqTopK ranks a planted exact-duplicate vector at the top") {
     val cb = Similarity.trainPq(emb, "vec_id", "embedding", dims, m, k, iters = 2)
     // plant an exact copy of vec 0 with id 9999
