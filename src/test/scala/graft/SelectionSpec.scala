@@ -16,6 +16,72 @@ class SelectionSpec extends SparkTestBase {
     (6L, "")
   ).toDF("doc_id", "text")
 
+  test("property: mixCorpusRepeated equals a local reference on random " +
+    "corpora — zero-token docs, empty sources, exact-multiple budgets, " +
+    "binding caps, and budget-below-mass all compose correctly with " +
+    "the r18 zero-remainder semantics") {
+    val rnd = new scala.util.Random(18081526L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 1 to 5) {
+      val nSrc = 2 + rnd.nextInt(3)
+      val rows = (0L until (8 + rnd.nextInt(12)).toLong).map { i =>
+        val src = s"s${rnd.nextInt(nSrc)}"
+        // ~1/4 zero-token docs: the remainder rule's edge class
+        val nTok = if (rnd.nextInt(4) == 0) 0 else 1 + rnd.nextInt(6)
+        (i, src, Seq.fill(nTok)("w").mkString(" "))
+      }
+      val masses = rows.groupBy(_._2).view
+        .mapValues(_.map(r => r._3.split("\\s+").count(_.nonEmpty).toLong)
+          .sum).toMap
+      val cap = 1 + rnd.nextInt(3)
+      // budgets spanning the regimes: below mass, exact multiple,
+      // above cap·mass, and a source with no rows at all
+      val budgets = (0 until nSrc).map { s =>
+        val mass = masses.getOrElse(s"s$s", 0L)
+        val b = rnd.nextInt(4) match {
+          case 0 => rnd.nextLong(math.max(mass, 1L))        // partial
+          case 1 => mass * (1 + rnd.nextInt(cap))           // exact multiple
+          case 2 => mass * cap + 1 + rnd.nextInt(5)         // cap binds
+          case _ => rnd.nextLong(math.max(mass * 2, 2L))    // anything
+        }
+        s"s$s" -> b
+      }.toMap + ("ghost" -> (1L + rnd.nextInt(5)))
+      // local reference: per source in md5(source§id) order, fe full
+      // passes + inclusive-cum ≤ rem prefix at epoch fe iff rem > 0
+      val expected = budgets.toSeq.flatMap { case (src, budget) =>
+        val srcRows = rows.filter(_._2 == src)
+          .map(r => (r._1, r._3.split("\\s+").count(_.nonEmpty).toLong))
+          .sortBy { case (id, _) => (md5hex(s"$src§$id"), id) }
+        val mass = srcRows.map(_._2).sum
+        val fe = if (mass > 0) math.min(budget / mass, cap.toLong) else 0L
+        val rem =
+          if (mass > 0 && budget / mass < cap) budget - fe * mass
+          else if (mass > 0) 0L
+          else budget
+        val full = for (e <- 0L until fe; (id, _) <- srcRows)
+          yield (id, src, e)
+        val prefix =
+          if (rem > 0)
+            srcRows.scanLeft((0L, 0L)) { case ((_, c), (id, t)) =>
+              (id, c + t)
+            }.drop(1).takeWhile(_._2 <= rem)
+              .map { case (id, _) => (id, src, fe) }
+          else Seq.empty
+        full ++ prefix
+      }.toSet
+      val got = Selection.mixCorpusRepeated(
+          rows.toDF("doc_id", "source", "text"), "source", "text",
+          "doc_id", budgets, maxEpochs = cap)
+        .select("doc_id", "source", "epoch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected,
+        s"trial $trial (cap=$cap budgets=$budgets):\n" +
+          s"extra=${got -- expected}\nmissing=${expected -- got}")
+    }
+  }
+
   test("topKPerGroup keeps k rows per group, score desc, ties by id asc") {
     val df = Seq(
       ("a", 1L, 3.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("a", 4L, 1.0),
