@@ -38,6 +38,55 @@ object PipelineQueries {
     e.withColumn("tsu", Tables.tsMicros(e))
   }
 
+  // ---- web/URL fixtures (q_url_*, q_domain_cap) -------------------------
+  // Deterministic absolute URLs derived from documents columns so both
+  // engines construct byte-identical inputs (the q_pii convention).
+
+  /** Domain-rich fixture: 22 registered domains (20 src*-news.com +
+    * example.com + blogspot.co.uk), mixed-case scheme/host, default +
+    * non-default ports, tracking params, fragments, trailing slashes,
+    * and multi-label subdomains (cdn.media.*) for suffix blocking. */
+  private def urlFixtureWeb: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val host = when(id % 4 === 0, concat(lit("WWW."), col("source"), lit("-News.COM")))
+      .when(id % 4 === 1, concat(lit("cdn.media."), col("source"), lit("-news.com")))
+      .when(id % 4 === 2, concat(col("source"), lit(".example.com")))
+      .otherwise(concat(col("source"), lit(".blogspot.CO.UK")))
+    val scheme = when(id % 2 === 0, lit("https")).otherwise(lit("HTTP"))
+    val port = when(id % 6 === 0, lit(":443"))
+      .when(id % 6 === 3, lit(":8080")).otherwise(lit(""))
+    val path = concat(lit("/"), col("lang"), lit("/Doc/"), id.cast("string"),
+      when(id % 7 === 0, lit("/")).otherwise(lit("")))
+    val qs = when(id % 3 === 0, lit("?utm_source=feed&b=2&a=1"))
+      .when(id % 3 === 1, lit("?a=1&utm_campaign=x&ref=tw")).otherwise(lit(""))
+    val frag = when(id % 5 === 0, concat(lit("#sec-"), col("lang"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, qs, frag)
+  }
+
+  /** Collision-rich fixture: every canonical-RELEVANT part derives
+    * from doc_id % 120 (exactly 120 canonical URLs over 500 docs, ~4
+    * captures each); every canonical-IRRELEVANT part (www., default
+    * port matched to the scheme, tracking param, fragment, trailing
+    * slash, case) varies with the FULL doc_id — so dedup exercises the
+    * normalizer, not string equality. */
+  private def urlFixtureDedup: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val key = id % 120
+    val scheme0 = when(key % 2 === 0, lit("https")).otherwise(lit("http"))
+    val scheme = when(id % 5 === 0, upper(scheme0)).otherwise(scheme0)
+    val www = when(id % 2 === 0, lit("www.")).otherwise(lit(""))
+    val host0 = concat(lit("h"), (key % 6).cast("string"), lit(".example.com"))
+    val host = when(id % 10 === 0, upper(host0)).otherwise(host0)
+    val port = when(id % 2 === 1,
+      when(key % 2 === 0, lit(":443")).otherwise(lit(":80"))).otherwise(lit(""))
+    val path = concat(lit("/p/"), key.cast("string"),
+      when(id % 3 === 0, lit("/")).otherwise(lit("")))
+    val qs = concat(lit("?utm_source=u"), id.cast("string"),
+      lit("&a="), (key % 3).cast("string"))
+    val frag = when(id % 4 === 0, concat(lit("#f"), id.cast("string"))).otherwise(lit(""))
+    concat(scheme, lit("://"), www, host, port, path, qs, frag)
+  }
+
   // ---- shared oracle SQL fragments -------------------------------------
   private def wOf(c: String) = raw"string_split_regex(lower(trim($c)), '\s+')"
   private def shOf(c: String) = {
@@ -1688,6 +1737,47 @@ object PipelineQueries {
           col("width"), col("height"),
           col("durationMs").as("duration_ms"), col("dhash"))
         .orderBy("id", "frame_idx")
+    }),
+
+    // URL canonicalization + host + eTLD+1 — one map-only codegen'd
+    // pass over the scan, no UDF, no shuffle (ops/Web.scala)
+    "q_url_canon" -> ((s, d) => {
+      val u = docs(s, d).select(col("doc_id"), urlFixtureWeb.as("url"))
+      val h = graft.ops.Web.hostOf(col("url"))
+      u.select(col("doc_id"),
+        graft.ops.Web.canonicalUrl(col("url")).as("curl"),
+        h.as("host"),
+        graft.ops.Web.registeredDomain(h).as("dom"))
+    }),
+
+    // one page per canonical URL, best capture wins (C4 §2.2): ONE
+    // hash aggregation via max_by (map-side partial), no window sort
+    "q_url_dedup" -> ((s, d) => {
+      val u = docs(s, d)
+        .select(col("doc_id"), col("n_chars"), urlFixtureDedup.as("url"))
+      graft.ops.Web.dropDuplicateUrls(u, "url", "doc_id", "n_chars")
+        .select(col("canonical_url").as("curl"), col("doc_id"), col("n_chars"))
+    }),
+
+    // FineWeb-style per-registered-domain volume cap: top-3 by length,
+    // one shuffle on the domain
+    "q_domain_cap" -> ((s, d) => {
+      val u = docs(s, d)
+        .select(col("doc_id"), col("n_chars"), urlFixtureWeb.as("url"))
+      graft.ops.Web.capPerDomain(u, "url", "n_chars", "doc_id", k = 3)
+        .select(col("domain").as("dom"), col("doc_id"), col("n_chars"))
+    }),
+
+    // UT1-style host blocklist with domain-suffix semantics: the
+    // map-only arrays_overlap tier (blocklist under the size gate);
+    // WebSpec pins tier equivalence and the no-join plan shape
+    "q_url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val u = docs(s, d).select(col("doc_id"), urlFixtureWeb.as("url"))
+      val bl = Seq("src3-news.com", "src7-news.com", "blogspot.co.uk",
+        "cdn.media.src5-news.com", "nope.example.org").toDF("domain")
+      graft.ops.Web.dropBlockedHosts(u, "url", "doc_id", bl)
+        .select(col("doc_id"), graft.ops.Web.hostOf(col("url")).as("host"))
     })
   )
 
@@ -1774,7 +1864,113 @@ object PipelineQueries {
          WHERE a1.vec_id < a2.vec_id
            AND list_dot_product(e1.v, e2.v) / (e1.n * e2.n) >= 0.4)"""
 
+  // ---- web/URL oracle fragments -----------------------------------------
+
+  /** DuckDB mirror of [[urlFixtureWeb]] → CTE `u0(doc_id, n_chars, url)`. */
+  private val urlFixtureWebSql: String =
+    """u0 AS (SELECT doc_id, n_chars,
+      (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+      (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' || source || '-News.COM'
+            WHEN doc_id % 4 = 1 THEN 'cdn.media.' || source || '-news.com'
+            WHEN doc_id % 4 = 2 THEN source || '.example.com'
+            ELSE source || '.blogspot.CO.UK' END) ||
+      (CASE WHEN doc_id % 6 = 0 THEN ':443'
+            WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END) ||
+      '/' || lang || '/Doc/' || doc_id::VARCHAR ||
+      (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+      (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+            WHEN doc_id % 3 = 1 THEN '?a=1&utm_campaign=x&ref=tw' ELSE '' END) ||
+      (CASE WHEN doc_id % 5 = 0 THEN '#sec-' || lang ELSE '' END) AS url
+     FROM documents)"""
+
+  /** DuckDB mirror of [[urlFixtureDedup]] → CTE `u0(doc_id, n_chars, url)`. */
+  private val urlFixtureDedupSql: String =
+    """u0 AS (SELECT doc_id, n_chars,
+      (CASE WHEN doc_id % 5 = 0 THEN upper(s0) ELSE s0 END) || '://' ||
+      (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+      (CASE WHEN doc_id % 10 = 0 THEN upper(h0) ELSE h0 END) ||
+      (CASE WHEN doc_id % 2 = 1 THEN
+        (CASE WHEN k % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
+      '/p/' || k::VARCHAR ||
+      (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+      '?utm_source=u' || doc_id::VARCHAR || '&a=' || (k % 3)::VARCHAR ||
+      (CASE WHEN doc_id % 4 = 0 THEN '#f' || doc_id::VARCHAR ELSE '' END) AS url
+     FROM (SELECT doc_id, n_chars, doc_id % 120 AS k,
+       (CASE WHEN (doc_id % 120) % 2 = 0 THEN 'https' ELSE 'http' END) AS s0,
+       'h' || ((doc_id % 120) % 6)::VARCHAR || '.example.com' AS h0
+      FROM documents))"""
+
+  /** The five canonicalization rules (Web.canonicalUrl scaladoc) in
+    * DuckDB — from `u0` to `canon(doc_id, n_chars, host, curl)`. Every
+    * regexp_replace pattern matches at most once, so replace-first
+    * (DuckDB) and replace-all (Spark) agree by construction. */
+  private val urlCanonSql: String =
+    s"""c1 AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*$$', '') AS defrag FROM u0),
+      c2 AS (SELECT doc_id, n_chars,
+        lower(regexp_extract(defrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(defrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest FROM c1),
+      c3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hp,
+        regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
+      c4 AS (SELECT *,
+        regexp_replace(regexp_replace(hp, ':[0-9]+$$', ''), '^(www\\.)+', '') AS host,
+        regexp_extract(hp, ':([0-9]+)$$', 1) AS port FROM c3),
+      c5 AS (SELECT *,
+        CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+          OR (scheme = 'http' AND port = '80') THEN '' ELSE ':' || port END AS portpart,
+        regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
+        CASE WHEN contains(pathq, '?')
+          THEN regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS qstr FROM c4),
+      c6 AS (SELECT *, list_sort(list_filter(string_split(qstr, '&'),
+          x -> len(x) > 0 AND NOT regexp_matches(regexp_extract(x, '^([^=]*)', 1),
+            '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)$$'))) AS params
+        FROM c5),
+      canon AS (SELECT doc_id, n_chars, host,
+        scheme || '://' || host || portpart || path ||
+        (CASE WHEN len(params) > 0
+          THEN '?' || array_to_string(params, '&') ELSE '' END) AS curl
+       FROM c6)"""
+
+  /** eTLD+1 over the heuristic suffix set — from `canon` to
+    * `rd2(doc_id, n_chars, host, curl, dom)`. */
+  private val regDomainSql: String = {
+    val suffixes = graft.ops.Web.DefaultPublicSuffixes
+      .map(x => s"'$x'").mkString(", ")
+    s"""rd AS (SELECT *, string_split(host, '.') AS labs FROM canon),
+      rd2 AS (SELECT doc_id, n_chars, host, curl,
+        CASE WHEN len(labs) <= 2 THEN host
+             WHEN array_to_string(labs[-2:], '.') IN ($suffixes)
+               THEN array_to_string(labs[-3:], '.')
+             ELSE array_to_string(labs[-2:], '.') END AS dom FROM rd)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_url_canon" ->
+      s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql
+         SELECT doc_id, curl, host, dom FROM rd2""",
+
+    "q_url_dedup" ->
+      s"""WITH $urlFixtureDedupSql, $urlCanonSql
+         SELECT curl, doc_id, n_chars FROM (
+           SELECT curl, doc_id, n_chars, row_number() OVER (
+             PARTITION BY curl ORDER BY n_chars DESC, doc_id) AS rn
+           FROM canon) WHERE rn = 1""",
+
+    "q_domain_cap" ->
+      s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql
+         SELECT dom, doc_id, n_chars FROM (
+           SELECT dom, doc_id, n_chars, row_number() OVER (
+             PARTITION BY dom ORDER BY n_chars DESC, doc_id) AS rn
+           FROM rd2) WHERE rn <= 3""",
+
+    "q_url_blocklist" ->
+      s"""WITH $urlFixtureWebSql, $urlCanonSql,
+         bl(d) AS (VALUES ('src3-news.com'), ('src7-news.com'),
+           ('blogspot.co.uk'), ('cdn.media.src5-news.com'),
+           ('nope.example.org'))
+         SELECT doc_id, host FROM canon c
+         WHERE NOT EXISTS (SELECT 1 FROM bl
+           WHERE c.host = bl.d OR c.host LIKE '%.' || bl.d)""",
+
     "q_semantic_neardup" ->
       s"""WITH $semanticAssignSql
          SELECT cid, id_a, id_b, round(rawsim, 4) AS sim

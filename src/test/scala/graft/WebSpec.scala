@@ -1,0 +1,158 @@
+package graft
+
+import graft.ops.Web
+import org.apache.spark.sql.functions._
+
+/** Laws for the URL/domain curation family (ops/Web.scala). */
+class WebSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val urls = Seq(
+    // (id, url, expected canonical)
+    (1L, "HTTPS://WWW.s3.Example.COM:443/en/Doc/17/?utm_source=f&b=2&a=1#frag",
+      "https://s3.example.com/en/Doc/17?a=1&b=2"),
+    (2L, "http://media.s3.example.com:8080/x?fbclid=1&z=9",
+      "http://media.s3.example.com:8080/x?z=9"),
+    (3L, "https://a.co.uk/", "https://a.co.uk"),
+    (4L, "http://www.b.com:80", "http://b.com"),
+    (5L, "https://c.net/p?utm_a=1&utm_b=2", "https://c.net/p"),
+    (6L, "https://d.org/p///?b=1&a=2&a=1", "https://d.org/p?a=1&a=2&b=1"),
+    // the whole leading www.-run strips (a single-label strip is not
+    // idempotent on crawler-noise hosts — caught by this law's c2 leg)
+    (7L, "https://www.www.e.com/q", "https://e.com/q")
+  ).toDF("id", "url", "expected")
+
+  test("canonicalUrl matches hand-derived forms and is idempotent") {
+    val got = urls.select(col("id"), col("expected"),
+      Web.canonicalUrl(col("url")).as("c1"))
+      .withColumn("c2", Web.canonicalUrl(col("c1")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(2) === r.getString(1),
+        s"id=${r.getLong(0)} canonical mismatch")
+      assert(r.getString(3) === r.getString(2),
+        s"id=${r.getLong(0)} not idempotent")
+    }
+  }
+
+  test("registeredDomain: PSL heuristic — last2, known-suffix last3, " +
+    "short hosts pass through") {
+    val cases = Seq(
+      ("media.s3.example.com", "example.com"),
+      ("s3.blogspot.co.uk", "blogspot.co.uk"),
+      ("deep.a.b.co.jp", "b.co.jp"),
+      ("example.com", "example.com"),
+      ("co.uk", "co.uk"), // bare suffix: n=2 passes through whole
+      ("localhost", "localhost")
+    ).toDF("host", "want")
+    cases.select(Web.registeredDomain(col("host")).as("got"), col("want"))
+      .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("hostSuffixes is bounded by maxLabels and keeps the SHORT " +
+    "suffixes (the matchable ones) under the cap") {
+    val host = (1 to 15).map(i => s"l$i").mkString(".")
+    val sufs = Seq(host).toDF("h")
+      .select(Web.hostSuffixes(col("h"), maxLabels = 10).as("s"))
+      .as[Seq[String]].head()
+    assert(sufs.length === 10)
+    assert(sufs.forall(_.split("\\.").length <= 10))
+    assert(sufs.contains("l15")) // the 1-label suffix always present
+    assert(!sufs.contains(host)) // the 15-label full host is not
+  }
+
+  private def blFixture = Seq(
+    (1L, "https://www.src3-news.com/a"),       // blocked: exact (www-stripped)
+    (2L, "https://cdn.media.src3-news.com/b"), // blocked: suffix
+    (3L, "https://src4.blogspot.co.uk/c"),     // blocked: suffix of co.uk entry
+    (4L, "https://src9-news.com/d"),           // kept
+    (5L, "https://notsrc3-news.com/e"),        // kept: label boundary respected
+    (6L, "https://cdn.media.src5-news.com/f")  // blocked: exact multi-label
+  ).toDF("doc_id", "url")
+
+  private def blocklist = Seq("src3-news.com", "blogspot.co.uk",
+    "cdn.media.src5-news.com").toDF("domain")
+
+  test("dropBlockedHosts: suffix semantics respect label boundaries; " +
+    "map-only tier and join tier agree; map tier has no join in plan") {
+    def survivors(threshold: Long): Seq[Long] = {
+      spark.conf.set("spark.graft.web.blocklistBroadcastThreshold",
+        threshold.toString)
+      try Web.dropBlockedHosts(blFixture, "url", "doc_id", blocklist)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      finally spark.conf
+        .unset("spark.graft.web.blocklistBroadcastThreshold")
+    }
+    val mapTier = survivors(100000L)
+    val joinTier = survivors(0L)
+    assert(mapTier === Seq(4L, 5L))
+    assert(joinTier === mapTier)
+    // plan law: under the gate the filter is map-only — no join node
+    spark.conf.set("spark.graft.web.blocklistBroadcastThreshold", "100000")
+    try {
+      val plan = Web.dropBlockedHosts(blFixture, "url", "doc_id", blocklist)
+        .queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("join"),
+        s"map tier must not join:\n$plan")
+    } finally spark.conf
+      .unset("spark.graft.web.blocklistBroadcastThreshold")
+  }
+
+  test("dropBlockedHosts refuses a blocklist entry longer than " +
+    "maxSuffixLabels instead of silently never matching it") {
+    val longEntry = Seq((1 to 12).map(i => s"x$i").mkString("."))
+      .toDF("domain")
+    val e = intercept[IllegalArgumentException] {
+      Web.dropBlockedHosts(blFixture, "url", "doc_id", longEntry,
+        maxSuffixLabels = 10)
+    }
+    assert(e.getMessage.contains("maxSuffixLabels"))
+  }
+
+  test("dropDuplicateUrls keeps the best capture per canonical URL " +
+    "(max score, then MIN id) and refuses an output-column collision") {
+    val df = Seq(
+      (1L, "https://a.com/p?utm_x=1", 10L),
+      (2L, "https://www.a.com/p/", 30L),   // same canonical, best score
+      (3L, "https://a.com:443/p", 30L),    // tie on score -> min id wins
+      (4L, "https://b.com/q", 5L)
+    ).toDF("doc_id", "url", "score")
+    val kept = Web.dropDuplicateUrls(df, "url", "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(2L, 4L))
+    val clash = df.withColumn("canonical_url", lit("x"))
+    val e = intercept[IllegalArgumentException] {
+      Web.dropDuplicateUrls(clash, "url", "doc_id", "score")
+    }
+    assert(e.getMessage.contains("canonical_url"))
+  }
+
+  test("dropDuplicateUrls plan is one ObjectHashAggregate pass — no " +
+    "window, no SortAggregate fallback") {
+    val df = blFixture.withColumn("score", col("doc_id"))
+    val plan = Web.dropDuplicateUrls(df, "url", "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"want ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("Window"), s"must not use a window:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"must not sort-agg:\n$plan")
+  }
+
+  test("capPerDomain refuses a domain-column collision and caps per " +
+    "registered domain") {
+    val df = Seq(
+      (1L, "https://a.src1-news.com/1", 9L),
+      (2L, "https://b.src1-news.com/2", 8L),
+      (3L, "https://c.src1-news.com/3", 7L),
+      (4L, "https://src2-news.com/4", 1L)
+    ).toDF("doc_id", "url", "score")
+    val kept = Web.capPerDomain(df, "url", "score", "doc_id", k = 2)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(1L, 2L, 4L))
+    val e = intercept[IllegalArgumentException] {
+      Web.capPerDomain(df.withColumn("domain", lit("x")),
+        "url", "score", "doc_id", k = 2)
+    }
+    assert(e.getMessage.contains("domain"))
+  }
+}
