@@ -1912,7 +1912,9 @@ object PipelineQueries {
       c3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hp,
         regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
       c4 AS (SELECT *,
-        regexp_replace(regexp_replace(hp, ':[0-9]+$$', ''), '^(www\\.)+', '') AS host,
+        regexp_replace(regexp_replace(
+          regexp_replace(hp, ':[0-9]+$$', ''), '\\.+$$', ''),
+          '^(www\\.)+', '') AS host,
         regexp_extract(hp, ':([0-9]+)$$', 1) AS port FROM c3),
       c5 AS (SELECT *,
         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
@@ -1921,7 +1923,7 @@ object PipelineQueries {
         CASE WHEN contains(pathq, '?')
           THEN regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS qstr FROM c4),
       c6 AS (SELECT *, list_sort(list_filter(string_split(qstr, '&'),
-          x -> len(x) > 0 AND NOT regexp_matches(regexp_extract(x, '^([^=]*)', 1),
+          x -> len(x) > 0 AND NOT regexp_matches(lower(regexp_extract(x, '^([^=]*)', 1)),
             '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src|igshid)$$'))) AS params
         FROM c5),
       canon AS (SELECT doc_id, n_chars, host,
@@ -1937,7 +1939,9 @@ object PipelineQueries {
       .map(x => s"'$x'").mkString(", ")
     s"""rd AS (SELECT *, string_split(host, '.') AS labs FROM canon),
       rd2 AS (SELECT doc_id, n_chars, host, curl,
-        CASE WHEN len(labs) <= 2 THEN host
+        CASE WHEN len(labs) <= 2
+               OR regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$$')
+               THEN host
              WHEN array_to_string(labs[-2:], '.') IN ($suffixes)
                THEN array_to_string(labs[-3:], '.')
              ELSE array_to_string(labs[-2:], '.') END AS dom FROM rd)"""

@@ -34,15 +34,19 @@ import org.apache.spark.sql.functions._
   * pins canon∘canon = canon):
   *  1. drop the fragment;
   *  2. scheme lowercased;
-  *  3. host lowercased, the leading `www.`-label RUN stripped (the
-  *     whole run, not one label — a single strip is not idempotent on
-  *     crawler-noise hosts like `www.www.e.com`), default port
-  *     (`:443` for https, `:80` for http) stripped, other ports kept;
+  *  3. host lowercased, the trailing-dot run stripped (`example.com.`
+  *     is the same FQDN as `example.com`), the leading `www.`-label
+  *     RUN stripped (the whole run, not one label — a single strip is
+  *     not idempotent on crawler-noise hosts like `www.www.e.com`),
+  *     default port (`:443` for https, `:80` for http) stripped,
+  *     other ports kept (an IPv6 `[...]` authority passes through the
+  *     port logic unharmed — the port regex needs a trailing digit);
   *  4. trailing `/`-run stripped from the path (root collapses to
   *     no path: `https://a.com/` ≡ `https://a.com`);
   *  5. query split on `&`; empty params and tracking params
   *     ([[TrackingKeyRe]]: utm_*, fbclid, gclid, msclkid, mc_cid,
-  *     mc_eid, ref, ref_src, igshid) dropped; survivors sorted
+  *     mc_eid, ref, ref_src, igshid — matched on the LOWERCASED key,
+  *     `UTM_SOURCE` is the same tracker) dropped; survivors sorted
   *     lexicographically (binary, the cross-engine-stable order) and
   *     rejoined — no `?` when none survive.
   * Input must be an absolute URL (`scheme://…`); percent-encoding is
@@ -86,7 +90,10 @@ object Web {
     * the leading `www.`-label run. Map-only column expression. */
   def hostOf(url: Column): Column = {
     val hostPort = lower(authorityOf(url))
-    regexp_replace(regexp_replace(hostPort, ":[0-9]+$", ""), "^(www\\.)+", "")
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(hostPort, ":[0-9]+$", ""), "\\.+$", ""),
+      "^(www\\.)+", "")
   }
 
   /** Canonical form of an absolute URL — see the object scaladoc for
@@ -101,7 +108,9 @@ object Web {
     val pathq = regexp_replace(rest, "^[^/?]*", "")
     val hostPort = lower(authority)
     val host = regexp_replace(
-      regexp_replace(hostPort, ":[0-9]+$", ""), "^(www\\.)+", "")
+      regexp_replace(
+        regexp_replace(hostPort, ":[0-9]+$", ""), "\\.+$", ""),
+      "^(www\\.)+", "")
     val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val portPart = when(
       port === "" ||
@@ -113,7 +122,7 @@ object Web {
       regexp_replace(pathq, "^[^?]*\\?", "")).otherwise(lit(""))
     val params = array_sort(filter(split(query, "&"), p =>
       length(p) > 0 &&
-        !regexp_extract(p, "^([^=]*)", 1).rlike(TrackingKeyRe)))
+        !lower(regexp_extract(p, "^([^=]*)", 1)).rlike(TrackingKeyRe)))
     val queryPart = when(size(params) > 0,
       concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
     concat(scheme, lit("://"), host, portPart, path, queryPart)
@@ -122,14 +131,17 @@ object Web {
   /** eTLD+1 of a lowercased host (PSL algorithm over a heuristic
     * suffix set): last-two labels unless they are a known public
     * suffix, in which case last-three. Hosts with ≤ 2 labels (or a
-    * bare known suffix) pass through whole. Map-only. */
+    * bare known suffix) pass through whole, and so do IPv4-literal
+    * hosts — `192.168.0.1` has no registered domain; truncating it to
+    * `0.1` would merge unrelated addresses under one cap/blocklist
+    * key. Map-only. */
   def registeredDomain(host: Column,
                        suffixes: Seq[String] = DefaultPublicSuffixes): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     val last2 = array_join(slice(labels, -2, 2), ".")
     val last3 = array_join(slice(labels, -3, 3), ".")
-    when(n <= lit(2), host)
+    when(n <= lit(2) || host.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"), host)
       .when(last2.isin(suffixes: _*), last3)
       .otherwise(last2)
   }
@@ -216,8 +228,13 @@ object Web {
     val threshold = spark.conf
       .getOption("spark.graft.web.blocklistBroadcastThreshold")
       .map(_.toLong).getOrElse(100000L)
-    val entries = blocked.select(col(dcol).as("__bl_domain"))
-      .na.drop().distinct()
+    // normalize entries the way hosts are normalized (lowercase, no
+    // surrounding whitespace, no trailing FQDN dot) — a mixed-case or
+    // 'Example.COM.' blocklist row must still block example.com
+    val entries = blocked
+      .select(regexp_replace(lower(trim(col(dcol))), "\\.+$", "")
+        .as("__bl_domain"))
+      .na.drop().filter(length(col("__bl_domain")) > 0).distinct()
     val tooLong = entries
       .filter(size(split(col("__bl_domain"), "\\.")) > maxSuffixLabels)
       .limit(1).collect()

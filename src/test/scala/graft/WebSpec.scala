@@ -19,7 +19,15 @@ class WebSpec extends SparkTestBase {
     (6L, "https://d.org/p///?b=1&a=2&a=1", "https://d.org/p?a=1&a=2&b=1"),
     // the whole leading www.-run strips (a single-label strip is not
     // idempotent on crawler-noise hosts — caught by this law's c2 leg)
-    (7L, "https://www.www.e.com/q", "https://e.com/q")
+    (7L, "https://www.www.e.com/q", "https://e.com/q"),
+    // FQDN trailing dot is the same host; tracking keys match
+    // case-insensitively (UTM_SOURCE is the same tracker)
+    (8L, "https://EXAMPLE.com./x?UTM_SOURCE=1&q=2", "https://example.com/x?q=2"),
+    // IPv6 authorities survive the port logic: a ]-terminated
+    // authority has no trailing digits for the port regex to eat,
+    // and an explicit default port still strips
+    (9L, "http://[2001:db8::1]:8080/p", "http://[2001:db8::1]:8080/p"),
+    (10L, "https://[::1]:443/p", "https://[::1]/p")
   ).toDF("id", "url", "expected")
 
   test("canonicalUrl matches hand-derived forms and is idempotent") {
@@ -43,7 +51,11 @@ class WebSpec extends SparkTestBase {
       ("deep.a.b.co.jp", "b.co.jp"),
       ("example.com", "example.com"),
       ("co.uk", "co.uk"), // bare suffix: n=2 passes through whole
-      ("localhost", "localhost")
+      ("localhost", "localhost"),
+      // IPv4 literals have no registered domain — truncating to '0.1'
+      // would merge unrelated addresses under one cap/blocklist key
+      ("192.168.0.1", "192.168.0.1"),
+      ("[2001:db8::1]", "[2001:db8::1]")
     ).toDF("host", "want")
     cases.select(Web.registeredDomain(col("host")).as("got"), col("want"))
       .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
@@ -70,7 +82,9 @@ class WebSpec extends SparkTestBase {
     (6L, "https://cdn.media.src5-news.com/f")  // blocked: exact multi-label
   ).toDF("doc_id", "url")
 
-  private def blocklist = Seq("src3-news.com", "blogspot.co.uk",
+  // entries deliberately denormalized: mixed case + FQDN trailing dot
+  // must still block the lowercased canonical hosts
+  private def blocklist = Seq("Src3-News.COM.", "blogspot.co.uk",
     "cdn.media.src5-news.com").toDF("domain")
 
   test("dropBlockedHosts: suffix semantics respect label boundaries; " +
