@@ -1778,6 +1778,40 @@ object PipelineQueries {
         "cdn.media.src5-news.com", "nope.example.org").toDF("domain")
       graft.ops.Web.dropBlockedHosts(u, "url", "doc_id", bl)
         .select(col("doc_id"), graft.ops.Web.hostOf(col("url")).as("host"))
+    }),
+
+    // incremental URL admission: the day's crawl anti-joined against
+    // the corpus URL index (index wins — first capture published stays
+    // published). Index bucketed via Layout in production (WebSpec pins
+    // the batch-side-only exchange); built in-memory here like the
+    // band-index rows
+    "q_url_index_drop" -> ((s, d) => {
+      val all = docs(s, d)
+        .select(col("doc_id"), col("n_chars"), urlFixtureDedup.as("url"))
+      val corpus = all.filter(col("doc_id") < 100)
+      val batch = all.filter(col("doc_id") >= 400)
+      val idx = graft.ops.Web.urlIndex(corpus, "url", "doc_id", "n_chars")
+      graft.ops.Web.dropUrlsAgainstIndex(batch, "url", idx)
+        .select("doc_id")
+    }),
+
+    // URL index MAINTENANCE: batch1's admitted survivors ride a delta
+    // side table; batch2 queries index ∪ delta. Certified against
+    // DuckDB recomputing membership from scratch — the delta path must
+    // equal a full rebuild (compactUrlIndex rebuild-equality is
+    // law-pinned in WebSpec)
+    "q_url_index_refresh" -> ((s, d) => {
+      val all = docs(s, d)
+        .select(col("doc_id"), col("n_chars"), urlFixtureDedup.as("url"))
+      val corpus = all.filter(col("doc_id") < 100)
+      val batch1 = all.filter(col("doc_id").between(300, 349))
+      val batch2 = all.filter(col("doc_id") >= 400)
+      val idx = graft.ops.Web.urlIndex(corpus, "url", "doc_id", "n_chars")
+      val admitted1 = graft.ops.Web.dropUrlsAgainstIndex(batch1, "url", idx)
+      val delta = graft.ops.Web.urlIndexDelta(admitted1, "url", "doc_id",
+        "n_chars")
+      graft.ops.Web.dropUrlsAgainstIndex(batch2, "url", idx, Some(delta))
+        .select("doc_id")
     })
   )
 
@@ -1974,6 +2008,23 @@ object PipelineQueries {
          SELECT doc_id, host FROM canon c
          WHERE NOT EXISTS (SELECT 1 FROM bl
            WHERE c.host = bl.d OR c.host LIKE '%.' || bl.d)""",
+
+    "q_url_index_drop" ->
+      s"""WITH $urlFixtureDedupSql, $urlCanonSql
+         SELECT doc_id FROM canon
+         WHERE doc_id >= 400 AND curl NOT IN (
+           SELECT curl FROM canon WHERE doc_id < 100)""",
+
+    "q_url_index_refresh" ->
+      s"""WITH $urlFixtureDedupSql, $urlCanonSql,
+         corpusk AS (SELECT DISTINCT curl FROM canon WHERE doc_id < 100),
+         adm1 AS (SELECT DISTINCT curl FROM canon
+           WHERE doc_id BETWEEN 300 AND 349
+             AND curl NOT IN (SELECT curl FROM corpusk))
+         SELECT doc_id FROM canon
+         WHERE doc_id >= 400
+           AND curl NOT IN (SELECT curl FROM corpusk)
+           AND curl NOT IN (SELECT curl FROM adm1)""",
 
     "q_semantic_neardup" ->
       s"""WITH $semanticAssignSql

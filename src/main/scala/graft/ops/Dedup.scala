@@ -706,6 +706,30 @@ object Dedup {
                           sizeForKeys: Option[Long] = None): BandKeyBloom =
     buildKeyBloom(index, hammingCfg(sigBits, maxHamming), fpp, sizeForKeys)
 
+  /** [[bandKeyBloom]] for ANY string-keyed index family: builds over
+    * `keyCol`'s distinct values under the family's `cfg` stamp (same
+    * treeAggregate build, same byte budget, same geometry contract).
+    * Shared by the URL index ([[graft.ops.Web]]); the band families
+    * keep their named wrappers above. */
+  def keyBloom(index: DataFrame, keyCol: String, cfg: String,
+               fpp: Double = 0.001,
+               sizeForKeys: Option[Long] = None): BandKeyBloom = {
+    val cols = Seq(col(keyCol).as("band_key")) ++
+      (if (index.columns.contains("cfg")) Seq(col("cfg")) else Nil)
+    buildKeyBloom(index.select(cols: _*), cfg, fpp, sizeForKeys)
+  }
+
+  /** [[bandKeyBloomDelta]] for an arbitrary-keyed family (the
+    * [[keyBloom]] mate): same geometry as `sizedLike`, mergeable via
+    * [[mergeKeyBlooms]]. */
+  def keyBloomDelta(delta: DataFrame, keyCol: String,
+                    sizedLike: BandKeyBloom): BandKeyBloom = {
+    val cols = Seq(col(keyCol).as("band_key")) ++
+      (if (delta.columns.contains("cfg")) Seq(col("cfg")) else Nil)
+    buildKeyBloom(delta.select(cols: _*), sizedLike.cfg, sizedLike.fpp,
+      sizeForKeys = Some(sizedLike.sizedForKeys))
+  }
+
   /** Near-duplicate pairs of a NEW BATCH against an indexed corpus:
     * (id_batch, id_corpus, jaccard). Candidates come from the
     * `band_key` equi-join against `index` (built by [[bandIndex]] /

@@ -235,15 +235,24 @@ object Web {
       .select(regexp_replace(lower(trim(col(dcol))), "\\.+$", "")
         .as("__bl_domain"))
       .na.drop().filter(length(col("__bl_domain")) > 0).distinct()
-    val tooLong = entries
-      .filter(size(split(col("__bl_domain"), "\\.")) > maxSuffixLabels)
-      .limit(1).collect()
-    require(tooLong.isEmpty,
-      s"blocklist entry '${tooLong.headOption.map(_.getString(0)).getOrElse("")}' " +
-        s"has more than maxSuffixLabels=$maxSuffixLabels labels and could " +
-        "never match a generated host suffix — raise maxSuffixLabels")
+    // one aggregate job decides BOTH gates (count for the broadcast
+    // tier, max label depth for the matchability refusal); the job
+    // that names an offending entry runs only on the failure path
+    val stats = entries.agg(
+      count(lit(1)).as("n"),
+      max(size(split(col("__bl_domain"), "\\."))).as("max_labels")).head()
+    val n = stats.getLong(0)
+    val maxLabelsSeen = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+    if (maxLabelsSeen > maxSuffixLabels) {
+      val offender = entries
+        .filter(size(split(col("__bl_domain"), "\\.")) > maxSuffixLabels)
+        .limit(1).collect().head.getString(0)
+      throw new IllegalArgumentException(
+        s"blocklist entry '$offender' has more than " +
+          s"maxSuffixLabels=$maxSuffixLabels labels and could never match " +
+          "a generated host suffix — raise maxSuffixLabels")
+    }
     val sufs = hostSuffixes(hostOf(col(urlCol)), maxSuffixLabels)
-    val n = entries.count()
     if (n <= threshold) {
       // map-only tier: the blocklist is a plan literal; arrays_overlap
       // short-circuits per row, no join, no shuffle
@@ -257,5 +266,142 @@ object Web {
         .select(idCol).distinct()
       df.join(blockedIds, Seq(idCol), "left_anti")
     }
+  }
+
+  // ---- persisted URL index: incremental (daily-crawl) URL dedup --------
+  //
+  // The dedup family's index economics applied to the URL layer: build
+  // the canonical-URL index ONCE from the published corpus, persist it
+  // bucketed on the key (graft.api.Layout — the corpus-sized side never
+  // shuffles again), then each day's crawl anti-joins its day-scale keys
+  // against index ∪ delta. Admitted survivors ride a small parquet
+  // delta side table (Layout correctly refuses appending into a
+  // bucketed layout); compaction folds deltas into a NEW layout
+  // version. Conflict posture: the INDEX WINS (first capture published
+  // stays published — the family's "corpus always wins"), and within a
+  // day's batch [[dropDuplicateUrls]] picks the best capture first.
+
+  /** Config stamp carried by every URL-index row — bump when the
+    * canonicalization rules change, so a stale index is refused at
+    * scan time instead of silently missing rewritten keys. */
+  val UrlCfg: String = "url:canon-v1"
+
+  /** One row per canonical URL of the corpus: (url_key, id, cfg) with
+    * the best capture's id ([[dropDuplicateUrls]] semantics — max
+    * `scoreCol`, min `idCol` on ties). Scores are NOT stored: the
+    * index answers membership, and at 10⁹ URLs every dropped column
+    * is real bytes per row. */
+  def urlIndex(df: DataFrame, urlCol: String, idCol: String,
+               scoreCol: String): DataFrame =
+    dropDuplicateUrls(df, urlCol, idCol, scoreCol, outCol = "__url_key")
+      .select(col("__url_key").as("url_key"),
+        col(idCol).cast("long").as("id"), lit(UrlCfg).as("cfg"))
+
+  /** Persist [[urlIndex]] as a bucketed Layout table on `url_key`:
+    * the daily anti-join shuffles ONLY the batch's keys into the
+    * index's bucketing. */
+  def writeUrlIndex(df: DataFrame, urlCol: String, idCol: String,
+                    scoreCol: String, table: String, buckets: Int,
+                    path: Option[String] = None): Unit =
+    graft.api.Layout.writeBucketed(
+      urlIndex(df, urlCol, idCol, scoreCol), table, Seq("url_key"),
+      buckets, path = path)
+
+  /** A day's ADMITTED survivors as index-schema delta rows — append
+    * to the delta side table ([[appendUrlIndexDelta]]) and pass as
+    * `delta` to [[dropUrlsAgainstIndex]] until the next
+    * [[compactUrlIndex]]. Same exactly-once caveat as the band-index
+    * delta: job-level re-runs double the day's rows (the compactor
+    * drops exact duplicates, but admission commit protocol is the
+    * caller's). */
+  def urlIndexDelta(admitted: DataFrame, urlCol: String, idCol: String,
+                    scoreCol: String): DataFrame =
+    urlIndex(admitted, urlCol, idCol, scoreCol)
+
+  def appendUrlIndexDelta(admitted: DataFrame, urlCol: String,
+                          idCol: String, scoreCol: String,
+                          deltaPath: String): Unit =
+    urlIndexDelta(admitted, urlCol, idCol, scoreCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(deltaPath)
+
+  /** Batch rows whose canonical URL is NOT in the index (∪ `delta`):
+    * the daily-crawl admission filter. Two left-anti equi-joins — the
+    * bucketed index side never shuffles, the delta side is day-scale.
+    * Pure plan (no driver jobs), so it also runs UNCHANGED on a
+    * STREAMING batch frame (stream-static left-anti joins are
+    * append-mode-safe); for a per-trigger map-only lookup instead,
+    * build [[urlKeyBloom]] and filter with [[dropUrlsAgainstBloom]]
+    * (false positives only over-drop). A cfg-stamp mismatch (index
+    * built under different canonicalization rules) throws at scan
+    * time — silent under-dropping is the direction URL dedup cannot
+    * absorb. */
+  def dropUrlsAgainstIndex(batch: DataFrame, urlCol: String,
+                           index: DataFrame,
+                           delta: Option[DataFrame] = None): DataFrame = {
+    val keyed = batch.withColumn("__url_key", canonicalUrl(col(urlCol)))
+    def anti(df: DataFrame, ix: DataFrame) =
+      df.join(Dedup.requireCfg(ix, UrlCfg)
+        .select(col("url_key").as("__url_key")), Seq("__url_key"),
+        "left_anti")
+    delta.fold(anti(keyed, index))(d => anti(anti(keyed, index), d))
+      .drop("__url_key")
+  }
+
+  /** Fold the delta back into a NEW bucketed layout version (never in
+    * place — readers keep the old version until cutover). Exact
+    * duplicate rows (a re-run append) collapse at the full-row grain,
+    * matching a rebuild. A url_key still duplicated AFTER that —
+    * possible only when admission skipped the anti-join or replayed a
+    * batch with a different id — is REFUSED loudly with the key in
+    * the message: the index stores no scores, so the compactor cannot
+    * re-run keep-best, and silently picking a row would diverge from
+    * a rebuild. */
+  def compactUrlIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexTable: String, delta: DataFrame,
+                      outTable: String, buckets: Int,
+                      path: Option[String] = None): Unit = {
+    require(outTable != indexTable,
+      "compactUrlIndex writes a NEW table version — compact to a new " +
+        "name and cut readers over")
+    val index = Dedup.requireCfg(
+      graft.api.Layout.table(spark, indexTable), UrlCfg)
+    val deltaClean = Dedup.requireCfg(delta, UrlCfg)
+      .select(index.columns.map(col): _*).dropDuplicates()
+    val unioned = index.unionByName(deltaClean)
+    val dup = unioned.groupBy("url_key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"url_key '${dup.headOption.map(_.getString(0)).getOrElse("")}' has " +
+        "multiple ids across index ∪ delta — admission must anti-join " +
+        "against the index (dropUrlsAgainstIndex) before appending a " +
+        "delta; rebuild the index from the corpus to resolve")
+    graft.api.Layout.writeBucketed(unioned, outTable, Seq("url_key"),
+      buckets, path = path)
+  }
+
+  /** Bloom over the index's url_keys for map-only streaming lookups
+    * ([[graft.ops.Dedup.keyBloom]] — same treeAggregate build, byte
+    * budget, and size-gated broadcast delivery as the band families).
+    * Refresh at delta cost with [[urlKeyBloomDelta]] +
+    * [[graft.ops.Dedup.mergeKeyBlooms]]; rebuild at compaction. */
+  def urlKeyBloom(index: DataFrame, fpp: Double = 0.001,
+                  sizeForKeys: Option[Long] = None): Dedup.BandKeyBloom =
+    Dedup.keyBloom(index, "url_key", UrlCfg, fpp, sizeForKeys)
+
+  def urlKeyBloomDelta(delta: DataFrame,
+                       sizedLike: Dedup.BandKeyBloom): Dedup.BandKeyBloom =
+    Dedup.keyBloomDelta(delta, "url_key", sizedLike)
+
+  /** Map-only URL-membership drop for streams: keep rows whose
+    * canonical URL is (probably) NOT in the bloom. False positives
+    * over-drop (a new URL discarded), never under-drop — the
+    * absorbable direction. Zero joins, zero state, zero per-trigger
+    * index scans. */
+  def dropUrlsAgainstBloom(df: DataFrame, urlCol: String,
+                           bloom: Dedup.BandKeyBloom): DataFrame = {
+    require(bloom.cfg == UrlCfg,
+      s"bloom built under cfg '${bloom.cfg}', expected '$UrlCfg'")
+    val contains = Dedup.bloomKeyFilter(df.sparkSession, bloom)
+    df.filter(!contains(canonicalUrl(col(urlCol))))
   }
 }

@@ -1869,4 +1869,55 @@ class StreamingSpec extends SparkTestBase {
       rm(dir.toFile)
     }
   }
+
+  test("streaming URL dedup against a static index: the batch operator " +
+    "runs unchanged on a stream (stream-static anti-join, zero state); " +
+    "the bloom mirror is map-only and only over-drops") {
+    import graft.ops.Web
+    implicit val sqlCtx = spark.sqlContext
+    // canonical identity = site(i % 5); corpus indexes sites 0..2, so
+    // stream rows with i % 5 ∈ {3, 4} are new
+    def urlOf(i: Int) = {
+      val www = if (i % 2 == 0) "www." else ""
+      s"https://${www}site${i % 5}.com/p?utm_x=$i&a=1"
+    }
+    val corpus = (0 to 2).map(i => (i.toLong, urlOf(i), 1L))
+      .toDF("doc_id", "url", "score")
+    val idx = Web.urlIndex(corpus, "url", "doc_id", "score")
+      .localCheckpoint() // static side, computed once
+    val streamRows = (100 to 119).map(i => (i.toLong, urlOf(i)))
+    val expected = streamRows.collect {
+      case (id, _) if id % 5 >= 3 => id
+    }.toSet
+    val input = MemoryStream[(Long, String)]
+    val out = Web.dropUrlsAgainstIndex(
+      input.toDF().toDF("doc_id", "url"), "url", idx)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("url_dedup_out").start()
+    try {
+      val (first, rest) = streamRows.splitAt(streamRows.length / 2)
+      input.addData(first: _*); q.processAllAvailable()
+      input.addData(rest: _*); q.processAllAvailable()
+      val got = spark.table("url_dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"got $got expected $expected")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "URL index lookup must be stateless (stream-static join only)")
+    } finally q.stop()
+    // bloom mirror: map-only (no join at all in the plan), survivors a
+    // subset of the exact path's
+    val bloom = Web.urlKeyBloom(idx, fpp = 0.01, sizeForKeys = Some(1000L))
+    val input2 = MemoryStream[(Long, String)]
+    val out2 = Web.dropUrlsAgainstBloom(
+      input2.toDF().toDF("doc_id", "url"), "url", bloom)
+    val q2 = out2.writeStream.outputMode("append")
+      .format("memory").queryName("url_bloom_out").start()
+    try {
+      input2.addData(streamRows: _*); q2.processAllAvailable()
+      val got2 = spark.table("url_bloom_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got2.subsetOf(expected), s"bloom must only over-drop")
+      assert(q2.lastProgress.stateOperators.isEmpty)
+    } finally q2.stop()
+  }
 }

@@ -152,6 +152,122 @@ class WebSpec extends SparkTestBase {
     assert(!plan.contains("SortAggregate"), s"must not sort-agg:\n$plan")
   }
 
+  // ---- persisted URL index laws -----------------------------------------
+
+  private def urlRoot = WebSpec.root
+
+  private def crawl(ids: Range) = {
+    val rows = ids.map { i =>
+      // canonical identity driven by i % 7; capture noise by i
+      val www = if (i % 2 == 0) "www." else ""
+      val frag = if (i % 3 == 0) s"#f$i" else ""
+      (i.toLong, s"https://${www}site${i % 7}.com/p?utm_c=$i&a=1$frag",
+        (i % 5).toLong)
+    }
+    rows.toDF("doc_id", "url", "score")
+  }
+
+  test("URL index: Layout-bucketed index makes the daily anti-join " +
+    "shuffle ONLY the batch side; raw-parquet control shuffles more; " +
+    "survivors identical") {
+    val corpus = crawl(0 to 13)   // keys site0..site6 all present
+    val batch = crawl(100 to 120) // keys 100%7=2 .. -> subset collides
+    Web.writeUrlIndex(corpus, "url", "doc_id", "score",
+      "webspec_urlidx", 4, path = Some(s"$urlRoot/urlidx"))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaIndex = Web.dropUrlsAgainstIndex(batch, "url",
+        graft.api.Layout.table(spark, "webspec_urlidx"))
+      assert(graft.api.Layout.shuffleExchanges(viaIndex) == 1,
+        "bucketed URL index: only the batch side should exchange:\n" +
+          viaIndex.queryExecution.executedPlan)
+      val viaRaw = Web.dropUrlsAgainstIndex(batch, "url",
+        spark.read.parquet(s"$urlRoot/urlidx"))
+      assert(graft.api.Layout.shuffleExchanges(viaRaw) >= 2,
+        "control: unbucketed index join should shuffle both sides")
+      val a = viaIndex.select("doc_id").as[Long].collect().sorted
+      val b = viaRaw.select("doc_id").as[Long].collect().sorted
+      assert(a === b)
+      // every batch url collides with a corpus key here (site0..6 all
+      // indexed, batch canonicals are site2..site1) — so zero survive
+      assert(a.isEmpty)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("URL index maintenance: delta path equals full rebuild; " +
+    "compaction is rebuild-equal, collapses re-run appends, and " +
+    "refuses a conflicting url_key") {
+    // corpus covers sites 0..3 only (ids 0..3 mod 7), later batches
+    // bring sites 4..6
+    val corpus = crawl(0 to 3)
+    val batch1 = crawl(4 to 5)   // sites 4,5 new
+    val batch2 = crawl(11 to 13) // 11%7=4 dup-of-delta, 12%7=5, 13%7=6 new
+    Web.writeUrlIndex(corpus, "url", "doc_id", "score",
+      "webspec_urlidx2", 4, path = Some(s"$urlRoot/urlidx2"))
+    val idx = graft.api.Layout.table(spark, "webspec_urlidx2")
+    val admitted1 = Web.dropUrlsAgainstIndex(batch1, "url", idx)
+    assert(admitted1.select("doc_id").as[Long].collect().sorted
+      === Array(4L, 5L))
+    val delta = Web.urlIndexDelta(admitted1, "url", "doc_id", "score")
+    // delta path == rebuild from corpus ∪ admitted1
+    val viaDelta = Web.dropUrlsAgainstIndex(batch2, "url", idx, Some(delta))
+      .select("doc_id").as[Long].collect().sorted
+    val rebuilt = Web.urlIndex(
+      corpus.unionByName(admitted1), "url", "doc_id", "score")
+    val viaRebuild = Web.dropUrlsAgainstIndex(batch2, "url", rebuilt)
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaDelta === viaRebuild)
+    assert(viaDelta === Array(13L)) // only site6 is new
+    // compaction ≡ rebuild, including under a double-appended delta
+    Web.compactUrlIndex(spark, "webspec_urlidx2",
+      delta.unionByName(delta), "webspec_urlidx2_v2", 4,
+      path = Some(s"$urlRoot/urlidx2_v2"))
+    val compacted = graft.api.Layout.table(spark, "webspec_urlidx2_v2")
+    assert(compacted.collect().map(_.toSeq).toSet ===
+      rebuilt.collect().map(_.toSeq).toSet)
+    // a url_key mapping to a DIFFERENT id is a broken commit protocol
+    // — refused with the key named (here: re-admitting already-indexed
+    // urls under fresh ids, the anti-join-skipped scenario)
+    val conflict = Web.urlIndex(corpus, "url", "doc_id", "score")
+      .withColumn("id", col("id") + 1000L)
+    val e = intercept[IllegalArgumentException] {
+      Web.compactUrlIndex(spark, "webspec_urlidx2", conflict,
+        "webspec_urlidx2_v3", 4, path = Some(s"$urlRoot/urlidx2_v3"))
+    }
+    assert(e.getMessage.contains("url_key"))
+  }
+
+  test("URL bloom: merged delta bloom is byte-identical to a rebuild " +
+    "over index ∪ delta; bloom drops are a superset of exact drops; " +
+    "cfg mismatch refused") {
+    val corpus = crawl(0 to 3)
+    val batch1 = crawl(4 to 5)
+    val idx = Web.urlIndex(corpus, "url", "doc_id", "score")
+    val delta = Web.urlIndexDelta(batch1, "url", "doc_id", "score")
+    val base = Web.urlKeyBloom(idx, fpp = 0.01, sizeForKeys = Some(1000L))
+    val merged = graft.ops.Dedup.mergeKeyBlooms(base,
+      Web.urlKeyBloomDelta(delta, base))
+    val rebuilt = Web.urlKeyBloom(idx.unionByName(delta), fpp = 0.01,
+      sizeForKeys = Some(1000L))
+    assert(java.util.Arrays.equals(merged.bytes, rebuilt.bytes),
+      "merge must equal rebuild at the same geometry")
+    // over-drop only: bloom survivors ⊆ exact survivors
+    val batch2 = crawl(10 to 20)
+    val exact = Web.dropUrlsAgainstIndex(batch2, "url", idx, Some(delta))
+      .select("doc_id").as[Long].collect().toSet
+    val viaBloom = Web.dropUrlsAgainstBloom(batch2, "url", merged)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom.subsetOf(exact),
+      s"bloom must only over-drop: $viaBloom vs $exact")
+    val wrongCfg = merged.copy(cfg = "url:canon-v0")
+    val e = intercept[IllegalArgumentException] {
+      Web.dropUrlsAgainstBloom(batch2, "url", wrongCfg)
+    }
+    assert(e.getMessage.contains("cfg"))
+  }
+
   test("capPerDomain refuses a domain-column collision and caps per " +
     "registered domain") {
     val df = Seq(
@@ -169,4 +285,9 @@ class WebSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("domain"))
   }
+}
+
+object WebSpec {
+  lazy val root: String =
+    java.nio.file.Files.createTempDirectory("graft_web_spec").toString
 }
