@@ -87,6 +87,37 @@ object PipelineQueries {
     concat(scheme, lit("://"), www, host, port, path, qs, frag)
   }
 
+  /** HTML-page fixture for q_html_extract: script with an unescaped
+    * `<`, style, headings, paragraphs, conditional <br>/entity runs,
+    * nested list — the shapes the extractor's five rules must handle. */
+  private def htmlFixture: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<html><head><title>"), col("lang"), lit("</title>"),
+      lit("<script type=\"text/javascript\">var x = 1; if (x<2) { x = 3; }</script>"),
+      lit("<style>.c { color: red; }</style></head><body><h1>"),
+      col("source"), lit("</h1>"),
+      lit("<p>"), substring(col("text"), 1, 100), lit("</p>"),
+      when(id % 4 === 0, lit("<br>extra &amp; line<br/>")).otherwise(lit("")),
+      lit("<div class=\"main\">"), substring(col("text"), 101, 120),
+      when(id % 3 === 0, lit(" &nbsp;tail&#39;s &lt;ok&gt;")).otherwise(lit("")),
+      lit("</div><ul><li>one</li><li>two</li></ul></body></html>"))
+  }
+
+  /** Collision-AND-domain fixture for the web e2e capstone: canonical
+    * identity = (source, doc_id % 100) — ~50 collision pairs over 500
+    * docs — while hosts still spread over 20 registered domains for
+    * the blocklist and cap stages. */
+  private def urlFixtureE2e: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(lit("https://"),
+      when(id % 2 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit("-news.com"),
+      when(id % 2 === 1, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (id % 100).cast("string"),
+      lit("?utm_s="), id.cast("string"), lit("&a=1"))
+  }
+
   // ---- shared oracle SQL fragments -------------------------------------
   private def wOf(c: String) = raw"string_split_regex(lower(trim($c)), '\s+')"
   private def shOf(c: String) = {
@@ -1812,6 +1843,83 @@ object PipelineQueries {
         "n_chars")
       graft.ops.Web.dropUrlsAgainstIndex(batch2, "url", idx, Some(delta))
         .select("doc_id")
+    }),
+
+    // domain-graph PageRank (4 rounds, d=0.85): every contribution and
+    // rank snaps to exact 2^-20 multiples, so the trajectory is
+    // certified against an UNROLLED DuckDB replica with no float
+    // tolerance — the q_quality_train_infer discipline applied to an
+    // iterative graph algorithm
+    "q_domain_rank" -> ((s, d) => {
+      val u = docs(s, d).select(col("doc_id"), urlFixtureWeb.as("url"))
+      val edges = u.select(
+        graft.ops.Web.registeredDomain(
+          graft.ops.Web.hostOf(col("url"))).as("src"),
+        concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"),
+          lit("-news.com")).as("dst"))
+      graft.ops.Web.domainRank(edges, "src", "dst", iterations = 4)
+        .select(col("node").as("dom"), col("rank"))
+    }),
+
+    // robots.txt-style crawl permission (RFC 9309 longest-match,
+    // allow-wins ties): one host equi-join + extremum argmax — rules
+    // for other hosts never meet a row
+    "q_robots" -> ((s, d) => {
+      import s.implicits._
+      val u = docs(s, d).select(col("doc_id"), urlFixtureWeb.as("url"))
+      val rules = Seq(
+        ("src3-news.com", "/", false),
+        ("src3-news.com", "/de/", true),
+        ("src5.example.com", "/fr/", false),
+        ("src7.blogspot.co.uk", "/", false)
+      ).toDF("host", "prefix", "allow")
+      graft.ops.Web.robotsFilter(u, "url", "doc_id", rules)
+        .select(col("doc_id"), graft.ops.Web.hostOf(col("url")).as("host"))
+    }),
+
+    // the WEB CAPSTONE: length gate → canonical-URL dedup (best
+    // capture) → host blocklist → per-domain cap, one composed plan —
+    // the q_pipeline_e2e stage-boundary-mistakes row for the web layer
+    "q_web_e2e" -> ((s, d) => {
+      import s.implicits._
+      val all = docs(s, d)
+        .select(col("doc_id"), col("n_chars"), urlFixtureE2e.as("url"))
+        .filter(col("n_chars") >= 80)
+      val dd = graft.ops.Web.dropDuplicateUrls(all, "url", "doc_id",
+        "n_chars")
+      val bl = Seq("src3-news.com", "src7-news.com").toDF("domain")
+      val kept = graft.ops.Web.dropBlockedHosts(dd, "url", "doc_id", bl)
+      graft.ops.Web.capPerDomain(kept, "url", "n_chars", "doc_id", k = 5)
+        .select(col("domain").as("dom"), col("doc_id"), col("n_chars"))
+    }),
+
+    // WARC ingest → URL canonicalization → HTML extraction, end to
+    // end over the deterministic fixture archive (the q_decode
+    // convention: byte-deterministic input, literal-VALUES oracle).
+    // The quarantined truncated record rides along with has_err=1 —
+    // the Ingest conservation posture
+    "q_warc_read" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_warc_q")
+      java.nio.file.Files.write(dir.resolve("fixture.warc"),
+        graft.sources.Warc.fixtureWarc())
+      graft.sources.Warc.readWarc(s, dir.toString + "/*.warc")
+        .select(col("recordIdx").cast("long").as("idx"),
+          col("warcType").as("wtype"),
+          col("targetUri").as("uri"),
+          col("httpStatus").cast("long").as("status"),
+          graft.ops.Web.canonicalUrl(col("targetUri")).as("curl"),
+          graft.ops.Web.htmlToText(decode(col("payload"), "UTF-8")).as("txt"),
+          col("error").isNotNull.cast("long").as("has_err"))
+    }),
+
+    // HTML → text extraction (the crawl pipeline's trafilatura-core
+    // stage): one codegen'd map-only expression chain, certified
+    // byte-exact against a DuckDB replica of the same five rules
+    "q_html_extract" -> ((s, d) => {
+      val h = docs(s, d).select(col("doc_id"), htmlFixture.as("html"))
+      h.select(col("doc_id"), graft.ops.Web.htmlToText(col("html")).as("txt"))
+        .withColumn("n_lines",
+          size(split(col("txt"), "\n")).cast("long"))
     })
   )
 
@@ -1981,7 +2089,35 @@ object PipelineQueries {
              ELSE array_to_string(labs[-2:], '.') END AS dom FROM rd)"""
   }
 
+  /** Unrolled DuckDB PageRank over the urlFixtureWeb domain graph —
+    * one (contrib, sum, rank) CTE triple per round, every value
+    * snapped to 2^-20 multiples exactly like Web.domainRank. */
+  private def domainRankSql(iters: Int): String = {
+    val head = s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql,
+      edges AS (SELECT dom AS src,
+        'src' || ((doc_id * 7 + 3) % 20)::VARCHAR || '-news.com' AS dst
+        FROM rd2),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+      pr0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
+    val rounds = (1 to iters).map { i =>
+      s""",
+      pc$i AS (SELECT e.dst AS node,
+          floor(r.rank / d.deg * 1048576.0) / 1048576.0 AS c
+        FROM edges e JOIN deg d ON e.src = d.src
+        JOIN pr${i - 1} r ON r.node = e.src),
+      ps$i AS (SELECT node, sum(c) AS s FROM pc$i GROUP BY 1),
+      pr$i AS (SELECT n.node,
+          floor(((1.0 - 0.85) + 0.85 * coalesce(s.s, 0.0)) * 1048576.0)
+            / 1048576.0 AS rank
+        FROM nodes n LEFT JOIN ps$i s USING (node))"""
+    }.mkString
+    s"$head$rounds SELECT node AS dom, rank FROM pr$iters"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_domain_rank" -> domainRankSql(4),
+
     "q_url_canon" ->
       s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql
          SELECT doc_id, curl, host, dom FROM rd2""",
@@ -2014,6 +2150,88 @@ object PipelineQueries {
          SELECT doc_id FROM canon
          WHERE doc_id >= 400 AND curl NOT IN (
            SELECT curl FROM canon WHERE doc_id < 100)""",
+
+    "q_robots" ->
+      s"""WITH $urlFixtureWebSql, $urlCanonSql,
+         pp AS (SELECT doc_id, host,
+           CASE WHEN len(pathq) = 0 THEN '/' ELSE pathq END AS rpath
+          FROM c5),
+         rb(rhost, prefix, allow) AS (VALUES
+           ('src3-news.com', '/', false),
+           ('src3-news.com', '/de/', true),
+           ('src5.example.com', '/fr/', false),
+           ('src7.blogspot.co.uk', '/', false)),
+         m AS (SELECT p.doc_id, r.prefix, r.allow
+           FROM pp p JOIN rb r ON p.host = r.rhost
+           WHERE starts_with(p.rpath, r.prefix)),
+         v AS (SELECT doc_id, allow FROM (
+           SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+             ORDER BY len(prefix) DESC, allow DESC) AS rn FROM m)
+           WHERE rn = 1)
+         SELECT p.doc_id, p.host FROM pp p LEFT JOIN v USING (doc_id)
+         WHERE v.allow IS NULL OR v.allow""",
+
+    "q_web_e2e" ->
+      s"""WITH u0 AS (SELECT doc_id, n_chars,
+         'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+         source || '-news.com' ||
+         (CASE WHEN doc_id % 2 = 1 THEN ':443' ELSE '' END) ||
+         '/p/' || (doc_id % 100)::VARCHAR ||
+         '?utm_s=' || doc_id::VARCHAR || '&a=1' AS url
+        FROM documents WHERE n_chars >= 80),
+       $urlCanonSql,
+       dd AS (SELECT doc_id, n_chars, host FROM (
+         SELECT doc_id, n_chars, host, row_number() OVER (
+           PARTITION BY curl ORDER BY n_chars DESC, doc_id) AS rn
+         FROM canon) WHERE rn = 1),
+       bl AS (SELECT doc_id, n_chars, host FROM dd
+         WHERE host NOT IN ('src3-news.com', 'src7-news.com')
+           AND host NOT LIKE '%.src3-news.com'
+           AND host NOT LIKE '%.src7-news.com')
+       SELECT host AS dom, doc_id, n_chars FROM (
+         SELECT doc_id, n_chars, host, row_number() OVER (
+           PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rn
+         FROM bl) WHERE rn <= 5""",
+
+    "q_warc_read" ->
+      """SELECT * FROM (VALUES
+         (0::BIGINT, 'warcinfo', NULL::VARCHAR, -1::BIGINT, NULL::VARCHAR,
+          'software: graft-fixture', 0::BIGINT),
+         (1::BIGINT, 'response', 'https://www.Example.com:443/a?utm_x=1',
+          200::BIGINT, 'https://example.com/a', 'hello & crawl', 0::BIGINT),
+         (2::BIGINT, 'request', 'https://www.Example.com:443/a?utm_x=1',
+          -1::BIGINT, 'https://example.com/a',
+          'GET /a HTTP/1.1' || chr(10) || 'Host: example.com', 0::BIGINT),
+         (3::BIGINT, NULL::VARCHAR, NULL::VARCHAR, -1::BIGINT,
+          NULL::VARCHAR, '', 1::BIGINT)
+        ) t(idx, wtype, uri, status, curl, txt, has_err)""",
+
+    "q_html_extract" ->
+      """WITH h0 AS (SELECT doc_id,
+        '<html><head><title>' || lang || '</title>' ||
+        '<script type="text/javascript">var x = 1; if (x<2) { x = 3; }</script>' ||
+        '<style>.c { color: red; }</style></head><body><h1>' || source || '</h1>' ||
+        '<p>' || substr(text, 1, 100) || '</p>' ||
+        (CASE WHEN doc_id % 4 = 0 THEN '<br>extra &amp; line<br/>' ELSE '' END) ||
+        '<div class="main">' || substr(text, 101, 120) ||
+        (CASE WHEN doc_id % 3 = 0 THEN ' &nbsp;tail&#39;s &lt;ok&gt;' ELSE '' END) ||
+        '</div><ul><li>one</li><li>two</li></ul></body></html>' AS html
+       FROM documents),
+      e1 AS (SELECT doc_id, regexp_replace(html,
+        '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h0),
+      e2 AS (SELECT doc_id, regexp_replace(t,
+        '(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>|</table>|</ul>|</ol>',
+        chr(10), 'g') AS t FROM e1),
+      e3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM e2),
+      e4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', chr(39)), '&amp;', '&') AS t FROM e3),
+      e5 AS (SELECT doc_id, array_to_string(list_filter(list_transform(
+        string_split(t, chr(10)),
+        x -> trim(regexp_replace(x, '[ \t\r]+', ' ', 'g'))),
+        x -> len(x) > 0), chr(10)) AS txt FROM e4)
+      SELECT doc_id, txt,
+        len(string_split(txt, chr(10)))::BIGINT AS n_lines FROM e5""",
 
     "q_url_index_refresh" ->
       s"""WITH $urlFixtureDedupSql, $urlCanonSql,

@@ -96,6 +96,16 @@ object Web {
       "^(www\\.)+", "")
   }
 
+  /** Path-and-query of an absolute URL (`/a/b?x=1` — fragment
+    * dropped, empty path → `/`), the string robots rules match
+    * against (RFC 9309 matches the path with query). Map-only. */
+  def pathOf(url: Column): Column = {
+    val defrag = regexp_replace(url, "#.*$", "")
+    val rest = regexp_replace(defrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    when(length(pathq) === 0, lit("/")).otherwise(pathq)
+  }
+
   /** Canonical form of an absolute URL — see the object scaladoc for
     * the five normalization rules. Pure `functions._` composition
     * (regexp single-match by construction, so Spark's replace-all and
@@ -268,6 +278,78 @@ object Web {
     }
   }
 
+  /** Plain text from an HTML page — the crawl pipeline's EXTRACTION
+    * stage (the deterministic core of the trafilatura/jusText step),
+    * as one codegen'd map-only expression chain:
+    *  1. `<script>`/`<style>` subtrees dropped whole (their text is
+    *     code, not content — and it is where `<` appears unescaped);
+    *  2. `<br>` and block-CLOSING tags (`</p> </div> </li> </h1-6>
+    *     </tr> </table> </ul> </ol>`) become line breaks, so block
+    *     structure survives tag stripping;
+    *  3. every remaining tag is stripped to a space;
+    *  4. the five ubiquitous entities decode — `&amp;` LAST, the
+    *     standard order, so `&amp;lt;` becomes the literal `&lt;` and
+    *     not `<`;
+    *  5. horizontal whitespace collapses, lines trim, blank lines
+    *     drop, survivors rejoin with `\n`.
+    * This is a HEURISTIC extractor (regex, not an HTML parser): good
+    * for quality/dedup featurization at corpus scale, not a DOM. Feed
+    * the output to the C4/Gopher gates ([[RuleFilters]]) for the
+    * boilerplate-line pass. Run it ONCE, at ingest — it is NOT
+    * idempotent: entity decoding is one-way, so a decoded `&lt;tag&gt;`
+    * re-reads as markup on a second pass (WebSpec pins this). */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val breaks = regexp_replace(noScript,
+      "(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>|</table>|</ul>|</ol>",
+      "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    val lines = filter(
+      transform(split(decoded, "\n"),
+        l => trim(regexp_replace(l, "[ \\t\\r]+", " "))),
+      l => length(l) > 0)
+    array_join(lines, "\n")
+  }
+
+  /** robots.txt-style crawl-permission filter (RFC 9309 semantics,
+    * prefix rules): `rules` has exactly the columns
+    * (host, prefix, allow) — lowercased exact host, path prefix,
+    * boolean. A URL is kept iff the LONGEST matching prefix rule for
+    * its host allows it, ties broken allow-wins (the de-facto
+    * googlebot rule); a URL with NO matching rule is allowed. The `*`
+    * wildcard/`$`-anchor extensions are out of scope (documented).
+    *
+    * Shape: ONE equi-join on host (rules for other hosts never meet a
+    * row — no cartesian, no LIKE scan), prefix test + longest-match
+    * argmax via the ObjectHashAggregate extremum aggregate, then a
+    * left-anti on the disallowed ids. Rules tables are small (per-host
+    * handfuls) — AQE broadcasts them. */
+  def robotsFilter(df: DataFrame, urlCol: String, idCol: String,
+                   rules: DataFrame): DataFrame = {
+    require(rules.columns.toSeq == Seq("host", "prefix", "allow"),
+      s"rules must have columns (host, prefix, allow), got " +
+        rules.columns.mkString("(", ", ", ")"))
+    val keyed = df.select(col(idCol).as("__rid"),
+      hostOf(col(urlCol)).as("__rhost"), pathOf(col(urlCol)).as("__rpath"))
+    val matched = keyed.join(rules, col("__rhost") === col("host"))
+      .filter(col("__rpath").startsWith(col("prefix")))
+    // longest prefix wins, allow wins ties: max by (len, allow)
+    val verdict = matched.groupBy("__rid")
+      .agg(graft.functions.VectorExprs.extremumBy(
+        col("allow"),
+        struct(length(col("prefix")), col("allow")),
+        isMax = true).as("__allowed"))
+    val disallowed = verdict.filter(!col("__allowed"))
+      .select(col("__rid").as(idCol))
+    df.join(disallowed, Seq(idCol), "left_anti")
+  }
+
   // ---- persisted URL index: incremental (daily-crawl) URL dedup --------
   //
   // The dedup family's index economics applied to the URL layer: build
@@ -377,6 +459,61 @@ object Web {
         "delta; rebuild the index from the corpus to resolve")
     graft.api.Layout.writeBucketed(unioned, outTable, Seq("url_key"),
       buckets, path = path)
+  }
+
+  /** Domain-graph PageRank — the Common-Crawl-style authority signal
+    * (FineWeb/RefinedWeb pipelines rank registered domains by link
+    * authority as a quality prior). The non-normalized Brin/Page
+    * recurrence, iterated a FIXED number of rounds from rank = 1:
+    *   r'(v) = (1 − d) + d · Σ_{(u,v)∈E} r(u) / outdeg(u)
+    * Multi-edges count (a page linking twice votes twice); dangling
+    * mass is deliberately NOT redistributed (the original paper's
+    * simplification — dangling nodes absorb rank, which for a QUALITY
+    * PRIOR is harmless and keeps the recurrence one join + one
+    * aggregation).
+    *
+    * Cross-engine-exact by construction (the quality classifier's
+    * trainCertified trick): every per-edge contribution AND every new
+    * rank snaps to an exact 2⁻²⁰ multiple (floor), so the aggregation
+    * sums exact dyadic doubles — associative, order-independent,
+    * engine-independent — and the whole trajectory is certifiable
+    * against an unrolled SQL replica with NO float tolerance.
+    *
+    * Scale: edges localCheckpoint once (reused every round); each
+    * round is ONE shuffle (the contribution aggregation on dst) plus
+    * an edges⋈ranks equi-join where ranks is |V|-bounded (domains,
+    * not pages — millions, not billions; broadcastable by AQE);
+    * lineage is cut per round so the plan stays flat at any iteration
+    * count. */
+  def domainRank(edges: DataFrame, srcCol: String, dstCol: String,
+                 iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1,100], got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val snapUnit = lit(1048576.0) // 2^20
+    def snap(c: Column): Column = floor(c * snapUnit) / snapUnit
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val esd = e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src")
+      .localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = esd
+        .join(ranks, esd("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          snap(col("rank") / col("__deg")).as("__c"))
+      val summed = contrib.groupBy("node").agg(sum("__c").as("__s"))
+      ranks = nodes.join(summed, Seq("node"), "left")
+        .select(col("node"),
+          snap(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
   }
 
   /** Bloom over the index's url_keys for map-only streaming lookups

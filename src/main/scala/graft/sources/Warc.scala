@@ -1,0 +1,235 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+
+/** WARC (ISO 28500) crawl-archive reader — the format Common Crawl
+  * and every Heritrix-style crawler ship, and the natural upstream of
+  * the web curation family ([[graft.ops.Web]]: extract → canonicalize
+  * → dedup → filter). Follows the Ingest quarantine posture: a
+  * malformed record lands in the output WITH its error named, never
+  * silently dropped — and parsing RESYNCS to the next record marker,
+  * so one corrupt record does not eat the rest of a 1 GB archive.
+  *
+  * Scale posture: files load through Spark's `binaryFile` source
+  * (split planning + file parallelism from the datasource layer); the
+  * record parse is per-file imperative logic (mapPartitions-class —
+  * the [[graft.ops.Multimodal]] decode convention, the one legitimate
+  * use of the escape hatch). Parallelism is therefore PER FILE, and a
+  * whole file is held in memory while parsed: standard crawl rotation
+  * (~1 GB per WARC) fits an executor; a pathological single-file dump
+  * does not — re-shard upstream. `.warc.gz` (per-record gzip members)
+  * decompresses whole-file through the JDK's concatenated-member
+  * support before parsing; the member boundaries that would allow
+  * true mid-file splits need an index sidecar real pipelines ship
+  * separately (documented non-goal here).
+  *
+  * HTTP payloads of `response` records (Content-Type
+  * `application/http`) are split into status + headers + body, so the
+  * body can flow straight into [[graft.ops.Web.htmlToText]].
+  */
+object Warc {
+
+  /** One parsed WARC record. `error == null` ⇔ well-formed;
+    * `httpStatus == -1` ⇔ the payload is not a parsed HTTP message
+    * (warcinfo/request/metadata records, or a response without an
+    * HTTP head). `payload` is the HTTP BODY for parsed HTTP records,
+    * the raw content block otherwise. */
+  final case class WarcRecord(
+      path: String, recordIdx: Int,
+      warcType: String, targetUri: String, warcDate: String,
+      recordId: String, contentType: String, contentLength: Long,
+      httpStatus: Int, httpContentType: String,
+      payload: Array[Byte], error: String)
+
+  /** Parse every record of every (path, content) file row. */
+  def parseFiles(files: Dataset[(String, Array[Byte])]): Dataset[WarcRecord] =
+    files.flatMap { case (path, content) =>
+      val bytes =
+        if (path.endsWith(".gz")) gunzipAll(content) else content
+      parseRecords(path, bytes)
+    }(Encoders.product[WarcRecord])
+
+  /** Read a directory/glob of `.warc` / `.warc.gz` files. */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    parseFiles(files).toDF()
+  }
+
+  /** JDK gunzip with CONCATENATED-member support: GZIPInputStream
+    * stops at the first member boundary unless drained through a
+    * stream that keeps reading — `.warc.gz` is one gzip member per
+    * record, so member concatenation is the common case, not the
+    * exception. */
+  private[graft] def gunzipAll(gz: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz), 1 << 16)
+    val out = new java.io.ByteArrayOutputStream(gz.length * 4)
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private val Marker = "WARC/".getBytes("US-ASCII")
+
+  /** Parse records from one archive's bytes. Resync-on-error: a
+    * malformed record is emitted with `error` set and the scan jumps
+    * to the next `WARC/` marker. */
+  private[graft] def parseRecords(path: String,
+                                    bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    var pos = indexOfMarker(bytes, 0)
+    var idx = 0
+    while (pos >= 0 && pos < bytes.length) {
+      val (rec, next) = parseOne(path, idx, bytes, pos)
+      out += rec
+      idx += 1
+      pos =
+        if (next > pos) {
+          // a well-formed record ends exactly at its trailer; tolerate
+          // stray padding by searching from `next` either way
+          indexOfMarker(bytes, next)
+        } else indexOfMarker(bytes, pos + Marker.length) // resync
+    }
+    out.toSeq
+  }
+
+  private def indexOfMarker(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = b.length - Marker.length
+    while (i <= last) {
+      if (b(i) == 'W' && b(i + 1) == 'A' && b(i + 2) == 'R' &&
+        b(i + 3) == 'C' && b(i + 4) == '/') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** One record at `start` (which points at "WARC/"). Returns the
+    * record and the offset just past its trailer (or `start` on a
+    * structural error, signalling resync). */
+  private def parseOne(path: String, idx: Int, bytes: Array[Byte],
+                       start: Int): (WarcRecord, Int) = {
+    def err(msg: String): (WarcRecord, Int) =
+      (WarcRecord(path, idx, null, null, null, null, null, -1L, -1, null,
+        Array.emptyByteArray, msg), start)
+    val headEnd = indexOfBlankLine(bytes, start)
+    if (headEnd < 0) return err("unterminated WARC header block")
+    val head = new String(bytes, start, headEnd - start, "UTF-8")
+    val lines = head.split("\r?\n")
+    if (!lines.head.startsWith("WARC/"))
+      return err("missing WARC version line")
+    val headers = lines.tail.flatMap { l =>
+      val i = l.indexOf(':')
+      if (i < 0) None
+      else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+    }.toMap
+    val lenStr = headers.getOrElse("content-length", "")
+    val len =
+      try lenStr.toLong
+      catch { case _: NumberFormatException => -1L }
+    if (len < 0) return err(s"bad Content-Length '$lenStr'")
+    val bodyStart = skipBlankLine(bytes, headEnd)
+    if (bodyStart + len > bytes.length)
+      return err(s"truncated record: need $len payload bytes, " +
+        s"${bytes.length - bodyStart} remain")
+    val block = java.util.Arrays.copyOfRange(
+      bytes, bodyStart, bodyStart + (len min Int.MaxValue.toLong).toInt)
+    val warcType = headers.getOrElse("warc-type", "")
+    val contentType = headers.getOrElse("content-type", "")
+    val (status, httpCt, payload) =
+      if (contentType.startsWith("application/http")) parseHttp(block)
+      else (-1, null, block)
+    val rec = WarcRecord(path, idx,
+      warcType,
+      headers.getOrElse("warc-target-uri", null),
+      headers.getOrElse("warc-date", null),
+      headers.getOrElse("warc-record-id", null),
+      contentType, len, status, httpCt, payload, null)
+    // trailer: two CRLFs after the payload (tolerated if absent at EOF)
+    (rec, bodyStart + len.toInt)
+  }
+
+  /** Index of the first blank line (CRLFCRLF or LFLF) at/after `from`,
+    * returning the offset of its FIRST byte; -1 if none. */
+  private def indexOfBlankLine(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length - 1) {
+      if (b(i) == '\n' &&
+        (b(i + 1) == '\n' || (i + 2 < b.length && b(i + 1) == '\r' &&
+          b(i + 2) == '\n'))) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Offset just past the blank line starting at `at` (which points
+    * at the first `\n` of `\n\n` or `\n\r\n`). */
+  private def skipBlankLine(b: Array[Byte], at: Int): Int =
+    if (at + 1 < b.length && b(at + 1) == '\n') at + 2
+    else at + 3 // \n\r\n
+
+  /** Split an application/http block into (status, content-type,
+    * body); (-1, null, block) when it does not start with an HTTP
+    * status line. */
+  private def parseHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
+    val headEnd = indexOfBlankLine(block, 0)
+    if (headEnd < 0) return (-1, null, block)
+    val head = new String(block, 0, headEnd, "UTF-8")
+    val lines = head.split("\r?\n")
+    if (!lines.head.startsWith("HTTP/")) return (-1, null, block)
+    val status =
+      try lines.head.split(" ")(1).toInt
+      catch { case _: Exception => -1 }
+    val ct = lines.tail.collectFirst {
+      case l if l.toLowerCase.startsWith("content-type:") =>
+        l.substring("content-type:".length).trim
+    }.orNull
+    val bodyStart = skipBlankLine(block, headEnd)
+    (status, ct,
+      java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+  }
+
+  // ---- deterministic fixture (the Multimodal.fixturePng convention) ----
+
+  /** Hand-assembled two-record-plus-junk WARC archive: a warcinfo
+    * record, an HTTP response with an HTML body, a request record,
+    * and a TRUNCATED response (its Content-Length overruns the file)
+    * — the shapes the parser and its quarantine/resync posture must
+    * handle. Byte-deterministic, so query expectations are literals. */
+  def fixtureWarc(): Array[Byte] = {
+    def rec(tpe: String, uri: String, block: Array[Byte],
+            extra: String = ""): Array[Byte] = {
+      val head = s"WARC/1.0\r\n" +
+        s"WARC-Type: $tpe\r\n" +
+        (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"WARC-Date: 2026-01-02T03:04:05Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$tpe-1>\r\n" +
+        extra +
+        s"Content-Length: ${block.length}\r\n\r\n"
+      head.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val info = rec("warcinfo", "",
+      "software: graft-fixture\r\n".getBytes("UTF-8"),
+      "Content-Type: application/warc-fields\r\n")
+    val html = "<html><body><p>hello &amp; crawl</p></body></html>"
+    val httpBlock = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n" + html)
+      .getBytes("UTF-8")
+    val resp = rec("response", "https://www.Example.com:443/a?utm_x=1",
+      httpBlock, "Content-Type: application/http; msgtype=response\r\n")
+    val req = rec("request", "https://www.Example.com:443/a?utm_x=1",
+      ("GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n").getBytes("UTF-8"),
+      "Content-Type: application/http; msgtype=request\r\n")
+    val truncated = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.com/cut\r\n" +
+      "WARC-Record-ID: <urn:uuid:cut-1>\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 99999\r\n\r\nHTTP/1.1 200 OK\r\n\r\nshort")
+      .getBytes("UTF-8")
+    info ++ resp ++ req ++ truncated
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.Warc
+import org.apache.spark.sql.functions._
+
+/** Laws for the WARC crawl-archive reader (sources/Warc.scala). */
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fixtureRecords = Warc.parseRecords("f", Warc.fixtureWarc())
+
+  test("fixture parses into warcinfo + HTTP response + request + " +
+    "quarantined truncated record") {
+    val recs = fixtureRecords
+    assert(recs.length === 4)
+    val info = recs(0)
+    assert(info.warcType === "warcinfo" && info.error == null)
+    assert(info.httpStatus === -1)
+    assert(new String(info.payload, "UTF-8").startsWith("software:"))
+    val resp = recs(1)
+    assert(resp.warcType === "response" && resp.error == null)
+    assert(resp.httpStatus === 200)
+    assert(resp.httpContentType === "text/html; charset=utf-8")
+    assert(new String(resp.payload, "UTF-8")
+      === "<html><body><p>hello &amp; crawl</p></body></html>")
+    assert(resp.targetUri === "https://www.Example.com:443/a?utm_x=1")
+    val req = recs(2)
+    assert(req.warcType === "request" && req.error == null)
+    // an application/http REQUEST block has no HTTP status line — the
+    // payload stays raw and status is the not-an-HTTP-response sentinel
+    assert(req.httpStatus === -1)
+    val cut = recs(3)
+    assert(cut.error != null && cut.error.contains("truncated"))
+  }
+
+  test("resync: a corrupt Content-Length quarantines ONE record and " +
+    "parsing recovers at the next marker") {
+    val good = Warc.fixtureWarc()
+    val corrupted = new String(good, "ISO-8859-1")
+      .replaceFirst("(?s)(WARC-Type: response.*?Content-Length: )\\d+",
+        "$1abc")
+      .getBytes("ISO-8859-1")
+    val recs = Warc.parseRecords("f", corrupted)
+    // warcinfo ok, response quarantined, request recovered, truncated
+    // tail still quarantined
+    assert(recs.map(_.error == null) === Seq(true, false, true, false))
+    assert(recs(1).error.contains("Content-Length"))
+    assert(recs(2).warcType === "request")
+  }
+
+  test("gz round-trip, including CONCATENATED members (the .warc.gz " +
+    "norm: one member per record)") {
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val raw = Warc.fixtureWarc()
+    val (a, b) = raw.splitAt(raw.length / 2)
+    val concat = gzip(a) ++ gzip(b)
+    assert(Warc.gunzipAll(concat).toSeq === raw.toSeq,
+      "concatenated gzip members must decompress whole")
+    // end-to-end through the Spark reader
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    java.nio.file.Files.write(dir.resolve("f.warc.gz"), concat)
+    val recs = Warc.readWarc(spark, dir.toString + "/*.warc.gz")
+    assert(recs.count() === 4)
+    assert(recs.filter(col("error").isNull).count() === 3)
+  }
+
+  test("the HTTP body flows straight into the Web extraction stage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc2")
+    java.nio.file.Files.write(dir.resolve("f.warc"), Warc.fixtureWarc())
+    val recs = Warc.readWarc(spark, dir.toString + "/*.warc")
+    val txt = recs.filter(col("httpStatus") === 200)
+      .select(graft.ops.Web.htmlToText(decode(col("payload"), "UTF-8")))
+      .as[String].head()
+    assert(txt === "hello & crawl")
+  }
+}

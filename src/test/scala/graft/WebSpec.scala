@@ -152,6 +152,87 @@ class WebSpec extends SparkTestBase {
     assert(!plan.contains("SortAggregate"), s"must not sort-agg:\n$plan")
   }
 
+  test("htmlToText: scripts/styles drop whole, block closers break " +
+    "lines, entities decode in the standard order, plain text is a " +
+    "fixed point") {
+    val html = "<html><head><SCRIPT>var x=1;\n2<3;</script><style>.a{}" +
+      "</style></head><body><h1>Title</h1><p>hello &amp; world " +
+      "&lt;tag&gt;</p><div>foo</div>\n<ul><li>a</li><li>b</li></ul>" +
+      "<p>tail &nbsp;x</p></body></html>"
+    val cases = Seq(
+      (1L, html, "Title\nhello & world <tag>\nfoo\na\nb\ntail x"),
+      // &amp;lt; must become the literal string '&lt;', not '<'
+      (2L, "<p>a &amp;lt; b</p>", "a &lt; b"),
+      // plain single-line text with collapsed spaces is a fixed point
+      (3L, "already plain text", "already plain text")
+    ).toDF("id", "html", "want")
+    cases.select(Web.htmlToText(col("html")).as("got"), col("want"))
+      .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+    // fixed point holds for MARKUP-FREE output only: decoded entities
+    // deliberately re-read as markup on a second pass ('&lt;tag&gt;' →
+    // '<tag>' → stripped), which is why the scaladoc says run it ONCE,
+    // at ingest — extraction is not idempotent by design
+    val plain = Seq((3L, "already   plain\ttext")).toDF("id", "t0")
+      .select(col("id"), Web.htmlToText(col("t0")).as("t1"))
+    plain.select(col("t1"), Web.htmlToText(col("t1")).as("t2"))
+      .collect().foreach(r => assert(r.getString(1) === r.getString(0)))
+  }
+
+  test("domainRank: one hand-checked round; bit-exact under " +
+    "repartitioning (the 2^-20 snap makes the sums order-free); " +
+    "in-link-free nodes hold at 1-d; dangling nodes keep receiving") {
+    // A→B, A→C, B→C, C→A, C→D (D dangling: no out-edges)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("c", "d")).toDF("src", "dst")
+    def ranksOf(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      Web.domainRank(df, "src", "dst", iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the operator snaps every value to floor-2^-20 — hand-expected
+    // values must go through the same snap
+    def snap(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
+    val r1 = ranksOf(edges, 1)
+    // deg: a=2, b=1, c=2; contributions from rank=1: b←.5, c←.5+1, a←.5, d←.5
+    assert(r1("a") === snap(0.15 + 0.85 * 0.5))
+    assert(r1("b") === snap(0.15 + 0.85 * 0.5))
+    assert(r1("c") === snap(0.15 + 0.85 * 1.5))
+    assert(r1("d") === snap(0.15 + 0.85 * 0.5))
+    val r5 = ranksOf(edges, 5)
+    assert(r5("d") > 0.15, "dangling node keeps receiving rank")
+    // a node nothing links to holds at snap(1 - d) from round 1 on
+    val withLoner = edges.unionByName(Seq(("z", "a")).toDF("src", "dst"))
+    assert(ranksOf(withLoner, 3)("z") === snap(1.0 - 0.85))
+    // bit-exactness: shuffling the edge layout changes nothing at all
+    val r5b = ranksOf(edges.repartition(7), 5)
+    assert(r5 === r5b, "snapped trajectory must be partition-invariant")
+  }
+
+  test("robotsFilter: longest prefix wins, allow wins ties, no rule " +
+    "means allowed, other hosts' rules never leak") {
+    val df = Seq(
+      (1L, "https://a.com/private/doc"),  // /private/ disallow wins (longest)
+      (2L, "https://a.com/private/pub/x"),// deeper allow overrides
+      (3L, "https://a.com/open"),         // only '/' allow matches
+      (4L, "https://b.com/private/doc"),  // no rules for b.com → allowed
+      (5L, "https://a.com/tie"),          // equal-length allow+disallow → allow
+      (6L, "https://www.a.com/private/doc") // www-stripped host matches rules
+    ).toDF("doc_id", "url")
+    val rules = Seq(
+      ("a.com", "/", true),
+      ("a.com", "/private/", false),
+      ("a.com", "/private/pub/", true),
+      ("a.com", "/tie", false),
+      ("a.com", "/tie", true)
+    ).toDF("host", "prefix", "allow")
+    val kept = Web.robotsFilter(df, "url", "doc_id", rules)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L, 4L, 5L))
+    val e = intercept[IllegalArgumentException] {
+      Web.robotsFilter(df, "url", "doc_id",
+        rules.withColumnRenamed("prefix", "pfx"))
+    }
+    assert(e.getMessage.contains("host, prefix, allow"))
+  }
+
   // ---- persisted URL index laws -----------------------------------------
 
   private def urlRoot = WebSpec.root
