@@ -2217,8 +2217,10 @@ object PipelineQueries {
         (CASE WHEN doc_id % 3 = 0 THEN ' &nbsp;tail&#39;s &lt;ok&gt;' ELSE '' END) ||
         '</div><ul><li>one</li><li>two</li></ul></body></html>' AS html
        FROM documents),
-      e1 AS (SELECT doc_id, regexp_replace(html,
+      e1a AS (SELECT doc_id, regexp_replace(html,
         '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h0),
+      e1 AS (SELECT doc_id, regexp_replace(t,
+        '(?is)<(script|style)[^>]*>.*$', ' ', 'g') AS t FROM e1a),
       e2 AS (SELECT doc_id, regexp_replace(t,
         '(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>|</table>|</ul>|</ol>',
         chr(10), 'g') AS t FROM e1),

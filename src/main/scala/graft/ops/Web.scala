@@ -299,8 +299,13 @@ object Web {
     * idempotent: entity decoding is one-way, so a decoded `&lt;tag&gt;`
     * re-reads as markup on a second pass (WebSpec pins this). */
   def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(html,
+    val noScript0 = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // an UNCLOSED script/style (truncated page) never matches the
+    // paired rule — without this the whole tail of JS would leak into
+    // the extracted text as words
+    val noScript = regexp_replace(noScript0,
+      "(?is)<(script|style)[^>]*>.*$", " ")
     val breaks = regexp_replace(noScript,
       "(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>|</table>|</ul>|</ol>",
       "\n")
@@ -493,8 +498,11 @@ object Web {
       s"damping must be in (0,1), got $damping")
     val snapUnit = lit(1048576.0) // 2^20
     def snap(c: Column): Column = floor(c * snapUnit) / snapUnit
+    // null endpoints (a schemeless/garbage URL upstream yields a null
+    // domain) cannot vote or be ranked — drop them here rather than
+    // letting a null node ride the joins as a phantom vertex
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+      .na.drop().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()

@@ -48,6 +48,17 @@ class WarcSpec extends SparkTestBase {
     assert(recs(2).warcType === "request")
   }
 
+  test("LF-only archives parse (some tooling emits bare LF line ends)") {
+    val lfOnly = new String(Warc.fixtureWarc(), "ISO-8859-1")
+      .replace("\r\n", "\n").getBytes("ISO-8859-1")
+    val recs = Warc.parseRecords("f", lfOnly)
+    // content-lengths were authored for CRLF payload framing; header
+    // parsing and resync must still walk the file and type every
+    // record rather than aborting at the first LF header block
+    assert(recs.nonEmpty)
+    assert(recs.head.warcType === "warcinfo" && recs.head.error == null)
+  }
+
   test("gz round-trip, including CONCATENATED members (the .warc.gz " +
     "norm: one member per record)") {
     def gzip(b: Array[Byte]): Array[Byte] = {

@@ -164,7 +164,10 @@ class WebSpec extends SparkTestBase {
       // &amp;lt; must become the literal string '&lt;', not '<'
       (2L, "<p>a &amp;lt; b</p>", "a &lt; b"),
       // plain single-line text with collapsed spaces is a fixed point
-      (3L, "already plain text", "already plain text")
+      (3L, "already plain text", "already plain text"),
+      // a TRUNCATED page's unclosed script must not leak JS into the
+      // text — the unclosed-to-EOF rule (r18 sweep finding)
+      (4L, "<p>real words</p><script>var leak = 'java'", "real words")
     ).toDF("id", "html", "want")
     cases.select(Web.htmlToText(col("html")).as("got"), col("want"))
       .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
@@ -187,6 +190,12 @@ class WebSpec extends SparkTestBase {
     def ranksOf(df: org.apache.spark.sql.DataFrame, iters: Int) =
       Web.domainRank(df, "src", "dst", iters)
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // null endpoints are dropped at entry, never phantom vertices
+    val withNulls = Seq((Some("a"), Some("b")), (None, Some("x")),
+      (Some("y"), None)).toDF("src", "dst")
+    val rn = Web.domainRank(withNulls, "src", "dst", 1)
+      .select("node").as[String].collect().toSet
+    assert(rn === Set("a", "b"), s"null edges must drop whole: $rn")
     // the operator snaps every value to floor-2^-20 — hand-expected
     // values must go through the same snap
     def snap(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
@@ -204,6 +213,26 @@ class WebSpec extends SparkTestBase {
     // bit-exactness: shuffling the edge layout changes nothing at all
     val r5b = ranksOf(edges.repartition(7), 5)
     assert(r5 === r5b, "snapped trajectory must be partition-invariant")
+  }
+
+  test("canonicalUrl posture on non-absolute input: deterministic, " +
+    "'://'-prefixed — can never collide with a real absolute URL's " +
+    "canonical form") {
+    val got = Seq("example.com/p?a=1").toDF("u")
+      .select(Web.canonicalUrl(col("u"))).collect().head.getString(0)
+    assert(got.startsWith("://"),
+      s"schemeless input must stay in the schemeless namespace: $got")
+  }
+
+  test("robotsFilter: an empty prefix matches every path (the RFC " +
+    "catch-all); longest real prefix still beats it") {
+    val df = Seq((1L, "https://a.com/x"), (2L, "https://a.com/keep/y"))
+      .toDF("doc_id", "url")
+    val rules = Seq(("a.com", "", false), ("a.com", "/keep/", true))
+      .toDF("host", "prefix", "allow")
+    val kept = Web.robotsFilter(df, "url", "doc_id", rules)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L))
   }
 
   test("robotsFilter: longest prefix wins, allow wins ties, no rule " +
