@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** How the DAILY URL-admission job scales with corpus size — the
+  * extrapolation evidence behind the persisted URL index (the
+  * IndexScaleProbe act for the web layer): at each corpus scale,
+  * price (a) the one-time bucketed index build (compaction-cadence
+  * cost), (b) the constant-size daily batch anti-joined against the
+  * bucketed Layout table (production shape: no exchange on the index
+  * side), (c) the same query against the SAME FILES read as plain
+  * parquet (control: bucket metadata lost, both sides shuffle),
+  * (d) the bloom build (amortized) + the map-only bloom drop (the
+  * per-trigger streaming cost), and (e) htmlToText throughput on
+  * synthetic pages (MB/s — the extraction stage is map-only, so this
+  * is the number that multiplies across a 100 TB crawl).
+  *
+  * Usage: runMain graft.WebScaleProbe [scale1,scale2,...] [batchRows]
+  *
+  * Measured (local[32], 2026-08-16, scales 2M/8M, batch 20k):
+  *  - index build (one-time): 9.1 s / 11.5 s — sublinear here because
+  *    the 2M run pays session warmup;
+  *  - daily drop vs layout: 0.8 s at 8M; control (same files, no
+  *    bucket metadata): 0.9 s. HONEST adjudication: at single-box
+  *    scale the control's extra exchange of the index side is nearly
+  *    free (memory-speed shuffle of narrow rows), so the layout's
+  *    advantage is NOT local wall-clock — it is the plan shape
+  *    (WebSpec pins 1 exchange vs ≥2), which prices as network bytes
+  *    proportional to the CORPUS on a real cluster: at 10⁹ URLs ×
+  *    ~60 B/row the control re-shuffles ~60 GB across the wire per
+  *    daily batch, the layout ships only the day's keys;
+  *  - bloom: build 3.7 s at 8M keys (amortized across triggers),
+  *    map-only drop 0.7 s vs 0.8 s exact anti-join per trigger;
+  *    over-drop 24/19800 = 0.12% ≈ fpp, filter 14 MiB (1.75 B/key);
+  *  - htmlToText: 110 MB/s on local[32] (~2.5 KB pages). Map-only, so
+  *    it scales linearly with executors: ~100 TB / (110 MB/s per box)
+  *    ≈ 10.5 box-days — minutes on a 1000-executor fleet, and the
+  *    stage fuses into the scan (no shuffle, no materialization).
+  */
+object WebScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.map(_.split(",").map(_.toLong).toSeq)
+      .getOrElse(Seq(2000000L, 8000000L))
+    val nBatch = if (args.length > 1) args(1).toLong else 20000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[A](label: String)(body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label%-52s $s%7.1f s")
+      (r, s)
+    }
+    // capture noise varies with the full id; canonical identity with
+    // the path id — the certified fixtures' construction at scale
+    def urlOf(pathId: org.apache.spark.sql.Column,
+              noiseId: org.apache.spark.sql.Column) =
+      concat(lit("https://"),
+        when(pmod(noiseId, lit(2)) === 0, lit("www.")).otherwise(lit("")),
+        lit("h"), pmod(xxhash64(pathId), lit(5000)).cast("string"),
+        lit(".example.com/p/"), pathId.cast("string"),
+        lit("?utm_s="), noiseId.cast("string"), lit("&a=1"))
+
+    scales.foreach { n =>
+      val corpus = spark.range(n)
+        .select(col("id").as("doc_id"), urlOf(col("id"), col("id")).as("url"),
+          lit(1L).as("score"))
+      // batch: 1% re-captures of corpus URLs (different noise), 99% new
+      val batch = spark.range(nBatch)
+        .select((col("id") + n).as("doc_id"),
+          when(pmod(col("id"), lit(100)) === 0,
+            urlOf(pmod(xxhash64(col("id")), lit(n)), col("id") + n))
+            .otherwise(urlOf(col("id") + n, col("id") + n)).as("url"))
+        .localCheckpoint()
+      val table = s"web_scale_$n"
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_web_scale_$n").toString
+      val (_, _) = time(s"[$n] write bucketed URL index (one-time)") {
+        graft.ops.Web.writeUrlIndex(corpus, "url", "doc_id", "score",
+          table, 32, path = Some(s"$root/idx"))
+      }
+      val idx = graft.api.Layout.table(spark, table)
+      val (kept, _) = time(s"[$n] daily drop vs bucketed layout") {
+        graft.ops.Web.dropUrlsAgainstIndex(batch, "url", idx).count()
+      }
+      val raw = spark.read.parquet(s"$root/idx")
+      val (keptRaw, _) = time(s"[$n] control: same files, no bucketing") {
+        graft.ops.Web.dropUrlsAgainstIndex(batch, "url", raw).count()
+      }
+      assert(kept == keptRaw, s"tiers disagree: $kept vs $keptRaw")
+      val (bloom, _) = time(s"[$n] bloom build (amortized, fpp=1e-3)") {
+        graft.ops.Web.urlKeyBloom(idx)
+      }
+      val (keptB, _) = time(s"[$n] per-trigger map-only bloom drop") {
+        graft.ops.Web.dropUrlsAgainstBloom(batch, "url", bloom).count()
+      }
+      println(f"[probe] [$n] survivors exact=$kept bloom=$keptB " +
+        f"(bloom over-drop ${kept - keptB}; filter ${bloom.bytes.length / 1024} KiB)")
+    }
+
+    // (e) extraction throughput: synthetic ~2.5 KB pages
+    val nPages = 200000L
+    val pages = spark.range(nPages).select(
+      concat(lit("<html><head><script>var x=1;</script><style>.a{}</style>" +
+        "</head><body>"),
+        concat_ws("", (0 until 20).map(i =>
+          concat(lit(s"<p>para $i words "),
+            pmod(xxhash64(col("id"), lit(i)), lit(100000)).cast("string"),
+            lit(" tail &amp; more</p>"))): _*),
+        lit("</body></html>")).as("html"))
+      .localCheckpoint()
+    val bytes = pages.select(sum(length(col("html")))).as[Long].head()
+    val (_, tx) = time(f"extract $nPages pages (${bytes / 1e6}%.0f MB)") {
+      pages.select(graft.ops.Web.htmlToText(col("html")).as("t"))
+        .select(sum(length(col("t")))).as[Long].head()
+    }
+    println(f"[probe] htmlToText throughput ${bytes / 1e6 / tx}%.0f MB/s " +
+      f"on local[$cpus]")
+    spark.stop()
+  }
+}
