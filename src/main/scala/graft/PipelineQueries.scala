@@ -1861,6 +1861,19 @@ object PipelineQueries {
         .select(col("node").as("dom"), col("rank"))
     }),
 
+    // one-pass pipeline funnel: per-stage survivors/drops for
+    // length → lang → Gopher-quality, ONE aggregation over one scan
+    // (no stage ever materializes), k+1 driver-bounded output rows
+    "q_funnel" -> ((s, d) => {
+      val keep = graft.ops.RuleFilters.gopherMetrics(col("text"),
+        minWords = 50, maxWords = 100000, minMwl = 3.0, maxMwl = 4.5,
+        minAlphaFrac = 0.8, minStopHits = 1).getField("keep")
+      graft.ops.RuleFilters.funnelReport(docs(s, d), Seq(
+        "length" -> (col("n_chars") >= 80),
+        "lang" -> col("lang").isin("en", "de", "fr"),
+        "quality" -> keep))
+    }),
+
     // robots.txt-style crawl permission (RFC 9309 longest-match,
     // allow-wins ties): one host equi-join + extremum argmax — rules
     // for other hosts never meet a row
@@ -2150,6 +2163,37 @@ object PipelineQueries {
          SELECT doc_id FROM canon
          WHERE doc_id >= 400 AND curl NOT IN (
            SELECT curl FROM canon WHERE doc_id < 100)""",
+
+    "q_funnel" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, lang,
+           list_filter($W, x -> len(x) > 0) AS w FROM documents),
+         m AS (SELECT n_chars, lang,
+           (len(w) > 0 AND len(w) >= 50 AND len(w) <= 100000
+            AND list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) >= 3.0
+            AND list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) <= 4.5
+            AND len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+              / len(w) >= 0.8
+            AND ((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+                 (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END) +
+                 (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) +
+                 (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END) +
+                 (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END) +
+                 (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END) +
+                 (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END) +
+                 (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)) >= 1
+           ) AS keep FROM t),
+         f AS (SELECT (n_chars >= 80) AS c1,
+           (n_chars >= 80 AND lang IN ('en', 'de', 'fr')) AS c2,
+           (n_chars >= 80 AND lang IN ('en', 'de', 'fr') AND keep) AS c3
+          FROM m)
+         SELECT 'input' AS stage, 0::BIGINT AS stage_idx,
+           count(*)::BIGINT AS survivors, 0::BIGINT AS dropped_here FROM f
+         UNION ALL SELECT 'length', 1, sum(c1::INT)::BIGINT,
+           (count(*) - sum(c1::INT))::BIGINT FROM f
+         UNION ALL SELECT 'lang', 2, sum(c2::INT)::BIGINT,
+           (sum(c1::INT) - sum(c2::INT))::BIGINT FROM f
+         UNION ALL SELECT 'quality', 3, sum(c3::INT)::BIGINT,
+           (sum(c2::INT) - sum(c3::INT))::BIGINT FROM f""",
 
     "q_robots" ->
       s"""WITH $urlFixtureWebSql, $urlCanonSql,

@@ -92,4 +92,40 @@ object RuleFilters {
       .withColumn(textCol, col("__c4.kept_text"))
       .drop("__c4")
   }
+
+  /** One-pass pipeline FUNNEL: for ordered gates g₁..gₖ, the rows
+    * surviving g₁∧…∧gᵢ for every stage i — the per-run audit artifact
+    * a curation pipeline publishes ("input 10M → length 8.2M → lang
+    * 7.9M → quality 6.1M"). ONE aggregation job over one scan: the
+    * cumulative-AND flags are computed per row and summed as
+    * conditional counts, so no stage is ever materialized and the
+    * output is k+1 driver-bounded rows (stage, survivors,
+    * dropped_here), stage 0 = "input". A gate evaluating to NULL
+    * counts as a FAIL (the filter semantics a pipeline would see).
+    * Gate ORDER matters, as it does in the pipeline: a row dropped at
+    * stage i is not offered to stage i+1. */
+  def funnelReport(df: DataFrame,
+                   gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "at least one gate required")
+    val names = gates.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate stage names: ${names.diff(names.distinct).distinct}")
+    require(!names.contains("input"), "'input' is the reserved stage 0")
+    val cum = gates.scanLeft(lit(true)) { case (acc, (_, g)) =>
+      acc && coalesce(g, lit(false))
+    } // cum(0)=true (input), cum(i)=g1∧…∧gi
+    val counts = cum.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"__n$i")
+    }
+    val agg = df.agg(counts.head, counts.tail: _*)
+    val stages = ("input" +: names).zipWithIndex.map { case (nm, i) =>
+      struct(lit(nm).as("stage"), lit(i).cast("long").as("stage_idx"),
+        col(s"__n$i").as("survivors"),
+        (if (i == 0) lit(0L)
+         else col(s"__n${i - 1}") - col(s"__n$i")).as("dropped_here"))
+    }
+    agg.select(explode(array(stages: _*)).as("__s"))
+      .select(col("__s.stage"), col("__s.stage_idx"),
+        col("__s.survivors"), col("__s.dropped_here"))
+  }
 }

@@ -84,7 +84,8 @@ class PlanAuditSpec extends SparkTestBase {
     // row pushed into the probe-side scan — the allowed shape (the
     // exchange carries #partitions sketch blobs, never data rows), and
     // an optimization FOR the join this audit exists to protect
-    "q_incremental_semantic_pq"
+    "q_incremental_semantic_pq",
+    "q_funnel"        // cumulative-gate counts -> k+1 scalar rows
   )
 
   test("no certified query plans a CartesianProduct; BNL only where declared; " +

@@ -101,4 +101,44 @@ class RuleFiltersSpec extends SparkTestBase {
       .count()
     assert(diff === 0L)
   }
+
+  test("funnelReport: cumulative AND equals sequential filters, null " +
+    "gate fails the row, order matters, ONE aggregation job") {
+    import graft.ops.RuleFilters
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, Some("en")), (2L, 100L, Some("en")),
+      (3L, 100L, Some("zh")), (4L, 100L, None), (5L, 200L, Some("de"))
+    ).toDF("id", "n", "lang")
+    val gates = Seq(
+      "len" -> (col("n") >= 50),
+      "lang" -> col("lang").isin("en", "de")) // NULL lang → null gate
+    val rep = RuleFilters.funnelReport(df, gates)
+      .orderBy("stage_idx")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    // sequential-filter reference
+    val s1 = df.filter(gates(0)._2)
+    val s2 = s1.filter(gates(1)._2)
+    assert(rep === Array(("input", 5L, 0L), ("len", s1.count(), 1L),
+      ("lang", s2.count(), s1.count() - s2.count())))
+    assert(rep(2)._2 === 2L) // row 4's NULL lang failed like a filter would
+    // order matters: swapping gates changes per-stage drops but not
+    // the final survivor count
+    val swapped = RuleFilters.funnelReport(df, gates.reverse)
+      .orderBy("stage_idx").collect()
+    assert(swapped.last.getLong(2) === rep.last._2)
+    assert(swapped(1).getLong(3) !== rep(1)._3)
+    // duplicate stage names and the reserved 'input' refuse
+    intercept[IllegalArgumentException] {
+      RuleFilters.funnelReport(df, Seq("a" -> lit(true), "a" -> lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      RuleFilters.funnelReport(df, Seq("input" -> lit(true)))
+    }
+    // one aggregation: no join, no window, single-partition exchange
+    // only (the global-agg shape)
+    val plan = RuleFilters.funnelReport(df, gates)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+  }
 }
