@@ -1870,6 +1870,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming crawl ingest: WARC bytes → parse → extract → bloom " +
+    "URL dedup, one stateless map-only pipeline equal to batch") {
+    import graft.ops.Web
+    import graft.sources.Warc
+    implicit val sqlCtx = spark.sqlContext
+    // corpus index: the fixture response's URL is already published
+    val corpus = Seq((1L, "https://example.com/a?x=1", 1L))
+      .toDF("doc_id", "url", "score")
+    val idx = Web.urlIndex(corpus, "url", "doc_id", "score")
+    val bloom = Web.urlKeyBloom(idx, fpp = 0.01, sizeForKeys = Some(100L))
+    def pipeline(files: org.apache.spark.sql.Dataset[(String, Array[Byte])]) =
+      Web.dropUrlsAgainstBloom(
+        Warc.parseFiles(files).toDF()
+          .filter(col("httpStatus") === 200)
+          .select(col("targetUri").as("url"),
+            Web.htmlToText(decode(col("payload"), "UTF-8")).as("txt")),
+        "url", bloom)
+    val oneFile = ("day1.warc", Warc.fixtureWarc())
+    val batchOut = pipeline(Seq(oneFile).toDS()).collect()
+    // the fixture response canonicalizes to https://example.com/a —
+    // NOT indexed (corpus has /a?x=1) → survives with its text
+    assert(batchOut.map(_.getString(1)).toSeq === Seq("hello & crawl"))
+    val input = MemoryStream[(String, Array[Byte])]
+    val q = pipeline(input.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName("crawl_ingest_out").start()
+    try {
+      input.addData(oneFile); q.processAllAvailable()
+      val got = spark.table("crawl_ingest_out").collect()
+      assert(got.map(_.getString(1)).toSeq ===
+        batchOut.map(_.getString(1)).toSeq)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "crawl ingest must be stateless end to end")
+    } finally q.stop()
+  }
+
   test("streaming URL dedup against a static index: the batch operator " +
     "runs unchanged on a stream (stream-static anti-join, zero state); " +
     "the bloom mirror is map-only and only over-drops") {
