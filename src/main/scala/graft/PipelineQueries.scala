@@ -1874,6 +1874,27 @@ object PipelineQueries {
         "quality" -> keep))
     }),
 
+    // robots.txt PARSING: raw per-host robots documents → the rules
+    // table, RFC 9309 group/agent-fallback semantics via one window
+    // over line order — certified against a DuckDB window replica
+    "q_robots_parse" -> ((s, d) => {
+      val n = substring(col("source"), 4, 10).cast("int")
+      val txt = when(n % 3 === 0,
+        lit("User-agent: GraftBot\nDisallow: /private/\n" +
+          "Allow: /private/pub/\n\nUser-agent: *\nDisallow: /all/\n"))
+        .when(n % 3 === 1,
+          lit("# hi\nUser-agent: *\nDisallow: /p\n" +
+            "Sitemap: https://x/s.xml\nDisallow:\n"))
+        .otherwise(
+          lit("Disallow: /orphan/\nUser-agent: *\nAllow: /ok/\n" +
+            "Disallow: /no/\n"))
+      val robots = docs(s, d)
+        .select(concat(col("source"), lit("-news.com")).as("host"),
+          txt.as("txt")).distinct()
+      graft.ops.Web.parseRobotsTxt(robots, "host", "txt", "graftbot")
+        .select(col("host"), col("prefix"), col("allow").cast("long"))
+    }),
+
     // robots.txt-style crawl permission (RFC 9309 longest-match,
     // allow-wins ties): one host equi-join + extremum argmax — rules
     // for other hosts never meet a row
@@ -2194,6 +2215,47 @@ object PipelineQueries {
            (sum(c1::INT) - sum(c2::INT))::BIGINT FROM f
          UNION ALL SELECT 'quality', 3, sum(c3::INT)::BIGINT,
            (sum(c2::INT) - sum(c3::INT))::BIGINT FROM f""",
+
+    "q_robots_parse" ->
+      """WITH r0 AS (SELECT DISTINCT source || '-news.com' AS host,
+        (CASE WHEN (substr(source, 4)::INT % 3) = 0 THEN
+           'User-agent: GraftBot' || chr(10) || 'Disallow: /private/' ||
+           chr(10) || 'Allow: /private/pub/' || chr(10) || chr(10) ||
+           'User-agent: *' || chr(10) || 'Disallow: /all/' || chr(10)
+         WHEN (substr(source, 4)::INT % 3) = 1 THEN
+           '# hi' || chr(10) || 'User-agent: *' || chr(10) ||
+           'Disallow: /p' || chr(10) || 'Sitemap: https://x/s.xml' ||
+           chr(10) || 'Disallow:' || chr(10)
+         ELSE
+           'Disallow: /orphan/' || chr(10) || 'User-agent: *' ||
+           chr(10) || 'Allow: /ok/' || chr(10) || 'Disallow: /no/' ||
+           chr(10) END) AS txt FROM documents),
+      l0 AS (SELECT host, generate_subscripts(ls, 1)::BIGINT AS pos,
+          unnest(ls) AS raw
+        FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM r0)),
+      l1 AS (SELECT host, pos,
+          lower(regexp_extract(c, '^([^:]+):', 1)) AS key,
+          trim(regexp_replace(c, '^[^:]+:', '')) AS val
+        FROM (SELECT host, pos,
+          trim(regexp_replace(raw, '#.*$', '')) AS c FROM l0)),
+      l2 AS (SELECT * FROM l1
+        WHERE key IN ('user-agent', 'allow', 'disallow')),
+      l3 AS (SELECT *, (key = 'user-agent') AS isua,
+          coalesce(lag(key = 'user-agent') OVER (
+            PARTITION BY host ORDER BY pos), false) AS prevua FROM l2),
+      l4 AS (SELECT *, sum(CASE WHEN isua AND NOT prevua
+            THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS gid FROM l3),
+      l5 AS (SELECT * FROM l4 WHERE gid > 0),
+      g AS (SELECT host, gid,
+          max(CASE WHEN lower(val) = '*' THEN 1 ELSE 0 END) AS star,
+          max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS ex
+        FROM l5 WHERE isua GROUP BY 1, 2),
+      he AS (SELECT host, max(ex) AS hex FROM g GROUP BY 1)
+      SELECT l5.host, val AS prefix, (key = 'allow')::BIGINT AS allow
+      FROM l5 JOIN g USING (host, gid) JOIN he USING (host)
+      WHERE NOT isua AND len(val) > 0
+        AND (CASE WHEN hex = 1 THEN ex = 1 ELSE star = 1 END)""",
 
     "q_robots" ->
       s"""WITH $urlFixtureWebSql, $urlCanonSql,

@@ -355,6 +355,57 @@ object Web {
     df.join(disallowed, Seq(idCol), "left_anti")
   }
 
+  /** Parse raw robots.txt documents into the (host, prefix, allow)
+    * rules table [[robotsFilter]] consumes — RFC 9309 group semantics:
+    * a GROUP is a maximal run of `User-agent:` lines followed by its
+    * `Allow:`/`Disallow:` rules; comments (`#…`) and unknown
+    * directives (Sitemap, Crawl-delay) are ignored; rules before any
+    * group are ignored; an empty rule path is a no-op. Agent
+    * selection per host: if ANY group names `agent` exactly
+    * (case-insensitive), the rules of exactly those groups apply;
+    * otherwise the `*` groups' rules do (the RFC's fallback —
+    * substring/longest-prefix product-token matching is out of scope,
+    * documented, like path wildcards in [[robotsFilter]]).
+    *
+    * Shape: posexplode of lines → one window over (host, line order)
+    * to number the user-agent RUNS → groups aggregated host-locally →
+    * rules equi-joined back on (host, group). Everything keys on
+    * host, so one shuffle family; robots documents are KB-scale per
+    * host and the output is handfuls of rows per host. */
+  def parseRobotsTxt(df: DataFrame, hostCol: String, txtCol: String,
+                     agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = df.select(col(hostCol).as("__rb_host"),
+      posexplode(split(col(txtCol), "\n")).as(Seq("__pos", "__raw")))
+    val content = trim(regexp_replace(col("__raw"), "#.*$", ""))
+    val key = lower(regexp_extract(content, "^([^:]+):", 1))
+    val value = trim(regexp_replace(content, "^[^:]+:", ""))
+    val classed = lines.select(col("__rb_host"), col("__pos"),
+      key.as("__key"), value.as("__value"))
+      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("__rb_host").orderBy("__pos")
+    val isUa = col("__key") === "user-agent"
+    val runStart = isUa &&
+      coalesce(lag(isUa, 1).over(w), lit(false)) === false
+    val grouped = classed
+      .withColumn("__gid", sum(when(runStart, 1L).otherwise(0L)).over(w))
+      .filter(col("__gid") > 0) // rules before any group are ignored
+    val groups = grouped.filter(isUa)
+      .groupBy("__rb_host", "__gid")
+      .agg(max((lower(col("__value")) === "*").cast("int")).as("__star"),
+        max((lower(col("__value")) === agentLc).cast("int")).as("__exact"))
+    val hostExact = groups.groupBy("__rb_host")
+      .agg(max(col("__exact")).as("__host_exact"))
+    grouped.filter(!isUa && length(col("__value")) > 0)
+      .join(groups, Seq("__rb_host", "__gid"))
+      .join(hostExact, Seq("__rb_host"))
+      .filter(when(col("__host_exact") === 1, col("__exact") === 1)
+        .otherwise(col("__star") === 1))
+      .select(col("__rb_host").as("host"), col("__value").as("prefix"),
+        (col("__key") === "allow").as("allow"))
+  }
+
   // ---- persisted URL index: incremental (daily-crawl) URL dedup --------
   //
   // The dedup family's index economics applied to the URL layer: build

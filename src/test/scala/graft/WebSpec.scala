@@ -235,6 +235,40 @@ class WebSpec extends SparkTestBase {
     assert(kept === Array(2L))
   }
 
+  test("parseRobotsTxt: exact-agent groups shadow the * fallback, " +
+    "multi-agent run headers combine, pre-group rules and empty " +
+    "paths drop, unknown directives ignored; composes into " +
+    "robotsFilter") {
+    val aTxt = "# site a\nUser-agent: GraftBot\nDisallow: /private/\n" +
+      "Allow: /private/pub/\n\nUser-agent: *\nDisallow: /all/\n" +
+      "Sitemap: https://a.com/s.xml\nDisallow:\n"
+    // multi-ua run header: the run names both OtherBot and * — its
+    // rules serve the fallback; no exact graftbot group exists
+    val bTxt = "User-agent: OtherBot\nUser-agent: *\nDisallow: /b/\n"
+    // rules before any group are ignored per RFC
+    val cTxt = "Disallow: /orphan/\nUser-agent: *\nAllow: /ok/\n"
+    val robots = Seq(("a.com", aTxt), ("b.com", bTxt), ("c.com", cTxt))
+      .toDF("host", "txt")
+    val rules = Web.parseRobotsTxt(robots, "host", "txt", "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    assert(rules === Set(
+      ("a.com", "/private/", false), ("a.com", "/private/pub/", true),
+      ("b.com", "/b/", false),
+      ("c.com", "/ok/", true)))
+    // compose: parsed rules drive the filter
+    val docs = Seq(
+      (1L, "https://a.com/private/x"),   // exact group disallows
+      (2L, "https://a.com/private/pub/y"), // deeper allow
+      (3L, "https://a.com/all/z"),       // '*' rule shadowed by exact group
+      (4L, "https://b.com/b/q")          // fallback group disallows
+    ).toDF("doc_id", "url")
+    val kept = Web.robotsFilter(docs, "url", "doc_id",
+      Web.parseRobotsTxt(robots, "host", "txt", "graftbot"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L))
+  }
+
   test("robotsFilter: longest prefix wins, allow wins ties, no rule " +
     "means allowed, other hosts' rules never leak") {
     val df = Seq(
