@@ -376,15 +376,23 @@ object Web {
                      agent: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    val lines = df.select(col(hostCol).as("__rb_host"),
-      posexplode(split(col(txtCol), "\n")).as(Seq("__pos", "__raw")))
+    // identical documents are ONE document (re-crawled robots.txt
+    // rows dedup here), and distinct documents for the same host
+    // parse independently — without the per-document window key, two
+    // rows for one host would interleave at equal line positions and
+    // corrupt the group numbering (r18 sweep find, law-pinned)
+    val docs = df.select(col(hostCol).as("__rb_host"),
+      col(txtCol).as("__rb_txt")).distinct()
+      .withColumn("__doc", md5(col("__rb_txt")))
+    val lines = docs.select(col("__rb_host"), col("__doc"),
+      posexplode(split(col("__rb_txt"), "\n")).as(Seq("__pos", "__raw")))
     val content = trim(regexp_replace(col("__raw"), "#.*$", ""))
     val key = lower(regexp_extract(content, "^([^:]+):", 1))
     val value = trim(regexp_replace(content, "^[^:]+:", ""))
-    val classed = lines.select(col("__rb_host"), col("__pos"),
+    val classed = lines.select(col("__rb_host"), col("__doc"), col("__pos"),
       key.as("__key"), value.as("__value"))
       .filter(col("__key").isin("user-agent", "allow", "disallow"))
-    val w = Window.partitionBy("__rb_host").orderBy("__pos")
+    val w = Window.partitionBy("__rb_host", "__doc").orderBy("__pos")
     val isUa = col("__key") === "user-agent"
     val runStart = isUa &&
       coalesce(lag(isUa, 1).over(w), lit(false)) === false
@@ -392,15 +400,17 @@ object Web {
       .withColumn("__gid", sum(when(runStart, 1L).otherwise(0L)).over(w))
       .filter(col("__gid") > 0) // rules before any group are ignored
     val groups = grouped.filter(isUa)
-      .groupBy("__rb_host", "__gid")
+      .groupBy("__rb_host", "__doc", "__gid")
       .agg(max((lower(col("__value")) === "*").cast("int")).as("__star"),
         max((lower(col("__value")) === agentLc).cast("int")).as("__exact"))
-    val hostExact = groups.groupBy("__rb_host")
-      .agg(max(col("__exact")).as("__host_exact"))
+    // agent selection is per DOCUMENT (each document is a
+    // self-contained robots.txt)
+    val docExact = groups.groupBy("__rb_host", "__doc")
+      .agg(max(col("__exact")).as("__doc_exact"))
     grouped.filter(!isUa && length(col("__value")) > 0)
-      .join(groups, Seq("__rb_host", "__gid"))
-      .join(hostExact, Seq("__rb_host"))
-      .filter(when(col("__host_exact") === 1, col("__exact") === 1)
+      .join(groups, Seq("__rb_host", "__doc", "__gid"))
+      .join(docExact, Seq("__rb_host", "__doc"))
+      .filter(when(col("__doc_exact") === 1, col("__exact") === 1)
         .otherwise(col("__star") === 1))
       .select(col("__rb_host").as("host"), col("__value").as("prefix"),
         (col("__key") === "allow").as("allow"))

@@ -267,6 +267,17 @@ class WebSpec extends SparkTestBase {
       Web.parseRobotsTxt(robots, "host", "txt", "graftbot"))
       .select("doc_id").as[Long].collect().sorted
     assert(kept === Array(2L, 3L))
+    // duplicate document rows are ONE document; a re-crawled DIFFERENT
+    // document for the same host parses independently (never
+    // interleaved at equal line positions — the r18 sweep find)
+    val multi = robots.unionByName(robots)
+      .unionByName(Seq(("a.com", "User-agent: *\nDisallow: /v2/\n"))
+        .toDF("host", "txt"))
+    val rules2 = Web.parseRobotsTxt(multi, "host", "txt", "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(rules2.length === rules2.distinct.length,
+      "duplicate docs must not duplicate rules")
+    assert(rules2.toSet === rules.toSet + (("a.com", "/v2/", false)))
   }
 
   test("robotsFilter: longest prefix wins, allow wins ties, no rule " +
