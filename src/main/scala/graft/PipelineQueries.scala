@@ -1927,6 +1927,27 @@ object PipelineQueries {
         .select(col("domain").as("dom"), col("doc_id"), col("n_chars"))
     }),
 
+    // the CRAWL-TO-CORPUS composition over one archive: WARC parse →
+    // 200-status gate → HTML extraction → canonical-URL dedup
+    // (best-capture by extracted length) → host blocklist — every web
+    // stage in ONE plan over byte-deterministic input, literal oracle
+    "q_crawl_e2e" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_crawl_q")
+      java.nio.file.Files.write(dir.resolve("crawl.warc"),
+        graft.sources.Warc.fixtureCrawl())
+      val pages = graft.sources.Warc.readWarc(s, dir.toString + "/*.warc")
+        .filter(col("httpStatus") === 200)
+        .select(col("recordIdx").cast("long").as("rid"),
+          col("targetUri").as("url"),
+          graft.ops.Web.htmlToText(decode(col("payload"), "UTF-8")).as("txt"))
+        .withColumn("n", length(col("txt")).cast("long"))
+      val dd = graft.ops.Web.dropDuplicateUrls(pages, "url", "rid", "n")
+      val bl = Seq("blocked.bad").toDF("domain")
+      graft.ops.Web.dropBlockedHosts(dd, "url", "rid", bl)
+        .select(col("canonical_url").as("curl"), col("txt"), col("n"))
+    }),
+
     // WARC ingest → URL canonicalization → HTML extraction, end to
     // end over the deterministic fixture archive (the q_decode
     // convention: byte-deterministic input, literal-VALUES oracle).
@@ -2298,6 +2319,12 @@ object PipelineQueries {
          SELECT doc_id, n_chars, host, row_number() OVER (
            PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rn
          FROM bl) WHERE rn <= 5""",
+
+    "q_crawl_e2e" ->
+      """SELECT * FROM (VALUES
+         ('https://a.com/p1?x=1', 'alpha one, the better capture', 29::BIGINT),
+         ('https://b.com/ok', 'bravo page', 10::BIGINT)
+        ) t(curl, txt, n)""",
 
     "q_warc_read" ->
       """SELECT * FROM (VALUES

@@ -194,6 +194,41 @@ object Warc {
 
   // ---- deterministic fixture (the Multimodal.fixturePng convention) ----
 
+  /** A small deterministic CRAWL archive for the end-to-end pipeline
+    * row (q_crawl_e2e): five HTTP responses exercising every stage —
+    * a canonical-duplicate pair (tracking params + www + default port
+    * vs the bare form; the better capture has the longer body), a
+    * blocklisted host, a clean page, and a 404 the status gate drops —
+    * plus a request record the type filter ignores. */
+  def fixtureCrawl(): Array[Byte] = {
+    def resp(uri: String, status: String, html: String): Array[Byte] = {
+      val block = (s"HTTP/1.1 $status\r\n" +
+        "Content-Type: text/html\r\n\r\n" + html).getBytes("UTF-8")
+      val head = s"WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-01-03T00:00:00Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:r-$uri>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n"
+      head.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val req = ("WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Target-URI: https://a.com/p1\r\n" +
+      "WARC-Record-ID: <urn:uuid:q-1>\r\n" +
+      "Content-Type: application/http; msgtype=request\r\n" +
+      "Content-Length: 18\r\n\r\nGET /p1 HTTP/1.1\r\n" +
+      "\r\n\r\n").getBytes("UTF-8")
+    resp("https://WWW.a.com:443/p1?utm_source=f&x=1", "200 OK",
+      "<p>alpha one</p>") ++
+      resp("https://a.com/p1?x=1", "200 OK",
+        "<p>alpha one, the better capture</p>") ++
+      req ++
+      resp("https://Blocked.bad/x", "200 OK", "<p>spam</p>") ++
+      resp("https://b.com/ok", "200 OK", "<p>bravo page</p>") ++
+      resp("https://c.com/miss", "404 Not Found", "<p>not found</p>")
+  }
+
   /** Hand-assembled two-record-plus-junk WARC archive: a warcinfo
     * record, an HTTP response with an HTML body, a request record,
     * and a TRUNCATED response (its Content-Length overruns the file)
