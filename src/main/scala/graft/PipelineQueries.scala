@@ -118,6 +118,19 @@ object PipelineQueries {
       lit("?utm_s="), id.cast("string"), lit("&a=1"))
   }
 
+  /** One shared per-JVM fixture directory for the WARC queries —
+    * repeated bench/verify invocations must not accumulate temp dirs
+    * (r18 review find). */
+  private lazy val warcFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_fixtures")
+    java.nio.file.Files.write(dir.resolve("fixture.warc"),
+      graft.sources.Warc.fixtureWarc())
+    java.nio.file.Files.write(dir.resolve("crawl.warc"),
+      graft.sources.Warc.fixtureCrawl())
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
   // ---- shared oracle SQL fragments -------------------------------------
   private def wOf(c: String) = raw"string_split_regex(lower(trim($c)), '\s+')"
   private def shOf(c: String) = {
@@ -1933,10 +1946,7 @@ object PipelineQueries {
     // stage in ONE plan over byte-deterministic input, literal oracle
     "q_crawl_e2e" -> ((s, _) => {
       import s.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("graft_crawl_q")
-      java.nio.file.Files.write(dir.resolve("crawl.warc"),
-        graft.sources.Warc.fixtureCrawl())
-      val pages = graft.sources.Warc.readWarc(s, dir.toString + "/*.warc")
+      val pages = graft.sources.Warc.readWarc(s, s"$warcFixtureDir/crawl.warc")
         .filter(col("httpStatus") === 200)
         .select(col("recordIdx").cast("long").as("rid"),
           col("targetUri").as("url"),
@@ -1954,10 +1964,7 @@ object PipelineQueries {
     // The quarantined truncated record rides along with has_err=1 —
     // the Ingest conservation posture
     "q_warc_read" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_warc_q")
-      java.nio.file.Files.write(dir.resolve("fixture.warc"),
-        graft.sources.Warc.fixtureWarc())
-      graft.sources.Warc.readWarc(s, dir.toString + "/*.warc")
+      graft.sources.Warc.readWarc(s, s"$warcFixtureDir/fixture.warc")
         .select(col("recordIdx").cast("long").as("idx"),
           col("warcType").as("wtype"),
           col("targetUri").as("uri"),
@@ -2108,11 +2115,14 @@ object PipelineQueries {
         regexp_replace(defrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest FROM c1),
       c3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hp,
         regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
-      c4 AS (SELECT *,
-        regexp_replace(regexp_replace(
-          regexp_replace(hp, ':[0-9]+$$', ''), '\\.+$$', ''),
-          '^(www\\.)+', '') AS host,
+      c4a AS (SELECT *,
+        regexp_replace(regexp_replace(hp, ':[0-9]+$$', ''), '\\.+$$', '') AS h0,
         regexp_extract(hp, ':([0-9]+)$$', 1) AS port FROM c3),
+      c4 AS (SELECT *,
+        CASE WHEN len(string_split(
+            regexp_replace(h0, '^(www\\.)+', ''), '.')) >= 2
+          THEN regexp_replace(h0, '^(www\\.)+', '')
+          ELSE h0 END AS host FROM c4a),
       c5 AS (SELECT *,
         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
           OR (scheme = 'http' AND port = '80') THEN '' ELSE ':' || port END AS portpart,
@@ -2255,7 +2265,7 @@ object PipelineQueries {
           unnest(ls) AS raw
         FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM r0)),
       l1 AS (SELECT host, pos,
-          lower(regexp_extract(c, '^([^:]+):', 1)) AS key,
+          lower(trim(regexp_extract(c, '^([^:]+):', 1))) AS key,
           trim(regexp_replace(c, '^[^:]+:', '')) AS val
         FROM (SELECT host, pos,
           trim(regexp_replace(raw, '#.*$', '')) AS c FROM l0)),
@@ -2272,11 +2282,17 @@ object PipelineQueries {
           max(CASE WHEN lower(val) = '*' THEN 1 ELSE 0 END) AS star,
           max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS ex
         FROM l5 WHERE isua GROUP BY 1, 2),
-      he AS (SELECT host, max(ex) AS hex FROM g GROUP BY 1)
-      SELECT l5.host, val AS prefix, (key = 'allow')::BIGINT AS allow
-      FROM l5 JOIN g USING (host, gid) JOIN he USING (host)
-      WHERE NOT isua AND len(val) > 0
-        AND (CASE WHEN hex = 1 THEN ex = 1 ELSE star = 1 END)""",
+      he AS (SELECT host, max(ex) AS hex FROM g GROUP BY 1),
+      rr AS (SELECT regexp_replace(lower(trim(l5.host)), '\.+$', '') AS b2,
+          val AS prefix, (key = 'allow')::BIGINT AS allow
+        FROM l5 JOIN g USING (host, gid) JOIN he USING (host)
+        WHERE NOT isua AND len(val) > 0
+          AND (CASE WHEN hex = 1 THEN ex = 1 ELSE star = 1 END))
+      SELECT CASE WHEN len(string_split(
+            regexp_replace(b2, '^(www\.)+', ''), '.')) >= 2
+          THEN regexp_replace(b2, '^(www\.)+', '')
+          ELSE b2 END AS host,
+        prefix, allow FROM rr""",
 
     "q_robots" ->
       s"""WITH $urlFixtureWebSql, $urlCanonSql,

@@ -115,7 +115,9 @@ object RuleFilters {
       acc && coalesce(g, lit(false))
     } // cum(0)=true (input), cum(i)=g1∧…∧gi
     val counts = cum.zipWithIndex.map { case (c, i) =>
-      sum(when(c, 1L).otherwise(0L)).as(s"__n$i")
+      // coalesce: a global sum over ZERO rows is null — the audit
+      // artifact must say 0, not null (r18 review find)
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"__n$i")
     }
     val agg = df.agg(counts.head, counts.tail: _*)
     val stages = ("input" +: names).zipWithIndex.map { case (nm, i) =>

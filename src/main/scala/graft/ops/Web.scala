@@ -86,15 +86,25 @@ object Web {
     regexp_extract(rest, "^([^/?]*)", 1)
   }
 
-  /** Lowercased host of an absolute URL: authority minus port, minus
-    * the leading `www.`-label run. Map-only column expression. */
-  def hostOf(url: Column): Column = {
-    val hostPort = lower(authorityOf(url))
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(hostPort, ":[0-9]+$", ""), "\\.+$", ""),
-      "^(www\\.)+", "")
+  /** Shared host normalization: lowercase, trimmed, trailing-dot run
+    * off, and the leading `www.`-label run off UNLESS the remainder
+    * has fewer than two labels — `www.com` IS the registrable domain
+    * (r18 review find), and stripping it would merge that site into
+    * the bare TLD. The run strips whole or not at all: `www.www.com`
+    * keeps its full form (conservative — placing it under `www.com`
+    * needs the real PSL). Applied identically to crawl hosts, blocklist
+    * entries, and parsed robots hosts, so every host-keyed join in
+    * the family compares the same form. */
+  def normalizeHost(h: Column): Column = {
+    val base = regexp_replace(lower(trim(h)), "\\.+$", "")
+    val stripped = regexp_replace(base, "^(www\\.)+", "")
+    when(size(split(stripped, "\\.")) >= 2, stripped).otherwise(base)
   }
+
+  /** Lowercased host of an absolute URL: authority minus port,
+    * [[normalizeHost]]-normalized. Map-only column expression. */
+  def hostOf(url: Column): Column =
+    normalizeHost(regexp_replace(lower(authorityOf(url)), ":[0-9]+$", ""))
 
   /** Path-and-query of an absolute URL (`/a/b?x=1` — fragment
     * dropped, empty path → `/`), the string robots rules match
@@ -117,10 +127,7 @@ object Web {
     val authority = regexp_extract(rest, "^([^/?]*)", 1)
     val pathq = regexp_replace(rest, "^[^/?]*", "")
     val hostPort = lower(authority)
-    val host = regexp_replace(
-      regexp_replace(
-        regexp_replace(hostPort, ":[0-9]+$", ""), "\\.+$", ""),
-      "^(www\\.)+", "")
+    val host = normalizeHost(regexp_replace(hostPort, ":[0-9]+$", ""))
     val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val portPart = when(
       port === "" ||
@@ -218,16 +225,23 @@ object Web {
     * Never a LIKE scan: the host's bounded suffix set is matched by
     * EQUALITY. Two tiers, size-gated like Dedup's broadcasts:
     *  - blocklist count ≤ `spark.graft.web.blocklistBroadcastThreshold`
-    *    (default 100k): collect to a plan-literal array and filter
+    *    (default 1000): collect to a plan-literal array and filter
     *    with `arrays_overlap` — map-only, no shuffle, pushes past
-    *    column pruning;
+    *    column pruning. The default is deliberately SMALL:
+    *    ArraysOverlap hashes the smaller side (the ≤10 suffixes) and
+    *    iterates the literal, so a 100k-entry literal would cost 10⁵
+    *    comparisons per corpus row on the scan path — far past the
+    *    crossover where the join tier wins (r18 review find);
     *  - larger: explode the suffixes and LEFT SEMI join the blocklist
     *    (broadcast-eligible under AQE) to get blocked ids, then LEFT
     *    ANTI on `idCol` — corpus rows never fan out through a shuffle
     *    wider than ×maxSuffixLabels, and only ids travel.
     * Entries with more labels than `maxSuffixLabels` cannot match the
     * generated suffixes and are refused loudly rather than silently
-    * ignored. */
+    * ignored. Entries normalize like hosts ([[normalizeHost]] — a
+    * UT1-style `www.badsite.com` row must block the www-stripped
+    * host). A null-URL row matches nothing and is KEPT, identically
+    * in both tiers. */
   def dropBlockedHosts(df: DataFrame, urlCol: String, idCol: String,
                        blocked: DataFrame,
                        maxSuffixLabels: Int = 10): DataFrame = {
@@ -237,13 +251,12 @@ object Web {
     val dcol = blocked.columns.head
     val threshold = spark.conf
       .getOption("spark.graft.web.blocklistBroadcastThreshold")
-      .map(_.toLong).getOrElse(100000L)
-    // normalize entries the way hosts are normalized (lowercase, no
-    // surrounding whitespace, no trailing FQDN dot) — a mixed-case or
-    // 'Example.COM.' blocklist row must still block example.com
+      .map(_.toLong).getOrElse(1000L)
+    // normalize entries EXACTLY the way hosts are normalized — a
+    // mixed-case, FQDN-dotted, or www-prefixed blocklist row must
+    // still block the normalized host
     val entries = blocked
-      .select(regexp_replace(lower(trim(col(dcol))), "\\.+$", "")
-        .as("__bl_domain"))
+      .select(normalizeHost(col(dcol)).as("__bl_domain"))
       .na.drop().filter(length(col("__bl_domain")) > 0).distinct()
     // one aggregate job decides BOTH gates (count for the broadcast
     // tier, max label depth for the matchability refusal); the job
@@ -268,8 +281,10 @@ object Web {
       // short-circuits per row, no join, no shuffle
       val set = entries.collect().map(_.getString(0))
       if (set.isEmpty) df
-      else df.filter(!arrays_overlap(sufs,
-        array(set.map(lit(_)).toIndexedSeq: _*)))
+      // coalesce: a null URL yields null suffixes → null predicate —
+      // KEEP the row, matching the join tier's anti-join semantics
+      else df.filter(coalesce(!arrays_overlap(sufs,
+        array(set.map(lit(_)).toIndexedSeq: _*)), lit(true)))
     } else {
       val blockedIds = df.select(col(idCol), explode(sufs).as("__suf"))
         .join(entries, col("__suf") === col("__bl_domain"), "left_semi")
@@ -342,7 +357,11 @@ object Web {
         rules.columns.mkString("(", ", ", ")"))
     val keyed = df.select(col(idCol).as("__rid"),
       hostOf(col(urlCol)).as("__rhost"), pathOf(col(urlCol)).as("__rpath"))
-    val matched = keyed.join(rules, col("__rhost") === col("host"))
+    // normalize the rules' host side too, so hand-built tables with
+    // mixed-case/www-prefixed keys meet hostOf output
+    val matched = keyed.join(
+      rules.withColumn("host", normalizeHost(col("host"))),
+      col("__rhost") === col("host"))
       .filter(col("__rpath").startsWith(col("prefix")))
     // longest prefix wins, allow wins ties: max by (len, allow)
     val verdict = matched.groupBy("__rid")
@@ -387,7 +406,10 @@ object Web {
     val lines = docs.select(col("__rb_host"), col("__doc"),
       posexplode(split(col("__rb_txt"), "\n")).as(Seq("__pos", "__raw")))
     val content = trim(regexp_replace(col("__raw"), "#.*$", ""))
-    val key = lower(regexp_extract(content, "^([^:]+):", 1))
+    // trim the key: RFC 9309's ABNF allows whitespace BEFORE the
+    // colon ('User-agent : X'), which would otherwise silently drop
+    // the whole group (r18 review find)
+    val key = lower(trim(regexp_extract(content, "^([^:]+):", 1)))
     val value = trim(regexp_replace(content, "^[^:]+:", ""))
     val classed = lines.select(col("__rb_host"), col("__doc"), col("__pos"),
       key.as("__key"), value.as("__value"))
@@ -412,7 +434,11 @@ object Web {
       .join(docExact, Seq("__rb_host", "__doc"))
       .filter(when(col("__doc_exact") === 1, col("__exact") === 1)
         .otherwise(col("__star") === 1))
-      .select(col("__rb_host").as("host"), col("__value").as("prefix"),
+      // normalize the host key so the output joins against hostOf(url)
+      // in robotsFilter — a rules table keyed 'www.Example.com' would
+      // otherwise be silently dead (r18 review find)
+      .select(normalizeHost(col("__rb_host")).as("host"),
+        col("__value").as("prefix"),
         (col("__key") === "allow").as("allow"))
   }
 
@@ -486,6 +512,8 @@ object Web {
   def dropUrlsAgainstIndex(batch: DataFrame, urlCol: String,
                            index: DataFrame,
                            delta: Option[DataFrame] = None): DataFrame = {
+    require(!batch.columns.contains("__url_key"),
+      "staging column '__url_key' already exists in the batch")
     val keyed = batch.withColumn("__url_key", canonicalUrl(col(urlCol)))
     def anti(df: DataFrame, ix: DataFrame) =
       df.join(Dedup.requireCfg(ix, UrlCfg)

@@ -65,7 +65,12 @@ object Warc {
   private[graft] def gunzipAll(gz: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(gz), 1 << 16)
-    val out = new java.io.ByteArrayOutputStream(gz.length * 4)
+    // size HINT only (the stream doubles as needed) — `gz.length * 4`
+    // in Int overflows NEGATIVE for inputs over 512 MiB compressed (a
+    // normal crawl rotation) and would throw in the constructor; and
+    // a full-size hint would eagerly allocate GBs, so cap it
+    val hint = math.min(1L << 26, gz.length.toLong * 4).toInt
+    val out = new java.io.ByteArrayOutputStream(hint)
     val buf = new Array[Byte](1 << 16)
     var n = in.read(buf)
     while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }

@@ -140,5 +140,10 @@ class RuleFiltersSpec extends SparkTestBase {
     val plan = RuleFilters.funnelReport(df, gates)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Window"))
+    // an EMPTY input reports zeros, not nulls (r18 review find)
+    val empty = RuleFilters.funnelReport(df.filter(col("n") < 0), gates)
+      .orderBy("stage_idx").collect()
+    assert(empty.map(_.getLong(2)).toSeq === Seq(0L, 0L, 0L))
+    assert(empty.map(_.getLong(3)).toSeq === Seq(0L, 0L, 0L))
   }
 }

@@ -57,6 +57,13 @@ class WebSpec extends SparkTestBase {
       ("192.168.0.1", "192.168.0.1"),
       ("[2001:db8::1]", "[2001:db8::1]")
     ).toDF("host", "want")
+    // normalizeHost keeps 'www' when it IS the registrable domain;
+    // a run that would strip to a single label keeps the host WHOLE
+    // (conservative: never merges a site into the bare TLD — the full
+    // PSL would be needed to place www.www.com under www.com)
+    val wc = Seq("https://www.com/p", "https://www.www.com/p")
+      .toDF("u").select(Web.hostOf(col("u"))).as[String].collect()
+    assert(wc.toSeq === Seq("www.com", "www.www.com"))
     cases.select(Web.registeredDomain(col("host")).as("got"), col("want"))
       .collect().foreach(r => assert(r.getString(0) === r.getString(1)))
   }
@@ -79,13 +86,16 @@ class WebSpec extends SparkTestBase {
     (3L, "https://src4.blogspot.co.uk/c"),     // blocked: suffix of co.uk entry
     (4L, "https://src9-news.com/d"),           // kept
     (5L, "https://notsrc3-news.com/e"),        // kept: label boundary respected
-    (6L, "https://cdn.media.src5-news.com/f")  // blocked: exact multi-label
+    (6L, "https://cdn.media.src5-news.com/f"), // blocked: exact multi-label
+    (7L, null.asInstanceOf[String]),           // null URL: KEPT in both tiers
+    (8L, "https://badsite.com/g")              // blocked: www-prefixed entry
   ).toDF("doc_id", "url")
 
   // entries deliberately denormalized: mixed case + FQDN trailing dot
-  // must still block the lowercased canonical hosts
+  // + a www-prefixed UT1-style row must all block the normalized
+  // hosts (r18 review find)
   private def blocklist = Seq("Src3-News.COM.", "blogspot.co.uk",
-    "cdn.media.src5-news.com").toDF("domain")
+    "cdn.media.src5-news.com", "www.badsite.com").toDF("domain")
 
   test("dropBlockedHosts: suffix semantics respect label boundaries; " +
     "map-only tier and join tier agree; map tier has no join in plan") {
@@ -99,7 +109,9 @@ class WebSpec extends SparkTestBase {
     }
     val mapTier = survivors(100000L)
     val joinTier = survivors(0L)
-    assert(mapTier === Seq(4L, 5L))
+    // 7 (null URL) survives in BOTH tiers — the r18 review's tier-
+    // divergence find; 8 is blocked by the www-prefixed entry
+    assert(mapTier === Seq(4L, 5L, 7L))
     assert(joinTier === mapTier)
     // plan law: under the gate the filter is map-only — no join node
     spark.conf.set("spark.graft.web.blocklistBroadcastThreshold", "100000")
@@ -267,6 +279,14 @@ class WebSpec extends SparkTestBase {
       Web.parseRobotsTxt(robots, "host", "txt", "graftbot"))
       .select("doc_id").as[Long].collect().sorted
     assert(kept === Array(2L, 3L))
+    // RFC 9309 allows whitespace before the colon; a mixed-case
+    // www-prefixed host key must still meet hostOf output in the join
+    // (both r18 review finds)
+    val wsRules = Web.parseRobotsTxt(
+      Seq(("www.D.com", "User-agent : *\nDisallow : /ws/\n"))
+        .toDF("host", "txt"), "host", "txt", "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(wsRules.toSeq === Seq(("d.com", "/ws/", false)))
     // duplicate document rows are ONE document; a re-crawled DIFFERENT
     // document for the same host parses independently (never
     // interleaved at equal line positions — the r18 sweep find)
