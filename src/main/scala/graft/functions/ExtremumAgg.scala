@@ -271,3 +271,132 @@ case class TopKAgg(
 
   override def prettyName: String = "graft_topk"
 }
+
+/** Bounded per-group top-k PAYLOADS — [[TopKAgg]]'s payload-carrying
+  * sibling and [[ExtremumByAgg]]'s k>1 form: a k-bounded min-heap of
+  * (ordering, value) pairs, evaluating to the k ordering-LARGEST
+  * payloads in descending ordering order. State is O(k) per group at
+  * every stage and partial heaps merge map-side, so this is the
+  * scale-correct alternative to `row_number().over(partitionBy(g))`
+  * for per-group caps: the window sorts EVERY row of a group on one
+  * task, the heap ships k·#groups rows through the shuffle. Callers
+  * make the ordering a TOTAL order (fold a unique tiebreaker in) for
+  * deterministic output; rows whose ordering evaluates null are
+  * skipped (the [[ExtremumByAgg]] rule).
+  */
+case class TopKByAgg(
+    valueExpr: Expression,
+    orderingExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[ExtremumBuf]] {
+
+  require(k >= 1, s"topKBy: k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(valueExpr, orderingExpr)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(valueExpr.dataType,
+      containsNull = valueExpr.nullable)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(orderingExpr.dataType, prettyName)
+
+  @transient private lazy val ordering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(orderingExpr.dataType)
+
+  private def newHeap(): java.util.PriorityQueue[ExtremumBuf] =
+    new java.util.PriorityQueue[ExtremumBuf](k,
+      (a: ExtremumBuf, b: ExtremumBuf) => ordering.compare(a.ord, b.ord))
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[ExtremumBuf] =
+    newHeap()
+
+  private def offer(heap: java.util.PriorityQueue[ExtremumBuf],
+                    ord: Any, value: Any, copied: Boolean): Unit =
+    if (ord != null) {
+      val admit = heap.size < k || ordering.compare(ord, heap.peek().ord) > 0
+      if (admit) {
+        if (heap.size >= k) heap.poll()
+        val (o, v) =
+          if (copied) (ord, value)
+          else (InternalRow.copyValue(ord), InternalRow.copyValue(value))
+        heap.offer(new ExtremumBuf(o, v))
+      }
+    }
+
+  override def update(heap: java.util.PriorityQueue[ExtremumBuf],
+                      input: InternalRow): java.util.PriorityQueue[ExtremumBuf] = {
+    offer(heap, orderingExpr.eval(input), valueExpr.eval(input),
+      copied = false)
+    heap
+  }
+
+  override def merge(a: java.util.PriorityQueue[ExtremumBuf],
+                     b: java.util.PriorityQueue[ExtremumBuf]): java.util.PriorityQueue[ExtremumBuf] = {
+    val it = b.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      offer(a, e.ord, e.value, copied = true) // b's entries were copied
+    }
+    a
+  }
+
+  override def eval(heap: java.util.PriorityQueue[ExtremumBuf]): Any = {
+    val arr = heap.toArray(new Array[ExtremumBuf](heap.size))
+    java.util.Arrays.sort(arr,
+      (a: ExtremumBuf, b: ExtremumBuf) => ordering.compare(b.ord, a.ord))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      arr.map(_.value))
+  }
+
+  // shuffle format: length-prefixed UnsafeRow [ordering, value] slices
+  @transient private lazy val projection =
+    UnsafeProjection.create(Array(orderingExpr.dataType, valueExpr.dataType))
+
+  override def serialize(heap: java.util.PriorityQueue[ExtremumBuf]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    val it = heap.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val bytes = projection(InternalRow(e.ord, e.value)).getBytes
+      dos.writeInt(bytes.length)
+      dos.write(bytes)
+    }
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[ExtremumBuf] = {
+    val heap = newHeap()
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    while (in.available() > 0) {
+      val len = in.readInt()
+      val slice = new Array[Byte](len)
+      in.readFully(slice)
+      val row = new UnsafeRow(2)
+      row.pointTo(slice, len)
+      // the slice is owned by this buffer — safe to reference directly
+      heap.offer(new ExtremumBuf(
+        row.get(0, orderingExpr.dataType),
+        row.get(1, valueExpr.dataType)))
+    }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByAgg =
+    copy(valueExpr = newChildren(0), orderingExpr = newChildren(1))
+
+  override def prettyName: String = "graft_topk_by"
+}

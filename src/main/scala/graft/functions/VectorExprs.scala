@@ -888,6 +888,8 @@ object VectorExprs {
           exprs(2).eval().asInstanceOf[Boolean])),
       "graft_long_product" -> (exprs => LongProductAgg(exprs(0))),
       "graft_topk" -> (exprs => TopKAgg(exprs(0), int(exprs(1)))),
+      "graft_topk_by" -> (exprs =>
+        TopKByAgg(exprs(0), exprs(1), int(exprs(2)))),
       "graft_top_shingle_frac" -> (exprs =>
         TopShingleFrac(exprs(0), int(exprs(1)))),
       "graft_repetition_stats" -> (exprs => RepetitionStats(exprs(0))),
@@ -983,6 +985,16 @@ object VectorExprs {
       .orElse(SparkSession.getDefaultSession)
       .foreach(ensureRegistered)
     call_function("graft_topk", v.cast("double"), lit(k))
+  }
+
+  /** Bounded per-group top-k PAYLOADS by an ordering column — the
+    * window-free per-group cap (see [[TopKByAgg]]): O(k) heap state
+    * per group, map-side combinable. */
+  def topKBy(value: Column, ordering: Column, k: Int): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_topk_by", value, ordering, lit(k))
   }
 
   /** Codegen'd 32-bit SimHash vote over an array<long> of token hashes. */

@@ -34,6 +34,30 @@ object Selection {
       .drop("__rk")
   }
 
+  /** [[topKPerGroup]] with BOUNDED state: same rows (max score, then
+    * ascending NUMERIC `tieCol` — total order, deterministic), but
+    * via a k-bounded heap aggregation ([[graft.functions.TopKByAgg]],
+    * ObjectHashAggregate) instead of a window. The window sorts EVERY
+    * row of a group on one task; the heap ships k·#groups rows
+    * through the shuffle with a map-side partial — the shape that
+    * survives a mega-group (one domain holding 10% of a crawl).
+    * Null-score rows rank last in both forms (a null field sorts
+    * first under the ascending struct ordering, so the max-heap
+    * evicts it first). `tieCol` must cast to long (ids); the window
+    * form stays for arbitrary orderable ties. */
+  def topKPerGroupBounded(df: DataFrame, groupCol: String,
+                          scoreCol: String, tieCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(col(scoreCol),
+      col(tieCol).cast("long") * lit(-1L))
+    df.groupBy(groupCol)
+      .agg(graft.functions.VectorExprs.topKBy(payload, ord, k).as("__top"))
+      .select(explode(col("__top")).as("__r"))
+      .select(df.columns.map(c => col(s"__r.`$c`").as(c)): _*)
+  }
+
   /** Deterministic content-hash sampling: keep a row iff
     * hash(normalized text) mod 100 < pctKeep. Unlike rand()-based
     * sampling this is reproducible across runs, engines and

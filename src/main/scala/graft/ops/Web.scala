@@ -204,8 +204,11 @@ object Web {
   }
 
   /** At most `k` rows per registered domain, best `scoreCol` first
-    * (ties: ascending `tieCol`) — the FineWeb-style per-domain volume
-    * cap. One shuffle on the domain. */
+    * (ties: ascending numeric `tieCol`) — the FineWeb-style
+    * per-domain volume cap. One shuffle on the domain via the
+    * k-BOUNDED heap aggregation ([[Selection.topKPerGroupBounded]]):
+    * a mega-domain holding 10% of the crawl costs O(k) state per
+    * stage, not a full window sort of its rows on one task. */
   def capPerDomain(df: DataFrame, urlCol: String, scoreCol: String,
                    tieCol: String, k: Int,
                    suffixes: Seq[String] = DefaultPublicSuffixes,
@@ -214,7 +217,7 @@ object Web {
       s"output column '$domainCol' already exists in the input")
     val withDom = df.withColumn(domainCol,
       registeredDomain(hostOf(col(urlCol)), suffixes))
-    Selection.topKPerGroup(withDom, domainCol, scoreCol, tieCol, k)
+    Selection.topKPerGroupBounded(withDom, domainCol, scoreCol, tieCol, k)
   }
 
   /** Drop rows whose host matches the blocklist by domain-suffix

@@ -645,4 +645,33 @@ class SelectionSpec extends SparkTestBase {
     assert(m(2L)._2 === 0.2)    // 5 distinct bigrams of 5
     assert(m(3L) === ((0.0, 0.0))) // blank doc scores zero by convention
   }
+
+  test("topKPerGroupBounded equals the window form on random data " +
+    "(ties, null scores, groups straddling k), plans no Window and no " +
+    "SortAggregate, and is partition-invariant") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 600).map { i =>
+      val g = s"g${rnd.nextInt(7)}"
+      // ~10% null scores; heavy tie mass (scores 0..4)
+      val score: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else Long.box(rnd.nextInt(5).toLong)
+      (i.toLong, g, score)
+    }
+    val df = rows.toDF("id", "grp", "score")
+    for (k <- Seq(1, 3, 17)) {
+      val win = Selection.topKPerGroup(df, "grp", "score", "id", k)
+        .collect().map(_.toSeq).toSet
+      val heap = Selection.topKPerGroupBounded(df, "grp", "score", "id", k)
+        .collect().map(_.toSeq).toSet
+      assert(heap === win, s"k=$k bounded != window")
+      val heap2 = Selection
+        .topKPerGroupBounded(df.repartition(13), "grp", "score", "id", k)
+        .collect().map(_.toSeq).toSet
+      assert(heap2 === heap, s"k=$k not partition-invariant")
+    }
+    val plan = Selection.topKPerGroupBounded(df, "grp", "score", "id", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window") && !plan.contains("SortAggregate"), plan)
+  }
 }
