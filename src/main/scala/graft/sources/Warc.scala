@@ -57,6 +57,25 @@ object Warc {
     parseFiles(files).toDF()
   }
 
+  /** Crawl archives → a documents-shaped corpus frame in one call:
+    * well-formed 200-status HTML responses, text extracted
+    * ([[graft.ops.Web.htmlToText]]), keyed by a doc_id that is STABLE
+    * across re-reads of the same archives (xxhash64 of archive path +
+    * record index — re-running ingest yields the same ids, so
+    * downstream indexes and manifests stay valid). Columns:
+    * (doc_id, url, text, n_chars). */
+  def warcToDocuments(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readWarc(spark, path)
+      .filter(col("error").isNull && col("httpStatus") === 200 &&
+        col("httpContentType").startsWith("text/html"))
+      .select(
+        xxhash64(col("path"), col("recordIdx")).as("doc_id"),
+        col("targetUri").as("url"),
+        graft.ops.Web.htmlToText(decode(col("payload"), "UTF-8")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** JDK gunzip with CONCATENATED-member support: GZIPInputStream
     * stops at the first member boundary unless drained through a
     * stream that keeps reading — `.warc.gz` is one gzip member per

@@ -658,7 +658,7 @@ class SelectionSpec extends SparkTestBase {
       (i.toLong, g, score)
     }
     val df = rows.toDF("id", "grp", "score")
-    for (k <- Seq(1, 3, 17)) {
+    for (k <- Seq(1, 3, 17, 200)) { // 200 > every group: keep-all leg
       val win = Selection.topKPerGroup(df, "grp", "score", "id", k)
         .collect().map(_.toSeq).toSet
       val heap = Selection.topKPerGroupBounded(df, "grp", "score", "id", k)

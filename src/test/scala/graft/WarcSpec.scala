@@ -88,4 +88,23 @@ class WarcSpec extends SparkTestBase {
       .as[String].head()
     assert(txt === "hello & crawl")
   }
+
+  test("warcToDocuments: documents-shaped frame with re-read-stable " +
+    "ids; quarantined/404/non-html records excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc3")
+    java.nio.file.Files.write(dir.resolve("crawl.warc"), Warc.fixtureCrawl())
+    def read() = Warc.warcToDocuments(spark, dir.toString + "/crawl.warc")
+    val a = read().collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // four 200-status html responses in fixtureCrawl; the 404 and the
+    // request record are out
+    assert(a.length === 4)
+    assert(a.forall(_._4 > 0))
+    assert(a.map(_._2).toSet.contains("https://b.com/ok"))
+    // stability: a second read yields identical ids and rows
+    val b = read().collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(a.toSet === b.toSet)
+    assert(a.map(_._1).distinct.length === 4)
+  }
 }
