@@ -104,6 +104,48 @@ object WebScaleProbe {
         f"(bloom over-drop ${kept - keptB}; filter ${bloom.bytes.length / 1024} KiB)")
     }
 
+    // (f) the mega-domain cap: one domain holds 50% of 10M rows.
+    // The window form sorts that domain's 5M rows on ONE task; the
+    // bounded heap ships k rows per group per partial. Same output
+    // rows (SelectionSpec law); this prices the difference.
+    // Measured (local[32], 2026-08-16): heap 8.4 s vs window 4.8 s —
+    // the heap LOSES ~1.8x of CPU locally (interpreted ordering
+    // compares + per-group array materialization vs Tungsten's radix
+    // sort), and that is the honest adjudication: the heap buys the
+    // DISTRIBUTION property (the mega-domain's reduce side is 32
+    // partials x k rows instead of an unbounded single-task sort that
+    // spills and straggles at 10^8-row domains — blogspot-as-one-
+    // registered-domain territory), not local wall-clock. capPerDomain
+    // keeps the heap because caps exist precisely for the corpora
+    // where the window's single task dies; topKPerGroup (window)
+    // remains for skew-free group shapes.
+    {
+      val n = 10000000L
+      val skewed = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(2)) === 0, lit("https://mega-news.com/p/"))
+          .otherwise(concat(lit("https://h"),
+            pmod(xxhash64(col("id")), lit(100000)).cast("string"),
+            lit("-news.com/p/"))).as("u0"),
+        pmod(xxhash64(col("id"), lit(7)), lit(1000000)).as("score"))
+        .select(col("doc_id"), concat(col("u0"),
+          col("doc_id").cast("string")).as("url"), col("score"))
+        .localCheckpoint()
+      val (nh, th) = time(s"[skew-10M] capPerDomain k=100 (bounded heap)") {
+        graft.ops.Web.capPerDomain(skewed, "url", "score", "doc_id", 100)
+          .count()
+      }
+      val (nw, tw) = time(s"[skew-10M] window-form control (topKPerGroup)") {
+        val withDom = skewed.withColumn("domain",
+          graft.ops.Web.registeredDomain(
+            graft.ops.Web.hostOf(col("url"))))
+        graft.ops.Selection.topKPerGroup(withDom, "domain", "score",
+          "doc_id", 100).count()
+      }
+      println(f"[probe] [skew-10M] rows heap=$nh window=$nw " +
+        f"(heap ${tw / th}%.1fx faster on the mega-domain)")
+    }
+
     // (e) extraction throughput: synthetic ~2.5 KB pages
     val nPages = 200000L
     val pages = spark.range(nPages).select(
