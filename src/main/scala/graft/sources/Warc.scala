@@ -76,6 +76,33 @@ object Warc {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** CONTINUOUS crawl ingest: a streaming reader over a landing
+    * directory — each newly arriving `.warc`/`.warc.gz` file becomes
+    * its records in the next micro-batch (the binaryFile format is a
+    * FileFormat, so Spark's file stream source tracks arrivals and
+    * never re-reads a processed archive). The parse is the same
+    * stateless flatMap as the batch path, so every downstream
+    * map-only stage (htmlToText, canonicalUrl, bloom URL dedup)
+    * composes with zero state operators. */
+  def readWarcStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // file stream sources demand an explicit schema; binaryFile's is
+    // fixed by the format
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream.format("binaryFile").schema(schema)
+      .load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    parseFiles(files).toDF()
+  }
+
   /** JDK gunzip with CONCATENATED-member support: GZIPInputStream
     * stops at the first member boundary unless drained through a
     * stream that keeps reading — `.warc.gz` is one gzip member per

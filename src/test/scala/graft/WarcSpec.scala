@@ -89,6 +89,31 @@ class WarcSpec extends SparkTestBase {
     assert(txt === "hello & crawl")
   }
 
+  test("readWarcStream: files landing in a directory become records " +
+    "across micro-batches, no re-reads, zero state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_stream")
+    java.nio.file.Files.write(dir.resolve("day1.warc"), Warc.fixtureWarc())
+    val out = Warc.readWarcStream(spark, dir.toString)
+      .select(col("path"), col("recordIdx"), col("warcType"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("warc_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val afterOne = spark.table("warc_stream_out").count()
+      assert(afterOne === 4L, s"day1 should parse to 4 records")
+      // a second archive arrives; only ITS records are appended
+      java.nio.file.Files.write(dir.resolve("day2.warc"),
+        Warc.fixtureCrawl())
+      q.processAllAvailable()
+      val rows = spark.table("warc_stream_out").collect()
+      assert(rows.length === 4 + 6,
+        s"day2 adds the crawl fixture's 6 records, got ${rows.length}")
+      assert(rows.count(_.getString(0).contains("day1")) === 4)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "warc stream parse must be stateless")
+    } finally q.stop()
+  }
+
   test("warcToDocuments: documents-shaped frame with re-read-stable " +
     "ids; quarantined/404/non-html records excluded") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc3")
