@@ -1858,6 +1858,23 @@ object PipelineQueries {
         .select("doc_id")
     }),
 
+    // crawl scheduling from the link graph: domainRank → temperature
+    // budgets (T=1/2 ⇒ integral 1/T=2 keeps powers exact — the
+    // q_mix_temperature discipline over exact 2^-20 ranks)
+    "q_crawl_budget" -> ((s, d) => {
+      import s.implicits._
+      val u = docs(s, d).select(col("doc_id"), urlFixtureWeb.as("url"))
+      val edges = u.select(
+        graft.ops.Web.registeredDomain(
+          graft.ops.Web.hostOf(col("url"))).as("src"),
+        concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"),
+          lit("-news.com")).as("dst"))
+      val ranks = graft.ops.Web.domainRank(edges, "src", "dst",
+        iterations = 4)
+      graft.ops.Web.crawlBudgets(ranks, 100000L, temperature = 0.5)
+        .toSeq.toDF("dom", "budget")
+    }),
+
     // domain-graph PageRank (4 rounds, d=0.85): every contribution and
     // rank snaps to exact 2^-20 multiples, so the trajectory is
     // certified against an UNROLLED DuckDB replica with no float
@@ -2182,6 +2199,14 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_domain_rank" -> domainRankSql(4),
+
+    "q_crawl_budget" ->
+      s"""WITH ranks AS (SELECT * FROM (${domainRankSql(4)})),
+         m AS (SELECT dom, (rank * 1048576.0)::BIGINT AS mass FROM ranks),
+         p AS (SELECT dom, (mass::DOUBLE * mass::DOUBLE) AS pw FROM m),
+         z AS (SELECT sum(pw) AS zz FROM p)
+         SELECT dom, floor(100000 * pw / zz)::BIGINT AS budget
+         FROM p, z""",
 
     "q_url_canon" ->
       s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql

@@ -620,6 +620,22 @@ object Web {
     ranks
   }
 
+  /** Crawl-budget allocation: per-domain budgets ∝ rank^(1/T) — the
+    * Pile/GPT-3 temperature recipe ([[Selection.temperatureBudgets]])
+    * applied to the [[domainRank]] authority prior, closing the loop
+    * from link graph to crawl scheduling. Ranks are exact 2⁻²⁰
+    * multiples, so scaling by 2²⁰ gives exact integer masses and an
+    * integral 1/T keeps the powers exact (the q_mix_temperature
+    * discipline — certifiable with no float slop). Driver-side and
+    * k-bounded: #domains rows, the temperatureBudgets contract. */
+  def crawlBudgets(ranks: DataFrame, totalBudget: Long,
+                   temperature: Double): Map[String, Long] = {
+    val masses = ranks.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1) * 1048576.0).toLong)
+      .toMap
+    Selection.temperatureBudgets(masses, totalBudget, temperature)
+  }
+
   /** Bloom over the index's url_keys for map-only streaming lookups
     * ([[graft.ops.Dedup.keyBloom]] — same treeAggregate build, byte
     * budget, and size-gated broadcast delivery as the band families).
