@@ -2130,7 +2130,8 @@ object PipelineQueries {
       c2 AS (SELECT doc_id, n_chars,
         lower(regexp_extract(defrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
         regexp_replace(defrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest FROM c1),
-      c3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hp,
+      c3 AS (SELECT *, regexp_replace(
+          lower(regexp_extract(rest, '^([^/?]*)', 1)), '^[^@]*@', '') AS hp,
         regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
       c4a AS (SELECT *,
         regexp_replace(regexp_replace(hp, ':[0-9]+$$', ''), '\\.+$$', '') AS h0,

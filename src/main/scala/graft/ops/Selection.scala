@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
+  /** Refuse a non-integral column where the deterministic tie-break
+    * contract needs `cast("long")` to be lossless: a string id would
+    * cast to null and SILENTLY degrade the tie-break to encounter
+    * order — a contract violation must throw instead (r19 ADVICE
+    * fix). Byte/short/int/long only; floats truncate and are refused
+    * too. */
+  private[graft] def requireIntegralCol(df: DataFrame, c: String,
+                                        what: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$what must be an integral column (byte/short/int/long) for a " +
+          s"deterministic tie-break; '$c' is ${dt.simpleString}")
+    }
+  }
+
   /** Top-k rows per group by score (desc), ties broken by ascending
     * tieCol — deterministic under re-runs and engine changes, which a
     * raw double ordering is not. The partition-by window keeps each
@@ -49,6 +66,7 @@ object Selection {
                           scoreCol: String, tieCol: String,
                           k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    requireIntegralCol(df, tieCol, "topKPerGroupBounded tieCol")
     val payload = struct(df.columns.map(col): _*)
     val ord = struct(col(scoreCol),
       col(tieCol).cast("long") * lit(-1L))

@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
   * pins canon∘canon = canon):
   *  1. drop the fragment;
   *  2. scheme lowercased;
-  *  3. host lowercased, the trailing-dot run stripped (`example.com.`
+  *  3. authority userinfo (`user:pass@`) dropped — credentials are
+  *     not page identity; host lowercased, the trailing-dot run
+  *     stripped (`example.com.`
   *     is the same FQDN as `example.com`), the leading `www.`-label
   *     RUN stripped (the whole run, not one label — a single strip is
   *     not idempotent on crawler-noise hosts like `www.www.e.com`),
@@ -101,10 +103,19 @@ object Web {
     when(size(split(stripped, "\\.")) >= 2, stripped).otherwise(base)
   }
 
-  /** Lowercased host of an absolute URL: authority minus port,
-    * [[normalizeHost]]-normalized. Map-only column expression. */
+  /** Strip RFC 3986 userinfo (`user:pass@`) from an authority —
+    * credentials are not page identity: `https://user@example.com/`
+    * must dedup against, blocklist as, and rank under `example.com`
+    * (r18 verdict's un-swept edge, r19 ADVICE fix). The authority is
+    * already `/`-free, so `^[^@]*@` can only match userinfo. */
+  private def stripUserinfo(authority: Column): Column =
+    regexp_replace(authority, "^[^@]*@", "")
+
+  /** Lowercased host of an absolute URL: authority minus userinfo and
+    * port, [[normalizeHost]]-normalized. Map-only column expression. */
   def hostOf(url: Column): Column =
-    normalizeHost(regexp_replace(lower(authorityOf(url)), ":[0-9]+$", ""))
+    normalizeHost(regexp_replace(
+      stripUserinfo(lower(authorityOf(url))), ":[0-9]+$", ""))
 
   /** Path-and-query of an absolute URL (`/a/b?x=1` — fragment
     * dropped, empty path → `/`), the string robots rules match
@@ -126,7 +137,7 @@ object Web {
     val rest = regexp_replace(defrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     val authority = regexp_extract(rest, "^([^/?]*)", 1)
     val pathq = regexp_replace(rest, "^[^/?]*", "")
-    val hostPort = lower(authority)
+    val hostPort = stripUserinfo(lower(authority))
     val host = normalizeHost(regexp_replace(hostPort, ":[0-9]+$", ""))
     val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val portPart = when(
@@ -187,12 +198,16 @@ object Web {
     * SortAggregateExec (the exact fallback PlanAuditSpec forbids), so
     * this routes through [[graft.functions.ExtremumByAgg]] →
     * ObjectHashAggregateExec, the ReduceExprs argmin/argmax posture.
-    * The canonical URL is appended as `outCol`. */
+    * The canonical URL is appended as `outCol`. `idCol` must be an
+    * integral column (the deterministic tie-break negates it as a
+    * long); a non-numeric id would cast to null and silently degrade
+    * the tie-break to encounter order, so it is refused loudly. */
   def dropDuplicateUrls(df: DataFrame, urlCol: String, idCol: String,
                         scoreCol: String,
                         outCol: String = "canonical_url"): DataFrame = {
     require(!df.columns.contains(outCol),
       s"output column '$outCol' already exists in the input")
+    Selection.requireIntegralCol(df, idCol, "dropDuplicateUrls idCol")
     val withCanon = df.withColumn(outCol, canonicalUrl(col(urlCol)))
     val payload = struct(withCanon.columns.map(col): _*)
     // max of (score, -id) = highest score, then LOWEST id
@@ -397,9 +412,19 @@ object Web {
     * to number the user-agent RUNS → groups aggregated host-locally →
     * rules equi-joined back on (host, group). Everything keys on
     * host, so one shuffle family; robots documents are KB-scale per
-    * host and the output is handfuls of rows per host. */
+    * host and the output is handfuls of rows per host.
+    *
+    * MULTI-DOCUMENT contract (r19 ADVICE fix): when one host carries
+    * several DISTINCT robots.txt documents (re-crawls), each parses
+    * independently, but the default output keys rules by host alone —
+    * feeding that union to [[robotsFilter]] resolves longest-prefix
+    * across a rule set that corresponds to NEITHER document. Callers
+    * with re-crawled robots must reduce to one document per host
+    * first (e.g. keep the latest capture), or pass
+    * `keepDoc = true` to get a `doc` column (md5 of the document) and
+    * pick a winner per host before filtering. */
   def parseRobotsTxt(df: DataFrame, hostCol: String, txtCol: String,
-                     agent: String): DataFrame = {
+                     agent: String, keepDoc: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     // identical documents are ONE document (re-crawled robots.txt
@@ -444,9 +469,10 @@ object Web {
       // normalize the host key so the output joins against hostOf(url)
       // in robotsFilter — a rules table keyed 'www.Example.com' would
       // otherwise be silently dead (r18 review find)
-      .select(normalizeHost(col("__rb_host")).as("host"),
+      .select((Seq(normalizeHost(col("__rb_host")).as("host"),
         col("__value").as("prefix"),
-        (col("__key") === "allow").as("allow"))
+        (col("__key") === "allow").as("allow")) ++
+        (if (keepDoc) Seq(col("__doc").as("doc")) else Nil)): _*)
   }
 
   // ---- persisted URL index: incremental (daily-crawl) URL dedup --------

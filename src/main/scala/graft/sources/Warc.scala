@@ -67,8 +67,10 @@ object Warc {
   def warcToDocuments(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     readWarc(spark, path)
+      // lower(): parseHttp lowercases only the header NAME, and real
+      // crawls contain 'Text/HTML' values (r19 ADVICE fix)
       .filter(col("error").isNull && col("httpStatus") === 200 &&
-        col("httpContentType").startsWith("text/html"))
+        lower(col("httpContentType")).startsWith("text/html"))
       .select(
         xxhash64(col("path"), col("recordIdx")).as("doc_id"),
         col("targetUri").as("url"),

@@ -161,4 +161,22 @@ class WarcSpec extends SparkTestBase {
     assert(a.toSet === b.toSet)
     assert(a.map(_._1).distinct.length === 4)
   }
+
+  test("warcToDocuments keeps 'Text/HTML' responses — the content-type " +
+    "VALUE matches case-insensitively (r19 ADVICE fix)") {
+    val html = "<p>upper case content type</p>"
+    val block = ("HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; charset=UTF-8" +
+      "\r\n\r\n" + html).getBytes("UTF-8")
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://up.com/x\r\n" +
+      "WARC-Record-ID: <urn:uuid:up-1>\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8") ++
+      block ++ "\r\n\r\n".getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc4")
+    java.nio.file.Files.write(dir.resolve("u.warc"), rec)
+    val rows = Warc.warcToDocuments(spark, dir.toString + "/u.warc").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(2) === "upper case content type")
+  }
 }
