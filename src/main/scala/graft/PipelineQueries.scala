@@ -104,6 +104,35 @@ object PipelineQueries {
       lit("</div><ul><li>one</li><li>two</li></ul></body></html>"))
   }
 
+  /** Page URL for the outlink fixture: scheme https, authority
+    * `<source>-news.com`, path directory `/sec/<doc_id%7>/` — the base
+    * every relative href resolves against. */
+  private def outlinkBase: org.apache.spark.sql.Column =
+    concat(lit("https://"), col("source"), lit("-news.com/sec/"),
+      (col("doc_id") % 7).cast("string"), lit("/page.html"))
+
+  /** HTML fixture for q_outlinks: every href shape the resolver must
+    * handle — absolute (plus an uppercase-scheme variant), single- and
+    * double-quoted and BARE values, protocol-relative, root-relative,
+    * relative and `./`-relative (with a fragment to strip), and the
+    * mailto/fragment-only links that must extract to nothing. */
+  private def outlinkFixtureHtml: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<html><body><h1>"), col("source"), lit("</h1>"),
+      lit("<a href=\"https://partner"), (id % 5).cast("string"),
+      lit(".com/x?id="), id.cast("string"), lit("\">p</a>"),
+      lit("<a href='//cdn-assets.net/l"), (id % 3).cast("string"),
+      lit("'>c</a>"),
+      lit("<a href=/local/"), (id % 7).cast("string"), lit(">l</a>"),
+      when(id % 2 === 0, lit("<a href=\"rel/page2.html\">r</a>"))
+        .otherwise(lit("<a href=\"./sib.html#frag\">s</a>")),
+      lit("<a href=\"mailto:x@y.com\">m</a><a href=\"#top\">t</a>"),
+      when(id % 4 === 0, lit("<A HREF=\"HTTP://Upper.org/Y\">u</A>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
   /** Collision-AND-domain fixture for the web e2e capstone: canonical
     * identity = (source, doc_id % 100) — ~50 collision pairs over 500
     * docs — while hosts still spread over 20 registered domains for
@@ -127,6 +156,8 @@ object PipelineQueries {
       graft.sources.Warc.fixtureWarc())
     java.nio.file.Files.write(dir.resolve("crawl.warc"),
       graft.sources.Warc.fixtureCrawl())
+    java.nio.file.Files.write(dir.resolve("linked.warc"),
+      graft.sources.Warc.fixtureLinkedCrawl())
     dir.toFile.deleteOnExit()
     dir.toString
   }
@@ -1975,6 +2006,48 @@ object PipelineQueries {
         .select(col("canonical_url").as("curl"), col("txt"), col("n"))
     }),
 
+    // outlink extraction + resolution (the link-graph PRODUCER): every
+    // href shape — quote forms, absolute/protocol-relative/
+    // root-relative/relative/dot-slash, scheme filtering — certified
+    // against a DuckDB replica of the same scan + resolution rules
+    "q_outlinks" -> ((s, d) => {
+      val h = docs(s, d).select(col("doc_id"), outlinkBase.as("base"),
+        outlinkFixtureHtml.as("html"))
+      h.select(col("doc_id"),
+        posexplode(graft.ops.Web.extractOutlinks(col("html"), col("base")))
+          .as(Seq("link_idx", "link")))
+        .select(col("doc_id"), col("link_idx").cast("long").as("link_idx"),
+          col("link"))
+    }),
+
+    // the link-graph edges DERIVED FROM THE ARCHIVE (not synthesized):
+    // WARC → status gate → href extraction → registered-domain grain
+    // with self-loop drop and multi-edge counts — literal oracle over
+    // the hand-derivable byte-deterministic fixture
+    "q_crawl_edges" -> ((s, _) => {
+      val pages = graft.sources.Warc
+        .readWarc(s, s"$warcFixtureDir/linked.warc")
+        .filter(col("httpStatus") === 200)
+        .select(col("targetUri").as("url"),
+          decode(col("payload"), "UTF-8").as("html"))
+      graft.ops.Web.edgesFromDocuments(pages, "url", "html")
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    }),
+
+    // the CLOSED crawl loop: archive → real link graph → domainRank —
+    // the oracle recomputes the whole snapped trajectory in DuckDB
+    // from the hand-derived literal edge multiset
+    "q_crawl_graph" -> ((s, _) => {
+      val pages = graft.sources.Warc
+        .readWarc(s, s"$warcFixtureDir/linked.warc")
+        .filter(col("httpStatus") === 200)
+        .select(col("targetUri").as("url"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val edges = graft.ops.Web.edgesFromDocuments(pages, "url", "html")
+      graft.ops.Web.domainRank(edges, "src", "dst", iterations = 3)
+        .select(col("node").as("dom"), col("rank"))
+    }),
+
     // WARC ingest → URL canonicalization → HTML extraction, end to
     // end over the deterministic fixture archive (the q_decode
     // convention: byte-deterministic input, literal-VALUES oracle).
@@ -2175,12 +2248,12 @@ object PipelineQueries {
   /** Unrolled DuckDB PageRank over the urlFixtureWeb domain graph —
     * one (contrib, sum, rank) CTE triple per round, every value
     * snapped to 2^-20 multiples exactly like Web.domainRank. */
-  private def domainRankSql(iters: Int): String = {
-    val head = s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql,
-      edges AS (SELECT dom AS src,
-        'src' || ((doc_id * 7 + 3) % 20)::VARCHAR || '-news.com' AS dst
-        FROM rd2),
-      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+  /** The unrolled PageRank CTE chain over an ALREADY-DEFINED
+    * `edges(src, dst)` CTE — shared by the fixture-derived
+    * q_domain_rank replica and the literal-edge q_crawl_graph replica
+    * (the oracle computes the whole trajectory itself either way). */
+  private def pageRankUnrolledSql(iters: Int): String = {
+    val head = s"""nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
       pr0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
     val rounds = (1 to iters).map { i =>
@@ -2197,6 +2270,13 @@ object PipelineQueries {
     }.mkString
     s"$head$rounds SELECT node AS dom, rank FROM pr$iters"
   }
+
+  private def domainRankSql(iters: Int): String =
+    s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql,
+      edges AS (SELECT dom AS src,
+        'src' || ((doc_id * 7 + 3) % 20)::VARCHAR || '-news.com' AS dst
+        FROM rd2),
+      ${pageRankUnrolledSql(iters)}"""
 
   val oracleSql: Map[String, String] = Map(
     "q_domain_rank" -> domainRankSql(4),
@@ -2367,6 +2447,53 @@ object PipelineQueries {
          ('https://a.com/p1?x=1', 'alpha one, the better capture', 29::BIGINT),
          ('https://b.com/ok', 'bravo page', 10::BIGINT)
         ) t(curl, txt, n)""",
+
+    "q_outlinks" ->
+      """WITH h AS (SELECT doc_id,
+        'https://' || source || '-news.com' AS bauthu,
+        '/sec/' || (doc_id % 7)::VARCHAR || '/' AS bdir,
+        '<html><body><h1>' || source || '</h1>' ||
+        '<a href="https://partner' || (doc_id % 5)::VARCHAR ||
+          '.com/x?id=' || doc_id::VARCHAR || '">p</a>' ||
+        '<a href=''//cdn-assets.net/l' || (doc_id % 3)::VARCHAR ||
+          '''>c</a>' ||
+        '<a href=/local/' || (doc_id % 7)::VARCHAR || '>l</a>' ||
+        (CASE WHEN doc_id % 2 = 0 THEN '<a href="rel/page2.html">r</a>'
+              ELSE '<a href="./sib.html#frag">s</a>' END) ||
+        '<a href="mailto:x@y.com">m</a><a href="#top">t</a>' ||
+        (CASE WHEN doc_id % 4 = 0 THEN '<A HREF="HTTP://Upper.org/Y">u</A>'
+              ELSE '' END) ||
+        '</body></html>' AS html
+       FROM documents),
+      r AS (SELECT doc_id, bauthu, bdir, regexp_extract_all(html,
+        '(?i)<a\b[^>]*?\bhref\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)', 1)
+        AS raws FROM h),
+      v AS (SELECT doc_id, bauthu, bdir, list_transform(raws,
+        x -> trim(regexp_replace(regexp_replace(x, '^["'']|["'']$', '', 'g'),
+          '#.*$', ''))) AS vals FROM r),
+      res AS (SELECT doc_id, list_filter(list_transform(vals, x ->
+        CASE WHEN regexp_matches(x, '^(?i)https?://') THEN x
+             WHEN regexp_matches(x, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+             WHEN starts_with(x, '//') THEN 'https:' || x
+             WHEN starts_with(x, '/') THEN bauthu || x
+             WHEN len(x) > 0 THEN bauthu || bdir ||
+               regexp_replace(x, '^(\./)+', '')
+             ELSE NULL END), x -> x IS NOT NULL) AS ls FROM v)
+      SELECT doc_id, generate_subscripts(ls, 1)::BIGINT - 1 AS link_idx,
+        unnest(ls) AS link FROM res""",
+
+    "q_crawl_edges" ->
+      """SELECT * FROM (VALUES
+         ('alpha.com', 'beta.com', 1::BIGINT),
+         ('alpha.com', 'gamma.com', 1::BIGINT),
+         ('beta.com', 'alpha.com', 2::BIGINT)
+        ) t(src, dst, n)""",
+
+    "q_crawl_graph" ->
+      s"""WITH edges(src, dst) AS (VALUES
+         ('alpha.com', 'beta.com'), ('alpha.com', 'gamma.com'),
+         ('beta.com', 'alpha.com'), ('beta.com', 'alpha.com')),
+       ${pageRankUnrolledSql(3)}""",
 
     "q_warc_read" ->
       """SELECT * FROM (VALUES

@@ -359,6 +359,86 @@ object Web {
     array_join(lines, "\n")
   }
 
+  /** All outgoing link URLs of an HTML page, resolved ABSOLUTE against
+    * the page's own URL — the producer of the link graph that
+    * [[domainRank]] / [[crawlBudgets]] consume (r18 verdict's missing
+    * arrow: WARC → extract → LINKS → rank → budgets). One codegen'd
+    * map-only expression chain, the [[htmlToText]] regex discipline:
+    *  1. every `<a … href=…>` value is scanned out (double-quoted,
+    *     single-quoted, or bare; tag and attribute match
+    *     case-insensitively). `<area>`/`<link>`/`<iframe>` targets are
+    *     NOT links a crawler follows for authority — `<a>` only,
+    *     documented;
+    *  2. the fragment is dropped from each value (`#…` is not sent);
+    *  3. resolution (RFC 3986 subset): absolute `http(s)://` values
+    *     pass through; any OTHER scheme (`mailto:` `javascript:`
+    *     `data:` `tel:` …) is dropped; `//host/p` takes the base
+    *     scheme; `/p` takes the base scheme://authority; a relative
+    *     value appends to the base path's DIRECTORY with leading
+    *     `./` runs stripped. Dot-segment (`../`) normalization is out
+    *     of scope (heuristic extractor, same posture as htmlToText —
+    *     the registered-domain grain [[edgesFromDocuments]] feeds on
+    *     is unaffected because `..` never crosses the authority), and
+    *     so is the `<base href>` tag (rare, and honoring it would make
+    *     extraction non-local to the anchor);
+    *  4. empty values drop; DUPLICATES ARE KEPT — a page linking twice
+    *     votes twice, matching [[domainRank]] multi-edge semantics.
+    * Null html or base yields null (explode skips it downstream). */
+  def extractOutlinks(html: Column, baseUrl: Column): Column = {
+    val defragBase = regexp_replace(baseUrl, "#.*$", "")
+    val baseScheme =
+      lower(regexp_extract(defragBase, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val baseRest = regexp_replace(defragBase, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val baseAuth = regexp_extract(baseRest, "^([^/?]*)", 1)
+    val basePath =
+      regexp_extract(regexp_replace(baseRest, "^[^/?]*", ""), "^([^?]*)", 1)
+    // directory of the base path: up to and including the last '/';
+    // a base with no path resolves relatives against '/'
+    val baseDir = when(basePath.contains("/"),
+      regexp_replace(basePath, "[^/]*$", "")).otherwise(lit("/"))
+    val raws = regexp_extract_all(html,
+      lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
+      lit(1))
+    val vals = transform(raws, v => trim(
+      regexp_replace(regexp_replace(v, "^[\"']|[\"']$", ""), "#.*$", "")))
+    val resolved = transform(vals, v => {
+      val isHttp = v.rlike("^(?i)https?://")
+      val hasScheme = v.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
+      when(isHttp, v)
+        .when(hasScheme, lit(null)) // mailto:, javascript:, data:, …
+        .when(v.startsWith("//"), concat(baseScheme, lit(":"), v))
+        .when(v.startsWith("/"), concat(baseScheme, lit("://"), baseAuth, v))
+        .when(length(v) > 0, concat(baseScheme, lit("://"), baseAuth,
+          baseDir, regexp_replace(v, "^(\\./)+", "")))
+        .otherwise(lit(null))
+    })
+    filter(resolved, x => x.isNotNull)
+  }
+
+  /** (src, dst) link edges at REGISTERED-DOMAIN grain from a crawled
+    * pages frame — the [[domainRank]] input, one explode over
+    * [[extractOutlinks]] (map-only until the rank's own shuffle).
+    * Multi-edges are kept (domainRank counts votes); self-loops
+    * (intra-domain links — the overwhelming majority of a real page's
+    * links, and zero authority signal) drop by default. A page whose
+    * own URL is not absolute http(s) contributes nothing (hostOf of
+    * schemeless junk would otherwise mint a phantom vertex from the
+    * junk string itself); resolved outlinks are absolute http(s) by
+    * construction. */
+  def edgesFromDocuments(df: DataFrame, urlCol: String, htmlCol: String,
+                         suffixes: Seq[String] = DefaultPublicSuffixes,
+                         dropSelf: Boolean = true): DataFrame = {
+    val out = df
+      .filter(col(urlCol).rlike("^(?i)https?://"))
+      .select(registeredDomain(hostOf(col(urlCol)), suffixes).as("src"),
+        explode(extractOutlinks(col(htmlCol), col(urlCol))).as("__link"))
+      .select(col("src"),
+        registeredDomain(hostOf(col("__link")), suffixes).as("dst"))
+      .na.drop()
+      .filter(length(col("src")) > 0 && length(col("dst")) > 0)
+    if (dropSelf) out.filter(col("src") =!= col("dst")) else out
+  }
+
   /** robots.txt-style crawl-permission filter (RFC 9309 semantics,
     * prefix rules): `rules` has exactly the columns
     * (host, prefix, allow) — lowercased exact host, path prefix,

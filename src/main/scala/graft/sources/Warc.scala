@@ -282,6 +282,46 @@ object Warc {
       resp("https://c.com/miss", "404 Not Found", "<p>not found</p>")
   }
 
+  /** A deterministic LINKED crawl archive for the crawl-graph rows
+    * (q_crawl_edges / q_crawl_graph): three 200-status pages on three
+    * domains whose `<a href>`s exercise every resolution shape —
+    * absolute (mixed case), protocol-relative, root-relative,
+    * relative with `../` (stays on the authority), `./`, a duplicate
+    * absolute link (multi-edge votes twice), plus mailto/javascript/
+    * fragment-only links that extract to nothing — and a 404 page
+    * whose links the status gate must drop. The hand-derivable edge
+    * multiset at registered-domain grain, after self-loop drop:
+    * alpha→beta ×1, alpha→gamma ×1, beta→alpha ×2. */
+  def fixtureLinkedCrawl(): Array[Byte] = {
+    def resp(uri: String, status: String, html: String): Array[Byte] = {
+      val block = (s"HTTP/1.1 $status\r\n" +
+        "Content-Type: text/html\r\n\r\n" + html).getBytes("UTF-8")
+      val head = s"WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-01-04T00:00:00Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:l-$uri>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n"
+      head.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    resp("https://alpha.com/news/a1", "200 OK",
+      "<p>alpha</p><a href=\"https://beta.com/x\">b</a>" +
+        "<a href='/promo'>self abs</a>" + // alpha self-loop, dropped
+        "<a href=\"rel/two\">self rel</a>" + // alpha self-loop, dropped
+        "<a href=\"//gamma.com/lib\">g</a>" +
+        "<a href=\"mailto:x@alpha.com\">m</a>") ++
+      resp("https://beta.com/dir/b1", "200 OK",
+        "<p>beta</p><a href=\"https://alpha.com/one\">1</a>" +
+          "<A HREF=\"HTTPS://ALPHA.com/two?utm_s=9\">2</A>" +
+          "<a href=\"../up\">self dotdot</a>" + // beta self-loop, dropped
+          "<a href=\"javascript:void(0)\">j</a>") ++
+      resp("https://gamma.com/g1", "200 OK",
+        "<p>gamma dangles</p><a href=\"#sec\">t</a>") ++
+      resp("https://delta.com/dead", "404 Not Found",
+        "<a href=\"https://alpha.com/not-counted\">x</a>")
+  }
+
   /** Hand-assembled two-record-plus-junk WARC archive: a warcinfo
     * record, an HTTP response with an HTML body, a request record,
     * and a TRUNCATED response (its Content-Length overruns the file)

@@ -232,6 +232,68 @@ class WebSpec extends SparkTestBase {
     assert(r5 === r5b, "snapped trajectory must be partition-invariant")
   }
 
+  test("extractOutlinks: quote forms, absolute/protocol-relative/" +
+    "root-relative/relative/dot-slash resolution, scheme filtering, " +
+    "fragment strip, duplicates kept, null-safe") {
+    val base = "https://www.ex.com/dir/sub/page.html?q=1#frag"
+    val html =
+      """<p>x</p><a href="https://abs.com/a">1</a>""" +
+        """<a href='//pr.net/b'>2</a>""" +
+        """<a href=/root/c>3</a>""" +
+        """<a href="rel/d">4</a>""" +
+        """<a href="./e#sec">5</a>""" +
+        """<a href="../f">6</a>""" + // ../ kept literally in the path
+        """<a class="z" href="https://abs.com/a">dup</a>""" + // dup kept
+        """<A HREF="HTTP://Up.org/G">7</A>""" +
+        """<a href="mailto:m@x.com">m</a><a href="javascript:void(0)">j</a>""" +
+        """<a href="#top">t</a><a name="no-href">n</a>""" +
+        """<area href="https://not-an-anchor.com/x">""" // <a\b only
+    val got = Seq((base, html)).toDF("base", "html")
+      .select(Web.extractOutlinks(col("html"), col("base")).as("ls"))
+      .collect().head.getSeq[String](0)
+    assert(got === Seq(
+      "https://abs.com/a",
+      "https://pr.net/b",
+      "https://www.ex.com/root/c",
+      "https://www.ex.com/dir/sub/rel/d",
+      "https://www.ex.com/dir/sub/e",
+      "https://www.ex.com/dir/sub/../f",
+      "https://abs.com/a",
+      "HTTP://Up.org/G"))
+    // a base with NO path resolves relatives against '/'
+    val noPath = Seq(("https://a.com", "<a href=\"r\">x</a>"))
+      .toDF("base", "html")
+      .select(Web.extractOutlinks(col("html"), col("base")).as("ls"))
+      .collect().head.getSeq[String](0)
+    assert(noPath === Seq("https://a.com/r"))
+    // null html → null array (explode downstream skips the row)
+    val n = Seq(("https://a.com", null: String)).toDF("base", "html")
+      .select(Web.extractOutlinks(col("html"), col("base")).as("ls"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("edgesFromDocuments: registered-domain grain, self-loops drop " +
+    "by default (kept with dropSelf=false), multi-edges kept, junk " +
+    "pages contribute nothing") {
+    val pages = Seq(
+      ("https://news.alpha.co.uk/a",
+        "<a href=\"https://cdn.beta.com/x\">1</a>" +
+          "<a href=\"/self\">s</a>" + // alpha.co.uk self-loop
+          "<a href=\"https://beta.com/y\">2</a>"), // same dst domain → multi
+      ("not-a-url", "<a href=\"https://beta.com/z\">3</a>"), // null src domain
+      ("https://gamma.org/g", null: String)
+    ).toDF("url", "html")
+    val e = Web.edgesFromDocuments(pages, "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(e === Array(("alpha.co.uk", "beta.com"), ("alpha.co.uk", "beta.com")))
+    val withSelf = Web.edgesFromDocuments(pages, "url", "html",
+      dropSelf = false)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(withSelf === Array(("alpha.co.uk", "alpha.co.uk"),
+      ("alpha.co.uk", "beta.com"), ("alpha.co.uk", "beta.com")))
+  }
+
   test("hostOf drops userinfo; integral-id refusal throws instead of " +
     "a silent encounter-order tie-break; keepDoc exposes the robots " +
     "document key") {
