@@ -1891,9 +1891,10 @@ object PipelineQueries {
 
     // crawl scheduling from the link graph: domainRank → temperature
     // budgets (T=1/2 ⇒ integral 1/T=2 keeps powers exact — the
-    // q_mix_temperature discipline over exact 2^-20 ranks)
+    // q_mix_temperature discipline over exact 2^-20 ranks). Certified
+    // through the DISTRIBUTED form (r19: budgets never leave the
+    // cluster); WebSpec pins it ≡ the small-k Map form
     "q_crawl_budget" -> ((s, d) => {
-      import s.implicits._
       val u = docs(s, d).select(col("doc_id"), urlFixtureWeb.as("url"))
       val edges = u.select(
         graft.ops.Web.registeredDomain(
@@ -1902,8 +1903,7 @@ object PipelineQueries {
           lit("-news.com")).as("dst"))
       val ranks = graft.ops.Web.domainRank(edges, "src", "dst",
         iterations = 4)
-      graft.ops.Web.crawlBudgets(ranks, 100000L, temperature = 0.5)
-        .toSeq.toDF("dom", "budget")
+      graft.ops.Web.crawlBudgetsDf(ranks, 100000L, temperature = 0.5)
     }),
 
     // domain-graph PageRank (4 rounds, d=0.85): every contribution and

@@ -732,14 +732,48 @@ object Web {
     * from link graph to crawl scheduling. Ranks are exact 2⁻²⁰
     * multiples, so scaling by 2²⁰ gives exact integer masses and an
     * integral 1/T keeps the powers exact (the q_mix_temperature
-    * discipline — certifiable with no float slop). Driver-side and
-    * k-bounded: #domains rows, the temperatureBudgets contract. */
+    * discipline — certifiable with no float slop).
+    *
+    * SMALL-K FORM: collects #domains rows to the driver — right for a
+    * focused crawl (thousands of domains), a driver-memory ceiling at
+    * Common-Crawl scale (~10⁸ registered domains). The scheduling
+    * arrow at that scale is [[crawlBudgetsDf]], which computes the
+    * identical budgets distributed (WebSpec pins Map ≡ DF). */
   def crawlBudgets(ranks: DataFrame, totalBudget: Long,
                    temperature: Double): Map[String, Long] = {
     val masses = ranks.collect()
       .map(r => r.getString(0) -> (r.getDouble(1) * 1048576.0).toLong)
       .toMap
     Selection.temperatureBudgets(masses, totalBudget, temperature)
+  }
+
+  /** [[crawlBudgets]] DISTRIBUTED (r18 verdict's What's-wrong #1): the
+    * n^(1/T) normalization as a DataFrame — one aggregation for the
+    * normalizer Z, broadcast back as a 1-row total (the funnel/recipe
+    * scalar-delivery pattern), one map-only budget projection. Nothing
+    * ever leaves the cluster, so 10⁸ domains cost a shuffle, not
+    * driver heap — and the output is the natural frontier-join input.
+    * Bit-identical to the Map form: masses are exact 2²⁰-scaled
+    * integers, integral 1/T keeps `pow` exact, Z is then a sum of
+    * exact integers-in-double (order-independent below 2⁵³), and the
+    * final mul-then-div follows the same IEEE op order as the driver
+    * form — so the same oracle certifies both. Output: (dom, budget),
+    * floor()-ed so Σ budgets ≤ totalBudget. Columns are read
+    * POSITIONALLY (domain, rank), matching the Map form. */
+  def crawlBudgetsDf(ranks: DataFrame, totalBudget: Long,
+                     temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    val Seq(domCol, rankCol) = ranks.columns.toSeq.take(2)
+    val p = ranks.select(col(domCol).as("dom"),
+      pow((col(rankCol) * lit(1048576.0)).cast("long").cast("double"),
+        lit(1.0 / temperature)).as("__pw"))
+    val z = p.agg(sum("__pw").as("__z"))
+    p.crossJoin(broadcast(z))
+      .select(col("dom"),
+        when(col("__z") === 0.0 || col("__z").isNull, lit(0L))
+          .otherwise(floor(lit(totalBudget).cast("double") * col("__pw") /
+            col("__z")).cast("long")).as("budget"))
   }
 
   /** Bloom over the index's url_keys for map-only streaming lookups

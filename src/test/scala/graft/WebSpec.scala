@@ -232,6 +232,34 @@ class WebSpec extends SparkTestBase {
     assert(r5 === r5b, "snapped trajectory must be partition-invariant")
   }
 
+  test("crawlBudgetsDf ≡ crawlBudgets (Map form) bit-exactly — " +
+    "integral and non-integral 1/T, zero-rank domains, partition-" +
+    "invariant; plan's only join is the broadcast 1-row total") {
+    val ranks = Seq(
+      ("a.com", 1.0), ("b.com", 2.5), ("c.com", 0.0),
+      ("d.com", 123456.0 / 1048576.0), ("e.com", 0.15000915527343750))
+      .toDF("node", "rank")
+    for (t <- Seq(0.5, 1.0, 2.0, 0.7)) {
+      val m = Web.crawlBudgets(ranks, 100000L, t)
+      val d = Web.crawlBudgetsDf(ranks, 100000L, t)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(d === m, s"T=$t")
+      val d2 = Web.crawlBudgetsDf(ranks.repartition(7), 100000L, t)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(d2 === m, s"T=$t repartitioned")
+    }
+    // all-zero ranks: zero budgets, no divide-by-zero
+    val zero = Seq(("a.com", 0.0), ("b.com", 0.0)).toDF("node", "rank")
+    assert(Web.crawlBudgetsDf(zero, 5000L, 0.5).collect()
+      .map(_.getLong(1)).toSeq === Seq(0L, 0L))
+    // scale shape: the only join is against the broadcast 1-row Z
+    val plan = Web.crawlBudgetsDf(ranks, 100000L, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("extractOutlinks: quote forms, absolute/protocol-relative/" +
     "root-relative/relative/dot-slash resolution, scheme filtering, " +
     "fragment strip, duplicates kept, null-safe") {
