@@ -104,6 +104,32 @@ object PipelineQueries {
       lit("</div><ul><li>one</li><li>two</li></ul></body></html>"))
   }
 
+  /** Per-host robots.txt fixture shared by q_robots_parse /
+    * q_robots_delay / q_robots_sitemap: three document variants —
+    * exact-agent groups with per-group Crawl-delays (the matched
+    * group's 2.5 must beat the * group's 10), a *-only document with
+    * a Sitemap and no delay, and a document with pre-group lines
+    * (ignored), a non-numeric delay, a * delay, and one absolute +
+    * one relative Sitemap value. */
+  private def robotsFixture(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val n = substring(col("source"), 4, 10).cast("int")
+    val txt = when(n % 3 === 0,
+      lit("User-agent: GraftBot\nCrawl-delay: 2.5\nDisallow: /private/\n" +
+        "Allow: /private/pub/\n\nUser-agent: *\nCrawl-delay: 10\n" +
+        "Disallow: /all/\n"))
+      .when(n % 3 === 1,
+        lit("# hi\nUser-agent: *\nDisallow: /p\n" +
+          "Sitemap: https://x/s.xml\nDisallow:\n"))
+      .otherwise(
+        lit("Crawl-delay: oops\nDisallow: /orphan/\nUser-agent: *\n" +
+          "Allow: /ok/\nDisallow: /no/\nCrawl-delay: 7\n" +
+          "Sitemap: https://y/z.xml\nSitemap: relative/no\n"))
+    docs(s, d)
+      .select(concat(col("source"), lit("-news.com")).as("host"),
+        txt.as("txt")).distinct()
+  }
+
   /** Page URL for the outlink fixture: scheme https, authority
     * `<source>-news.com`, path directory `/sec/<doc_id%7>/` — the base
     * every relative href resolves against. */
@@ -1937,23 +1963,28 @@ object PipelineQueries {
 
     // robots.txt PARSING: raw per-host robots documents → the rules
     // table, RFC 9309 group/agent-fallback semantics via one window
-    // over line order — certified against a DuckDB window replica
+    // over line order — certified against a DuckDB window replica.
+    // The fixture carries Crawl-delay/Sitemap lines the RULES parse
+    // must ignore (and q_robots_delay/q_robots_sitemap consume)
     "q_robots_parse" -> ((s, d) => {
-      val n = substring(col("source"), 4, 10).cast("int")
-      val txt = when(n % 3 === 0,
-        lit("User-agent: GraftBot\nDisallow: /private/\n" +
-          "Allow: /private/pub/\n\nUser-agent: *\nDisallow: /all/\n"))
-        .when(n % 3 === 1,
-          lit("# hi\nUser-agent: *\nDisallow: /p\n" +
-            "Sitemap: https://x/s.xml\nDisallow:\n"))
-        .otherwise(
-          lit("Disallow: /orphan/\nUser-agent: *\nAllow: /ok/\n" +
-            "Disallow: /no/\n"))
-      val robots = docs(s, d)
-        .select(concat(col("source"), lit("-news.com")).as("host"),
-          txt.as("txt")).distinct()
-      graft.ops.Web.parseRobotsTxt(robots, "host", "txt", "graftbot")
+      graft.ops.Web.parseRobotsTxt(robotsFixture(s, d), "host", "txt",
+        "graftbot")
         .select(col("host"), col("prefix"), col("allow").cast("long"))
+    }),
+
+    // Crawl-delay extraction (the politeness knob crawlBudgets
+    // scheduling needs): the delay of the MATCHED agent group beats
+    // the * fallback's; non-numeric and pre-group delays drop; max
+    // over applicable lines — DuckDB window replica
+    "q_robots_delay" -> ((s, d) => {
+      graft.ops.Web.parseCrawlDelays(robotsFixture(s, d), "host", "txt",
+        "graftbot")
+    }),
+
+    // Sitemap extraction (frontier seeds): group-independent per the
+    // sitemaps protocol, absolute URLs only, distinct per host
+    "q_robots_sitemap" -> ((s, d) => {
+      graft.ops.Web.parseSitemaps(robotsFixture(s, d), "host", "txt")
     }),
 
     // robots.txt-style crawl permission (RFC 9309 longest-match,
@@ -2278,6 +2309,65 @@ object PipelineQueries {
         FROM rd2),
       ${pageRankUnrolledSql(iters)}"""
 
+  /** Shared robots replica CTEs: the fixture documents (must mirror
+    * [[robotsFixture]] byte-for-byte) and the comment-strip/key-split
+    * line scan. */
+  private val robotsDocSql: String =
+    """r0 AS (SELECT DISTINCT source || '-news.com' AS host,
+      (CASE WHEN (substr(source, 4)::INT % 3) = 0 THEN
+         'User-agent: GraftBot' || chr(10) || 'Crawl-delay: 2.5' ||
+         chr(10) || 'Disallow: /private/' || chr(10) ||
+         'Allow: /private/pub/' || chr(10) || chr(10) ||
+         'User-agent: *' || chr(10) || 'Crawl-delay: 10' || chr(10) ||
+         'Disallow: /all/' || chr(10)
+       WHEN (substr(source, 4)::INT % 3) = 1 THEN
+         '# hi' || chr(10) || 'User-agent: *' || chr(10) ||
+         'Disallow: /p' || chr(10) || 'Sitemap: https://x/s.xml' ||
+         chr(10) || 'Disallow:' || chr(10)
+       ELSE
+         'Crawl-delay: oops' || chr(10) || 'Disallow: /orphan/' ||
+         chr(10) || 'User-agent: *' || chr(10) || 'Allow: /ok/' ||
+         chr(10) || 'Disallow: /no/' || chr(10) || 'Crawl-delay: 7' ||
+         chr(10) || 'Sitemap: https://y/z.xml' || chr(10) ||
+         'Sitemap: relative/no' || chr(10) END) AS txt FROM documents),
+    l0 AS (SELECT host, generate_subscripts(ls, 1)::BIGINT AS pos,
+        unnest(ls) AS raw
+      FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM r0)),
+    l1 AS (SELECT host, pos,
+        lower(trim(regexp_extract(c, '^([^:]+):', 1))) AS key,
+        trim(regexp_replace(c, '^[^:]+:', '')) AS val
+      FROM (SELECT host, pos,
+        trim(regexp_replace(raw, '#.*$', '')) AS c FROM l0))"""
+
+  /** The group-numbering + agent-fallback replica over `l1` — group
+    * identity is computed over the full GROUP-SCOPED directive set
+    * (user-agent/allow/disallow/crawl-delay), matching
+    * Web.applicableRuleLines; consumers filter the emitted rule kind
+    * in their own rr CTE. */
+  private def robotsGroupedSql(): String =
+    s"""l2 AS (SELECT * FROM l1 WHERE key IN
+      ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+    l3 AS (SELECT *, (key = 'user-agent') AS isua,
+        coalesce(lag(key = 'user-agent') OVER (
+          PARTITION BY host ORDER BY pos), false) AS prevua FROM l2),
+    l4 AS (SELECT *, sum(CASE WHEN isua AND NOT prevua
+          THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY pos
+          ROWS UNBOUNDED PRECEDING) AS gid FROM l3),
+    l5 AS (SELECT * FROM l4 WHERE gid > 0),
+    g AS (SELECT host, gid,
+        max(CASE WHEN lower(val) = '*' THEN 1 ELSE 0 END) AS star,
+        max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS ex
+      FROM l5 WHERE isua GROUP BY 1, 2),
+    he AS (SELECT host, max(ex) AS hex FROM g GROUP BY 1)"""
+
+  /** The normalizeHost replica applied to a column `b2` that already
+    * lowercased/trimmed/de-dotted. */
+  private def normHostSql(b2: String): String =
+    s"""CASE WHEN len(string_split(
+          regexp_replace($b2, '^(www\\.)+', ''), '.')) >= 2
+        THEN regexp_replace($b2, '^(www\\.)+', '')
+        ELSE $b2 END"""
+
   val oracleSql: Map[String, String] = Map(
     "q_domain_rank" -> domainRankSql(4),
 
@@ -2354,51 +2444,35 @@ object PipelineQueries {
            (sum(c2::INT) - sum(c3::INT))::BIGINT FROM f""",
 
     "q_robots_parse" ->
-      """WITH r0 AS (SELECT DISTINCT source || '-news.com' AS host,
-        (CASE WHEN (substr(source, 4)::INT % 3) = 0 THEN
-           'User-agent: GraftBot' || chr(10) || 'Disallow: /private/' ||
-           chr(10) || 'Allow: /private/pub/' || chr(10) || chr(10) ||
-           'User-agent: *' || chr(10) || 'Disallow: /all/' || chr(10)
-         WHEN (substr(source, 4)::INT % 3) = 1 THEN
-           '# hi' || chr(10) || 'User-agent: *' || chr(10) ||
-           'Disallow: /p' || chr(10) || 'Sitemap: https://x/s.xml' ||
-           chr(10) || 'Disallow:' || chr(10)
-         ELSE
-           'Disallow: /orphan/' || chr(10) || 'User-agent: *' ||
-           chr(10) || 'Allow: /ok/' || chr(10) || 'Disallow: /no/' ||
-           chr(10) END) AS txt FROM documents),
-      l0 AS (SELECT host, generate_subscripts(ls, 1)::BIGINT AS pos,
-          unnest(ls) AS raw
-        FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM r0)),
-      l1 AS (SELECT host, pos,
-          lower(trim(regexp_extract(c, '^([^:]+):', 1))) AS key,
-          trim(regexp_replace(c, '^[^:]+:', '')) AS val
-        FROM (SELECT host, pos,
-          trim(regexp_replace(raw, '#.*$', '')) AS c FROM l0)),
-      l2 AS (SELECT * FROM l1
-        WHERE key IN ('user-agent', 'allow', 'disallow')),
-      l3 AS (SELECT *, (key = 'user-agent') AS isua,
-          coalesce(lag(key = 'user-agent') OVER (
-            PARTITION BY host ORDER BY pos), false) AS prevua FROM l2),
-      l4 AS (SELECT *, sum(CASE WHEN isua AND NOT prevua
-            THEN 1 ELSE 0 END) OVER (PARTITION BY host ORDER BY pos
-            ROWS UNBOUNDED PRECEDING) AS gid FROM l3),
-      l5 AS (SELECT * FROM l4 WHERE gid > 0),
-      g AS (SELECT host, gid,
-          max(CASE WHEN lower(val) = '*' THEN 1 ELSE 0 END) AS star,
-          max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS ex
-        FROM l5 WHERE isua GROUP BY 1, 2),
-      he AS (SELECT host, max(ex) AS hex FROM g GROUP BY 1),
-      rr AS (SELECT regexp_replace(lower(trim(l5.host)), '\.+$', '') AS b2,
+      s"""WITH $robotsDocSql,
+      ${robotsGroupedSql()},
+      rr AS (SELECT regexp_replace(lower(trim(l5.host)), '\\.+$$', '') AS b2,
           val AS prefix, (key = 'allow')::BIGINT AS allow
         FROM l5 JOIN g USING (host, gid) JOIN he USING (host)
-        WHERE NOT isua AND len(val) > 0
+        WHERE NOT isua AND len(val) > 0 AND key IN ('allow', 'disallow')
           AND (CASE WHEN hex = 1 THEN ex = 1 ELSE star = 1 END))
-      SELECT CASE WHEN len(string_split(
-            regexp_replace(b2, '^(www\.)+', ''), '.')) >= 2
-          THEN regexp_replace(b2, '^(www\.)+', '')
-          ELSE b2 END AS host,
-        prefix, allow FROM rr""",
+      SELECT ${normHostSql("b2")} AS host, prefix, allow FROM rr""",
+
+    "q_robots_delay" ->
+      s"""WITH $robotsDocSql,
+      ${robotsGroupedSql()},
+      rr AS (SELECT regexp_replace(lower(trim(l5.host)), '\\.+$$', '') AS b2,
+          TRY_CAST(val AS DOUBLE) AS delay
+        FROM l5 JOIN g USING (host, gid) JOIN he USING (host)
+        WHERE NOT isua AND len(val) > 0 AND key = 'crawl-delay'
+          AND (CASE WHEN hex = 1 THEN ex = 1 ELSE star = 1 END)),
+      rd AS (SELECT b2, max(delay) AS crawl_delay FROM rr
+        WHERE delay IS NOT NULL AND delay >= 0 GROUP BY 1)
+      SELECT ${normHostSql("b2")} AS host, crawl_delay FROM rd""",
+
+    "q_robots_sitemap" ->
+      s"""WITH $robotsDocSql,
+      sm AS (SELECT DISTINCT
+          regexp_replace(lower(trim(host)), '\\.+$$', '') AS b2,
+          val AS sitemap
+        FROM l1 WHERE key = 'sitemap'
+          AND regexp_matches(val, '^[a-zA-Z][a-zA-Z0-9+.-]*://'))
+      SELECT ${normHostSql("b2")} AS host, sitemap FROM sm""",
 
     "q_robots" ->
       s"""WITH $urlFixtureWebSql, $urlCanonSql,

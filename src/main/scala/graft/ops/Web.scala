@@ -504,9 +504,68 @@ object Web {
     * `keepDoc = true` to get a `doc` column (md5 of the document) and
     * pick a winner per host before filtering. */
   def parseRobotsTxt(df: DataFrame, hostCol: String, txtCol: String,
-                     agent: String, keepDoc: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+                     agent: String, keepDoc: Boolean = false): DataFrame =
+    applicableRuleLines(df, hostCol, txtCol, agent,
+      Seq("allow", "disallow"))
+      // normalize the host key so the output joins against hostOf(url)
+      // in robotsFilter — a rules table keyed 'www.Example.com' would
+      // otherwise be silently dead (r18 review find)
+      .select((Seq(normalizeHost(col("__rb_host")).as("host"),
+        col("__value").as("prefix"),
+        (col("__key") === "allow").as("allow")) ++
+        (if (keepDoc) Seq(col("__doc").as("doc")) else Nil)): _*)
+
+  /** Per-host `Crawl-delay` for `agent` — the politeness knob a
+    * scheduler needs to spend a [[crawlBudgets]] budget WITHIN a
+    * domain (RFC 9309 leaves it non-standard; Bing/Yandex honor it).
+    * Group semantics are exactly [[parseRobotsTxt]]'s: the delay lines
+    * of the APPLICABLE groups apply — when any group names `agent`
+    * exactly, only those groups' delays count (a `*` group's delay is
+    * never mixed in: the matched group beats the fallback, WebSpec
+    * law), otherwise the `*` groups'. Multiple applicable delay lines
+    * resolve to the MAXIMUM (the conservative politeness posture);
+    * non-numeric and negative values drop. Output:
+    * (host, crawl_delay DOUBLE) — or +(doc) with `keepDoc`, the
+    * multi-document contract of [[parseRobotsTxt]]. */
+  def parseCrawlDelays(df: DataFrame, hostCol: String, txtCol: String,
+                       agent: String, keepDoc: Boolean = false): DataFrame = {
+    val keys =
+      (if (keepDoc) Seq(col("__rb_host"), col("__doc"))
+       else Seq(col("__rb_host")))
+    applicableRuleLines(df, hostCol, txtCol, agent, Seq("crawl-delay"))
+      // try_cast: a malformed delay value is junk to drop, not an
+      // ANSI cast error to fail the job on
+      .withColumn("__delay", col("__value").try_cast("double"))
+      .filter(col("__delay").isNotNull && col("__delay") >= 0)
+      .groupBy(keys: _*)
+      .agg(max(col("__delay")).as("crawl_delay"))
+      .select((Seq(normalizeHost(col("__rb_host")).as("host"),
+        col("crawl_delay")) ++
+        (if (keepDoc) Seq(col("__doc").as("doc")) else Nil)): _*)
+  }
+
+  /** Per-host `Sitemap` URLs — frontier seeds. Group-INDEPENDENT per
+    * the sitemaps protocol (a Sitemap line applies wherever it appears
+    * in the file, including before any group), so there is no agent
+    * parameter; distinct (host, sitemap) pairs, absolute-URL values
+    * only (the protocol requires absolute URLs — a relative value is
+    * junk and drops). */
+  def parseSitemaps(df: DataFrame, hostCol: String,
+                    txtCol: String): DataFrame =
+    robotsKeyedLines(df, hostCol, txtCol)
+      .filter(col("__key") === "sitemap" &&
+        col("__value").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+      .select(normalizeHost(col("__rb_host")).as("host"),
+        col("__value").as("sitemap"))
+      .distinct()
+
+  /** Shared robots.txt line scan: documents deduped and keyed
+    * ([[parseRobotsTxt]]'s per-document discipline), lines posexploded,
+    * comments stripped, keys lowercased/trimmed (RFC 9309's ABNF
+    * allows whitespace before the colon — r18 review find). Emits
+    * (__rb_host, __doc, __pos, __key, __value) for EVERY keyed line. */
+  private def robotsKeyedLines(df: DataFrame, hostCol: String,
+                               txtCol: String): DataFrame = {
     // identical documents are ONE document (re-crawled robots.txt
     // rows dedup here), and distinct documents for the same host
     // parse independently — without the per-document window key, two
@@ -518,14 +577,38 @@ object Web {
     val lines = docs.select(col("__rb_host"), col("__doc"),
       posexplode(split(col("__rb_txt"), "\n")).as(Seq("__pos", "__raw")))
     val content = trim(regexp_replace(col("__raw"), "#.*$", ""))
-    // trim the key: RFC 9309's ABNF allows whitespace BEFORE the
-    // colon ('User-agent : X'), which would otherwise silently drop
-    // the whole group (r18 review find)
     val key = lower(trim(regexp_extract(content, "^([^:]+):", 1)))
     val value = trim(regexp_replace(content, "^[^:]+:", ""))
-    val classed = lines.select(col("__rb_host"), col("__doc"), col("__pos"),
+    lines.select(col("__rb_host"), col("__doc"), col("__pos"),
       key.as("__key"), value.as("__value"))
-      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+  }
+
+  /** The group-scoped robots directives: GROUP-RUN STRUCTURE is
+    * computed over exactly this line set, whichever rule kind a caller
+    * extracts — numbering over a SUBSET would merge two user-agent
+    * runs separated only by a directive outside the subset and leak
+    * one group's rules into another (caught by the WebSpec
+    * matched-group-beats-* law). `sitemap` is global per the sitemaps
+    * protocol and deliberately NOT here: it neither belongs to a
+    * group nor ends a user-agent run. */
+  private val GroupScopedKeys =
+    Seq("user-agent", "allow", "disallow", "crawl-delay")
+
+  /** The group machinery shared by [[parseRobotsTxt]] and
+    * [[parseCrawlDelays]]: classed lines restricted to
+    * [[GroupScopedKeys]], user-agent RUNS numbered by one
+    * (host, doc)-partitioned window, then the RFC 9309 agent
+    * fallback: rules of exact-matching groups when any exist in the
+    * document, else the `*` groups'. Returns the applicable non-UA
+    * rule lines of the `ruleKeys` kinds (non-empty values) with their
+    * `__rb_host`/`__doc`/`__key`/`__value`. */
+  private def applicableRuleLines(df: DataFrame, hostCol: String,
+                                  txtCol: String, agent: String,
+                                  ruleKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val classed = robotsKeyedLines(df, hostCol, txtCol)
+      .filter(col("__key").isin(GroupScopedKeys: _*))
     val w = Window.partitionBy("__rb_host", "__doc").orderBy("__pos")
     val isUa = col("__key") === "user-agent"
     val runStart = isUa &&
@@ -541,18 +624,12 @@ object Web {
     // self-contained robots.txt)
     val docExact = groups.groupBy("__rb_host", "__doc")
       .agg(max(col("__exact")).as("__doc_exact"))
-    grouped.filter(!isUa && length(col("__value")) > 0)
+    grouped.filter(!isUa && length(col("__value")) > 0 &&
+        col("__key").isin(ruleKeys: _*))
       .join(groups, Seq("__rb_host", "__doc", "__gid"))
       .join(docExact, Seq("__rb_host", "__doc"))
       .filter(when(col("__doc_exact") === 1, col("__exact") === 1)
         .otherwise(col("__star") === 1))
-      // normalize the host key so the output joins against hostOf(url)
-      // in robotsFilter — a rules table keyed 'www.Example.com' would
-      // otherwise be silently dead (r18 review find)
-      .select((Seq(normalizeHost(col("__rb_host")).as("host"),
-        col("__value").as("prefix"),
-        (col("__key") === "allow").as("allow")) ++
-        (if (keepDoc) Seq(col("__doc").as("doc")) else Nil)): _*)
   }
 
   // ---- persisted URL index: incremental (daily-crawl) URL dedup --------

@@ -429,6 +429,42 @@ class WebSpec extends SparkTestBase {
     assert(rules2.toSet === rules.toSet + (("a.com", "/v2/", false)))
   }
 
+  test("parseCrawlDelays: the matched group's delay beats the * " +
+    "fallback's; an exact group WITHOUT a delay yields none (no mixing " +
+    "across groups); max over applicable lines; non-numeric/negative " +
+    "and pre-group delays drop") {
+    val robots = Seq(
+      // exact group delay 2 beats * group's 9
+      ("a.com", "User-agent: bot\nCrawl-delay: 2\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 9\nDisallow: /y\n"),
+      // exact group exists but has NO delay: * delay must NOT leak in
+      ("b.com", "User-agent: bot\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 9\n"),
+      // only * groups: max of multiple applicable lines; junk drops
+      ("c.com", "Crawl-delay: 99\nUser-agent: *\nCrawl-delay: 3\n" +
+        "Crawl-delay: nope\nCrawl-delay: -5\nCrawl-delay: 7.5\n"),
+      // no groups at all
+      ("d.com", "Sitemap: https://d.com/s.xml\n")
+    ).toDF("host", "txt")
+    val got = Web.parseCrawlDelays(robots, "host", "txt", "Bot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a.com" -> 2.0, "c.com" -> 7.5))
+  }
+
+  test("parseSitemaps: group-independent (pre-group and in-group lines " +
+    "both count), absolute URLs only, distinct per host") {
+    val robots = Seq(
+      ("a.com", "Sitemap: https://a.com/s1.xml\nUser-agent: *\n" +
+        "Disallow: /x\nSitemap: https://a.com/s2.xml\n" +
+        "Sitemap: https://a.com/s1.xml\n"), // duplicate collapses
+      ("b.com", "User-agent: *\nSitemap: relative/no.xml\n")
+    ).toDF("host", "txt")
+    val got = Web.parseSitemaps(robots, "host", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got === Array(("a.com", "https://a.com/s1.xml"),
+      ("a.com", "https://a.com/s2.xml")))
+  }
+
   test("robotsFilter: longest prefix wins, allow wins ties, no rule " +
     "means allowed, other hosts' rules never leak") {
     val df = Seq(
