@@ -763,30 +763,52 @@ object Web {
     * engine-independent — and the whole trajectory is certifiable
     * against an unrolled SQL replica with NO float tolerance.
     *
-    * Scale: edges localCheckpoint once (reused every round); each
+    * Scale: edges checkpoint once (reused every round); each
     * round is ONE shuffle (the contribution aggregation on dst) plus
     * an edges⋈ranks equi-join where ranks is |V|-bounded (domains,
     * not pages — millions, not billions; broadcastable by AQE);
     * lineage is cut per round so the plan stays flat at any iteration
-    * count. */
+    * count.
+    *
+    * Checkpoint durability (r18 verdict #5): the default
+    * `localCheckpoint` is EXECUTOR-MEMORY-resident and not
+    * fault-tolerant — on a real cluster one lost executor kills the
+    * job mid-iteration. `reliable = true` routes every per-round cut
+    * through `Dataset.checkpoint` (HDFS/object-store files under
+    * `spark.sparkContext.setCheckpointDir`, which must be set — a
+    * missing dir is refused up front, not at iteration 1's write):
+    * each round then restarts from durable files instead of
+    * recomputing, at the price of one write+read of |E| (once) and
+    * |V| (per round) — the right trade for a 100-TB-cluster run,
+    * priced in DESIGN. Same values bit-for-bit either way (WebSpec
+    * law: the snapped trajectory does not depend on how lineage is
+    * cut). */
   def domainRank(edges: DataFrame, srcCol: String, dstCol: String,
-                 iterations: Int, damping: Double = 0.85): DataFrame = {
+                 iterations: Int, damping: Double = 0.85,
+                 reliable: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1,100], got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
+    if (reliable)
+      require(edges.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+        "domainRank(reliable = true) needs " +
+          "spark.sparkContext.setCheckpointDir(...) — reliable " +
+          "checkpoints are files under that directory")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val snapUnit = lit(1048576.0) // 2^20
     def snap(c: Column): Column = floor(c * snapUnit) / snapUnit
     // null endpoints (a schemeless/garbage URL upstream yields a null
     // domain) cannot vote or be ranked — drop them here rather than
     // letting a null node ride the joins as a phantom vertex
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .na.drop().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .na.drop())
+    val nodes = cut(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    val esd = e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src")
-      .localCheckpoint()
+      .distinct())
+    val esd = cut(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src"))
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = esd
@@ -794,11 +816,10 @@ object Web {
         .select(col("dst").as("node"),
           snap(col("rank") / col("__deg")).as("__c"))
       val summed = contrib.groupBy("node").agg(sum("__c").as("__s"))
-      ranks = nodes.join(summed, Seq("node"), "left")
+      ranks = cut(nodes.join(summed, Seq("node"), "left")
         .select(col("node"),
           snap(lit(1.0 - damping) +
-            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank")))
     }
     ranks
   }

@@ -232,6 +232,29 @@ class WebSpec extends SparkTestBase {
     assert(r5 === r5b, "snapped trajectory must be partition-invariant")
   }
 
+  test("domainRank(reliable = true): refused without a checkpoint dir, " +
+    "then bit-identical to the localCheckpoint form — the trajectory " +
+    "does not depend on how lineage is cut") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("c", "d")).toDF("src", "dst")
+    // refusal happens UP FRONT (argument validation), not at round 1
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Web.domainRank(edges, "src", "dst", 2, reliable = true)
+    }
+    assert(e.getMessage.contains("setCheckpointDir"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    dir.toFile.deleteOnExit()
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    def ranksOf(reliable: Boolean) =
+      Web.domainRank(edges, "src", "dst", 4, reliable = reliable)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranksOf(reliable = true) === ranksOf(reliable = false))
+    // durable round files actually landed under the checkpoint dir
+    val files = java.nio.file.Files.walk(dir).count()
+    assert(files > 1, "reliable mode must write checkpoint files")
+  }
+
   test("crawlBudgetsDf ≡ crawlBudgets (Map form) bit-exactly — " +
     "integral and non-integral 1/T, zero-rank domains, partition-" +
     "invariant; plan's only join is the broadcast 1-row total") {
