@@ -14,14 +14,20 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
   * (split planning + file parallelism from the datasource layer); the
   * record parse is per-file imperative logic (mapPartitions-class —
   * the [[graft.ops.Multimodal]] decode convention, the one legitimate
-  * use of the escape hatch). Parallelism is therefore PER FILE, and a
-  * whole file is held in memory while parsed: standard crawl rotation
-  * (~1 GB per WARC) fits an executor; a pathological single-file dump
-  * does not — re-shard upstream. `.warc.gz` (per-record gzip members)
-  * decompresses whole-file through the JDK's concatenated-member
-  * support before parsing; the member boundaries that would allow
-  * true mid-file splits need an index sidecar real pipelines ship
-  * separately (documented non-goal here).
+  * use of the escape hatch). Parallelism is therefore PER FILE, and
+  * the COMPRESSED file is held in memory while parsed (binaryFile
+  * semantics): standard crawl rotation (~1 GB per WARC) fits an
+  * executor; a pathological single-file dump does not — re-shard
+  * upstream. `.warc.gz` (per-record gzip members) decompresses MEMBER
+  * AT A TIME ([[parseGzMembers]]): decompressed memory is bounded by
+  * the largest record (straddling records carry across members), not
+  * the file; a corrupt member, inter-member garbage, a CRC mismatch,
+  * or a member past `spark.graft.warc.maxMemberBytes` each quarantine
+  * as ONE error-tagged row and the scan resyncs at the next member
+  * magic — the same posture malformed WARC records get. The member
+  * boundaries that would allow true mid-file SPLITS still need an
+  * index sidecar real pipelines ship separately (documented non-goal
+  * here).
   *
   * HTTP payloads of `response` records (Content-Type
   * `application/http`) are split into status + headers + body, so the
@@ -41,20 +47,32 @@ object Warc {
       httpStatus: Int, httpContentType: String,
       payload: Array[Byte], error: String)
 
+  /** Default per-member decompressed-size cap for `.warc.gz` — far
+    * above any sane record (WARC convention keeps records ≤ 1 GiB),
+    * small enough that a pathological member quarantines instead of
+    * eating executor heap. Override per session with
+    * `spark.graft.warc.maxMemberBytes`. */
+  val DefaultMaxMemberBytes: Long = 1L << 30
+
   /** Parse every record of every (path, content) file row. */
-  def parseFiles(files: Dataset[(String, Array[Byte])]): Dataset[WarcRecord] =
+  def parseFiles(files: Dataset[(String, Array[Byte])],
+                 maxMemberBytes: Long = DefaultMaxMemberBytes):
+      Dataset[WarcRecord] =
     files.flatMap { case (path, content) =>
-      val bytes =
-        if (path.endsWith(".gz")) gunzipAll(content) else content
-      parseRecords(path, bytes)
+      if (path.endsWith(".gz")) parseGzMembers(path, content, maxMemberBytes)
+      else parseRecords(path, content)
     }(Encoders.product[WarcRecord])
+
+  private def confMaxMember(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.warc.maxMemberBytes")
+      .map(_.toLong).getOrElse(DefaultMaxMemberBytes)
 
   /** Read a directory/glob of `.warc` / `.warc.gz` files. */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
-    parseFiles(files).toDF()
+    parseFiles(files, confMaxMember(spark)).toDF()
   }
 
   /** Crawl archives → a documents-shaped corpus frame in one call:
@@ -102,27 +120,157 @@ object Warc {
     val files = spark.readStream.format("binaryFile").schema(schema)
       .load(path)
       .select("path", "content").as[(String, Array[Byte])]
-    parseFiles(files).toDF()
+    parseFiles(files, confMaxMember(spark)).toDF()
   }
 
-  /** JDK gunzip with CONCATENATED-member support: GZIPInputStream
-    * stops at the first member boundary unless drained through a
-    * stream that keeps reading — `.warc.gz` is one gzip member per
-    * record, so member concatenation is the common case, not the
-    * exception. */
-  private[graft] def gunzipAll(gz: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(gz), 1 << 16)
-    // size HINT only (the stream doubles as needed) — `gz.length * 4`
-    // in Int overflows NEGATIVE for inputs over 512 MiB compressed (a
-    // normal crawl rotation) and would throw in the constructor; and
-    // a full-size hint would eagerly allocate GBs, so cap it
-    val hint = math.min(1L << 26, gz.length.toLong * 4).toInt
-    val out = new java.io.ByteArrayOutputStream(hint)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+  // ---- member-at-a-time gunzip (r18 verdict #6 / r19 ADVICE #1) --------
+  //
+  // `.warc.gz` is one gzip member per record (the Common Crawl
+  // convention), so decompressing MEMBER AT A TIME caps memory at the
+  // largest record instead of the whole decompressed file, and gives
+  // the gzip layer the same quarantine posture the WARC layer has: a
+  // corrupt member becomes ONE error-tagged row and the scan resyncs
+  // at the next member magic; garbage between/after members becomes an
+  // error row instead of GZIPInputStream's silent truncation; a member
+  // decompressing past the cap quarantines instead of OOMing the
+  // executor. Records that straddle members (legal, non-CC layouts)
+  // still parse: an incomplete record's bytes CARRY into the next
+  // member's parse, so memory stays O(max record), never O(file).
+
+  private sealed trait MemberResult
+  private final case class MemberOk(bytes: Array[Byte], next: Int)
+      extends MemberResult
+  private final case class MemberErr(msg: String, next: Int)
+      extends MemberResult
+
+  /** Offset of the next gzip member magic (1f 8b 08) at/after `from`,
+    * or `b.length` if none. */
+  private def nextGzMagic(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i <= b.length - 3) {
+      if ((b(i) & 0xff) == 0x1f && (b(i + 1) & 0xff) == 0x8b &&
+        b(i + 2) == 8) return i
+      i += 1
+    }
+    b.length
+  }
+
+  /** Inflate ONE gzip member starting at `start`: RFC 1952 header
+    * (FEXTRA/FNAME/FCOMMENT/FHCRC honored), raw-deflate body, CRC32
+    * trailer verified. Output is retained only up to `cap` bytes —
+    * past it the member keeps inflating (so the next-member offset
+    * stays exact) but quarantines. */
+  private def inflateMember(b: Array[Byte], start: Int,
+                            cap: Long): MemberResult = {
+    def resync = nextGzMagic(b, start + 1)
+    if (start + 10 > b.length)
+      return MemberErr(s"truncated gzip header at offset $start", b.length)
+    if ((b(start) & 0xff) != 0x1f || (b(start + 1) & 0xff) != 0x8b)
+      return MemberErr(s"bad gzip magic at offset $start", resync)
+    if (b(start + 2) != 8)
+      return MemberErr(
+        s"unsupported gzip compression method ${b(start + 2)} at " +
+          s"offset $start", resync)
+    val flg = b(start + 3) & 0xff
+    var p = start + 10
+    try {
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (b(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (b(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+    } catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        return MemberErr(s"truncated gzip header fields at offset $start",
+          b.length)
+    }
+    if (p >= b.length)
+      return MemberErr(s"gzip member at offset $start has no body", b.length)
+    val inf = new java.util.zip.Inflater(true)
+    val crc = new java.util.zip.CRC32
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    val scratch = new Array[Byte](1 << 16)
+    var total = 0L
+    try {
+      inf.setInput(b, p, b.length - p)
+      while (!inf.finished()) {
+        val n = inf.inflate(scratch)
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary())
+            return MemberErr(
+              s"truncated deflate stream in gzip member at offset $start",
+              b.length)
+        } else {
+          crc.update(scratch, 0, n)
+          total += n
+          if (total <= cap) out.write(scratch, 0, n)
+        }
+      }
+      val consumed = inf.getBytesRead.toInt
+      val trailerAt = p + consumed
+      val next = math.min(trailerAt + 8, b.length)
+      if (total > cap)
+        return MemberErr(
+          s"gzip member at offset $start decompresses to $total bytes, " +
+            s"past the $cap-byte cap — re-shard or raise " +
+            "spark.graft.warc.maxMemberBytes", next)
+      if (trailerAt + 4 <= b.length) {
+        val stored = (b(trailerAt) & 0xffL) |
+          ((b(trailerAt + 1) & 0xffL) << 8) |
+          ((b(trailerAt + 2) & 0xffL) << 16) |
+          ((b(trailerAt + 3) & 0xffL) << 24)
+        if (stored != crc.getValue)
+          return MemberErr(
+            s"gzip CRC mismatch in member at offset $start", next)
+      } // a trailer cut off at EOF is tolerated, like a missing final CRLF
+      MemberOk(out.toByteArray, next)
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        MemberErr(
+          s"corrupt gzip member at offset $start: ${e.getMessage}", resync)
+    } finally inf.end()
+  }
+
+  /** Parse a `.warc.gz` file member by member — see the section
+    * comment for the memory/quarantine contract. */
+  private[graft] def parseGzMembers(path: String, gz: Array[Byte],
+      maxMemberBytes: Long = DefaultMaxMemberBytes): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+    var idx = 0
+    def emit(r: WarcRecord): Unit = { out += r.copy(recordIdx = idx); idx += 1 }
+    def gzErr(msg: String): Unit =
+      emit(WarcRecord(path, 0, null, null, null, null, null, -1L, -1, null,
+        Array.emptyByteArray, msg))
+    var carry = Array.emptyByteArray
+    def flushCarry(): Unit = if (carry.nonEmpty) {
+      // whatever is pending can no longer be completed — parse it to
+      // the end, truncation errors and all (the EOF posture)
+      parseRecords(path, carry).foreach(emit)
+      carry = Array.emptyByteArray
+    }
+    var pos = 0
+    while (pos < gz.length) {
+      inflateMember(gz, pos, maxMemberBytes) match {
+        case MemberOk(bytes, next) =>
+          val buf = if (carry.isEmpty) bytes else carry ++ bytes
+          val (recs, tailStart) =
+            parseRecordsWithTail(path, buf, atEof = false)
+          recs.foreach(emit)
+          carry =
+            if (tailStart >= 0)
+              java.util.Arrays.copyOfRange(buf, tailStart, buf.length)
+            else Array.emptyByteArray
+          pos = next
+        case MemberErr(msg, next) =>
+          flushCarry() // a lost member breaks any straddling record
+          gzErr(msg)
+          pos = next
+      }
+    }
+    flushCarry()
+    out.toSeq
   }
 
   private val Marker = "WARC/".getBytes("US-ASCII")
@@ -131,12 +279,27 @@ object Warc {
     * malformed record is emitted with `error` set and the scan jumps
     * to the next `WARC/` marker. */
   private[graft] def parseRecords(path: String,
-                                    bytes: Array[Byte]): Seq[WarcRecord] = {
+                                  bytes: Array[Byte]): Seq[WarcRecord] =
+    parseRecordsWithTail(path, bytes, atEof = true)._1
+
+  /** [[parseRecords]] that can stop at an INCOMPLETE trailing record:
+    * with `atEof = false`, a record whose header or declared payload
+    * runs past the buffer end is NOT emitted as an error — its start
+    * offset returns as the second element (-1 when none), so the
+    * member-streaming gz path can carry those bytes into the next
+    * member. Genuinely malformed records (bad Content-Length, missing
+    * version line) still quarantine + resync either way. */
+  private def parseRecordsWithTail(path: String, bytes: Array[Byte],
+      atEof: Boolean): (Seq[WarcRecord], Int) = {
     val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
     var pos = indexOfMarker(bytes, 0)
     var idx = 0
     while (pos >= 0 && pos < bytes.length) {
       val (rec, next) = parseOne(path, idx, bytes, pos)
+      val incomplete = rec.error != null && !atEof &&
+        (rec.error.startsWith("truncated record") ||
+          rec.error.startsWith("unterminated WARC header block"))
+      if (incomplete) return (out.toSeq, pos)
       out += rec
       idx += 1
       pos =
@@ -146,7 +309,7 @@ object Warc {
           indexOfMarker(bytes, next)
         } else indexOfMarker(bytes, pos + Marker.length) // resync
     }
-    out.toSeq
+    (out.toSeq, -1)
   }
 
   private def indexOfMarker(b: Array[Byte], from: Int): Int = {

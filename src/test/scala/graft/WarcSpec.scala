@@ -67,16 +67,67 @@ class WarcSpec extends SparkTestBase {
       g.write(b); g.close(); bo.toByteArray
     }
     val raw = Warc.fixtureWarc()
+    // split MID-RECORD: member A ends with a partial record that must
+    // CARRY into member B's parse (the straddling-record law — memory
+    // stays O(record) but no record is lost at a member boundary)
     val (a, b) = raw.splitAt(raw.length / 2)
     val concat = gzip(a) ++ gzip(b)
-    assert(Warc.gunzipAll(concat).toSeq === raw.toSeq,
-      "concatenated gzip members must decompress whole")
+    def key(r: Warc.WarcRecord) =
+      (r.recordIdx, r.warcType, r.targetUri, r.contentLength,
+        r.httpStatus, r.payload.toSeq, r.error)
+    assert(Warc.parseGzMembers("f", concat).map(key) ===
+      Warc.parseRecords("f", raw).map(key),
+      "member-at-a-time parse must equal the whole-file parse")
     // end-to-end through the Spark reader
     val dir = java.nio.file.Files.createTempDirectory("graft_warc")
     java.nio.file.Files.write(dir.resolve("f.warc.gz"), concat)
     val recs = Warc.readWarc(spark, dir.toString + "/*.warc.gz")
     assert(recs.count() === 4)
     assert(recs.filter(col("error").isNull).count() === 3)
+  }
+
+  test("gz quarantine posture: a corrupt member is ONE error row and " +
+    "the scan resyncs at the next member; inter-member garbage and a " +
+    "bad CRC are named; an oversized member quarantines instead of " +
+    "buffering past the cap") {
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val raw = Warc.fixtureWarc()
+    val whole = Warc.parseRecords("f", raw)
+    val good = gzip(raw)
+    // corrupt the deflate body of a leading member; the trailing good
+    // member must still yield every record
+    val bad = good.clone()
+    for (i <- 20 until 40) bad(i) = (bad(i) ^ 0x5a).toByte
+    val r1 = Warc.parseGzMembers("f", bad ++ good)
+    assert(r1.count(r => r.error != null && r.error.contains("gzip")) === 1,
+      r1.map(_.error).mkString("; "))
+    assert(r1.count(_.error == null) === whole.count(_.error == null),
+      "records after the corrupt member must survive")
+    // garbage BETWEEN members: one named error row, both members parse
+    val junk = "NOT-GZIP-AT-ALL".getBytes("UTF-8")
+    val r2 = Warc.parseGzMembers("f", good ++ junk ++ good)
+    assert(r2.count(r => r.error != null &&
+      r.error.contains("bad gzip magic")) === 1)
+    assert(r2.count(_.error == null) === 2 * whole.count(_.error == null))
+    // trailing garbage is an error row, not silent truncation (the
+    // GZIPInputStream behavior this replaces)
+    val r3 = Warc.parseGzMembers("f", good ++ junk)
+    assert(r3.exists(r => r.error != null && r.error.contains("gzip")))
+    // CRC corruption: flip a trailer byte (last 8 = CRC32 + ISIZE)
+    val crcBad = good.clone()
+    crcBad(good.length - 6) = (crcBad(good.length - 6) ^ 0xff).toByte
+    val r4 = Warc.parseGzMembers("f", crcBad)
+    assert(r4.exists(r => r.error != null && r.error.contains("CRC")))
+    // cap: a member decompressing past maxMemberBytes quarantines with
+    // the cap named; members after it still parse
+    val r5 = Warc.parseGzMembers("f", good ++ good, maxMemberBytes = 64L)
+    assert(r5.count(r => r.error != null && r.error.contains("cap")) === 2)
+    assert(!r5.exists(_.error == null),
+      "capped members must contribute no records")
   }
 
   test("the HTTP body flows straight into the Web extraction stage") {
