@@ -2540,7 +2540,7 @@ object PipelineQueries {
         '</body></html>' AS html
        FROM documents),
       r AS (SELECT doc_id, bauthu, bdir, regexp_extract_all(html,
-        '(?i)<a\b[^>]*?\bhref\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)', 1)
+        '(?i)<a\b[^>]*?\shref\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)', 1)
         AS raws FROM h),
       v AS (SELECT doc_id, bauthu, bdir, list_transform(raws,
         x -> trim(regexp_replace(regexp_replace(x, '^["'']|["'']$', '', 'g'),

@@ -396,8 +396,11 @@ object Web {
     // a base with no path resolves relatives against '/'
     val baseDir = when(basePath.contains("/"),
       regexp_replace(basePath, "[^/]*$", "")).otherwise(lit("/"))
+    // \s before href, not \b: a word BOUNDARY matches after '-', so
+    // \bhref would extract data-href="…" values (r19 sweep find) —
+    // and attributes are whitespace-separated in valid HTML anyway
     val raws = regexp_extract_all(html,
-      lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
+      lit("(?i)<a\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
       lit(1))
     val vals = transform(raws, v => trim(
       regexp_replace(regexp_replace(v, "^[\"']|[\"']$", ""), "#.*$", "")))

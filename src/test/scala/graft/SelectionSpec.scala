@@ -673,5 +673,14 @@ class SelectionSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window") && !plan.contains("SortAggregate"), plan)
+    // r19 sweep: a group whose scores are ALL null with k > its size —
+    // every row survives in both forms, deterministically by id
+    val allNull = Seq((1L, "g", null: java.lang.Long),
+      (2L, "g", null: java.lang.Long)).toDF("id", "grp", "score")
+    val aw = Selection.topKPerGroup(allNull, "grp", "score", "id", 5)
+      .collect().map(_.getLong(0)).sorted
+    val ah = Selection.topKPerGroupBounded(allNull, "grp", "score", "id", 5)
+      .collect().map(_.getLong(0)).sorted
+    assert(aw.toSeq === Seq(1L, 2L) && ah.toSeq === Seq(1L, 2L))
   }
 }
