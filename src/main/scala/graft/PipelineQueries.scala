@@ -2079,6 +2079,37 @@ object PipelineQueries {
         .select(col("node").as("dom"), col("rank"))
     }),
 
+    // the FULL crawl-scheduling loop in ONE plan: archive → href
+    // extraction → domain link graph → PageRank → DISTRIBUTED
+    // temperature budgets → robots Crawl-delay politeness join →
+    // per-domain schedule (budget, delay, est. seconds to spend it).
+    // Every arithmetic step is exact (dyadic ranks, integral 1/T,
+    // single IEEE mul), so the whole composition certifies literally
+    "q_crawl_schedule" -> ((s, _) => {
+      import s.implicits._
+      val pages = graft.sources.Warc
+        .readWarc(s, s"$warcFixtureDir/linked.warc")
+        .filter(col("httpStatus") === 200)
+        .select(col("targetUri").as("url"),
+          decode(col("payload"), "UTF-8").as("html"))
+      val edges = graft.ops.Web.edgesFromDocuments(pages, "url", "html")
+      val ranks = graft.ops.Web.domainRank(edges, "src", "dst",
+        iterations = 3)
+      val budgets = graft.ops.Web.crawlBudgetsDf(ranks, 10000L,
+        temperature = 0.5)
+      val robots = Seq(
+        ("alpha.com", "User-agent: *\nCrawl-delay: 2\n"),
+        ("beta.com", "User-agent: graftbot\nCrawl-delay: 0.5\n\n" +
+          "User-agent: *\nCrawl-delay: 30\n")).toDF("host", "txt")
+      val delays = graft.ops.Web.parseCrawlDelays(robots, "host", "txt",
+        "graftbot")
+      budgets.join(delays, budgets("dom") === delays("host"), "left")
+        .select(col("dom"), col("budget"),
+          coalesce(col("crawl_delay"), lit(1.0)).as("delay"),
+          (col("budget").cast("double") *
+            coalesce(col("crawl_delay"), lit(1.0))).as("est_seconds"))
+    }),
+
     // WARC ingest → URL canonicalization → HTML extraction, end to
     // end over the deterministic fixture archive (the q_decode
     // convention: byte-deterministic input, literal-VALUES oracle).
@@ -2283,7 +2314,9 @@ object PipelineQueries {
     * `edges(src, dst)` CTE — shared by the fixture-derived
     * q_domain_rank replica and the literal-edge q_crawl_graph replica
     * (the oracle computes the whole trajectory itself either way). */
-  private def pageRankUnrolledSql(iters: Int): String = {
+  /** Just the CTE chain (nodes … pr$iters) — for oracles that keep
+    * composing past the rank (q_crawl_schedule). */
+  private def pageRankCtesSql(iters: Int): String = {
     val head = s"""nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
       pr0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
@@ -2299,8 +2332,11 @@ object PipelineQueries {
             / 1048576.0 AS rank
         FROM nodes n LEFT JOIN ps$i s USING (node))"""
     }.mkString
-    s"$head$rounds SELECT node AS dom, rank FROM pr$iters"
+    s"$head$rounds"
   }
+
+  private def pageRankUnrolledSql(iters: Int): String =
+    s"${pageRankCtesSql(iters)} SELECT node AS dom, rank FROM pr$iters"
 
   private def domainRankSql(iters: Int): String =
     s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql,
@@ -2568,6 +2604,24 @@ object PipelineQueries {
          ('alpha.com', 'beta.com'), ('alpha.com', 'gamma.com'),
          ('beta.com', 'alpha.com'), ('beta.com', 'alpha.com')),
        ${pageRankUnrolledSql(3)}""",
+
+    "q_crawl_schedule" ->
+      s"""WITH edges(src, dst) AS (VALUES
+         ('alpha.com', 'beta.com'), ('alpha.com', 'gamma.com'),
+         ('beta.com', 'alpha.com'), ('beta.com', 'alpha.com')),
+       ${pageRankCtesSql(3)},
+       m AS (SELECT node AS dom, (rank * 1048576.0)::BIGINT AS mass
+         FROM pr3),
+       p AS (SELECT dom, (mass::DOUBLE * mass::DOUBLE) AS pw FROM m),
+       z AS (SELECT sum(pw) AS zz FROM p),
+       b AS (SELECT dom, floor(10000 * pw / zz)::BIGINT AS budget
+         FROM p, z),
+       d(host, crawl_delay) AS (VALUES
+         ('alpha.com', 2.0), ('beta.com', 0.5))
+       SELECT b.dom, b.budget,
+         coalesce(d.crawl_delay, 1.0) AS delay,
+         b.budget::DOUBLE * coalesce(d.crawl_delay, 1.0) AS est_seconds
+       FROM b LEFT JOIN d ON b.dom = d.host""",
 
     "q_warc_read" ->
       """SELECT * FROM (VALUES

@@ -48,7 +48,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_pq_topk",             // corpus codes vs BROADCAST query LUTs, =!= condition
     "q_ivf_pq_topk",         // broadcast centroid assignment + broadcast probe LUTs
     "q_shard",               // scalar corpus token total (1-row broadcast)
-    "q_curation_e2e"         // DSIR model totals + shard token total (1-row broadcasts)
+    "q_curation_e2e",        // DSIR model totals + shard token total (1-row broadcasts)
+    "q_crawl_budget",        // temperature normalizer Z (1-row broadcast, r19 crawlBudgetsDf)
+    "q_crawl_schedule"       // same Z inside the full scheduling loop
   )
 
   /** Queries allowed to plan a SortAggregateExec. Deliberately EMPTY:
@@ -85,7 +87,9 @@ class PlanAuditSpec extends SparkTestBase {
     // exchange carries #partitions sketch blobs, never data rows), and
     // an optimization FOR the join this audit exists to protect
     "q_incremental_semantic_pq",
-    "q_funnel"        // cumulative-gate counts -> k+1 scalar rows
+    "q_funnel",       // cumulative-gate counts -> k+1 scalar rows
+    "q_crawl_budget", // temperature normalizer Z -> 1 scalar (r19)
+    "q_crawl_schedule" // same Z inside the scheduling loop
   )
 
   test("no certified query plans a CartesianProduct; BNL only where declared; " +
