@@ -184,6 +184,8 @@ object PipelineQueries {
       graft.sources.Warc.fixtureCrawl())
     java.nio.file.Files.write(dir.resolve("linked.warc"),
       graft.sources.Warc.fixtureLinkedCrawl())
+    java.nio.file.Files.write(dir.resolve("fixture.warc.gz"),
+      graft.sources.Warc.fixtureWarcGz())
     dir.toFile.deleteOnExit()
     dir.toString
   }
@@ -2126,6 +2128,25 @@ object PipelineQueries {
           col("error").isNotNull.cast("long").as("has_err"))
     }),
 
+    // SPLITTABLE .warc.gz: per-record gzip members → split sidecar
+    // (1-byte target forces one split per record-clean boundary) →
+    // range reads off the Hadoop filesystem — bit-identical to the
+    // whole-file q_warc_read, same literal oracle, recordIdx carried
+    // through the sidecar's cumulative counts
+    "q_warc_split" -> ((s, _) => {
+      val sidecar = s"$warcFixtureDir/sidecar_fixture"
+      graft.sources.Warc.writeWarcSplitIndex(s,
+        s"$warcFixtureDir/fixture.warc.gz", sidecar, targetSplitBytes = 1L)
+      graft.sources.Warc.readWarcIndexed(s, sidecar)
+        .select(col("recordIdx").cast("long").as("idx"),
+          col("warcType").as("wtype"),
+          col("targetUri").as("uri"),
+          col("httpStatus").cast("long").as("status"),
+          graft.ops.Web.canonicalUrl(col("targetUri")).as("curl"),
+          graft.ops.Web.htmlToText(decode(col("payload"), "UTF-8")).as("txt"),
+          col("error").isNotNull.cast("long").as("has_err"))
+    }),
+
     // HTML → text extraction (the crawl pipeline's trafilatura-core
     // stage): one codegen'd map-only expression chain, certified
     // byte-exact against a DuckDB replica of the same five rules
@@ -2404,6 +2425,22 @@ object PipelineQueries {
         THEN regexp_replace($b2, '^(www\\.)+', '')
         ELSE $b2 END"""
 
+  /** Literal expectation shared by q_warc_read (whole file) and
+    * q_warc_split (per-record gz members through the split sidecar) —
+    * identical rows by construction. */
+  private val warcReadOracle: String =
+    """SELECT * FROM (VALUES
+         (0::BIGINT, 'warcinfo', NULL::VARCHAR, -1::BIGINT, NULL::VARCHAR,
+          'software: graft-fixture', 0::BIGINT),
+         (1::BIGINT, 'response', 'https://www.Example.com:443/a?utm_x=1',
+          200::BIGINT, 'https://example.com/a', 'hello & crawl', 0::BIGINT),
+         (2::BIGINT, 'request', 'https://www.Example.com:443/a?utm_x=1',
+          -1::BIGINT, 'https://example.com/a',
+          'GET /a HTTP/1.1' || chr(10) || 'Host: example.com', 0::BIGINT),
+         (3::BIGINT, NULL::VARCHAR, NULL::VARCHAR, -1::BIGINT,
+          NULL::VARCHAR, '', 1::BIGINT)
+        ) t(idx, wtype, uri, status, curl, txt, has_err)"""
+
   val oracleSql: Map[String, String] = Map(
     "q_domain_rank" -> domainRankSql(4),
 
@@ -2623,18 +2660,11 @@ object PipelineQueries {
          b.budget::DOUBLE * coalesce(d.crawl_delay, 1.0) AS est_seconds
        FROM b LEFT JOIN d ON b.dom = d.host""",
 
-    "q_warc_read" ->
-      """SELECT * FROM (VALUES
-         (0::BIGINT, 'warcinfo', NULL::VARCHAR, -1::BIGINT, NULL::VARCHAR,
-          'software: graft-fixture', 0::BIGINT),
-         (1::BIGINT, 'response', 'https://www.Example.com:443/a?utm_x=1',
-          200::BIGINT, 'https://example.com/a', 'hello & crawl', 0::BIGINT),
-         (2::BIGINT, 'request', 'https://www.Example.com:443/a?utm_x=1',
-          -1::BIGINT, 'https://example.com/a',
-          'GET /a HTTP/1.1' || chr(10) || 'Host: example.com', 0::BIGINT),
-         (3::BIGINT, NULL::VARCHAR, NULL::VARCHAR, -1::BIGINT,
-          NULL::VARCHAR, '', 1::BIGINT)
-        ) t(idx, wtype, uri, status, curl, txt, has_err)""",
+    "q_warc_read" -> warcReadOracle,
+
+    // the SAME archive through per-record gzip members + the split
+    // sidecar: identical rows prove the range-read path end to end
+    "q_warc_split" -> warcReadOracle,
 
     "q_html_extract" ->
       """WITH h0 AS (SELECT doc_id,

@@ -408,6 +408,142 @@ object Warc {
       java.util.Arrays.copyOfRange(block, bodyStart, block.length))
   }
 
+  // ---- splittable .warc.gz: the member-boundary sidecar ----------------
+  //
+  // Per-file parallelism is right for 1 GB crawl rotations; a
+  // few-huge-files archive serializes on it (r18 verdict's missing
+  // #3). The repo's sidecar discipline (writeBandIndex's pruned-keys
+  // sidecar, writeShards' manifest) applied to WARC: ONE indexing pass
+  // walks the gzip member boundaries, closes a split at every clean
+  // record boundary past the target size, and persists
+  // (path, splitIdx, startOffset, endOffset, firstRecordIdx,
+  // nRecords) as parquet. Reads then map over SPLITS — each task
+  // seeks to its byte range and parses only that slice, so a 100 GB
+  // archive becomes #splits parallel tasks with O(split) memory, and
+  // `recordIdx` is reassigned from the sidecar's cumulative record
+  // count so ids are IDENTICAL to a whole-file read (warcToDocuments'
+  // re-read-stable xxhash64 keys keep working, law-pinned). Splits
+  // only close where no record straddles the boundary (the indexing
+  // walk tracks the same carry state as the member parser), so every
+  // record lands in exactly one split.
+
+  /** One byte-range split of a `.warc.gz` file. */
+  final case class WarcSplit(path: String, splitIdx: Int,
+      startOffset: Long, endOffset: Long, firstRecordIdx: Int,
+      nRecords: Int)
+
+  /** Walk one file's gzip members, counting records and closing a
+    * split at each clean (carry-free) member boundary once
+    * `targetSplitBytes` of compressed input have accumulated. The walk
+    * runs the same parse as [[parseGzMembers]], so per-split record
+    * counts are exact by construction. */
+  private[graft] def scanGzSplits(path: String, gz: Array[Byte],
+      targetSplitBytes: Long,
+      maxMemberBytes: Long = DefaultMaxMemberBytes): Seq[WarcSplit] = {
+    require(targetSplitBytes >= 1, "targetSplitBytes must be >= 1")
+    val out = scala.collection.mutable.ArrayBuffer[WarcSplit]()
+    var splitStart = 0L
+    var splitFirstRecord = 0
+    var recordsEmitted = 0
+    var carry = Array.emptyByteArray
+    var pos = 0
+    def closeSplit(end: Long): Unit = {
+      if (end > splitStart) {
+        out += WarcSplit(path, out.length, splitStart, end,
+          splitFirstRecord, recordsEmitted - splitFirstRecord)
+        splitStart = end
+        splitFirstRecord = recordsEmitted
+      }
+    }
+    while (pos < gz.length) {
+      inflateMember(gz, pos, maxMemberBytes) match {
+        case MemberOk(bytes, next) =>
+          val buf = if (carry.isEmpty) bytes else carry ++ bytes
+          val (recs, tailStart) =
+            parseRecordsWithTail(path, buf, atEof = false)
+          recordsEmitted += recs.length
+          carry =
+            if (tailStart >= 0)
+              java.util.Arrays.copyOfRange(buf, tailStart, buf.length)
+            else Array.emptyByteArray
+          pos = next
+        case MemberErr(_, next) =>
+          // the parser emits the flushed carry's records + ONE error row
+          if (carry.nonEmpty) {
+            recordsEmitted += parseRecords(path, carry).length
+            carry = Array.emptyByteArray
+          }
+          recordsEmitted += 1
+          pos = next
+      }
+      if (carry.isEmpty && pos - splitStart >= targetSplitBytes)
+        closeSplit(pos)
+    }
+    if (carry.nonEmpty) recordsEmitted += parseRecords(path, carry).length
+    closeSplit(gz.length)
+    out.toSeq
+  }
+
+  /** Index a directory/glob of `.warc.gz` files into a split sidecar
+    * at `sidecarPath` (parquet, [[WarcSplit]] schema). One
+    * decompress+parse pass per file (per-file parallel, like
+    * [[readWarc]] — the file must fit an executor ONCE, at indexing;
+    * every read after that is split-parallel). */
+  def writeWarcSplitIndex(spark: SparkSession, path: String,
+      sidecarPath: String,
+      targetSplitBytes: Long = 128L << 20): Unit = {
+    import spark.implicits._
+    val maxMember = confMaxMember(spark)
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+    files.flatMap { case (p, content) =>
+      if (p.endsWith(".gz")) scanGzSplits(p, content, targetSplitBytes,
+        maxMember)
+      else {
+        // uncompressed .warc: one whole-file split (binaryFile already
+        // parallelizes per file; record-marker splitting is the gz
+        // path's job — CC ships gz)
+        Seq(WarcSplit(p, 0, 0L, content.length.toLong, 0,
+          parseRecords(p, content).length))
+      }
+    }(Encoders.product[WarcSplit])
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(sidecarPath)
+  }
+
+  /** Read WARC records THROUGH a split sidecar: one task per split,
+    * each seeking its byte range via the Hadoop filesystem (never
+    * loading a whole file), records bit-identical to [[readWarc]]
+    * including `recordIdx` (WarcSpec law). The Hadoop conf ships via
+    * Spark's serializable wrapper so non-local filesystems keep their
+    * credentials/settings. */
+  def readWarcIndexed(spark: SparkSession, sidecarPath: String): DataFrame = {
+    import spark.implicits._
+    val maxMember = confMaxMember(spark)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val splits = spark.read.parquet(sidecarPath).as[WarcSplit]
+    val n = splits.count()
+    val parallelism = math.max(1, math.min(n,
+      spark.sparkContext.defaultParallelism.toLong * 2L)).toInt
+    splits.repartition(parallelism)
+      .flatMap { s =>
+        val uri = java.net.URI.create(s.path)
+        val fs = org.apache.hadoop.fs.FileSystem.get(uri, hconf.value)
+        val in = fs.open(new org.apache.hadoop.fs.Path(uri))
+        val len = (s.endOffset - s.startOffset).toInt
+        val buf = new Array[Byte](len)
+        try {
+          in.seek(s.startOffset)
+          in.readFully(buf, 0, len)
+        } finally in.close()
+        val recs =
+          if (s.path.endsWith(".gz")) parseGzMembers(s.path, buf, maxMember)
+          else parseRecords(s.path, buf)
+        recs.map(r => r.copy(recordIdx = r.recordIdx + s.firstRecordIdx))
+      }(Encoders.product[WarcRecord]).toDF()
+  }
+
   // ---- deterministic fixture (the Multimodal.fixturePng convention) ----
 
   /** A small deterministic CRAWL archive for the end-to-end pipeline
@@ -485,12 +621,25 @@ object Warc {
         "<a href=\"https://alpha.com/not-counted\">x</a>")
   }
 
+  /** [[fixtureWarc]]'s records as per-record gzip MEMBERS (the
+    * Common-Crawl convention) — the byte-deterministic `.warc.gz`
+    * mate, every member boundary record-clean so the split sidecar
+    * can cut anywhere (q_warc_split). */
+  def fixtureWarcGz(): Array[Byte] =
+    fixtureWarcRecords().map { r =>
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(r); g.close(); bo.toByteArray
+    }.reduce(_ ++ _)
+
   /** Hand-assembled two-record-plus-junk WARC archive: a warcinfo
     * record, an HTTP response with an HTML body, a request record,
     * and a TRUNCATED response (its Content-Length overruns the file)
     * — the shapes the parser and its quarantine/resync posture must
     * handle. Byte-deterministic, so query expectations are literals. */
-  def fixtureWarc(): Array[Byte] = {
+  def fixtureWarc(): Array[Byte] = fixtureWarcRecords().reduce(_ ++ _)
+
+  private def fixtureWarcRecords(): Seq[Array[Byte]] = {
     def rec(tpe: String, uri: String, block: Array[Byte],
             extra: String = ""): Array[Byte] = {
       val head = s"WARC/1.0\r\n" +
@@ -521,6 +670,6 @@ object Warc {
       "Content-Type: application/http; msgtype=response\r\n" +
       "Content-Length: 99999\r\n\r\nHTTP/1.1 200 OK\r\n\r\nshort")
       .getBytes("UTF-8")
-    info ++ resp ++ req ++ truncated
+    Seq(info, resp, req, truncated)
   }
 }

@@ -130,6 +130,62 @@ class WarcSpec extends SparkTestBase {
       "capped members must contribute no records")
   }
 
+  test("splittable .warc.gz: sidecar-indexed range reads equal the " +
+    "whole-file read bit-for-bit, recordIdx included; splits cover the " +
+    "file contiguously and close only at record-clean boundaries") {
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    // file A: record-ALIGNED members (the CC convention) — every
+    // member end is a clean cut, so the target size drives splits
+    val aligned = (1 to 5).map(_ => gzip(Warc.fixtureCrawl()))
+      .reduce(_ ++ _)
+    // file B: members cut at ARBITRARY byte positions — records
+    // straddle every boundary, so the carry state forbids cutting and
+    // the whole file must stay ONE split (correctness over parallelism)
+    val raw = Warc.fixtureCrawl()
+    val jagged = raw.grouped(raw.length / 7 + 1).map(gzip).reduce(_ ++ _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_split")
+    java.nio.file.Files.write(dir.resolve("aligned.warc.gz"), aligned)
+    java.nio.file.Files.write(dir.resolve("jagged.warc.gz"), jagged)
+    java.nio.file.Files.write(dir.resolve("plain.warc"), Warc.fixtureWarc())
+    val side = dir.toString + "/sidecar"
+    Warc.writeWarcSplitIndex(spark, dir.toString + "/*.warc*", side,
+      targetSplitBytes = 600L)
+    val splits = spark.read.parquet(side)
+      .orderBy("path", "splitIdx")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5)))
+    val gzSplits = splits.filter(_._1.endsWith("aligned.warc.gz"))
+    assert(gzSplits.length > 1, s"want multiple splits: ${gzSplits.toSeq}")
+    // contiguous, zero-based, byte-complete coverage; cumulative
+    // record indexes line up split to split
+    assert(gzSplits.head._3 === 0L && gzSplits.head._5 === 0)
+    gzSplits.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 === a._4, "splits must tile the byte range")
+        assert(b._5 === a._5 + a._6, "record indexes must be cumulative")
+      case _ =>
+    }
+    assert(gzSplits.last._4 === aligned.length.toLong)
+    assert(splits.count(_._1.endsWith("jagged.warc.gz")) === 1,
+      "no clean boundary → no split (straddling records stay whole)")
+    assert(splits.count(_._1.endsWith("plain.warc")) === 1,
+      "uncompressed .warc is one whole-file split")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getString(0).substring(r.getString(0).lastIndexOf('/')),
+        r.getInt(1), r.getString(2), r.getString(3), r.getInt(8),
+        Option(r.getAs[Array[Byte]]("payload")).map(_.toSeq),
+        r.getString(11))
+    }.toSet
+    val whole = Warc.readWarc(spark, dir.toString + "/*.warc*")
+    val viaIndex = Warc.readWarcIndexed(spark, side)
+    assert(key(viaIndex) === key(whole),
+      "indexed range reads must equal the whole-file parse")
+  }
+
   test("the HTTP body flows straight into the Web extraction stage") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc2")
     java.nio.file.Files.write(dir.resolve("f.warc"), Warc.fixtureWarc())
