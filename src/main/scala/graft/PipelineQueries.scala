@@ -186,6 +186,8 @@ object PipelineQueries {
       graft.sources.Warc.fixtureLinkedCrawl())
     java.nio.file.Files.write(dir.resolve("fixture.warc.gz"),
       graft.sources.Warc.fixtureWarcGz())
+    java.nio.file.Files.write(dir.resolve("fixture.wet"),
+      graft.sources.Warc.fixtureWet())
     dir.toFile.deleteOnExit()
     dir.toString
   }
@@ -2128,6 +2130,35 @@ object PipelineQueries {
           col("error").isNotNull.cast("long").as("has_err"))
     }),
 
+    // WET ingest (Common Crawl's extracted-text release): conversion
+    // records' plain-text payloads → the documents shape, type/
+    // content-type gated (case-insensitive), warcinfo and response
+    // records excluded — literal oracle over the fixture archive
+    "q_wet_read" -> ((s, _) => {
+      graft.sources.Warc.wetToDocuments(s, s"$warcFixtureDir/fixture.wet")
+        .select(col("url"), col("text"), col("n_chars"))
+    }),
+
+    // frontier planning: budgets + robots delays → an executable
+    // fetch schedule — per-domain rank via the range-partitioned
+    // groupedRowNumber (budgets are VARIABLE per domain, so no
+    // constant-k heap; no Window.partitionBy either), budget cap,
+    // fetch_at = (rank-1)·delay politeness spacing
+    "q_frontier" -> ((s, d) => {
+      import s.implicits._
+      val u = docs(s, d).select(col("doc_id"), col("n_chars"),
+        urlFixtureWeb.as("url"))
+      val budgets = Seq(("src1-news.com", 5L), ("src3-news.com", 2L),
+        ("example.com", 7L), ("blogspot.co.uk", 3L))
+        .toDF("domain", "budget")
+      val delays = Seq(("src1-news.com", 2.0), ("example.com", 0.5))
+        .toDF("host", "crawl_delay")
+      graft.ops.Web.frontierPlan(u, "url", "n_chars", "doc_id",
+        budgets, delays)
+        .select(col("domain").as("dom"), col("doc_id"),
+          col("rank").cast("long").as("rank"), col("fetch_at"))
+    }),
+
     // SPLITTABLE .warc.gz: per-record gzip members → split sidecar
     // (1-byte target forces one split per record-clean boundary) →
     // range reads off the Hadoop filesystem — bit-identical to the
@@ -2659,6 +2690,30 @@ object PipelineQueries {
          coalesce(d.crawl_delay, 1.0) AS delay,
          b.budget::DOUBLE * coalesce(d.crawl_delay, 1.0) AS est_seconds
        FROM b LEFT JOIN d ON b.dom = d.host""",
+
+    "q_wet_read" ->
+      """SELECT * FROM (VALUES
+         ('https://a.com/page-one',
+          'alpha page text' || chr(10) || 'second line', 27::BIGINT),
+         ('https://b.com/two', 'bravo extracted text', 20::BIGINT)
+        ) t(url, text, n_chars)""",
+
+    "q_frontier" ->
+      s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql,
+         b(bdom, budget) AS (VALUES
+           ('src1-news.com', 5), ('src3-news.com', 2),
+           ('example.com', 7), ('blogspot.co.uk', 3)),
+         dl(dhost, delay) AS (VALUES
+           ('src1-news.com', 2.0), ('example.com', 0.5)),
+         j AS (SELECT rd2.doc_id, rd2.n_chars, rd2.dom, b.budget
+           FROM rd2 JOIN b ON rd2.dom = b.bdom),
+         r AS (SELECT dom, doc_id, budget, row_number() OVER (
+             PARTITION BY dom ORDER BY n_chars DESC, doc_id) AS rank
+           FROM j),
+         f AS (SELECT dom, doc_id, rank FROM r WHERE rank <= budget)
+         SELECT f.dom, f.doc_id, f.rank::BIGINT AS rank,
+           (f.rank - 1)::DOUBLE * coalesce(dl.delay, 1.0)::DOUBLE AS fetch_at
+         FROM f LEFT JOIN dl ON f.dom = dl.dhost""",
 
     "q_warc_read" -> warcReadOracle,
 

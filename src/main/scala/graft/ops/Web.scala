@@ -877,6 +877,54 @@ object Web {
             col("__z")).cast("long")).as("budget"))
   }
 
+  /** Turn budgets + politeness into an executable FETCH SCHEDULE —
+    * the last arrow of the crawl-scheduling story: each domain's
+    * URLs are ranked (score desc, id asc — deterministic), the
+    * per-domain BUDGET caps how many are taken, and each taken URL
+    * gets `fetch_at = (rank − 1) · crawl_delay` seconds into the
+    * domain's window (RFC-politeness spacing; hosts without a robots
+    * delay use `defaultDelay`).
+    *
+    * Scale shape: the per-domain rank is
+    * [[graft.api.GlobalScan.groupedRowNumber]] — range-partitioned,
+    * boundary-only bookkeeping — NOT a `Window.partitionBy(domain)`,
+    * because budgets are VARIABLE per domain (a bounded heap needs one
+    * k) and a mega-domain must not sort on one task; budgets and
+    * delays join per-domain/host (AQE broadcasts the small sides).
+    * Output: the input columns + (domain, rank, fetch_at). */
+  def frontierPlan(urls: DataFrame, urlCol: String, scoreCol: String,
+                   idCol: String, budgets: DataFrame,
+                   delays: DataFrame, defaultDelay: Double = 1.0,
+                   suffixes: Seq[String] = DefaultPublicSuffixes,
+                   domainCol: String = "domain"): DataFrame = {
+    require(budgets.columns.length == 2,
+      s"budgets must be (domain, budget), got ${budgets.columns.toSeq}")
+    require(delays.columns.length == 2,
+      s"delays must be (host, crawl_delay), got ${delays.columns.toSeq}")
+    require(!urls.columns.contains(domainCol),
+      s"output column '$domainCol' already exists in the input")
+    Selection.requireIntegralCol(urls, idCol, "frontierPlan idCol")
+    val Seq(bDom, bCol) = budgets.columns.toSeq
+    val Seq(dHost, dCol) = delays.columns.toSeq
+    val withDom = urls.withColumn(domainCol,
+      registeredDomain(hostOf(col(urlCol)), suffixes))
+    // budget join is INNER: a domain with no budget is not crawled
+    val budgeted = withDom.join(
+      budgets.select(normalizeHost(col(bDom)).as(domainCol),
+        col(bCol).cast("long").as("__budget")), domainCol)
+    val ranked = graft.api.GlobalScan.groupedRowNumber(budgeted,
+      Seq(domainCol),
+      Seq(col(scoreCol).desc, col(idCol).asc), "rank")
+      .filter(col("rank") <= col("__budget")).drop("__budget")
+    ranked.join(
+      delays.select(normalizeHost(col(dHost)).as(domainCol),
+        col(dCol).cast("double").as("__delay")), Seq(domainCol), "left")
+      .withColumn("fetch_at",
+        (col("rank") - lit(1L)).cast("double") *
+          coalesce(col("__delay"), lit(defaultDelay)))
+      .drop("__delay")
+  }
+
   /** Bloom over the index's url_keys for map-only streaming lookups
     * ([[graft.ops.Dedup.keyBloom]] — same treeAggregate build, byte
     * budget, and size-gated broadcast delivery as the band families).

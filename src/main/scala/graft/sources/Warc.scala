@@ -96,6 +96,26 @@ object Warc {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Common Crawl WET (extracted-text) archives → the documents
+    * frame: WET is WARC whose `conversion` records carry the
+    * ALREADY-EXTRACTED plain text (Content-Type text/plain) — the
+    * entry point for pipelines that start from CC's text release
+    * instead of raw HTML (skipping [[graft.ops.Web.htmlToText]]).
+    * Same re-read-stable ids and (doc_id, url, text, n_chars) shape
+    * as [[warcToDocuments]]; the leading warcinfo record and any
+    * quarantined rows are excluded by the type/error gate. */
+  def wetToDocuments(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readWarc(spark, path)
+      .filter(col("error").isNull && col("warcType") === "conversion" &&
+        lower(col("contentType")).startsWith("text/plain"))
+      .select(
+        xxhash64(col("path"), col("recordIdx")).as("doc_id"),
+        col("targetUri").as("url"),
+        decode(col("payload"), "UTF-8").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** CONTINUOUS crawl ingest: a streaming reader over a landing
     * directory — each newly arriving `.warc`/`.warc.gz` file becomes
     * its records in the next micro-batch (the binaryFile format is a
@@ -619,6 +639,33 @@ object Warc {
         "<p>gamma dangles</p><a href=\"#sec\">t</a>") ++
       resp("https://delta.com/dead", "404 Not Found",
         "<a href=\"https://alpha.com/not-counted\">x</a>")
+  }
+
+  /** A deterministic WET (extracted-text) archive: the warcinfo
+    * header record CC ships first, two `conversion` records with
+    * plain-text payloads, and a `response` record a WET reader must
+    * ignore (wrong type). */
+  def fixtureWet(): Array[Byte] = {
+    def rec(tpe: String, uri: String, ct: String,
+            body: String): Array[Byte] = {
+      val block = body.getBytes("UTF-8")
+      val head = s"WARC/1.0\r\n" +
+        s"WARC-Type: $tpe\r\n" +
+        (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+        "WARC-Date: 2026-01-05T00:00:00Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:wet-$tpe-$uri>\r\n" +
+        s"Content-Type: $ct\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n"
+      head.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    rec("warcinfo", "", "application/warc-fields",
+      "software: graft-wet-fixture\r\n") ++
+      rec("conversion", "https://a.com/page-one", "text/plain",
+        "alpha page text\nsecond line") ++
+      rec("conversion", "https://b.com/two", "Text/Plain; charset=utf-8",
+        "bravo extracted text") ++
+      rec("response", "https://c.com/raw", "application/http; msgtype=response",
+        "HTTP/1.1 200 OK\r\n\r\n<p>not wet</p>")
   }
 
   /** [[fixtureWarc]]'s records as per-record gzip MEMBERS (the

@@ -235,6 +235,35 @@ class WebSpec extends SparkTestBase {
     assert(r5 === r5b, "snapped trajectory must be partition-invariant")
   }
 
+  test("frontierPlan: variable per-domain budgets enforced exactly, " +
+    "unbudgeted domains dropped, default delay fills missing hosts, " +
+    "fetch_at politeness spacing; plan has no Window and refuses a " +
+    "non-integral id") {
+    val urls = Seq(
+      (1L, 9.0, "https://a.com/1"), (2L, 8.0, "https://sub.a.com/2"),
+      (3L, 7.0, "https://a.com/3"), (4L, 5.0, "https://b.com/4"),
+      (5L, 6.0, "https://b.com/5"), (6L, 1.0, "https://nobudget.com/6"))
+      .toDF("id", "score", "url")
+    val budgets = Seq(("a.com", 2L), ("b.com", 5L)).toDF("domain", "budget")
+    val delays = Seq(("a.com", 3.0)).toDF("host", "crawl_delay")
+    val plan = Web.frontierPlan(urls, "url", "score", "id", budgets, delays,
+      defaultDelay = 1.5)
+    val got = plan.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("domain"),
+        r.getAs[Long]("rank"), r.getAs[Double]("fetch_at"))).sortBy(_._1)
+    // a.com budget 2: ids 1 (rank1) and 2 (rank2, the subdomain rolls
+    // up); id 3 over budget; b.com: 5 then 4; nobudget.com dropped
+    assert(got === Array(
+      (1L, "a.com", 1L, 0.0), (2L, "a.com", 2L, 3.0),
+      (4L, "b.com", 2L, 1.5), (5L, "b.com", 1L, 0.0)))
+    val pstr = plan.queryExecution.executedPlan.toString
+    assert(!pstr.contains("Window"), pstr)
+    val bad = urls.withColumn("sid", concat(lit("x"), col("id")))
+    intercept[IllegalArgumentException] {
+      Web.frontierPlan(bad, "url", "score", "sid", budgets, delays)
+    }
+  }
+
   test("domainRank(reliable = true): refused without a checkpoint dir, " +
     "then bit-identical to the localCheckpoint form — the trajectory " +
     "does not depend on how lineage is cut") {
