@@ -2007,6 +2007,23 @@ object PipelineQueries {
         .select(col("doc_id"), graft.ops.Web.hostOf(col("url")).as("host"))
     }),
 
+    // RFC 9309 §2.2.3 wildcard rules (MUST-level: '*' any-sequence,
+    // trailing '$' end-anchor): regex-translated match tier,
+    // most-specific (longest rule) wins — DuckDB replica translates
+    // the same rules with the same escaping
+    "q_robots_wildcard" -> ((s, d) => {
+      import s.implicits._
+      val u = docs(s, d).select(col("doc_id"), urlFixtureWeb.as("url"))
+      val rules = Seq(
+        ("src4-news.com", "/*", false),
+        ("src4-news.com", "/de/*", true),
+        ("src6.example.com", "/*/Doc/*3", false),
+        ("src7.blogspot.co.uk", "/*c/7$", false)
+      ).toDF("host", "prefix", "allow")
+      graft.ops.Web.robotsFilter(u, "url", "doc_id", rules)
+        .select(col("doc_id"), graft.ops.Web.hostOf(col("url")).as("host"))
+    }),
+
     // the WEB CAPSTONE: length gate → canonical-URL dedup (best
     // capture) → host blocklist → per-domain cap, one composed plan —
     // the q_pipeline_e2e stage-boundary-mistakes row for the web layer
@@ -2594,6 +2611,33 @@ object PipelineQueries {
          v AS (SELECT doc_id, allow FROM (
            SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
              ORDER BY len(prefix) DESC, allow DESC) AS rn FROM m)
+           WHERE rn = 1)
+         SELECT p.doc_id, p.host FROM pp p LEFT JOIN v USING (doc_id)
+         WHERE v.allow IS NULL OR v.allow""",
+
+    "q_robots_wildcard" ->
+      s"""WITH $urlFixtureWebSql, $urlCanonSql,
+         pp AS (SELECT doc_id, host,
+           CASE WHEN len(pathq) = 0 THEN '/' ELSE pathq END AS rpath
+          FROM c5),
+         rb(rhost, rule, allow) AS (VALUES
+           ('src4-news.com', '/*', false),
+           ('src4-news.com', '/de/*', true),
+           ('src6.example.com', '/*/Doc/*3', false),
+           ('src7.blogspot.co.uk', '/*c/7$$', false)),
+         rx AS (SELECT rhost, rule, allow,
+           '^' || replace(regexp_replace(
+             CASE WHEN rule LIKE '%$$' THEN substr(rule, 1, len(rule) - 1)
+                  ELSE rule END,
+             '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'), '*', '.*') ||
+           (CASE WHEN rule LIKE '%$$' THEN '$$' ELSE '' END) AS pat
+          FROM rb),
+         m AS (SELECT p.doc_id, r.rule, r.allow
+           FROM pp p JOIN rx r ON p.host = r.rhost
+           WHERE regexp_matches(p.rpath, r.pat)),
+         v AS (SELECT doc_id, allow FROM (
+           SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+             ORDER BY len(rule) DESC, allow DESC) AS rn FROM m)
            WHERE rn = 1)
          SELECT p.doc_id, p.host FROM pp p LEFT JOIN v USING (doc_id)
          WHERE v.allow IS NULL OR v.allow""",

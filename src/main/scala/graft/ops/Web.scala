@@ -442,19 +442,27 @@ object Web {
     if (dropSelf) out.filter(col("src") =!= col("dst")) else out
   }
 
-  /** robots.txt-style crawl-permission filter (RFC 9309 semantics,
-    * prefix rules): `rules` has exactly the columns
-    * (host, prefix, allow) — lowercased exact host, path prefix,
-    * boolean. A URL is kept iff the LONGEST matching prefix rule for
-    * its host allows it, ties broken allow-wins (the de-facto
-    * googlebot rule); a URL with NO matching rule is allowed. The `*`
-    * wildcard/`$`-anchor extensions are out of scope (documented).
+  /** robots.txt-style crawl-permission filter (RFC 9309 semantics):
+    * `rules` has exactly the columns (host, prefix, allow) —
+    * lowercased exact host, path rule, boolean. A URL is kept iff the
+    * MOST SPECIFIC (longest rule text — the googlebot measure)
+    * matching rule for its host allows it, ties broken allow-wins; a
+    * URL with NO matching rule is allowed. The RFC's `*` wildcard
+    * (any char sequence) and trailing `$` end-anchor are supported —
+    * MUST-level requirements in RFC 9309 §2.2.3 (r19; previously a
+    * documented gap).
     *
     * Shape: ONE equi-join on host (rules for other hosts never meet a
-    * row — no cartesian, no LIKE scan), prefix test + longest-match
+    * row — no cartesian, no LIKE scan), rule test + most-specific
     * argmax via the ObjectHashAggregate extremum aggregate, then a
     * left-anti on the disallowed ids. Rules tables are small (per-host
-    * handfuls) — AQE broadcasts them. */
+    * handfuls) — AQE broadcasts them. Two size-gated match tiers, the
+    * house discipline: when NO rule uses `*`/trailing `$` (one tiny
+    * aggregate decides), matching stays the codegen'd `startsWith`;
+    * otherwise each rule translates to an anchored regex (metachars
+    * escaped, `*` → `.*`, trailing `$` kept as the anchor) and
+    * matching is `regexp_like` with the per-row pattern — paid only
+    * when wildcards are actually present. */
   def robotsFilter(df: DataFrame, urlCol: String, idCol: String,
                    rules: DataFrame): DataFrame = {
     require(rules.columns.toSeq == Seq("host", "prefix", "allow"),
@@ -462,12 +470,30 @@ object Web {
         rules.columns.mkString("(", ", ", ")"))
     val keyed = df.select(col(idCol).as("__rid"),
       hostOf(col(urlCol)).as("__rhost"), pathOf(col(urlCol)).as("__rpath"))
+    val hasWild = rules
+      .agg(max(col("prefix").contains("*") ||
+        col("prefix").endsWith("$")).as("w"))
+      .head().getBoolean(0)
+    val ruleTest: Column =
+      if (!hasWild) col("__rpath").startsWith(col("prefix"))
+      else {
+        val hasEnd = col("prefix").endsWith("$")
+        val body = when(hasEnd,
+          expr("substring(prefix, 1, length(prefix) - 1)"))
+          .otherwise(col("prefix"))
+        // escape every regex metachar except '*' (which becomes .*)
+        val esc = regexp_replace(body,
+          "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+        val pat = concat(lit("^"), replace(esc, lit("*"), lit(".*")),
+          when(hasEnd, lit("$")).otherwise(lit("")))
+        regexp_like(col("__rpath"), pat)
+      }
     // normalize the rules' host side too, so hand-built tables with
     // mixed-case/www-prefixed keys meet hostOf output
     val matched = keyed.join(
       rules.withColumn("host", normalizeHost(col("host"))),
       col("__rhost") === col("host"))
-      .filter(col("__rpath").startsWith(col("prefix")))
+      .filter(ruleTest)
     // longest prefix wins, allow wins ties: max by (len, allow)
     val verdict = matched.groupBy("__rid")
       .agg(graft.functions.VectorExprs.extremumBy(

@@ -495,6 +495,40 @@ class WebSpec extends SparkTestBase {
     assert(rules2.toSet === rules.toSet + (("a.com", "/v2/", false)))
   }
 
+  test("robotsFilter wildcards (RFC 9309 §2.2.3): '*' spans any " +
+    "sequence, trailing '$' anchors the end (a query string breaks " +
+    "it), regex metachars in rules stay literal, longest RULE text " +
+    "wins, and a wildcard-free table still takes the startsWith tier") {
+    val df = Seq(
+      (1L, "https://w.com/fish"), (2L, "https://w.com/fishheads/x"),
+      (3L, "https://w.com/Fish"), // case-sensitive per RFC
+      (4L, "https://w.com/x.php"), (5L, "https://w.com/x.php5"),
+      (6L, "https://w.com/x.php?y=1"),
+      (7L, "https://w.com/a.b/keep"), (8L, "https://w.com/aXb/drop"))
+      .toDF("doc_id", "url")
+    val rules = Seq(
+      ("w.com", "/fish*", false),
+      ("w.com", "/fishheads/*", true), // longer rule beats /fish*
+      ("w.com", "/*.php$", false),
+      ("w.com", "/a.b/*", false) // literal dot: must NOT match /aXb/
+    ).toDF("host", "prefix", "allow")
+    val kept = Web.robotsFilter(df, "url", "doc_id", rules)
+      .select("doc_id").as[Long].collect().sorted
+    // dropped: 1 (/fish*), 4 (/*.php$ end-anchored), 7 (/a.b/ literal)
+    assert(kept === Array(2L, 3L, 5L, 6L, 8L))
+    // the wildcard-free q_robots fixture path still behaves identically
+    // (tier equivalence: plain prefixes through the regex tier match
+    // startsWith semantics)
+    val plain = Seq(("w.com", "/fish", false)).toDF("host", "prefix", "allow")
+    val wild = Seq(("w.com", "/fish", false), ("w.com", "/zz*", false))
+      .toDF("host", "prefix", "allow")
+    val a = Web.robotsFilter(df, "url", "doc_id", plain)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Web.robotsFilter(df, "url", "doc_id", wild)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a === b, "plain rules must match identically in both tiers")
+  }
+
   test("parseCrawlDelays: the matched group's delay beats the * " +
     "fallback's; an exact group WITHOUT a delay yields none (no mixing " +
     "across groups); max over applicable lines; non-numeric/negative " +
