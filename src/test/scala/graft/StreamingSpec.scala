@@ -1905,6 +1905,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming link-graph production: WARC stream → href extraction " +
+    "→ domain edges is the same stateless map chain as batch (rank " +
+    "itself stays a batch job over the accumulated edges)") {
+    import graft.ops.Web
+    import graft.sources.Warc
+    implicit val sqlCtx = spark.sqlContext
+    def edges(files: org.apache.spark.sql.Dataset[(String, Array[Byte])]) =
+      Web.edgesFromDocuments(
+        Warc.parseFiles(files).toDF()
+          .filter(col("httpStatus") === 200)
+          .select(col("targetUri").as("url"),
+            decode(col("payload"), "UTF-8").as("html")),
+        "url", "html")
+    val oneFile = ("linked.warc", Warc.fixtureLinkedCrawl())
+    val batchEdges = edges(Seq(oneFile).toDS()).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(batchEdges === Array(("alpha.com", "beta.com"),
+      ("alpha.com", "gamma.com"), ("beta.com", "alpha.com"),
+      ("beta.com", "alpha.com")))
+    val input = MemoryStream[(String, Array[Byte])]
+    val q = edges(input.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName("stream_edges_out").start()
+    try {
+      input.addData(oneFile); q.processAllAvailable()
+      val got = spark.table("stream_edges_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).sorted
+      assert(got === batchEdges)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "edge production must be stateless")
+    } finally q.stop()
+  }
+
   test("streaming URL dedup against a static index: the batch operator " +
     "runs unchanged on a stream (stream-static anti-join, zero state); " +
     "the bloom mirror is map-only and only over-drops") {
