@@ -447,10 +447,13 @@ object Warc {
   // walk tracks the same carry state as the member parser), so every
   // record lands in exactly one split.
 
-  /** One byte-range split of a `.warc.gz` file. */
+  /** One byte-range split of a `.warc.gz` file. `fileLength` stamps
+    * the indexed file's size so a rewritten file is REFUSED at read
+    * time (the cfg-stamp discipline) instead of silently range-read
+    * as garbage. */
   final case class WarcSplit(path: String, splitIdx: Int,
       startOffset: Long, endOffset: Long, firstRecordIdx: Int,
-      nRecords: Int)
+      nRecords: Int, fileLength: Long)
 
   /** Walk one file's gzip members, counting records and closing a
     * split at each clean (carry-free) member boundary once
@@ -470,7 +473,8 @@ object Warc {
     def closeSplit(end: Long): Unit = {
       if (end > splitStart) {
         out += WarcSplit(path, out.length, splitStart, end,
-          splitFirstRecord, recordsEmitted - splitFirstRecord)
+          splitFirstRecord, recordsEmitted - splitFirstRecord,
+          gz.length.toLong)
         splitStart = end
         splitFirstRecord = recordsEmitted
       }
@@ -524,7 +528,7 @@ object Warc {
         // parallelizes per file; record-marker splitting is the gz
         // path's job — CC ships gz)
         Seq(WarcSplit(p, 0, 0L, content.length.toLong, 0,
-          parseRecords(p, content).length))
+          parseRecords(p, content).length, content.length.toLong))
       }
     }(Encoders.product[WarcSplit])
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -550,7 +554,16 @@ object Warc {
       .flatMap { s =>
         val uri = java.net.URI.create(s.path)
         val fs = org.apache.hadoop.fs.FileSystem.get(uri, hconf.value)
-        val in = fs.open(new org.apache.hadoop.fs.Path(uri))
+        val hPath = new org.apache.hadoop.fs.Path(uri)
+        // stale-sidecar refusal: a file rewritten since indexing would
+        // otherwise be range-read as silent garbage
+        val nowLen = fs.getFileStatus(hPath).getLen
+        if (nowLen != s.fileLength)
+          throw new IllegalStateException(
+            s"${s.path} is $nowLen bytes but the split sidecar indexed " +
+              s"${s.fileLength} — the file changed since indexing; " +
+              "rebuild the sidecar (writeWarcSplitIndex)")
+        val in = fs.open(hPath)
         val len = (s.endOffset - s.startOffset).toInt
         val buf = new Array[Byte](len)
         try {

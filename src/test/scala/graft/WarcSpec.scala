@@ -184,6 +184,16 @@ class WarcSpec extends SparkTestBase {
     val viaIndex = Warc.readWarcIndexed(spark, side)
     assert(key(viaIndex) === key(whole),
       "indexed range reads must equal the whole-file parse")
+    // stale-sidecar refusal: a file rewritten after indexing must
+    // throw loudly, never range-read garbage
+    java.nio.file.Files.write(dir.resolve("aligned.warc.gz"),
+      aligned ++ gzip(Warc.fixtureCrawl()))
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.readWarcIndexed(spark, side).collect()
+    }
+    assert(e.getMessage.contains("sidecar") ||
+      Option(e.getCause).exists(_.getMessage.contains("sidecar")),
+      s"want the stale-sidecar refusal, got: ${e.getMessage.take(300)}")
   }
 
   test("the HTTP body flows straight into the Web extraction stage") {
