@@ -908,8 +908,12 @@ object Web {
     * URLs are ranked (score desc, id asc — deterministic), the
     * per-domain BUDGET caps how many are taken, and each taken URL
     * gets `fetch_at = (rank − 1) · crawl_delay` seconds into the
-    * domain's window (RFC-politeness spacing; hosts without a robots
-    * delay use `defaultDelay`).
+    * domain's window (RFC-politeness spacing; domains without a
+    * delay row use `defaultDelay`). The `delays` join runs at
+    * REGISTERED-DOMAIN grain (keys go through [[normalizeHost]]):
+    * robots delays parsed at subdomain grain should be reduced to
+    * one row per registered domain first (e.g. max — the
+    * conservative posture [[parseCrawlDelays]] itself uses).
     *
     * Scale shape: the per-domain rank is
     * [[graft.api.GlobalScan.groupedRowNumber]] — range-partitioned,
