@@ -563,8 +563,15 @@ object Warc {
             s"${s.path} is $nowLen bytes but the split sidecar indexed " +
               s"${s.fileLength} — the file changed since indexing; " +
               "rebuild the sidecar (writeWarcSplitIndex)")
+        val span = s.endOffset - s.startOffset
+        if (span > Int.MaxValue.toLong)
+          throw new IllegalStateException(
+            s"split ${s.splitIdx} of ${s.path} spans $span bytes (no " +
+              "record-clean member boundary for over 2 GiB) — such an " +
+              "archive has records straddling every member; re-shard it " +
+              "or read it unindexed (readWarc)")
         val in = fs.open(hPath)
-        val len = (s.endOffset - s.startOffset).toInt
+        val len = span.toInt
         val buf = new Array[Byte](len)
         try {
           in.seek(s.startOffset)
