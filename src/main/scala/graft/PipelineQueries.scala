@@ -1801,6 +1801,29 @@ object PipelineQueries {
     // decoded metadata and the pixel-grid feature hash are literals),
     // plus the declared fallback contract for non-media payloads. The
     // oracle pins every decoded value as a DuckDB VALUES literal.
+    // container-HEADER metadata without codecs (webp VP8/VP8L/VP8X,
+    // avif ispe, mp4 mvhd+tkhd — pure byte parsing): the dimensions/
+    // duration gates a pipeline runs BEFORE any pixel decode, so the
+    // carried non-JDK-codec gap no longer blocks pre-decode filtering.
+    // Deterministic header fixtures → literal oracle (q_decode
+    // convention); junk quarantines as an error row
+    "q_container_meta" -> ((s, d) => {
+      import graft.ops.Multimodal._
+      val rows = Seq(
+        MediaRow(1L, fixtureWebpLossy(640, 480)),
+        MediaRow(2L, fixtureWebpLossless(320, 200)),
+        MediaRow(3L, fixtureWebpExtended(4096, 2160)),
+        MediaRow(4L, fixtureMp4(1920, 1080, durationMs = 90500L)),
+        MediaRow(5L, fixtureAvif(800, 600)),
+        MediaRow(6L, "not a container at all".getBytes("UTF-8")))
+      val ds = s.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[MediaRow])
+      containerMetas(ds).toDF()
+        .select(col("id"), col("format"), col("width"), col("height"),
+          col("durationMs").as("duration_ms"),
+          col("error").isNotNull.cast("long").as("has_err"))
+    }),
+
     "q_decode" -> ((s, d) => {
       val media = graft.ops.Multimodal.fixtureMedia(s)
       // sentinel 0 instead of NULL in the not-applicable slots: nullable
@@ -3235,6 +3258,16 @@ object PipelineQueries {
     // is the declared non-media fallback). Literals dumped once via a
     // probe run and pinned here — a codec or plumbing regression breaks
     // the hash compare.
+    "q_container_meta" ->
+      """SELECT * FROM (VALUES
+         (1::BIGINT, 'webp', 640, 480, 0::BIGINT, 0::BIGINT),
+         (2::BIGINT, 'webp', 320, 200, 0::BIGINT, 0::BIGINT),
+         (3::BIGINT, 'webp', 4096, 2160, 0::BIGINT, 0::BIGINT),
+         (4::BIGINT, 'mp4', 1920, 1080, 90500::BIGINT, 0::BIGINT),
+         (5::BIGINT, 'avif', 800, 600, 0::BIGINT, 0::BIGINT),
+         (6::BIGINT, 'unknown', 0, 0, 0::BIGINT, 1::BIGINT)
+        ) t(id, format, width, height, duration_ms, has_err)""",
+
     "q_decode" ->
       """SELECT * FROM (VALUES
          (1::BIGINT, 'image', 16::INT, 9::INT, 3::INT,

@@ -453,6 +453,245 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media")).as[MediaRow]
   }
 
+  // ---- container-header metadata: webp/avif/mp4 without codecs -----
+  //
+  // The carried non-JDK-codec gap covers PIXEL decode; the metadata a
+  // 100-TB pipeline filters on BEFORE any decode — dimensions,
+  // duration — lives in container HEADERS, which are pure byte
+  // parsing: WebP is RIFF (VP8/VP8L/VP8X dimension fields), AVIF and
+  // MP4 are ISO BMFF boxes (ispe / mvhd+tkhd). Parsing them needs no
+  // codec library, so the resolution/duration gates (drop icons,
+  // drop >4K, drop >10-min clips) run TODAY at full scale, and the
+  // expensive pixel path only ever sees survivors. Quarantine
+  // posture throughout: junk yields an error-tagged row, never a
+  // task failure.
+
+  /** Parsed container header. `error == null` ⇔ parsed; `durationMs`
+    * is 0 where the container carries none (stills). */
+  case class ContainerMeta(id: Long, format: String, width: Int,
+                           height: Int, durationMs: Long, error: String)
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** WebP (RIFF) dimensions: VP8 lossy (start-code frame header),
+    * VP8L lossless (packed 14-bit fields), VP8X extended (24-bit
+    * canvas). */
+  private def parseWebp(id: Long, b: Array[Byte]): ContainerMeta = {
+    def err(m: String) = ContainerMeta(id, "webp", 0, 0, 0L, m)
+    if (b.length < 16) return err("truncated WebP header")
+    fourcc(b, 12) match {
+      case "VP8 " =>
+        if (b.length < 30) err("truncated VP8 chunk")
+        else if ((b(23) & 0xff) != 0x9d || (b(24) & 0xff) != 0x01 ||
+          (b(25) & 0xff) != 0x2a) err("bad VP8 start code")
+        else ContainerMeta(id, "webp", le16(b, 26) & 0x3fff,
+          le16(b, 28) & 0x3fff, 0L, null)
+      case "VP8L" =>
+        if (b.length < 25) err("truncated VP8L chunk")
+        else if ((b(20) & 0xff) != 0x2f) err("bad VP8L signature")
+        else {
+          val b1 = b(21) & 0xff; val b2 = b(22) & 0xff
+          val b3 = b(23) & 0xff; val b4 = b(24) & 0xff
+          ContainerMeta(id, "webp",
+            1 + (((b2 & 0x3f) << 8) | b1),
+            1 + (((b4 & 0x0f) << 10) | (b3 << 2) | ((b2 & 0xc0) >> 6)),
+            0L, null)
+        }
+      case "VP8X" =>
+        if (b.length < 30) err("truncated VP8X chunk")
+        else ContainerMeta(id, "webp",
+          1 + le24(b, 24), 1 + le24(b, 27), 0L, null)
+      case other => err(s"unknown WebP chunk '$other'")
+    }
+  }
+
+  /** ISO BMFF box walk: invoke `f(type, payloadStart, payloadEnd)` on
+    * every box, recursing into the known container boxes (`meta` is a
+    * FULL box — its 4 version/flags bytes are skipped before
+    * recursing). Malformed sizes terminate the walk rather than
+    * looping. */
+  private val BmffContainers =
+    Set("moov", "trak", "mdia", "minf", "stbl", "iprp", "ipco", "edts")
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)
+                       (f: (String, Int, Int) => Unit): Unit = {
+    var p = start
+    while (p + 8 <= end) {
+      var size = be32(b, p)
+      var hdr = 8
+      if (size == 1 && p + 16 <= end) { size = be64(b, p + 8); hdr = 16 }
+      else if (size == 0) size = (end - p).toLong // box extends to end
+      if (size < hdr || p + size > end) return // malformed: stop
+      val tpe = fourcc(b, p + 4)
+      val pEnd = p + size.toInt
+      f(tpe, p + hdr, pEnd)
+      if (BmffContainers.contains(tpe)) walkBoxes(b, p + hdr, pEnd)(f)
+      else if (tpe == "meta" && p + hdr + 4 <= pEnd)
+        walkBoxes(b, p + hdr + 4, pEnd)(f)
+      p = pEnd
+    }
+  }
+
+  /** AVIF/HEIF stills (`ispe` dimensions) and MP4 movies
+    * (`mvhd` duration, max `tkhd` track dimensions — audio tracks
+    * carry 0×0 and never win). */
+  private def parseBmff(id: Long, b: Array[Byte]): ContainerMeta = {
+    val brand = if (b.length >= 12) fourcc(b, 8) else ""
+    val isAvif = Set("avif", "avis", "heic", "mif1").contains(brand)
+    val fmt = if (isAvif) "avif" else "mp4"
+    def err(m: String) = ContainerMeta(id, fmt, 0, 0, 0L, m)
+    var w = 0; var h = 0; var durMs = 0L; var seen = false
+    walkBoxes(b, 0, b.length) { (tpe, p, pEnd) =>
+      tpe match {
+        case "ispe" if pEnd - p >= 12 =>
+          seen = true
+          w = math.max(w, be32(b, p + 4).toInt)
+          h = math.max(h, be32(b, p + 8).toInt)
+        case "mvhd" if pEnd - p >= 20 =>
+          seen = true
+          val v = b(p) & 0xff
+          val (ts, dur) =
+            if (v == 1 && pEnd - p >= 32)
+              (be32(b, p + 20), be64(b, p + 24))
+            else (be32(b, p + 12), be32(b, p + 16))
+          if (ts > 0) durMs = dur * 1000L / ts
+        case "tkhd" if pEnd - p >= 84 =>
+          seen = true
+          val v = b(p) & 0xff
+          val base = if (v == 1) p + 88 else p + 76
+          if (pEnd - base >= 8) {
+            // 16.16 fixed point
+            w = math.max(w, (be32(b, base) >> 16).toInt)
+            h = math.max(h, (be32(b, base + 4) >> 16).toInt)
+          }
+        case _ => ()
+      }
+    }
+    if (!seen) err("no ispe/mvhd/tkhd box found")
+    else ContainerMeta(id, fmt, w, h, durMs, null)
+  }
+
+  /** Parse one payload's container header — total function, the
+    * quarantine posture. */
+  def containerMeta(id: Long, bytes: Array[Byte]): ContainerMeta =
+    try {
+      if (bytes.length >= 16 && fourcc(bytes, 0) == "RIFF" &&
+        fourcc(bytes, 8) == "WEBP") parseWebp(id, bytes)
+      else if (bytes.length >= 12 && fourcc(bytes, 4) == "ftyp")
+        parseBmff(id, bytes)
+      else ContainerMeta(id, "unknown", 0, 0, 0L,
+        "unrecognized container (not RIFF/WEBP, no ftyp box)")
+    } catch {
+      case e: Exception =>
+        ContainerMeta(id, "unknown", 0, 0, 0L,
+          s"container parse error: ${e.getClass.getSimpleName}")
+    }
+
+  /** Distributed container metadata — map-only, bytes never leave the
+    * task (the decode-stage convention). */
+  def containerMetas(ds: Dataset[MediaRow]): Dataset[ContainerMeta] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ContainerMeta]
+    ds.map(m => containerMeta(m.id, m.media))
+  }
+
+  // ---- deterministic container fixtures (header-only: the parser
+  // reads headers; pixel payloads would need the codecs this sandbox
+  // lacks — scaladoc'd honestly, the q_decode fixture convention) ----
+
+  def fixtureWebpLossy(w: Int, h: Int): Array[Byte] = {
+    val payload = Array[Byte](0, 0, 0, // frame tag
+      0x9d.toByte, 0x01, 0x2a,
+      (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte)
+    riffWebp("VP8 ", payload)
+  }
+
+  def fixtureWebpLossless(w: Int, h: Int): Array[Byte] = {
+    val wm = w - 1; val hm = h - 1
+    val packed = (wm & 0x3fff).toLong | ((hm & 0x3fff).toLong << 14)
+    val payload = Array[Byte](0x2f,
+      (packed & 0xff).toByte, ((packed >> 8) & 0xff).toByte,
+      ((packed >> 16) & 0xff).toByte, ((packed >> 24) & 0xff).toByte)
+    riffWebp("VP8L", payload)
+  }
+
+  def fixtureWebpExtended(w: Int, h: Int): Array[Byte] = {
+    val wm = w - 1; val hm = h - 1
+    val payload = Array[Byte](0, 0, 0, 0, // flags + reserved
+      (wm & 0xff).toByte, ((wm >> 8) & 0xff).toByte,
+      ((wm >> 16) & 0xff).toByte,
+      (hm & 0xff).toByte, ((hm >> 8) & 0xff).toByte,
+      ((hm >> 16) & 0xff).toByte)
+    riffWebp("VP8X", payload)
+  }
+
+  private def riffWebp(chunk: String, payload: Array[Byte]): Array[Byte] = {
+    val size = 4 + 8 + payload.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(Array[Byte]((size & 0xff).toByte, ((size >> 8) & 0xff).toByte,
+      ((size >> 16) & 0xff).toByte, ((size >> 24) & 0xff).toByte))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(chunk.getBytes("US-ASCII"))
+    val ps = payload.length
+    out.write(Array[Byte]((ps & 0xff).toByte, ((ps >> 8) & 0xff).toByte,
+      ((ps >> 16) & 0xff).toByte, ((ps >> 24) & 0xff).toByte))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  private def bmffBox(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val size = 8 + payload.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](((size >> 24) & 0xff).toByte,
+      ((size >> 16) & 0xff).toByte, ((size >> 8) & 0xff).toByte,
+      (size & 0xff).toByte))
+    out.write(tpe.getBytes("US-ASCII"))
+    out.write(payload)
+    out.toByteArray
+  }
+  private def beBytes32(v: Long): Array[Byte] =
+    Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Minimal MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  def fixtureMp4(w: Int, h: Int, durationMs: Long,
+                 timescale: Long = 1000L): Array[Byte] = {
+    val ftyp = bmffBox("ftyp",
+      "isom".getBytes("US-ASCII") ++ beBytes32(0x200) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mvhd = bmffBox("mvhd",
+      new Array[Byte](12) ++ // version/flags + ctime + mtime
+        beBytes32(timescale) ++
+        beBytes32(durationMs * timescale / 1000L) ++
+        new Array[Byte](80)) // rate..matrix..next_track_id
+    val tkhd = bmffBox("tkhd",
+      new Array[Byte](76) ++ // v0 header through matrix
+        beBytes32(w.toLong << 16) ++ beBytes32(h.toLong << 16))
+    ftyp ++ bmffBox("moov", mvhd ++ bmffBox("trak", tkhd))
+  }
+
+  /** Minimal AVIF: ftyp(avif) + meta(full box: iprp(ipco(ispe))). */
+  def fixtureAvif(w: Int, h: Int): Array[Byte] = {
+    val ftyp = bmffBox("ftyp",
+      "avif".getBytes("US-ASCII") ++ beBytes32(0) ++
+        "avifmif1".getBytes("US-ASCII"))
+    val ispe = bmffBox("ispe",
+      new Array[Byte](4) ++ beBytes32(w.toLong) ++ beBytes32(h.toLong))
+    val meta = bmffBox("meta",
+      new Array[Byte](4) ++ bmffBox("iprp", bmffBox("ipco", ispe)))
+    ftyp ++ meta
+  }
+
   // ---- video/extended-codec plug-in contract (r13 verdict #8) ------
 
   /** One decoded, fully-composited video frame: dims of the logical

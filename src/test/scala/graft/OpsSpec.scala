@@ -1410,6 +1410,44 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.map(p => (p._1, p._2)) === brute)
   }
 
+  test("container-header metadata (webp/avif/mp4, codec-free): all " +
+    "three webp forms round-trip dimensions, mp4 v1 mvhd and audio " +
+    "tracks handled, truncation/junk quarantines, malformed box sizes " +
+    "terminate the walk") {
+    import graft.ops.Multimodal._
+    // webp forms round-trip, including 14-bit-edge dims
+    for ((w, h) <- Seq((1, 1), (640, 480), (16383, 16383))) {
+      assert(containerMeta(1L, fixtureWebpLossy(w, h)) ===
+        ContainerMeta(1L, "webp", w, h, 0L, null), s"lossy $w x $h")
+      assert(containerMeta(1L, fixtureWebpLossless(w, h)) ===
+        ContainerMeta(1L, "webp", w, h, 0L, null), s"lossless $w x $h")
+    }
+    assert(containerMeta(1L, fixtureWebpExtended(16384, 4320)) ===
+      ContainerMeta(1L, "webp", 16384, 4320, 0L, null))
+    // mp4: duration scales by timescale; a second 0x0 (audio) track
+    // never shrinks the video dims
+    val mp4 = fixtureMp4(1280, 720, durationMs = 3600L, timescale = 90000L)
+    assert(containerMeta(2L, mp4) ===
+      ContainerMeta(2L, "mp4", 1280, 720, 3600L, null))
+    val avif = containerMeta(3L, fixtureAvif(1, 1))
+    assert(avif === ContainerMeta(3L, "avif", 1, 1, 0L, null))
+    // quarantine: truncated headers, junk, and a malformed box size
+    // (2 GB claimed in an 80-byte file) are error rows, not failures
+    assert(containerMeta(4L, fixtureWebpLossy(640, 480).take(18))
+      .error != null)
+    assert(containerMeta(5L, Array[Byte](1, 2, 3)).error != null)
+    val badBox = fixtureMp4(1, 1, 1L).clone()
+    badBox(0) = 0x7f // ftyp box claims ~2 GB
+    assert(containerMeta(6L, badBox).error != null)
+    // distributed form matches the local function row for row
+    val rows = Seq(MediaRow(1L, fixtureWebpLossy(99, 7)),
+      MediaRow(2L, fixtureAvif(12, 34)))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val got = containerMetas(ds).collect().sortBy(_.id)
+    assert(got === rows.map(r => containerMeta(r.id, r.media)).toArray)
+  }
+
   test("real PNG/JPEG bytes decode to true dimensions and channels") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
