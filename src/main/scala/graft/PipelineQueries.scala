@@ -146,6 +146,11 @@ object PipelineQueries {
     val id = col("doc_id")
     concat(
       lit("<html><body><h1>"), col("source"), lit("</h1>"),
+      // every 6th page rebases via <base href> — relative and
+      // root-relative links must resolve against it (r19)
+      when(id % 6 === 0,
+        lit("<base href=\"https://static.hub.org/lib/\">"))
+        .otherwise(lit("")),
       lit("<a href=\"https://partner"), (id % 5).cast("string"),
       lit(".com/x?id="), id.cast("string"), lit("\">p</a>"),
       lit("<a href='//cdn-assets.net/l"), (id % 3).cast("string"),
@@ -2695,9 +2700,14 @@ object PipelineQueries {
 
     "q_outlinks" ->
       """WITH h AS (SELECT doc_id,
-        'https://' || source || '-news.com' AS bauthu,
-        '/sec/' || (doc_id % 7)::VARCHAR || '/' AS bdir,
+        CASE WHEN doc_id % 6 = 0 THEN 'https://static.hub.org'
+             ELSE 'https://' || source || '-news.com' END AS bauthu,
+        CASE WHEN doc_id % 6 = 0 THEN '/lib/'
+             ELSE '/sec/' || (doc_id % 7)::VARCHAR || '/' END AS bdir,
         '<html><body><h1>' || source || '</h1>' ||
+        (CASE WHEN doc_id % 6 = 0
+              THEN '<base href="https://static.hub.org/lib/">'
+              ELSE '' END) ||
         '<a href="https://partner' || (doc_id % 5)::VARCHAR ||
           '.com/x?id=' || doc_id::VARCHAR || '">p</a>' ||
         '<a href=''//cdn-assets.net/l' || (doc_id % 3)::VARCHAR ||

@@ -378,14 +378,38 @@ object Web {
     *     `./` runs stripped. Dot-segment (`../`) normalization is out
     *     of scope (heuristic extractor, same posture as htmlToText —
     *     the registered-domain grain [[edgesFromDocuments]] feeds on
-    *     is unaffected because `..` never crosses the authority), and
-    *     so is the `<base href>` tag (rare, and honoring it would make
-    *     extraction non-local to the anchor);
+    *     is unaffected because `..` never crosses the authority). A
+    *     `<base href>` tag IS honored (r19): an absolute http(s)
+    *     value replaces the resolution base whole; root-relative and
+    *     protocol-relative values rebase against the page's
+    *     scheme/authority; any other value (a RELATIVE base — rare,
+    *     usually an authoring bug) falls back to the page URL. The
+    *     tag is picked up wherever it appears (a real parser requires
+    *     `<head>`; position-independence is the heuristic trade);
     *  4. empty values drop; DUPLICATES ARE KEPT — a page linking twice
     *     votes twice, matching [[domainRank]] multi-edge semantics.
     * Null html or base yields null (explode skips it downstream). */
   def extractOutlinks(html: Column, baseUrl: Column): Column = {
-    val defragBase = regexp_replace(baseUrl, "#.*$", "")
+    val pageDefrag = regexp_replace(baseUrl, "#.*$", "")
+    val pageScheme =
+      lower(regexp_extract(pageDefrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val pageRest =
+      regexp_replace(pageDefrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val pageAuth = regexp_extract(pageRest, "^([^/?]*)", 1)
+    // <base href> (same scan discipline as the anchor pattern); ''
+    // when absent — regexp_extract's no-match value — falls through
+    // to the page URL
+    val rawBase = trim(regexp_replace(regexp_replace(
+      regexp_extract(html,
+        "(?i)<base\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)",
+        1),
+      "^[\"']|[\"']$", ""), "#.*$", ""))
+    val defragBase = when(rawBase.rlike("^(?i)https?://"), rawBase)
+      .when(rawBase.startsWith("//"),
+        concat(pageScheme, lit(":"), rawBase))
+      .when(rawBase.startsWith("/"),
+        concat(pageScheme, lit("://"), pageAuth, rawBase))
+      .otherwise(pageDefrag)
     val baseScheme =
       lower(regexp_extract(defragBase, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val baseRest = regexp_replace(defragBase, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")

@@ -354,6 +354,25 @@ class WebSpec extends SparkTestBase {
       .select(Web.extractOutlinks(col("html"), col("base")).as("ls"))
       .collect().head.getSeq[String](0)
     assert(sweep === Seq("https://a.com/real", "https://pad.com/p"))
+    // <base href> rebasing (r19): absolute replaces whole;
+    // root-relative and protocol-relative rebase on the page's
+    // scheme/authority; a RELATIVE base falls back to the page URL
+    def links(html: String, page: String = "https://p.com/d/x.html") =
+      Seq((page, html)).toDF("base", "html")
+        .select(Web.extractOutlinks(col("html"), col("base")).as("ls"))
+        .collect().head.getSeq[String](0)
+    assert(links("""<base href="https://cdn.b.net/as/"><a href="r">x</a>""")
+      === Seq("https://cdn.b.net/as/r"))
+    assert(links("""<base href="https://cdn.b.net/as"><a href="/rt">x</a>""")
+      === Seq("https://cdn.b.net/rt"), "root-relative uses base authority")
+    assert(links("""<base href="/deep/"><a href="r">x</a>""")
+      === Seq("https://p.com/deep/r"), "root-relative base rebases page")
+    assert(links("""<base href="//m.org/a/"><a href="r">x</a>""")
+      === Seq("https://m.org/a/r"), "protocol-relative base")
+    assert(links("""<base href="weird/rel"><a href="r">x</a>""")
+      === Seq("https://p.com/d/r"), "relative base falls back to page")
+    assert(links("""<a href="r">x</a>""")
+      === Seq("https://p.com/d/r"), "no base tag: page URL")
     // a base with NO path resolves relatives against '/'
     val noPath = Seq(("https://a.com", "<a href=\"r\">x</a>"))
       .toDF("base", "html")
