@@ -1905,6 +1905,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming container-metadata gate: containerMetas runs on a " +
+    "media stream with zero state, batch-equal — the pre-decode " +
+    "resolution filter at ingest") {
+    import graft.ops.Multimodal._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      MediaRow(1L, fixtureWebpLossy(3840, 2160)),
+      MediaRow(2L, fixtureMp4(640, 360, durationMs = 601000L)),
+      MediaRow(3L, "junk".getBytes("UTF-8")))
+    // the gate: drop >1080p stills and >10-minute clips, keep errors
+    // for a quarantine sink
+    def gate(ds: org.apache.spark.sql.Dataset[MediaRow]) =
+      containerMetas(ds).filter(m =>
+        m.error != null || (m.height <= 1080 && m.durationMs <= 600000L))
+    val batch = gate(spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow]))
+      .collect().map(_.id).sorted
+    assert(batch === Array(3L), "4K still and 10-min clip must drop")
+    val input = MemoryStream[MediaRow]
+    val q = gate(input.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName("container_gate_out").start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      val got = spark.table("container_gate_out").collect()
+        .map(_.getLong(0)).sorted
+      assert(got === batch)
+      assert(q.lastProgress.stateOperators.isEmpty, "must be stateless")
+    } finally q.stop()
+  }
+
   test("streaming link-graph production: WARC stream → href extraction " +
     "→ domain edges is the same stateless map chain as batch (rank " +
     "itself stays a batch job over the accumulated edges)") {
