@@ -82,9 +82,18 @@ object Warc {
     * record index — re-running ingest yields the same ids, so
     * downstream indexes and manifests stay valid). Columns:
     * (doc_id, url, text, n_chars). */
-  def warcToDocuments(spark: SparkSession, path: String): DataFrame = {
+  def warcToDocuments(spark: SparkSession, path: String): DataFrame =
+    documentsFromRecords(readWarc(spark, path))
+
+  /** The crawl→documents projection over an ALREADY-READ records
+    * frame — the shared tail of [[warcToDocuments]], so the indexed
+    * ([[readWarcIndexed]]) and streaming ([[readWarcStream]]) readers
+    * produce documents with IDENTICAL re-read-stable ids (the id is
+    * xxhash64(path, recordIdx), and the sidecar reader reproduces
+    * recordIdx bit-for-bit — WarcSpec law). */
+  def documentsFromRecords(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    readWarc(spark, path)
+    records
       // lower(): parseHttp lowercases only the header NAME, and real
       // crawls contain 'Text/HTML' values (r19 ADVICE fix)
       .filter(col("error").isNull && col("httpStatus") === 200 &&

@@ -279,6 +279,29 @@ class WarcSpec extends SparkTestBase {
     assert(a.map(_._1).distinct.length === 4)
   }
 
+  test("documentsFromRecords over the sidecar reader yields doc_ids " +
+    "IDENTICAL to warcToDocuments — indexed reads feed the same " +
+    "downstream indexes and manifests") {
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_docs")
+    java.nio.file.Files.write(dir.resolve("c.warc.gz"),
+      (1 to 3).map(_ => gzip(Warc.fixtureCrawl())).reduce(_ ++ _))
+    val side = dir.toString + "/side"
+    Warc.writeWarcSplitIndex(spark, dir.toString + "/c.warc.gz", side,
+      targetSplitBytes = 1L)
+    val whole = Warc.warcToDocuments(spark, dir.toString + "/c.warc.gz")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val indexed = Warc.documentsFromRecords(
+      Warc.readWarcIndexed(spark, side))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(indexed === whole)
+    assert(whole.size === 12, "3 copies x 4 html-200 responses")
+  }
+
   test("warcToDocuments keeps 'Text/HTML' responses — the content-type " +
     "VALUE matches case-insensitively (r19 ADVICE fix)") {
     val html = "<p>upper case content type</p>"
