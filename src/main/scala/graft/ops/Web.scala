@@ -955,8 +955,9 @@ object Web {
       s"budgets must be (domain, budget), got ${budgets.columns.toSeq}")
     require(delays.columns.length == 2,
       s"delays must be (host, crawl_delay), got ${delays.columns.toSeq}")
-    require(!urls.columns.contains(domainCol),
-      s"output column '$domainCol' already exists in the input")
+    (Seq(domainCol, "rank", "fetch_at", "__budget", "__delay")).foreach(c =>
+      require(!urls.columns.contains(c),
+        s"frontierPlan stages a column named '$c'; rename the input's"))
     Selection.requireIntegralCol(urls, idCol, "frontierPlan idCol")
     val Seq(bDom, bCol) = budgets.columns.toSeq
     val Seq(dHost, dCol) = delays.columns.toSeq
