@@ -494,9 +494,12 @@ object Web {
         rules.columns.mkString("(", ", ", ")"))
     val keyed = df.select(col(idCol).as("__rid"),
       hostOf(col(urlCol)).as("__rhost"), pathOf(col(urlCol)).as("__rpath"))
+    // coalesce: an EMPTY rules table aggregates max() to null — it
+    // must mean "no wildcards" (and no matches → everything allowed),
+    // not an NPE (r19 self-review find)
     val hasWild = rules
-      .agg(max(col("prefix").contains("*") ||
-        col("prefix").endsWith("$")).as("w"))
+      .agg(coalesce(max(col("prefix").contains("*") ||
+        col("prefix").endsWith("$")), lit(false)).as("w"))
       .head().getBoolean(0)
     val ruleTest: Column =
       if (!hasWild) col("__rpath").startsWith(col("prefix"))

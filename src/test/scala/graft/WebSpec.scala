@@ -546,6 +546,12 @@ class WebSpec extends SparkTestBase {
     val b = Web.robotsFilter(df, "url", "doc_id", wild)
       .select("doc_id").as[Long].collect().sorted
     assert(a === b, "plain rules must match identically in both tiers")
+    // an EMPTY rules table allows everything (r19 self-review: the
+    // wildcard gate must not NPE on the null aggregate)
+    val none = Seq.empty[(String, String, Boolean)]
+      .toDF("host", "prefix", "allow")
+    assert(Web.robotsFilter(df, "url", "doc_id", none).count() ===
+      df.count())
   }
 
   test("parseCrawlDelays: the matched group's delay beats the * " +
