@@ -522,8 +522,14 @@ object Multimodal {
     * looping. */
   private val BmffContainers =
     Set("moov", "trak", "mdia", "minf", "stbl", "iprp", "ipco", "edts")
-  private def walkBoxes(b: Array[Byte], start: Int, end: Int)
+  /** `depth` caps recursion: real files nest ≤ ~6 container levels; a
+    * crafted million-deep nesting must quarantine (the walk just
+    * stops descending), not StackOverflowError the task — an Error
+    * the quarantine catch could not intercept. */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int,
+                        depth: Int = 0)
                        (f: (String, Int, Int) => Unit): Unit = {
+    if (depth > 32) return
     var p = start
     while (p + 8 <= end) {
       var size = be32(b, p)
@@ -534,9 +540,9 @@ object Multimodal {
       val tpe = fourcc(b, p + 4)
       val pEnd = p + size.toInt
       f(tpe, p + hdr, pEnd)
-      if (BmffContainers.contains(tpe)) walkBoxes(b, p + hdr, pEnd)(f)
+      if (BmffContainers.contains(tpe)) walkBoxes(b, p + hdr, pEnd, depth + 1)(f)
       else if (tpe == "meta" && p + hdr + 4 <= pEnd)
-        walkBoxes(b, p + hdr + 4, pEnd)(f)
+        walkBoxes(b, p + hdr + 4, pEnd, depth + 1)(f)
       p = pEnd
     }
   }

@@ -1439,6 +1439,27 @@ class OpsSpec extends SparkTestBase {
     val badBox = fixtureMp4(1, 1, 1L).clone()
     badBox(0) = 0x7f // ftyp box claims ~2 GB
     assert(containerMeta(6L, badBox).error != null)
+    // a crafted 10^5-deep container nesting quarantines (depth cap),
+    // never a StackOverflowError task failure
+    val levels = 100000
+    val deep = new Array[Byte](16 + 8 * levels)
+    var off = 0
+    (0 until levels).foreach { _ =>
+      val size = deep.length - off
+      deep(off) = ((size >> 24) & 0xff).toByte
+      deep(off + 1) = ((size >> 16) & 0xff).toByte
+      deep(off + 2) = ((size >> 8) & 0xff).toByte
+      deep(off + 3) = (size & 0xff).toByte
+      deep(off + 4) = 'm'; deep(off + 5) = 'o'
+      deep(off + 6) = 'o'; deep(off + 7) = 'v'
+      off += 8
+    }
+    // innermost: an ispe the capped walk must never reach
+    Array[Byte](0, 0, 0, 16, 'i', 's', 'p', 'e',
+      0, 0, 0, 0, 0, 0, 0, 1).copyToArray(deep, off)
+    val ftypDeep = fixtureMp4(1, 1, 1L).take(24) // exactly the ftyp box
+    val deepMeta = containerMeta(7L, ftypDeep ++ deep)
+    assert(deepMeta.error != null, s"deep nesting must quarantine: $deepMeta")
     // distributed form matches the local function row for row
     val rows = Seq(MediaRow(1L, fixtureWebpLossy(99, 7)),
       MediaRow(2L, fixtureAvif(12, 34)))
