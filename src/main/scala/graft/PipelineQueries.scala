@@ -2100,6 +2100,20 @@ object PipelineQueries {
           col("link"))
     }),
 
+    // anchor TEXT extraction (the link-label signal anchor-text
+    // corpora are built from): whole <a …>…</a> elements, href through
+    // the shared resolution rule, text de-tagged/entity-decoded/
+    // collapsed — DuckDB replica of the same two-phase scan
+    "q_anchors" -> ((s, d) => {
+      val h = docs(s, d).select(col("doc_id"), outlinkBase.as("base"),
+        outlinkFixtureHtml.as("html"))
+      h.select(col("doc_id"),
+        posexplode(graft.ops.Web.extractAnchors(col("html"), col("base")))
+          .as(Seq("a_idx", "a")))
+        .select(col("doc_id"), col("a_idx").cast("long").as("a_idx"),
+          col("a.href").as("href"), col("a.text").as("a_text"))
+    }),
+
     // the link-graph edges DERIVED FROM THE ARCHIVE (not synthesized):
     // WARC → status gate → href extraction → registered-domain grain
     // with self-loop drop and multi-edge counts — literal oracle over
@@ -2736,6 +2750,59 @@ object PipelineQueries {
              ELSE NULL END), x -> x IS NOT NULL) AS ls FROM v)
       SELECT doc_id, generate_subscripts(ls, 1)::BIGINT - 1 AS link_idx,
         unnest(ls) AS link FROM res""",
+
+    "q_anchors" ->
+      """WITH h AS (SELECT doc_id,
+        CASE WHEN doc_id % 6 = 0 THEN 'https://static.hub.org'
+             ELSE 'https://' || source || '-news.com' END AS bauthu,
+        CASE WHEN doc_id % 6 = 0 THEN '/lib/'
+             ELSE '/sec/' || (doc_id % 7)::VARCHAR || '/' END AS bdir,
+        '<html><body><h1>' || source || '</h1>' ||
+        (CASE WHEN doc_id % 6 = 0
+              THEN '<base href="https://static.hub.org/lib/">'
+              ELSE '' END) ||
+        '<a href="https://partner' || (doc_id % 5)::VARCHAR ||
+          '.com/x?id=' || doc_id::VARCHAR || '">p</a>' ||
+        '<a href=''//cdn-assets.net/l' || (doc_id % 3)::VARCHAR ||
+          '''>c</a>' ||
+        '<a href=/local/' || (doc_id % 7)::VARCHAR || '>l</a>' ||
+        (CASE WHEN doc_id % 2 = 0 THEN '<a href="rel/page2.html">r</a>'
+              ELSE '<a href="./sib.html#frag">s</a>' END) ||
+        '<a href="mailto:x@y.com">m</a><a href="#top">t</a>' ||
+        (CASE WHEN doc_id % 4 = 0 THEN '<A HREF="HTTP://Upper.org/Y">u</A>'
+              ELSE '' END) ||
+        '</body></html>' AS html
+       FROM documents),
+      r AS (SELECT doc_id, bauthu, bdir, regexp_extract_all(html,
+        '(?is)<a\b[^>]*?\shref\s*=\s*(?:"[^"]*"|''[^'']*''|[^\s>]+)[^>]*>.*?</a>',
+        0) AS elems FROM h),
+      p0 AS (SELECT doc_id, bauthu, bdir, list_transform(elems, e ->
+        struct_pack(
+          cv := trim(regexp_replace(regexp_replace(regexp_extract(e,
+            '(?is)<a\b[^>]*?\shref\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)', 1),
+            '^["'']|["'']$', '', 'g'), '#.*$', '')),
+          atext := trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(e,
+                '(?is)^<a[^>]*>', ''), '(?is)</a>$', ''),
+                '<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', chr(39)), '&amp;', '&'),
+            '\s+', ' ', 'g')))) AS l0 FROM r),
+      p AS (SELECT doc_id, list_filter(list_transform(l0, x ->
+        struct_pack(
+          href := CASE
+            WHEN regexp_matches(x.cv, '^(?i)https?://') THEN x.cv
+            WHEN regexp_matches(x.cv, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+            WHEN starts_with(x.cv, '//') THEN 'https:' || x.cv
+            WHEN starts_with(x.cv, '/') THEN bauthu || x.cv
+            WHEN len(x.cv) > 0 THEN bauthu || bdir ||
+              regexp_replace(x.cv, '^(\./)+', '')
+            ELSE NULL END,
+          atext := x.atext)), x -> x.href IS NOT NULL) AS ls FROM p0),
+      sel AS (SELECT doc_id, generate_subscripts(ls, 1)::BIGINT - 1 AS a_idx,
+        unnest(ls) AS a FROM p)
+      SELECT doc_id, a_idx, a.href AS href, a.atext AS a_text FROM sel""",
 
     "q_crawl_edges" ->
       """SELECT * FROM (VALUES

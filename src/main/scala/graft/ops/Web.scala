@@ -390,56 +390,114 @@ object Web {
     *     votes twice, matching [[domainRank]] multi-edge semantics.
     * Null html or base yields null (explode skips it downstream). */
   def extractOutlinks(html: Column, baseUrl: Column): Column = {
-    val pageDefrag = regexp_replace(baseUrl, "#.*$", "")
-    val pageScheme =
-      lower(regexp_extract(pageDefrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val pageRest =
-      regexp_replace(pageDefrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    val pageAuth = regexp_extract(pageRest, "^([^/?]*)", 1)
-    // <base href> (same scan discipline as the anchor pattern); ''
-    // when absent — regexp_extract's no-match value — falls through
-    // to the page URL
-    val rawBase = trim(regexp_replace(regexp_replace(
-      regexp_extract(html,
-        "(?i)<base\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)",
-        1),
-      "^[\"']|[\"']$", ""), "#.*$", ""))
-    val defragBase = when(rawBase.rlike("^(?i)https?://"), rawBase)
-      .when(rawBase.startsWith("//"),
-        concat(pageScheme, lit(":"), rawBase))
-      .when(rawBase.startsWith("/"),
-        concat(pageScheme, lit("://"), pageAuth, rawBase))
-      .otherwise(pageDefrag)
-    val baseScheme =
-      lower(regexp_extract(defragBase, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val baseRest = regexp_replace(defragBase, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    val baseAuth = regexp_extract(baseRest, "^([^/?]*)", 1)
-    val basePath =
-      regexp_extract(regexp_replace(baseRest, "^[^/?]*", ""), "^([^?]*)", 1)
-    // directory of the base path: up to and including the last '/';
-    // a base with no path resolves relatives against '/'
-    val baseDir = when(basePath.contains("/"),
-      regexp_replace(basePath, "[^/]*$", "")).otherwise(lit("/"))
+    val resolvedOf = resolveHref(effectiveBase(html, baseUrl))
     // \s before href, not \b: a word BOUNDARY matches after '-', so
     // \bhref would extract data-href="…" values (r19 sweep find) —
     // and attributes are whitespace-separated in valid HTML anyway
     val raws = regexp_extract_all(html,
       lit("(?i)<a\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
       lit(1))
-    val vals = transform(raws, v => trim(
-      regexp_replace(regexp_replace(v, "^[\"']|[\"']$", ""), "#.*$", "")))
-    val resolved = transform(vals, v => {
+    val resolved = transform(raws, v => resolvedOf(trim(
+      regexp_replace(regexp_replace(v, "^[\"']|[\"']$", ""), "#.*$", ""))))
+    filter(resolved, x => x.isNotNull)
+  }
+
+  /** The effective resolution base of a page: its own URL unless a
+    * `<base href>` overrides it — absolute http(s) replaces whole,
+    * root-/protocol-relative rebase on the page's scheme/authority,
+    * anything else (relative base, no tag) falls back to the page
+    * URL. Shared by [[extractOutlinks]] and [[extractAnchors]]. */
+  private def effectiveBase(html: Column, baseUrl: Column): Column = {
+    val pageDefrag = regexp_replace(baseUrl, "#.*$", "")
+    val pageScheme =
+      lower(regexp_extract(pageDefrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val pageRest =
+      regexp_replace(pageDefrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val pageAuth = regexp_extract(pageRest, "^([^/?]*)", 1)
+    // '' when absent — regexp_extract's no-match value — falls
+    // through to the page URL
+    val rawBase = trim(regexp_replace(regexp_replace(
+      regexp_extract(html,
+        "(?i)<base\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)",
+        1),
+      "^[\"']|[\"']$", ""), "#.*$", ""))
+    when(rawBase.rlike("^(?i)https?://"), rawBase)
+      .when(rawBase.startsWith("//"),
+        concat(pageScheme, lit(":"), rawBase))
+      .when(rawBase.startsWith("/"),
+        concat(pageScheme, lit("://"), pageAuth, rawBase))
+      .otherwise(pageDefrag)
+  }
+
+  /** (href, anchor text) pairs — the link-TEXT signal ([[
+    * extractOutlinks]] keeps only targets): anchor-text corpora feed
+    * retrieval training and the classic what-others-call-this-page
+    * quality prior. Array of structs (href resolved ABSOLUTE exactly
+    * like extractOutlinks — same [[effectiveBase]]/[[resolveHref]]
+    * rule, `<base href>` included; text de-tagged/entity-decoded/
+    * whitespace-collapsed); anchors whose `</a>` never closes
+    * (truncated pages) are dropped — extractOutlinks still sees their
+    * targets, so the GRAPH never loses an edge, only its label
+    * (documented asymmetry). Same one-pass codegen'd regex
+    * discipline; empty anchor text (image links) yields an empty
+    * string, not a drop — the caller decides. */
+  def extractAnchors(html: Column, baseUrl: Column): Column = {
+    // whole <a …>…</a> elements; (?s) lets anchor text span lines.
+    // RE2 and Java both run the lazy quantifier linearly here (the
+    // closing tag is a literal)
+    val elems = regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s>]+)" +
+        "[^>]*>.*?</a>"),
+      lit(0))
+    val resolvedOf = resolveHref(effectiveBase(html, baseUrl))
+    val pairs = transform(elems, e => {
+      val raw = regexp_extract(e,
+        "(?is)<a\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
+      val href = resolvedOf(trim(regexp_replace(
+        regexp_replace(raw, "^[\"']|[\"']$", ""), "#.*$", "")))
+      val inner = regexp_replace(
+        regexp_replace(e, "(?is)^<a[^>]*>", ""), "(?is)</a>$", "")
+      val noTags = regexp_replace(inner, "<[^>]*>", " ")
+      // entities decode BEFORE the whitespace collapse (the htmlToText
+      // order — an &nbsp; must collapse with its neighbors)
+      val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+        .foldLeft(noTags) { case (c, (from, to)) =>
+          replace(c, lit(from), lit(to))
+        }
+      val text = trim(regexp_replace(decoded, "\\s+", " "))
+      struct(href.as("href"), text.as("text"))
+    })
+    filter(pairs, p => p.getField("href").isNotNull)
+  }
+
+  /** The href-resolution rule shared by [[extractOutlinks]] and
+    * [[extractAnchors]]: a function from a cleaned (unquoted,
+    * defragmented, trimmed) href value to the resolved absolute URL
+    * (null = dropped), closed over the parts of the [[effectiveBase]]
+    * it is given — kept in ONE place so the two extractors can never
+    * drift. */
+  private def resolveHref(base: Column): Column => Column = {
+    val defragBase = base
+    val baseScheme =
+      lower(regexp_extract(defragBase, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val baseRest = regexp_replace(defragBase, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val baseAuth = regexp_extract(baseRest, "^([^/?]*)", 1)
+    val basePath =
+      regexp_extract(regexp_replace(baseRest, "^[^/?]*", ""), "^([^?]*)", 1)
+    val baseDir = when(basePath.contains("/"),
+      regexp_replace(basePath, "[^/]*$", "")).otherwise(lit("/"))
+    (v: Column) => {
       val isHttp = v.rlike("^(?i)https?://")
       val hasScheme = v.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
       when(isHttp, v)
-        .when(hasScheme, lit(null)) // mailto:, javascript:, data:, …
+        .when(hasScheme, lit(null))
         .when(v.startsWith("//"), concat(baseScheme, lit(":"), v))
         .when(v.startsWith("/"), concat(baseScheme, lit("://"), baseAuth, v))
         .when(length(v) > 0, concat(baseScheme, lit("://"), baseAuth,
           baseDir, regexp_replace(v, "^(\\./)+", "")))
         .otherwise(lit(null))
-    })
-    filter(resolved, x => x.isNotNull)
+    }
   }
 
   /** (src, dst) link edges at REGISTERED-DOMAIN grain from a crawled

@@ -386,6 +386,35 @@ class WebSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("extractAnchors: (href, text) pairs with inner tags stripped " +
+    "and entities decoded before collapse; unclosed anchors drop the " +
+    "LABEL but extractOutlinks keeps the edge; image links carry " +
+    "empty text; href resolution identical to extractOutlinks " +
+    "including <base href>") {
+    val base = "https://p.com/d/x.html"
+    val html =
+      """<base href="https://cdn.q.net/as/">""" +
+        """<a href="rel"><b>Bold</b> &amp;  spaced&nbsp;label</a>""" +
+        """<a href="/img"><img src="i.png"></a>""" +
+        """<a href="https://z.org/t">closed</a>""" +
+        """<a href="https://lost.org/u">never closed"""
+    val got = Seq((base, html)).toDF("base", "html")
+      .select(Web.extractAnchors(col("html"), col("base")).as("ls"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got === Seq(
+      ("https://cdn.q.net/as/rel", "Bold & spaced label"),
+      ("https://cdn.q.net/img", ""),
+      ("https://z.org/t", "closed")))
+    // href parity: every closed anchor's href appears in outlinks too
+    val links = Seq((base, html)).toDF("base", "html")
+      .select(Web.extractOutlinks(col("html"), col("base")).as("ls"))
+      .collect().head.getSeq[String](0)
+    assert(got.map(_._1).forall(links.contains), s"$links")
+    assert(links.contains("https://lost.org/u"),
+      "the unclosed anchor's EDGE must survive in extractOutlinks")
+  }
+
   test("edgesFromDocuments: registered-domain grain, self-loops drop " +
     "by default (kept with dropSelf=false), multi-edges kept, junk " +
     "pages contribute nothing") {
