@@ -861,4 +861,87 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- r19 totality/idempotence fuzz over the web/ingest surface ----
+
+  test("fuzz: WARC/gz parsers are TOTAL on random bytes — quarantine " +
+    "rows, never exceptions; record payload bytes are conserved " +
+    "within the input") {
+    val genBytes: Gen[Array[Byte]] = Gen.frequency(
+      3 -> Gen.listOfN(400, Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray),
+      // adversarial: real markers buried in noise
+      2 -> Gen.listOfN(6, Gen.oneOf(
+        "WARC/1.0\r\nContent-Length: 12\r\n\r\n".getBytes("UTF-8"),
+        "WARC/".getBytes("UTF-8"),
+        Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0),
+        "HTTP/1.1 200 OK\r\n\r\nbody".getBytes("UTF-8"),
+        Array.fill(37)(0x41.toByte))).map(_.flatten.toArray),
+      // near-valid: a good record with random corruption
+      2 -> Gen.zip(Gen.choose(0, 200), Gen.chooseNum(-128, 127))
+        .map { case (at, b) =>
+          val good = graft.sources.Warc.fixtureWarc()
+          val bad = good.clone(); bad(at % good.length) = b.toByte; bad
+        })
+    samples(genBytes, 60).zipWithIndex.foreach { case (bytes, i) =>
+      // must not throw, whatever the bytes
+      val recs = graft.sources.Warc.parseRecords(s"fz$i", bytes)
+      recs.foreach { r =>
+        assert(r.payload.length <= bytes.length,
+          s"seed $i: payload larger than input")
+      }
+      val gz = graft.sources.Warc.parseGzMembers(s"fz$i", bytes)
+      assert(gz != null)
+      // and the split scan agrees with the parser on record counts
+      val splits = graft.sources.Warc.scanGzSplits(s"fz$i", bytes, 64L)
+      assert(splits.map(_.nRecords).sum === gz.length,
+        s"seed $i: sidecar record count must equal the member parse")
+    }
+  }
+
+  test("fuzz: containerMeta is TOTAL on random bytes; canonicalUrl is " +
+    "IDEMPOTENT and hostOf-stable on generated URL shapes") {
+    val genJunk: Gen[Array[Byte]] = Gen.frequency(
+      3 -> Gen.listOfN(120, Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray),
+      1 -> Gen.choose(0, 60).map(n =>
+        graft.ops.Multimodal.fixtureMp4(9, 9, 7L).take(n)),
+      1 -> Gen.choose(0, 24).map(n =>
+        graft.ops.Multimodal.fixtureWebpLossy(5, 5).take(n)))
+    samples(genJunk, 80).foreach { b =>
+      assert(graft.ops.Multimodal.containerMeta(1L, b) != null)
+    }
+    // URL generator: random assemblies of the parts canonicalization
+    // manipulates — schemes, userinfo, www-runs, dots, ports, params,
+    // fragments, IPv6, percent-encoding
+    val genUrl: Gen[String] = for {
+      scheme <- Gen.oneOf("https", "HTTP", "http", "HTTPS")
+      user <- Gen.oneOf("", "u@", "a:b@", "x%40y@")
+      www <- Gen.oneOf("", "www.", "WWW.www.", "w.")
+      host <- Gen.oneOf("Ex.COM", "a.b.co.uk", "x", "[2001:db8::1]",
+        "e.com.", "192.168.0.1", "xn--bcher-kva.de")
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/p//", "/p/q/", "/%2Fz")
+      qs <- Gen.oneOf("", "?", "?b=2&a=1", "?utm_source=x",
+        "?a=1&&b=", "?UTM_X=1&z=@q")
+      frag <- Gen.oneOf("", "#f", "#a?b=1")
+    } yield s"$scheme://$user$www$host$port$path$qs$frag"
+    val urls = samples(genUrl, 300).distinct
+    import graft.ops.Web
+    import org.apache.spark.sql.functions.col
+    val df = urls.toDF("u").select(
+      col("u"),
+      Web.canonicalUrl(col("u")).as("c1"),
+      Web.canonicalUrl(Web.canonicalUrl(col("u"))).as("c2"),
+      Web.hostOf(col("u")).as("h1"))
+      .withColumn("h2", Web.hostOf(col("c1")))
+    df.collect().foreach { r =>
+      assert(r.getString(2) === r.getString(1),
+        s"canonicalUrl not idempotent on '${r.getString(0)}': " +
+          s"'${r.getString(1)}' -> '${r.getString(2)}'")
+      assert(r.getString(4) === r.getString(3),
+        s"hostOf must be canonicalization-stable on '${r.getString(0)}': " +
+          s"'${r.getString(3)}' vs '${r.getString(4)}'")
+    }
+  }
 }
