@@ -944,4 +944,59 @@ class PropertySpec extends SparkTestBase {
           s"'${r.getString(3)}' vs '${r.getString(4)}'")
     }
   }
+
+  test("fuzz: HTML extractors are TOTAL on random markup and every " +
+    "emitted outlink/anchor href is absolute http(s); robots parsing " +
+    "is total on random directive soup") {
+    import graft.ops.Web
+    import org.apache.spark.sql.functions.col
+    val genHtml: Gen[String] = for {
+      n <- Gen.choose(1, 12)
+      parts <- Gen.listOfN(n, Gen.oneOf(
+        Gen.oneOf("<a href=", "<a data-href=", "</a>", "<base href=",
+          "<p>", "</p>", "<script>", "</script>", "href", "=\"", "'",
+          ">text<", "<!-- c -->", "<a", ">", "&amp;", "#f", "//h.com/x",
+          "mailto:a@b", "https://q.org/z", "/root", "rel/p", "./d",
+          "\u0000", "\n", "  "),
+        Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)))
+    } yield parts.mkString
+    val genBase = Gen.oneOf("https://p.com/a/b", "http://x.org",
+      "not-a-url", "", "https://u@h.net/d/")
+    val rows = samples(Gen.zip(genBase, genHtml), 120).distinct
+    val df = rows.toDF("base", "html")
+    val links = df.select(
+        org.apache.spark.sql.functions.explode(
+          Web.extractOutlinks(col("html"), col("base"))).as("l"))
+      .collect().map(_.getString(0))
+    links.foreach(l => assert(l.toLowerCase.matches("^https?://.*") ||
+      l.startsWith("://") || l.contains("://"),
+      s"outlink must carry a scheme separator: '$l'"))
+    val anchors = df.select(
+        org.apache.spark.sql.functions.explode(
+          Web.extractAnchors(col("html"), col("base"))).as("a"))
+      .collect()
+    anchors.foreach { r =>
+      val a = r.getStruct(0)
+      assert(a.getString(0) != null, "anchor href is non-null by filter")
+      assert(a.getString(1) != null, "anchor text is never null")
+    }
+    // robots: random directive soup parses without throwing, and the
+    // delay output is always numeric and non-negative
+    val genRobots: Gen[String] = Gen.listOfN(10, Gen.oneOf(
+      "User-agent: *", "User-agent: bot", "user-AGENT : x",
+      "Disallow: /a", "Allow:", "Crawl-delay: 3", "Crawl-delay: -2",
+      "Crawl-delay: x", "Sitemap: https://s/x.xml", "Sitemap: rel",
+      "# comment", "garbage line", ":", "Disallow : /b", ""))
+      .map(_.mkString("\n"))
+    val robots = samples(Gen.zip(Gen.const("h.com"), genRobots), 40)
+      .distinct.toDF("host", "txt")
+    val rules = Web.parseRobotsTxt(robots, "host", "txt", "bot").collect()
+    rules.foreach(r => assert(r.getString(1).nonEmpty,
+      "empty rule paths never surface"))
+    val delays = Web.parseCrawlDelays(robots, "host", "txt", "bot")
+      .collect()
+    delays.foreach(r => assert(r.getDouble(1) >= 0))
+    val maps = Web.parseSitemaps(robots, "host", "txt").collect()
+    maps.foreach(r => assert(r.getString(1).contains("://")))
+  }
 }
