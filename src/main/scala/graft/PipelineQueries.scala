@@ -1955,8 +1955,7 @@ object PipelineQueries {
     "q_crawl_budget" -> ((s, d) => {
       val u = docs(s, d).select(col("doc_id"), urlFixtureWeb.as("url"))
       val edges = u.select(
-        graft.ops.Web.registeredDomain(
-          graft.ops.Web.hostOf(col("url"))).as("src"),
+        graft.ops.Web.registeredDomainOfUrl(col("url")).as("src"),
         concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"),
           lit("-news.com")).as("dst"))
       val ranks = graft.ops.Web.domainRank(edges, "src", "dst",
@@ -1972,8 +1971,7 @@ object PipelineQueries {
     "q_domain_rank" -> ((s, d) => {
       val u = docs(s, d).select(col("doc_id"), urlFixtureWeb.as("url"))
       val edges = u.select(
-        graft.ops.Web.registeredDomain(
-          graft.ops.Web.hostOf(col("url"))).as("src"),
+        graft.ops.Web.registeredDomainOfUrl(col("url")).as("src"),
         concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string"),
           lit("-news.com")).as("dst"))
       graft.ops.Web.domainRank(edges, "src", "dst", iterations = 4)
@@ -2487,13 +2485,14 @@ object PipelineQueries {
         trim(regexp_replace(raw, '#.*$', '')) AS c FROM l0))"""
 
   /** The group-numbering + agent-fallback replica over `l1` — group
-    * identity is computed over the full GROUP-SCOPED directive set
-    * (user-agent/allow/disallow/crawl-delay), matching
-    * Web.applicableRuleLines; consumers filter the emitted rule kind
-    * in their own rr CTE. */
+    * identity is computed over the RUN-NUMBERING line set
+    * (user-agent/allow/disallow/crawl-delay plus sitemap, which is
+    * never emitted as a rule but still ENDS a user-agent run — r19
+    * ADVICE), matching Web.applicableRuleLines; consumers filter the
+    * emitted rule kind in their own rr CTE. */
   private def robotsGroupedSql(): String =
     s"""l2 AS (SELECT * FROM l1 WHERE key IN
-      ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+      ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')),
     l3 AS (SELECT *, (key = 'user-agent') AS isua,
         coalesce(lag(key = 'user-agent') OVER (
           PARTITION BY host ORDER BY pos), false) AS prevua FROM l2),

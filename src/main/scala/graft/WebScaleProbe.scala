@@ -137,8 +137,7 @@ object WebScaleProbe {
       }
       val (nw, tw) = time(s"[skew-10M] window-form control (topKPerGroup)") {
         val withDom = skewed.withColumn("domain",
-          graft.ops.Web.registeredDomain(
-            graft.ops.Web.hostOf(col("url"))))
+          graft.ops.Web.registeredDomainOfUrl(col("url")))
         graft.ops.Selection.topKPerGroup(withDom, "domain", "score",
           "doc_id", 100).count()
       }

@@ -850,6 +850,10 @@ object VectorExprs {
       "graft_linear_bag_score" -> (exprs =>
         LinearBagScoreExpr(exprs(0), dblArr(exprs(1)), int(exprs(2)))),
       "graft_quality_features" -> (exprs => QualityFeatures(exprs(0))),
+      "graft_outlinks" -> (exprs => ExtractOutlinksExpr(exprs(0), exprs(1))),
+      "graft_anchors" -> (exprs => ExtractAnchorsExpr(exprs(0), exprs(1))),
+      "graft_registered_domain_url" -> (exprs =>
+        RegisteredDomainOfUrl(exprs(0), strSeq(exprs(1)))),
       "graft_gopher_stats" -> (exprs => GopherStats(exprs(0))),
       "graft_pii_counts" -> (exprs => PiiCountsExpr(exprs(0), strSeq(exprs(1)))),
       "graft_pii_redact" -> (exprs =>
@@ -918,6 +922,17 @@ object VectorExprs {
             case other => other.toString.toDouble
           }))
     )
+  }
+
+  /** Ensure kernel registration in the active session, then pass the
+    * (still-unresolved) column through — the Column-API entry for
+    * kernels whose wrapper lives outside this file (graft.ops.Web's
+    * link extractors). Resolution happens later, at analysis. */
+  private[graft] def withKernels(c: Column): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    c
   }
 
   def ensureRegistered(spark: SparkSession): Unit =

@@ -1,0 +1,365 @@
+package graft.functions
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass HTML link-extraction kernels — the compiled form of the
+  * r18/r19 `extractOutlinks` / `extractAnchors` column chains.
+  *
+  * Why a kernel and not the Column formulation it replaces: the chain
+  * `transform(hrefs, v => resolveHref(effectiveBase(html, url))(v))`
+  * re-inlined the FULL base-derivation expression subtree (the
+  * `<base href>` when-chain plus scheme/authority/directory regexes)
+  * into every `when` branch of every element lambda — the generated
+  * Java method multiplied a large common subexpression per branch and
+  * blew Janino's 64 KB method cap, so Spark silently fell back to
+  * interpreted evaluation on THE dominant scan of the crawl pipeline
+  * (r19 verdict lead finding; `ERROR CodeGenerator … Code grows beyond
+  * 64 KB` in any link-graph run). Here the base parts (scheme,
+  * authority, directory) are derived ONCE per row, each href resolves
+  * with four small anchored regexes, and the expression compiles to a
+  * single static call inside whole-stage codegen — the
+  * [[TextKernels]] discipline (SURVEY.md §7 preference order: custom
+  * Expression before mapPartitions). PlanAuditSpec's codegen-health
+  * law keeps the fallback from regressing.
+  *
+  * Semantics are BIT-IDENTICAL to the certified column chains they
+  * replace (q_outlinks / q_anchors / q_crawl_edges oracles, WebSpec
+  * pins): every regex below is the exact pattern the old chain passed
+  * to `regexp_extract(_all)` / `regexp_replace` / `rlike` — all of
+  * which are java.util.regex under the hood — applied in the same
+  * order, with Spark's `trim` (ASCII space only) and literal
+  * `replace` semantics reproduced exactly. Reference for WHAT to
+  * extract: flox has no web layer; this is §2.5b beyond-reference
+  * surface (see ops/Web.scala's scaladoc for the resolution
+  * contract).
+  */
+object WebKernels {
+
+  // exact patterns from the r19 column chain (ops/Web.scala history)
+  private val AHREF = Pattern.compile(
+    "(?i)<a\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)")
+  private val BASE = Pattern.compile(
+    "(?i)<base\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)")
+  private val ANCHOR_ELEM = Pattern.compile(
+    "(?is)<a\\b[^>]*?\\shref\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>.*?</a>")
+  private val AHREF_IS = Pattern.compile(
+    "(?is)<a\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)")
+  private val QUOTES = Pattern.compile("^[\"']|[\"']$")
+  private val FRAG = Pattern.compile("#.*$")
+  private val HTTP_ABS = Pattern.compile("^(?i)https?://")
+  private val ANY_SCHEME = Pattern.compile("^[a-zA-Z][a-zA-Z0-9+.-]*:")
+  private val SCHEME_CAP = Pattern.compile("^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+  private val SCHEME_STRIP = Pattern.compile("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+  private val AUTH_CAP = Pattern.compile("^([^/?]*)")
+  private val AUTH_STRIP = Pattern.compile("^[^/?]*")
+  private val PATH_CAP = Pattern.compile("^([^?]*)")
+  private val DIR_TAIL = Pattern.compile("[^/]*$")
+  private val DOTSLASH = Pattern.compile("^(\\./)+")
+  private val OPEN_TAG = Pattern.compile("(?is)^<a[^>]*>")
+  private val CLOSE_TAG = Pattern.compile("(?is)</a>$")
+  private val TAGS = Pattern.compile("<[^>]*>")
+  private val WS_RUN = Pattern.compile("\\s+")
+  // entity decode BEFORE whitespace collapse (the htmlToText order)
+  private val entities = Array(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** `regexp_extract(s, p, 1)` — group 1 of the first find, `""` when
+    * no match (Spark's no-match value). */
+  private def extract1(p: Pattern, s: String): String = {
+    val m = p.matcher(s)
+    if (m.find()) { val g = m.group(1); if (g == null) "" else g } else ""
+  }
+
+  /** Spark `trim`: ASCII space only, never \t\n. */
+  private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** quote strip → fragment strip → trim, the shared href cleanup. */
+  private def cleanHref(raw: String): String =
+    trimSpaces(FRAG.matcher(
+      QUOTES.matcher(raw).replaceAll("")).replaceAll(""))
+
+  /** The effective resolution base of a page: its own (defragmented)
+    * URL unless a `<base href>` overrides it — absolute http(s)
+    * replaces whole, root-/protocol-relative rebase on the page's
+    * scheme/authority, anything else (relative base, no tag) falls
+    * back to the page URL. Null baseUrl: only an absolute `<base>`
+    * can still produce a base (the old chain's concat-null
+    * propagation). */
+  private def effectiveBase(html: String, baseUrl: String): String = {
+    val rawBase = cleanHref(extract1(BASE, html))
+    if (HTTP_ABS.matcher(rawBase).find()) return rawBase
+    val pageDefrag =
+      if (baseUrl == null) null else FRAG.matcher(baseUrl).replaceAll("")
+    if (rawBase.startsWith("//")) {
+      if (pageDefrag == null) return null
+      val scheme = extract1(SCHEME_CAP, pageDefrag).toLowerCase(Locale.ROOT)
+      scheme + ":" + rawBase
+    } else if (rawBase.startsWith("/")) {
+      if (pageDefrag == null) return null
+      val scheme = extract1(SCHEME_CAP, pageDefrag).toLowerCase(Locale.ROOT)
+      val rest = SCHEME_STRIP.matcher(pageDefrag).replaceAll("")
+      scheme + "://" + extract1(AUTH_CAP, rest) + rawBase
+    } else pageDefrag
+  }
+
+  /** scheme / authority / directory of the effective base, derived
+    * ONCE per row — the parts the old chain re-derived per href per
+    * when-branch. */
+  private final class BaseParts(base: String) {
+    val isNull: Boolean = base == null
+    val scheme: String =
+      if (isNull) null
+      else extract1(SCHEME_CAP, base).toLowerCase(Locale.ROOT)
+    private val rest: String =
+      if (isNull) null else SCHEME_STRIP.matcher(base).replaceAll("")
+    val auth: String = if (isNull) null else extract1(AUTH_CAP, rest)
+    val dir: String =
+      if (isNull) null
+      else {
+        val path = extract1(PATH_CAP, AUTH_STRIP.matcher(rest).replaceAll(""))
+        if (path.contains("/")) DIR_TAIL.matcher(path).replaceAll("")
+        else "/"
+      }
+  }
+
+  /** RFC 3986-subset resolution (the contract in extractOutlinks'
+    * scaladoc): absolute http(s) passes, other schemes drop, `//` and
+    * `/` rebase on scheme/authority, relative appends to the base
+    * DIRECTORY with leading `./` runs stripped, empty drops. Null
+    * base parts: only absolute http(s) survives (concat-null). */
+  private def resolve(p: BaseParts, raw: String): String = {
+    val v = cleanHref(raw)
+    if (HTTP_ABS.matcher(v).find()) v
+    else if (ANY_SCHEME.matcher(v).find()) null
+    else if (v.startsWith("//")) {
+      if (p.isNull) null else p.scheme + ":" + v
+    } else if (v.startsWith("/")) {
+      if (p.isNull) null else p.scheme + "://" + p.auth + v
+    } else if (v.nonEmpty) {
+      if (p.isNull) null
+      else p.scheme + "://" + p.auth + p.dir +
+        DOTSLASH.matcher(v).replaceAll("")
+    } else null
+  }
+
+  private val USERINFO = Pattern.compile("^[^@]*@")
+  private val PORT = Pattern.compile(":[0-9]+$")
+  private val TRAILING_DOTS = Pattern.compile("\\.+$")
+  private val WWW_RUN = Pattern.compile("^(www\\.)+")
+  private val IPV4 = Pattern.compile("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
+
+  /** Spark `lower` (UTF8_BINARY collation) — reuse UTF8String's own
+    * implementation so non-ASCII casing is identical by construction. */
+  private def lowerLikeSpark(s: String): String =
+    UTF8String.fromString(s).toLowerCase.toString
+
+  /** `registeredDomain(hostOf(url), suffixes)` as ONE compiled call —
+    * the edge-grain projection of [[graft.ops.Web.edgesFromDocuments]].
+    * The column form is a when-chain that references its own host
+    * subtree ~6 times, and the edge query references src/dst four
+    * times each (project, null drop, length gate, self-loop filter):
+    * fully inlined, the generated consume method multiplied the
+    * authority regexes ~24× per side and blew Janino's 64 KB cap
+    * right after the extractor fix moved the blowup downstream (r20).
+    * Bit-identical mirror, regex for regex, of authorityOf → lower →
+    * stripUserinfo → port strip → normalizeHost → registeredDomain
+    * (ops/Web.scala:85-180); PropertySpec fuzzes the equivalence
+    * against the column chain. */
+  def registeredDomainOfUrl(urlU: UTF8String,
+                            suffixes: java.util.HashSet[String]): UTF8String = {
+    val url = urlU.toString
+    // authorityOf: defrag, scheme strip, authority capture
+    val rest = SCHEME_STRIP.matcher(
+      FRAG.matcher(url).replaceAll("")).replaceAll("")
+    val auth = extract1(AUTH_CAP, rest)
+    // hostOf: lower → userinfo strip → port strip → normalizeHost
+    val bare = PORT.matcher(
+      USERINFO.matcher(lowerLikeSpark(auth)).replaceAll("")).replaceAll("")
+    // normalizeHost: lower(trim(h)), trailing-dot run off, www. run
+    // off unless the remainder has < 2 labels
+    val base = TRAILING_DOTS.matcher(
+      lowerLikeSpark(trimSpaces(bare))).replaceAll("")
+    val stripped = WWW_RUN.matcher(base).replaceAll("")
+    val host =
+      if (stripped.split("\\.", -1).length >= 2) stripped else base
+    // registeredDomain: last2 unless a known suffix (then last3);
+    // <= 2 labels and IPv4 literals pass through whole
+    val labels = host.split("\\.", -1)
+    val n = labels.length
+    val out =
+      if (n <= 2 || IPV4.matcher(host).find()) host
+      else {
+        val last2 = labels(n - 2) + "." + labels(n - 1)
+        if (suffixes.contains(last2)) labels(n - 3) + "." + last2
+        else last2
+      }
+    UTF8String.fromString(out)
+  }
+
+  /** All resolved absolute outlink URLs of a page, duplicates kept in
+    * document order (a page linking twice votes twice — the
+    * domainRank multi-edge contract). */
+  def extractOutlinks(htmlU: UTF8String, baseU: UTF8String): ArrayData = {
+    val html = htmlU.toString
+    val parts = new BaseParts(
+      effectiveBase(html, if (baseU == null) null else baseU.toString))
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val m = AHREF.matcher(html)
+    while (m.find()) {
+      val r = resolve(parts, m.group(1))
+      if (r != null) out += UTF8String.fromString(r)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** (href, text) pairs of every CLOSED anchor element whose href
+    * resolves — text de-tagged, entity-decoded (before the whitespace
+    * collapse), collapsed, trimmed; empty text kept (image links). */
+  def extractAnchors(htmlU: UTF8String, baseU: UTF8String): ArrayData = {
+    val html = htmlU.toString
+    val parts = new BaseParts(
+      effectiveBase(html, if (baseU == null) null else baseU.toString))
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val m = ANCHOR_ELEM.matcher(html)
+    while (m.find()) {
+      val e = m.group(0)
+      val href = resolve(parts, extract1(AHREF_IS, e))
+      if (href != null) {
+        val inner = CLOSE_TAG.matcher(
+          OPEN_TAG.matcher(e).replaceAll("")).replaceAll("")
+        var t = TAGS.matcher(inner).replaceAll(" ")
+        var i = 0
+        while (i < entities.length) {
+          t = t.replace(entities(i)._1, entities(i)._2)
+          i += 1
+        }
+        val text = trimSpaces(WS_RUN.matcher(t).replaceAll(" "))
+        out += new GenericInternalRow(Array[Any](
+          UTF8String.fromString(href), UTF8String.fromString(text)))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `registeredDomain(hostOf(url))` as one compiled call — see
+  * [[WebKernels.registeredDomainOfUrl]]. Null url → null. */
+case class RegisteredDomainOfUrl(child: Expression, suffixes: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    suffixes.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WebKernels.registeredDomainOfUrl(input.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("suffixSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WebKernels.registeredDomainOfUrl($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): RegisteredDomainOfUrl = copy(child = c)
+}
+
+/** Shared shape of the two link-extraction expressions: null iff the
+  * HTML is null (a null page URL still extracts absolute links — the
+  * certified concat-null semantics), so the default BinaryExpression
+  * null contract (null if EITHER child is null) does not apply and
+  * eval/codegen are written out by hand. */
+abstract class HtmlExtractExpr extends BinaryExpression
+    with ImplicitCastInputTypes {
+
+  /** html */
+  def left: Expression
+  /** page URL (resolution base) */
+  def right: Expression
+
+  override def inputTypes = Seq(StringType, StringType)
+
+  override def nullable: Boolean = left.nullable
+
+  /** graft.functions.WebKernels method name the row maps through. */
+  protected def kernel: String
+
+  protected def kernelEval(html: UTF8String, base: UTF8String): ArrayData
+
+  override def eval(input: InternalRow): Any = {
+    val h = left.eval(input)
+    if (h == null) null
+    else kernelEval(h.asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val h = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${h.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (!${h.isNull}) {
+          ${b.code}
+          ${ev.value} = graft.functions.WebKernels.$kernel(
+            ${h.value}, ${b.isNull} ? null : ${b.value});
+          ${ev.isNull} = false;
+        }
+      """)
+  }
+}
+
+/** array&lt;string&gt; of resolved absolute outlinks — see
+  * [[WebKernels.extractOutlinks]]. */
+case class ExtractOutlinksExpr(left: Expression, right: Expression)
+    extends HtmlExtractExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def kernel = "extractOutlinks"
+  override protected def kernelEval(h: UTF8String, b: UTF8String): ArrayData =
+    WebKernels.extractOutlinks(h, b)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ExtractOutlinksExpr = copy(l, r)
+}
+
+/** array&lt;struct&lt;href,text&gt;&gt; of resolved anchors — see
+  * [[WebKernels.extractAnchors]]. */
+case class ExtractAnchorsExpr(left: Expression, right: Expression)
+    extends HtmlExtractExpr {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false))),
+    containsNull = false)
+  override protected def kernel = "extractAnchors"
+  override protected def kernelEval(h: UTF8String, b: UTF8String): ArrayData =
+    WebKernels.extractAnchors(h, b)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ExtractAnchorsExpr = copy(l, r)
+}

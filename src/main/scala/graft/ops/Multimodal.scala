@@ -563,13 +563,24 @@ object Multimodal {
           w = math.max(w, be32(b, p + 4).toInt)
           h = math.max(h, be32(b, p + 8).toInt)
         case "mvhd" if pEnd - p >= 20 =>
-          seen = true
           val v = b(p) & 0xff
-          val (ts, dur) =
-            if (v == 1 && pEnd - p >= 32)
-              (be32(b, p + 20), be64(b, p + 24))
-            else (be32(b, p + 12), be32(b, p + 16))
-          if (ts > 0) durMs = dur * 1000L / ts
+          // a version-1 mvhd is ≥ 32 bytes by spec; a shorter one
+          // would read timescale/duration at the VERSION-0 offsets,
+          // i.e. from the middle of the wrong fields — malformed,
+          // skip it (r19 ADVICE; the file quarantines as "no box
+          // found" unless another box identifies it)
+          if (v != 1 || pEnd - p >= 32) {
+            seen = true
+            val (ts, dur) =
+              if (v == 1) (be32(b, p + 20), be64(b, p + 24))
+              else (be32(b, p + 12), be32(b, p + 16))
+            // dur*1000 must not overflow Long: a crafted 64-bit v1
+            // duration would wrap NEGATIVE and sail through every
+            // `durationMs <= cap` gate (r19 ADVICE) — leave 0
+            // ("unknown") instead
+            if (ts > 0 && dur >= 0 && dur <= Long.MaxValue / 1000L)
+              durMs = dur * 1000L / ts
+          }
         case "tkhd" if pEnd - p >= 84 =>
           seen = true
           val v = b(p) & 0xff

@@ -174,6 +174,21 @@ object Web {
       .otherwise(last2)
   }
 
+  /** `registeredDomain(hostOf(url))` as ONE compiled kernel call
+    * (functions/WebKernels.scala) — bit-identical to the column
+    * composition (PropertySpec fuzz-pins the equivalence), but a
+    * single static call inside whole-stage codegen. Use this form
+    * wherever the value is referenced by several downstream
+    * expressions: the column when-chains repeat their own host
+    * subtree, and Catalyst inlines an alias per reference, so a few
+    * references multiply into a 64 KB generated-method blowup and a
+    * silent interpreted fallback (r19 verdict lead finding —
+    * [[edgesFromDocuments]] was the victim). */
+  def registeredDomainOfUrl(url: Column,
+                            suffixes: Seq[String] = DefaultPublicSuffixes): Column =
+    graft.functions.VectorExprs.withKernels(call_function(
+      "graft_registered_domain_url", url, array(suffixes.map(lit): _*)))
+
   /** All dot-suffixes of `host` with at most `maxLabels` labels, as
     * an array — `a.b.c.d` → [`a.b.c.d`,`b.c.d`,`c.d`,`d`]. The label
     * cap bounds the flatmap against an adversarial 10⁴-label host
@@ -234,8 +249,12 @@ object Web {
                    domainCol: String = "domain"): DataFrame = {
     require(!df.columns.contains(domainCol),
       s"output column '$domainCol' already exists in the input")
+    // compiled kernel form — the heap aggregation and its partial
+    // reference the domain several times; the column chain inlined
+    // per reference is the 64 KB codegen hazard (see
+    // [[registeredDomainOfUrl]])
     val withDom = df.withColumn(domainCol,
-      registeredDomain(hostOf(col(urlCol)), suffixes))
+      registeredDomainOfUrl(col(urlCol), suffixes))
     Selection.topKPerGroupBounded(withDom, domainCol, scoreCol, tieCol, k)
   }
 
@@ -390,43 +409,17 @@ object Web {
     *     votes twice, matching [[domainRank]] multi-edge semantics.
     * Null html or base yields null (explode skips it downstream). */
   def extractOutlinks(html: Column, baseUrl: Column): Column = {
-    val resolvedOf = resolveHref(effectiveBase(html, baseUrl))
     // \s before href, not \b: a word BOUNDARY matches after '-', so
     // \bhref would extract data-href="…" values (r19 sweep find) —
-    // and attributes are whitespace-separated in valid HTML anyway
-    val raws = regexp_extract_all(html,
-      lit("(?i)<a\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
-      lit(1))
-    val resolved = transform(raws, v => resolvedOf(trim(
-      regexp_replace(regexp_replace(v, "^[\"']|[\"']$", ""), "#.*$", ""))))
-    filter(resolved, x => x.isNotNull)
-  }
-
-  /** The effective resolution base of a page: its own URL unless a
-    * `<base href>` overrides it — absolute http(s) replaces whole,
-    * root-/protocol-relative rebase on the page's scheme/authority,
-    * anything else (relative base, no tag) falls back to the page
-    * URL. Shared by [[extractOutlinks]] and [[extractAnchors]]. */
-  private def effectiveBase(html: Column, baseUrl: Column): Column = {
-    val pageDefrag = regexp_replace(baseUrl, "#.*$", "")
-    val pageScheme =
-      lower(regexp_extract(pageDefrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val pageRest =
-      regexp_replace(pageDefrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    val pageAuth = regexp_extract(pageRest, "^([^/?]*)", 1)
-    // '' when absent — regexp_extract's no-match value — falls
-    // through to the page URL
-    val rawBase = trim(regexp_replace(regexp_replace(
-      regexp_extract(html,
-        "(?i)<base\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)",
-        1),
-      "^[\"']|[\"']$", ""), "#.*$", ""))
-    when(rawBase.rlike("^(?i)https?://"), rawBase)
-      .when(rawBase.startsWith("//"),
-        concat(pageScheme, lit(":"), rawBase))
-      .when(rawBase.startsWith("/"),
-        concat(pageScheme, lit("://"), pageAuth, rawBase))
-      .otherwise(pageDefrag)
+    // and attributes are whitespace-separated in valid HTML anyway.
+    // Compiled kernel (functions/WebKernels.scala), not the
+    // transform()-over-when-chains column formulation: that chain
+    // re-derived the full <base href>/scheme/authority subtree in
+    // every element lambda, blew Janino's 64 KB method cap, and ran
+    // interpreted (r19 verdict lead finding). Same regexes, same
+    // order, bit-identical output; base parts derive once per row.
+    graft.functions.VectorExprs.withKernels(
+      call_function("graft_outlinks", html, baseUrl))
   }
 
   /** (href, anchor text) pairs — the link-TEXT signal ([[
@@ -444,60 +437,65 @@ object Web {
   def extractAnchors(html: Column, baseUrl: Column): Column = {
     // whole <a …>…</a> elements; (?s) lets anchor text span lines.
     // RE2 and Java both run the lazy quantifier linearly here (the
-    // closing tag is a literal)
-    val elems = regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?\\shref\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s>]+)" +
-        "[^>]*>.*?</a>"),
-      lit(0))
-    val resolvedOf = resolveHref(effectiveBase(html, baseUrl))
-    val pairs = transform(elems, e => {
-      val raw = regexp_extract(e,
-        "(?is)<a\\b[^>]*?\\shref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
-      val href = resolvedOf(trim(regexp_replace(
-        regexp_replace(raw, "^[\"']|[\"']$", ""), "#.*$", "")))
-      val inner = regexp_replace(
-        regexp_replace(e, "(?is)^<a[^>]*>", ""), "(?is)</a>$", "")
-      val noTags = regexp_replace(inner, "<[^>]*>", " ")
-      // entities decode BEFORE the whitespace collapse (the htmlToText
-      // order — an &nbsp; must collapse with its neighbors)
-      val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-        .foldLeft(noTags) { case (c, (from, to)) =>
-          replace(c, lit(from), lit(to))
-        }
-      val text = trim(regexp_replace(decoded, "\\s+", " "))
-      struct(href.as("href"), text.as("text"))
-    })
-    filter(pairs, p => p.getField("href").isNotNull)
+    // closing tag is a literal). Same compiled kernel as
+    // [[extractOutlinks]] — effectiveBase/resolveHref live in ONE
+    // place (functions/WebKernels.scala) so the extractors cannot
+    // drift; see extractOutlinks for why a kernel and not the
+    // transform() column chain.
+    graft.functions.VectorExprs.withKernels(
+      call_function("graft_anchors", html, baseUrl))
   }
 
-  /** The href-resolution rule shared by [[extractOutlinks]] and
-    * [[extractAnchors]]: a function from a cleaned (unquoted,
-    * defragmented, trimmed) href value to the resolved absolute URL
-    * (null = dropped), closed over the parts of the [[effectiveBase]]
-    * it is given — kept in ONE place so the two extractors can never
-    * drift. */
-  private def resolveHref(base: Column): Column => Column = {
-    val defragBase = base
-    val baseScheme =
-      lower(regexp_extract(defragBase, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val baseRest = regexp_replace(defragBase, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    val baseAuth = regexp_extract(baseRest, "^([^/?]*)", 1)
-    val basePath =
-      regexp_extract(regexp_replace(baseRest, "^[^/?]*", ""), "^([^?]*)", 1)
-    val baseDir = when(basePath.contains("/"),
-      regexp_replace(basePath, "[^/]*$", "")).otherwise(lit("/"))
-    (v: Column) => {
-      val isHttp = v.rlike("^(?i)https?://")
-      val hasScheme = v.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
-      when(isHttp, v)
-        .when(hasScheme, lit(null))
-        .when(v.startsWith("//"), concat(baseScheme, lit(":"), v))
-        .when(v.startsWith("/"), concat(baseScheme, lit("://"), baseAuth, v))
-        .when(length(v) > 0, concat(baseScheme, lit("://"), baseAuth,
-          baseDir, regexp_replace(v, "^(\\./)+", "")))
-        .otherwise(lit(null))
-    }
+  /** Anchor-text corpus at the consumable (dst registered-domain,
+    * anchor text) grain — the classic "what others call this page"
+    * retrieval-training / quality-prior signal, aggregated from
+    * [[extractAnchors]] in the SAME pass discipline as
+    * [[edgesFromDocuments]] (one extraction scan, no second HTML
+    * read; WebSpec pins the single-scan plan).
+    *
+    * Per (domain, anchor_text):
+    *  - `n_src`  = # distinct SOURCE registered domains using that
+    *    text for that target;
+    *  - `votes`  = Σ over source domains of min(pairs from that
+    *    source, `maxPerSourceDomain`) — the per-source cap is the
+    *    anti-spam clamp: a link farm repeating one anchor 10⁶ times
+    *    contributes `maxPerSourceDomain` votes, not 10⁶ (same
+    *    rationale as [[capPerDomain]], applied at the aggregation
+    *    grain so it needs no sort and no heap).
+    *
+    * Dropped rows: empty anchor text (image links — this is a TEXT
+    * corpus; the GRAPH keeps those edges via [[edgesFromDocuments]]),
+    * self-references (src == dst is how a site describes itself, not
+    * what OTHERS call it), junk endpoints (null/empty domains), and
+    * pages whose own URL is not absolute http(s) — all matching the
+    * edge contract.
+    *
+    * Scale shape: map-only extraction → two hash aggregations with
+    * map-side partials (first on (dst, text, src), second on the
+    * strictly smaller capped grain). No window, no driver state;
+    * skew-safe because a mega-target's rows still key on (dst, text,
+    * src), never on dst alone. */
+  def anchorTextCorpus(df: DataFrame, urlCol: String, htmlCol: String,
+                       maxPerSourceDomain: Int = 3,
+                       suffixes: Seq[String] = DefaultPublicSuffixes): DataFrame = {
+    require(maxPerSourceDomain >= 1,
+      s"maxPerSourceDomain must be >= 1, got $maxPerSourceDomain")
+    val pairs = df
+      .filter(col(urlCol).rlike("^(?i)https?://"))
+      .select(registeredDomainOfUrl(col(urlCol), suffixes).as("src"),
+        explode(extractAnchors(col(htmlCol), col(urlCol))).as("__a"))
+      .select(col("src"),
+        registeredDomainOfUrl(col("__a.href"), suffixes).as("dst"),
+        col("__a.text").as("anchor_text"))
+      .na.drop()
+      .filter(length(col("src")) > 0 && length(col("dst")) > 0 &&
+        length(col("anchor_text")) > 0 && col("src") =!= col("dst"))
+    pairs
+      .groupBy("dst", "anchor_text", "src")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("dst").as("domain"), col("anchor_text"))
+      .agg(count(lit(1)).as("n_src"),
+        sum(least(col("__n"), lit(maxPerSourceDomain.toLong))).as("votes"))
   }
 
   /** (src, dst) link edges at REGISTERED-DOMAIN grain from a crawled
@@ -513,12 +511,12 @@ object Web {
   def edgesFromDocuments(df: DataFrame, urlCol: String, htmlCol: String,
                          suffixes: Seq[String] = DefaultPublicSuffixes,
                          dropSelf: Boolean = true): DataFrame = {
+    def rdom(url: Column): Column = registeredDomainOfUrl(url, suffixes)
     val out = df
       .filter(col(urlCol).rlike("^(?i)https?://"))
-      .select(registeredDomain(hostOf(col(urlCol)), suffixes).as("src"),
+      .select(rdom(col(urlCol)).as("src"),
         explode(extractOutlinks(col(htmlCol), col(urlCol))).as("__link"))
-      .select(col("src"),
-        registeredDomain(hostOf(col("__link")), suffixes).as("dst"))
+      .select(col("src"), rdom(col("__link")).as("dst"))
       .na.drop()
       .filter(length(col("src")) > 0 && length(col("dst")) > 0)
     if (dropSelf) out.filter(col("src") =!= col("dst")) else out
@@ -703,10 +701,18 @@ object Web {
     * runs separated only by a directive outside the subset and leak
     * one group's rules into another (caught by the WebSpec
     * matched-group-beats-* law). `sitemap` is global per the sitemaps
-    * protocol and deliberately NOT here: it neither belongs to a
-    * group nor ends a user-agent run. */
+    * protocol — it is never EMITTED as a group rule — but it still
+    * participates in run NUMBERING: per RFC 9309 / the Google parser,
+    * any non-user-agent record ends user-agent collection, so a
+    * Sitemap line between two user-agent runs must SEPARATE them
+    * (excluding it merged the runs and leaked one group's rules into
+    * the other's agent — r19 ADVICE). */
   private val GroupScopedKeys =
     Seq("user-agent", "allow", "disallow", "crawl-delay")
+
+  /** [[GroupScopedKeys]] plus the non-group lines that still END a
+    * user-agent run — the line set run numbering is computed over. */
+  private val RunNumberingKeys = GroupScopedKeys :+ "sitemap"
 
   /** The group machinery shared by [[parseRobotsTxt]] and
     * [[parseCrawlDelays]]: classed lines restricted to
@@ -722,7 +728,7 @@ object Web {
     import org.apache.spark.sql.expressions.Window
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val classed = robotsKeyedLines(df, hostCol, txtCol)
-      .filter(col("__key").isin(GroupScopedKeys: _*))
+      .filter(col("__key").isin(RunNumberingKeys: _*))
     val w = Window.partitionBy("__rb_host", "__doc").orderBy("__pos")
     val isUa = col("__key") === "user-agent"
     val runStart = isUa &&
@@ -1022,8 +1028,12 @@ object Web {
     Selection.requireIntegralCol(urls, idCol, "frontierPlan idCol")
     val Seq(bDom, bCol) = budgets.columns.toSeq
     val Seq(dHost, dCol) = delays.columns.toSeq
+    // compiled kernel form, not the column chain — the domain column
+    // is referenced by the budget join, the rank, and the schedule
+    // projection; inlined per reference the chain blew the 64 KB
+    // codegen cap (see [[registeredDomainOfUrl]])
     val withDom = urls.withColumn(domainCol,
-      registeredDomain(hostOf(col(urlCol)), suffixes))
+      registeredDomainOfUrl(col(urlCol), suffixes))
     // budget join is INNER: a domain with no budget is not crawled
     val budgeted = withDom.join(
       budgets.select(normalizeHost(col(bDom)).as(domainCol),

@@ -338,7 +338,33 @@ object Warc {
           indexOfMarker(bytes, next)
         } else indexOfMarker(bytes, pos + Marker.length) // resync
     }
-    (out.toSeq, -1)
+    // No further marker — but a gzip member boundary can fall INSIDE
+    // the 5-byte marker itself (buffer ends "…WA"): indexOfMarker
+    // needs all five bytes, so without this check nothing carried and
+    // the next member started mid-marker, silently losing the whole
+    // straddling record (r19 ADVICE, high). Carry the longest proper
+    // marker prefix at the tail; it can never overlap an emitted
+    // record (records end in CRLFCRLF, which shares no byte with
+    // "WARC") and a junk 'W' costs a ≤4-byte carry parsed and dropped
+    // at flush.
+    val tail =
+      if (atEof) -1
+      else {
+        var k = math.min(Marker.length - 1, bytes.length)
+        while (k > 0 && !regionEq(bytes, bytes.length - k, Marker, k)) k -= 1
+        if (k > 0) bytes.length - k else -1
+      }
+    (out.toSeq, tail)
+  }
+
+  private def regionEq(b: Array[Byte], off: Int, pre: Array[Byte],
+                       k: Int): Boolean = {
+    var i = 0
+    while (i < k) {
+      if (b(off + i) != pre(i)) return false
+      i += 1
+    }
+    true
   }
 
   private def indexOfMarker(b: Array[Byte], from: Int): Int = {

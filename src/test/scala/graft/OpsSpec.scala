@@ -1439,6 +1439,32 @@ class OpsSpec extends SparkTestBase {
     val badBox = fixtureMp4(1, 1, 1L).clone()
     badBox(0) = 0x7f // ftyp box claims ~2 GB
     assert(containerMeta(6L, badBox).error != null)
+    // r19 ADVICE: (a) a version-1 mvhd SHORTER than its 32-byte spec
+    // minimum must not fall into the version-0 branch and read
+    // timescale/duration from the wrong offsets — it is skipped, so a
+    // file carrying only that box quarantines; (b) a crafted 64-bit
+    // v1 duration whose ms conversion would overflow Long must not
+    // wrap negative (it would pass every `durationMs <= cap` gate) —
+    // it reads as 0 ("unknown")
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val size = 8 + payload.length
+      Array[Byte](((size >> 24) & 0xff).toByte, ((size >> 16) & 0xff).toByte,
+        ((size >> 8) & 0xff).toByte, (size & 0xff).toByte) ++
+        tpe.getBytes("US-ASCII") ++ payload
+    }
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftypOnly = fixtureMp4(1, 1, 1L).take(24)
+    val shortV1 = ftypOnly ++ box("moov",
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](20)))
+    assert(containerMeta(8L, shortV1).error != null,
+      "a 24-byte v1 mvhd must quarantine, not parse v0 offsets")
+    val hugeV1 = ftypOnly ++ box("moov",
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+        be32(1000L) ++ be32(Long.MaxValue >> 32) ++ be32(Long.MaxValue)))
+    val hugeMeta = containerMeta(9L, hugeV1)
+    assert(hugeMeta.error == null && hugeMeta.durationMs === 0L,
+      s"overflowing v1 duration must read 0, never negative: $hugeMeta")
     // a crafted 10^5-deep container nesting quarantines (depth cap),
     // never a StackOverflowError task failure
     val levels = 100000

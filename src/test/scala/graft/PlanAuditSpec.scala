@@ -92,6 +92,54 @@ class PlanAuditSpec extends SparkTestBase {
     "q_crawl_schedule" // same Z inside the scheduling loop
   )
 
+  test("codegen health: every WholeStageCodegen stage of every certified " +
+    "query COMPILES — no silent interpreted fallback") {
+    // The r19 lead finding survived a full round because nothing
+    // audited compilation: the link-extraction chain blew Janino's
+    // 64 KB method cap, Spark logged an ERROR and fell back to
+    // interpreted evaluation, and every plan-STRING law still passed.
+    // This law compiles each generated stage directly (the exact code
+    // WholeStageCodegenExec would hand Janino at runtime) so the next
+    // blowup fails loudly. At the pre-fix r19 HEAD it fails on
+    // q_outlinks/q_anchors/q_crawl_edges/q_crawl_graph/
+    // q_crawl_schedule; compile-only, so it adds seconds, not a
+    // second Verify run.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    // fallback=false makes codegen failures in PLAN-BUILD-TIME jobs
+    // (iterative operators execute localCheckpoint rounds while the
+    // query is constructed — exactly where q_domain_rank's pre-fix
+    // blowup hid from the final-plan check below) throw instead of
+    // silently interpreting
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val planned = fn(spark, sfDir).queryExecution.executedPlan
+        val root = planned match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p                        => p
+        }
+        // stages below exchanges/subqueries are separate codegen units;
+        // collect sees them all (they are ordinary children in the
+        // static tree)
+        root.collect { case w: WholeStageCodegenExec => w }.foreach { w =>
+          val (_, code) = w.doCodeGen()
+          try CodeGenerator.compile(code)
+          catch { case e: Throwable =>
+            failures += s"$name: stage ${w.codegenStageId} failed to " +
+              s"compile: ${e.getMessage.linesIterator.take(2).mkString(" | ")}"
+          }
+        }
+      } catch { case e: Throwable =>
+        failures += s"$name: PLAN-BUILD-ERROR: $e"
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("no certified query plans a CartesianProduct; BNL only where declared; " +
     "no SortAggregate fallback") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]

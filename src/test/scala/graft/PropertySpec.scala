@@ -943,6 +943,19 @@ class PropertySpec extends SparkTestBase {
         s"hostOf must be canonicalization-stable on '${r.getString(0)}': " +
           s"'${r.getString(3)}' vs '${r.getString(4)}'")
     }
+    // the compiled registeredDomainOfUrl kernel (the edge-grain form
+    // edgesFromDocuments rides, r20 codegen fix) ≡ the column
+    // composition registeredDomain(hostOf(·)), bit for bit, on the
+    // same adversarial URL shapes — plus null propagation
+    val eq = (urls :+ (null: String)).toDF("u").select(
+      col("u"),
+      Web.registeredDomainOfUrl(col("u")).as("k"),
+      Web.registeredDomain(Web.hostOf(col("u"))).as("c"))
+    eq.collect().foreach { r =>
+      assert(r.getString(1) === r.getString(2),
+        s"registeredDomainOfUrl kernel diverged on '${r.getString(0)}': " +
+          s"kernel '${r.getString(1)}' vs chain '${r.getString(2)}'")
+    }
   }
 
   test("fuzz: HTML extractors are TOTAL on random markup and every " +

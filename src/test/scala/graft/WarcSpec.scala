@@ -78,6 +78,21 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.parseGzMembers("f", concat).map(key) ===
       Warc.parseRecords("f", raw).map(key),
       "member-at-a-time parse must equal the whole-file parse")
+    // split INSIDE the 5-byte "WARC/" marker itself (r19 ADVICE,
+    // high): the tail scan needs all five bytes to see a marker, so a
+    // boundary 1–4 bytes into one used to carry nothing and silently
+    // lose the straddling record. Every in-marker offset of every
+    // record boundary must round-trip.
+    val whole = Warc.parseRecords("f", raw).map(key)
+    val markerAt = Iterator.iterate(
+      new String(raw, "ISO-8859-1").indexOf("WARC/"))(i =>
+        new String(raw, "ISO-8859-1").indexOf("WARC/", i + 1))
+      .takeWhile(_ >= 0).toSeq
+    for (m <- markerAt; k <- 1 to 4) {
+      val (ma, mb) = raw.splitAt(m + k)
+      assert(Warc.parseGzMembers("f", gzip(ma) ++ gzip(mb)).map(key) ===
+        whole, s"marker at $m split $k bytes in must not lose a record")
+    }
     // end-to-end through the Spark reader
     val dir = java.nio.file.Files.createTempDirectory("graft_warc")
     java.nio.file.Files.write(dir.resolve("f.warc.gz"), concat)

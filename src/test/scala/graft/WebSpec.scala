@@ -294,7 +294,13 @@ class WebSpec extends SparkTestBase {
       ("a.com", 1.0), ("b.com", 2.5), ("c.com", 0.0),
       ("d.com", 123456.0 / 1048576.0), ("e.com", 0.15000915527343750))
       .toDF("node", "rank")
-    for (t <- Seq(0.5, 1.0, 2.0, 0.7)) {
+    // bit-exactness is CLAIMED (and certified) only for integral 1/T,
+    // where the pw values are exact integers and addition order cannot
+    // matter. For T=0.7 the powers are inexact doubles, so distributed
+    // vs Seq.sum order could in principle flip a floor() at a budget
+    // boundary — assert within ±1 there instead of bit-equality (r19
+    // ADVICE: don't pin an ordering the scaladoc doesn't promise).
+    for (t <- Seq(0.5, 1.0, 2.0)) {
       val m = Web.crawlBudgets(ranks, 100000L, t)
       val d = Web.crawlBudgetsDf(ranks, 100000L, t)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -302,6 +308,16 @@ class WebSpec extends SparkTestBase {
       val d2 = Web.crawlBudgetsDf(ranks.repartition(7), 100000L, t)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(d2 === m, s"T=$t repartitioned")
+    }
+    locally {
+      val m = Web.crawlBudgets(ranks, 100000L, 0.7)
+      val d = Web.crawlBudgetsDf(ranks.repartition(7), 100000L, 0.7)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(d.keySet === m.keySet, "T=0.7 domains")
+      d.foreach { case (k, v) =>
+        assert(math.abs(v - m(k)) <= 1L,
+          s"T=0.7 budget for $k: df $v vs map ${m(k)}")
+      }
     }
     // all-zero ranks: zero budgets, no divide-by-zero
     val zero = Seq(("a.com", 0.0), ("b.com", 0.0)).toDF("node", "rank")
@@ -522,6 +538,22 @@ class WebSpec extends SparkTestBase {
       Web.parseRobotsTxt(robots, "host", "txt", "graftbot"))
       .select("doc_id").as[Long].collect().sorted
     assert(kept === Array(2L, 3L))
+    // a Sitemap line between two user-agent runs SEPARATES them (RFC
+    // 9309 / Google parser: any non-user-agent record ends user-agent
+    // collection) — excluding it from run numbering merged the runs
+    // and leaked the second group's rules to the first agent (r19
+    // ADVICE). Sitemap still never EMITS as a rule, and rules after a
+    // sitemap inside one group keep their group.
+    val sepTxt = "User-agent: GraftBot\nSitemap: https://e.com/s.xml\n" +
+      "User-agent: OtherBot\nDisallow: /other/\n"
+    val sepDf = Seq(("e.com", sepTxt)).toDF("host", "txt")
+    val sepA = Web.parseRobotsTxt(sepDf, "host", "txt", "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(sepA.isEmpty,
+      s"OtherBot's rules leaked to GraftBot across a Sitemap: ${sepA.toSeq}")
+    val sepB = Web.parseRobotsTxt(sepDf, "host", "txt", "otherbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(sepB.toSeq === Seq(("e.com", "/other/", false)))
     // RFC 9309 allows whitespace before the colon; a mixed-case
     // www-prefixed host key must still meet hostOf output in the join
     // (both r18 review finds)
