@@ -193,6 +193,8 @@ object PipelineQueries {
       graft.sources.Warc.fixtureWarcGz())
     java.nio.file.Files.write(dir.resolve("fixture.wet"),
       graft.sources.Warc.fixtureWet())
+    java.nio.file.Files.write(dir.resolve("fixture.wat"),
+      graft.sources.Wat.fixtureWat())
     dir.toFile.deleteOnExit()
     dir.toString
   }
@@ -2196,6 +2198,29 @@ object PipelineQueries {
         .select(col("url"), col("text"), col("n_chars"))
     }),
 
+    // WAT ingest (Common Crawl's metadata-JSON release): one metadata
+    // record per capture → the precomputed link table, RAW values
+    // resolved through the SAME kernel rule as the HTML extractors;
+    // the malformed-JSON capture quarantines as one error row and the
+    // no-surviving-links capture keeps its null-link row (record
+    // conservation) — literal oracle over the fixture archive
+    "q_wat_read" -> ((s, _) => {
+      graft.sources.Wat.watToLinks(s, s"$warcFixtureDir/fixture.wat")
+        .select(col("url"), col("http_status"), col("link_idx"),
+          col("raw_href"), col("href"),
+          col("error").isNotNull.cast("long").as("has_err"))
+    }),
+
+    // anchor-text corpus at the consumable (dst domain, anchor text)
+    // grain: one extraction scan → per-(dst,text,src) counts → the
+    // per-source cap (votes = Σ min(n, cap)) — DuckDB replica runs
+    // the same two-phase aggregation over the q_anchors extraction
+    "q_anchor_corpus" -> ((s, d) => {
+      val h = docs(s, d).select(col("doc_id"), outlinkBase.as("url"),
+        outlinkFixtureHtml.as("html"))
+      graft.ops.Web.anchorTextCorpus(h, "url", "html")
+    }),
+
     // frontier planning: budgets + robots delays → an executable
     // fetch schedule — per-domain rank via the range-partitioned
     // groupedRowNumber (budgets are VARIABLE per domain, so no
@@ -2401,11 +2426,72 @@ object PipelineQueries {
           THEN '?' || array_to_string(params, '&') ELSE '' END) AS curl
        FROM c6)"""
 
+  /** The heuristic public-suffix set as a SQL IN-list literal. */
+  private val suffixListSql: String = graft.ops.Web.DefaultPublicSuffixes
+    .map(x => s"'$x'").mkString(", ")
+
+  /** DuckDB replica of the anchor extraction over the outlink fixture
+    * — the CTE chain shared by q_anchors (raw pairs) and
+    * q_anchor_corpus (the aggregated corpus): whole `<a …>…</a>`
+    * elements, href cleanup + RFC 3986-subset resolution, text
+    * de-tag/entity-decode/collapse. Ends at
+    * `sel(doc_id, a_idx, a{href, atext})`. */
+  private val anchorsReplicaCtes: String =
+    """h AS (SELECT doc_id,
+        CASE WHEN doc_id % 6 = 0 THEN 'https://static.hub.org'
+             ELSE 'https://' || source || '-news.com' END AS bauthu,
+        CASE WHEN doc_id % 6 = 0 THEN '/lib/'
+             ELSE '/sec/' || (doc_id % 7)::VARCHAR || '/' END AS bdir,
+        '<html><body><h1>' || source || '</h1>' ||
+        (CASE WHEN doc_id % 6 = 0
+              THEN '<base href="https://static.hub.org/lib/">'
+              ELSE '' END) ||
+        '<a href="https://partner' || (doc_id % 5)::VARCHAR ||
+          '.com/x?id=' || doc_id::VARCHAR || '">p</a>' ||
+        '<a href=''//cdn-assets.net/l' || (doc_id % 3)::VARCHAR ||
+          '''>c</a>' ||
+        '<a href=/local/' || (doc_id % 7)::VARCHAR || '>l</a>' ||
+        (CASE WHEN doc_id % 2 = 0 THEN '<a href="rel/page2.html">r</a>'
+              ELSE '<a href="./sib.html#frag">s</a>' END) ||
+        '<a href="mailto:x@y.com">m</a><a href="#top">t</a>' ||
+        (CASE WHEN doc_id % 4 = 0 THEN '<A HREF="HTTP://Upper.org/Y">u</A>'
+              ELSE '' END) ||
+        '</body></html>' AS html
+       FROM documents),
+      r AS (SELECT doc_id, bauthu, bdir, regexp_extract_all(html,
+        '(?is)<a\b[^>]*?\shref\s*=\s*(?:"[^"]*"|''[^'']*''|[^\s>]+)[^>]*>.*?</a>',
+        0) AS elems FROM h),
+      p0 AS (SELECT doc_id, bauthu, bdir, list_transform(elems, e ->
+        struct_pack(
+          cv := trim(regexp_replace(regexp_replace(regexp_extract(e,
+            '(?is)<a\b[^>]*?\shref\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)', 1),
+            '^["'']|["'']$', '', 'g'), '#.*$', '')),
+          atext := trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(e,
+                '(?is)^<a[^>]*>', ''), '(?is)</a>$', ''),
+                '<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', chr(39)), '&amp;', '&'),
+            '\s+', ' ', 'g')))) AS l0 FROM r),
+      p AS (SELECT doc_id, list_filter(list_transform(l0, x ->
+        struct_pack(
+          href := CASE
+            WHEN regexp_matches(x.cv, '^(?i)https?://') THEN x.cv
+            WHEN regexp_matches(x.cv, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
+            WHEN starts_with(x.cv, '//') THEN 'https:' || x.cv
+            WHEN starts_with(x.cv, '/') THEN bauthu || x.cv
+            WHEN len(x.cv) > 0 THEN bauthu || bdir ||
+              regexp_replace(x.cv, '^(\./)+', '')
+            ELSE NULL END,
+          atext := x.atext)), x -> x.href IS NOT NULL) AS ls FROM p0),
+      sel AS (SELECT doc_id, generate_subscripts(ls, 1)::BIGINT - 1 AS a_idx,
+        unnest(ls) AS a FROM p)"""
+
   /** eTLD+1 over the heuristic suffix set — from `canon` to
     * `rd2(doc_id, n_chars, host, curl, dom)`. */
   private val regDomainSql: String = {
-    val suffixes = graft.ops.Web.DefaultPublicSuffixes
-      .map(x => s"'$x'").mkString(", ")
+    val suffixes = suffixListSql
     s"""rd AS (SELECT *, string_split(host, '.') AS labs FROM canon),
       rd2 AS (SELECT doc_id, n_chars, host, curl,
         CASE WHEN len(labs) <= 2
@@ -2751,57 +2837,44 @@ object PipelineQueries {
         unnest(ls) AS link FROM res""",
 
     "q_anchors" ->
-      """WITH h AS (SELECT doc_id,
-        CASE WHEN doc_id % 6 = 0 THEN 'https://static.hub.org'
-             ELSE 'https://' || source || '-news.com' END AS bauthu,
-        CASE WHEN doc_id % 6 = 0 THEN '/lib/'
-             ELSE '/sec/' || (doc_id % 7)::VARCHAR || '/' END AS bdir,
-        '<html><body><h1>' || source || '</h1>' ||
-        (CASE WHEN doc_id % 6 = 0
-              THEN '<base href="https://static.hub.org/lib/">'
-              ELSE '' END) ||
-        '<a href="https://partner' || (doc_id % 5)::VARCHAR ||
-          '.com/x?id=' || doc_id::VARCHAR || '">p</a>' ||
-        '<a href=''//cdn-assets.net/l' || (doc_id % 3)::VARCHAR ||
-          '''>c</a>' ||
-        '<a href=/local/' || (doc_id % 7)::VARCHAR || '>l</a>' ||
-        (CASE WHEN doc_id % 2 = 0 THEN '<a href="rel/page2.html">r</a>'
-              ELSE '<a href="./sib.html#frag">s</a>' END) ||
-        '<a href="mailto:x@y.com">m</a><a href="#top">t</a>' ||
-        (CASE WHEN doc_id % 4 = 0 THEN '<A HREF="HTTP://Upper.org/Y">u</A>'
-              ELSE '' END) ||
-        '</body></html>' AS html
-       FROM documents),
-      r AS (SELECT doc_id, bauthu, bdir, regexp_extract_all(html,
-        '(?is)<a\b[^>]*?\shref\s*=\s*(?:"[^"]*"|''[^'']*''|[^\s>]+)[^>]*>.*?</a>',
-        0) AS elems FROM h),
-      p0 AS (SELECT doc_id, bauthu, bdir, list_transform(elems, e ->
-        struct_pack(
-          cv := trim(regexp_replace(regexp_replace(regexp_extract(e,
-            '(?is)<a\b[^>]*?\shref\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)', 1),
-            '^["'']|["'']$', '', 'g'), '#.*$', '')),
-          atext := trim(regexp_replace(
-            replace(replace(replace(replace(replace(replace(
-              regexp_replace(regexp_replace(regexp_replace(e,
-                '(?is)^<a[^>]*>', ''), '(?is)</a>$', ''),
-                '<[^>]*>', ' ', 'g'),
-            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-            '&#39;', chr(39)), '&amp;', '&'),
-            '\s+', ' ', 'g')))) AS l0 FROM r),
-      p AS (SELECT doc_id, list_filter(list_transform(l0, x ->
-        struct_pack(
-          href := CASE
-            WHEN regexp_matches(x.cv, '^(?i)https?://') THEN x.cv
-            WHEN regexp_matches(x.cv, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN NULL
-            WHEN starts_with(x.cv, '//') THEN 'https:' || x.cv
-            WHEN starts_with(x.cv, '/') THEN bauthu || x.cv
-            WHEN len(x.cv) > 0 THEN bauthu || bdir ||
-              regexp_replace(x.cv, '^(\./)+', '')
-            ELSE NULL END,
-          atext := x.atext)), x -> x.href IS NOT NULL) AS ls FROM p0),
-      sel AS (SELECT doc_id, generate_subscripts(ls, 1)::BIGINT - 1 AS a_idx,
-        unnest(ls) AS a FROM p)
+      s"""WITH $anchorsReplicaCtes
       SELECT doc_id, a_idx, a.href AS href, a.atext AS a_text FROM sel""",
+
+    "q_anchor_corpus" ->
+      s"""WITH $anchorsReplicaCtes,
+      pg AS (SELECT s.doc_id, d.source || '-news.com' AS src,
+          s.a.href AS href, s.a.atext AS anchor_text
+        FROM sel s JOIN documents d USING (doc_id)),
+      d1 AS (SELECT src, anchor_text, regexp_replace(regexp_replace(
+          lower(regexp_extract(regexp_replace(regexp_replace(href,
+            '#.*$$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+            '^([^/?]*)', 1)), '^[^@]*@', ''), ':[0-9]+$$', '') AS hp
+        FROM pg),
+      d2 AS (SELECT src, anchor_text,
+          regexp_replace(hp, '\\.+$$', '') AS h0 FROM d1),
+      d3 AS (SELECT src, anchor_text,
+          CASE WHEN len(string_split(
+              regexp_replace(h0, '^(www\\.)+', ''), '.')) >= 2
+            THEN regexp_replace(h0, '^(www\\.)+', '')
+            ELSE h0 END AS host FROM d2),
+      d4 AS (SELECT src, anchor_text, string_split(host, '.') AS labs,
+          host FROM d3),
+      d5 AS (SELECT src, anchor_text,
+          CASE WHEN len(labs) <= 2
+                 OR regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$$')
+                 THEN host
+               WHEN array_to_string(labs[-2:], '.') IN ($suffixListSql)
+                 THEN array_to_string(labs[-3:], '.')
+               ELSE array_to_string(labs[-2:], '.') END AS dst FROM d4),
+      pf AS (SELECT * FROM d5
+        WHERE src IS NOT NULL AND dst IS NOT NULL
+          AND len(src) > 0 AND len(dst) > 0
+          AND len(anchor_text) > 0 AND src <> dst),
+      g1 AS (SELECT dst AS domain, anchor_text, src, count(*) AS n
+        FROM pf GROUP BY 1, 2, 3)
+      SELECT domain, anchor_text, count(*)::BIGINT AS n_src,
+        sum(least(n, 3))::BIGINT AS votes
+      FROM g1 GROUP BY 1, 2""",
 
     "q_crawl_edges" ->
       """SELECT * FROM (VALUES
@@ -2840,6 +2913,36 @@ object PipelineQueries {
           'alpha page text' || chr(10) || 'second line', 27::BIGINT),
          ('https://b.com/two', 'bravo extracted text', 20::BIGINT)
         ) t(url, text, n_chars)""",
+
+    "q_wat_read" ->
+      """SELECT * FROM (VALUES
+         ('https://alpha.com/news/a1', 200::BIGINT, 0::BIGINT,
+          'https://beta.com/x', 'https://beta.com/x', 0::BIGINT),
+         ('https://alpha.com/news/a1', 200::BIGINT, 1::BIGINT,
+          '/promo', 'https://alpha.com/promo', 0::BIGINT),
+         ('https://alpha.com/news/a1', 200::BIGINT, 2::BIGINT,
+          'rel/two', 'https://alpha.com/news/rel/two', 0::BIGINT),
+         ('https://alpha.com/news/a1', 200::BIGINT, 3::BIGINT,
+          '//gamma.com/lib', 'https://gamma.com/lib', 0::BIGINT),
+         ('https://alpha.com/news/a1', 200::BIGINT, 4::BIGINT,
+          'mailto:x@alpha.com', NULL::VARCHAR, 0::BIGINT),
+         ('https://beta.com/dir/b1', 200::BIGINT, 0::BIGINT,
+          'https://alpha.com/one', 'https://alpha.com/one', 0::BIGINT),
+         ('https://beta.com/dir/b1', 200::BIGINT, 1::BIGINT,
+          'HTTPS://ALPHA.com/two?utm_s=9', 'HTTPS://ALPHA.com/two?utm_s=9',
+          0::BIGINT),
+         ('https://beta.com/dir/b1', 200::BIGINT, 2::BIGINT,
+          '../up', 'https://beta.com/dir/../up', 0::BIGINT),
+         ('https://beta.com/dir/b1', 200::BIGINT, 3::BIGINT,
+          'javascript:void(0)', NULL::VARCHAR, 0::BIGINT),
+         ('https://gamma.com/g1', 200::BIGINT, 0::BIGINT,
+          '#sec', NULL::VARCHAR, 0::BIGINT),
+         ('https://delta.com/dead', 404::BIGINT, 0::BIGINT,
+          'https://alpha.com/not-counted', 'https://alpha.com/not-counted',
+          0::BIGINT),
+         ('https://mal.example/x', NULL::BIGINT, NULL::BIGINT,
+          NULL::VARCHAR, NULL::VARCHAR, 1::BIGINT)
+        ) t(url, http_status, link_idx, raw_href, href, has_err)""",
 
     "q_frontier" ->
       s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql,

@@ -854,6 +854,10 @@ object VectorExprs {
       "graft_anchors" -> (exprs => ExtractAnchorsExpr(exprs(0), exprs(1))),
       "graft_registered_domain_url" -> (exprs =>
         RegisteredDomainOfUrl(exprs(0), strSeq(exprs(1)))),
+      "graft_robots_match" -> (exprs =>
+        RobotsPathMatch(exprs(0), exprs(1))),
+      "graft_resolve_href" -> (exprs =>
+        ResolveHrefExpr(exprs(0), exprs(1), exprs(2))),
       "graft_gopher_stats" -> (exprs => GopherStats(exprs(0))),
       "graft_pii_counts" -> (exprs => PiiCountsExpr(exprs(0), strSeq(exprs(1)))),
       "graft_pii_redact" -> (exprs =>

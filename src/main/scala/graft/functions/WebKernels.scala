@@ -94,6 +94,38 @@ object WebKernels {
     trimSpaces(FRAG.matcher(
       QUOTES.matcher(raw).replaceAll("")).replaceAll(""))
 
+  /** Is offset `pos` inside an HTML comment? Comments do not nest
+    * (the first `-->` after an opener closes it), so the LATEST
+    * `<!--` at/before `pos` decides: `pos` is commented iff that
+    * opener's close is at/after `pos` (or missing — an unclosed
+    * comment swallows the tail). indexOf scans, no regex. */
+  private def inComment(html: String, pos: Int): Boolean = {
+    val open = html.lastIndexOf("<!--", pos)
+    if (open < 0) false
+    else {
+      val close = html.indexOf("-->", open)
+      close < 0 || close + 3 > pos
+    }
+  }
+
+  /** First `<base href>` value NOT inside an HTML comment — a
+    * commented-out `<base>` tag must not silently rebase every link
+    * on the page (r20 sweep: the one comment case that corrupts the
+    * WHOLE page's resolution rather than adding one phantom link;
+    * `<a>` inside comments stays extracted, the documented heuristic
+    * trade). Multiple `<base>` tags: the first (uncommented) one
+    * wins, per the HTML spec. */
+  private def findBaseAttr(html: String): String = {
+    val m = BASE.matcher(html)
+    while (m.find()) {
+      if (!inComment(html, m.start())) {
+        val g = m.group(1)
+        return if (g == null) "" else g
+      }
+    }
+    ""
+  }
+
   /** The effective resolution base of a page: its own (defragmented)
     * URL unless a `<base href>` overrides it — absolute http(s)
     * replaces whole, root-/protocol-relative rebase on the page's
@@ -101,8 +133,16 @@ object WebKernels {
     * back to the page URL. Null baseUrl: only an absolute `<base>`
     * can still produce a base (the old chain's concat-null
     * propagation). */
-  private def effectiveBase(html: String, baseUrl: String): String = {
-    val rawBase = cleanHref(extract1(BASE, html))
+  private def effectiveBase(html: String, baseUrl: String): String =
+    effectiveBaseFromAttr(findBaseAttr(html), baseUrl)
+
+  /** [[effectiveBase]] from an already-extracted RAW base attribute
+    * value (quotes/fragment not yet stripped — the form a `<base>`
+    * scan or a WAT `Head.Base` field carries) — the shared rule, so
+    * the HTML extractors and the WAT link resolver cannot drift. */
+  private[functions] def effectiveBaseFromAttr(rawBaseAttr: String,
+                                               baseUrl: String): String = {
+    val rawBase = cleanHref(if (rawBaseAttr == null) "" else rawBaseAttr)
     if (HTTP_ABS.matcher(rawBase).find()) return rawBase
     val pageDefrag =
       if (baseUrl == null) null else FRAG.matcher(baseUrl).replaceAll("")
@@ -226,6 +266,85 @@ object WebKernels {
       if (r != null) out += UTF8String.fromString(r)
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Resolve ONE raw href value against (pageUrl, rawBaseAttr) — the
+    * WAT ingest path: Common Crawl's WAT metadata carries RAW link
+    * attribute values plus the page's `<base href>` as a separate
+    * `Head.Base` field, so resolution runs per value instead of per
+    * page scan. Same [[effectiveBaseFromAttr]]/[[resolve]] rule as
+    * the HTML extractors, bit for bit (law-pinned: WAT-derived edges
+    * ≡ [[extractOutlinks]]-derived edges on the linked fixture).
+    * Null/dropped-scheme/empty values resolve to null. */
+  def resolveHref(valueU: UTF8String, pageU: UTF8String,
+                  baseAttrU: UTF8String): UTF8String = {
+    if (valueU == null) return null
+    val base = effectiveBaseFromAttr(
+      if (baseAttrU == null) null else baseAttrU.toString,
+      if (pageU == null) null else pageU.toString)
+    val r = resolve(new BaseParts(base), valueU.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  // ---- robots.txt path matching (RFC 9309 §2.2.2-2.2.3) ----------------
+  //
+  // The rule test robotsFilter applies per (url, rule) JOIN ROW. Two
+  // tiers, decided PER RULE (not per table — r19 verdict #3: the old
+  // table-global gate let one wildcard rule on one host push EVERY
+  // host's rules onto a per-row-compiled regex):
+  //  - a rule with no '*' and no trailing '$' is a plain startsWith —
+  //    zero regex machinery, the overwhelmingly common case;
+  //  - a wildcard rule translates ONCE per distinct prefix (escape
+  //    every metachar except '*' → '.*'; trailing '$' stays the end
+  //    anchor) into a compiled Pattern held in a bounded cache, so
+  //    |urls|·rules-per-host join rows pay a hash lookup, not a
+  //    Pattern.compile each.
+  // The translation is byte-identical to the certified r19 column
+  // formulation (escape set, '*' substitution, '^' anchor + find()).
+
+  private val robotsPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
+  /** Far above any real rules table's distinct wildcard prefixes; a
+    * crafted table that overflows it costs re-compiles, not memory. */
+  private val RobotsCacheCap = 1 << 14
+
+  private[graft] def robotsPatternCacheSize(): Int = robotsPatterns.size()
+  private[graft] def robotsPatternCacheClear(): Unit = robotsPatterns.clear()
+
+  private val RobotsMeta = ".[]{}()+?^$|\\"
+
+  private def robotsPattern(prefix: String): Pattern = {
+    val cached = robotsPatterns.get(prefix)
+    if (cached != null) return cached
+    val hasEnd = prefix.endsWith("$")
+    val body = if (hasEnd) prefix.substring(0, prefix.length - 1) else prefix
+    val sb = new java.lang.StringBuilder(body.length + 8)
+    sb.append('^')
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '*') sb.append(".*")
+      else {
+        if (RobotsMeta.indexOf(c) >= 0) sb.append('\\')
+        sb.append(c)
+      }
+      i += 1
+    }
+    if (hasEnd) sb.append('$')
+    val p = Pattern.compile(sb.toString)
+    if (robotsPatterns.size() >= RobotsCacheCap) robotsPatterns.clear()
+    robotsPatterns.put(prefix, p)
+    p
+  }
+
+  /** Does robots rule `prefix` match URL `path` (RFC 9309 §2.2.2)?
+    * Wildcard-free rules never touch the regex tier or its cache
+    * (WebSpec law observes the cache to pin this). */
+  def robotsPathMatch(pathU: UTF8String, prefixU: UTF8String): Boolean = {
+    val prefix = prefixU.toString
+    if (prefix.indexOf('*') < 0 && !prefix.endsWith("$"))
+      pathU.toString.startsWith(prefix)
+    else robotsPattern(prefix).matcher(pathU.toString).find()
   }
 
   /** (href, text) pairs of every CLOSED anchor element whose href
@@ -362,4 +481,85 @@ case class ExtractAnchorsExpr(left: Expression, right: Expression)
     WebKernels.extractAnchors(h, b)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ExtractAnchorsExpr = copy(l, r)
+}
+
+/** RFC 9309 rule match — see [[WebKernels.robotsPathMatch]]: per-rule
+  * tiering (plain prefixes stay on startsWith; wildcard rules hit a
+  * memoized compiled pattern), so one wildcard rule anywhere no
+  * longer drags every host onto a per-row regex compile (r19 verdict
+  * #3). Null path or prefix → null (no match decision). */
+case class RobotsPathMatch(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType, StringType)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+
+  override protected def nullSafeEval(path: Any, prefix: Any): Any =
+    WebKernels.robotsPathMatch(path.asInstanceOf[UTF8String],
+      prefix.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, r) =>
+      s"graft.functions.WebKernels.robotsPathMatch($p, $r)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RobotsPathMatch = copy(l, r)
+}
+
+/** Resolve one raw href value against (pageUrl, baseAttr) — the WAT
+  * link resolver, sharing [[WebKernels]]' effectiveBase/resolve rule
+  * with the HTML extractors. NULLABLE BY DESIGN: a dropped scheme
+  * (mailto/javascript), an empty value, or an unresolvable relative
+  * (null page URL, no absolute base) yields null — the caller
+  * filters. pageUrl/baseAttr null are legal inputs (concat-null
+  * semantics live in the kernel), so eval/codegen are hand-written
+  * like [[HtmlExtractExpr]]. */
+case class ResolveHrefExpr(first: Expression, second: Expression,
+                           third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType, StringType, StringType)
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = first.eval(input)
+    if (v == null) null
+    else WebKernels.resolveHref(v.asInstanceOf[UTF8String],
+      second.eval(input).asInstanceOf[UTF8String],
+      third.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val v = first.genCode(ctx)
+    val p = second.genCode(ctx)
+    val b = third.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${v.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (!${v.isNull}) {
+          ${p.code}
+          ${b.code}
+          ${ev.value} = graft.functions.WebKernels.resolveHref(
+            ${v.value},
+            ${p.isNull} ? null : ${p.value},
+            ${b.isNull} ? null : ${b.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ResolveHrefExpr =
+    copy(f, s, t)
 }

@@ -510,13 +510,28 @@ object Web {
     * construction. */
   def edgesFromDocuments(df: DataFrame, urlCol: String, htmlCol: String,
                          suffixes: Seq[String] = DefaultPublicSuffixes,
-                         dropSelf: Boolean = true): DataFrame = {
+                         dropSelf: Boolean = true): DataFrame =
+    edgesFromLinks(
+      df.filter(col(urlCol).rlike("^(?i)https?://"))
+        .select(col(urlCol).as("__page"),
+          explode(extractOutlinks(col(htmlCol), col(urlCol))).as("__link")),
+      "__page", "__link", suffixes, dropSelf)
+
+  /** [[edgesFromDocuments]]' registered-domain projection over an
+    * ALREADY-RESOLVED (page url, link url) frame — the shared tail,
+    * so link tables that arrive pre-extracted (Common Crawl WAT via
+    * [[graft.sources.Wat.watToLinks]]) produce edges through the SAME
+    * rule as the HTML scan (law-pinned: WAT edges ≡ document edges on
+    * the linked fixture). Contract matches the parent: multi-edges
+    * kept, self-loops dropped by default, junk/null endpoints and
+    * non-http(s) page URLs contribute nothing. */
+  def edgesFromLinks(df: DataFrame, urlCol: String, linkCol: String,
+                     suffixes: Seq[String] = DefaultPublicSuffixes,
+                     dropSelf: Boolean = true): DataFrame = {
     def rdom(url: Column): Column = registeredDomainOfUrl(url, suffixes)
     val out = df
       .filter(col(urlCol).rlike("^(?i)https?://"))
-      .select(rdom(col(urlCol)).as("src"),
-        explode(extractOutlinks(col(htmlCol), col(urlCol))).as("__link"))
-      .select(col("src"), rdom(col("__link")).as("dst"))
+      .select(rdom(col(urlCol)).as("src"), rdom(col(linkCol)).as("dst"))
       .na.drop()
       .filter(length(col("src")) > 0 && length(col("dst")) > 0)
     if (dropSelf) out.filter(col("src") =!= col("dst")) else out
@@ -536,13 +551,15 @@ object Web {
     * row — no cartesian, no LIKE scan), rule test + most-specific
     * argmax via the ObjectHashAggregate extremum aggregate, then a
     * left-anti on the disallowed ids. Rules tables are small (per-host
-    * handfuls) — AQE broadcasts them. Two size-gated match tiers, the
-    * house discipline: when NO rule uses `*`/trailing `$` (one tiny
-    * aggregate decides), matching stays the codegen'd `startsWith`;
-    * otherwise each rule translates to an anchored regex (metachars
-    * escaped, `*` → `.*`, trailing `$` kept as the anchor) and
-    * matching is `regexp_like` with the per-row pattern — paid only
-    * when wildcards are actually present. */
+    * handfuls) — AQE broadcasts them. The rule test is the compiled
+    * [[graft.functions.RobotsPathMatch]] kernel, tiered PER RULE (r19
+    * verdict #3 — the old gate was table-global, so one wildcard rule
+    * on one host pushed EVERY host's rules onto a per-join-row regex
+    * compile): a rule with no `*` and no trailing `$` is a plain
+    * `startsWith` with zero regex machinery; a wildcard rule
+    * translates once per distinct prefix (metachars escaped, `*` →
+    * `.*`, trailing `$` kept as the anchor) into a compiled pattern
+    * held in a bounded cache. No driver-side gate job at all. */
   def robotsFilter(df: DataFrame, urlCol: String, idCol: String,
                    rules: DataFrame): DataFrame = {
     require(rules.columns.toSeq == Seq("host", "prefix", "allow"),
@@ -550,27 +567,8 @@ object Web {
         rules.columns.mkString("(", ", ", ")"))
     val keyed = df.select(col(idCol).as("__rid"),
       hostOf(col(urlCol)).as("__rhost"), pathOf(col(urlCol)).as("__rpath"))
-    // coalesce: an EMPTY rules table aggregates max() to null — it
-    // must mean "no wildcards" (and no matches → everything allowed),
-    // not an NPE (r19 self-review find)
-    val hasWild = rules
-      .agg(coalesce(max(col("prefix").contains("*") ||
-        col("prefix").endsWith("$")), lit(false)).as("w"))
-      .head().getBoolean(0)
-    val ruleTest: Column =
-      if (!hasWild) col("__rpath").startsWith(col("prefix"))
-      else {
-        val hasEnd = col("prefix").endsWith("$")
-        val body = when(hasEnd,
-          expr("substring(prefix, 1, length(prefix) - 1)"))
-          .otherwise(col("prefix"))
-        // escape every regex metachar except '*' (which becomes .*)
-        val esc = regexp_replace(body,
-          "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
-        val pat = concat(lit("^"), replace(esc, lit("*"), lit(".*")),
-          when(hasEnd, lit("$")).otherwise(lit("")))
-        regexp_like(col("__rpath"), pat)
-      }
+    val ruleTest: Column = graft.functions.VectorExprs.withKernels(
+      call_function("graft_robots_match", col("__rpath"), col("prefix")))
     // normalize the rules' host side too, so hand-built tables with
     // mixed-case/www-prefixed keys meet hostOf output
     val matched = keyed.join(
@@ -646,9 +644,13 @@ object Web {
        else Seq(col("__rb_host")))
     applicableRuleLines(df, hostCol, txtCol, agent, Seq("crawl-delay"))
       // try_cast: a malformed delay value is junk to drop, not an
-      // ANSI cast error to fail the job on
+      // ANSI cast error to fail the job on. Finite-only: 'Infinity'
+      // try_casts to a real Double that passes >= 0 and then wins
+      // every max() — a schedule with an infinite delay never fetches
+      // (r20 sweep find); NaN already fails >= 0
       .withColumn("__delay", col("__value").try_cast("double"))
-      .filter(col("__delay").isNotNull && col("__delay") >= 0)
+      .filter(col("__delay").isNotNull && col("__delay") >= 0 &&
+        col("__delay") < lit(Double.PositiveInfinity))
       .groupBy(keys: _*)
       .agg(max(col("__delay")).as("crawl_delay"))
       .select((Seq(normalizeHost(col("__rb_host")).as("host"),

@@ -121,7 +121,12 @@ object Warc {
       .select(
         xxhash64(col("path"), col("recordIdx")).as("doc_id"),
         col("targetUri").as("url"),
-        decode(col("payload"), "UTF-8").as("text"))
+        // a UTF-8 BOM at payload start decodes to U+FEFF and would
+        // ride into every downstream tokenizer/fingerprint as a
+        // phantom first character (r20 sweep find) — strip it; WET
+        // payloads are UTF-8 by spec, so the BOM is pure marker
+        regexp_replace(decode(col("payload"), "UTF-8"),
+          "^\\uFEFF", "").as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
@@ -482,13 +487,15 @@ object Warc {
   // walk tracks the same carry state as the member parser), so every
   // record lands in exactly one split.
 
-  /** One byte-range split of a `.warc.gz` file. `fileLength` stamps
-    * the indexed file's size so a rewritten file is REFUSED at read
-    * time (the cfg-stamp discipline) instead of silently range-read
-    * as garbage. */
+  /** One byte-range split of a `.warc.gz` file. `fileLength` AND
+    * `fileModTime` (epoch millis, from the same Hadoop FileStatus the
+    * reader checks) stamp the indexed file so a rewritten file is
+    * REFUSED at read time (the cfg-stamp discipline) instead of
+    * silently range-read as garbage — the length alone missed a
+    * SAME-LENGTH in-place rewrite (r20 sweep find). */
   final case class WarcSplit(path: String, splitIdx: Int,
       startOffset: Long, endOffset: Long, firstRecordIdx: Int,
-      nRecords: Int, fileLength: Long)
+      nRecords: Int, fileLength: Long, fileModTime: Long)
 
   /** Walk one file's gzip members, counting records and closing a
     * split at each clean (carry-free) member boundary once
@@ -497,7 +504,8 @@ object Warc {
     * counts are exact by construction. */
   private[graft] def scanGzSplits(path: String, gz: Array[Byte],
       targetSplitBytes: Long,
-      maxMemberBytes: Long = DefaultMaxMemberBytes): Seq[WarcSplit] = {
+      maxMemberBytes: Long = DefaultMaxMemberBytes,
+      fileModTime: Long = 0L): Seq[WarcSplit] = {
     require(targetSplitBytes >= 1, "targetSplitBytes must be >= 1")
     val out = scala.collection.mutable.ArrayBuffer[WarcSplit]()
     var splitStart = 0L
@@ -509,7 +517,7 @@ object Warc {
       if (end > splitStart) {
         out += WarcSplit(path, out.length, splitStart, end,
           splitFirstRecord, recordsEmitted - splitFirstRecord,
-          gz.length.toLong)
+          gz.length.toLong, fileModTime)
         splitStart = end
         splitFirstRecord = recordsEmitted
       }
@@ -554,16 +562,18 @@ object Warc {
     import spark.implicits._
     val maxMember = confMaxMember(spark)
     val files = spark.read.format("binaryFile").load(path)
-      .select("path", "content").as[(String, Array[Byte])]
-    files.flatMap { case (p, content) =>
+      .select("path", "modificationTime", "content")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+    files.flatMap { case (p, mt, content) =>
+      val mtMs = mt.getTime
       if (p.endsWith(".gz")) scanGzSplits(p, content, targetSplitBytes,
-        maxMember)
+        maxMember, mtMs)
       else {
         // uncompressed .warc: one whole-file split (binaryFile already
         // parallelizes per file; record-marker splitting is the gz
         // path's job — CC ships gz)
         Seq(WarcSplit(p, 0, 0L, content.length.toLong, 0,
-          parseRecords(p, content).length, content.length.toLong))
+          parseRecords(p, content).length, content.length.toLong, mtMs))
       }
     }(Encoders.product[WarcSplit])
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -591,13 +601,19 @@ object Warc {
         val fs = org.apache.hadoop.fs.FileSystem.get(uri, hconf.value)
         val hPath = new org.apache.hadoop.fs.Path(uri)
         // stale-sidecar refusal: a file rewritten since indexing would
-        // otherwise be range-read as silent garbage
-        val nowLen = fs.getFileStatus(hPath).getLen
-        if (nowLen != s.fileLength)
+        // otherwise be range-read as silent garbage. Length AND mtime
+        // (the same FileStatus source binaryFile stamped at indexing):
+        // a same-length in-place rewrite slips the length check alone
+        // (r20 sweep find)
+        val st = fs.getFileStatus(hPath)
+        if (st.getLen != s.fileLength ||
+          st.getModificationTime != s.fileModTime)
           throw new IllegalStateException(
-            s"${s.path} is $nowLen bytes but the split sidecar indexed " +
-              s"${s.fileLength} — the file changed since indexing; " +
-              "rebuild the sidecar (writeWarcSplitIndex)")
+            s"${s.path} is ${st.getLen} bytes (mtime " +
+              s"${st.getModificationTime}) but the split sidecar indexed " +
+              s"${s.fileLength} bytes (mtime ${s.fileModTime}) — the " +
+              "file changed since indexing; rebuild the sidecar " +
+              "(writeWarcSplitIndex)")
         val span = s.endOffset - s.startOffset
         if (span > Int.MaxValue.toLong)
           throw new IllegalStateException(

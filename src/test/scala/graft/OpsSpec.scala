@@ -1465,6 +1465,19 @@ class OpsSpec extends SparkTestBase {
     val hugeMeta = containerMeta(9L, hugeV1)
     assert(hugeMeta.error == null && hugeMeta.durationMs === 0L,
       s"overflowing v1 duration must read 0, never negative: $hugeMeta")
+    // r20 sweep pins: (a) a ZERO-timescale mvhd must read duration 0
+    // ("unknown"), never divide by zero; (b) a 2^31-boundary box size
+    // (0x80000000 reads negative in a signed 32-bit view) terminates
+    // the walk as malformed — quarantine, not a crash or a wild read
+    val zeroTs = ftypOnly ++ box("moov",
+      box("mvhd", new Array[Byte](12) ++ be32(0L) ++ be32(5000L)))
+    val zeroMeta = containerMeta(10L, zeroTs)
+    assert(zeroMeta.error == null && zeroMeta.durationMs === 0L,
+      s"zero timescale must read duration 0: $zeroMeta")
+    val bigBox = ftypOnly ++ (be32(0x80000000L) ++
+      "moov".getBytes("US-ASCII") ++ new Array[Byte](16))
+    assert(containerMeta(11L, bigBox).error != null,
+      "a 2^31 box size must quarantine, not crash")
     // a crafted 10^5-deep container nesting quarantines (depth cap),
     // never a StackOverflowError task failure
     val levels = 100000

@@ -211,6 +211,111 @@ class WarcSpec extends SparkTestBase {
       s"want the stale-sidecar refusal, got: ${e.getMessage.take(300)}")
   }
 
+  test("stale-sidecar refusal catches a SAME-LENGTH in-place rewrite " +
+    "(mtime stamp — the length check alone misses it; r20 sweep find)") {
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_mtime")
+    val f = dir.resolve("a.warc.gz")
+    val bytes = gzip(Warc.fixtureCrawl())
+    java.nio.file.Files.write(f, bytes)
+    val side = dir.toString + "/sidecar"
+    Warc.writeWarcSplitIndex(spark, f.toString, side)
+    // sanity: unmodified file reads fine
+    assert(Warc.readWarcIndexed(spark, side).count() > 0)
+    // rewrite IN PLACE with the same byte length (flip one payload
+    // byte deep in the deflate stream) and a bumped mtime — the local
+    // FS could otherwise land the rewrite in the same mtime tick
+    val flipped = bytes.clone(); flipped(bytes.length / 2) =
+      (flipped(bytes.length / 2) ^ 0x01).toByte
+    java.nio.file.Files.write(f, flipped)
+    f.toFile.setLastModified(f.toFile.lastModified() + 2000L)
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.readWarcIndexed(spark, side).collect()
+    }
+    assert(e.getMessage.contains("sidecar") ||
+      Option(e.getCause).exists(_.getMessage.contains("sidecar")),
+      s"want the stale-sidecar refusal, got: ${e.getMessage.take(300)}")
+  }
+
+  test("WAT ingest: the precomputed link table resolves through the " +
+    "SHARED kernel rule — WAT-derived edges ≡ edgesFromDocuments on " +
+    "the linked fixture pair; malformed JSON quarantines ONE row; " +
+    "record conservation holds; metadata carries title + link counts") {
+    import graft.sources.Wat
+    val dir = java.nio.file.Files.createTempDirectory("graft_wat")
+    java.nio.file.Files.write(dir.resolve("f.wat"), Wat.fixtureWat())
+    java.nio.file.Files.write(dir.resolve("linked.warc"),
+      Warc.fixtureLinkedCrawl())
+    // THE law: edges from CC's precomputed WAT links equal edges from
+    // the full HTML scan, multi-edge counts included
+    val watEdges = Wat.edgesFromWat(spark, dir.toString + "/f.wat")
+      .groupBy("src", "dst").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val pages = Warc.readWarc(spark, dir.toString + "/linked.warc")
+      .filter(col("httpStatus") === 200)
+      .select(col("targetUri").as("url"),
+        decode(col("payload"), "UTF-8").as("html"))
+    val docEdges = graft.ops.Web.edgesFromDocuments(pages, "url", "html")
+      .groupBy("src", "dst").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(watEdges === docEdges,
+      s"WAT edges must equal document edges: $watEdges vs $docEdges")
+    assert(watEdges === Set(("alpha.com", "beta.com", 1L),
+      ("alpha.com", "gamma.com", 1L), ("beta.com", "alpha.com", 2L)))
+    val links = Wat.watToLinks(spark, dir.toString + "/f.wat")
+    // quarantine: the malformed-JSON capture is ONE error row with
+    // null link fields — never silently dropped
+    val bad = links.filter(col("error").isNotNull).collect()
+    assert(bad.length === 1 && bad.head.getAs[String]("url") ===
+      "https://mal.example/x" && bad.head.isNullAt(
+      bad.head.fieldIndex("raw_href")))
+    // record conservation: every metadata capture appears (4 pages +
+    // the malformed one; warcinfo is not a metadata record)
+    assert(links.select("url").distinct().count() === 5L)
+    // dropped-scheme and fragment-only raw values keep their rows
+    // with null resolved href (the extractOutlinks drop contract)
+    val mailto = links.filter(col("raw_href") === "mailto:x@alpha.com")
+      .collect()
+    assert(mailto.length === 1 && mailto.head.isNullAt(
+      mailto.head.fieldIndex("href")))
+    val meta = Wat.watToMetadata(spark, dir.toString + "/f.wat")
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("title"), r.getAs[Long]("n_links")))).toMap
+    assert(meta("https://alpha.com/news/a1") === (("alpha", 5L)))
+    assert(meta("https://delta.com/dead") === (("dead", 1L)))
+  }
+
+  test("wetToDocuments strips a UTF-8 BOM from the payload (a phantom " +
+    "U+FEFF first char would ride into every tokenizer; r20 sweep)") {
+    def rec(uri: String, body: Array[Byte]): Array[Byte] = {
+      val head = s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-01-07T00:00:00Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:bom-$uri>\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+      head.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_bom")
+    java.nio.file.Files.write(dir.resolve("b.wet"),
+      rec("https://a.com/bom", bom ++ "hello".getBytes("UTF-8")) ++
+        rec("https://a.com/plain", "hello".getBytes("UTF-8")))
+    val got = Warc.wetToDocuments(spark, dir.toString + "/b.wet")
+      .select("url", "text", "n_chars")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(("https://a.com/bom", "hello", 5L),
+      ("https://a.com/plain", "hello", 5L)),
+      s"BOM must strip, interior text untouched: $got")
+  }
+
   test("the HTTP body flows straight into the Web extraction stage") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc2")
     java.nio.file.Files.write(dir.resolve("f.warc"), Warc.fixtureWarc())

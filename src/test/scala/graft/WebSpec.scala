@@ -615,6 +615,141 @@ class WebSpec extends SparkTestBase {
       df.count())
   }
 
+  test("robotsFilter per-RULE tiering (r19 verdict #3): wildcard-free " +
+    "rules never touch the regex tier — its pattern cache stays empty " +
+    "— and a mixed table memoizes exactly one compiled pattern per " +
+    "distinct wildcard prefix while plain rules on OTHER hosts stay " +
+    "on startsWith") {
+    val df = Seq(
+      (1L, "https://p1.com/fish"), (2L, "https://p1.com/keep"),
+      (3L, "https://p2.com/adm/x"), (4L, "https://w.com/a.php"),
+      (5L, "https://w.com/a.html")).toDF("doc_id", "url")
+    // all-plain table: the regex tier must never engage
+    graft.functions.WebKernels.robotsPatternCacheClear()
+    val plain = Seq(("p1.com", "/fish", false), ("p2.com", "/adm/", false))
+      .toDF("host", "prefix", "allow")
+    val keptPlain = Web.robotsFilter(df, "url", "doc_id", plain)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptPlain === Array(2L, 4L, 5L))
+    assert(graft.functions.WebKernels.robotsPatternCacheSize() === 0,
+      "plain rules must never compile a pattern (the old table-global " +
+        "gate is the regression this pins)")
+    // mixed table: ONE wildcard rule on ONE host — only its prefix
+    // lands in the cache (plain hosts stay on the startsWith tier),
+    // and repeated matching re-uses the compiled pattern
+    val mixed = plain.unionByName(
+      Seq(("w.com", "/*.php$", false)).toDF("host", "prefix", "allow"))
+    val keptMixed = Web.robotsFilter(df, "url", "doc_id", mixed)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptMixed === Array(2L, 5L))
+    assert(graft.functions.WebKernels.robotsPatternCacheSize() === 1,
+      "exactly the one distinct wildcard prefix compiles (memoized, " +
+        "not per join row)")
+  }
+
+  test("anchorTextCorpus: (dst domain, anchor text) grain with the " +
+    "per-source-domain vote cap clamping a link farm; self-references, " +
+    "empty labels, and junk pages drop; and the corpus is ONE " +
+    "extraction pass (no second HTML scan)") {
+    val pages = Seq(
+      // a farm page repeating one anchor 5× + a second farm page with
+      // the same (dst, text): 6 pairs from ONE source domain → capped
+      ("https://farm.com/a", (1 to 5).map(i =>
+        s"""<a href="https://t.com/$i">buy this</a>""").mkString),
+      ("https://sub.farm.com/b",
+        """<a href="https://t.com/x">buy this</a>"""),
+      ("https://other.org/p",
+        """<a href="https://t.com/y">buy this</a>""" +
+          """<a href="https://t.com/z">useful site</a>"""),
+      // self-description: src == dst, never part of the corpus
+      ("https://t.com/self", """<a href="/inside">about us</a>"""),
+      // image link: empty label — a TEXT corpus drops it
+      ("https://img.net/i", """<a href="https://t.com/pic"><img></a>"""),
+      // junk page URL contributes nothing
+      ("notaurl", """<a href="https://t.com/j">junk</a>"""))
+      .toDF("url", "html")
+    val corpus = Web.anchorTextCorpus(pages, "url", "html")
+    val got = corpus.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      // farm.com: 6 pairs capped to 3 votes; other.org adds 1 → 4
+      ("t.com", "buy this", 2L, 4L),
+      ("t.com", "useful site", 1L, 1L)))
+    // single-scan law: exactly ONE anchor-extraction kernel in the
+    // optimized plan — the corpus is a pure aggregation over
+    // extractAnchors (the executed plan would double-count: AQE
+    // prints initial + final)
+    val plan = corpus.queryExecution.optimizedPlan.toString.toLowerCase
+    val n = "extractanchors".r.findAllIn(plan).length
+    assert(n === 1, s"expected one extraction scan, plan:\n$plan")
+  }
+
+  test("<base href> hygiene (r20 sweep): a COMMENTED-OUT base tag " +
+    "must not rebase the page (it would corrupt every link, not add " +
+    "one); with several base tags the FIRST uncommented one wins " +
+    "(HTML spec); an unclosed comment swallows the tail") {
+    def links(html: String, base: String = "https://site.com/dir/page") =
+      Seq((base, html)).toDF("base", "html")
+        .select(Web.extractOutlinks(col("html"), col("base")).as("ls"))
+        .collect().head.getSeq[String](0)
+    // commented base ignored → relative resolves against the page
+    assert(links("""<!-- <base href="https://evil.example/x/"> -->""" +
+      """<a href="p.html">x</a>""") === Seq("https://site.com/dir/p.html"))
+    // first uncommented base wins over a later one
+    assert(links("""<base href="https://one.example/a/">""" +
+      """<base href="https://two.example/b/"><a href="r">x</a>""") ===
+      Seq("https://one.example/a/r"))
+    // a commented first base yields to the real second one
+    assert(links("""<!--<base href="https://evil.example/x/">-->""" +
+      """<base href="https://good.example/g/"><a href="r">x</a>""") ===
+      Seq("https://good.example/g/r"))
+    // unclosed comment: everything after the opener is commented —
+    // the base inside it must not apply
+    assert(links("""<!-- <base href="https://evil.example/x/">""" +
+      """<a href="https://abs.example/k">x</a>""") ===
+      Seq("https://abs.example/k"))
+    // anchors flow through the same rule (shared kernel base)
+    val a = Seq(("https://site.com/dir/page",
+      """<!--<base href="https://evil.example/x/">--><a href="r">L</a>"""))
+      .toDF("base", "html")
+      .select(Web.extractAnchors(col("html"), col("base")).as("ls"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(a.map(_.getString(0)) === Seq("https://site.com/dir/r"))
+  }
+
+  test("graft_resolve_href (the WAT link resolver): shares the " +
+    "effectiveBase/resolve rule with the HTML extractors — absolute " +
+    "passes, dropped schemes null, base attr honored (absolute " +
+    "replaces whole, root-relative rebases the page), relative " +
+    "appends to the effective directory") {
+    graft.functions.VectorExprs.ensureRegistered(spark)
+    def res(v: String, page: String, base: String): Option[String] = {
+      val r = Seq(1).toDF("i").select(call_function("graft_resolve_href",
+        lit(v), if (page == null) lit(null) else lit(page),
+        if (base == null) lit(null) else lit(base)).as("r")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    val page = "https://a.com/dir/p.html"
+    assert(res("https://b.com/x", page, null) === Some("https://b.com/x"))
+    assert(res("mailto:x@y.com", page, null) === None)
+    assert(res("", page, null) === None)
+    assert(res("#frag", page, null) === None)
+    assert(res("img/i.png", page, null) ===
+      Some("https://a.com/dir/img/i.png"))
+    assert(res("/root", page, null) === Some("https://a.com/root"))
+    assert(res("//cdn.net/l", page, null) === Some("https://cdn.net/l"))
+    // base attr: absolute replaces whole (relative links follow it)
+    assert(res("img/i.png", page, "https://cdn.example/lib/") ===
+      Some("https://cdn.example/lib/img/i.png"))
+    // base attr root-relative: rebases on the page's scheme/authority
+    assert(res("x", page, "/static/") === Some("https://a.com/static/x"))
+    // null page: only absolute values (or an absolute base) resolve
+    assert(res("rel", null, null) === None)
+    assert(res("rel", null, "https://b.org/d/") ===
+      Some("https://b.org/d/rel"))
+  }
+
   test("parseCrawlDelays: the matched group's delay beats the * " +
     "fallback's; an exact group WITHOUT a delay yields none (no mixing " +
     "across groups); max over applicable lines; non-numeric/negative " +
@@ -626,9 +761,13 @@ class WebSpec extends SparkTestBase {
       // exact group exists but has NO delay: * delay must NOT leak in
       ("b.com", "User-agent: bot\nDisallow: /x\n\n" +
         "User-agent: *\nCrawl-delay: 9\n"),
-      // only * groups: max of multiple applicable lines; junk drops
+      // only * groups: max of multiple applicable lines; junk drops —
+      // including 'Infinity'/'NaN', which try_cast to REAL doubles
+      // that an unguarded >= 0 filter would keep (an infinite delay
+      // wins every max and the schedule never fetches; r20 sweep)
       ("c.com", "Crawl-delay: 99\nUser-agent: *\nCrawl-delay: 3\n" +
-        "Crawl-delay: nope\nCrawl-delay: -5\nCrawl-delay: 7.5\n"),
+        "Crawl-delay: nope\nCrawl-delay: -5\nCrawl-delay: 7.5\n" +
+        "Crawl-delay: Infinity\nCrawl-delay: NaN\n"),
       // no groups at all
       ("d.com", "Sitemap: https://d.com/s.xml\n")
     ).toDF("host", "txt")
