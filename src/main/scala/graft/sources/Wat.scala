@@ -52,11 +52,16 @@ object Wat {
               StructField("url", StringType)))))))))))))))))))
 
   /** Parsed WAT records: one row per `metadata` record with the
-    * envelope fields projected out. Internal shared head of
-    * [[watToLinks]] / [[watToMetadata]]. */
-  private def parsed(spark: SparkSession, path: String): DataFrame = {
+    * envelope fields projected out — the shared head of
+    * [[watToLinks]] / [[watToMetadata]], over an ALREADY-READ records
+    * frame so the batch ([[Warc.readWarc]]), sidecar-indexed
+    * ([[Warc.readWarcIndexed]]), and streaming
+    * ([[Warc.readWarcStream]]) readers all flow through IDENTICAL
+    * projections (the documentsFromRecords convention — map-only, so
+    * the streaming mirror is stateless for free). */
+  private def parsed(records: DataFrame): DataFrame = {
     val hm = col("__j.Envelope.Payload-Metadata.HTTP-Response-Metadata")
-    Warc.readWarc(spark, path)
+    records
       .filter(col("error").isNull && col("warcType") === "metadata" &&
         lower(col("contentType")).startsWith("application/json"))
       .select(
@@ -92,7 +97,14 @@ object Wat {
     * conservation. Columns: (doc_id, url, http_status, link_idx,
     * raw_href, href, error). */
   def watToLinks(spark: SparkSession, path: String): DataFrame =
-    parsed(spark, path)
+    linksFromRecords(Warc.readWarc(spark, path))
+
+  /** [[watToLinks]] over an already-read records frame — feed
+    * [[Warc.readWarcStream]] output here for CONTINUOUS WAT ingest
+    * (the whole chain is map-only: zero state operators, law-pinned
+    * batch-equal in StreamingSpec). */
+  def linksFromRecords(records: DataFrame): DataFrame =
+    parsed(records)
       .select(col("doc_id"), col("url"), col("http_status"),
         col("error"),
         posexplode_outer(col("__links")).as(Seq("__i", "__l")),
@@ -111,7 +123,7 @@ object Wat {
     * concern); a malformed-JSON capture carries its error row with
     * null fields. */
   def watToMetadata(spark: SparkSession, path: String): DataFrame =
-    parsed(spark, path)
+    parsed(Warc.readWarc(spark, path))
       .select(col("doc_id"), col("url"), col("http_status"), col("title"),
         coalesce(size(col("__links")).cast("long"), lit(0L))
           .as("n_links"),

@@ -1967,6 +1967,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming WAT ingest: the precomputed-link projection is the " +
+    "same stateless map chain on a stream — batch-equal rows, zero " +
+    "state, quarantine row included (r20 WAT mirror)") {
+    import graft.sources.{Warc, Wat}
+    implicit val sqlCtx = spark.sqlContext
+    def links(files: org.apache.spark.sql.Dataset[(String, Array[Byte])]) =
+      Wat.linksFromRecords(Warc.parseFiles(files).toDF())
+        .select(col("url"), col("http_status"), col("link_idx"),
+          col("raw_href"), col("href"), col("error"))
+    val oneFile = ("f.wat", Wat.fixtureWat())
+    val batch = links(Seq(oneFile).toDS()).collect().map(_.toString).sorted
+    assert(batch.length === 12, s"fixture shape: ${batch.toSeq}")
+    val input = MemoryStream[(String, Array[Byte])]
+    val q = links(input.toDS()).writeStream.outputMode("append")
+      .format("memory").queryName("stream_wat_out").start()
+    try {
+      input.addData(oneFile); q.processAllAvailable()
+      val got = spark.table("stream_wat_out").collect()
+        .map(_.toString).sorted
+      assert(got === batch)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "WAT link production must be stateless")
+    } finally q.stop()
+  }
+
   test("streaming URL dedup against a static index: the batch operator " +
     "runs unchanged on a stream (stream-static anti-join, zero state); " +
     "the bloom mirror is map-only and only over-drops") {
