@@ -88,21 +88,37 @@ object FrontierScaleProbe {
       .localCheckpoint()
     val delays = Seq(("mega-news.com", 0.5)).toDF("host", "crawl_delay")
 
-    val (nf, tf, mf) = time(s"[$n] frontierPlan (groupedRowNumber)") {
-      graft.ops.Web.frontierPlan(urls, "url", "score", "doc_id",
-        budgets, delays).count()
+    // checksum over (domain, doc_id, rank): a bare COUNT is
+    // tautologically equal (any rank permutation keeps min(budget, n)
+    // rows per domain — r20 review find); the hash pins that the two
+    // forms keep the SAME rows at the SAME ranks
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // rank is long on the frontierPlan side, int from row_number —
+      // cast before hashing (xxhash64 is type-sensitive). bit_xor,
+      // not sum: a 2.6M-row sum of 64-bit hashes overflows Long under
+      // ANSI mode, and xor is order-free over the distinct rows
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(domain, doc_id, cast(rank as bigint)))"))
+        .head()
+      (r.getLong(0), r.getLong(1))
     }
-    val (nw, tw, mw) = time(s"[$n] window control (partitionBy domain)") {
-      import org.apache.spark.sql.expressions.Window
-      val withDom = urls.withColumn("domain",
-        graft.ops.Web.registeredDomainOfUrl(col("url")))
-      withDom.join(budgets, "domain")
-        .withColumn("rank", row_number().over(Window.partitionBy("domain")
-          .orderBy(col("score").desc, col("doc_id").asc)))
-        .filter(col("rank") <= col("budget"))
-        .count()
+    val ((nf, cf), tf, mf) = time(s"[$n] frontierPlan (groupedRowNumber)") {
+      checksum(graft.ops.Web.frontierPlan(urls, "url", "score", "doc_id",
+        budgets, delays))
     }
-    assert(nf == nw, s"schedules disagree: $nf vs $nw")
+    val ((nw, cw), tw, mw) =
+      time(s"[$n] window control (partitionBy domain)") {
+        import org.apache.spark.sql.expressions.Window
+        val withDom = urls.withColumn("domain",
+          graft.ops.Web.registeredDomainOfUrl(col("url")))
+        checksum(withDom.join(budgets, "domain")
+          .withColumn("rank",
+            row_number().over(Window.partitionBy("domain")
+              .orderBy(col("score").desc, col("doc_id").asc)))
+          .filter(col("rank") <= col("budget")))
+      }
+    assert(nf == nw && cf == cw,
+      s"schedules disagree: $nf/$cf vs $nw/$cw")
     println(f"[probe] [$n] rows both=$nf; wall ${tw / tf}%.2fx, " +
       f"max-task ${mw / mf}%.2fx vs the window control")
     spark.stop()

@@ -2430,6 +2430,18 @@ object PipelineQueries {
   private val suffixListSql: String = graft.ops.Web.DefaultPublicSuffixes
     .map(x => s"'$x'").mkString(", ")
 
+  /** The eTLD+1 CASE (registeredDomain's PSL-heuristic rule) as ONE
+    * SQL rendition — expects `labs` (string_split(host, '.')) in
+    * scope; shared by regDomainSql and the q_anchor_corpus replica so
+    * the rule cannot drift between oracles (r20 review find). */
+  private def rdomCaseSql(hostCol: String): String =
+    s"""CASE WHEN len(labs) <= 2
+               OR regexp_matches($hostCol, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$$')
+               THEN $hostCol
+             WHEN array_to_string(labs[-2:], '.') IN ($suffixListSql)
+               THEN array_to_string(labs[-3:], '.')
+             ELSE array_to_string(labs[-2:], '.') END"""
+
   /** DuckDB replica of the anchor extraction over the outlink fixture
     * — the CTE chain shared by q_anchors (raw pairs) and
     * q_anchor_corpus (the aggregated corpus): whole `<a …>…</a>`
@@ -2490,17 +2502,10 @@ object PipelineQueries {
 
   /** eTLD+1 over the heuristic suffix set — from `canon` to
     * `rd2(doc_id, n_chars, host, curl, dom)`. */
-  private val regDomainSql: String = {
-    val suffixes = suffixListSql
+  private val regDomainSql: String =
     s"""rd AS (SELECT *, string_split(host, '.') AS labs FROM canon),
       rd2 AS (SELECT doc_id, n_chars, host, curl,
-        CASE WHEN len(labs) <= 2
-               OR regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$$')
-               THEN host
-             WHEN array_to_string(labs[-2:], '.') IN ($suffixes)
-               THEN array_to_string(labs[-3:], '.')
-             ELSE array_to_string(labs[-2:], '.') END AS dom FROM rd)"""
-  }
+        ${rdomCaseSql("host")} AS dom FROM rd)"""
 
   /** Unrolled DuckDB PageRank over the urlFixtureWeb domain graph —
     * one (contrib, sum, rank) CTE triple per round, every value
@@ -2860,12 +2865,7 @@ object PipelineQueries {
       d4 AS (SELECT src, anchor_text, string_split(host, '.') AS labs,
           host FROM d3),
       d5 AS (SELECT src, anchor_text,
-          CASE WHEN len(labs) <= 2
-                 OR regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$$')
-                 THEN host
-               WHEN array_to_string(labs[-2:], '.') IN ($suffixListSql)
-                 THEN array_to_string(labs[-3:], '.')
-               ELSE array_to_string(labs[-2:], '.') END AS dst FROM d4),
+          ${rdomCaseSql("host")} AS dst FROM d4),
       pf AS (SELECT * FROM d5
         WHERE src IS NOT NULL AND dst IS NOT NULL
           AND len(src) > 0 AND len(dst) > 0

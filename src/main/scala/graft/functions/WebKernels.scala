@@ -94,31 +94,41 @@ object WebKernels {
     trimSpaces(FRAG.matcher(
       QUOTES.matcher(raw).replaceAll("")).replaceAll(""))
 
-  /** Is offset `pos` inside an HTML comment? Comments do not nest
-    * (the first `-->` after an opener closes it), so the LATEST
-    * `<!--` at/before `pos` decides: `pos` is commented iff that
-    * opener's close is at/after `pos` (or missing — an unclosed
-    * comment swallows the tail). indexOf scans, no regex. */
-  private def inComment(html: String, pos: Int): Boolean = {
-    val open = html.lastIndexOf("<!--", pos)
-    if (open < 0) false
-    else {
-      val close = html.indexOf("-->", open)
-      close < 0 || close + 3 > pos
-    }
-  }
-
   /** First `<base href>` value NOT inside an HTML comment — a
     * commented-out `<base>` tag must not silently rebase every link
     * on the page (r20 sweep: the one comment case that corrupts the
     * WHOLE page's resolution rather than adding one phantom link;
     * `<a>` inside comments stays extracted, the documented heuristic
     * trade). Multiple `<base>` tags: the first (uncommented) one
-    * wins, per the HTML spec. */
+    * wins, per the HTML spec.
+    *
+    * LINEAR TIME against adversarial (attacker-supplied — this is
+    * crawled HTML) pages: BASE matches arrive in increasing position,
+    * and the comment cursor below only ever moves FORWARD, so a page
+    * of 60k commented base tags costs one pass, not 60k × O(n)
+    * backward scans (r20 review find — the same hardening class as
+    * the BMFF depth cap). Comments do not nest: the first `-->` after
+    * an opener closes it; an unclosed opener swallows the tail. */
   private def findBaseAttr(html: String): String = {
     val m = BASE.matcher(html)
+    // current candidate comment span [cOpen, cEnd); cOpen < 0 = no
+    // further comments; cEnd = Int.MaxValue = unclosed
+    var cOpen = html.indexOf("<!--")
+    var cEnd = -1
+    def closeOf(open: Int): Int = {
+      val c = html.indexOf("-->", open)
+      if (c < 0) Int.MaxValue else c + 3
+    }
+    if (cOpen >= 0) cEnd = closeOf(cOpen)
     while (m.find()) {
-      if (!inComment(html, m.start())) {
+      val pos = m.start()
+      // advance the cursor over spans that end at/before pos
+      while (cOpen >= 0 && cEnd != Int.MaxValue && cEnd <= pos) {
+        cOpen = html.indexOf("<!--", cEnd)
+        if (cOpen >= 0) cEnd = closeOf(cOpen)
+      }
+      val commented = cOpen >= 0 && cOpen <= pos && pos < cEnd
+      if (!commented) {
         val g = m.group(1)
         return if (g == null) "" else g
       }
@@ -286,6 +296,32 @@ object WebKernels {
     if (r == null) null else UTF8String.fromString(r)
   }
 
+  /** The WHOLE-PAGE form of [[resolveHref]]: all of a capture's raw
+    * values resolve against base parts derived ONCE — a 100-link WAT
+    * record must not re-run the scheme/authority/directory regexes
+    * 100× (r20 review find: the per-href re-derivation is exactly
+    * what the r19 extractor kernels were built to eliminate;
+    * [[graft.sources.Wat.watToLinks]] calls this BEFORE its
+    * posexplode). Returns array&lt;struct&lt;raw, href&gt;&gt; so the
+    * raw value rides along; a null element resolves to (null, null). */
+  def resolveHrefs(valsU: ArrayData, pageU: UTF8String,
+                   baseAttrU: UTF8String): ArrayData = {
+    val parts = new BaseParts(effectiveBaseFromAttr(
+      if (baseAttrU == null) null else baseAttrU.toString,
+      if (pageU == null) null else pageU.toString))
+    val n = valsU.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = if (valsU.isNullAt(i)) null else valsU.getUTF8String(i)
+      val r = if (v == null) null else resolve(parts, v.toString)
+      out(i) = new GenericInternalRow(Array[Any](
+        v, if (r == null) null else UTF8String.fromString(r)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- robots.txt path matching (RFC 9309 §2.2.2-2.2.3) ----------------
   //
   // The rule test robotsFilter applies per (url, rule) JOIN ROW. Two
@@ -337,14 +373,21 @@ object WebKernels {
     p
   }
 
+  private val StarU = UTF8String.fromString("*")
+  private val DollarU = UTF8String.fromString("$")
+
   /** Does robots rule `prefix` match URL `path` (RFC 9309 §2.2.2)?
     * Wildcard-free rules never touch the regex tier or its cache
-    * (WebSpec law observes the cache to pin this). */
+    * (WebSpec law observes the cache to pin this). The fast tier is
+    * ALLOCATION-FREE (UTF8String byte ops — '*'/'$' are ASCII and
+    * cannot occur inside a UTF-8 continuation, so byte search is
+    * exact): this runs once per (url × rule) join row, the hot path
+    * the kernel exists for (r20 review find). */
   def robotsPathMatch(pathU: UTF8String, prefixU: UTF8String): Boolean = {
-    val prefix = prefixU.toString
-    if (prefix.indexOf('*') < 0 && !prefix.endsWith("$"))
-      pathU.toString.startsWith(prefix)
-    else robotsPattern(prefix).matcher(pathU.toString).find()
+    if (!prefixU.contains(StarU) && !prefixU.endsWith(DollarU))
+      pathU.startsWith(prefixU)
+    else
+      robotsPattern(prefixU.toString).matcher(pathU.toString).find()
   }
 
   /** (href, text) pairs of every CLOSED anchor element whose href
@@ -561,5 +604,63 @@ case class ResolveHrefExpr(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): ResolveHrefExpr =
+    copy(f, s, t)
+}
+
+/** Whole-page href resolution — see [[WebKernels.resolveHrefs]]: base
+  * parts derive once per row, every raw value maps through the shared
+  * rule, output array&lt;struct&lt;raw, href&gt;&gt; (href null =
+  * dropped scheme / empty / unresolvable). Null only when the VALUES
+  * array is null (a WAT capture with no Links); pageUrl/baseAttr null
+  * are legal inputs, so eval/codegen are hand-written like
+  * [[HtmlExtractExpr]]. */
+case class ResolveHrefsExpr(first: Expression, second: Expression,
+                            third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType), StringType,
+    StringType)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("raw", StringType, nullable = true),
+    StructField("href", StringType, nullable = true))),
+    containsNull = false)
+
+  override def nullable: Boolean = first.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val v = first.eval(input)
+    if (v == null) null
+    else WebKernels.resolveHrefs(v.asInstanceOf[ArrayData],
+      second.eval(input).asInstanceOf[UTF8String],
+      third.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val v = first.genCode(ctx)
+    val p = second.genCode(ctx)
+    val b = third.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${v.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (!${v.isNull}) {
+          ${p.code}
+          ${b.code}
+          ${ev.value} = graft.functions.WebKernels.resolveHrefs(
+            ${v.value},
+            ${p.isNull} ? null : ${p.value},
+            ${b.isNull} ? null : ${b.value});
+          ${ev.isNull} = false;
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ResolveHrefsExpr =
     copy(f, s, t)
 }

@@ -647,9 +647,13 @@ object Web {
       // ANSI cast error to fail the job on. Finite-only: 'Infinity'
       // try_casts to a real Double that passes >= 0 and then wins
       // every max() — a schedule with an infinite delay never fetches
-      // (r20 sweep find); NaN already fails >= 0
+      // (r20 sweep find). NaN needs its OWN guard: Spark orders NaN
+      // LARGER than every double, so NaN >= 0 is true and NaN would
+      // win max() too (it happens to fail `< Infinity`, but that is
+      // incidental — make the intent explicit; r20 review find)
       .withColumn("__delay", col("__value").try_cast("double"))
-      .filter(col("__delay").isNotNull && col("__delay") >= 0 &&
+      .filter(col("__delay").isNotNull && !isnan(col("__delay")) &&
+        col("__delay") >= 0 &&
         col("__delay") < lit(Double.PositiveInfinity))
       .groupBy(keys: _*)
       .agg(max(col("__delay")).as("crawl_delay"))

@@ -591,7 +591,14 @@ object Warc {
     val maxMember = confMaxMember(spark)
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val splits = spark.read.parquet(sidecarPath).as[WarcSplit]
+    val rawSidecar = spark.read.parquet(sidecarPath)
+    // a sidecar written before the r20 mtime stamp must refuse with
+    // the same ACTIONABLE message as a stale one, not a generic
+    // encoder error (r20 review find — the fail-loud discipline)
+    require(rawSidecar.columns.contains("fileModTime"),
+      s"split sidecar at $sidecarPath predates the mtime stamp " +
+        "(no fileModTime column) — rebuild it (writeWarcSplitIndex)")
+    val splits = rawSidecar.as[WarcSplit]
     val n = splits.count()
     val parallelism = math.max(1, math.min(n,
       spark.sparkContext.defaultParallelism.toLong * 2L)).toInt

@@ -102,19 +102,21 @@ object Wat {
   /** [[watToLinks]] over an already-read records frame — feed
     * [[Warc.readWarcStream]] output here for CONTINUOUS WAT ingest
     * (the whole chain is map-only: zero state operators, law-pinned
-    * batch-equal in StreamingSpec). */
+    * batch-equal in StreamingSpec). Resolution runs through the
+    * WHOLE-PAGE kernel BEFORE the posexplode, so a 100-link capture
+    * derives its base parts once, not 100× (r20 review find). */
   def linksFromRecords(records: DataFrame): DataFrame =
     parsed(records)
       .select(col("doc_id"), col("url"), col("http_status"),
         col("error"),
-        posexplode_outer(col("__links")).as(Seq("__i", "__l")),
-        col("base"))
+        posexplode_outer(graft.functions.VectorExprs.withKernels(
+          call_function("graft_resolve_hrefs",
+            transform(col("__links"), l => l.getField("url")),
+            col("url"), col("base")))).as(Seq("__i", "__rh")))
       .select(col("doc_id"), col("url"), col("http_status"),
         col("__i").cast("long").as("link_idx"),
-        col("__l").getField("url").as("raw_href"),
-        graft.functions.VectorExprs.withKernels(call_function(
-          "graft_resolve_href", col("__l").getField("url"), col("url"),
-          col("base"))).as("href"),
+        col("__rh").getField("raw").as("raw_href"),
+        col("__rh").getField("href").as("href"),
         col("error"))
 
   /** Per-capture metadata at the grain a pre-fetch gate wants:

@@ -716,6 +716,18 @@ class WebSpec extends SparkTestBase {
       .select(Web.extractAnchors(col("html"), col("base")).as("ls"))
       .collect().head.getSeq[org.apache.spark.sql.Row](0)
     assert(a.map(_.getString(0)) === Seq("https://site.com/dir/r"))
+    // comment-cursor correctness across MANY spans (the scan is a
+    // single forward pass — r20 review find): base between spans
+    assert(links("""<!-- c1 --><!-- c2 -->""" +
+      """<base href="https://good.example/g/">""" +
+      """<!-- c3 --><a href="r">x</a>""") ===
+      Seq("https://good.example/g/r"))
+    // adversarial page: thousands of commented-out base tags (the
+    // quadratic-blowup shape — crawled HTML is attacker-supplied);
+    // must resolve correctly and in one pass
+    val farm = ("""<!--<base href="https://evil.example/x/">-->""" * 10000) +
+      """<base href="https://good.example/g/"><a href="r">x</a>"""
+    assert(links(farm) === Seq("https://good.example/g/r"))
   }
 
   test("graft_resolve_href (the WAT link resolver): shares the " +
