@@ -1012,4 +1012,38 @@ class PropertySpec extends SparkTestBase {
     val maps = Web.parseSitemaps(robots, "host", "txt").collect()
     maps.foreach(r => assert(r.getString(1).contains("://")))
   }
+
+  test("fuzz: robotsPathMatch equals an INDEPENDENT translation " +
+    "(Pattern.quote segments around '*', trailing '$' anchor) on " +
+    "random metachar-heavy prefixes × paths — the per-rule kernel " +
+    "cannot drift from RFC 9309 semantics (r20)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference built a DIFFERENT way: split on '*' (keeping empty
+    // segments), quote each literal segment whole, rejoin with '.*'
+    def reference(path: String, prefix: String): Boolean = {
+      val hasEnd = prefix.endsWith("$")
+      val body =
+        if (hasEnd) prefix.substring(0, prefix.length - 1) else prefix
+      val segs = body.split("\\*", -1)
+      val pat = "^" + segs.map(s =>
+        if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
+        .mkString(".*") + (if (hasEnd) "$" else "")
+      java.util.regex.Pattern.compile(pat).matcher(path).find()
+    }
+    val genPiece = Gen.oneOf("/fish", "*", ".", "$", "(", ")", "[", "]",
+      "{", "}", "+", "?", "^", "|", "\\", "/a.b", "*.php", "%2F", "é")
+    val genPrefix = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, genPiece).map(_.mkString))
+    val genPath = Gen.oneOf("/fish", "/fishheads/x", "/a.b/k", "/aXb/",
+      "/x.php", "/x.php?y=1", "/", "/%2Fz", "/éé/p", "/*literal*",
+      "/a(b)c", "/a|b", "/a\\b")
+    samples(Gen.zip(genPath, genPrefix), 400).distinct.foreach {
+      case (path, prefix) =>
+        val got = graft.functions.WebKernels.robotsPathMatch(
+          UTF8String.fromString(path), UTF8String.fromString(prefix))
+        val want = reference(path, prefix)
+        assert(got === want,
+          s"kernel diverged on path='$path' prefix='$prefix'")
+    }
+  }
 }
