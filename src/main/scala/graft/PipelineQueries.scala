@@ -195,6 +195,8 @@ object PipelineQueries {
       graft.sources.Warc.fixtureWet())
     java.nio.file.Files.write(dir.resolve("fixture.wat"),
       graft.sources.Wat.fixtureWat())
+    java.nio.file.Files.write(dir.resolve("encoded.warc"),
+      graft.sources.Warc.fixtureEncodedWarc())
     dir.toFile.deleteOnExit()
     dir.toString
   }
@@ -2198,6 +2200,20 @@ object PipelineQueries {
         .select(col("url"), col("text"), col("n_chars"))
     }),
 
+    // HTTP transfer/content decoding at ingest: chunked framing
+    // removed (extension tolerated), gzip bodies inflated, gzip
+    // INSIDE chunked layered in RFC 9112 order, and a malformed
+    // chunked body falls back to the raw bytes (the record is still
+    // a capture) — literal oracle over the byte-deterministic fixture
+    "q_warc_encoded" -> ((s, _) => {
+      graft.sources.Warc.readWarc(s, s"$warcFixtureDir/encoded.warc")
+        .select(col("targetUri").as("uri"),
+          col("httpStatus").cast("long").as("status"),
+          graft.ops.Web.htmlToText(decode(col("payload"), "UTF-8"))
+            .as("txt"),
+          col("error").isNotNull.cast("long").as("has_err"))
+    }),
+
     // WAT ingest (Common Crawl's metadata-JSON release): one metadata
     // record per capture → the precomputed link table, RAW values
     // resolved through the SAME kernel rule as the HTML extractors;
@@ -2913,6 +2929,18 @@ object PipelineQueries {
           'alpha page text' || chr(10) || 'second line', 27::BIGINT),
          ('https://b.com/two', 'bravo extracted text', 20::BIGINT)
         ) t(url, text, n_chars)""",
+
+    "q_warc_encoded" ->
+      """SELECT * FROM (VALUES
+         ('https://enc.example/chunked', 200::BIGINT,
+          'chunk one' || chr(10) || 'chunk two', 0::BIGINT),
+         ('https://enc.example/gzip', 200::BIGINT, 'gzipped page',
+          0::BIGINT),
+         ('https://enc.example/both', 200::BIGINT, 'both paths decode',
+          0::BIGINT),
+         ('https://enc.example/badchunk', 200::BIGINT,
+          'ZZ' || chr(10) || 'raw', 0::BIGINT)
+        ) t(uri, status, txt, has_err)""",
 
     "q_wat_read" ->
       """SELECT * FROM (VALUES

@@ -449,7 +449,19 @@ object Warc {
 
   /** Split an application/http block into (status, content-type,
     * body); (-1, null, block) when it does not start with an HTTP
-    * status line. */
+    * status line.
+    *
+    * TRANSFER DECODING (r20): real crawls capture bodies AS SENT —
+    * `Transfer-Encoding: chunked` framing and `Content-Encoding:
+    * gzip` compression included — and a body left framed/compressed
+    * poisons every downstream stage (htmlToText reads hex chunk-size
+    * lines as words; a gzip body is binary junk). Chunked framing is
+    * removed first, then a gzip/x-gzip body inflates (cap:
+    * [[DefaultMaxMemberBytes]]). BOTH decodes fall back to the RAW
+    * bytes on any malformation or cap overrun — a decode failure must
+    * not quarantine the whole record (the capture is still a valid
+    * record; the extractor sees what a r19 reader saw). `deflate` and
+    * `br` stay undecoded (rare in archives; documented). */
   private def parseHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
     val headEnd = indexOfBlankLine(block, 0)
     if (headEnd < 0) return (-1, null, block)
@@ -459,13 +471,81 @@ object Warc {
     val status =
       try lines.head.split(" ")(1).toInt
       catch { case _: Exception => -1 }
-    val ct = lines.tail.collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") =>
-        l.substring("content-type:".length).trim
-    }.orNull
+    def header(name: String): Option[String] = lines.tail.collectFirst {
+      case l if l.toLowerCase.startsWith(name + ":") =>
+        l.substring(name.length + 1).trim
+    }
+    val ct = header("content-type").orNull
     val bodyStart = skipBlankLine(block, headEnd)
-    (status, ct,
-      java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+    var body = java.util.Arrays.copyOfRange(block, bodyStart, block.length)
+    if (header("transfer-encoding").exists(
+      _.toLowerCase.contains("chunked")))
+      body = dechunk(body).getOrElse(body)
+    val ce = header("content-encoding").map(_.toLowerCase.trim)
+    if (ce.contains("gzip") || ce.contains("x-gzip"))
+      body = gunzipBody(body, DefaultMaxMemberBytes).getOrElse(body)
+    (status, ct, body)
+  }
+
+  /** Remove RFC 9112 §7.1 chunked framing: hex size line (chunk
+    * extensions after ';' ignored), chunk bytes, CRLF, repeated until
+    * the 0-size chunk; trailers ignored. None on ANY malformation
+    * (bad hex, size past the buffer, missing terminator) — the caller
+    * keeps the raw bytes. */
+  private[graft] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var p = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < b.length && b(i) != '\n') i += 1
+      i // index of '\n', or length
+    }
+    while (true) {
+      val le = lineEnd(p)
+      if (le >= b.length) return None // no terminating size line
+      val line = new String(b, p, le - p, "US-ASCII").trim
+      val sizeStr = line.takeWhile(_ != ';').trim
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > Int.MaxValue.toLong) return None
+      p = le + 1
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (p + size > b.length) return None
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      // chunk data is followed by CRLF (tolerate bare LF)
+      if (p < b.length && b(p) == '\r') p += 1
+      if (p >= b.length || b(p) != '\n') return None
+      p += 1
+    }
+    None // unreachable
+  }
+
+  /** Inflate a gzip HTTP body (complete gzip stream, possibly
+    * multi-member), retaining at most `cap` bytes; None on corrupt
+    * data, truncation, or a body decompressing past the cap. */
+  private[graft] def gunzipBody(b: Array[Byte],
+                                cap: Long): Option[Array[Byte]] = {
+    if (b.length < 10) return None
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(
+        b.length.toLong * 4, 1L << 20).toInt)
+      val scratch = new Array[Byte](1 << 16)
+      var total = 0L
+      var n = in.read(scratch)
+      while (n >= 0) {
+        total += n
+        if (total > cap) return None
+        out.write(scratch, 0, n)
+        n = in.read(scratch)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => None
+    }
   }
 
   // ---- splittable .warc.gz: the member-boundary sidecar ----------------
@@ -717,6 +797,60 @@ object Warc {
         "<p>gamma dangles</p><a href=\"#sec\">t</a>") ++
       resp("https://delta.com/dead", "404 Not Found",
         "<a href=\"https://alpha.com/not-counted\">x</a>")
+  }
+
+  /** A deterministic archive of TRANSFER/CONTENT-ENCODED responses —
+    * the shapes real crawls capture as sent (q_warc_encoded):
+    * chunked framing (with a chunk extension), a gzip body, gzip
+    * INSIDE chunked (the layering order RFC 9112 mandates: transfer
+    * decoding first), and a MALFORMED chunked body that must fall
+    * back to the raw bytes rather than quarantine the record. */
+  def fixtureEncodedWarc(): Array[Byte] = {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    def chunked(b: Array[Byte], firstSize: Int,
+                ext: String = ""): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      def put(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
+      val cut = math.min(firstSize, b.length)
+      put(Integer.toHexString(cut) + ext + "\r\n")
+      bo.write(b, 0, cut); put("\r\n")
+      if (cut < b.length) {
+        put(Integer.toHexString(b.length - cut) + "\r\n")
+        bo.write(b, cut, b.length - cut); put("\r\n")
+      }
+      put("0\r\n\r\n")
+      bo.toByteArray
+    }
+    def resp(uri: String, extraHttp: String,
+             body: Array[Byte]): Array[Byte] = {
+      val httpHead = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        extraHttp + "\r\n").getBytes("UTF-8")
+      val block = httpHead ++ body
+      val head = s"WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-01-08T00:00:00Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:enc-$uri>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n"
+      head.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    resp("https://enc.example/chunked",
+      "Transfer-Encoding: chunked\r\n",
+      chunked("<p>chunk one</p><p>chunk two</p>".getBytes("UTF-8"), 13,
+        ext = ";name=val")) ++
+      resp("https://enc.example/gzip", "Content-Encoding: gzip\r\n",
+        gz("<p>gzipped page</p>".getBytes("UTF-8"))) ++
+      resp("https://enc.example/both",
+        "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+        chunked(gz("<p>both paths decode</p>".getBytes("UTF-8")), 9)) ++
+      resp("https://enc.example/badchunk",
+        "Transfer-Encoding: chunked\r\n",
+        "ZZ\r\n<p>raw</p>".getBytes("UTF-8"))
   }
 
   /** A deterministic WET (extracted-text) archive: the warcinfo

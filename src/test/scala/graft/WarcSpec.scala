@@ -316,6 +316,49 @@ class WarcSpec extends SparkTestBase {
       s"BOM must strip, interior text untouched: $got")
   }
 
+  test("HTTP transfer/content decoding (r20): chunked framing removed " +
+    "(extensions, bare-LF tolerance), gzip bodies inflated, layered " +
+    "in RFC 9112 order, malformed/oversized inputs fall back to raw — " +
+    "never a record quarantine") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    // unit edges on the decoders themselves
+    assert(Warc.dechunk("3\r\nabc\r\n0\r\n\r\n".getBytes("US-ASCII"))
+      .map(new String(_, "UTF-8")) === Some("abc"))
+    assert(Warc.dechunk("3;x=y\nabc\n0\n\n".getBytes("US-ASCII"))
+      .map(new String(_, "UTF-8")) === Some("abc"),
+      "bare-LF chunk lines and extensions tolerated")
+    assert(Warc.dechunk("ZZ\r\nabc".getBytes("US-ASCII")) === None,
+      "bad hex size → raw fallback")
+    assert(Warc.dechunk("9\r\nabc\r\n0\r\n\r\n".getBytes("US-ASCII"))
+      === None, "size past the buffer → raw fallback")
+    assert(Warc.dechunk("3\r\nabc".getBytes("US-ASCII")) === None,
+      "missing chunk terminator → raw fallback")
+    val big = gz(Array.fill[Byte](4096)('a'))
+    assert(Warc.gunzipBody(big, cap = 1024L) === None,
+      "body past the cap → raw fallback, never executor heap")
+    assert(Warc.gunzipBody(gz("hi".getBytes) ++ gz(" there".getBytes),
+      cap = 1L << 20).map(new String(_, "UTF-8")) === Some("hi there"),
+      "multi-member gzip bodies concatenate")
+    assert(Warc.gunzipBody("not gzip".getBytes, 1L << 20) === None)
+    // end-to-end through the record parser: the fixture archive's
+    // four shapes (framed, compressed, layered, malformed-raw)
+    val recs = Warc.parseRecords("enc", Warc.fixtureEncodedWarc())
+    assert(recs.forall(_.error == null),
+      "decode failures must not quarantine records")
+    val byUri = recs.map(r => r.targetUri ->
+      new String(r.payload, "UTF-8")).toMap
+    assert(byUri("https://enc.example/chunked") ===
+      "<p>chunk one</p><p>chunk two</p>")
+    assert(byUri("https://enc.example/gzip") === "<p>gzipped page</p>")
+    assert(byUri("https://enc.example/both") ===
+      "<p>both paths decode</p>")
+    assert(byUri("https://enc.example/badchunk") === "ZZ\r\n<p>raw</p>")
+  }
+
   test("the HTTP body flows straight into the Web extraction stage") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc2")
     java.nio.file.Files.write(dir.resolve("f.warc"), Warc.fixtureWarc())
