@@ -197,6 +197,8 @@ object PipelineQueries {
       graft.sources.Wat.fixtureWat())
     java.nio.file.Files.write(dir.resolve("encoded.warc"),
       graft.sources.Warc.fixtureEncodedWarc())
+    java.nio.file.Files.write(dir.resolve("charset.warc"),
+      graft.sources.Warc.fixtureCharsetWarc())
     dir.toFile.deleteOnExit()
     dir.toString
   }
@@ -2214,6 +2216,16 @@ object PipelineQueries {
           col("error").isNotNull.cast("long").as("has_err"))
     }),
 
+    // charset-aware ingest decode: header charset= param beats the
+    // <meta charset> sniff beats the UTF-8 fallback; unknown names
+    // fall back instead of throwing — literal oracle over latin-1 /
+    // windows-1252 / unknown / utf-8 fixture responses
+    "q_warc_charset" -> ((s, _) => {
+      graft.sources.Warc.warcToDocuments(s,
+        s"$warcFixtureDir/charset.warc")
+        .select(col("url"), col("text"), col("n_chars"))
+    }),
+
     // WAT ingest (Common Crawl's metadata-JSON release): one metadata
     // record per capture → the precomputed link table, RAW values
     // resolved through the SAME kernel rule as the HTML extractors;
@@ -2941,6 +2953,14 @@ object PipelineQueries {
          ('https://enc.example/badchunk', 200::BIGINT,
           'ZZ' || chr(10) || 'raw', 0::BIGINT)
         ) t(uri, status, txt, has_err)""",
+
+    "q_warc_charset" ->
+      """SELECT * FROM (VALUES
+         ('https://cs.example/latin1', 'café crème', 10::BIGINT),
+         ('https://cs.example/meta', 'smart “quotes”', 14::BIGINT),
+         ('https://cs.example/unknown', 'plain ascii', 11::BIGINT),
+         ('https://cs.example/utf8', 'über — ok', 9::BIGINT)
+        ) t(url, text, n_chars)""",
 
     "q_wat_read" ->
       """SELECT * FROM (VALUES

@@ -860,6 +860,8 @@ object VectorExprs {
         ResolveHrefExpr(exprs(0), exprs(1), exprs(2))),
       "graft_resolve_hrefs" -> (exprs =>
         ResolveHrefsExpr(exprs(0), exprs(1), exprs(2))),
+      "graft_decode_html" -> (exprs =>
+        DecodeHtmlExpr(exprs(0), exprs(1))),
       "graft_gopher_stats" -> (exprs => GopherStats(exprs(0))),
       "graft_pii_counts" -> (exprs => PiiCountsExpr(exprs(0), strSeq(exprs(1)))),
       "graft_pii_redact" -> (exprs =>

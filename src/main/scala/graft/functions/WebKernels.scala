@@ -373,6 +373,49 @@ object WebKernels {
     p
   }
 
+  // ---- charset-aware HTML decode ---------------------------------------
+  //
+  // Real crawls are not all UTF-8: a latin-1/windows-1252 page decoded
+  // as UTF-8 shreds every non-ASCII char into U+FFFD before the
+  // extractor ever runs. Resolution order (the WHATWG precedence,
+  // heuristically): the HTTP Content-Type `charset=` parameter, else a
+  // `<meta charset=…>` / http-equiv sniff over the first 1024 payload
+  // bytes (read as ISO-8859-1 — an ASCII superset, safe for sniffing),
+  // else UTF-8. Unknown/unsupported names fall back to UTF-8; decode
+  // errors REPLACE (never throw — crawled bytes are arbitrary).
+
+  private val CharsetParam = Pattern.compile(
+    "(?i)charset\\s*=\\s*[\"']?([^;\\s\"']+)")
+  private val MetaCharset = Pattern.compile(
+    "(?i)<meta[^>]{0,200}?charset\\s*=\\s*[\"']?([^\\s\"'/>;]+)")
+
+  private def charsetOrNull(name: String): java.nio.charset.Charset =
+    try java.nio.charset.Charset.forName(name.trim)
+    catch { case _: Exception => null }
+
+  /** Decode an HTML payload with charset resolution — see the section
+    * comment. Null httpContentType is legal (sniff → UTF-8). */
+  def decodeHtml(payload: Array[Byte], ctU: UTF8String): UTF8String = {
+    var cs: java.nio.charset.Charset = null
+    if (ctU != null) {
+      val m = CharsetParam.matcher(ctU.toString)
+      if (m.find()) cs = charsetOrNull(m.group(1))
+    }
+    if (cs == null) {
+      val n = math.min(1024, payload.length)
+      val head = new String(payload, 0, n,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = MetaCharset.matcher(head)
+      if (m.find()) cs = charsetOrNull(m.group(1))
+    }
+    if (cs == null) cs = java.nio.charset.StandardCharsets.UTF_8
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    UTF8String.fromString(
+      dec.decode(java.nio.ByteBuffer.wrap(payload)).toString)
+  }
+
   private val StarU = UTF8String.fromString("*")
   private val DollarU = UTF8String.fromString("$")
 
@@ -524,6 +567,49 @@ case class ExtractAnchorsExpr(left: Expression, right: Expression)
     WebKernels.extractAnchors(h, b)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ExtractAnchorsExpr = copy(l, r)
+}
+
+/** Charset-aware HTML payload decode — see [[WebKernels.decodeHtml]].
+  * Null iff the payload is null (a null Content-Type just means
+  * sniff-then-UTF-8), so eval/codegen are hand-written. */
+case class DecodeHtmlExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(
+    org.apache.spark.sql.types.BinaryType, StringType)
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = left.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val p = left.eval(input)
+    if (p == null) null
+    else WebKernels.decodeHtml(p.asInstanceOf[Array[Byte]],
+      right.eval(input).asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val p = left.genCode(ctx)
+    val c = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${p.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (!${p.isNull}) {
+          ${c.code}
+          ${ev.value} = graft.functions.WebKernels.decodeHtml(
+            ${p.value}, ${c.isNull} ? null : ${c.value});
+          ${ev.isNull} = false;
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DecodeHtmlExpr = copy(l, r)
 }
 
 /** RFC 9309 rule match — see [[WebKernels.robotsPathMatch]]: per-rule

@@ -101,7 +101,14 @@ object Warc {
       .select(
         xxhash64(col("path"), col("recordIdx")).as("doc_id"),
         col("targetUri").as("url"),
-        graft.ops.Web.htmlToText(decode(col("payload"), "UTF-8")).as("text"))
+        // charset-AWARE decode (r20): header charset= param, then a
+        // <meta charset> sniff, then UTF-8 — a latin-1 page decoded
+        // blindly as UTF-8 shreds every non-ASCII char into U+FFFD
+        // before extraction ever runs (WebKernels.decodeHtml)
+        graft.ops.Web.htmlToText(
+          graft.functions.VectorExprs.withKernels(call_function(
+            "graft_decode_html", col("payload"),
+            col("httpContentType")))).as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
@@ -851,6 +858,39 @@ object Warc {
       resp("https://enc.example/badchunk",
         "Transfer-Encoding: chunked\r\n",
         "ZZ\r\n<p>raw</p>".getBytes("UTF-8"))
+  }
+
+  /** A deterministic archive of NON-UTF-8 responses (q_warc_charset):
+    * a latin-1 page declared via the HTTP header's `charset=` param,
+    * a windows-1252 page declared only in its `<meta charset>` tag
+    * (the sniff path), a page with an UNKNOWN charset name (UTF-8
+    * fallback), and a plain UTF-8 control. */
+  def fixtureCharsetWarc(): Array[Byte] = {
+    def resp(uri: String, ct: String, body: Array[Byte]): Array[Byte] = {
+      val block = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n")
+        .getBytes("UTF-8") ++ body
+      val head = s"WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2026-01-09T00:00:00Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:cs-$uri>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n"
+      head.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    resp("https://cs.example/latin1",
+      "text/html; charset=ISO-8859-1",
+      "<p>café crème</p>".getBytes("ISO-8859-1")) ++
+      resp("https://cs.example/meta",
+        "text/html",
+        ("<meta charset=\"windows-1252\"><p>smart “quotes”</p>")
+          .getBytes("windows-1252")) ++
+      resp("https://cs.example/unknown",
+        "text/html; charset=not-a-charset",
+        "<p>plain ascii</p>".getBytes("US-ASCII")) ++
+      resp("https://cs.example/utf8",
+        "text/html; charset=utf-8",
+        "<p>über — ok</p>".getBytes("UTF-8"))
   }
 
   /** A deterministic WET (extracted-text) archive: the warcinfo

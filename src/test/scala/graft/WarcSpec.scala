@@ -359,6 +359,31 @@ class WarcSpec extends SparkTestBase {
     assert(byUri("https://enc.example/badchunk") === "ZZ\r\n<p>raw</p>")
   }
 
+  test("decodeHtml charset precedence (r20): the HTTP header's " +
+    "charset= param beats a CONFLICTING meta tag; null Content-Type " +
+    "sniffs the meta; arbitrary bytes never throw (REPLACE)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.WebKernels
+    def d(b: Array[Byte], ct: String): String =
+      WebKernels.decodeHtml(b,
+        if (ct == null) null else UTF8String.fromString(ct)).toString
+    // header (latin-1) wins over a lying meta (utf-8): byte 0xE9 is
+    // 'é' in latin-1 but malformed UTF-8
+    val lying = "<meta charset=\"utf-8\">café".getBytes("ISO-8859-1")
+    assert(d(lying, "text/html; charset=iso-8859-1") ===
+      "<meta charset=\"utf-8\">café")
+    // null content-type → the meta sniff applies
+    val metaOnly = "<meta charset=iso-8859-1>café"
+      .getBytes("ISO-8859-1")
+    assert(d(metaOnly, null) === "<meta charset=iso-8859-1>café")
+    // arbitrary binary junk decodes with replacement, never throws
+    val junk = Array.tabulate[Byte](64)(i => (i * 37 + 200).toByte)
+    assert(d(junk, "text/html; charset=utf-8").nonEmpty)
+    // quoted charset value in the header param
+    assert(d("café".getBytes("ISO-8859-1"),
+      "text/html; charset=\"ISO-8859-1\"") === "café")
+  }
+
   test("the HTTP body flows straight into the Web extraction stage") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc2")
     java.nio.file.Files.write(dir.resolve("f.warc"), Warc.fixtureWarc())
