@@ -474,26 +474,38 @@ object Web {
     * map-side partials (first on (dst, text, src), second on the
     * strictly smaller capped grain). No window, no driver state;
     * skew-safe because a mega-target's rows still key on (dst, text,
-    * src), never on dst alone. */
+    * src), never on dst alone.
+    *
+    * `urlGrain = true` keys the corpus by the target's CANONICAL URL
+    * instead of its registered domain (output column `url`) — the
+    * per-page anchor profile retrieval training wants; the
+    * per-SOURCE-domain cap and all drop rules are identical, and
+    * self-reference still means same registered domain (a site's own
+    * deep links are still how it describes itself). */
   def anchorTextCorpus(df: DataFrame, urlCol: String, htmlCol: String,
                        maxPerSourceDomain: Int = 3,
-                       suffixes: Seq[String] = DefaultPublicSuffixes): DataFrame = {
+                       suffixes: Seq[String] = DefaultPublicSuffixes,
+                       urlGrain: Boolean = false): DataFrame = {
     require(maxPerSourceDomain >= 1,
       s"maxPerSourceDomain must be >= 1, got $maxPerSourceDomain")
+    val outCol = if (urlGrain) "url" else "domain"
+    val dstKey: Column => Column =
+      if (urlGrain) canonicalUrl else (registeredDomainOfUrl(_, suffixes))
     val pairs = df
       .filter(col(urlCol).rlike("^(?i)https?://"))
       .select(registeredDomainOfUrl(col(urlCol), suffixes).as("src"),
         explode(extractAnchors(col(htmlCol), col(urlCol))).as("__a"))
-      .select(col("src"),
-        registeredDomainOfUrl(col("__a.href"), suffixes).as("dst"),
+      .select(col("src"), dstKey(col("__a.href")).as("dst"),
+        // the self gate stays DOMAIN-grain under both keys
+        registeredDomainOfUrl(col("__a.href"), suffixes).as("__dstdom"),
         col("__a.text").as("anchor_text"))
       .na.drop()
       .filter(length(col("src")) > 0 && length(col("dst")) > 0 &&
-        length(col("anchor_text")) > 0 && col("src") =!= col("dst"))
+        length(col("anchor_text")) > 0 && col("src") =!= col("__dstdom"))
     pairs
       .groupBy("dst", "anchor_text", "src")
       .agg(count(lit(1)).as("__n"))
-      .groupBy(col("dst").as("domain"), col("anchor_text"))
+      .groupBy(col("dst").as(outCol), col("anchor_text"))
       .agg(count(lit(1)).as("n_src"),
         sum(least(col("__n"), lit(maxPerSourceDomain.toLong))).as("votes"))
   }

@@ -683,6 +683,23 @@ class WebSpec extends SparkTestBase {
     val plan = corpus.queryExecution.optimizedPlan.toString.toLowerCase
     val n = "extractanchors".r.findAllIn(plan).length
     assert(n === 1, s"expected one extraction scan, plan:\n$plan")
+    // URL grain: the per-page anchor profile — dst keys on the
+    // CANONICAL URL (case-normalized etc.), the self gate stays at
+    // registered-domain grain, the per-source cap applies identically
+    val byUrl = Web.anchorTextCorpus(pages, "url", "html",
+      urlGrain = true)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(byUrl.map(_._1).forall(_.startsWith("https://t.com/")),
+      s"url-grain keys are canonical URLs: $byUrl")
+    // farm.com's 6 pairs spread over distinct target URLs (1-2 each),
+    // so the cap does not bite at this grain; other.org adds 2 more
+    assert(byUrl.count(_._2 == "buy this") === 7 &&
+      byUrl.filter(_._2 == "buy this").forall(t => t._4 <= 3),
+      s"$byUrl")
+    assert(byUrl.exists(t => t._1 == "https://t.com/z" &&
+      t._2 == "useful site" && t._3 == 1L && t._4 == 1L))
   }
 
   test("<base href> hygiene (r20 sweep): a COMMENTED-OUT base tag " +
