@@ -329,48 +329,72 @@ object WebKernels {
   // table-global gate let one wildcard rule on one host push EVERY
   // host's rules onto a per-row-compiled regex):
   //  - a rule with no '*' and no trailing '$' is a plain startsWith —
-  //    zero regex machinery, the overwhelmingly common case;
-  //  - a wildcard rule translates ONCE per distinct prefix (escape
-  //    every metachar except '*' → '.*'; trailing '$' stays the end
-  //    anchor) into a compiled Pattern held in a bounded cache, so
-  //    |urls|·rules-per-host join rows pay a hash lookup, not a
-  //    Pattern.compile each.
-  // The translation is byte-identical to the certified r19 column
-  // formulation (escape set, '*' substitution, '^' anchor + find()).
+  //    zero matcher machinery, the overwhelmingly common case;
+  //  - a wildcard rule splits ONCE per distinct prefix into its
+  //    literal segments (held in a bounded cache) and matches with a
+  //    GREEDY LEFTMOST GLOB walk — linear in the path, never
+  //    java.util.regex: robots rules are CRAWLED (attacker-supplied)
+  //    content, and a crafted '*a*a*a*…' rule drives regex
+  //    backtracking superlinear on long paths (r20; the findBaseAttr
+  //    hardening class).
+  // Semantics are exactly the certified regex translation's
+  // ('^' + escaped segments joined by '.*' [+ '$'], find()):
+  // PropertySpec fuzz-pins the glob walk against an independently
+  // built Pattern.quote reference across metachar-heavy samples.
+
+  /** A split wildcard rule: literal segments around '*' runs, plus
+    * the trailing-'$' end-anchor flag. */
+  private final class RobotsRule(val segments: Array[String],
+                                 val hasEnd: Boolean)
 
   private val robotsPatterns =
-    new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
+    new java.util.concurrent.ConcurrentHashMap[String, RobotsRule]()
   /** Far above any real rules table's distinct wildcard prefixes; a
-    * crafted table that overflows it costs re-compiles, not memory. */
+    * crafted table that overflows it costs re-splits, not memory. */
   private val RobotsCacheCap = 1 << 14
 
   private[graft] def robotsPatternCacheSize(): Int = robotsPatterns.size()
   private[graft] def robotsPatternCacheClear(): Unit = robotsPatterns.clear()
 
-  private val RobotsMeta = ".[]{}()+?^$|\\"
-
-  private def robotsPattern(prefix: String): Pattern = {
+  private def robotsRule(prefix: String): RobotsRule = {
     val cached = robotsPatterns.get(prefix)
     if (cached != null) return cached
     val hasEnd = prefix.endsWith("$")
     val body = if (hasEnd) prefix.substring(0, prefix.length - 1) else prefix
-    val sb = new java.lang.StringBuilder(body.length + 8)
-    sb.append('^')
-    var i = 0
-    while (i < body.length) {
-      val c = body.charAt(i)
-      if (c == '*') sb.append(".*")
-      else {
-        if (RobotsMeta.indexOf(c) >= 0) sb.append('\\')
-        sb.append(c)
+    val r = new RobotsRule(body.split("\\*", -1), hasEnd)
+    if (robotsPatterns.size() >= RobotsCacheCap) robotsPatterns.clear()
+    robotsPatterns.put(prefix, r)
+    r
+  }
+
+  /** Greedy leftmost glob match ≡ `^s0.*s1.*…sk[$]`.find(): s0 must
+    * be a path prefix; middle segments match leftmost after the
+    * previous one (greedy-leftmost preserves existence — the classic
+    * glob result); with the end anchor the LAST segment must also be
+    * a path suffix starting at/after the walk position. Linear in
+    * |path|·|rule| with zero backtracking. */
+  private def globMatch(path: String, r: RobotsRule): Boolean = {
+    val segs = r.segments
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    val lastIdx = segs.length - 1
+    var i = 1
+    val mid = if (r.hasEnd) lastIdx else segs.length
+    while (i < mid) {
+      val s = segs(i)
+      if (s.nonEmpty) {
+        val at = path.indexOf(s, pos)
+        if (at < 0) return false
+        pos = at + s.length
       }
       i += 1
     }
-    if (hasEnd) sb.append('$')
-    val p = Pattern.compile(sb.toString)
-    if (robotsPatterns.size() >= RobotsCacheCap) robotsPatterns.clear()
-    robotsPatterns.put(prefix, p)
-    p
+    if (!r.hasEnd) true
+    else if (lastIdx == 0) pos == path.length // no '*': exact match
+    else {
+      val s = segs(lastIdx)
+      path.length - s.length >= pos && path.endsWith(s)
+    }
   }
 
   // ---- charset-aware HTML decode ---------------------------------------
@@ -430,7 +454,7 @@ object WebKernels {
     if (!prefixU.contains(StarU) && !prefixU.endsWith(DollarU))
       pathU.startsWith(prefixU)
     else
-      robotsPattern(prefixU.toString).matcher(pathU.toString).find()
+      globMatch(pathU.toString, robotsRule(prefixU.toString))
   }
 
   /** (href, text) pairs of every CLOSED anchor element whose href
@@ -614,9 +638,11 @@ case class DecodeHtmlExpr(left: Expression, right: Expression)
 
 /** RFC 9309 rule match — see [[WebKernels.robotsPathMatch]]: per-rule
   * tiering (plain prefixes stay on startsWith; wildcard rules hit a
-  * memoized compiled pattern), so one wildcard rule anywhere no
-  * longer drags every host onto a per-row regex compile (r19 verdict
-  * #3). Null path or prefix → null (no match decision). */
+  * memoized segment split + linear glob walk), so one wildcard rule
+  * anywhere no longer drags every host onto a per-row regex compile
+  * (r19 verdict #3) and a crafted rule cannot drive regex
+  * backtracking (r20). Null path or prefix → null (no match
+  * decision). */
 case class RobotsPathMatch(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 

@@ -568,10 +568,11 @@ object Web {
     * verdict #3 — the old gate was table-global, so one wildcard rule
     * on one host pushed EVERY host's rules onto a per-join-row regex
     * compile): a rule with no `*` and no trailing `$` is a plain
-    * `startsWith` with zero regex machinery; a wildcard rule
-    * translates once per distinct prefix (metachars escaped, `*` →
-    * `.*`, trailing `$` kept as the anchor) into a compiled pattern
-    * held in a bounded cache. No driver-side gate job at all. */
+    * `startsWith` with zero matcher machinery; a wildcard rule splits
+    * once per distinct prefix (bounded memo cache) and matches with a
+    * LINEAR greedy glob walk — never java.util.regex, whose
+    * backtracking a crafted crawled `*a*a*a*…` rule can drive
+    * superlinear. No driver-side gate job at all. */
   def robotsFilter(df: DataFrame, urlCol: String, idCol: String,
                    rules: DataFrame): DataFrame = {
     require(rules.columns.toSeq == Seq("host", "prefix", "allow"),

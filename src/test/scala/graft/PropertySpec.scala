@@ -1036,7 +1036,13 @@ class PropertySpec extends SparkTestBase {
       .flatMap(n => Gen.listOfN(n, genPiece).map(_.mkString))
     val genPath = Gen.oneOf("/fish", "/fishheads/x", "/a.b/k", "/aXb/",
       "/x.php", "/x.php?y=1", "/", "/%2Fz", "/éé/p", "/*literal*",
-      "/a(b)c", "/a|b", "/a\\b")
+      "/a(b)c", "/a|b", "/a\\b",
+      // end-anchor/overlap shapes for the greedy glob walk: suffix
+      // occurrences that overlap middle-segment placements, repeated
+      // segments, and long same-char runs (the regex-backtracking
+      // shape the glob tier exists to neutralize)
+      "/aab", "/axbyb", "/fishfish", "/aaaaaaaaaaaaaaaaaaab",
+      "/.php.php", "/x.phpx.php")
     samples(Gen.zip(genPath, genPrefix), 400).distinct.foreach {
       case (path, prefix) =>
         val got = graft.functions.WebKernels.robotsPathMatch(
