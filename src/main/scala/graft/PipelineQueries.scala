@@ -2226,6 +2226,30 @@ object PipelineQueries {
         .select(col("url"), col("text"), col("n_chars"))
     }),
 
+    // sitemap XML parsing (sitemaps.org): urlset entries → seed rows
+    // with decoded locs and nullable lastmod; sitemapindex children
+    // flagged; relative/empty locs drop (the protocol requires
+    // absolute) — literal oracle over deterministic documents
+    "q_sitemap_parse" -> ((s, _) => {
+      import s.implicits._
+      val urlset = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        " <url><loc>https://a.com/p1</loc>" +
+        "<lastmod>2026-01-01</lastmod></url>\n" +
+        " <url>\n  <loc> https://a.com/p2?x=1&amp;y=2 </loc>\n </url>\n" +
+        " <url><loc>relative/skip</loc></url>\n" +
+        " <url><priority>0.5</priority></url>\n" +
+        "</urlset>"
+      val index = "<sitemapindex>" +
+        "<sitemap><loc>https://a.com/s1.xml.gz</loc>" +
+        "<lastmod>2026-02-02T00:00:00Z</lastmod></sitemap>" +
+        "<sitemap><loc>HTTPS://A.com/s2.xml</loc></sitemap>" +
+        "</sitemapindex>"
+      val df = Seq(("https://a.com/sitemap.xml", urlset),
+        ("https://a.com/sitemap_index.xml", index)).toDF("url", "xml")
+      graft.ops.Web.parseSitemapXml(df, "url", "xml")
+    }),
+
     // WAT ingest (Common Crawl's metadata-JSON release): one metadata
     // record per capture → the precomputed link table, RAW values
     // resolved through the SAME kernel rule as the HTML extractors;
@@ -2961,6 +2985,18 @@ object PipelineQueries {
          ('https://cs.example/unknown', 'plain ascii', 11::BIGINT),
          ('https://cs.example/utf8', 'über — ok', 9::BIGINT)
         ) t(url, text, n_chars)""",
+
+    "q_sitemap_parse" ->
+      """SELECT * FROM (VALUES
+         ('https://a.com/sitemap.xml', 'https://a.com/p1',
+          '2026-01-01', false),
+         ('https://a.com/sitemap.xml', 'https://a.com/p2?x=1&y=2',
+          NULL::VARCHAR, false),
+         ('https://a.com/sitemap_index.xml', 'https://a.com/s1.xml.gz',
+          '2026-02-02T00:00:00Z', true),
+         ('https://a.com/sitemap_index.xml', 'HTTPS://A.com/s2.xml',
+          NULL::VARCHAR, true)
+        ) t(sitemap_url, loc, lastmod, is_child_sitemap)""",
 
     "q_wat_read" ->
       """SELECT * FROM (VALUES

@@ -690,6 +690,51 @@ object Web {
         col("__value").as("sitemap"))
       .distinct()
 
+  /** The five ubiquitous XML/HTML entities, `&amp;` LAST (the
+    * standard order, shared with [[htmlToText]]'s step 4). */
+  private def xmlEntityDecode(c: Column): Column =
+    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+
+  /** Parse sitemap XML documents (the sitemaps.org protocol) into
+    * frontier seed rows — the arrow between [[parseSitemaps]] (robots
+    * → sitemap URLs) and [[frontierPlan]] (seed URLs → schedule):
+    * `<urlset>` documents yield their `<url>` entries, a
+    * `<sitemapindex>` yields its child `<sitemap>` entries with
+    * `is_child_sitemap = true` (the caller fetches and feeds them
+    * back — recursion is I/O, not a plan shape). Per entry: `loc`
+    * (XML entities decoded, surrounding whitespace trimmed,
+    * ABSOLUTE-URL values only — the protocol requires absolute; junk
+    * drops) and nullable `lastmod` (verbatim text — W3C datetime
+    * parsing is the caller's cast, `try_cast` posture). Map-only
+    * regex extraction (the [[htmlToText]] heuristic discipline —
+    * namespaces/CDATA are out of scope, documented); two scans of
+    * each document (url blocks, sitemap blocks), each codegen'd.
+    * Output: (sitemap_url, loc, lastmod, is_child_sitemap). */
+  def parseSitemapXml(df: DataFrame, urlCol: String,
+                      xmlCol: String): DataFrame = {
+    def entries(tag: String, isChild: Boolean): DataFrame =
+      df.select(col(urlCol).as("sitemap_url"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit(s"(?is)<$tag>(.*?)</$tag>"), lit(1))).as("__b"))
+        .select(col("sitemap_url"),
+          xmlEntityDecode(trim(regexp_extract(col("__b"),
+            "(?is)<loc>\\s*(.*?)\\s*</loc>", 1))).as("loc"),
+          regexp_extract(col("__b"),
+            "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>", 1).as("__lm"),
+          lit(isChild).as("is_child_sitemap"))
+        .withColumn("lastmod",
+          when(length(col("__lm")) > 0, col("__lm"))
+            .otherwise(lit(null).cast("string")))
+        .select("sitemap_url", "loc", "lastmod", "is_child_sitemap")
+    entries("url", isChild = false)
+      .unionByName(entries("sitemap", isChild = true))
+      .filter(col("loc").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+  }
+
   /** Shared robots.txt line scan: documents deduped and keyed
     * ([[parseRobotsTxt]]'s per-document discipline), lines posexploded,
     * comments stripped, keys lowercased/trimmed (RFC 9309's ABNF
