@@ -337,10 +337,15 @@ object WebKernels {
   //    content, and a crafted '*a*a*a*…' rule drives regex
   //    backtracking superlinear on long paths (r20; the findBaseAttr
   //    hardening class).
-  // Semantics are exactly the certified regex translation's
-  // ('^' + escaped segments joined by '.*' [+ '$'], find()):
-  // PropertySpec fuzz-pins the glob walk against an independently
-  // built Pattern.quote reference across metachar-heavy samples.
+  // Semantics are the RFC's: '*' matches ANY octet sequence and '$'
+  // anchors the TRUE end of the path. (The r19 java-regex translation
+  // had line-terminator artifacts — '.' refused '\n' and '$' also
+  // matched before a trailing newline; the glob walk deliberately
+  // fixes both, a divergence only on paths containing raw line
+  // terminators, which are crawler junk either way.) PropertySpec
+  // fuzz-pins the walk against an independently built Pattern.quote
+  // reference compiled with DOTALL + \z across metachar-heavy and
+  // newline-bearing samples.
 
   /** A split wildcard rule: literal segments around '*' runs, plus
     * the trailing-'$' end-anchor flag. */
@@ -418,7 +423,14 @@ object WebKernels {
     catch { case _: Exception => null }
 
   /** Decode an HTML payload with charset resolution — see the section
-    * comment. Null httpContentType is legal (sniff → UTF-8). */
+    * comment. Null httpContentType is legal (sniff → UTF-8). An
+    * UNKNOWN header charset name falls THROUGH to the meta sniff
+    * (the header said nothing usable — same information state as no
+    * header param), then UTF-8; WarcSpec pins the order. Decoding is
+    * `new String(bytes, charset)` — specified to REPLACE malformed/
+    * unmappable input (identical to explicit CodingErrorAction
+    * decoders) on the JDK's intrinsified fast paths, no per-row
+    * decoder/CharBuffer allocation (r20 review find). */
   def decodeHtml(payload: Array[Byte], ctU: UTF8String): UTF8String = {
     var cs: java.nio.charset.Charset = null
     if (ctU != null) {
@@ -433,11 +445,7 @@ object WebKernels {
       if (m.find()) cs = charsetOrNull(m.group(1))
     }
     if (cs == null) cs = java.nio.charset.StandardCharsets.UTF_8
-    val dec = cs.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-    UTF8String.fromString(
-      dec.decode(java.nio.ByteBuffer.wrap(payload)).toString)
+    UTF8String.fromString(new String(payload, cs))
   }
 
   private val StarU = UTF8String.fromString("*")

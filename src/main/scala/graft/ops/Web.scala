@@ -366,11 +366,7 @@ object Web {
       "(?i)<br[^>]*>|</p>|</div>|</li>|</h[1-6]>|</tr>|</table>|</ul>|</ol>",
       "\n")
     val noTags = regexp_replace(breaks, "<[^>]*>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) =>
-        replace(c, lit(from), lit(to))
-      }
+    val decoded = xmlEntityDecode(noTags)
     val lines = filter(
       transform(split(decoded, "\n"),
         l => trim(regexp_replace(l, "[ \\t\\r]+", " "))),
@@ -690,8 +686,10 @@ object Web {
         col("__value").as("sitemap"))
       .distinct()
 
-  /** The five ubiquitous XML/HTML entities, `&amp;` LAST (the
-    * standard order, shared with [[htmlToText]]'s step 4). */
+  /** The six ubiquitous XML/HTML entities, `&amp;` LAST (the standard
+    * order) — the ONE entity table: [[htmlToText]]'s step 4 and
+    * [[parseSitemapXml]]'s loc decode both call this, so the decode
+    * paths cannot drift (r20 review find). */
   private def xmlEntityDecode(c: Column): Column =
     Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")

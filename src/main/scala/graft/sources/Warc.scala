@@ -60,7 +60,7 @@ object Warc {
       Dataset[WarcRecord] =
     files.flatMap { case (path, content) =>
       if (path.endsWith(".gz")) parseGzMembers(path, content, maxMemberBytes)
-      else parseRecords(path, content)
+      else parseRecords(path, content, maxMemberBytes)
     }(Encoders.product[WarcRecord])
 
   private def confMaxMember(spark: SparkSession): Long =
@@ -288,7 +288,7 @@ object Warc {
     def flushCarry(): Unit = if (carry.nonEmpty) {
       // whatever is pending can no longer be completed — parse it to
       // the end, truncation errors and all (the EOF posture)
-      parseRecords(path, carry).foreach(emit)
+      parseRecords(path, carry, maxMemberBytes).foreach(emit)
       carry = Array.emptyByteArray
     }
     var pos = 0
@@ -297,7 +297,7 @@ object Warc {
         case MemberOk(bytes, next) =>
           val buf = if (carry.isEmpty) bytes else carry ++ bytes
           val (recs, tailStart) =
-            parseRecordsWithTail(path, buf, atEof = false)
+            parseRecordsWithTail(path, buf, atEof = false, maxMemberBytes)
           recs.foreach(emit)
           carry =
             if (tailStart >= 0)
@@ -318,10 +318,12 @@ object Warc {
 
   /** Parse records from one archive's bytes. Resync-on-error: a
     * malformed record is emitted with `error` set and the scan jumps
-    * to the next `WARC/` marker. */
-  private[graft] def parseRecords(path: String,
-                                  bytes: Array[Byte]): Seq[WarcRecord] =
-    parseRecordsWithTail(path, bytes, atEof = true)._1
+    * to the next `WARC/` marker. `maxBodyBytes` caps HTTP-body
+    * inflation ([[gunzipBody]]) — the same knob as the gz-member cap,
+    * so one configuration bounds EVERY decompression path. */
+  private[graft] def parseRecords(path: String, bytes: Array[Byte],
+      maxBodyBytes: Long = DefaultMaxMemberBytes): Seq[WarcRecord] =
+    parseRecordsWithTail(path, bytes, atEof = true, maxBodyBytes)._1
 
   /** [[parseRecords]] that can stop at an INCOMPLETE trailing record:
     * with `atEof = false`, a record whose header or declared payload
@@ -331,12 +333,13 @@ object Warc {
     * member. Genuinely malformed records (bad Content-Length, missing
     * version line) still quarantine + resync either way. */
   private def parseRecordsWithTail(path: String, bytes: Array[Byte],
-      atEof: Boolean): (Seq[WarcRecord], Int) = {
+      atEof: Boolean,
+      maxBodyBytes: Long = DefaultMaxMemberBytes): (Seq[WarcRecord], Int) = {
     val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
     var pos = indexOfMarker(bytes, 0)
     var idx = 0
     while (pos >= 0 && pos < bytes.length) {
-      val (rec, next) = parseOne(path, idx, bytes, pos)
+      val (rec, next) = parseOne(path, idx, bytes, pos, maxBodyBytes)
       val incomplete = rec.error != null && !atEof &&
         (rec.error.startsWith("truncated record") ||
           rec.error.startsWith("unterminated WARC header block"))
@@ -394,7 +397,7 @@ object Warc {
     * record and the offset just past its trailer (or `start` on a
     * structural error, signalling resync). */
   private def parseOne(path: String, idx: Int, bytes: Array[Byte],
-                       start: Int): (WarcRecord, Int) = {
+                       start: Int, maxBodyBytes: Long): (WarcRecord, Int) = {
     def err(msg: String): (WarcRecord, Int) =
       (WarcRecord(path, idx, null, null, null, null, null, -1L, -1, null,
         Array.emptyByteArray, msg), start)
@@ -423,7 +426,8 @@ object Warc {
     val warcType = headers.getOrElse("warc-type", "")
     val contentType = headers.getOrElse("content-type", "")
     val (status, httpCt, payload) =
-      if (contentType.startsWith("application/http")) parseHttp(block)
+      if (contentType.startsWith("application/http"))
+        parseHttp(block, maxBodyBytes)
       else (-1, null, block)
     val rec = WarcRecord(path, idx,
       warcType,
@@ -469,7 +473,8 @@ object Warc {
     * not quarantine the whole record (the capture is still a valid
     * record; the extractor sees what a r19 reader saw). `deflate` and
     * `br` stay undecoded (rare in archives; documented). */
-  private def parseHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
+  private def parseHttp(block: Array[Byte],
+                        maxBodyBytes: Long): (Int, String, Array[Byte]) = {
     val headEnd = indexOfBlankLine(block, 0)
     if (headEnd < 0) return (-1, null, block)
     val head = new String(block, 0, headEnd, "UTF-8")
@@ -488,9 +493,11 @@ object Warc {
     if (header("transfer-encoding").exists(
       _.toLowerCase.contains("chunked")))
       body = dechunk(body).getOrElse(body)
-    val ce = header("content-encoding").map(_.toLowerCase.trim)
-    if (ce.contains("gzip") || ce.contains("x-gzip"))
-      body = gunzipBody(body, DefaultMaxMemberBytes).getOrElse(body)
+    // substring, not whole-value equality: real captures carry
+    // 'gzip, identity' / 'gzip;q=1.0' forms (r20 review find);
+    // 'x-gzip' contains 'gzip' too
+    if (header("content-encoding").exists(_.toLowerCase.contains("gzip")))
+      body = gunzipBody(body, maxBodyBytes).getOrElse(body)
     (status, ct, body)
   }
 
@@ -614,7 +621,7 @@ object Warc {
         case MemberOk(bytes, next) =>
           val buf = if (carry.isEmpty) bytes else carry ++ bytes
           val (recs, tailStart) =
-            parseRecordsWithTail(path, buf, atEof = false)
+            parseRecordsWithTail(path, buf, atEof = false, maxMemberBytes)
           recordsEmitted += recs.length
           carry =
             if (tailStart >= 0)
@@ -624,7 +631,8 @@ object Warc {
         case MemberErr(_, next) =>
           // the parser emits the flushed carry's records + ONE error row
           if (carry.nonEmpty) {
-            recordsEmitted += parseRecords(path, carry).length
+            recordsEmitted += parseRecords(path, carry,
+              maxMemberBytes).length
             carry = Array.emptyByteArray
           }
           recordsEmitted += 1
@@ -633,7 +641,8 @@ object Warc {
       if (carry.isEmpty && pos - splitStart >= targetSplitBytes)
         closeSplit(pos)
     }
-    if (carry.nonEmpty) recordsEmitted += parseRecords(path, carry).length
+    if (carry.nonEmpty)
+      recordsEmitted += parseRecords(path, carry, maxMemberBytes).length
     closeSplit(gz.length)
     out.toSeq
   }
@@ -660,7 +669,8 @@ object Warc {
         // parallelizes per file; record-marker splitting is the gz
         // path's job — CC ships gz)
         Seq(WarcSplit(p, 0, 0L, content.length.toLong, 0,
-          parseRecords(p, content).length, content.length.toLong, mtMs))
+          parseRecords(p, content, maxMember).length,
+          content.length.toLong, mtMs))
       }
     }(Encoders.product[WarcSplit])
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -724,7 +734,7 @@ object Warc {
         } finally in.close()
         val recs =
           if (s.path.endsWith(".gz")) parseGzMembers(s.path, buf, maxMember)
-          else parseRecords(s.path, buf)
+          else parseRecords(s.path, buf, maxMember)
         recs.map(r => r.copy(recordIdx = r.recordIdx + s.firstRecordIdx))
       }(Encoders.product[WarcRecord]).toDF()
   }

@@ -1019,7 +1019,11 @@ class PropertySpec extends SparkTestBase {
     "cannot drift from RFC 9309 semantics (r20)") {
     import org.apache.spark.unsafe.types.UTF8String
     // reference built a DIFFERENT way: split on '*' (keeping empty
-    // segments), quote each literal segment whole, rejoin with '.*'
+    // segments), quote each literal segment whole, rejoin with '.*'.
+    // DOTALL + \z give the RFC-intent semantics the glob walk
+    // implements ('*' spans any octet incl. line terminators; '$'
+    // anchors the TRUE end — java's bare '$' also matches before a
+    // trailing newline, an artifact robots semantics never wanted)
     def reference(path: String, prefix: String): Boolean = {
       val hasEnd = prefix.endsWith("$")
       val body =
@@ -1027,8 +1031,9 @@ class PropertySpec extends SparkTestBase {
       val segs = body.split("\\*", -1)
       val pat = "^" + segs.map(s =>
         if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
-        .mkString(".*") + (if (hasEnd) "$" else "")
-      java.util.regex.Pattern.compile(pat).matcher(path).find()
+        .mkString(".*") + (if (hasEnd) "\\z" else "")
+      java.util.regex.Pattern.compile(pat,
+        java.util.regex.Pattern.DOTALL).matcher(path).find()
     }
     val genPiece = Gen.oneOf("/fish", "*", ".", "$", "(", ")", "[", "]",
       "{", "}", "+", "?", "^", "|", "\\", "/a.b", "*.php", "%2F", "é")
@@ -1042,7 +1047,10 @@ class PropertySpec extends SparkTestBase {
       // segments, and long same-char runs (the regex-backtracking
       // shape the glob tier exists to neutralize)
       "/aab", "/axbyb", "/fishfish", "/aaaaaaaaaaaaaaaaaaab",
-      "/.php.php", "/x.phpx.php")
+      "/.php.php", "/x.phpx.php",
+      // raw line terminators (crawler junk): '*' must span them and
+      // '$' must anchor the true end, not the pre-newline position
+      "/a\n", "/a\nxb", "/fish\r\n/fish")
     samples(Gen.zip(genPath, genPrefix), 400).distinct.foreach {
       case (path, prefix) =>
         val got = graft.functions.WebKernels.robotsPathMatch(

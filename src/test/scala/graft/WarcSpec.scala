@@ -382,6 +382,13 @@ class WarcSpec extends SparkTestBase {
     // quoted charset value in the header param
     assert(d("café".getBytes("ISO-8859-1"),
       "text/html; charset=\"ISO-8859-1\"") === "café")
+    // an UNKNOWN header charset name falls THROUGH to the meta sniff
+    // (same information state as no header param — documented order),
+    // not straight to UTF-8
+    val metaLatin = "<meta charset=iso-8859-1>café"
+      .getBytes("ISO-8859-1")
+    assert(d(metaLatin, "text/html; charset=bogus-name") ===
+      "<meta charset=iso-8859-1>café")
   }
 
   test("the HTTP body flows straight into the Web extraction stage") {
