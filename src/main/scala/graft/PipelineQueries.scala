@@ -2259,7 +2259,7 @@ object PipelineQueries {
     "q_wat_read" -> ((s, _) => {
       graft.sources.Wat.watToLinks(s, s"$warcFixtureDir/fixture.wat")
         .select(col("url"), col("http_status"), col("link_idx"),
-          col("raw_href"), col("href"),
+          col("link_path"), col("raw_href"), col("href"),
           col("error").isNotNull.cast("long").as("has_err"))
     }),
 
@@ -3000,33 +3000,37 @@ object PipelineQueries {
 
     "q_wat_read" ->
       """SELECT * FROM (VALUES
-         ('https://alpha.com/news/a1', 200::BIGINT, 0::BIGINT,
+         ('https://alpha.com/news/a1', 200::BIGINT, 0::BIGINT, 'A@/href',
           'https://beta.com/x', 'https://beta.com/x', 0::BIGINT),
-         ('https://alpha.com/news/a1', 200::BIGINT, 1::BIGINT,
+         ('https://alpha.com/news/a1', 200::BIGINT, 1::BIGINT, 'A@/href',
           '/promo', 'https://alpha.com/promo', 0::BIGINT),
-         ('https://alpha.com/news/a1', 200::BIGINT, 2::BIGINT,
+         ('https://alpha.com/news/a1', 200::BIGINT, 2::BIGINT, 'A@/href',
           'rel/two', 'https://alpha.com/news/rel/two', 0::BIGINT),
-         ('https://alpha.com/news/a1', 200::BIGINT, 3::BIGINT,
+         ('https://alpha.com/news/a1', 200::BIGINT, 3::BIGINT, 'A@/href',
           '//gamma.com/lib', 'https://gamma.com/lib', 0::BIGINT),
-         ('https://alpha.com/news/a1', 200::BIGINT, 4::BIGINT,
+         ('https://alpha.com/news/a1', 200::BIGINT, 4::BIGINT, 'A@/href',
           'mailto:x@alpha.com', NULL::VARCHAR, 0::BIGINT),
-         ('https://beta.com/dir/b1', 200::BIGINT, 0::BIGINT,
+         ('https://alpha.com/news/a1', 200::BIGINT, 5::BIGINT, 'IMG@/src',
+          'https://assets.cdn-zeta.com/logo.png',
+          'https://assets.cdn-zeta.com/logo.png', 0::BIGINT),
+         ('https://beta.com/dir/b1', 200::BIGINT, 0::BIGINT, 'A@/href',
           'https://alpha.com/one', 'https://alpha.com/one', 0::BIGINT),
-         ('https://beta.com/dir/b1', 200::BIGINT, 1::BIGINT,
+         ('https://beta.com/dir/b1', 200::BIGINT, 1::BIGINT, 'A@/href',
           'HTTPS://ALPHA.com/two?utm_s=9', 'HTTPS://ALPHA.com/two?utm_s=9',
           0::BIGINT),
-         ('https://beta.com/dir/b1', 200::BIGINT, 2::BIGINT,
+         ('https://beta.com/dir/b1', 200::BIGINT, 2::BIGINT, 'A@/href',
           '../up', 'https://beta.com/dir/../up', 0::BIGINT),
-         ('https://beta.com/dir/b1', 200::BIGINT, 3::BIGINT,
+         ('https://beta.com/dir/b1', 200::BIGINT, 3::BIGINT, 'A@/href',
           'javascript:void(0)', NULL::VARCHAR, 0::BIGINT),
-         ('https://gamma.com/g1', 200::BIGINT, 0::BIGINT,
+         ('https://gamma.com/g1', 200::BIGINT, 0::BIGINT, 'A@/href',
           '#sec', NULL::VARCHAR, 0::BIGINT),
-         ('https://delta.com/dead', 404::BIGINT, 0::BIGINT,
+         ('https://delta.com/dead', 404::BIGINT, 0::BIGINT, 'A@/href',
           'https://alpha.com/not-counted', 'https://alpha.com/not-counted',
           0::BIGINT),
          ('https://mal.example/x', NULL::BIGINT, NULL::BIGINT,
-          NULL::VARCHAR, NULL::VARCHAR, 1::BIGINT)
-        ) t(url, http_status, link_idx, raw_href, href, has_err)""",
+          NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, 1::BIGINT)
+        ) t(url, http_status, link_idx, link_path, raw_href, href,
+            has_err)""",
 
     "q_frontier" ->
       s"""WITH $urlFixtureWebSql, $urlCanonSql, $regDomainSql,

@@ -86,16 +86,18 @@ object Wat {
   }
 
   /** The precomputed link table: one row per (capture, link) with the
-    * RAW attribute value (`raw_href` — what CC stores) and the
-    * RESOLVED absolute URL (`href` — through the shared
-    * effectiveBase/resolveHref kernel rule, `<base href>` honored via
-    * the envelope's `Head.Base`; null when the value is a dropped
-    * scheme / empty / unresolvable, the extractOutlinks drop
-    * contract). Duplicates and document order are kept (multi-edge
-    * votes). Captures with no links keep ONE null-link row; a
-    * malformed-JSON capture keeps one error row — record
-    * conservation. Columns: (doc_id, url, http_status, link_idx,
-    * raw_href, href, error). */
+    * link's KIND (`link_path` — CC's locator, e.g. `A@/href`,
+    * `IMG@/src`, `LINK@/href`: real WAT lists every outbound
+    * reference, not just anchors), the RAW attribute value
+    * (`raw_href` — what CC stores) and the RESOLVED absolute URL
+    * (`href` — through the shared effectiveBase/resolveHref kernel
+    * rule, `<base href>` honored via the envelope's `Head.Base`; null
+    * when the value is a dropped scheme / empty / unresolvable, the
+    * extractOutlinks drop contract). Duplicates and document order
+    * are kept (multi-edge votes). Captures with no links keep ONE
+    * null-link row; a malformed-JSON capture keeps one error row —
+    * record conservation. Columns: (doc_id, url, http_status,
+    * link_idx, link_path, raw_href, href, error). */
   def watToLinks(spark: SparkSession, path: String): DataFrame =
     linksFromRecords(Warc.readWarc(spark, path))
 
@@ -109,14 +111,19 @@ object Wat {
     parsed(records)
       .select(col("doc_id"), col("url"), col("http_status"),
         col("error"),
-        posexplode_outer(graft.functions.VectorExprs.withKernels(
-          call_function("graft_resolve_hrefs",
-            transform(col("__links"), l => l.getField("url")),
-            col("url"), col("base")))).as(Seq("__i", "__rh")))
+        // the link KIND rides along zipped with the resolved pair so
+        // one posexplode keeps all three aligned
+        posexplode_outer(arrays_zip(
+          transform(col("__links"), l => l.getField("path")),
+          graft.functions.VectorExprs.withKernels(
+            call_function("graft_resolve_hrefs",
+              transform(col("__links"), l => l.getField("url")),
+              col("url"), col("base"))))).as(Seq("__i", "__z")))
       .select(col("doc_id"), col("url"), col("http_status"),
         col("__i").cast("long").as("link_idx"),
-        col("__rh").getField("raw").as("raw_href"),
-        col("__rh").getField("href").as("href"),
+        col("__z").getField("0").as("link_path"),
+        col("__z").getField("1").getField("raw").as("raw_href"),
+        col("__z").getField("1").getField("href").as("href"),
         col("error"))
 
   /** Per-capture metadata at the grain a pre-fetch gate wants:
@@ -133,10 +140,15 @@ object Wat {
 
   /** Registered-domain link edges from a WAT archive — the cheap
     * alternative to [[graft.ops.Web.edgesFromDocuments]] when WAT is
-    * available: same status-200 gate, same resolution rule, same
-    * [[graft.ops.Web.edgesFromLinks]] projection (multi-edges kept,
-    * self-loops dropped), law-pinned equal to the HTML-scan edges on
-    * the linked fixture. */
+    * available: same status-200 gate, same resolution
+    * rule, same [[graft.ops.Web.edgesFromLinks]] projection
+    * (multi-edges kept, self-loops dropped), law-pinned equal to the
+    * HTML-scan edges on the linked fixture — INCLUDING the link-kind
+    * gate: real WAT lists every outbound reference (`IMG@/src`,
+    * `SCRIPT@/src`, `LINK@/href`, …), while edgesFromDocuments scans
+    * `<a href>` only, so only `A@…` locators (or entries with no
+    * locator — permissive toward WAT variants that omit it) count as
+    * authority edges. */
   def edgesFromWat(spark: SparkSession, path: String,
                    suffixes: Seq[String] =
                      graft.ops.Web.DefaultPublicSuffixes,
@@ -144,7 +156,8 @@ object Wat {
     graft.ops.Web.edgesFromLinks(
       watToLinks(spark, path)
         .filter(col("error").isNull && col("http_status") === 200 &&
-          col("href").isNotNull),
+          col("href").isNotNull &&
+          (col("link_path").isNull || col("link_path").startsWith("A@"))),
       "url", "href", suffixes, dropSelf)
 
   // ---- deterministic fixture (the Warc.fixtureLinkedCrawl mate) --------
@@ -169,9 +182,10 @@ object Wat {
         s"Content-Length: ${block.length}\r\n\r\n"
       head.getBytes("UTF-8") ++ block ++ "\r\n\r\n".getBytes("UTF-8")
     }
-    def watJson(status: Int, title: String, links: Seq[String]): String = {
-      val ls = links.map(l => s"""{"path":"A@/href","url":"${l
-        .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+    def watJson(status: Int, title: String,
+                links: Seq[(String, String)]): String = {
+      val ls = links.map { case (p, l) => s"""{"path":"$p","url":"${l
+        .replace("\\", "\\\\").replace("\"", "\\\"")}"}""" }
         .mkString("[", ",", "]")
       s"""{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":{""" +
         s""""Response-Message":{"Status":"$status"},""" +
@@ -179,20 +193,27 @@ object Wat {
         s""""Links":$ls}}}}}"""
     }
     def meta(uri: String, status: Int, title: String,
-             links: Seq[String]): Array[Byte] =
+             links: Seq[(String, String)]): Array[Byte] =
       rec("metadata", uri, "application/json",
         watJson(status, title, links))
+    def a(l: String): (String, String) = ("A@/href", l)
     rec("warcinfo", "", "application/warc-fields",
       "software: graft-wat-fixture\r\n") ++
       meta("https://alpha.com/news/a1", 200, "alpha",
-        Seq("https://beta.com/x", "/promo", "rel/two", "//gamma.com/lib",
-          "mailto:x@alpha.com")) ++
+        Seq(a("https://beta.com/x"), a("/promo"), a("rel/two"),
+          a("//gamma.com/lib"), a("mailto:x@alpha.com"),
+          // real WAT lists EVERY outbound reference — an IMG target
+          // that the <a href> HTML scan never sees; the edge gate
+          // must drop it (WAT ≡ documents law) while the link table
+          // keeps it (a prefetcher wants asset URLs too)
+          ("IMG@/src", "https://assets.cdn-zeta.com/logo.png"))) ++
       meta("https://beta.com/dir/b1", 200, "beta",
-        Seq("https://alpha.com/one", "HTTPS://ALPHA.com/two?utm_s=9",
-          "../up", "javascript:void(0)")) ++
-      meta("https://gamma.com/g1", 200, "gamma", Seq("#sec")) ++
+        Seq(a("https://alpha.com/one"),
+          a("HTTPS://ALPHA.com/two?utm_s=9"),
+          a("../up"), a("javascript:void(0)"))) ++
+      meta("https://gamma.com/g1", 200, "gamma", Seq(a("#sec"))) ++
       meta("https://delta.com/dead", 404, "dead",
-        Seq("https://alpha.com/not-counted")) ++
+        Seq(a("https://alpha.com/not-counted"))) ++
       rec("metadata", "https://mal.example/x", "application/json",
         "{not json")
   }

@@ -1978,7 +1978,7 @@ class StreamingSpec extends SparkTestBase {
           col("raw_href"), col("href"), col("error"))
     val oneFile = ("f.wat", Wat.fixtureWat())
     val batch = links(Seq(oneFile).toDS()).collect().map(_.toString).sorted
-    assert(batch.length === 12, s"fixture shape: ${batch.toSeq}")
+    assert(batch.length === 13, s"fixture shape: ${batch.toSeq}")
     val input = MemoryStream[(String, Array[Byte])]
     val q = links(input.toDS()).writeStream.outputMode("append")
       .format("memory").queryName("stream_wat_out").start()

@@ -284,10 +284,20 @@ class WarcSpec extends SparkTestBase {
       .collect()
     assert(mailto.length === 1 && mailto.head.isNullAt(
       mailto.head.fieldIndex("href")))
+    // the link-kind gate: real WAT lists EVERY outbound reference —
+    // the IMG asset row is IN the link table (a prefetcher wants it)
+    // but NOT an authority edge (edgesFromDocuments scans <a href>
+    // only; the watEdges ≡ docEdges assert above would fail if the
+    // gate leaked it)
+    val img = links.filter(col("link_path") === "IMG@/src").collect()
+    assert(img.length === 1 &&
+      img.head.getAs[String]("href").contains("cdn-zeta.com"))
+    assert(!watEdges.exists(_._2.contains("cdn-zeta")),
+      "asset references must not mint authority edges")
     val meta = Wat.watToMetadata(spark, dir.toString + "/f.wat")
       .collect().map(r => r.getAs[String]("url") ->
         ((r.getAs[String]("title"), r.getAs[Long]("n_links")))).toMap
-    assert(meta("https://alpha.com/news/a1") === (("alpha", 5L)))
+    assert(meta("https://alpha.com/news/a1") === (("alpha", 6L)))
     assert(meta("https://delta.com/dead") === (("dead", 1L)))
   }
 
