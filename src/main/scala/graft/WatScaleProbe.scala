@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Pricing the WAT shortcut (r20): a link graph built from Common
+  * Crawl's precomputed WAT metadata skips the full-HTML href regex
+  * scan — this probe measures by how much, on equivalent corpora: the
+  * SAME captures rendered both as HTML response records (the
+  * edgesFromDocuments path: full-page regex scan + per-href
+  * resolution) and as WAT metadata records (the edgesFromWat path:
+  * JSON parse + resolution only), with a bit_xor checksum proving the
+  * two graphs are IDENTICAL edge for edge.
+  *
+  * Usage: runMain graft.WatScaleProbe [nCaptures] [linksPerPage]
+  *
+  * Measured (local[32], 2026-08-16, 50k captures × 20 links over
+  * realistic ~4 KB pages): HTML 202 MB → 3.7 s (55 MB/s) vs WAT
+  * 61 MB → 3.9 s (16 MB/s), graphs checksum-identical. HONEST
+  * adjudication: WAT's advantage is BYTES, not local CPU — the
+  * corpus is 3.3× smaller (the page prose never ships), but
+  * Jackson's JSON envelope parse costs roughly what the href regex
+  * scan saves, so in-memory wall-clock is a wash. At 100 TB the scan
+  * is object-storage-I/O-bound, where 3.3× fewer bytes ≈ 3.3× less
+  * scan time and 3.3× less egress — that, not CPU, is why a pipeline
+  * starts from WAT when CC ships it.
+  */
+object WatScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(50000)
+    val perPage = if (args.length > 1) args(1).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[A](label: String)(body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label%-52s $s%7.1f s")
+      (r, s)
+    }
+
+    // deterministic per-capture link set: a mix of absolute targets
+    // (hash-spread over 5000 domains), root-relative and relative
+    // values (resolve against the page), and one dropped scheme
+    def linksOf(i: Long): Seq[String] = (0 until perPage).map { j =>
+      val h = (i * 31 + j * 7) % 5000
+      j % 5 match {
+        case 0 => s"https://t$h.example/p/$j"
+        case 1 => s"//t$h.example/lib/$j"
+        case 2 => s"/local/$j"
+        case 3 => s"rel/$j.html"
+        case _ => "mailto:x@y.z"
+      }
+    }
+    def urlOf(i: Long) = s"https://src${i % 1000}-news.com/sec/$i/page"
+
+    def warcResp(uri: String, html: String): Array[Byte] = {
+      val block = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        html).getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"WARC-Record-ID: <urn:uuid:p-$uri>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8") ++
+        block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    def warcWat(uri: String, links: Seq[String]): Array[Byte] = {
+      val ls = links.map(l =>
+        s"""{"path":"A@/href","url":"$l"}""").mkString("[", ",", "]")
+      val body = ("""{"Envelope":{"Payload-Metadata":""" +
+        """{"HTTP-Response-Metadata":{"Response-Message":""" +
+        s"""{"Status":"200"},"HTML-Metadata":{"Links":$ls}}}}}""")
+        .getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: metadata\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"WARC-Record-ID: <urn:uuid:m-$uri>\r\n" +
+        "Content-Type: application/json\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++
+        body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+
+    // realistic page shape: links are a small fraction of the bytes —
+    // the HTML path must scan the prose too, WAT never carries it
+    // (~2.5 KB of paragraphs per page, the WebScaleProbe page size)
+    def proseOf(i: Long): String = (0 until 20).map(k =>
+      s"<p>paragraph $k of capture $i with some filler words that " +
+        "make the page look like a real page rather than a link " +
+        "farm, tail ${(i * 131 + k) % 100000}</p>").mkString
+    val htmlFiles = spark.range(n).as[Long].map { i =>
+      val html = "<html><body>" + proseOf(i) + linksOf(i).map(l =>
+        s"""<a href="$l">x</a>""").mkString + "</body></html>"
+      (s"mem://h$i.warc", warcResp(urlOf(i), html))
+    }.localCheckpoint()
+    val watFiles = spark.range(n).as[Long].map { i =>
+      (s"mem://w$i.warc", warcWat(urlOf(i), linksOf(i)))
+    }.localCheckpoint()
+    val htmlMb = htmlFiles.map(_._2.length.toLong).reduce(_ + _) / 1e6
+    val watMb = watFiles.map(_._2.length.toLong).reduce(_ + _) / 1e6
+    println(f"[probe] corpus: $n%d captures × $perPage links — " +
+      f"HTML $htmlMb%.0f MB vs WAT $watMb%.0f MB " +
+      f"(${htmlMb / watMb}%.1fx smaller)")
+
+    def edgeChecksum(edges: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val pairs = edges.groupBy("src", "dst").count()
+      val r = pairs.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst, count))")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val ((ne1, c1), tHtml) = time(s"[$n] edges via HTML scan " +
+      "(edgesFromDocuments)") {
+      val pages = graft.sources.Warc.parseFiles(htmlFiles).toDF()
+        .filter(col("httpStatus") === 200)
+        .select(col("targetUri").as("url"),
+          decode(col("payload"), "UTF-8").as("html"))
+      edgeChecksum(graft.ops.Web.edgesFromDocuments(pages, "url", "html"))
+    }
+    val ((ne2, c2), tWat) = time(s"[$n] edges via WAT links " +
+      "(linksFromRecords + edgesFromLinks)") {
+      val links = graft.sources.Wat.linksFromRecords(
+        graft.sources.Warc.parseFiles(watFiles).toDF())
+        .filter(col("error").isNull && col("http_status") === 200 &&
+          col("href").isNotNull &&
+          (col("link_path").isNull || col("link_path").startsWith("A@")))
+      edgeChecksum(graft.ops.Web.edgesFromLinks(links, "url", "href"))
+    }
+    assert(ne1 == ne2 && c1 == c2,
+      s"graphs disagree: $ne1/$c1 vs $ne2/$c2")
+    println(f"[probe] [$n] identical graphs ($ne1%d distinct edges, " +
+      f"checksums equal); WAT path ${tHtml / tWat}%.1fx faster, " +
+      f"${htmlMb / tHtml}%.0f vs ${watMb / tWat}%.0f MB/s of input")
+    spark.stop()
+  }
+}
