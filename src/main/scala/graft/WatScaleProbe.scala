@@ -15,15 +15,15 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.WatScaleProbe [nCaptures] [linksPerPage]
   *
   * Measured (local[32], 2026-08-16, 50k captures × 20 links over
-  * realistic ~4 KB pages): HTML 202 MB → 3.7 s (55 MB/s) vs WAT
-  * 61 MB → 3.9 s (16 MB/s), graphs checksum-identical. HONEST
-  * adjudication: WAT's advantage is BYTES, not local CPU — the
-  * corpus is 3.3× smaller (the page prose never ships), but
-  * Jackson's JSON envelope parse costs roughly what the href regex
-  * scan saves, so in-memory wall-clock is a wash. At 100 TB the scan
-  * is object-storage-I/O-bound, where 3.3× fewer bytes ≈ 3.3× less
-  * scan time and 3.3× less egress — that, not CPU, is why a pipeline
-  * starts from WAT when CC ships it.
+  * realistic ~4 KB pages): HTML 182 MB vs WAT 61 MB (3.0× smaller),
+  * wall-clock a wash (6.0 s vs 6.2 s on a contended run; 3.7 s vs
+  * 3.9 s flat), graphs checksum-identical. HONEST adjudication:
+  * WAT's advantage is BYTES, not local CPU — the page prose never
+  * ships, but Jackson's JSON envelope parse costs roughly what the
+  * href regex scan saves. At 100 TB the scan is
+  * object-storage-I/O-bound, where 3× fewer bytes ≈ 3× less scan
+  * time and 3× less egress — that, not CPU, is why a pipeline starts
+  * from WAT when CC ships it.
   */
 object WatScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -70,8 +70,11 @@ object WatScaleProbe {
         block ++ "\r\n\r\n".getBytes("UTF-8")
     }
     def warcWat(uri: String, links: Seq[String]): Array[Byte] = {
-      val ls = links.map(l =>
-        s"""{"path":"A@/href","url":"$l"}""").mkString("[", ",", "]")
+      // same JSON-string escaping as Wat.fixtureWat — a quote-bearing
+      // href must stay valid JSON, not quarantine the capture
+      val ls = links.map(l => s"""{"path":"A@/href","url":"${l
+        .replace("\\", "\\\\").replace("\"", "\\\"")}"}""")
+        .mkString("[", ",", "]")
       val body = ("""{"Envelope":{"Payload-Metadata":""" +
         """{"HTTP-Response-Metadata":{"Response-Message":""" +
         s"""{"Status":"200"},"HTML-Metadata":{"Links":$ls}}}}}""")
@@ -90,7 +93,7 @@ object WatScaleProbe {
     def proseOf(i: Long): String = (0 until 20).map(k =>
       s"<p>paragraph $k of capture $i with some filler words that " +
         "make the page look like a real page rather than a link " +
-        "farm, tail ${(i * 131 + k) % 100000}</p>").mkString
+        s"farm, tail ${(i * 131 + k) % 100000}</p>").mkString
     val htmlFiles = spark.range(n).as[Long].map { i =>
       val html = "<html><body>" + proseOf(i) + linksOf(i).map(l =>
         s"""<a href="$l">x</a>""").mkString + "</body></html>"
@@ -121,13 +124,10 @@ object WatScaleProbe {
       edgeChecksum(graft.ops.Web.edgesFromDocuments(pages, "url", "html"))
     }
     val ((ne2, c2), tWat) = time(s"[$n] edges via WAT links " +
-      "(linksFromRecords + edgesFromLinks)") {
-      val links = graft.sources.Wat.linksFromRecords(
-        graft.sources.Warc.parseFiles(watFiles).toDF())
-        .filter(col("error").isNull && col("http_status") === 200 &&
-          col("href").isNotNull &&
-          (col("link_path").isNull || col("link_path").startsWith("A@")))
-      edgeChecksum(graft.ops.Web.edgesFromLinks(links, "url", "href"))
+      "(linksFromRecords + edgesFromWatLinks)") {
+      edgeChecksum(graft.sources.Wat.edgesFromWatLinks(
+        graft.sources.Wat.linksFromRecords(
+          graft.sources.Warc.parseFiles(watFiles).toDF())))
     }
     assert(ne1 == ne2 && c1 == c2,
       s"graphs disagree: $ne1/$c1 vs $ne2/$c2")

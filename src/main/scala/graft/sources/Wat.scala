@@ -153,11 +153,20 @@ object Wat {
                    suffixes: Seq[String] =
                      graft.ops.Web.DefaultPublicSuffixes,
                    dropSelf: Boolean = true): DataFrame =
+    edgesFromWatLinks(watToLinks(spark, path), suffixes, dropSelf)
+
+  /** [[edgesFromWat]] over an already-built [[watToLinks]]-shaped
+    * frame — THE one rendition of the status/error/resolution/
+    * link-kind gate, so probes and streaming callers cannot drift
+    * from the production edge semantics (r20 review find). */
+  def edgesFromWatLinks(links: DataFrame,
+                        suffixes: Seq[String] =
+                          graft.ops.Web.DefaultPublicSuffixes,
+                        dropSelf: Boolean = true): DataFrame =
     graft.ops.Web.edgesFromLinks(
-      watToLinks(spark, path)
-        .filter(col("error").isNull && col("http_status") === 200 &&
-          col("href").isNotNull &&
-          (col("link_path").isNull || col("link_path").startsWith("A@"))),
+      links.filter(col("error").isNull && col("http_status") === 200 &&
+        col("href").isNotNull &&
+        (col("link_path").isNull || col("link_path").startsWith("A@"))),
       "url", "href", suffixes, dropSelf)
 
   // ---- deterministic fixture (the Warc.fixtureLinkedCrawl mate) --------

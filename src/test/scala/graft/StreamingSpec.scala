@@ -1975,7 +1975,7 @@ class StreamingSpec extends SparkTestBase {
     def links(files: org.apache.spark.sql.Dataset[(String, Array[Byte])]) =
       Wat.linksFromRecords(Warc.parseFiles(files).toDF())
         .select(col("url"), col("http_status"), col("link_idx"),
-          col("raw_href"), col("href"), col("error"))
+          col("link_path"), col("raw_href"), col("href"), col("error"))
     val oneFile = ("f.wat", Wat.fixtureWat())
     val batch = links(Seq(oneFile).toDS()).collect().map(_.toString).sorted
     assert(batch.length === 13, s"fixture shape: ${batch.toSeq}")
