@@ -2983,7 +2983,13 @@ object PipelineQueries {
          ('https://cs.example/latin1', 'café crème', 10::BIGINT),
          ('https://cs.example/meta', 'smart “quotes”', 14::BIGINT),
          ('https://cs.example/unknown', 'plain ascii', 11::BIGINT),
-         ('https://cs.example/utf8', 'über — ok', 9::BIGINT)
+         ('https://cs.example/utf8', 'über — ok', 9::BIGINT),
+         ('https://cs.example/bom', 'naïve', 5::BIGINT),
+         -- the CHARSET is what this row certifies (héllo intact, no
+         -- mojibake); htmlToText's tag strip eats '<!--<meta …>' to
+         -- the first '>' and leaves '-->' as text — the documented
+         -- no-comment-handling heuristic, reproduced literally
+         ('https://cs.example/commented-meta', '--> héllo', 9::BIGINT)
         ) t(url, text, n_chars)""",
 
     "q_sitemap_parse" ->

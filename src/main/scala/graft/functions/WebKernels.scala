@@ -94,29 +94,26 @@ object WebKernels {
     trimSpaces(FRAG.matcher(
       QUOTES.matcher(raw).replaceAll("")).replaceAll(""))
 
-  /** First `<base href>` value NOT inside an HTML comment — a
-    * commented-out `<base>` tag must not silently rebase every link
-    * on the page (r20 sweep: the one comment case that corrupts the
-    * WHOLE page's resolution rather than adding one phantom link;
-    * `<a>` inside comments stays extracted, the documented heuristic
-    * trade). Multiple `<base>` tags: the first (uncommented) one
-    * wins, per the HTML spec.
+  /** First match of `p` in `s` NOT inside an HTML comment, or null.
     *
     * LINEAR TIME against adversarial (attacker-supplied — this is
-    * crawled HTML) pages: BASE matches arrive in increasing position,
-    * and the comment cursor below only ever moves FORWARD, so a page
-    * of 60k commented base tags costs one pass, not 60k × O(n)
-    * backward scans (r20 review find — the same hardening class as
-    * the BMFF depth cap). Comments do not nest: the first `-->` after
-    * an opener closes it; an unclosed opener swallows the tail. */
-  private def findBaseAttr(html: String): String = {
-    val m = BASE.matcher(html)
+    * crawled HTML) pages: matches arrive in increasing position, and
+    * the comment cursor below only ever moves FORWARD, so a page of
+    * 60k commented tags costs one pass, not 60k × O(n) backward scans
+    * (r20 review find — the same hardening class as the BMFF depth
+    * cap). Comments do not nest: the first `-->` after an opener
+    * closes it; an unclosed opener swallows the tail. Shared by the
+    * `<base href>` scan and the `<meta charset>` sniff — BOTH corrupt
+    * the WHOLE page when a commented-out tag is honored. */
+  private def findUncommented(p: Pattern,
+                              s: String): java.util.regex.Matcher = {
+    val m = p.matcher(s)
     // current candidate comment span [cOpen, cEnd); cOpen < 0 = no
     // further comments; cEnd = Int.MaxValue = unclosed
-    var cOpen = html.indexOf("<!--")
+    var cOpen = s.indexOf("<!--")
     var cEnd = -1
     def closeOf(open: Int): Int = {
-      val c = html.indexOf("-->", open)
+      val c = s.indexOf("-->", open)
       if (c < 0) Int.MaxValue else c + 3
     }
     if (cOpen >= 0) cEnd = closeOf(cOpen)
@@ -124,16 +121,26 @@ object WebKernels {
       val pos = m.start()
       // advance the cursor over spans that end at/before pos
       while (cOpen >= 0 && cEnd != Int.MaxValue && cEnd <= pos) {
-        cOpen = html.indexOf("<!--", cEnd)
+        cOpen = s.indexOf("<!--", cEnd)
         if (cOpen >= 0) cEnd = closeOf(cOpen)
       }
-      val commented = cOpen >= 0 && cOpen <= pos && pos < cEnd
-      if (!commented) {
-        val g = m.group(1)
-        return if (g == null) "" else g
-      }
+      if (!(cOpen >= 0 && cOpen <= pos && pos < cEnd)) return m
     }
-    ""
+    null
+  }
+
+  /** First `<base href>` value NOT inside an HTML comment — a
+    * commented-out `<base>` tag must not silently rebase every link
+    * on the page (r20 sweep; `<a>` inside comments stays extracted,
+    * the documented heuristic trade). Multiple `<base>` tags: the
+    * first (uncommented) one wins, per the HTML spec. */
+  private def findBaseAttr(html: String): String = {
+    val m = findUncommented(BASE, html)
+    if (m == null) ""
+    else {
+      val g = m.group(1)
+      if (g == null) "" else g
+    }
   }
 
   /** The effective resolution base of a page: its own (defragmented)
@@ -423,26 +430,42 @@ object WebKernels {
     catch { case _: Exception => null }
 
   /** Decode an HTML payload with charset resolution — see the section
-    * comment. Null httpContentType is legal (sniff → UTF-8). An
-    * UNKNOWN header charset name falls THROUGH to the meta sniff
-    * (the header said nothing usable — same information state as no
-    * header param), then UTF-8; WarcSpec pins the order. Decoding is
+    * comment. Resolution order (WHATWG): a BYTE-ORDER MARK beats
+    * everything (it is the encoder's own stamp — a BOM'd UTF-16 page
+    * with a lying header must not shred; the BOM bytes are consumed,
+    * never a phantom U+FEFF first char — r20 review find, the WET
+    * defect's WARC twin), then the header `charset=` param, then the
+    * `<meta charset>` sniff (COMMENT-AWARE — a commented-out meta
+    * must not corrupt the page's decode, the findBaseAttr hardening
+    * class), then UTF-8. An UNKNOWN header charset name falls THROUGH
+    * to the sniff (the header said nothing usable); WarcSpec pins the
+    * order. Null httpContentType is legal. Decoding is
     * `new String(bytes, charset)` — specified to REPLACE malformed/
     * unmappable input (identical to explicit CodingErrorAction
     * decoders) on the JDK's intrinsified fast paths, no per-row
     * decoder/CharBuffer allocation (r20 review find). */
   def decodeHtml(payload: Array[Byte], ctU: UTF8String): UTF8String = {
+    val n = payload.length
+    if (n >= 3 && payload(0) == 0xEF.toByte && payload(1) == 0xBB.toByte &&
+      payload(2) == 0xBF.toByte)
+      return UTF8String.fromString(new String(payload, 3, n - 3,
+        java.nio.charset.StandardCharsets.UTF_8))
+    if (n >= 2 && payload(0) == 0xFE.toByte && payload(1) == 0xFF.toByte)
+      return UTF8String.fromString(new String(payload, 2, n - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE))
+    if (n >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xFE.toByte)
+      return UTF8String.fromString(new String(payload, 2, n - 2,
+        java.nio.charset.StandardCharsets.UTF_16LE))
     var cs: java.nio.charset.Charset = null
     if (ctU != null) {
       val m = CharsetParam.matcher(ctU.toString)
       if (m.find()) cs = charsetOrNull(m.group(1))
     }
     if (cs == null) {
-      val n = math.min(1024, payload.length)
-      val head = new String(payload, 0, n,
+      val head = new String(payload, 0, math.min(1024, n),
         java.nio.charset.StandardCharsets.ISO_8859_1)
-      val m = MetaCharset.matcher(head)
-      if (m.find()) cs = charsetOrNull(m.group(1))
+      val m = findUncommented(MetaCharset, head)
+      if (m != null) cs = charsetOrNull(m.group(1))
     }
     if (cs == null) cs = java.nio.charset.StandardCharsets.UTF_8
     UTF8String.fromString(new String(payload, cs))

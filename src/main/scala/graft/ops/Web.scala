@@ -519,7 +519,10 @@ object Web {
   def edgesFromDocuments(df: DataFrame, urlCol: String, htmlCol: String,
                          suffixes: Seq[String] = DefaultPublicSuffixes,
                          dropSelf: Boolean = true): DataFrame =
-    edgesFromLinks(
+    // the page-URL guard runs ONCE, per page, BEFORE the explode —
+    // routing through edgesFromLinks would re-evaluate the same rlike
+    // per exploded link row on the dominant crawl scan (r20 review)
+    edgesProjection(
       df.filter(col(urlCol).rlike("^(?i)https?://"))
         .select(col(urlCol).as("__page"),
           explode(extractOutlinks(col(htmlCol), col(urlCol))).as("__link")),
@@ -535,10 +538,19 @@ object Web {
     * non-http(s) page URLs contribute nothing. */
   def edgesFromLinks(df: DataFrame, urlCol: String, linkCol: String,
                      suffixes: Seq[String] = DefaultPublicSuffixes,
-                     dropSelf: Boolean = true): DataFrame = {
+                     dropSelf: Boolean = true): DataFrame =
+    edgesProjection(df.filter(col(urlCol).rlike("^(?i)https?://")),
+      urlCol, linkCol, suffixes, dropSelf)
+
+  /** The shared (src, dst) registered-domain projection — page-URL
+    * validity is the CALLER's filter (once per page on the HTML path,
+    * once per link row on pre-extracted tables where there is no
+    * page grain to hoist to). */
+  private def edgesProjection(df: DataFrame, urlCol: String,
+                              linkCol: String, suffixes: Seq[String],
+                              dropSelf: Boolean): DataFrame = {
     def rdom(url: Column): Column = registeredDomainOfUrl(url, suffixes)
     val out = df
-      .filter(col(urlCol).rlike("^(?i)https?://"))
       .select(rdom(col(urlCol)).as("src"), rdom(col(linkCol)).as("dst"))
       .na.drop()
       .filter(length(col("src")) > 0 && length(col("dst")) > 0)

@@ -322,8 +322,10 @@ object Warc {
     * inflation ([[gunzipBody]]) — the same knob as the gz-member cap,
     * so one configuration bounds EVERY decompression path. */
   private[graft] def parseRecords(path: String, bytes: Array[Byte],
-      maxBodyBytes: Long = DefaultMaxMemberBytes): Seq[WarcRecord] =
-    parseRecordsWithTail(path, bytes, atEof = true, maxBodyBytes)._1
+      maxBodyBytes: Long = DefaultMaxMemberBytes,
+      decodeBodies: Boolean = true): Seq[WarcRecord] =
+    parseRecordsWithTail(path, bytes, atEof = true, maxBodyBytes,
+      decodeBodies)._1
 
   /** [[parseRecords]] that can stop at an INCOMPLETE trailing record:
     * with `atEof = false`, a record whose header or declared payload
@@ -334,12 +336,14 @@ object Warc {
     * version line) still quarantine + resync either way. */
   private def parseRecordsWithTail(path: String, bytes: Array[Byte],
       atEof: Boolean,
-      maxBodyBytes: Long = DefaultMaxMemberBytes): (Seq[WarcRecord], Int) = {
+      maxBodyBytes: Long = DefaultMaxMemberBytes,
+      decodeBodies: Boolean = true): (Seq[WarcRecord], Int) = {
     val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
     var pos = indexOfMarker(bytes, 0)
     var idx = 0
     while (pos >= 0 && pos < bytes.length) {
-      val (rec, next) = parseOne(path, idx, bytes, pos, maxBodyBytes)
+      val (rec, next) =
+        parseOne(path, idx, bytes, pos, maxBodyBytes, decodeBodies)
       val incomplete = rec.error != null && !atEof &&
         (rec.error.startsWith("truncated record") ||
           rec.error.startsWith("unterminated WARC header block"))
@@ -397,7 +401,8 @@ object Warc {
     * record and the offset just past its trailer (or `start` on a
     * structural error, signalling resync). */
   private def parseOne(path: String, idx: Int, bytes: Array[Byte],
-                       start: Int, maxBodyBytes: Long): (WarcRecord, Int) = {
+                       start: Int, maxBodyBytes: Long,
+                       decodeBodies: Boolean = true): (WarcRecord, Int) = {
     def err(msg: String): (WarcRecord, Int) =
       (WarcRecord(path, idx, null, null, null, null, null, -1L, -1, null,
         Array.emptyByteArray, msg), start)
@@ -427,7 +432,7 @@ object Warc {
     val contentType = headers.getOrElse("content-type", "")
     val (status, httpCt, payload) =
       if (contentType.startsWith("application/http"))
-        parseHttp(block, maxBodyBytes)
+        parseHttp(block, maxBodyBytes, decodeBodies)
       else (-1, null, block)
     val rec = WarcRecord(path, idx,
       warcType,
@@ -473,8 +478,8 @@ object Warc {
     * not quarantine the whole record (the capture is still a valid
     * record; the extractor sees what a r19 reader saw). `deflate` and
     * `br` stay undecoded (rare in archives; documented). */
-  private def parseHttp(block: Array[Byte],
-                        maxBodyBytes: Long): (Int, String, Array[Byte]) = {
+  private def parseHttp(block: Array[Byte], maxBodyBytes: Long,
+                        decodeBodies: Boolean): (Int, String, Array[Byte]) = {
     val headEnd = indexOfBlankLine(block, 0)
     if (headEnd < 0) return (-1, null, block)
     val head = new String(block, 0, headEnd, "UTF-8")
@@ -490,14 +495,20 @@ object Warc {
     val ct = header("content-type").orNull
     val bodyStart = skipBlankLine(block, headEnd)
     var body = java.util.Arrays.copyOfRange(block, bodyStart, block.length)
-    if (header("transfer-encoding").exists(
-      _.toLowerCase.contains("chunked")))
-      body = dechunk(body).getOrElse(body)
-    // substring, not whole-value equality: real captures carry
-    // 'gzip, identity' / 'gzip;q=1.0' forms (r20 review find);
-    // 'x-gzip' contains 'gzip' too
-    if (header("content-encoding").exists(_.toLowerCase.contains("gzip")))
-      body = gunzipBody(body, maxBodyBytes).getOrElse(body)
+    // decodeBodies = false is the COUNT-ONLY mode the sidecar indexer
+    // uses: record boundaries depend on Content-Length alone, so the
+    // index must not pay a second decompression of every body just to
+    // count records (r20 review find)
+    if (decodeBodies) {
+      if (header("transfer-encoding").exists(
+        _.toLowerCase.contains("chunked")))
+        body = dechunk(body).getOrElse(body)
+      // substring, not whole-value equality: real captures carry
+      // 'gzip, identity' / 'gzip;q=1.0' forms (r20 review find);
+      // 'x-gzip' contains 'gzip' too
+      if (header("content-encoding").exists(_.toLowerCase.contains("gzip")))
+        body = gunzipBody(body, maxBodyBytes).getOrElse(body)
+    }
     (status, ct, body)
   }
 
@@ -620,8 +631,8 @@ object Warc {
       inflateMember(gz, pos, maxMemberBytes) match {
         case MemberOk(bytes, next) =>
           val buf = if (carry.isEmpty) bytes else carry ++ bytes
-          val (recs, tailStart) =
-            parseRecordsWithTail(path, buf, atEof = false, maxMemberBytes)
+          val (recs, tailStart) = parseRecordsWithTail(path, buf,
+            atEof = false, maxMemberBytes, decodeBodies = false)
           recordsEmitted += recs.length
           carry =
             if (tailStart >= 0)
@@ -631,8 +642,8 @@ object Warc {
         case MemberErr(_, next) =>
           // the parser emits the flushed carry's records + ONE error row
           if (carry.nonEmpty) {
-            recordsEmitted += parseRecords(path, carry,
-              maxMemberBytes).length
+            recordsEmitted += parseRecords(path, carry, maxMemberBytes,
+              decodeBodies = false).length
             carry = Array.emptyByteArray
           }
           recordsEmitted += 1
@@ -642,7 +653,8 @@ object Warc {
         closeSplit(pos)
     }
     if (carry.nonEmpty)
-      recordsEmitted += parseRecords(path, carry, maxMemberBytes).length
+      recordsEmitted += parseRecords(path, carry, maxMemberBytes,
+        decodeBodies = false).length
     closeSplit(gz.length)
     out.toSeq
   }
@@ -669,7 +681,8 @@ object Warc {
         // parallelizes per file; record-marker splitting is the gz
         // path's job — CC ships gz)
         Seq(WarcSplit(p, 0, 0L, content.length.toLong, 0,
-          parseRecords(p, content, maxMember).length,
+          parseRecords(p, content, maxMember,
+            decodeBodies = false).length,
           content.length.toLong, mtMs))
       }
     }(Encoders.product[WarcSplit])
@@ -900,7 +913,19 @@ object Warc {
         "<p>plain ascii</p>".getBytes("US-ASCII")) ++
       resp("https://cs.example/utf8",
         "text/html; charset=utf-8",
-        "<p>über — ok</p>".getBytes("UTF-8"))
+        "<p>über — ok</p>".getBytes("UTF-8")) ++
+      // a BOM beats a LYING header (the encoder's own stamp), and the
+      // BOM bytes are consumed — no phantom U+FEFF first char
+      resp("https://cs.example/bom",
+        "text/html; charset=ISO-8859-1",
+        Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          "<p>naïve</p>".getBytes("UTF-8")) ++
+      // a COMMENTED-OUT meta charset must not corrupt the decode
+      // (the developer commented out the old declaration)
+      resp("https://cs.example/commented-meta",
+        "text/html",
+        ("<!--<meta charset=\"iso-8859-1\">--><p>héllo</p>")
+          .getBytes("UTF-8"))
   }
 
   /** A deterministic WET (extracted-text) archive: the warcinfo

@@ -369,6 +369,31 @@ class WarcSpec extends SparkTestBase {
     assert(byUri("https://enc.example/badchunk") === "ZZ\r\n<p>raw</p>")
   }
 
+  test("sidecar indexing runs COUNT-ONLY (no body decode) yet yields " +
+    "records bit-identical to the whole-file DECODING read — record " +
+    "boundaries depend on Content-Length alone (r20 review find: the " +
+    "index must not pay a second decompression of every body)") {
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_enc_idx")
+    java.nio.file.Files.write(dir.resolve("enc.warc.gz"),
+      gzip(Warc.fixtureEncodedWarc()))
+    val side = dir.toString + "/sidecar"
+    Warc.writeWarcSplitIndex(spark, dir.toString + "/enc.warc.gz", side)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(1), r.getString(3),
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8"))).toSet
+    val whole = key(Warc.readWarc(spark, dir.toString + "/enc.warc.gz"))
+    val indexed = key(Warc.readWarcIndexed(spark, side))
+    assert(indexed === whole)
+    // the read path DID decode: chunked/gzip bodies arrive as HTML
+    assert(whole.exists(_._3 == "<p>gzipped page</p>"), s"$whole")
+    assert(whole.exists(_._3 == "<p>chunk one</p><p>chunk two</p>"))
+  }
+
   test("decodeHtml charset precedence (r20): the HTTP header's " +
     "charset= param beats a CONFLICTING meta tag; null Content-Type " +
     "sniffs the meta; arbitrary bytes never throw (REPLACE)") {
@@ -399,6 +424,23 @@ class WarcSpec extends SparkTestBase {
       .getBytes("ISO-8859-1")
     assert(d(metaLatin, "text/html; charset=bogus-name") ===
       "<meta charset=iso-8859-1>café")
+    // a BOM beats EVERYTHING (the encoder's own stamp — WHATWG order)
+    // and is consumed, never a phantom U+FEFF first char (r20 review:
+    // the WET BOM defect's WARC twin)
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    assert(d(bom ++ "naïve".getBytes("UTF-8"),
+      "text/html; charset=ISO-8859-1") === "naïve")
+    val utf16 = Array(0xFE.toByte, 0xFF.toByte) ++
+      "hi".getBytes("UTF-16BE")
+    assert(d(utf16, "text/html; charset=iso-8859-1") === "hi")
+    // a COMMENTED-OUT meta charset is skipped (the findBaseAttr
+    // hardening class — honoring it would corrupt the whole decode);
+    // the next uncommented declaration wins
+    assert(d(("<!--<meta charset=\"iso-8859-1\">--><p>héllo</p>")
+      .getBytes("UTF-8"), "text/html") === "<!--<meta charset=\"iso-8859-1\">--><p>héllo</p>")
+    assert(d(("<!--<meta charset=utf-8>--><meta charset=iso-8859-1>café")
+      .getBytes("ISO-8859-1"), null) ===
+      "<!--<meta charset=utf-8>--><meta charset=iso-8859-1>café")
   }
 
   test("the HTTP body flows straight into the Web extraction stage") {
