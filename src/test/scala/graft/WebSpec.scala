@@ -747,6 +747,34 @@ class WebSpec extends SparkTestBase {
     assert(links(farm) === Seq("https://good.example/g/r"))
   }
 
+  test("parseSitemapXml laws: entity-decoded locs, whitespace trim, " +
+    "absolute-only (relative/empty drop), nullable lastmod, index " +
+    "children flagged, multi-document input keyed by sitemap_url, " +
+    "and junk XML parses to zero rows (total, never a throw)") {
+    val urlset = "<urlset>" +
+      "<url><loc>\n  https://a.com/p?x=1&amp;y=2\n</loc></url>" +
+      "<url><loc>relative/no</loc></url>" +
+      "<url><loc></loc><lastmod>2026-01-01</lastmod></url>" +
+      "<url><lastmod>2026-01-02</lastmod></url>" + // no loc at all
+      "<url><loc>https://a.com/q</loc><lastmod> 2026-03-04 </lastmod></url>" +
+      "</urlset>"
+    val index = "<sitemapindex><sitemap>" +
+      "<loc>https://b.org/s1.xml</loc></sitemap></sitemapindex>"
+    val df = Seq(("https://a.com/sm.xml", urlset),
+      ("https://b.org/smi.xml", index),
+      ("https://junk.example/x", "not xml at all <loc>nope</loc>"))
+      .toDF("u", "x")
+    val got = Web.parseSitemapXml(df, "u", "x")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), r.getBoolean(3))).toSet
+    assert(got === Set(
+      ("https://a.com/sm.xml", "https://a.com/p?x=1&y=2", None, false),
+      ("https://a.com/sm.xml", "https://a.com/q", Some("2026-03-04"),
+        false),
+      ("https://b.org/smi.xml", "https://b.org/s1.xml", None, true)),
+      s"got: $got")
+  }
+
   test("graft_resolve_href (the WAT link resolver): shares the " +
     "effectiveBase/resolve rule with the HTML extractors — absolute " +
     "passes, dropped schemes null, base attr honored (absolute " +
