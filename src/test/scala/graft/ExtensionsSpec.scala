@@ -68,6 +68,16 @@ class ExtensionsSpec extends SparkTestBase {
         "SELECT graft_shingles(array('a','b','c'), 2) AS s")
         .collect().head.getSeq[String](0)
       assert(sh === Seq("a b", "b c"))
+      // the r20 web kernels ride the same registry: robots rule match
+      // (glob tier), WAT href resolution, charset-aware decode
+      assert(s2.sql("SELECT graft_robots_match('/x.php', '/*.php$') AS m")
+        .collect().head.getBoolean(0))
+      assert(s2.sql("SELECT graft_resolve_href('img/i.png', " +
+        "'https://a.com/d/p.html', NULL) AS r")
+        .collect().head.getString(0) === "https://a.com/d/img/i.png")
+      assert(s2.sql("SELECT graft_decode_html(" +
+        "encode('café', 'ISO-8859-1'), 'text/html; charset=iso-8859-1')" +
+        " AS t").collect().head.getString(0) === "café")
       // the optimizer rule rides along: a naive SQL interval join plans
       // without a nested-loop join
       import s2.implicits._
