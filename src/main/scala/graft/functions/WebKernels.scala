@@ -363,7 +363,7 @@ object WebKernels {
     new java.util.concurrent.ConcurrentHashMap[String, RobotsRule]()
   /** Far above any real rules table's distinct wildcard prefixes; a
     * crafted table that overflows it costs re-splits, not memory. */
-  private val RobotsCacheCap = 1 << 14
+  private[graft] val RobotsCacheCap = 1 << 14
 
   private[graft] def robotsPatternCacheSize(): Int = robotsPatterns.size()
   private[graft] def robotsPatternCacheClear(): Unit = robotsPatterns.clear()
@@ -374,7 +374,15 @@ object WebKernels {
     val hasEnd = prefix.endsWith("$")
     val body = if (hasEnd) prefix.substring(0, prefix.length - 1) else prefix
     val r = new RobotsRule(body.split("\\*", -1), hasEnd)
-    if (robotsPatterns.size() >= RobotsCacheCap) robotsPatterns.clear()
+    if (robotsPatterns.size() >= RobotsCacheCap) {
+      // Evict ONE arbitrary entry instead of clear() (r20 ADVICE): a
+      // rules table slightly over the cap would otherwise re-split
+      // every hot rule on every join row once the memo blows away.
+      // Racy across executor threads by design — a transient few-entry
+      // overshoot is benign; losing the whole memo is not.
+      val it = robotsPatterns.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     robotsPatterns.put(prefix, r)
     r
   }

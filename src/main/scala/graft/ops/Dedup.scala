@@ -202,13 +202,25 @@ object Dedup {
       .join(broadcast(bandsOf(left, leftIdCol, "id_l")),
         Seq("band_idx", "band_hash"))
       .select("id_l", "id_r").distinct()
+      .localCheckpoint() // consumers: the count, the id prune, the verify join
+    val nCand = cand.count()
+    def idHint(d: DataFrame) =
+      if (nCand <= idBroadcastThreshold(left.sparkSession)) broadcast(d) else d
     def shinglesOf(df: DataFrame, idCol: String, outId: String, sh: String) =
       df.select(col(idCol).as(outId),
         array_sort(array_distinct(TextAnalysis.shingles(col(textCol), k)))
           .as(sh))
+    // corpus text pruned to candidate ids BEFORE shingling (r21 — the
+    // nearDupsAgainstIndex shape applied here): the verify join used to
+    // shingle-and-shuffle the ENTIRE right side; candidates are
+    // benchmark-bounded, so (under the gate) the id set broadcasts and
+    // the corpus scan streams past non-candidates without shuffling.
+    val rightCand = right.join(
+      idHint(cand.select(col("id_r").as(rightIdCol)).distinct()),
+      Seq(rightIdCol), "left_semi")
     cand
       .join(broadcast(shinglesOf(left, leftIdCol, "id_l", "sh_l")), Seq("id_l"))
-      .join(shinglesOf(right, rightIdCol, "id_r", "sh_r"), Seq("id_r"))
+      .join(shinglesOf(rightCand, rightIdCol, "id_r", "sh_r"), Seq("id_r"))
       .withColumn("jaccard",
         graft.functions.VectorExprs.jaccardSorted(col("sh_l"), col("sh_r")))
       .filter(col("jaccard") >= threshold)
@@ -333,8 +345,15 @@ object Dedup {
   def bandIndex(df: DataFrame, textCol: String, idCol: String,
                 numHashes: Int = 6, bandSize: Int = 1, k: Int = 3,
                 useMd5: Boolean = false, maxBucket: Int = 1000): DataFrame = {
+    // Pin the band table ONCE (the lshCandidates precedent, r21): its
+    // two consumers — the oversized-bucket count feeding the broadcast
+    // anti-join, and the anti-join's left side — each re-ran the
+    // minhash pass over the full corpus TEXT (plan-verified: two
+    // complete scan→minhash subtrees per build). The (band_key, id)
+    // table this materializes is a tiny fraction of the text it
+    // replaces; at scale the text pass is the dominant map cost.
     val bands = bandKeysOf(df, textCol, idCol, "id",
-      numHashes, bandSize, k, useMd5)
+      numHashes, bandSize, k, useMd5).localCheckpoint()
     val oversized = bands.groupBy("band_key")
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucket)
@@ -385,8 +404,10 @@ object Dedup {
                      useMd5: Boolean = false, maxBucket: Int = 1000,
                      path: Option[String] = None,
                      prunedPath: Option[String] = None): Unit = {
+    // band table pinned once — same two-consumer re-compute as
+    // [[bandIndex]] (r21; the lshCandidates precedent)
     val bands = bandKeysOf(df, textCol, idCol, "id",
-      numHashes, bandSize, k, useMd5)
+      numHashes, bandSize, k, useMd5).localCheckpoint()
     val oversized = bands.groupBy("band_key")
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucket)
@@ -1296,7 +1317,11 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < sigBits,
       s"maxHamming in [0, $sigBits)")
     require(sigBits >= 1 && sigBits <= 64, "sigBits in [1, 64]")
+    // pinned once — the [[bandIndex]] two-consumer rationale (r21);
+    // here the re-computed subtree is the caller's whole signature
+    // derivation (SimHash text kernel / media decode), doubled
     val bands = hammingBandKeys(sig, "id", "sig", sigBits, maxHamming)
+      .localCheckpoint()
     val oversized = bands.groupBy("band_key")
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucket)
@@ -1344,7 +1369,9 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < sigBits,
       s"maxHamming in [0, $sigBits)")
     require(sigBits >= 1 && sigBits <= 64, "sigBits in [1, 64]")
+    // pinned once — the [[bandIndex]] two-consumer rationale (r21)
     val bands = hammingBandKeys(sig, "id", "sig", sigBits, maxHamming)
+      .localCheckpoint()
     val oversized = bands.groupBy("band_key")
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucket)
@@ -1410,10 +1437,18 @@ object Dedup {
       val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
       shiftright(col("__sig"), lo).bitwiseAND(lit(mask))
     }
+    // Pin the band table ONCE (r21; plan-verified before the change:
+    // THREE full re-computations of the caller's signature subtree —
+    // the oversized-bucket broadcast and BOTH self-join sides each
+    // re-ran the SimHash text kernel / image/audio decode over every
+    // row). (__id, __sig, band) × nBands rows is tiny next to the
+    // content it derives from — the lshCandidates economics, not the
+    // lshNearDupPairs vector-payload case.
     val bands = sig.select(col("__id"), col("__sig"),
       posexplode(array(bandExprs: _*)))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bkey")
+      .localCheckpoint()
     val oversized = bands.groupBy("__band", "__bkey")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket).select("__band", "__bkey")

@@ -119,7 +119,8 @@ object QualityClassifier {
                         lr: Double, gridRound: Boolean): Array[Double] = {
     require(dim >= 2 && iters >= 1)
     val bias = dim // bias pseudo-feature: one occurrence per document
-    // one tokenize pass; ints-only table, checkpointed for the loop
+    // one tokenize pass; ints-only table, persisted (as a primitive
+    // RDD, below) for the loop
     val feats = docs
       .select(col(idCol), col(labelCol).cast("double").as("__y"),
         concat(tokenFeats(col(textCol), dim), array(lit(bias))).as("__f"))
@@ -134,22 +135,53 @@ object QualityClassifier {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
       .drop(idCol)
-      .localCheckpoint()
-    val n = feats.count().toDouble
+    // Flatten to a primitive-typed cached RDD ONCE (r21): the iteration
+    // loop is the connectedComponents RDD-loop shape — a fixed-point
+    // whose per-round output is MODEL-sized, where Catalyst re-planning
+    // (fresh 2-stage explode+shuffle job per iteration) is pure
+    // overhead. Each iteration is now ONE map-only job: per-partition
+    // (dim+1)-vector gradients collected in PARTITION-INDEX order (no
+    // shuffle, no row explosion — the explode multiplied the pass by
+    // tokens/doc at scale). Margins fold left-to-right exactly like the
+    // old `aggregate` HOF and exp() is the same java.lang.Math.exp, so
+    // per-row residuals are bit-identical; only the gradient's FLOAT
+    // SUMMATION ORDER changes — the ~1e-15 class the spec's 1e-9
+    // tolerance and trainCertified's 2^-20 grid absorb (same note as
+    // the r13 hash-spread).
+    val featRdd = feats.select(col("__y"), col("__f")).rdd.map { r =>
+      val f = r.getSeq[Int](1)
+      (r.getDouble(0), f.toArray)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = featRdd.count().toDouble
     require(n > 0, "no trainable documents (all zero-token?)")
     val w = Array.fill(dim + 1)(0.0)
     var it = 0
     while (it < iters) {
-      val wl = typedLit(w.toSeq)
-      val m = aggregate(col("__f"), lit(0.0),
-        (acc, f) => acc + element_at(wl, f + 1))
-      val r = lit(1.0) / (lit(1.0) + exp(-m)) - col("__y")
-      // gradient: one explode + one (dim+1)-row aggregate to the driver
-      val g = feats.select(explode(col("__f")).as("__feat"), r.as("__r"))
-        .groupBy("__feat").agg(sum("__r").as("__g"))
-        .collect()
-      g.foreach { row =>
-        w(row.getInt(0)) -= lr * row.getDouble(1) / n
+      val wLocal = w.clone()
+      // per-partition gradient slabs, merged on the driver in partition
+      // order — (#partitions × (dim+1)) doubles of driver traffic, the
+      // same bounded-collect contract as Lloyd / BPE / unigram EM
+      val parts = featRdd.mapPartitions { rows =>
+        val acc = new Array[Double](wLocal.length)
+        rows.foreach { case (y, f) =>
+          var m = 0.0
+          var i = 0
+          while (i < f.length) { m += wLocal(f(i)); i += 1 }
+          val r = 1.0 / (1.0 + math.exp(-m)) - y
+          i = 0
+          while (i < f.length) { acc(f(i)) += r; i += 1 }
+        }
+        Iterator.single(acc)
+      }.collect() // ordered by partition index — deterministic merge
+      val g = new Array[Double](w.length)
+      parts.foreach { acc =>
+        var i = 0
+        while (i < g.length) { g(i) += acc(i); i += 1 }
+      }
+      var fi = 0
+      while (fi < w.length) {
+        if (g(fi) != 0.0) w(fi) -= lr * g(fi) / n
+        fi += 1
       }
       if (gridRound) {
         var i = 0
@@ -172,7 +204,7 @@ object QualityClassifier {
       }
       it += 1
     }
-    feats.unpersist()
+    featRdd.unpersist(blocking = false)
     w
   }
 }

@@ -138,7 +138,14 @@ object Selection {
     val keyed = df.withColumn("__k", md5(col(idCol).cast("string").cast("binary")))
     val ranked = graft.api.GlobalScan.groupedRowNumber(
       keyed, Seq(stratumCol), Seq(col("__k"), col(idCol)), "__rn")
-    val sizes = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    // Stratum sizes from RANKED, not from df (r21): groupedRowNumber
+    // pins its range-parted input with localCheckpoint, so this
+    // aggregate re-reads those blocks — counting over `df` instead
+    // re-ran the caller's whole upstream subtree a second time
+    // (q_cluster_sample paid the broadcast nearest-centroid assignment
+    // twice). Row-identical: the scan keeps every input row.
+    val sizes = ranked.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+      .select(col(stratumCol), col("__n"))
     ranked.join(sizes, Seq(stratumCol))
       .filter(col("__rn") * 100 <= col("__n") * pct)
       .drop("__k", "__rn", "__n")

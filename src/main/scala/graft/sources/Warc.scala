@@ -556,18 +556,26 @@ object Warc {
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream(math.min(
-        b.length.toLong * 4, 1L << 20).toInt)
-      val scratch = new Array[Byte](1 << 16)
-      var total = 0L
-      var n = in.read(scratch)
-      while (n >= 0) {
-        total += n
-        if (total > cap) return None
-        out.write(scratch, 0, n)
-        n = in.read(scratch)
-      }
-      Some(out.toByteArray)
+      // try/finally close: each GZIPInputStream holds a native zlib
+      // Inflater; without close() it is freed only when the GC runs the
+      // Cleaner, and this runs once per gzip HTTP body on the hot
+      // ingest path — unbounded native-memory float on large crawls
+      // (r20 ADVICE). close() releases the Inflater eagerly on both the
+      // success path and the early cap-overrun return.
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.min(
+          b.length.toLong * 4, 1L << 20).toInt)
+        val scratch = new Array[Byte](1 << 16)
+        var total = 0L
+        var n = in.read(scratch)
+        while (n >= 0) {
+          total += n
+          if (total > cap) return None
+          out.write(scratch, 0, n)
+          n = in.read(scratch)
+        }
+        Some(out.toByteArray)
+      } finally in.close()
     } catch {
       case _: java.io.IOException => None
     }

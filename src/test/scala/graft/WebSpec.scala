@@ -647,6 +647,27 @@ class WebSpec extends SparkTestBase {
         "not per join row)")
   }
 
+  test("robots wildcard cache evicts ONE entry at the cap instead of " +
+    "clearing (r21 optimization of the r20 ADVICE find): a rules table " +
+    "slightly over the cap keeps hot rules memoized instead of " +
+    "re-splitting every rule on every join row") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val W = graft.functions.WebKernels
+    W.robotsPatternCacheClear()
+    val cap = W.RobotsCacheCap
+    val path = UTF8String.fromString("/x/page.php")
+    (0 until cap).foreach { i =>
+      W.robotsPathMatch(path, UTF8String.fromString(s"/p$i/*.php$$"))
+    }
+    assert(W.robotsPatternCacheSize() === cap)
+    // one insert past the cap: the old clear() left 1 entry (the whole
+    // memo lost); single-entry eviction keeps the cache at the cap
+    assert(W.robotsPathMatch(path, UTF8String.fromString("/x/*.php$")))
+    assert(W.robotsPatternCacheSize() === cap,
+      "an insert at the cap evicts exactly one entry, not the table")
+    W.robotsPatternCacheClear()
+  }
+
   test("anchorTextCorpus: (dst domain, anchor text) grain with the " +
     "per-source-domain vote cap clamping a link farm; self-references, " +
     "empty labels, and junk pages drop; and the corpus is ONE " +
