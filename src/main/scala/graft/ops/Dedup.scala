@@ -204,8 +204,6 @@ object Dedup {
       .select("id_l", "id_r").distinct()
       .localCheckpoint() // consumers: the count, the id prune, the verify join
     val nCand = cand.count()
-    def idHint(d: DataFrame) =
-      if (nCand <= idBroadcastThreshold(left.sparkSession)) broadcast(d) else d
     def shinglesOf(df: DataFrame, idCol: String, outId: String, sh: String) =
       df.select(col(idCol).as(outId),
         array_sort(array_distinct(TextAnalysis.shingles(col(textCol), k)))
@@ -215,9 +213,15 @@ object Dedup {
     // shingle-and-shuffle the ENTIRE right side; candidates are
     // benchmark-bounded, so (under the gate) the id set broadcasts and
     // the corpus scan streams past non-candidates without shuffling.
-    val rightCand = right.join(
-      idHint(cand.select(col("id_r").as(rightIdCol)).distinct()),
-      Seq(rightIdCol), "left_semi")
+    // OVER the gate the prune is skipped outright — an un-hinted semi
+    // join would shuffle the corpus by id, strictly worse than the old
+    // unpruned plan it replaces.
+    val rightCand =
+      if (nCand <= idBroadcastThreshold(left.sparkSession))
+        right.join(
+          broadcast(cand.select(col("id_r").as(rightIdCol)).distinct()),
+          Seq(rightIdCol), "left_semi")
+      else right
     cand
       .join(broadcast(shinglesOf(left, leftIdCol, "id_l", "sh_l")), Seq("id_l"))
       .join(shinglesOf(rightCand, rightIdCol, "id_r", "sh_r"), Seq("id_r"))

@@ -145,7 +145,6 @@ object Selection {
     // (q_cluster_sample paid the broadcast nearest-centroid assignment
     // twice). Row-identical: the scan keeps every input row.
     val sizes = ranked.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
-      .select(col(stratumCol), col("__n"))
     ranked.join(sizes, Seq(stratumCol))
       .filter(col("__rn") * 100 <= col("__n") * pct)
       .drop("__k", "__rn", "__n")

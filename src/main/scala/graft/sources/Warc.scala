@@ -553,16 +553,25 @@ object Warc {
   private[graft] def gunzipBody(b: Array[Byte],
                                 cap: Long): Option[Array[Byte]] = {
     if (b.length < 10) return None
+    // Magic/method pre-check BEFORE allocating (r21 review find): the
+    // GZIPInputStream constructor allocates its native Inflater and
+    // THEN parses the header with no cleanup handler (JDK 17), so a
+    // body mislabeled 'Content-Encoding: gzip' — the common corrupt
+    // case — would leak one Inflater to the Cleaner per record. The
+    // 3-byte check rejects those without allocating; rarer mid-header
+    // truncations still throw in the constructor and ride the Cleaner.
+    if (b(0) != 0x1f.toByte || b(1) != 0x8b.toByte || b(2) != 8) return None
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b))
       // try/finally close: each GZIPInputStream holds a native zlib
       // Inflater; without close() it is freed only when the GC runs the
       // Cleaner, and this runs once per gzip HTTP body on the hot
       // ingest path — unbounded native-memory float on large crawls
-      // (r20 ADVICE). close() releases the Inflater eagerly on both the
+      // (r20 ADVICE). close() releases the Inflater eagerly on the
       // success path and the early cap-overrun return.
+      var in: java.util.zip.GZIPInputStream = null
       try {
+        in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b))
         val out = new java.io.ByteArrayOutputStream(math.min(
           b.length.toLong * 4, 1L << 20).toInt)
         val scratch = new Array[Byte](1 << 16)
@@ -575,7 +584,7 @@ object Warc {
           n = in.read(scratch)
         }
         Some(out.toByteArray)
-      } finally in.close()
+      } finally if (in != null) in.close()
     } catch {
       case _: java.io.IOException => None
     }
