@@ -426,6 +426,13 @@ object Dedup {
       path = path)
     prunedPath.foreach(p =>
       over.write.mode(SaveMode.Overwrite).parquet(p))
+    // every consumer is a terminal action inside this Unit function —
+    // release the corpus-sized pin eagerly (r21 review find: a daily
+    // rebuild cadence would otherwise accumulate one pinned band table
+    // per build until session end). Caches.release, not unpersist:
+    // Dataset.unpersist does not reach localCheckpoint blocks (r12).
+    graft.api.Caches.release(idx)
+    graft.api.Caches.release(over)
   }
 
   /** Append a day's admitted survivors' band keys to the DELTA side
@@ -1388,6 +1395,9 @@ object Dedup {
       path = path)
     prunedPath.foreach(p =>
       over.write.mode(SaveMode.Overwrite).parquet(p))
+    // release the corpus-sized pin — see writeBandIndex (r21 review)
+    graft.api.Caches.release(idx)
+    graft.api.Caches.release(over)
   }
 
   /** Near-duplicate pairs of a NEW BATCH of signatures against an

@@ -86,8 +86,12 @@ object QualityClassifier {
     * `labelCol` must be 0/1 (cast to double). Zero-token documents
     * are dropped before training (they carry no feature evidence and
     * are dropped at scoring time too). Deterministic for a fixed
-    * input: the per-feature gradient sums are keyed aggregates whose
-    * result does not depend on row order. */
+    * input: the feature table is hash-repartitioned on the id and
+    * CACHED before the loop, so every iteration accumulates the
+    * per-partition gradient slabs over the same pinned row order and
+    * merges them in partition-index order (r21 — determinism now
+    * rides the pinned layout, not keyed-aggregate order-independence;
+    * do not drop the repartition or the cache without rethinking it). */
   def train(docs: DataFrame, textCol: String, idCol: String,
             labelCol: String, dim: Int = 128, iters: Int = 100,
             lr: Double = 0.5): Array[Double] =
@@ -148,9 +152,13 @@ object QualityClassifier {
     // SUMMATION ORDER changes — the ~1e-15 class the spec's 1e-9
     // tolerance and trainCertified's 2^-20 grid absorb (same note as
     // the r13 hash-spread).
+    // null/uncastable labels ride as NaN: the old Catalyst path's
+    // null residual was skipped by sum() while the row still counted
+    // in n — the NaN guard below reproduces exactly that (a bare
+    // getDouble would NPE on null, r21 review find)
     val featRdd = feats.select(col("__y"), col("__f")).rdd.map { r =>
       val f = r.getSeq[Int](1)
-      (r.getDouble(0), f.toArray)
+      (if (r.isNullAt(0)) Double.NaN else r.getDouble(0), f.toArray)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = featRdd.count().toDouble
     require(n > 0, "no trainable documents (all zero-token?)")
@@ -164,12 +172,14 @@ object QualityClassifier {
       val parts = featRdd.mapPartitions { rows =>
         val acc = new Array[Double](wLocal.length)
         rows.foreach { case (y, f) =>
-          var m = 0.0
-          var i = 0
-          while (i < f.length) { m += wLocal(f(i)); i += 1 }
-          val r = 1.0 / (1.0 + math.exp(-m)) - y
-          i = 0
-          while (i < f.length) { acc(f(i)) += r; i += 1 }
+          if (!java.lang.Double.isNaN(y)) { // null-label row: no gradient
+            var m = 0.0
+            var i = 0
+            while (i < f.length) { m += wLocal(f(i)); i += 1 }
+            val r = 1.0 / (1.0 + math.exp(-m)) - y
+            i = 0
+            while (i < f.length) { acc(f(i)) += r; i += 1 }
+          }
         }
         Iterator.single(acc)
       }.collect() // ordered by partition index — deterministic merge
