@@ -230,14 +230,26 @@ object Bench {
     // JSON-parses the final line; full-precision per-query values pushed
     // the line past that window in round 6 (BENCH_r06.json: rc=0,
     // parsed=null). The driver line is therefore BOUNDED by construction:
-    // queries >= `fastCut` seconds are itemized (integer milliseconds,
-    // key "queries_ms") IN DESCENDING TIME ORDER until the line reaches
-    // `byteBudget`; everything else collapses into "fast":{"n":N,"sec":S}.
+    // queries >= `fastCut` seconds are itemized IN DESCENDING TIME ORDER
+    // until the line reaches `byteBudget`; everything else collapses
+    // into "fast":{"n":N,"sec":S}.
     // Fitting by time, not by a fixed count (r9's maxItemized=50 hid 14
     // queries >= 0.5s), means anything folded into the bucket is faster
     // than everything itemized — a genuinely slow query can never hide
     // while a faster one is listed. Full per-query precision always goes
     // to bench_full.json (the input for scripts/check_ratios.py).
+    //
+    // r22 MEASUREMENT-CONTRACT FIX (recorded in OPTIMIZATION_r22.md):
+    // the itemized map is emitted under the key "queries" in SECONDS —
+    // the driver contract's declared shape — not the r9-r21 "queries_ms"
+    // milliseconds rename, which the driver's per-query comparator
+    // refused outright (PERF_r21.json: per_query empty, n_common 0,
+    // prev/now_bench_ok false, in BOTH rounds it saw). Timing
+    // methodology is UNCHANGED (same noop sink, same retry policy);
+    // only the key name and unit on the summary line changed, and
+    // bench_full.json keeps full-precision seconds for every query as
+    // before. Two decimals per value (max 0.4% rounding error at the
+    // 0.5s fastCut) buys ~60+ itemized entries inside the budget.
     val fastCut = 0.5
     val byteBudget = 1700
     val errNames = results.collect { case (k, v) if v < 0 => k }
@@ -264,9 +276,9 @@ object Bench {
       val slow = slowSorted.take(n).sortBy(_._1)
       val itemized = slow.map(_._1).toSet
       val fast = results.filter { case (k, v) => v >= 0 && !itemized(k) }
-      val qs = slow.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
+      val qs = slow.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt1(total)},"unit":"sec","queries_ms":$qs,"fast":{"n":${fast.size},"sec":${fmt1(fast.map(_._2).sum)}},"errors":$errCapped,"retried":${retried.size},"gc_ms":$gcDelta,"cpu_util":${fmt2(cpuUtil)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt1(total)},"unit":"sec","queries":$qs,"fast":{"n":${fast.size},"sec":${fmt1(fast.map(_._2).sum)}},"errors":$errCapped,"retried":${retried.size},"gc_ms":$gcDelta,"cpu_util":${fmt2(cpuUtil)},"sf":"$sfDir"}"""
     }
     val nFit = (slowSorted.size to 0 by -1)
       .find(n => buildLine(n).length <= byteBudget).getOrElse(0)

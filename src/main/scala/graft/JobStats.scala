@@ -26,6 +26,9 @@ object JobStats {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskMs = new AtomicLong
     val gcMs = new AtomicLong
+    // shuffle bytes (r22): the §2.3 narrower-types evidence channel —
+    // read+write bytes across all tasks of the measured run
+    val shWr = new AtomicLong; val shRd = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -36,20 +39,40 @@ object JobStats {
         if (t.taskMetrics != null) {
           taskMs.addAndGet(t.taskMetrics.executorRunTime)
           gcMs.addAndGet(t.taskMetrics.jvmGCTime)
+          shWr.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shRd.addAndGet(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
         }
       }
     })
+    // poll until the listener counters go quiet (two consecutive 150 ms
+    // samples unchanged, 3 s cap) — a fixed sleep let straggling
+    // onTaskEnd events bleed into the NEXT run's counters on a stalling
+    // box (r21 review find)
+    def drainListener(): Unit = {
+      var prev = (-1, -1L)
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 3000) {
+        Thread.sleep(150); waited += 150
+        val cur = (tasks.get, taskMs.get)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+    }
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"[jobstats] warmup: $e") }
+    // drain once after warmup too (r21 ADVICE): without it, warmup
+    // straggler onTaskEnd events bled into the FIRST measured run
+    drainListener()
     for (name <- names; r <- 1 to repeat) {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown $name"))
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0); gcMs.set(0)
+      shWr.set(0); shRd.set(0)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -72,7 +95,8 @@ object JobStats {
       }
       println(f"""{"query":"$name","run":$r,"sec":$wall%.3f,""" +
         s""""jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get},""" +
-        s""""task_ms":${taskMs.get},"gc_ms":${gcMs.get},"ok":$ok}""")
+        s""""task_ms":${taskMs.get},"gc_ms":${gcMs.get},""" +
+        s""""shuffle_write":${shWr.get},"shuffle_read":${shRd.get},"ok":$ok}""")
     }
     spark.stop()
   }

@@ -155,10 +155,19 @@ object QualityClassifier {
     // null/uncastable labels ride as NaN: the old Catalyst path's
     // null residual was skipped by sum() while the row still counted
     // in n — the NaN guard below reproduces exactly that (a bare
-    // getDouble would NPE on null, r21 review find)
+    // getDouble would NPE on null, r21 review find). A GENUINE NaN
+    // label value is refused loudly instead (r21 ADVICE): the old
+    // path visibly poisoned every weight to NaN, and silently
+    // training past an out-of-contract label would hide the bug —
+    // labelCol's contract is 0/1 (null = unlabeled, skipped).
     val featRdd = feats.select(col("__y"), col("__f")).rdd.map { r =>
       val f = r.getSeq[Int](1)
-      (if (r.isNullAt(0)) Double.NaN else r.getDouble(0), f.toArray)
+      val y = if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+      if (!r.isNullAt(0) && java.lang.Double.isNaN(y))
+        throw new IllegalArgumentException(
+          "quality-classifier label is NaN — labelCol must be 0/1 " +
+            "(null labels are skipped; NaN is out of contract)")
+      (y, f.toArray)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = featRdd.count().toDouble
     require(n > 0, "no trainable documents (all zero-token?)")

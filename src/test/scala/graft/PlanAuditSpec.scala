@@ -92,6 +92,26 @@ class PlanAuditSpec extends SparkTestBase {
     "q_crawl_schedule" // same Z inside the scheduling loop
   )
 
+  /** Build every certified query's physical plan EXACTLY ONCE and feed
+    * both laws from it (r22: the r21 driver's test run timed out inside
+    * this spec — each law independently re-planned all 199 queries, and
+    * iterative operators plus the r21 band-table pins execute real
+    * Spark jobs at DataFrame-construction time, so the spec paid every
+    * plan-build-time job twice). Built with codegen fallback OFF so
+    * plan-build-time jobs that fail codegen throw here (the
+    * q_domain_rank r19 class) instead of silently interpreting. */
+  private lazy val plannedOnce: Seq[(String,
+      Either[String, org.apache.spark.sql.execution.SparkPlan])] = {
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val built =
+        try Right(fn(spark, sfDir).queryExecution.executedPlan)
+        catch { case e: Throwable => Left(s"PLAN-BUILD-ERROR: $e") }
+      name -> built
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+  }
+
   test("codegen health: every WholeStageCodegen stage of every certified " +
     "query COMPILES — no silent interpreted fallback") {
     // The r19 lead finding survived a full round because nothing
@@ -108,16 +128,9 @@ class PlanAuditSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    // fallback=false makes codegen failures in PLAN-BUILD-TIME jobs
-    // (iterative operators execute localCheckpoint rounds while the
-    // query is constructed — exactly where q_domain_rank's pre-fix
-    // blowup hid from the final-plan check below) throw instead of
-    // silently interpreting
-    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val planned = fn(spark, sfDir).queryExecution.executedPlan
+    plannedOnce.foreach {
+      case (name, Left(err)) => failures += s"$name: $err"
+      case (name, Right(planned)) =>
         val root = planned match {
           case a: AdaptiveSparkPlanExec => a.initialPlan
           case p                        => p
@@ -126,27 +139,23 @@ class PlanAuditSpec extends SparkTestBase {
         // collect sees them all (they are ordinary children in the
         // static tree)
         root.collect { case w: WholeStageCodegenExec => w }.foreach { w =>
-          val (_, code) = w.doCodeGen()
-          try CodeGenerator.compile(code)
-          catch { case e: Throwable =>
+          try {
+            val (_, code) = w.doCodeGen()
+            CodeGenerator.compile(code)
+          } catch { case e: Throwable =>
             failures += s"$name: stage ${w.codegenStageId} failed to " +
               s"compile: ${e.getMessage.linesIterator.take(2).mkString(" | ")}"
           }
         }
-      } catch { case e: Throwable =>
-        failures += s"$name: PLAN-BUILD-ERROR: $e"
-      }
-    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("no certified query plans a CartesianProduct; BNL only where declared; " +
     "no SortAggregate fallback") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"PLAN-BUILD-ERROR: $e" }
+    plannedOnce.foreach { case (name, built) =>
+      val plan = built.fold(identity, _.toString)
       if (plan.startsWith("PLAN-BUILD-ERROR"))
         failures += s"$name: $plan"
       else {

@@ -86,6 +86,28 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(w1.toSeq === w2.toSeq)
   }
 
+  test("NaN labels are refused LOUDLY; null labels skip gradients but count in n (r21 ADVICE)") {
+    // null label: the row contributes NO gradient yet still counts in n
+    // (the old Catalyst sum()-skips-null semantics) — training must
+    // succeed and differ from training without the row only through n
+    val base = planted.toDF("id", "text", "y")
+    val withNull = base.unionByName(
+      Seq((9999L, "filler words here", 1)).toDF("id", "text", "y")
+        .withColumn("y", lit(null).cast("int")))
+    val wNull = QualityClassifier.train(withNull, "text", "id", "y",
+      dim = 32, iters = 5)
+    assert(wNull.forall(v => !v.isNaN), "null label must not poison weights")
+    // a genuine NaN label is OUT OF CONTRACT: must throw, not train
+    val withNaN = base.select(col("id"), col("text"),
+      when(col("id") === 0L, lit(Double.NaN)).otherwise(col("y").cast("double"))
+        .as("y"))
+    val e = intercept[org.apache.spark.SparkException] {
+      QualityClassifier.train(withNaN, "text", "id", "y", dim = 32, iters = 2)
+    }
+    assert(e.getMessage.contains("NaN") ||
+      Option(e.getCause).exists(_.getMessage.contains("NaN")))
+  }
+
   test("codegen'd margin kernel equals the HOF formulation bit-exactly") {
     import org.apache.spark.sql.Column
     val dim = 32
