@@ -1681,7 +1681,13 @@ object PipelineQueries {
     // (writeSemanticCellIndex), delta-maintained like the band indexes
     "q_incremental_semantic" -> ((s, d) => {
       val e = emb(s, d)
+      // pinned ONCE (r22): every reference — the index build's
+      // assignment broadcast, the query-side assignment, and each
+      // cfg-stamp collect (centroidCfg/pqCellCfg run a COLLECT at
+      // operator construction) — otherwise re-runs the full-corpus
+      // posexplode+groupBy centroid derivation
       val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+        .localCheckpoint()
       val idx = Similarity.semanticCellIndex(
         e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents)
       Similarity.semanticNearDupsAgainstIndex(
@@ -1702,7 +1708,13 @@ object PipelineQueries {
     // tier's — same oracle SQL as q_incremental_semantic certifies it.
     "q_incremental_semantic_pq" -> ((s, d) => {
       val e = emb(s, d)
+      // pinned ONCE (r22): every reference — the index build's
+      // assignment broadcast, the query-side assignment, and each
+      // cfg-stamp collect (centroidCfg/pqCellCfg run a COLLECT at
+      // operator construction) — otherwise re-runs the full-corpus
+      // posexplode+groupBy centroid derivation
       val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+        .localCheckpoint()
       val corpus = e.filter(col("vec_id") % 5 =!= 0)
       val idx = Similarity.semanticCellIndexPq(corpus, "vec_id",
         "embedding", cents, pqCb.toArray, pqM, pqK)
@@ -1722,7 +1734,13 @@ object PipelineQueries {
     // probe table only
     "q_ann_serve" -> ((s, d) => {
       val e = spread(s, emb(s, d), "vec_id")
+      // pinned ONCE (r22): every reference — the index build's
+      // assignment broadcast, the query-side assignment, and each
+      // cfg-stamp collect (centroidCfg/pqCellCfg run a COLLECT at
+      // operator construction) — otherwise re-runs the full-corpus
+      // posexplode+groupBy centroid derivation
       val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+        .localCheckpoint()
       val idx = Similarity.semanticCellIndexPq(
         e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents,
         pqCb.toArray, pqM, pqK)
@@ -1739,7 +1757,13 @@ object PipelineQueries {
     // the exactness knob over q_ann_serve
     "q_ann_serve_refined" -> ((s, d) => {
       val e = spread(s, emb(s, d), "vec_id")
+      // pinned ONCE (r22): every reference — the index build's
+      // assignment broadcast, the query-side assignment, and each
+      // cfg-stamp collect (centroidCfg/pqCellCfg run a COLLECT at
+      // operator construction) — otherwise re-runs the full-corpus
+      // posexplode+groupBy centroid derivation
       val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+        .localCheckpoint()
       val corpus = e.filter(col("vec_id") % 5 =!= 0)
       val idx = Similarity.semanticCellIndexPq(corpus, "vec_id",
         "embedding", cents, pqCb.toArray, pqM, pqK)
@@ -1761,7 +1785,13 @@ object PipelineQueries {
     // certifies the COMPOSITION cross-engine.
     "q_semantic_e2e" -> ((s, d) => {
       val e = emb(s, d)
+      // pinned ONCE (r22): every reference — the index build's
+      // assignment broadcast, the query-side assignment, and each
+      // cfg-stamp collect (centroidCfg/pqCellCfg run a COLLECT at
+      // operator construction) — otherwise re-runs the full-corpus
+      // posexplode+groupBy centroid derivation
       val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+        .localCheckpoint()
       val batch = e.filter(col("vec_id") % 5 === 0)
       val idx = Similarity.semanticCellIndex(
         e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents)
@@ -1781,7 +1811,13 @@ object PipelineQueries {
     // monotonically (OpsSpec law)
     "q_incremental_semantic_probe2" -> ((s, d) => {
       val e = emb(s, d)
+      // pinned ONCE (r22): every reference — the index build's
+      // assignment broadcast, the query-side assignment, and each
+      // cfg-stamp collect (centroidCfg/pqCellCfg run a COLLECT at
+      // operator construction) — otherwise re-runs the full-corpus
+      // posexplode+groupBy centroid derivation
       val cents = Similarity.centroidsFromLabels(e, "label", "embedding")
+        .localCheckpoint()
       val idx = Similarity.semanticCellIndex(
         e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents)
       Similarity.semanticNearDupsAgainstIndex(

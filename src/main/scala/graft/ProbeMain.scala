@@ -83,16 +83,45 @@ object ProbeMain {
         Iterator((pid, s))
       }.collect()
     }
-    t("decomp: pass-2 (Row.fromSeq rebuild + createDataFrame re-encode + noop)") {
-      val outRdd = parted2.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var run = 0L
-        it.map { r0 =>
-          run = Math.addExact(run, r0.getLong(vIdx))
-          org.apache.spark.sql.Row.fromSeq(r0.toSeq.updated(vIdx, run))
+    // interleaved same-JVM A/B of the two pass-2 shapes (r22): the old
+    // external-Row rebuild vs the InternalRow projection rewrite —
+    // 3 rounds each, alternating, so box drift hits both sides alike
+    for (r <- 1 to 3) {
+      t(s"decomp round$r: pass-2 OLD (Row.fromSeq + createDataFrame re-encode + noop)") {
+        val outRdd = parted2.rdd.mapPartitionsWithIndex { (pid, it) =>
+          var run = 0L
+          it.map { r0 =>
+            run = Math.addExact(run, r0.getLong(vIdx))
+            org.apache.spark.sql.Row.fromSeq(r0.toSeq.updated(vIdx, run))
+          }
         }
+        spark.createDataFrame(outRdd, parted2.schema)
+          .write.format("noop").mode("overwrite").save()
       }
-      spark.createDataFrame(outRdd, parted2.schema)
-        .write.format("noop").mode("overwrite").save()
+      t(s"decomp round$r: pass-2 NEW (InternalRow proj + internalCreateDataFrame + noop)") {
+        val fields = parted2.schema.fields
+        val outRdd = parted2.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+          import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+          val exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+            fields.zipWithIndex.map { case (f, idx) =>
+              BoundReference(idx, f.dataType, f.nullable)
+            }.toSeq.updated(vIdx,
+              BoundReference(fields.length,
+                org.apache.spark.sql.types.LongType, nullable = false))
+          val proj = UnsafeProjection.create(exprs)
+          val joined = new JoinedRow
+          val extra = new GenericInternalRow(1)
+          var run = 0L
+          it.map { r0 =>
+            run = Math.addExact(run, r0.getLong(vIdx))
+            extra.update(0, run)
+            proj(joined(r0, extra)): org.apache.spark.sql.catalyst.InternalRow
+          }
+        }
+        org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(
+          spark, outRdd, parted2.schema)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

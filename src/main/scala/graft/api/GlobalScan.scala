@@ -65,7 +65,13 @@ object GlobalScan {
     // 2^63 must RAISE (ArithmeticException → loud task failure), never
     // wrap into a silently wrong prefix (r14 verdict #5 — the
     // weightedQuantileDistributed weight CDF rides this sum).
-    val totals = parted.rdd
+    // Both passes run on InternalRow (r22, guide §4): the old
+    // `parted.rdd` converted every row to an external Row in BOTH
+    // passes, and pass 2 additionally allocated Seq+Row per row and
+    // re-encoded everything through createDataFrame — three per-row
+    // costs on the full-corpus pass that carry no information (the
+    // long is the same bits either way; ProbeMain prices the ceiling).
+    val totals = parted.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
         it.foreach(r => s = Math.addExact(s, r.getLong(vIdx)))
@@ -82,17 +88,32 @@ object GlobalScan {
       offsets(i) = Math.addExact(offsets(i), offsets(i - 1)); i += 1
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    // pass 2: map-only — running local sum + broadcast exclusive offset
-    val outRdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    // pass 2: map-only — running local sum + broadcast exclusive
+    // offset, emitted as UnsafeRows (valid-until-next() iterator
+    // contract, the standard InternalRow pipeline discipline)
+    val inFields = df.schema.fields
+    val outRdd = parted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+      // project the original columns (0..vIdx-1 — __v at vIdx is
+      // REPLACED by the running sum) + the run long appended at vIdx+1
+      // of the joined (input, extra) row
+      val exprs = inFields.zipWithIndex.map { case (f, idx) =>
+        BoundReference(idx, f.dataType, f.nullable)
+      } :+ BoundReference(inFields.length + 1, LongType, nullable = false)
+      val proj = UnsafeProjection.create(exprs)
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(1)
       var run = bc.value(pid)
       it.map { r =>
         run = Math.addExact(run, r.getLong(vIdx))
-        Row.fromSeq(r.toSeq.updated(vIdx, run))
+        extra.update(0, run)
+        proj(joined(r, extra)): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    val outSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    spark.createDataFrame(outRdd, outSchema)
+    org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(
+      spark, outRdd, outSchema)
   }
 
   /** Global 1-based row number over the total order `order` (dense
@@ -456,33 +477,47 @@ object GlobalScan {
       .repartitionByRange(spark.sessionState.conf.numShufflePartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .localCheckpoint() // pin sampled range boundaries between passes
-    def gkey(r: Row): Seq[Any] = gIdx.map(i => r.get(i))
-    def gval(r: Row): Long = r.getLong(vIdx)
+    // Both passes run on InternalRow (r22, guide §4 — see [[prefixSum]]
+    // for the rationale; this is the same rewrite). Group keys are
+    // compared and keyed as UnsafeRows of the group columns (byte-wise
+    // equals/hashCode — canonical for every dtype Spark writes,
+    // including the NaN normalization UnsafeRow writers apply), and
+    // COPIED when stored across iterator steps: the scan's UnsafeRow
+    // buffer is reused, so a stored reference would mutate under the
+    // loop (the valid-until-next() contract).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+    val partedSchema = parted.schema
+    def keyProjOf(): UnsafeProjection = UnsafeProjection.create(
+      gIdx.map(i => BoundReference(i, partedSchema.fields(i).dataType,
+        partedSchema.fields(i).nullable): org.apache.spark.sql.catalyst.expressions.Expression).toArray)
+    def gval(r: InternalRow): Long = r.getLong(vIdx)
     // pass 1: per partition, first/last group key + their in-partition
     // value sums (middle groups never cross a boundary → offset 0)
-    val bounds = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val bounds = parted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
+        val keyProj = keyProjOf()
         val first = it.next()
-        val fk = gkey(first)
+        val fk = keyProj(first).copy()
         var fCount = gval(first)
         var lk = fk
-        var lCount = gval(first)
+        var lCount = fCount
         var sawOther = false
         it.foreach { r =>
-          val k = gkey(r)
+          val k = keyProj(r)
           if (k == lk) {
             lCount = Math.addExact(lCount, gval(r))
             if (!sawOther) fCount = Math.addExact(fCount, gval(r))
-          } else { sawOther = true; lk = k; lCount = gval(r) }
+          } else { sawOther = true; lk = k.copy(); lCount = gval(r) }
         }
         Iterator((pid, fk, fCount, lk, lCount))
       }
     }.collect().sortBy(_._1)
     // chain offsets: group g entering partition p from the left gets the
     // accumulated count of g in partitions < p
-    val offsets = scala.collection.mutable.Map.empty[(Int, Seq[Any]), Long]
-    var carryKey: Seq[Any] = null
+    val offsets = scala.collection.mutable.Map.empty[(Int, UnsafeRow), Long]
+    var carryKey: UnsafeRow = null
     var carryCount = 0L
     bounds.foreach { case (pid, fk, fCount, lk, lCount) =>
       if (carryKey != null && carryKey == fk) offsets((pid, fk)) = carryCount
@@ -494,22 +529,32 @@ object GlobalScan {
       carryCount = into
     }
     val bc = spark.sparkContext.broadcast(offsets.toMap)
-    val outRdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cur: Seq[Any] = null
+    val inFields = df.schema.fields
+    val outRdd = parted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val keyProj = keyProjOf()
+      // drop the trailing __grn_v temp (at vIdx), append the running sum
+      val exprs = inFields.zipWithIndex.map { case (f, idx) =>
+        BoundReference(idx, f.dataType, f.nullable)
+      } :+ BoundReference(inFields.length + 1, LongType, nullable = false)
+      val proj = UnsafeProjection.create(exprs)
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(1)
+      var cur: UnsafeRow = null
       var run = 0L
       it.map { r =>
-        val k = gkey(r)
-        if (k != cur) {
-          cur = k
-          run = bc.value.getOrElse((pid, k), 0L)
+        val k = keyProj(r)
+        if (cur == null || k != cur) {
+          cur = k.copy()
+          run = bc.value.getOrElse((pid, cur), 0L)
         }
         run = Math.addExact(run, gval(r))
-        // drop the trailing __grn_v temp, append the running sum
-        Row.fromSeq(r.toSeq.dropRight(1) :+ run)
+        extra.update(0, run)
+        proj(joined(r, extra)): InternalRow
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ StructField(outCol, LongType, nullable = false))
-    spark.createDataFrame(outRdd, outSchema)
+    org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(
+      spark, outRdd, outSchema)
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -517,6 +517,68 @@ case class BloomContainsString(child: Expression, bloomBytes: Array[Byte])
   }
 
   override protected def withNewChildInternal(c: Expression): BloomContainsString =
+    copy(child = c)
+}
+
+/** [[BloomContainsString]] over a 16-byte BINARY key (the r22 band-key
+  * format): probe via `mightContainBinary`, bit-identical to the build
+  * side's `putBinary` — same no-false-negative guarantee. */
+case class BloomContainsBinary(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    bf.mightContainBinary(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $bloomRef.mightContainBinary($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomContainsBinary =
+    copy(child = c)
+}
+
+/** [[BloomContainsBinary]] with torrent-broadcast delivery — the
+  * [[BloomContainsStringBc]] economics over binary keys. */
+case class BloomContainsBinaryBc(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    bc.value.mightContainBinary(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bfCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBc", bc, bcCls)
+    // resolve the broadcast value once per task, not per row
+    val bfVar = ctx.addMutableState(bfCls, "bloomBcVal",
+      v => s"$v = ($bfCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $bfVar.mightContainBinary($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomContainsBinaryBc =
     copy(child = c)
 }
 

@@ -882,6 +882,18 @@ object VectorExprs {
             "an internal handle, not a user-supplied value)")
         BloomContainsStringBc(exprs(0), bc)
       }),
+      "graft_bloom_contains_bin" -> (exprs =>
+        BloomContainsBinary(exprs(0),
+          exprs(1).eval().asInstanceOf[Array[Byte]])),
+      "graft_bloom_contains_bin_bc" -> (exprs => {
+        val id = exprs(1).eval().toString
+        val bc = bloomBroadcasts.get(id)
+        require(bc != null,
+          s"no broadcast bloom registered under '$id' — construct the " +
+            "column via VectorExprs.bloomContainsBinaryBc (the id " +
+            "literal is an internal handle, not a user-supplied value)")
+        BloomContainsBinaryBc(exprs(0), bc)
+      }),
       "graft_hashed_bag_counts" -> (exprs =>
         HashedBagCountsExpr(exprs(0), int(exprs(1)))),
       "graft_langid" -> (exprs => LangIdBest(exprs(0))),
@@ -1183,6 +1195,22 @@ object VectorExprs {
                       handle: String): Column = {
     ensureRegistered(spark)
     call_function("graft_bloom_contains_bc", s, lit(handle))
+  }
+
+  /** [[bloomContains]] over a BINARY key (r22 band-key format) —
+    * probe hash bit-identical to the build's `putBinary`. */
+  def bloomContainsBinary(s: Column, bloomBytes: Array[Byte]): Column = {
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
+    call_function("graft_bloom_contains_bin", s, lit(bloomBytes))
+  }
+
+  /** [[bloomContainsBinary]] with torrent-broadcast delivery. */
+  def bloomContainsBinaryBc(s: Column, spark: SparkSession,
+                            handle: String): Column = {
+    ensureRegistered(spark)
+    call_function("graft_bloom_contains_bin_bc", s, lit(handle))
   }
 
   /** Destroy every broadcast bloom registered via

@@ -64,13 +64,17 @@ object Dedup {
   }
 
   /** The canonical LSH band key: md5 over the '|'-joined (stringified)
-    * minhash lanes of one band. ONE definition (r13 review: three
-    * hand-maintained copies whose bit-identity is the load-bearing
-    * batch≡stream candidate-parity claim) — used by [[lshCandidates]],
+    * minhash lanes of one band, as 16-BYTE BINARY (r22, guide §2.3
+    * narrower types: the 32-char hex string shuffled and persisted 2×
+    * the bytes of the same 128-bit key — `unhex` keeps equality
+    * semantics EXACTLY md5's, unlike a truncated long). ONE definition
+    * (r13 review: three hand-maintained copies whose bit-identity is
+    * the load-bearing batch≡stream candidate-parity claim) — used by
+    * [[lshCandidates]], [[crossNearDupPairs]],
     * [[graft.streaming.StreamingDedup.dropNearDupsWithinWatermark]]
     * and [[graft.streaming.StreamingContamination]]. */
   private[graft] def bandHash(lanes: Seq[Column]): Column =
-    md5(concat_ws("|", lanes.map(_.cast("string")): _*))
+    unhex(md5(concat_ws("|", lanes.map(_.cast("string")): _*)))
 
   /** LSH candidate pairs: documents sharing at least one band
     * (bandSize consecutive minhashes hashed together). Returns
@@ -180,8 +184,8 @@ object Dedup {
             .as("__sig"))
       sig.select(col(outId),
         posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-          b => md5(concat_ws("|", (0 until bandSize).map(j =>
-            element_at(col("__sig"), b * bandSize + j + 1)): _*)))))
+          b => bandHash((0 until bandSize).map(j =>
+            element_at(col("__sig"), b * bandSize + j + 1))))))
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band_hash")
         .select(col("band_idx"), col("band_hash"), col(outId))
@@ -250,19 +254,26 @@ object Dedup {
     * LOUD scan-time failure ([[requireCfg]]). */
   private[graft] def bandKeyExpr(cfg: String, bandIdx: Column,
                                  lanes: Seq[Column]): Column =
-    md5(concat_ws("|",
-      (lit(cfg) +: bandIdx.cast("string") +: lanes.map(_.cast("string"))): _*))
+    unhex(md5(concat_ws("|",
+      (lit(cfg) +: bandIdx.cast("string") +: lanes.map(_.cast("string"))): _*)))
 
   /** Config stamp for MinHash band keys — every parameter that changes
     * the key derivation, so mismatched build/query configs partition
-    * the key space. */
+    * the key space. FORMAT VERSION "mh2" (r22): band keys became
+    * 16-byte binary (`unhex(md5)`, same 128-bit value the hex string
+    * spelled in 32 chars) — a pre-r22 persisted index carries "mh:…"
+    * stamps and a STRING band_key column, so querying it with current
+    * code fails LOUDLY ([[requireCfg]] stamp mismatch / join type
+    * mismatch) instead of silently returning zero candidates. Rebuild
+    * persisted indexes and blooms to migrate. */
   private[graft] def minhashCfg(numHashes: Int, bandSize: Int, k: Int,
                                 useMd5: Boolean): String =
-    s"mh:$numHashes:$bandSize:$k:${if (useMd5) "md5" else "xx"}"
+    s"mh2:$numHashes:$bandSize:$k:${if (useMd5) "md5" else "xx"}"
 
-  /** Config stamp for hamming band keys (see [[minhashCfg]]). */
+  /** Config stamp for hamming band keys (see [[minhashCfg]]; "hm2" =
+    * the r22 binary-key format version). */
   private[graft] def hammingCfg(sigBits: Int, maxHamming: Int): String =
-    s"hm:$sigBits:$maxHamming"
+    s"hm2:$sigBits:$maxHamming"
 
   /** Loud build/query config check: if the index carries the `cfg`
     * column (every [[bandIndex]]/[[hammingBandIndex]] build does), any
@@ -345,7 +356,17 @@ object Dedup {
     * needs >maxBucket corpus collisions on EVERY band — degenerate
     * content (empty/boilerplate docs) that quality gates (Gopher/C4)
     * should have dropped upstream; if they didn't, lower maxBucket is
-    * the wrong knob — fix the prefilter. */
+    * the wrong knob — fix the prefilter.
+    *
+    * RESOURCE CONTRACT (r21 ADVICE): construction is EAGER — the band
+    * table is pinned with `localCheckpoint()` at build time (one full
+    * corpus signature pass runs HERE, even if the returned frame is
+    * never acted on), and the pin lives until session end unless the
+    * caller releases it: call [[graft.api.Caches.release]] on the
+    * returned frame after its last action (Dataset.unpersist cannot
+    * reach checkpoint blocks). Repeated-build callers (a daily rebuild
+    * loop) should prefer [[writeBandIndex]], which releases its own
+    * pin. */
   def bandIndex(df: DataFrame, textCol: String, idCol: String,
                 numHashes: Int = 6, bandSize: Int = 1, k: Int = 3,
                 useMd5: Boolean = false, maxBucket: Int = 1000): DataFrame = {
@@ -578,10 +599,16 @@ object Dedup {
     * `sizedForKeys` is the capacity the bit geometry was created for
     * (they differ for delta blooms, which borrow the original's
     * geometry to stay mergeable — [[bandKeyBloomDelta]]). The fpp
-    * guarantee holds while total occupancy ≤ sizedForKeys. */
+    * guarantee holds while total occupancy ≤ sizedForKeys.
+    * `binaryKeys` records whether the build inserted BINARY keys
+    * (`putBinary` — the r22 band-key format) or UTF8-string keys
+    * (`putString` — the URL-index family): probe expressions must hash
+    * the same bytes the build did, so [[bloomKeyFilter]] dispatches on
+    * it and [[mergeKeyBlooms]] refuses a cross-type merge. */
   case class BandKeyBloom(bytes: Array[Byte], cfg: String,
                           numKeys: Long, fpp: Double,
-                          sizedForKeys: Long)
+                          sizedForKeys: Long,
+                          binaryKeys: Boolean = false)
 
   private def buildKeyBloom(index: DataFrame, cfg: String,
                             fpp: Double,
@@ -618,19 +645,36 @@ object Dedup {
       .getOption("spark.graft.dedup.bloomBuildBytes")
       .map(_.toLong).getOrElse(1L << 30)
     val maxTasks = math.max(1L, budget / estBytes).toInt
-    val rdd0 = keys.select(col("band_key")).rdd.map(_.getString(0))
-    val rdd =
-      if (rdd0.getNumPartitions > maxTasks) rdd0.coalesce(maxTasks)
-      else rdd0
-    val bf = rdd
-      .treeAggregate(
-        org.apache.spark.util.sketch.BloomFilter.create(sizing, fpp))(
-        (f, s) => { f.putString(s); f },
-        (a, b) => { a.mergeInPlace(b); a })
+    // key dtype dispatch (r22): band keys are 16-byte BINARY
+    // (putBinary); the URL-index family keys stay strings (putString).
+    // Build and probe must hash the same bytes — bloomKeyFilter picks
+    // the matching probe expression off `binaryKeys`.
+    val isBinary = keys.schema("band_key").dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val zero = org.apache.spark.util.sketch.BloomFilter.create(sizing, fpp)
+    val bf =
+      if (isBinary) {
+        val rdd0 = keys.select(col("band_key")).rdd
+          .map(_.getAs[Array[Byte]](0))
+        val rdd =
+          if (rdd0.getNumPartitions > maxTasks) rdd0.coalesce(maxTasks)
+          else rdd0
+        rdd.treeAggregate(zero)(
+          (f, s) => { f.putBinary(s); f },
+          (a, b) => { a.mergeInPlace(b); a })
+      } else {
+        val rdd0 = keys.select(col("band_key")).rdd.map(_.getString(0))
+        val rdd =
+          if (rdd0.getNumPartitions > maxTasks) rdd0.coalesce(maxTasks)
+          else rdd0
+        rdd.treeAggregate(zero)(
+          (f, s) => { f.putString(s); f },
+          (a, b) => { a.mergeInPlace(b); a })
+      }
     val baos = new java.io.ByteArrayOutputStream()
     bf.writeTo(baos)
     graft.api.Caches.release(keys)
-    BandKeyBloom(baos.toByteArray, cfg, n, fpp, sizing)
+    BandKeyBloom(baos.toByteArray, cfg, n, fpp, sizing, isBinary)
   }
 
   /** Day-scale bloom MAINTENANCE (r17 verdict "What's missing #3"):
@@ -666,6 +710,9 @@ object Dedup {
         s"(fpp=${a.fpp}, sized=${a.sizedForKeys}) vs " +
         s"(fpp=${b.fpp}, sized=${b.sizedForKeys}) — build the delta " +
         "bloom with bandKeyBloomDelta(delta, sizedLike = original)")
+    require(a.binaryKeys == b.binaryKeys,
+      "cannot merge blooms of different key encodings (binary vs " +
+        "string) — rebuild both sides at the same index format version")
     val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(a.bytes))
     val fb = org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -675,7 +722,7 @@ object Dedup {
     val baos = new java.io.ByteArrayOutputStream()
     fa.writeTo(baos)
     BandKeyBloom(baos.toByteArray, a.cfg, a.numKeys + b.numKeys, a.fpp,
-      a.sizedForKeys)
+      a.sizedForKeys, a.binaryKeys)
   }
 
   /** Membership column of `keyCol` in a [[BandKeyBloom]], with
@@ -697,7 +744,11 @@ object Dedup {
       .getOption("spark.graft.dedup.bloomBroadcastBytes")
       .map(_.toLong).getOrElse(16L << 20)
     if (bloom.bytes.length <= gate)
-      keyCol => graft.functions.VectorExprs.bloomContains(keyCol, bloom.bytes)
+      keyCol =>
+        if (bloom.binaryKeys)
+          graft.functions.VectorExprs.bloomContainsBinary(keyCol, bloom.bytes)
+        else
+          graft.functions.VectorExprs.bloomContains(keyCol, bloom.bytes)
     else {
       // ONE broadcast shared by every band column of the operator —
       // per-band registration would pin nBands copies of the filter in
@@ -706,7 +757,11 @@ object Dedup {
       // serialization at 171 MiB × 4 bands on an 8g driver)
       val handle = graft.functions.VectorExprs
         .registerBloomBroadcast(spark, bloom.bytes)
-      keyCol => graft.functions.VectorExprs.bloomContainsBc(keyCol, spark, handle)
+      keyCol =>
+        if (bloom.binaryKeys)
+          graft.functions.VectorExprs.bloomContainsBinaryBc(keyCol, spark, handle)
+        else
+          graft.functions.VectorExprs.bloomContainsBc(keyCol, spark, handle)
     }
   }
 
@@ -1322,7 +1377,11 @@ object Dedup {
     * This matters doubly here because ONE table shape serves the whole
     * multimodal family (SimHash text, image dHash, audio envelope,
     * video frames): two configs can no longer share a table
-    * undetected. */
+    * undetected.
+    *
+    * RESOURCE CONTRACT: eager localCheckpoint pin at construction;
+    * release with [[graft.api.Caches.release]] after the last action
+    * on the returned frame — see [[bandIndex]] (r21 ADVICE). */
   def hammingBandIndex(sig: DataFrame, sigBits: Int, maxHamming: Int,
                        maxBucket: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < sigBits,

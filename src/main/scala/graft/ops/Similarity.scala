@@ -783,6 +783,13 @@ object Similarity {
         VectorExprs.pqLut(col("__v"), cb, m, codesPerSub, subDim)
           .as("__lut"))
     val b = if (delta.isDefined) b0.localCheckpoint() else b0
+    // the screen emits ID TRIPLES ONLY (r22, guide §2.3/§8): the batch
+    // VECTOR (__vb — dims doubles) used to ride every candidate row
+    // through the distinct's exchange, multiplying its bytes by
+    // candidates-per-batch-row; decisions dedup on ids here and the
+    // payload is re-attached exactly once below (measured at sf0.1:
+    // q_incremental_semantic_pq shuffle write 26.9 MB → the candidate
+    // exchange now carries ~28 B/row)
     def screen(ix: DataFrame) = graft.ops.Dedup.requireCfg(ix, cfg)
       .select(col("cid"), col("id").as("id_corpus"),
         col("codes").as("__codes"), col("n").as("__nc0"),
@@ -792,8 +799,7 @@ object Similarity {
         VectorExprs.pqAdc(col("__codes"), col("__lut"), codesPerSub) /
           (col("__nb") * col("__nc0")) >=
           lit(threshold) - col("__errc") - lit(margin))
-      .select(col("cid"), col("id_batch"), col("id_corpus"),
-        col("__vb"), col("__nb"))
+      .select(col("cid"), col("id_batch"), col("id_corpus"))
     val cand = delta.fold(screen(indexPq))(d =>
       screen(indexPq).unionByName(screen(d)))
       .distinct()
@@ -803,13 +809,27 @@ object Similarity {
       .getOption("spark.graft.dedup.idBroadcastThreshold")
       .map(_.toLong).getOrElse(1L << 22)
     val pinnedIds = candIds.localCheckpoint()
+    val nCandIds = pinnedIds.count()
     val hinted =
-      if (pinnedIds.count() <= thresholdRows) broadcast(pinnedIds)
+      if (nCandIds <= thresholdRows) broadcast(pinnedIds)
       else pinnedIds
     val sliver = vectors
       .select(col(vIdCol).as("id_corpus"), asDouble(col(vVecCol)).as("__vc"))
       .join(hinted, Seq("id_corpus"))
       .withColumn("__nc", norm(col("__vc")))
+    // batch vectors re-attached ONCE for the exact verify — a map-only
+    // derivation off the batch (never the index), candidate-id-pruned
+    // and broadcast under the same gate as the sliver ids so the
+    // pair-sized side is never shuffled by the attach join (the §8
+    // "attach the plan without sneaking the shuffle back in" rule)
+    val bVecs0 = e.select(col("__id").as("id_batch"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val bVecs =
+      if (nCandIds <= thresholdRows)
+        broadcast(bVecs0.join(
+          broadcast(cand.select("id_batch").distinct()),
+          Seq("id_batch"), "left_semi"))
+      else bVecs0
     // cand/pinnedIds checkpoints stay pinned while the result is
     // consumed (they are sliver-sized); release with
     // [[graft.api.Caches.release]] once done, the semanticNearDupPairs
@@ -819,6 +839,7 @@ object Similarity {
     // by construction, so this path must not be the one that
     // duplicates) — sliver-sized, cheap.
     cand.join(sliver, Seq("id_corpus"))
+      .join(bVecs, Seq("id_batch"))
       .withColumn("sim",
         cosinePrenormed(col("__vb"), col("__vc"), col("__nb"), col("__nc")))
       .filter(col("sim") >= threshold)

@@ -225,7 +225,8 @@ class OpsSpec extends SparkTestBase {
     graft.api.Layout.verifyLayout(spark, "opsspec_inc_idx_v2")
     def idxSet(df: org.apache.spark.sql.DataFrame) =
       df.select("band_key", "id").collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSet
+        .map(r => (r.getAs[Array[Byte]](0).map("%02x".format(_)).mkString,
+          r.getLong(1))).toSet
     assert(idxSet(graft.api.Layout.table(spark, "opsspec_inc_idx_v2")) ===
       idxSet(rebuilt))
     // in-place compaction is refused with the hazard named
@@ -330,7 +331,8 @@ class OpsSpec extends SparkTestBase {
     graft.api.Layout.verifyLayout(spark, "opsspec_ham_idx_v2")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("band_key", "id", "sig").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        .map(r => (r.getAs[Array[Byte]](0).map("%02x".format(_)).mkString,
+          r.getLong(1), r.getLong(2))).toSet
     assert(rows(graft.api.Layout.table(spark, "opsspec_ham_idx_v2")) ===
       rows(rebuilt))
   }
@@ -706,7 +708,8 @@ class OpsSpec extends SparkTestBase {
       path = Some(s"$root/v2"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("band_key", "id", "sig").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        .map(r => (r.getAs[Array[Byte]](0).map("%02x".format(_)).mkString,
+          r.getLong(1), r.getLong(2))).toSet
     val rebuilt = Dedup.hammingBandIndex(corpusSig.unionByName(survSig),
       sigBits = 8, maxHamming = 1)
     assert(rows(graft.api.Layout.table(spark, "opsspec_dbl_idx_v2")) ===
@@ -756,8 +759,8 @@ class OpsSpec extends SparkTestBase {
         "doc_id", "id").collect()
     }
     val msgs = causeMessages(e2)
-    assert(msgs.contains("config mismatch") && msgs.contains("mh:4:1:3:xx")
-      && msgs.contains("mh:6:1:3:xx"), msgs)
+    assert(msgs.contains("config mismatch") && msgs.contains("mh2:4:1:3:xx")
+      && msgs.contains("mh2:6:1:3:xx"), msgs)
   }
 
   test("simhash: identical texts equal, near-dups close, distinct far") {

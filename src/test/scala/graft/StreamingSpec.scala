@@ -169,12 +169,13 @@ class StreamingSpec extends SparkTestBase {
       .localCheckpoint() // static side, computed once
     // batch oracle at the same candidate grain: a doc is dropped iff
     // ANY of its band keys exists in the index
+    def hx(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
     val idxKeys = idx.select("band_key").distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => hx(r.getAs[Array[Byte]](0))).toSet
     val batchKeys = Dedup.bandIndex(
         all.filter(col("doc_id") % 5 === 0), "text", "doc_id",
         numHashes = 4, bandSize = 1, k = 3, useMd5 = true)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (hx(r.getAs[Array[Byte]](0)), r.getLong(1)))
     val hitIds = batchKeys.collect {
       case (bk, id) if idxKeys(bk) => id
     }.toSet
@@ -219,11 +220,12 @@ class StreamingSpec extends SparkTestBase {
     val idx = Dedup.hammingBandIndex(corpusSig,
       sigBits = 32, maxHamming = 1).localCheckpoint()
     // batch oracle at candidate grain: dropped iff ANY band key hits
+    def hx(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
     val idxKeys = idx.select("band_key").distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => hx(r.getAs[Array[Byte]](0))).toSet
     val batchKeys = Dedup.hammingBandIndexDelta(
         batchSigs.toDF("__id", "__sig"), sigBits = 32, maxHamming = 1)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (hx(r.getAs[Array[Byte]](0)), r.getLong(1)))
     val hitIds = batchKeys.collect {
       case (bk, id) if idxKeys(bk) => id
     }.toSet
