@@ -989,10 +989,47 @@ object Web {
         "domainRank(reliable = true) needs " +
           "spark.sparkContext.setCheckpointDir(...) — reliable " +
           "checkpoints are files under that directory")
+    // The default (localCheckpoint-lineage, string-keyed) path runs the
+    // RDD loop below (r22 — the connectedComponents precedent: a
+    // fixed-point is the one shape where per-round Catalyst re-planning
+    // + a per-round checkpoint job is pure overhead; the RDD loop is
+    // ONE job whose cached adjacency joins NARROW every round). The
+    // DataFrame loop remains for reliable=true (durable per-round
+    // checkpoint FILES — the 100-TB-cluster posture) and for
+    // non-string node types; WebSpec's reliable≡local law now
+    // cross-checks the two implementations bit-for-bit, which the
+    // exact-dyadic snap arithmetic guarantees: every summed term is an
+    // exact 2^-20 multiple, so sums are order-independent, and the
+    // per-row ops (divide, multiply, add, floor) are identical
+    // correctly-rounded IEEE ops in both loops.
+    val stringKeys =
+      edges.schema(srcCol).dataType == org.apache.spark.sql.types.StringType &&
+      edges.schema(dstCol).dataType == org.apache.spark.sql.types.StringType
+    if (!reliable && stringKeys)
+      return domainRankRdd(edges, srcCol, dstCol, iterations, damping)
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val snapUnit = lit(1048576.0) // 2^20
-    def snap(c: Column): Column = floor(c * snapUnit) / snapUnit
+    // grid-clearance guard (r22, the trainCertified posture): a value
+    // within 1e-9 of a floor boundary (in the scaled domain, grid step
+    // 1.0) is refused LOUDLY — engines computing 1 ulp apart could
+    // floor to different grid cells and silently diverge from the
+    // oracle. Values exactly ON the boundary are fine (identical
+    // doubles floor identically); cross-engine jitter for these exact
+    // dyadic sums is 0-1 ulp (~1e-16 relative), so 1e-9 gives ~7
+    // decades of margin while firing spuriously with probability
+    // ~2e-9 per snapped value.
+    def snap(c: Column): Column = {
+      val scaled = c * snapUnit
+      val frac = scaled - floor(scaled)
+      when(frac === 0.0 || (frac > 1e-9 && frac < lit(1.0) - lit(1e-9)),
+        floor(scaled) / snapUnit)
+        .otherwise(raise_error(concat(
+          lit("domainRank grid-clearance guard: a rank term sits within " +
+            "1e-9 of a 2^-20 floor boundary — cross-engine rounding " +
+            "could diverge; change damping/iterations (value "),
+          c.cast("string"), lit(")"))))
+    }
     // null endpoints (a schemeless/garbage URL upstream yields a null
     // domain) cannot vote or be ranked — drop them here rather than
     // letting a null node ride the joins as a phantom vertex
@@ -1016,6 +1053,64 @@ object Web {
             lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank")))
     }
     ranks
+  }
+
+  /** The default-path RDD fixed-point loop for [[domainRank]] (r22):
+    * same recurrence, same 2^-20 floor snap, same grid-clearance
+    * guard, bit-identical values (exact-dyadic summation is
+    * order-independent; per-row IEEE ops identical) — WebSpec pins the
+    * equality against the DataFrame loop via the reliable≡local law.
+    * Shape: the adjacency (src, (dst, outdeg)) is partitioned once and
+    * cached; each round is join → map → reduceByKey → leftOuterJoin,
+    * all on the SAME partitioner (narrow against the cache), with NO
+    * per-round action or checkpoint — the whole loop materializes as
+    * one job at the final localCheckpoint, so per-round cost is three
+    * small shuffles instead of Catalyst re-plan + checkpoint job. */
+  private def domainRankRdd(edges: DataFrame, srcCol: String,
+                            dstCol: String, iterations: Int,
+                            damping: Double): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def snapChecked(x: Double): Double = {
+      val scaled = x * 1048576.0
+      val fl = math.floor(scaled)
+      val frac = scaled - fl
+      // same guard and thresholds as the DataFrame path's snap()
+      require(frac == 0.0 || (frac > 1e-9 && frac < 1.0 - 1e-9),
+        s"domainRank grid-clearance guard: a rank term sits within " +
+          s"1e-9 of a 2^-20 floor boundary — cross-engine rounding " +
+          s"could diverge; change damping/iterations (value $x)")
+      fl / 1048576.0
+    }
+    val eRdd = edges.select(col(srcCol).as("_1"), col(dstCol).as("_2"))
+      .na.drop().as[(String, String)].rdd
+    val part = new HashPartitioner(math.max(eRdd.getNumPartitions, 1))
+    val e = eRdd.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    val esd = e.join(deg, part).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(part, (a, _) => a)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oneMinusD = 1.0 - damping
+    var ranks = nodes.mapValues(_ => 1.0)
+    for (_ <- 1 to iterations) {
+      val contrib = esd.join(ranks, part).map {
+        case (_, ((dst, dg), rank)) => (dst, snapChecked(rank / dg))
+      }
+      val summed = contrib.reduceByKey(part, _ + _)
+      ranks = nodes.leftOuterJoin(summed, part).mapValues {
+        case (_, so) => snapChecked(oneMinusD + damping * so.getOrElse(0.0))
+      }
+    }
+    // one materializing pin (the CC convention): construction runs the
+    // loop's job here; loop caches release afterwards
+    val out = ranks.toDF("node", "rank").localCheckpoint()
+    esd.unpersist(false)
+    nodes.unpersist(false)
+    e.unpersist(false)
+    out
   }
 
   /** Crawl-budget allocation: per-domain budgets ∝ rank^(1/T) — the
